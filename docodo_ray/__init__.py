@@ -1,0 +1,18 @@
+"""docodo-ray: a Ray-Data-native full-text inverted-index build + BM25 query
+engine with the query/data-processing capabilities of alexarchen/Docodo,
+built from scratch on ray.data.Dataset pipelines (NOT a port).
+
+Reference parity map: see SURVEY.md. Key reference anchors cited per module:
+- posting codec       -> reference IndexSequence.cs:10-323 (15-bit delta words)
+- tokenizer           -> reference Build.cs:175-247,482,526-529
+- posting build       -> reference Build.cs:258-437 (accumulator+spill) re-expressed
+                         as groupby-shuffle (SURVEY A1-A3)
+- query engine        -> reference Search.cs (BM25 replaces proximity rank, A8)
+"""
+
+from docodo_ray.config import IndexConfig, BM25Params
+from docodo_ray.build import build_index
+from docodo_ray.search import IndexReader
+
+__all__ = ["IndexConfig", "BM25Params", "build_index", "IndexReader"]
+__version__ = "0.1.0"

@@ -1,0 +1,324 @@
+"""Index build orchestration: Ray Data pipeline + per-partition checkpoint
+manifest.
+
+Pipeline (SURVEY §3.4):
+
+    corpus = ray.data.read_parquet(paths)                # (…, content)
+    hot    = deterministic doc-hash sample -> df estimates -> salt map
+    meta   = corpus.map_batches(doc_meta).write_parquet  # sha256 invariant
+    tokens = corpus.map_batches(TokenizeStage, concurrency=N)   # actor pool
+    segs   = tokens.groupby(["bucket","salt"]).map_groups(SegmentWriter)
+    stats  = segments -> groupby(term) -> term_stats + corpus stats
+
+Resume (north_rule: "resumable from checkpoint with per-partition lineage"):
+``manifest.json`` records config fingerprint, the hot-term salt map, stage
+status, and — in sharded mode — one entry per input shard with its file list,
+row counts and segment checksums. A re-run with the same out_dir skips
+completed shards/stages; segment files are written atomically (tmp+rename) so
+a killed run never leaves a partial file under a final name. The reference
+has no resume at all (full rebuild wipes work dirs, Index.cs:442-446); this
+is the explicitly-designed distributed replacement (SURVEY §4 checkpoint row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import shutil
+from dataclasses import asdict, dataclass
+from typing import Any
+
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from docodo_ray.config import DOC_LEN_TERM, IndexConfig
+from docodo_ray.stages.doc_meta import make_doc_meta_fn
+from docodo_ray.stages.postings import SegmentMerger, SegmentWriter
+from docodo_ray.stages.tokenize import HotSampleStage, TokenizeStage
+
+MAX_SALT = 4096
+STAGES = ["hot", "doc_meta", "segments", "term_stats", "stats"]
+
+
+@dataclass
+class BuildResult:
+    out_dir: str
+    n_docs: int
+    total_tokens: int
+    avgdl: float
+    n_segment_files: int
+    manifest: dict[str, Any]
+
+
+def _cfg_fingerprint(cfg: IndexConfig, input_desc: dict) -> str:
+    payload = json.dumps({"cfg": asdict(cfg), "input": input_desc}, sort_keys=True, default=str)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _save_manifest(out_dir: str, manifest: dict) -> None:
+    path = os.path.join(out_dir, "manifest.json")
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _load_manifest(out_dir: str) -> dict | None:
+    path = os.path.join(out_dir, "manifest.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _default_concurrency(cfg: IndexConfig):
+    if cfg.tokenizer_concurrency is not None:
+        return cfg.tokenizer_concurrency
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return (1, max(2, cpus))
+
+
+def _read_input(input_paths: list[str] | None, ds: rd.Dataset | None) -> rd.Dataset:
+    if ds is not None:
+        return ds
+    assert input_paths
+    return rd.read_parquet(input_paths)
+
+
+def _compute_hot_map(
+    ds: rd.Dataset, cfg: IndexConfig, n_docs_est: int,
+    content_col: str, id_col: str | None, key_cols: list[str] | None,
+) -> dict[str, int]:
+    """Deterministic hot-term detection -> {term: n_salt_shards} (SURVEY §4
+    skew row). Estimated df = sample_count / rate; any term whose estimate
+    exceeds half the shard target gets salted, so reducers never see a group
+    much bigger than shard_target_postings."""
+    target = cfg.shard_target_postings
+    rate = cfg.hot_sample_rate
+    hot: dict[str, int] = {}
+    if rate > 0 and n_docs_est > 0:
+        sample = ds.map_batches(
+            HotSampleStage,
+            fn_constructor_kwargs=dict(
+                cfg=cfg, content_col=content_col, id_col=id_col, key_cols=key_cols
+            ),
+            batch_format="pyarrow",
+            batch_size=cfg.tokenizer_batch_size,
+            concurrency=_default_concurrency(cfg),
+        )
+        agg = sample.groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+        thresh = max(2, int(target * rate / 2))
+        rows = agg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["cnt"], thresh)),
+            batch_format="pyarrow",
+        ).take_all()
+        for r in rows:
+            df_est = r["cnt"] / rate
+            s = min(MAX_SALT, math.ceil(df_est / target))
+            if s >= 2:
+                hot[r["term"]] = s
+    s_doc = min(MAX_SALT, math.ceil(max(1, n_docs_est) / target))
+    if s_doc >= 2:
+        hot[DOC_LEN_TERM] = s_doc
+    return hot
+
+
+def _build_segments_for(
+    ds: rd.Dataset, cfg: IndexConfig, hot: dict[str, int], out_dir: str, subdir: str,
+    content_col: str, id_col: str | None, key_cols: list[str] | None,
+) -> list[dict]:
+    tokens = ds.map_batches(
+        TokenizeStage,
+        fn_constructor_kwargs=dict(
+            cfg=cfg, hot_terms=hot, content_col=content_col,
+            id_col=id_col, key_cols=key_cols,
+        ),
+        batch_format="pyarrow",
+        batch_size=cfg.tokenizer_batch_size,
+        concurrency=_default_concurrency(cfg),
+    )
+    writer = SegmentWriter(out_dir, subdir=subdir)
+    rows = (
+        tokens.groupby(["bucket", "salt"])
+        .map_groups(writer, batch_format="pyarrow")
+        .take_all()
+    )
+    return [dict(r) for r in rows]
+
+
+def build_index(
+    out_dir: str,
+    *,
+    ds: rd.Dataset | None = None,
+    input_paths: list[str] | None = None,
+    cfg: IndexConfig | None = None,
+    content_col: str = "content",
+    id_col: str | None = None,
+    key_cols: list[str] | None = None,
+    meta_cols: tuple[str, ...] = (),
+    shards: int | None = None,
+    resume: bool = True,
+) -> BuildResult:
+    """Build (or resume building) an inverted index under ``out_dir``.
+
+    shards=None  -> single-shot build: one tokenize pass, one term shuffle.
+    shards=K     -> resumable build: K independent passes over disjoint input
+                    file groups writing partial segments (each checkpointed in
+                    the manifest with its lineage), then a SegmentMerger
+                    shuffle producing the same final layout. Requires
+                    ``input_paths``.
+    """
+    cfg = cfg or IndexConfig()
+    input_desc = {
+        "paths": sorted(input_paths) if input_paths else None,
+        "content_col": content_col, "id_col": id_col,
+        "key_cols": key_cols, "meta_cols": list(meta_cols), "shards": shards,
+    }
+    fp = _cfg_fingerprint(cfg, input_desc)
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = _load_manifest(out_dir) if resume else None
+    if manifest is not None and manifest.get("fingerprint") != fp:
+        raise ValueError(
+            f"out_dir {out_dir} holds an index built with a different "
+            "config/input (fingerprint mismatch); use a fresh dir or resume=False"
+        )
+    if manifest is None:
+        for sub in ("segments", "partial", "doc_meta", "term_stats"):
+            shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+        manifest = {
+            "version": 1,
+            "fingerprint": fp,
+            "config": asdict(cfg),
+            "input": input_desc,
+            "stages": {},
+            "shards": {},
+        }
+        _save_manifest(out_dir, manifest)
+
+    stages = manifest["stages"]
+    source = _read_input(input_paths, ds)
+
+    # ---- stage: hot-term salt map (deterministic; reused on resume so salt
+    # assignment is identical across re-runs) ----
+    if stages.get("hot") != "done":
+        n_docs_est = source.count()
+        manifest["n_docs_est"] = n_docs_est
+        manifest["hot"] = _compute_hot_map(
+            source, cfg, n_docs_est, content_col, id_col, key_cols
+        )
+        stages["hot"] = "done"
+        _save_manifest(out_dir, manifest)
+    hot = dict(manifest["hot"])
+
+    # ---- stage: doc metadata (sha256 content invariant) ----
+    if stages.get("doc_meta") != "done":
+        meta_dir = os.path.join(out_dir, "doc_meta")
+        shutil.rmtree(meta_dir, ignore_errors=True)
+        source.map_batches(
+            make_doc_meta_fn(content_col, id_col, key_cols, list(meta_cols)),
+            batch_format="pyarrow",
+        ).write_parquet(meta_dir)
+        stages["doc_meta"] = "done"
+        _save_manifest(out_dir, manifest)
+
+    # ---- stage: segments ----
+    if stages.get("segments") != "done":
+        if shards is None:
+            seg_rows = _build_segments_for(
+                source, cfg, hot, out_dir, "segments",
+                content_col, id_col, key_cols,
+            )
+            manifest["segments"] = seg_rows
+        else:
+            assert input_paths, "sharded build needs input_paths"
+            paths = sorted(input_paths)
+            groups = [paths[k::shards] for k in range(shards)]
+            for k, files in enumerate(groups):
+                key = str(k)
+                if manifest["shards"].get(key, {}).get("status") == "done":
+                    continue
+                if not files:
+                    manifest["shards"][key] = {"files": [], "status": "done", "segments": []}
+                    _save_manifest(out_dir, manifest)
+                    continue
+                # 'shard-NNNN' not 'shard=NNNN': =-style names would trigger
+                # hive-partition inference on read-back and clash with the
+                # files' own columns
+                sub = os.path.join("partial", f"shard-{k:04d}")
+                shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+                rows = _build_segments_for(
+                    rd.read_parquet(files), cfg, hot, out_dir, sub,
+                    content_col, id_col, key_cols,
+                )
+                manifest["shards"][key] = {
+                    "files": files,
+                    "status": "done",
+                    "segments": rows,
+                    "n_postings": sum(r["n_postings"] for r in rows),
+                }
+                _save_manifest(out_dir, manifest)
+            # merge partials -> final segments
+            partial_files = [
+                os.path.join(out_dir, r["path"])
+                for sh in manifest["shards"].values()
+                for r in sh["segments"]
+            ]
+            shutil.rmtree(os.path.join(out_dir, "segments"), ignore_errors=True)
+            merged = (
+                rd.read_parquet(partial_files)
+                .groupby(["bucket", "salt"])
+                .map_groups(SegmentMerger(out_dir, "segments"), batch_format="pyarrow")
+                .take_all()
+            )
+            manifest["segments"] = [dict(r) for r in merged]
+        stages["segments"] = "done"
+        _save_manifest(out_dir, manifest)
+
+    # ---- stage: term stats (global df/cf per term, summed over salt shards) ----
+    if stages.get("term_stats") != "done":
+        ts_dir = os.path.join(out_dir, "term_stats")
+        shutil.rmtree(ts_dir, ignore_errors=True)
+        segs = rd.read_parquet(
+            os.path.join(out_dir, "segments"), columns=["term", "df", "cf"]
+        )
+        segs.groupby("term").aggregate(
+            Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+        ).write_parquet(ts_dir)
+        stages["term_stats"] = "done"
+        _save_manifest(out_dir, manifest)
+
+    # ---- stage: corpus stats from the DOC_LEN pseudo-term ----
+    if stages.get("stats") != "done":
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(out_dir, "term_stats"),
+            filters=[("term", "==", DOC_LEN_TERM)],
+        )
+        if t.num_rows:
+            n_docs = int(t["df"][0].as_py())
+            total_tokens = int(t["cf"][0].as_py())
+        else:
+            n_docs, total_tokens = 0, 0
+        manifest["stats"] = {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        }
+        stages["stats"] = "done"
+        _save_manifest(out_dir, manifest)
+
+    st = manifest["stats"]
+    return BuildResult(
+        out_dir=out_dir,
+        n_docs=st["n_docs"],
+        total_tokens=st["total_tokens"],
+        avgdl=st["avgdl"],
+        n_segment_files=len(manifest.get("segments", [])),
+        manifest=manifest,
+    )

@@ -1,0 +1,202 @@
+"""Posting-list codec: delta + varbyte (LEB128) with a block-max sidecar.
+
+The reference stores posting lists as ascending u64 coordinates delta-encoded
+in 15-bit continuation words (`IndexSequence.cs:13-15,63-136`). Here the
+payload is ascending doc_ids (per SURVEY.md §1.2 the global coordinate space
+is replaced by per-document token positions), encoded as deltas in classic
+varbyte/LEB128 — 7 payload bits + 1 continuation bit per byte — which is the
+byte-oriented analogue of the reference's 15-bit scheme.
+
+Everything is vectorized numpy: encode/decode loop over *byte positions*
+(<=10 iterations for u64), never over values, so a 10M-entry list costs a
+handful of array passes (mirrors the reference's SpeedTest bound,
+`IndexSequenceTest.cs:96-115`).
+
+Block-max sidecar: for every block of `BLOCK_SIZE` postings we store
+(last_doc_id:u64, max_tf:u32, min_dl:u32). At query time these give an
+upper bound for the BM25 contribution of the block —
+    ub = idf * (max_tf*(k1+1)) / (max_tf + k1*(1-b+b*min_dl/avgdl))
+— valid because BM25 is monotonically increasing in tf and decreasing in dl.
+Storing (max_tf, min_dl) instead of a precomputed float keeps the index
+independent of corpus stats (avgdl is only known globally), so partial
+segments can be merged without rescoring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+_U64 = np.uint64
+_SEVEN = _U64(7)
+_MASK7 = _U64(0x7F)
+_CONT = np.uint8(0x80)
+
+# thresholds[j] = smallest value needing more than j+1 bytes
+_THRESH = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+
+
+def _byte_lengths(a: np.ndarray) -> np.ndarray:
+    """LEB128 byte length per value (1..10); only tests thresholds up to
+    max(a), so small-delta posting lists cost ~2 array passes."""
+    nb = np.ones(a.size, dtype=np.int64)
+    amax = int(a.max()) if a.size else 0
+    for t in _THRESH:
+        if amax < t:
+            break
+        nb += a >= t
+    return nb
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array as LEB128 bytes."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    nb = _byte_lengths(a)
+    ends = np.cumsum(nb)
+    total = int(ends[-1])
+    starts = ends
+    starts -= nb  # reuse ends buffer
+    out = np.empty(total, dtype=np.uint8)
+    maxb = int(nb.max())
+    if maxb == 1:
+        out[:] = a.astype(np.uint8)
+        return out.tobytes()
+    for j in range(maxb):
+        if j == 0:
+            byte = (a & _MASK7).astype(np.uint8)
+            byte[nb > 1] |= _CONT
+            out[starts] = byte
+            continue
+        mask = nb > j
+        byte = ((a[mask] >> _U64(7 * j)) & _MASK7).astype(np.uint8)
+        byte[(nb[mask] - 1) > j] |= _CONT
+        out[starts[mask] + j] = byte
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes back to a uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    ends = np.flatnonzero(is_end)
+    n = ends.size
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    out = np.zeros(n, dtype=np.uint64)
+    maxb = int(lengths.max())
+    for j in range(maxb):
+        mask = lengths > j
+        chunk = b[starts[mask] + j].astype(np.uint64) & _MASK7
+        out[mask] |= chunk << _U64(7 * j)
+    return out
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    """Strictly-ascending u64 -> gaps (first value kept as-is)."""
+    a = np.ascontiguousarray(sorted_vals, dtype=np.uint64)
+    if a.size == 0:
+        return a
+    gaps = np.empty_like(a)
+    gaps[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=gaps[1:])
+    return gaps
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(gaps.astype(np.uint64), dtype=np.uint64)
+
+
+def encode_postings(doc_ids: np.ndarray) -> bytes:
+    """doc_ids must be strictly ascending uint64."""
+    return varbyte_encode(delta_encode(doc_ids))
+
+
+def decode_postings(buf: bytes) -> np.ndarray:
+    return delta_decode(varbyte_decode(buf))
+
+
+def encode_values(vals: np.ndarray) -> bytes:
+    """Non-delta varbyte stream (tf, dl columns)."""
+    return varbyte_encode(np.ascontiguousarray(vals, dtype=np.uint64))
+
+
+def decode_values(buf: bytes) -> np.ndarray:
+    return varbyte_decode(buf)
+
+
+def encode_positions(pos_lists: list[np.ndarray]) -> bytes:
+    """Per-doc token-position lists -> one varbyte stream.
+
+    Layout (all varbyte, in doc order): [n_i, delta(pos_i_0..)]* — the
+    count-prefixed delta framing mirrors the reference's count-prefixed
+    ushort runs (`Build.cs:370-404`).
+    """
+    parts: list[np.ndarray] = []
+    for p in pos_lists:
+        p = np.ascontiguousarray(p, dtype=np.uint64)
+        parts.append(np.array([p.size], dtype=np.uint64))
+        if p.size:
+            parts.append(delta_encode(p))
+    if not parts:
+        return b""
+    return varbyte_encode(np.concatenate(parts))
+
+
+def decode_positions(buf: bytes, n_docs: int) -> list[np.ndarray]:
+    flat = varbyte_decode(buf)
+    out: list[np.ndarray] = []
+    i = 0
+    for _ in range(n_docs):
+        n = int(flat[i])
+        i += 1
+        out.append(delta_decode(flat[i : i + n]))
+        i += n
+    return out
+
+
+def varbyte_encode_chunked(values: np.ndarray, counts: np.ndarray) -> list[bytes]:
+    """Encode `values` once, then split the byte stream into one blob per
+    chunk of `counts[i]` values. Lets a batch of many tiny per-row streams
+    (e.g. per-(term,doc) position lists) be encoded in one vectorized pass
+    instead of one numpy call per row."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if a.size == 0:
+        return [b""] * counts.size
+    nb = _byte_lengths(a)
+    buf = varbyte_encode(a)
+    # byte length of each chunk = sum of nb over its values
+    ends_v = np.cumsum(counts)
+    nb_cum = np.concatenate(([0], np.cumsum(nb)))
+    byte_ends = nb_cum[ends_v]
+    byte_starts = np.concatenate(([0], byte_ends[:-1]))
+    return [buf[s:e] for s, e in zip(byte_starts, byte_ends)]
+
+
+_BM_DTYPE = np.dtype([("last_doc", "<u8"), ("max_tf", "<u4"), ("min_dl", "<u4")])
+
+
+def encode_blockmax(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> bytes:
+    """Per-BLOCK_SIZE-block (last_doc, max_tf, min_dl) sidecar."""
+    n = doc_ids.size
+    if n == 0:
+        return b""
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    rec = np.empty(nblocks, dtype=_BM_DTYPE)
+    for i in range(nblocks):
+        s, e = i * BLOCK_SIZE, min((i + 1) * BLOCK_SIZE, n)
+        rec["last_doc"][i] = doc_ids[e - 1]
+        rec["max_tf"][i] = tfs[s:e].max()
+        rec["min_dl"][i] = dls[s:e].min()
+    return rec.tobytes()
+
+
+def decode_blockmax(buf: bytes) -> np.ndarray:
+    return np.frombuffer(buf, dtype=_BM_DTYPE)

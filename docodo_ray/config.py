@@ -1,0 +1,72 @@
+"""Configuration for the index build and BM25 query engine."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+# Docodo word-length bounds: MIN_WORD_LENGTH=3 / MAX_WORD_LENGTH=32
+# (reference Index.cs:97,113).
+MIN_WORD_LENGTH = 3
+MAX_WORD_LENGTH = 32
+
+# Pseudo-term whose "posting list" carries (doc_id, dl) for every document —
+# the doc-length norm table rides the same term shuffle as real postings
+# (replaces the reference's .index.list page table, Build.cs:99-148).
+# '\x00' sorts before every real term and can never be produced by the
+# tokenizer (tokens are letter/digit runs).
+DOC_LEN_TERM = "\x00doclen"
+
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+DEFAULT_STOPWORDS_PATH = os.path.join(_DATA_DIR, "stopwords.txt")
+
+
+def load_stopwords(path: str = DEFAULT_STOPWORDS_PATH) -> frozenset[str]:
+    """Docodo stop-word file format: one word per line, ';' comments
+    (reference Index.cs:226-235)."""
+    words: set[str] = set()
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith(";"):
+                continue
+            words.add(line.lower())
+    return frozenset(words)
+
+
+@dataclass(frozen=True)
+class BM25Params:
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass
+class IndexConfig:
+    """Build-time knobs.
+
+    n_buckets: number of term hash-buckets = shuffle groups = output files.
+        At cluster scale set ~4x total cores so the groupby fans out.
+    shard_target_postings: a term whose estimated df exceeds this is "hot"
+        and its postings are salted into ceil(df_est/target) doc-hash shards
+        (SURVEY §4 skew row). Default mirrors the reference's per-task spill
+        threshold MAX_DEF_TMP_INDEXITEMS=1,000,001 (Index.cs:96).
+    hot_sample_rate: deterministic doc-hash sample rate for the df-estimate
+        pre-pass (execution-layout independent, so the salt assignment — and
+        therefore the index content — is identical at any parallelism).
+    store_positions: keep per-doc token positions (phrase/proximity support,
+        Docodo parity); off saves ~half the index size when only BM25 is
+        needed.
+    """
+
+    n_buckets: int = 64
+    shard_target_postings: int = 1_000_001
+    hot_sample_rate: float = 0.02
+    store_positions: bool = True
+    use_stopwords: bool = True
+    stopwords_path: str = DEFAULT_STOPWORDS_PATH
+    bm25: BM25Params = field(default_factory=BM25Params)
+    tokenizer_batch_size: int = 256
+    tokenizer_concurrency: int | tuple[int, int] | None = None
+    min_word_length: int = MIN_WORD_LENGTH
+    max_word_length: int = MAX_WORD_LENGTH

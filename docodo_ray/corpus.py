@@ -1,0 +1,106 @@
+"""Deterministic synthetic corpus generator (FIXTURES.md §1).
+
+Produces the BASELINE.json `input_hint` schema —
+(repo:string, path:string, commit:string, lang:string, content:string) —
+as seeded token soup with: a 5,000-word synthetic vocabulary, Zipf-injected
+hot terms (skew/salting exercise), planted phrases at known positions
+(the analogue of the reference's TestText1 'old lady' oracle pattern,
+IndexTest.cs:19-37), digit runs, sub-3-char and >32-char tokens, mixed case
+and non-ASCII words (normalizer edge cases, Build.cs:175-247,526-528).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+HOT_TERMS = ["public", "static", "return", "the", "void", "class"]
+PLANTED_PHRASES = [
+    ["old", "lady"],
+    ["quick", "brown", "fox"],
+    ["hash", "join", "probe"],
+]
+EDGE_TOKENS = [
+    "ab", "x", "42", "123456", "привет", "straße", "MixedCaseToken",
+    "a" * 33,  # over MAX_WORD_LENGTH, must be dropped
+]
+_EXT_LANG = [("cs", "cs"), ("py", "py"), ("txt", "text")]
+
+
+def _vocab(n: int = 5000) -> list[str]:
+    rng = random.Random(1234)
+    syll = ["ba", "ce", "di", "fo", "gu", "ka", "le", "mi", "no", "pu",
+            "ra", "se", "ti", "vo", "wu", "xa", "ye", "zo", "qua", "bri"]
+    words = set()
+    while len(words) < n:
+        w = "".join(rng.choice(syll) for _ in range(rng.randint(2, 5)))
+        words.add(w)
+    return sorted(words)
+
+
+def generate_corpus(
+    n_rows: int,
+    seed: int = 42,
+    avg_tokens: int = 120,
+) -> pa.Table:
+    rng = random.Random(seed)
+    vocab = _vocab()
+    repos, paths, commits, langs, contents = [], [], [], [], []
+    for i in range(n_rows):
+        repo = f"org{i % 7}/repo{i % 23}"
+        ext, lang = _EXT_LANG[i % 3]
+        path = f"src/d{i % 13}/f{i:06d}.{ext}"
+        commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
+        n_tok = max(10, int(rng.gauss(avg_tokens, avg_tokens // 4)))
+        toks: list[str] = []
+        for _ in range(n_tok):
+            r = rng.random()
+            if r < 0.18:  # Zipf-ish hot-term injection
+                toks.append(HOT_TERMS[min(int(rng.paretovariate(1.2)) - 1, 5)])
+            elif r < 0.21:
+                toks.append(str(rng.randint(0, 99999)))
+            elif r < 0.23:
+                toks.append(rng.choice(EDGE_TOKENS))
+            else:
+                # Zipf over vocab ranks
+                rank = min(int(rng.paretovariate(1.1)) - 1, len(vocab) - 1)
+                toks.append(vocab[rank])
+        # plant phrases at deterministic spots in ~20% of docs
+        if i % 5 == 0:
+            ph = PLANTED_PHRASES[i % len(PLANTED_PHRASES)]
+            pos = (i * 7) % max(1, len(toks) - len(ph))
+            toks[pos : pos + len(ph)] = ph
+        repos.append(repo)
+        paths.append(path)
+        commits.append(commit)
+        langs.append(lang)
+        contents.append(" ".join(toks))
+    return pa.Table.from_pydict(
+        {"repo": repos, "path": paths, "commit": commits, "lang": langs,
+         "content": contents}
+    )
+
+
+def write_corpus(
+    out_dir: str, n_rows: int, seed: int = 42, n_files: int = 8,
+    avg_tokens: int = 120,
+) -> list[str]:
+    """Write the corpus as n_files parquet files (so sharded/resumable builds
+    and read parallelism have real file boundaries). Cached: if the directory
+    already holds the expected files, reuse them (generator is deterministic)."""
+    os.makedirs(out_dir, exist_ok=True)
+    files = [os.path.join(out_dir, f"corpus-{i:04d}.parquet") for i in range(n_files)]
+    marker = os.path.join(out_dir, f".done-{n_rows}-{seed}-{n_files}-{avg_tokens}")
+    if os.path.exists(marker) and all(os.path.exists(f) for f in files):
+        return files
+    table = generate_corpus(n_rows, seed=seed, avg_tokens=avg_tokens)
+    per = (n_rows + n_files - 1) // n_files
+    for i, f in enumerate(files):
+        pq.write_table(table.slice(i * per, per), f, compression="zstd")
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return files

@@ -1,0 +1,106 @@
+"""Single-process pure-Python reference implementation (the test oracle).
+
+Mirrors the reference's test strategy (`XUnitDocodoTest/IndexTest.cs:126-162`
+CoordTest: assert engine positions equal an independent regex scan): this
+module re-derives (term, doc_id, tf, dl, positions), corpus stats, and BM25
+top-k with plain dicts — no Ray, no Arrow — using the SAME tokenizer
+definition (docodo_ray.tokenizer) so engine and oracle share one invariant.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from docodo_ray.tokenizer import TokenizerSpec, tokenize
+
+
+@dataclass
+class OracleIndex:
+    n_docs: int = 0
+    avgdl: float = 0.0
+    doc_len: dict[int, int] = field(default_factory=dict)
+    # term -> {doc_id: (tf, positions)}
+    postings: dict[str, dict[int, tuple[int, list[int]]]] = field(default_factory=dict)
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, {}))
+
+    def cf(self, term: str) -> int:
+        return sum(tf for tf, _ in self.postings.get(term, {}).values())
+
+
+def build_oracle_index(docs: dict[int, str], spec: TokenizerSpec) -> OracleIndex:
+    idx = OracleIndex()
+    total = 0
+    for doc_id, text in docs.items():
+        terms, positions = tokenize(text or "", spec)
+        idx.doc_len[doc_id] = len(terms)
+        total += len(terms)
+        for t, p in zip(terms, positions):
+            slot = idx.postings.setdefault(t, {})
+            tf, plist = slot.get(doc_id, (0, []))
+            slot[doc_id] = (tf + 1, plist + [p])
+    idx.n_docs = len(docs)
+    idx.avgdl = (total / len(docs)) if docs else 0.0
+    return idx
+
+
+def bm25_scores(
+    idx: OracleIndex, terms: list[str], k1: float = 1.2, b: float = 0.75
+) -> dict[int, float]:
+    """Σ over query terms in sorted order (fixed summation order for float
+    determinism, SURVEY 'hard parts')."""
+    scores: dict[int, float] = {}
+    avgdl = idx.avgdl or 1.0
+    for t in sorted(set(terms)):
+        plist = idx.postings.get(t)
+        if not plist:
+            continue
+        idf = math.log(1.0 + (idx.n_docs - len(plist) + 0.5) / (len(plist) + 0.5))
+        for doc_id in sorted(plist):
+            tf, _ = plist[doc_id]
+            dl = idx.doc_len[doc_id]
+            s = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            scores[doc_id] = scores.get(doc_id, 0.0) + s
+    return scores
+
+
+def bm25_topk(
+    idx: OracleIndex,
+    terms: list[str],
+    k: int = 10,
+    mode: str = "and",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[tuple[int, float]]:
+    scores = bm25_scores(idx, terms, k1=k1, b=b)
+    if mode == "and":
+        need = [t for t in set(terms)]
+        cand = None
+        for t in need:
+            s = set(idx.postings.get(t, {}))
+            cand = s if cand is None else (cand & s)
+        scores = {d: v for d, v in scores.items() if cand and d in cand}
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+def phrase_docs(idx: OracleIndex, words: list[str]) -> dict[int, int]:
+    """{doc_id: n_occurrences} of the exact ordered-adjacency phrase."""
+    if not words or any(w not in idx.postings for w in words):
+        return {}
+    cand = set(idx.postings[words[0]])
+    for w in words[1:]:
+        cand &= set(idx.postings[w])
+    out: dict[int, int] = {}
+    for d in sorted(cand):
+        starts = set(idx.postings[words[0]][d][1])
+        for off, w in enumerate(words[1:], 1):
+            nxt = {p - off for p in idx.postings[w][d][1]}
+            starts &= nxt
+            if not starts:
+                break
+        if starts:
+            out[d] = len(starts)
+    return out

@@ -1,0 +1,124 @@
+"""Query-language parser — Docodo surface re-expressed (reference
+Search.cs:319-363, M11 in SURVEY.md):
+
+- whitespace-separated words            -> AND clauses
+- ``a | b``                              -> OR clause
+- ``"exact phrase"``                    -> order-sensitive adjacency clause
+  (reference phrase = proximity with R=-1, IndexSequence.cs:218-284)
+- ``?`` / ``_`` inside a word            -> wildcard (expanded against the
+  term dictionary, capped at MAX_LIKE_WORDS=100, reference Search.cs:158-167)
+- ``{field=value}``                      -> structured predicate on a doc-meta
+  column (reference field queries, Search.cs:126-155) — lang/repo/source etc.
+- ``-filter:regex[,regex]``              -> regex post-filter on doc names
+  (reference Search.cs:456-466); here applied to a meta column (path/source)
+
+Words are normalized exactly like document text (lowercase + token regex +
+length bounds + stopword strip, reference Search.cs:200,346).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from docodo_ray.tokenizer import TokenizerSpec, tokenize
+
+MAX_LIKE_WORDS = 100  # reference Index.cs MAX_LIKE_WORDS
+
+
+@dataclass
+class Clause:
+    kind: str  # "term" | "or" | "phrase" | "wildcard"
+    terms: list[str]
+
+
+@dataclass
+class ParsedQuery:
+    clauses: list[Clause] = field(default_factory=list)
+    field_eq: dict[str, str] = field(default_factory=dict)
+    name_filters: list[str] = field(default_factory=list)
+
+    @property
+    def flat_terms(self) -> list[str]:
+        out: list[str] = []
+        for c in self.clauses:
+            out.extend(c.terms)
+        return sorted(set(out))
+
+
+_FIELD_RE = re.compile(r"\{(\w+)=([^}]*)\}")
+_FILTER_RE = re.compile(r"-filter:(\S+)")
+_PHRASE_RE = re.compile(r'"([^"]*)"')
+
+
+def _norm_word(w: str, spec: TokenizerSpec) -> str | None:
+    terms, _ = tokenize(w, spec)
+    return terms[0] if terms else None
+
+
+def parse_query(q: str, spec: TokenizerSpec) -> ParsedQuery:
+    pq = ParsedQuery()
+
+    def grab_filter(m: re.Match) -> str:
+        pq.name_filters.extend(m.group(1).split(","))
+        return " "
+
+    def grab_field(m: re.Match) -> str:
+        pq.field_eq[m.group(1).lower()] = m.group(2)
+        return " "
+
+    def grab_phrase(m: re.Match) -> str:
+        words = [t for t in tokenize(m.group(1), spec)[0]]
+        if words:
+            pq.clauses.append(Clause("phrase", words))
+        return " "
+
+    q = _FILTER_RE.sub(grab_filter, q)
+    q = _FIELD_RE.sub(grab_field, q)
+    q = _PHRASE_RE.sub(grab_phrase, q)
+
+    # OR groups: "a | b | c" — split on top-level whitespace, then regroup
+    toks = q.replace("|", " | ").split()
+    i = 0
+    while i < len(toks):
+        # collect an or-chain: w (| w)*
+        group = [toks[i]]
+        j = i + 1
+        while j + 1 < len(toks) + 1 and j < len(toks) and toks[j] == "|":
+            if j + 1 < len(toks):
+                group.append(toks[j + 1])
+                j += 2
+            else:
+                break
+        i = j
+        words: list[str] = []
+        has_wild = False
+        for w in group:
+            if "?" in w or "_" in w:
+                has_wild = True
+                words.append(w.lower())
+            else:
+                nw = _norm_word(w, spec)
+                if nw:
+                    words.append(nw)
+        if not words:
+            continue
+        if has_wild and len(words) == 1:
+            pq.clauses.append(Clause("wildcard", words))
+        elif len(words) == 1:
+            pq.clauses.append(Clause("term", words))
+        else:
+            pq.clauses.append(Clause("or", words))
+    return pq
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Docodo '?'/'_' single-char wildcards -> anchored regex
+    (reference Search.cs: '?'->'_' rewriting, GetLikeWords regex scan)."""
+    out = []
+    for ch in pattern:
+        if ch in ("?", "_"):
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"

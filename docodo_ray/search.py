@@ -1,0 +1,477 @@
+"""Query engine: BM25 top-k over the partitioned on-disk index.
+
+Replaces the reference's proximity/coordinate ranking (Search.cs:99-111,
+552-557, SURVEY A8) with BM25:
+
+    idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(q,d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+k1=1.2, b=0.75; ties broken by ascending doc_id. Determinism (SURVEY 'hard
+parts'): terms are accumulated in sorted-term order over doc_id-sorted float64
+arrays, so two runs — and the pure-Python oracle — produce bit-identical
+scores.
+
+Two scoring paths:
+- vectorized exact (default): per-term numpy accumulation; conjunctive mode
+  intersects doc sets rarest-term-first before scoring — the same pruning
+  effect conjunctive WAND achieves, without a per-doc Python loop;
+- ``mode="wand"``: classic block-max WAND document-at-a-time traversal using
+  the per-128-posting (last_doc, max_tf, min_dl) sidecar (codec.encode_blockmax)
+  — upper bound ub = idf*(k1+1)*max_tf/(max_tf + k1*(1-b+b*min_dl/avgdl)).
+  Produces the identical top-k (tests assert so); kept as the scale path for
+  very long posting lists.
+
+Term lookup is partition-pruned: term -> crc32 bucket -> read only
+``segments/bucket-NNNNN/`` with a parquet ``term ==`` row filter (the analogue
+of the reference's lazy seek LoadSequence, Index.cs:198-216).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from docodo_ray import codec
+from docodo_ray.config import DOC_LEN_TERM, BM25Params, IndexConfig, load_stopwords
+from docodo_ray.queryparse import MAX_LIKE_WORDS, ParsedQuery, parse_query, wildcard_to_regex
+from docodo_ray.tokenizer import TokenizerSpec, term_bucket
+
+
+@dataclass
+class Posting:
+    term: str
+    doc_ids: np.ndarray  # uint64, ascending
+    tfs: np.ndarray      # uint32
+    dls: np.ndarray      # uint32
+    positions: list[np.ndarray] | None
+    blockmax: np.ndarray | None
+
+    @property
+    def df(self) -> int:
+        return int(self.doc_ids.size)
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Classic DP edit distance (reference Index.cs:46-89)."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class IndexReader:
+    def __init__(self, index_dir: str):
+        self.dir = index_dir
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        cfgd = dict(self.manifest["config"])
+        bm = cfgd.pop("bm25", {})
+        self.cfg = IndexConfig(**{**cfgd, "bm25": BM25Params(**bm)})
+        st = self.manifest["stats"]
+        self.n_docs = st["n_docs"]
+        self.avgdl = st["avgdl"] or 1.0
+        stop = load_stopwords(self.cfg.stopwords_path) if self.cfg.use_stopwords else frozenset()
+        self.spec = TokenizerSpec(self.cfg.min_word_length, self.cfg.max_word_length, stop)
+        self._term_stats_cache: dict[str, tuple[int, int]] = {}
+
+    # ---- posting access -------------------------------------------------
+    def _bucket_dir(self, term: str) -> str:
+        b = term_bucket(term, self.cfg.n_buckets)
+        return os.path.join(self.dir, "segments", f"bucket-{b:05d}")
+
+    def read_posting(self, term: str, with_positions: bool = False) -> Posting | None:
+        bdir = self._bucket_dir(term)
+        if not os.path.isdir(bdir):
+            return None
+        t = pq.read_table(bdir, filters=[("term", "==", term)])
+        if t.num_rows == 0:
+            return None
+        parts = []
+        for i in range(t.num_rows):
+            d = codec.decode_postings(t["doc_blob"][i].as_py())
+            tf = codec.decode_values(t["tf_blob"][i].as_py()).astype(np.uint32)
+            dl = codec.decode_values(t["dl_blob"][i].as_py()).astype(np.uint32)
+            pb = t["pos_blob"][i].as_py()
+            pos = codec.decode_positions(pb, d.size) if (with_positions and pb) else None
+            parts.append((d, tf, dl, pos))
+        if len(parts) == 1:
+            d, tf, dl, pos = parts[0]
+        else:
+            d = np.concatenate([p[0] for p in parts])
+            order = np.argsort(d, kind="stable")
+            d = d[order]
+            tf = np.concatenate([p[1] for p in parts])[order]
+            dl = np.concatenate([p[2] for p in parts])[order]
+            if with_positions and all(p[3] is not None for p in parts):
+                flat = [pl for p in parts for pl in p[3]]
+                pos = [flat[j] for j in order]
+            else:
+                pos = None
+        bm = codec.decode_blockmax(t["bm_blob"][0].as_py()) if t.num_rows == 1 else None
+        return Posting(term, d, tf, dl, pos, bm)
+
+    def term_stats(self, term: str) -> tuple[int, int]:
+        """(df, cf) from the term_stats table (global, summed over salts)."""
+        hit = self._term_stats_cache.get(term)
+        if hit is not None:
+            return hit
+        t = pq.read_table(
+            os.path.join(self.dir, "term_stats"), filters=[("term", "==", term)]
+        )
+        val = (int(t["df"][0].as_py()), int(t["cf"][0].as_py())) if t.num_rows else (0, 0)
+        self._term_stats_cache[term] = val
+        return val
+
+    def term_dictionary(self, columns=("term", "df", "cf")):
+        """Full term-stats table (suggestions / histogram / wildcard scans)."""
+        t = pq.read_table(os.path.join(self.dir, "term_stats"), columns=list(columns))
+        mask = pc.not_equal(t["term"], DOC_LEN_TERM)
+        return t.filter(mask)
+
+    def doc_meta(self, doc_ids: list[int] | None = None):
+        path = os.path.join(self.dir, "doc_meta")
+        if doc_ids is None:
+            return pq.read_table(path)
+        return pq.read_table(path, filters=[("doc_id", "in", [int(d) for d in doc_ids])])
+
+    # ---- BM25 -----------------------------------------------------------
+    def idf(self, df: int) -> float:
+        return float(np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
+
+    def _tf_norm(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        k1, b = self.cfg.bm25.k1, self.cfg.bm25.b
+        tf = tfs.astype(np.float64)
+        dl = dls.astype(np.float64)
+        return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
+
+    def score_posting(self, p: Posting) -> np.ndarray:
+        df, _ = self.term_stats(p.term)
+        return self.idf(df) * self._tf_norm(p.tfs, p.dls)
+
+    # ---- search ---------------------------------------------------------
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "and",
+        wand: bool = False,
+    ) -> list[tuple[int, float]]:
+        """-> [(doc_id, score)] sorted by (-score, doc_id), length <= k."""
+        pq_ = parse_query(query, self.spec)
+        return self.search_parsed(pq_, k=k, mode=mode, wand=wand)
+
+    def search_parsed(
+        self, q: ParsedQuery, k: int = 10, mode: str = "and", wand: bool = False
+    ) -> list[tuple[int, float]]:
+        clause_postings: list[list[Posting]] = []
+        phrase_clauses: list[list[str]] = []
+        for c in q.clauses:
+            if c.kind == "wildcard":
+                terms = self.like_words(c.terms[0])
+            else:
+                terms = c.terms
+            if c.kind == "phrase":
+                phrase_clauses.append(c.terms)
+            ps = [p for t in sorted(set(terms)) if (p := self.read_posting(t, with_positions=c.kind == "phrase")) is not None]
+            if c.kind in ("term", "phrase") and len(ps) < len(set(terms)):
+                return []  # a required term is absent
+            clause_postings.append(ps)
+
+        if not clause_postings or any(
+            not ps and c.kind in ("term", "phrase") for ps, c in zip(clause_postings, q.clauses)
+        ):
+            return []
+
+        # candidate doc set: AND across clauses (each clause = union of its postings)
+        cand: np.ndarray | None = None
+        if mode == "and" or phrase_clauses:
+            sets = []
+            for ps, c in zip(clause_postings, q.clauses):
+                if not ps:
+                    if c.kind in ("or", "wildcard"):
+                        return []
+                    continue
+                if c.kind == "phrase":
+                    s = self._phrase_docs(ps, c.terms)
+                else:
+                    s = ps[0].doc_ids if len(ps) == 1 else np.unique(np.concatenate([p.doc_ids for p in ps]))
+                sets.append(s)
+            if not sets:
+                return []
+            sets.sort(key=lambda s: s.size)
+            cand = sets[0]
+            for s in sets[1:]:
+                cand = np.intersect1d(cand, s, assume_unique=True)
+                if cand.size == 0:
+                    return []
+
+        # score: sum BM25 of every concrete term, sorted-term order
+        all_postings: dict[str, Posting] = {}
+        for ps in clause_postings:
+            for p in ps:
+                all_postings[p.term] = p
+        if wand and cand is None:
+            top = self._wand_topk(list(all_postings.values()), k)
+        else:
+            top = self._score_topk(list(all_postings.values()), cand, k)
+
+        if q.field_eq or q.name_filters:
+            top = self._apply_meta_filters(top, q, k)
+        return top[:k]
+
+    def _score_topk(
+        self, postings: list[Posting], cand: np.ndarray | None, k: int
+    ) -> list[tuple[int, float]]:
+        if not postings:
+            return []
+        acc: dict[int, float] = {}
+        docs_all: list[np.ndarray] = []
+        scores_all: list[np.ndarray] = []
+        for p in sorted(postings, key=lambda p: p.term):
+            s = self.score_posting(p)
+            d = p.doc_ids
+            if cand is not None:
+                m = np.isin(d, cand, assume_unique=True)
+                d, s = d[m], s[m]
+            docs_all.append(d)
+            scores_all.append(s)
+        docs = np.concatenate(docs_all)
+        scores = np.concatenate(scores_all)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        totals = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(totals, inv, scores)
+        order = np.lexsort((uniq, -totals))
+        top = order[:k]
+        return [(int(uniq[i]), float(totals[i])) for i in top]
+
+    def _phrase_docs(self, postings: list[Posting], words: list[str]) -> np.ndarray:
+        """Docs where words occur at consecutive raw-token positions, in
+        order (reference phrase semantics: ordered adjacency, R=-1)."""
+        by_term = {p.term: p for p in postings}
+        ps = [by_term[w] for w in words if w in by_term]
+        if len(ps) < len(words):
+            return np.empty(0, dtype=np.uint64)
+        cand = ps[0].doc_ids
+        for p in ps[1:]:
+            cand = np.intersect1d(cand, p.doc_ids, assume_unique=True)
+        out = []
+        for d in cand:
+            pos0 = ps[0].positions[int(np.searchsorted(ps[0].doc_ids, d))]
+            ok = pos0
+            for off, p in enumerate(ps[1:], 1):
+                pi = p.positions[int(np.searchsorted(p.doc_ids, d))]
+                ok = ok[np.isin(ok + np.uint64(off), pi)]
+                if ok.size == 0:
+                    break
+            if ok.size:
+                out.append(d)
+        return np.asarray(out, dtype=np.uint64)
+
+    def phrase_occurrences(self, words: list[str]) -> list[tuple[int, int]]:
+        """[(doc_id, n_occurrences)] of the exact phrase, doc_id ascending."""
+        ps = [self.read_posting(w, with_positions=True) for w in words]
+        if any(p is None or p.positions is None for p in ps):
+            return []
+        cand = ps[0].doc_ids
+        for p in ps[1:]:
+            cand = np.intersect1d(cand, p.doc_ids, assume_unique=True)
+        out = []
+        for d in cand:
+            ok = ps[0].positions[int(np.searchsorted(ps[0].doc_ids, d))]
+            for off, p in enumerate(ps[1:], 1):
+                pi = p.positions[int(np.searchsorted(p.doc_ids, d))]
+                ok = ok[np.isin(ok + np.uint64(off), pi)]
+                if ok.size == 0:
+                    break
+            if ok.size:
+                out.append((int(d), int(ok.size)))
+        return out
+
+    def _wand_topk(self, postings: list[Posting], k: int) -> list[tuple[int, float]]:
+        """Block-max WAND (Broder et al. / Ding & Suel): document-at-a-time
+        with per-block upper bounds from the (last_doc, max_tf, min_dl)
+        sidecar. Exact top-k: skipping uses strict < so boundary ties survive."""
+        k1, b = self.cfg.bm25.k1, self.cfg.bm25.b
+
+        cursors = []
+        for p in sorted(postings, key=lambda p: p.term):
+            df, _ = self.term_stats(p.term)
+            idf = self.idf(df)
+            scores = idf * self._tf_norm(p.tfs, p.dls)
+            if p.blockmax is not None:
+                mt = p.blockmax["max_tf"].astype(np.float64)
+                md = p.blockmax["min_dl"].astype(np.float64)
+                ub_blocks = idf * mt * (k1 + 1.0) / (mt + k1 * (1.0 - b + b * md / self.avgdl))
+                last_docs = p.blockmax["last_doc"]
+            else:
+                ub_blocks = np.array([scores.max() if scores.size else 0.0])
+                last_docs = np.array([p.doc_ids[-1] if p.doc_ids.size else 0], dtype=np.uint64)
+            cursors.append(
+                {"docs": p.doc_ids, "scores": scores, "i": 0,
+                 "ub": float(scores.max()) if scores.size else 0.0,
+                 "blk_last": last_docs, "blk_ub": ub_blocks}
+            )
+
+        import heapq
+
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+        theta = -np.inf
+        live = [c for c in cursors if c["docs"].size]
+        while live:
+            live.sort(key=lambda c: c["docs"][c["i"]])
+            # pivot: smallest prefix whose summed term upper bounds exceed theta
+            ub_sum = 0.0
+            pivot = None
+            for idx, c in enumerate(live):
+                ub_sum += c["ub"]
+                if ub_sum > theta or len(heap) < k:
+                    pivot = idx
+                    break
+            if pivot is None:
+                break
+            pivot_doc = live[pivot]["docs"][live[pivot]["i"]]
+            # block-max refinement: sum of block ubs at pivot_doc
+            blk_sum = 0.0
+            for c in live[: pivot + 1]:
+                bi = int(np.searchsorted(c["blk_last"], pivot_doc))
+                if bi < c["blk_ub"].size:
+                    blk_sum += float(c["blk_ub"][bi])
+            if len(heap) >= k and blk_sum <= theta:
+                # skip: advance the first cursor past pivot_doc
+                c = live[0]
+                c["i"] = int(np.searchsorted(c["docs"], pivot_doc, side="right"))
+                live = [c for c in live if c["i"] < c["docs"].size]
+                continue
+            if live[0]["docs"][live[0]["i"]] == pivot_doc:
+                score = 0.0
+                for c in live:
+                    i = c["i"]
+                    if i < c["docs"].size and c["docs"][i] == pivot_doc:
+                        score += float(c["scores"][i])
+                        c["i"] = i + 1
+                item = (score, -int(pivot_doc))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                else:
+                    heapq.heappushpop(heap, item)
+                if len(heap) >= k:
+                    theta = heap[0][0]
+                live = [c for c in live if c["i"] < c["docs"].size]
+            else:
+                for c in live[: pivot + 1]:
+                    c["i"] = int(np.searchsorted(c["docs"], pivot_doc))
+                live = [c for c in live if c["i"] < c["docs"].size]
+        out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        return [(-nd, s) for s, nd in out]
+
+    def _apply_meta_filters(
+        self, scored: list[tuple[int, float]], q: ParsedQuery, k: int
+    ) -> list[tuple[int, float]]:
+        if not scored:
+            return scored
+        meta = self.doc_meta([d for d, _ in scored])
+        keep = set(meta["doc_id"].to_pylist())
+        cols = {name: dict(zip(meta["doc_id"].to_pylist(), meta[name].to_pylist()))
+                for name in meta.schema.names if name != "doc_id"}
+        for fld, val in q.field_eq.items():
+            if fld in cols:
+                keep = {d for d in keep if str(cols[fld].get(d)) == val}
+        for rx in q.name_filters:
+            cr = re.compile(rx)
+            name_col = "path" if "path" in cols else ("source" if "source" in cols else None)
+            if name_col:
+                keep = {d for d in keep if cr.search(str(cols[name_col].get(d, "")))}
+        return [(d, s) for d, s in scored if d in keep]
+
+    # ---- Docodo-parity surfaces ----------------------------------------
+    def suggest(self, prefix: str, n: int = 10) -> list[str]:
+        """Prefix suggestions ordered by df desc, term asc (reference
+        GetSuggessions, Search.cs:176-188)."""
+        t = self.term_dictionary()
+        m = pc.starts_with(t["term"], prefix.lower())
+        t = t.filter(m)
+        order = pc.sort_indices(
+            t, sort_keys=[("df", "descending"), ("term", "ascending")]
+        )
+        return t.take(order[:n])["term"].to_pylist()
+
+    def like_words(self, pattern: str, cap: int = MAX_LIKE_WORDS) -> list[str]:
+        """Wildcard expansion against the term dictionary, capped at 100
+        (reference GetLikeWords, Search.cs:158-167)."""
+        rx = wildcard_to_regex(pattern.lower())
+        t = self.term_dictionary(columns=("term",))
+        m = pc.match_substring_regex(t["term"], rx)
+        return sorted(t.filter(m)["term"].to_pylist())[:cap]
+
+    def close_words(self, word: str, n: int = 10, max_dist: int = 2) -> list[str]:
+        """Levenshtein corrections (reference Search.cs:169-174): candidate
+        terms within edit distance, ordered by (distance, -df, term)."""
+        t = self.term_dictionary()
+        w = word.lower()
+        cands: list[tuple[int, int, str]] = []
+        terms = t["term"].to_pylist()
+        dfs = t["df"].to_pylist()
+        for term, df in zip(terms, dfs):
+            if abs(len(term) - len(w)) > max_dist:
+                continue
+            d = levenshtein(term, w)
+            if d <= max_dist:
+                cands.append((d, -df, term))
+        cands.sort()
+        return [c[2] for c in cands[:n]]
+
+    def histogram(self, n: int = 1000):
+        """Top-n terms by df (reference CalcHistogram, Index.cs:284-307)."""
+        t = self.term_dictionary()
+        order = pc.sort_indices(t, sort_keys=[("df", "descending"), ("term", "ascending")])
+        return t.take(order[:n])
+
+
+MAX_FOUND_PAGE_TEXT = 320  # reference Index.cs:103
+
+
+def make_snippet(text: str, terms: list[str], window: int = MAX_FOUND_PAGE_TEXT) -> str:
+    """Snippet around the first query-term hit, match spans wrapped in
+    <b>…</b> (reference SpannableString snippets, Search.cs:619-751)."""
+    low = text.lower()
+    first = len(text)
+    spans: list[tuple[int, int]] = []
+    for t in terms:
+        start = 0
+        while True:
+            i = low.find(t, start)
+            if i < 0:
+                break
+            spans.append((i, i + len(t)))
+            first = min(first, i)
+            start = i + 1
+    if not spans:
+        return text[:window]
+    s = max(0, first - window // 4)
+    e = min(len(text), s + window)
+    spans = sorted((a, b) for a, b in spans if a >= s and b <= e)
+    out = []
+    cur = s
+    for a, b in spans:
+        if a < cur:
+            continue
+        out.append(text[cur:a])
+        out.append("<b>" + text[a:b] + "</b>")
+        cur = b
+    out.append(text[cur:e])
+    return "".join(out)

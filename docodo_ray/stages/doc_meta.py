@@ -1,0 +1,36 @@
+"""Doc-metadata pass: (doc_id, <meta cols>, n_chars, sha256) — the doc table
+(SURVEY §1.2 doc-table row) minus doc_len, which rides the term shuffle as
+the DOC_LEN pseudo-term. Cheap stateless map (no tokenization): sha256 is the
+per-row content invariant required by BASELINE.json, checked end-to-end by
+tests (input content hash == hash retrievable via the doc-table locator).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from docodo_ray.stages.tokenize import resolve_doc_ids
+
+
+def make_doc_meta_fn(content_col: str, id_col: str | None, key_cols: list[str] | None,
+                     meta_cols: list[str]):
+    def doc_meta(batch: pa.Table) -> pa.Table:
+        doc_ids = resolve_doc_ids(batch, id_col, key_cols)
+        texts = batch[content_col].to_pylist()
+        shas = [hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts]
+        arrays = [pa.array(doc_ids, type=pa.uint64())]
+        names = ["doc_id"]
+        for c in meta_cols:
+            arrays.append(batch[c])
+            names.append(c)
+        arrays.append(pc.utf8_length(batch[content_col]).cast(pa.int64()))
+        names.append("n_chars")
+        arrays.append(pa.array(shas, type=pa.string()))
+        names.append("sha256")
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return doc_meta

@@ -1,0 +1,216 @@
+"""Posting-list construction and segment merge — the wide (shuffle) stages.
+
+SURVEY A1/A3: the reference accumulates postings in a per-task sorted dict
+with a 1M-posting spill + hierarchical k-way merge with coordinate shifting
+(Build.cs:258-437, Index.cs:537-752). Here the same result is produced by a
+single ``groupby(["bucket","salt"]).map_groups(SegmentWriter)`` shuffle: each
+group receives every (term, doc_id, tf, dl, positions) row of its term
+hash-bucket (hot terms additionally split by doc-hash salt), sorts by
+(term, doc_id), delta+varbyte-encodes one posting row per term, and writes one
+Parquet segment file atomically (tmp + rename). No coordinate shifting exists
+because positions are per-document (SURVEY §1.2).
+
+``SegmentMerger`` is the streaming segment-merge stage for sharded/resumable
+builds: partial segments from K independent input shards are merged per
+(bucket, salt) by decode -> concat -> sort-by-doc_id -> re-encode, the direct
+analogue of the reference's tmp-segment merge (Index.cs:548-560) minus the
+shift machinery.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from docodo_ray import codec
+
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("bucket", pa.uint32()),
+        ("salt", pa.uint32()),
+        ("df", pa.uint32()),
+        ("cf", pa.uint64()),
+        ("doc_blob", pa.binary()),
+        ("tf_blob", pa.binary()),
+        ("dl_blob", pa.binary()),
+        ("pos_blob", pa.binary()),
+        ("bm_blob", pa.binary()),
+    ]
+)
+
+MANIFEST_ROW_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.uint32()),
+        ("salt", pa.uint32()),
+        ("path", pa.string()),
+        ("n_terms", pa.int64()),
+        ("n_postings", pa.int64()),
+        ("checksum", pa.string()),
+    ]
+)
+
+
+def _encode_term_row(
+    term: str,
+    bucket: int,
+    salt: int,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    pos_blob: bytes,
+) -> tuple:
+    if doc_ids.size > 1 and not np.all(doc_ids[1:] > doc_ids[:-1]):
+        raise ValueError(
+            f"duplicate/unsorted doc_ids for term {term!r}: doc_id assignment "
+            "must be unique per document"
+        )
+    return (
+        term,
+        bucket,
+        salt,
+        int(doc_ids.size),
+        int(tfs.sum()),
+        codec.encode_postings(doc_ids),
+        codec.encode_values(tfs),
+        codec.encode_values(dls),
+        pos_blob,
+        codec.encode_blockmax(doc_ids, tfs, dls),
+    )
+
+
+def _rows_to_table(rows: list[tuple]) -> pa.Table:
+    cols = list(zip(*rows)) if rows else [[] for _ in SEGMENT_SCHEMA]
+    return pa.Table.from_arrays(
+        [pa.array(c, type=f.type) for c, f in zip(cols, SEGMENT_SCHEMA)],
+        schema=SEGMENT_SCHEMA,
+    )
+
+
+def _atomic_write(table: pa.Table, path: str) -> str:
+    """Write parquet atomically; idempotent under task retries (same
+    deterministic content, rename wins-once). Returns content checksum."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}"
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, path)
+    h = hashlib.sha256()
+    for name in ("term", "df", "doc_blob", "tf_blob"):
+        for chunk in table[name].chunks:
+            for buf in chunk.buffers():
+                if buf is not None:
+                    h.update(buf)
+    return h.hexdigest()
+
+
+def _manifest_table(bucket: int, salt: int, rel: str, table: pa.Table, checksum: str) -> pa.Table:
+    n_post = int(pa.compute.sum(table["df"]).as_py() or 0)
+    return pa.Table.from_arrays(
+        [
+            pa.array([bucket], pa.uint32()),
+            pa.array([salt], pa.uint32()),
+            pa.array([rel], pa.string()),
+            pa.array([table.num_rows], pa.int64()),
+            pa.array([n_post], pa.int64()),
+            pa.array([checksum], pa.string()),
+        ],
+        schema=MANIFEST_ROW_SCHEMA,
+    )
+
+
+def _term_runs(terms: list[str]):
+    """Yield (term, start, end) runs over a sorted term list."""
+    n = len(terms)
+    s = 0
+    while s < n:
+        t = terms[s]
+        e = s + 1
+        while e < n and terms[e] == t:
+            e += 1
+        yield t, s, e
+        s = e
+
+
+class SegmentWriter:
+    """map_groups fn over (bucket, salt) token groups -> writes one segment
+    file, returns its manifest row."""
+
+    def __init__(self, out_dir: str, subdir: str = "segments"):
+        self.out_dir = out_dir
+        self.subdir = subdir
+        self.__name__ = "SegmentWriter"  # map_groups wants a named callable
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        group = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        bucket = int(group["bucket"][0].as_py())
+        salt = int(group["salt"][0].as_py())
+        terms = group["term"].to_pylist()
+        doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        tfs = group["tf"].to_numpy(zero_copy_only=False)
+        dls = group["dl"].to_numpy(zero_copy_only=False)
+        pos = group["pos_blob"].to_pylist()
+
+        rows = []
+        for term, s, e in _term_runs(terms):
+            rows.append(
+                _encode_term_row(
+                    term, bucket, salt,
+                    doc_ids[s:e], tfs[s:e], dls[s:e], b"".join(pos[s:e]),
+                )
+            )
+        table = _rows_to_table(rows)
+        rel = os.path.join(self.subdir, f"bucket-{bucket:05d}", f"s{salt:05d}.parquet")
+        checksum = _atomic_write(table, os.path.join(self.out_dir, rel))
+        return _manifest_table(bucket, salt, rel, table, checksum)
+
+
+class SegmentMerger:
+    """map_groups fn over partial-segment rows grouped by (bucket, salt):
+    k-way merge of per-shard posting runs into the final segment file.
+
+    Doc sets of different input shards are disjoint, so the merge is
+    decode -> concat -> argsort(doc_id) -> re-encode per term.
+    """
+
+    def __init__(self, out_dir: str, subdir: str = "segments"):
+        self.out_dir = out_dir
+        self.subdir = subdir
+        self.__name__ = "SegmentMerger"  # map_groups wants a named callable
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        group = group.sort_by([("term", "ascending")])
+        bucket = int(group["bucket"][0].as_py())
+        salt = int(group["salt"][0].as_py())
+        terms = group["term"].to_pylist()
+        rows = []
+        for term, s, e in _term_runs(terms):
+            docs_parts, tf_parts, dl_parts, pos_lists = [], [], [], []
+            have_pos = False
+            for i in range(s, e):
+                d = codec.decode_postings(group["doc_blob"][i].as_py())
+                docs_parts.append(d)
+                tf_parts.append(codec.decode_values(group["tf_blob"][i].as_py()))
+                dl_parts.append(codec.decode_values(group["dl_blob"][i].as_py()))
+                pb = group["pos_blob"][i].as_py()
+                if pb:
+                    have_pos = True
+                    pos_lists.extend(codec.decode_positions(pb, d.size))
+                else:
+                    pos_lists.extend([np.empty(0, np.uint64)] * d.size)
+            docs = np.concatenate(docs_parts)
+            order = np.argsort(docs, kind="stable")
+            docs = docs[order]
+            tfs = np.concatenate(tf_parts)[order].astype(np.uint32)
+            dls = np.concatenate(dl_parts)[order].astype(np.uint32)
+            pos_blob = (
+                codec.encode_positions([pos_lists[j] for j in order]) if have_pos else b""
+            )
+            rows.append(_encode_term_row(term, bucket, salt, docs, tfs, dls, pos_blob))
+        table = _rows_to_table(rows)
+        rel = os.path.join(self.subdir, f"bucket-{bucket:05d}", f"s{salt:05d}.parquet")
+        checksum = _atomic_write(table, os.path.join(self.out_dir, rel))
+        return _manifest_table(bucket, salt, rel, table, checksum)

@@ -1,0 +1,190 @@
+"""Tokenize stage: corpus rows -> (term, bucket, salt, doc_id, tf, dl,
+pos_blob) token-posting rows, ready for the term shuffle.
+
+This is the stateful actor-pool stage (SURVEY T1-T3): the compiled regex,
+stop-word set and the hot-term salt map are built ONCE per actor in
+``__init__`` and reused across batches. Pass it to
+``map_batches(TokenizeStage, fn_constructor_kwargs=..., concurrency=N,
+batch_format="pyarrow")``.
+
+Doc-length rides along as a pseudo-term posting (config.DOC_LEN_TERM) with
+tf = dl, so corpus stats (N, avgdl) and the BM25 norm table come out of the
+same single tokenize pass + term shuffle — replacing the reference's separate
+``.index.list`` page table (Build.cs:99-148) without a second corpus scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from docodo_ray import codec
+from docodo_ray.config import DOC_LEN_TERM, IndexConfig, load_stopwords
+from docodo_ray.tokenizer import (
+    TokenizerSpec,
+    doc_id_from_key,
+    doc_term_stats,
+    splitmix64,
+    term_bucket,
+)
+
+TOKEN_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("bucket", pa.uint32()),
+        ("salt", pa.uint32()),
+        ("doc_id", pa.uint64()),
+        ("tf", pa.uint32()),
+        ("dl", pa.uint32()),
+        ("pos_blob", pa.binary()),
+    ]
+)
+
+
+def resolve_doc_ids(batch: pa.Table, id_col: str | None, key_cols: list[str] | None) -> np.ndarray:
+    """Deterministic doc_id per row: either an existing integer column or a
+    blake2b hash of the joined key columns (e.g. repo/path@commit) — stable
+    across runs and cluster sizes (SURVEY 'hard parts')."""
+    if id_col is not None:
+        return batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    assert key_cols, "need id_col or key_cols"
+    cols = [batch[c].to_pylist() for c in key_cols]
+    keys = ["\x00".join(parts) for parts in zip(*cols)]
+    return doc_id_from_key(keys)
+
+
+class TokenizeStage:
+    def __init__(
+        self,
+        cfg: IndexConfig,
+        hot_terms: dict[str, int],
+        content_col: str,
+        id_col: str | None = None,
+        key_cols: list[str] | None = None,
+    ):
+        stop = load_stopwords(cfg.stopwords_path) if cfg.use_stopwords else frozenset()
+        self.spec = TokenizerSpec(cfg.min_word_length, cfg.max_word_length, stop)
+        self.cfg = cfg
+        self.hot = hot_terms
+        self.content_col = content_col
+        self.id_col = id_col
+        self.key_cols = key_cols
+        self.bucket_cache: dict[str, int] = {}
+        self.store_positions = cfg.store_positions
+
+    def _bucket(self, term: str) -> int:
+        b = self.bucket_cache.get(term)
+        if b is None:
+            b = term_bucket(term, self.cfg.n_buckets)
+            self.bucket_cache[term] = b
+        return b
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = resolve_doc_ids(batch, self.id_col, self.key_cols)
+        texts = batch[self.content_col].to_pylist()
+
+        terms: list[str] = []
+        buckets: list[int] = []
+        salts: list[int] = []
+        out_docs: list[int] = []
+        tfs: list[int] = []
+        dls: list[int] = []
+        # position streams, flattened for one chunked varbyte encode
+        pos_vals: list[np.ndarray] = []
+        pos_counts: list[int] = []
+
+        doc_salt_base = splitmix64(doc_ids)  # uint64 per doc
+        hot = self.hot
+        for row, text in enumerate(texts):
+            did = int(doc_ids[row])
+            uniq, tf_arr, pos_arr, dl = doc_term_stats(text or "", self.spec)
+            sbase = int(doc_salt_base[row])
+            for j, t in enumerate(uniq):
+                terms.append(t)
+                buckets.append(self._bucket(t))
+                s_t = hot.get(t)
+                salts.append(sbase % s_t if s_t else 0)
+                out_docs.append(did)
+                tfs.append(int(tf_arr[j]))
+                dls.append(dl)
+                if self.store_positions:
+                    p = pos_arr[j]
+                    pos_vals.append(np.concatenate((np.array([p.size], dtype=np.uint64), codec.delta_encode(p))))
+                    pos_counts.append(1 + p.size)
+            # doc-length pseudo-posting (one per doc, even empty docs)
+            terms.append(DOC_LEN_TERM)
+            buckets.append(self._bucket(DOC_LEN_TERM))
+            s_t = hot.get(DOC_LEN_TERM)
+            salts.append(sbase % s_t if s_t else 0)
+            out_docs.append(did)
+            tfs.append(dl)
+            dls.append(dl)
+            if self.store_positions:
+                pos_vals.append(np.array([0], dtype=np.uint64))
+                pos_counts.append(1)
+
+        if self.store_positions and terms:
+            flat = np.concatenate(pos_vals) if pos_vals else np.empty(0, dtype=np.uint64)
+            blobs = codec.varbyte_encode_chunked(flat, np.asarray(pos_counts))
+        else:
+            blobs = [b""] * len(terms)
+
+        return pa.Table.from_arrays(
+            [
+                pa.array(terms, type=pa.string()),
+                pa.array(buckets, type=pa.uint32()),
+                pa.array(salts, type=pa.uint32()),
+                pa.array(out_docs, type=pa.uint64()),
+                pa.array(tfs, type=pa.uint32()),
+                pa.array(dls, type=pa.uint32()),
+                pa.array(blobs, type=pa.binary()),
+            ],
+            schema=TOKEN_SCHEMA,
+        )
+
+
+class HotSampleStage:
+    """Deterministic doc-hash sample -> partial df counts per term.
+
+    Sampling by splitmix64(doc_id) (not ``random_sample``) so the sampled doc
+    set — and therefore the hot-term list and every salt assignment — is
+    identical at any parallelism / block layout (index-content determinism,
+    SURVEY §4 skew row + 'hard parts').
+
+    Emits one (term, cnt) row per term per batch (pre-aggregated partial), so
+    the following groupby-sum shuffles a vocabulary-sized table, not a
+    postings-sized one.
+    """
+
+    def __init__(
+        self,
+        cfg: IndexConfig,
+        content_col: str,
+        id_col: str | None = None,
+        key_cols: list[str] | None = None,
+    ):
+        stop = load_stopwords(cfg.stopwords_path) if cfg.use_stopwords else frozenset()
+        self.spec = TokenizerSpec(cfg.min_word_length, cfg.max_word_length, stop)
+        self.rate = cfg.hot_sample_rate
+        self.content_col = content_col
+        self.id_col = id_col
+        self.key_cols = key_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = resolve_doc_ids(batch, self.id_col, self.key_cols)
+        keep = (splitmix64(doc_ids) % np.uint64(1_000_000)) < np.uint64(
+            int(self.rate * 1_000_000)
+        )
+        counts: dict[str, int] = {}
+        texts = batch[self.content_col].to_pylist()
+        for row in np.flatnonzero(keep):
+            uniq, _, _, _ = doc_term_stats(texts[row] or "", self.spec)
+            for t in uniq:
+                counts[t] = counts.get(t, 0) + 1
+        return pa.Table.from_pydict(
+            {
+                "term": list(counts.keys()),
+                "cnt": np.fromiter(counts.values(), dtype=np.int64, count=len(counts)),
+            },
+            schema=pa.schema([("term", pa.string()), ("cnt", pa.int64())]),
+        )

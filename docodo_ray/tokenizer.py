@@ -1,0 +1,113 @@
+"""Tokenization + normalization — the single definition shared by the Ray
+engine, the pure-Python oracle, and (by construction) the DuckDB SQL oracles.
+
+Semantics carried over from the reference (SURVEY M1-M6):
+- lowercase whole text first            (reference Build.cs:482)
+- tokens = maximal runs of letters OR digits, regex ``\\p{L}+|\\p{N}+``
+                                        (reference Build.cs:526-529)
+- keep 3 <= len(token) <= 32            (reference Build.cs:528, Index.cs:97,113)
+- stop-word filter                      (reference Index.cs:226-235, Build.cs:185)
+- no stemming by default: the payload is source code, where identifiers must
+  not be stemmed (SURVEY M6 note); vocab/stemmer expansion is a config hook.
+
+Token *position* = index in the raw (pre-filter) token stream, so phrase
+adjacency means "truly adjacent words" — this replaces the reference's global
+char-coordinate space (SURVEY §1.2) and is exactly reproducible in DuckDB via
+zipped ``unnest(regexp_extract_all(...)) , unnest(range(...))``.
+
+The ``regex`` module's ``\\p{L}/\\p{N}`` classes match RE2's (DuckDB's engine)
+exact Unicode general categories; Python ``re`` has no ``\\p`` and its ``\\w``
+approximations differ on Nl/No — hence ``regex`` (see SURVEY "hard parts").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import regex
+
+TOKEN_RE = regex.compile(r"[\p{L}]+|[\p{N}]+")
+
+
+@dataclass(frozen=True)
+class TokenizerSpec:
+    min_len: int = 3
+    max_len: int = 32
+    stopwords: frozenset[str] = frozenset()
+
+
+def tokenize_raw(text: str) -> list[str]:
+    """Lowercase, then all letter/digit-run tokens (no filtering).
+    Position i in the returned list is the canonical token position."""
+    return TOKEN_RE.findall(text.lower())
+
+
+def tokenize(text: str, spec: TokenizerSpec) -> tuple[list[str], list[int]]:
+    """-> (kept_terms, positions) where positions index the raw stream."""
+    terms: list[str] = []
+    positions: list[int] = []
+    lo, hi, stop = spec.min_len, spec.max_len, spec.stopwords
+    for i, tok in enumerate(tokenize_raw(text)):
+        if lo <= len(tok) <= hi and tok not in stop:
+            terms.append(tok)
+            positions.append(i)
+    return terms, positions
+
+
+def doc_term_stats(
+    text: str, spec: TokenizerSpec
+) -> tuple[list[str], np.ndarray, list[np.ndarray], int]:
+    """Per-document aggregation: unique terms, tf per term, positions per
+    term (ascending), and dl = number of kept tokens.
+
+    dl (the BM25 length norm) counts *kept* tokens so that engine and SQL
+    oracle agree: dl = COUNT(*) over the filtered token stream.
+    """
+    terms, positions = tokenize(text, spec)
+    dl = len(terms)
+    by_term: dict[str, list[int]] = {}
+    for t, p in zip(terms, positions):
+        by_term.setdefault(t, []).append(p)
+    uniq = sorted(by_term)
+    tfs = np.fromiter((len(by_term[t]) for t in uniq), dtype=np.uint32, count=len(uniq))
+    pos = [np.asarray(by_term[t], dtype=np.uint64) for t in uniq]
+    return uniq, tfs, pos, dl
+
+
+# --- deterministic hashing (execution-layout independent) -------------------
+
+_SM_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SM_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray | int) -> np.ndarray | int:
+    """SplitMix64 finalizer — used for doc-hash salting and deterministic
+    sampling; pure uint64 arithmetic, identical on every worker."""
+    z = np.asarray(x, dtype=np.uint64) + _SM_C1
+    z = (z ^ (z >> np.uint64(30))) * _SM_C2
+    z = (z ^ (z >> np.uint64(27))) * _SM_C3
+    z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Stable term -> bucket hash (zlib.crc32: process-independent, unlike
+    builtin hash())."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def doc_id_from_key(keys: list[str]) -> np.ndarray:
+    """Deterministic 63-bit doc_id from a string key (e.g. 'repo/path@commit')
+    via blake2b — stable across runs and cluster sizes (SURVEY hard parts:
+    rank-identity needs order-independent doc_id assignment)."""
+    import hashlib
+
+    out = np.empty(len(keys), dtype=np.uint64)
+    for i, k in enumerate(keys):
+        h = hashlib.blake2b(k.encode("utf-8"), digest_size=8).digest()
+        out[i] = int.from_bytes(h, "little") & 0x7FFFFFFFFFFFFFFF
+    return out

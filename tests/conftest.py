@@ -1,0 +1,49 @@
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def small_corpus_files(tmp_path_factory):
+    """t1 smoke corpus: 200 rows, 4 files (FIXTURES.md sizes)."""
+    from docodo_ray.corpus import write_corpus
+
+    d = tmp_path_factory.mktemp("corpus_t1")
+    return write_corpus(str(d), n_rows=200, seed=42, n_files=4, avg_tokens=60)
+
+
+@pytest.fixture(scope="session")
+def small_corpus_docs(small_corpus_files):
+    """{doc_id: content} + meta for the oracle, using the same deterministic
+    doc_id assignment as the engine."""
+    import pyarrow.parquet as pq
+
+    from docodo_ray.tokenizer import doc_id_from_key
+
+    t = pq.read_table(small_corpus_files)
+    keys = [
+        "\x00".join(k)
+        for k in zip(t["repo"].to_pylist(), t["path"].to_pylist(), t["commit"].to_pylist())
+    ]
+    ids = doc_id_from_key(keys)
+    contents = t["content"].to_pylist()
+    return {int(i): c for i, c in zip(ids, contents)}

@@ -1,0 +1,174 @@
+"""End-to-end: Ray Data index build vs the single-process oracle — the
+analogue of the reference's IndexTest.cs CoordTest/RequestSyntaxTest.
+
+Covers: full posting-table equality (term, doc_id, tf, positions), corpus
+stats, BM25 top-k rank identity (scores within 1e-9), phrase counts, salted
+hot-term shards, sha256 content invariant, and the Docodo query-language
+surfaces (AND/OR/phrase/wildcard/field/suggest).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from docodo_ray import IndexConfig, IndexReader, build_index
+from docodo_ray.config import DOC_LEN_TERM, load_stopwords
+from docodo_ray.oracle import bm25_topk, build_oracle_index, phrase_docs
+from docodo_ray.tokenizer import TokenizerSpec
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory, small_corpus_files):
+    out = str(tmp_path_factory.mktemp("idx") / "t1")
+    cfg = IndexConfig(
+        n_buckets=8,
+        # force the salting path even on 200 docs: any term with df_est > 50
+        # gets doc-hash shards, incl. the DOC_LEN pseudo-term
+        shard_target_postings=50,
+        hot_sample_rate=1.0,
+        tokenizer_batch_size=32,
+        tokenizer_concurrency=2,
+    )
+    res = build_index(
+        out,
+        input_paths=small_corpus_files,
+        cfg=cfg,
+        content_col="content",
+        key_cols=["repo", "path", "commit"],
+        meta_cols=("repo", "path", "lang"),
+    )
+    return res
+
+
+@pytest.fixture(scope="module")
+def oracle(small_corpus_docs):
+    spec = TokenizerSpec(3, 32, load_stopwords())
+    return build_oracle_index(small_corpus_docs, spec)
+
+
+def test_stats_match(built, oracle):
+    assert built.n_docs == oracle.n_docs == 200
+    assert built.total_tokens == sum(oracle.doc_len.values())
+    assert abs(built.avgdl - oracle.avgdl) < 1e-9
+
+
+def test_hot_terms_salted(built):
+    # full-rate sampling + target 50 must make common terms hot
+    hot = built.manifest["hot"]
+    assert DOC_LEN_TERM in hot and hot[DOC_LEN_TERM] >= 2
+    assert any(t != DOC_LEN_TERM for t in hot), hot
+
+
+def test_posting_table_equality(built, oracle):
+    """Every (term, doc_id, tf, positions) matches the oracle exactly —
+    the positional golden oracle (reference CoordTest)."""
+    r = IndexReader(built.out_dir)
+    assert set(r.term_dictionary()["term"].to_pylist()) == set(oracle.postings)
+    for term, plist in oracle.postings.items():
+        p = r.read_posting(term, with_positions=True)
+        assert p is not None, term
+        want_docs = sorted(plist)
+        assert p.doc_ids.tolist() == want_docs, term
+        assert p.tfs.tolist() == [plist[d][0] for d in want_docs], term
+        assert p.dls.tolist() == [oracle.doc_len[d] for d in want_docs], term
+        assert p.positions is not None, term
+        for j, d in enumerate(want_docs):
+            assert p.positions[j].tolist() == plist[d][1], (term, d)
+        df, cf = r.term_stats(term)
+        assert df == len(plist)
+        assert cf == sum(tf for tf, _ in plist.values())
+
+
+def test_bm25_rank_identity(built, oracle):
+    r = IndexReader(built.out_dir)
+    vocab = sorted(oracle.postings)
+    queries = [
+        [vocab[0]],
+        [vocab[len(vocab) // 2]],
+        ["public"],
+        ["public", "static"],
+        ["old", "lady"],
+        [vocab[1], vocab[2], vocab[3]],
+        ["nonexistentterm"],
+    ]
+    for terms in queries:
+        for mode in ("and", "or"):
+            got = r.search(" ".join(terms) if mode == "and" else " | ".join(terms),
+                           k=20, mode=mode)
+            want = bm25_topk(oracle, terms, k=20, mode=mode)
+            assert [d for d, _ in got] == [d for d, _ in want], (terms, mode)
+            for (_, gs), (_, ws) in zip(got, want):
+                assert abs(gs - ws) < 1e-9, (terms, mode)
+
+
+def test_wand_matches_exhaustive(built):
+    r = IndexReader(built.out_dir)
+    for q in ["public", "public | static | return", "void | zoba"]:
+        exact = r.search(q, k=10, mode="or")
+        wand = r.search(q, k=10, mode="or", wand=True)
+        assert [(d, round(s, 9)) for d, s in exact] == [(d, round(s, 9)) for d, s in wand], q
+
+
+def test_phrase_search(built, oracle, small_corpus_docs):
+    r = IndexReader(built.out_dir)
+    want = phrase_docs(oracle, ["old", "lady"])
+    got = dict(r.phrase_occurrences(["old", "lady"]))
+    assert got == want
+    assert len(want) > 0
+    # order sensitivity: reversed phrase should differ (reference
+    # RequestSyntaxTest: "old lady"=8 vs "lady old"=0 pattern)
+    rev = dict(r.phrase_occurrences(["lady", "old"]))
+    assert rev == phrase_docs(oracle, ["lady", "old"])
+    # phrase query through the full search path returns only phrase docs
+    res = r.search('"old lady"', k=500)
+    assert set(d for d, _ in res) == set(want)
+
+
+def test_sha256_invariant(built, small_corpus_docs):
+    """Per-row content invariant (BASELINE.json): sha256(content) equality
+    between input and the doc-table locator round-trip."""
+    import hashlib
+
+    r = IndexReader(built.out_dir)
+    meta = r.doc_meta()
+    assert meta.num_rows == 200
+    stored = dict(zip(meta["doc_id"].to_pylist(), meta["sha256"].to_pylist()))
+    for doc_id, content in small_corpus_docs.items():
+        assert stored[doc_id] == hashlib.sha256(content.encode()).hexdigest()
+
+
+def test_field_and_filter_queries(built):
+    r = IndexReader(built.out_dir)
+    base = r.search("public", k=500)
+    cs = r.search("public {lang=cs}", k=500)
+    assert 0 < len(cs) < len(base)
+    meta = r.doc_meta([d for d, _ in cs])
+    assert set(meta["lang"].to_pylist()) == {"cs"}
+    filtered = r.search(r"public -filter:f0000\d\d\.py", k=500)
+    meta2 = r.doc_meta([d for d, _ in filtered])
+    assert all(p.endswith(".py") for p in meta2["path"].to_pylist())
+
+
+def test_wildcard_suggest_close(built, oracle):
+    r = IndexReader(built.out_dir)
+    like = r.like_words("publi?")
+    assert like == ["public"]
+    sugg = r.suggest("pub", n=5)
+    assert "public" in sugg
+    close = r.close_words("publik", n=3)
+    assert "public" in close
+    res = r.search("cla?s", k=10)
+    assert res  # wildcard expands to 'class' which exists
+    hist = r.histogram(10)
+    dfs = hist["df"].to_pylist()
+    assert dfs == sorted(dfs, reverse=True)
+    assert DOC_LEN_TERM not in hist["term"].to_pylist()
+
+
+def test_empty_and_edge_queries(built):
+    r = IndexReader(built.out_dir)
+    assert r.search("", k=10) == []
+    assert r.search("zz", k=10) == []          # below min length -> no terms
+    assert r.search("the", k=10) == []          # stopword-only query
+    assert r.search("nonexistentterm public", k=10) == []  # AND with absent term

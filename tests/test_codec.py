@@ -1,0 +1,98 @@
+"""Codec round-trip tests — the analogue of the reference's
+IndexSequenceTest.cs (ConvertTest/ShiftTest/LoadSaveTest)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docodo_ray import codec
+
+
+@pytest.mark.parametrize("n", [0, 1, 100, 10_000])
+def test_varbyte_roundtrip_random(n):
+    rng = np.random.default_rng(42)
+    vals = rng.integers(0, 2**63, size=n, dtype=np.uint64)
+    assert np.array_equal(codec.varbyte_decode(codec.varbyte_encode(vals)), vals)
+
+
+def test_varbyte_boundaries():
+    vals = np.array(
+        [0, 1, 127, 128, 2**14 - 1, 2**14, 2**21, 2**32, 2**63 - 1, 2**64 - 1],
+        dtype=np.uint64,
+    )
+    assert np.array_equal(codec.varbyte_decode(codec.varbyte_encode(vals)), vals)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_varbyte_roundtrip_hypothesis(xs):
+    vals = np.array(xs, dtype=np.uint64)
+    assert np.array_equal(codec.varbyte_decode(codec.varbyte_encode(vals)), vals)
+
+
+@pytest.mark.parametrize("n", [1, 100, 100_000])
+def test_postings_roundtrip(n):
+    rng = np.random.default_rng(7)
+    gaps = rng.integers(1, 2**32, size=n, dtype=np.uint64)
+    docs = np.cumsum(gaps, dtype=np.uint64)
+    assert np.array_equal(codec.decode_postings(codec.encode_postings(docs)), docs)
+
+
+def test_positions_roundtrip():
+    lists = [
+        np.array([0, 5, 9], dtype=np.uint64),
+        np.array([], dtype=np.uint64),
+        np.array([3], dtype=np.uint64),
+        np.arange(0, 1000, 7, dtype=np.uint64),
+    ]
+    buf = codec.encode_positions(lists)
+    out = codec.decode_positions(buf, len(lists))
+    for a, b in zip(lists, out):
+        assert np.array_equal(a, b)
+
+
+def test_chunked_encode_matches_per_row():
+    rng = np.random.default_rng(3)
+    rows = [rng.integers(0, 2**40, size=rng.integers(0, 20), dtype=np.uint64) for _ in range(50)]
+    flat = np.concatenate([r for r in rows]) if rows else np.empty(0, np.uint64)
+    counts = np.array([r.size for r in rows])
+    blobs = codec.varbyte_encode_chunked(flat, counts)
+    for r, b in zip(rows, blobs):
+        assert b == codec.varbyte_encode(r)
+
+
+def test_blockmax():
+    rng = np.random.default_rng(11)
+    n = 1000
+    docs = np.cumsum(rng.integers(1, 50, size=n, dtype=np.uint64), dtype=np.uint64)
+    tfs = rng.integers(1, 100, size=n).astype(np.uint32)
+    dls = rng.integers(10, 500, size=n).astype(np.uint32)
+    bm = codec.decode_blockmax(codec.encode_blockmax(docs, tfs, dls))
+    assert bm.size == (n + codec.BLOCK_SIZE - 1) // codec.BLOCK_SIZE
+    for i in range(bm.size):
+        s, e = i * codec.BLOCK_SIZE, min((i + 1) * codec.BLOCK_SIZE, n)
+        assert bm["last_doc"][i] == docs[e - 1]
+        assert bm["max_tf"][i] == tfs[s:e].max()
+        assert bm["min_dl"][i] == dls[s:e].min()
+
+
+def test_codec_speed_bound():
+    """Mirror of the reference SpeedTest (IndexSequenceTest.cs:96-115):
+    encoding 10M postings must not be absurdly slower than a raw numpy copy —
+    here: under 2 seconds wall (vectorized numpy, ~10 array passes)."""
+    import time
+
+    rng = np.random.default_rng(5)
+    docs = np.cumsum(rng.integers(1, 2**16, size=10_000_000, dtype=np.uint64), dtype=np.uint64)
+    codec.decode_postings(codec.encode_postings(docs[:100_000]))  # warm-up
+    t0 = time.perf_counter()
+    buf = codec.encode_postings(docs)
+    enc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = codec.decode_postings(buf)
+    dec = time.perf_counter() - t0
+    assert np.array_equal(out, docs)
+    # generous bound: catches an accidental per-value Python loop (30s+),
+    # tolerates CI noise from the concurrently-running Ray session
+    assert enc < 4.0 and dec < 4.0, (enc, dec)

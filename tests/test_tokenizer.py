@@ -1,0 +1,71 @@
+"""Tokenizer semantics + DuckDB parity (the SQL-oracle invariant)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from docodo_ray.tokenizer import (
+    TokenizerSpec,
+    doc_id_from_key,
+    doc_term_stats,
+    splitmix64,
+    term_bucket,
+    tokenize,
+    tokenize_raw,
+)
+
+SPEC = TokenizerSpec(min_len=3, max_len=32, stopwords=frozenset({"the", "and"}))
+
+
+def test_letter_digit_runs():
+    # maximal letter runs OR digit runs — x1 splits (reference Build.cs:526-529)
+    assert tokenize_raw("Hello x1 42 foo_bar") == ["hello", "x", "1", "42", "foo", "bar"]
+
+
+def test_length_and_stopword_filter():
+    terms, pos = tokenize("The cat and a dog ran faraway " + "z" * 33, SPEC)
+    assert terms == ["cat", "dog", "ran", "faraway"]
+    # positions index the RAW stream: the=0 cat=1 and=2 a=3 dog=4 ran=5 faraway=6 zzz=7
+    assert pos == [1, 4, 5, 6]
+
+
+def test_unicode():
+    terms, _ = tokenize("Straße ПРИВЕТ naïve", SPEC)
+    assert terms == ["straße", "привет", "naïve"]
+
+
+def test_doc_term_stats():
+    uniq, tfs, pos, dl = doc_term_stats("dog cat dog the cat dog", SPEC)
+    assert uniq == ["cat", "dog"]
+    assert tfs.tolist() == [2, 3]
+    assert pos[0].tolist() == [1, 4]
+    assert pos[1].tolist() == [0, 2, 5]
+    assert dl == 5
+
+
+def test_duckdb_parity():
+    """Engine tokens == DuckDB regexp_extract_all tokens for edge-case text —
+    the invariant every oracle_sql() entry depends on."""
+    texts = [
+        "Hello wörld straße привет 42 x1 MixedCase foo123bar",
+        "a ab abc " + "q" * 32 + " " + "q" * 33,
+        "", "   ", "...!!!", "ПрИвЕт-МИР 0042",
+    ]
+    con = duckdb.connect()
+    for t in texts:
+        py = tokenize_raw(t)
+        db = con.execute(
+            r"SELECT regexp_extract_all(lower(?), '[\p{L}]+|[\p{N}]+')", [t]
+        ).fetchone()[0]
+        assert py == db, t
+
+
+def test_hashing_deterministic():
+    a = splitmix64(np.arange(100, dtype=np.uint64))
+    b = splitmix64(np.arange(100, dtype=np.uint64))
+    assert np.array_equal(a, b)
+    assert len(np.unique(a)) == 100
+    assert term_bucket("hello", 64) == term_bucket("hello", 64)
+    ids = doc_id_from_key(["r/p@c", "r/p@d", "r/q@c"])
+    assert len(set(ids.tolist())) == 3
+    assert all(i < 2**63 for i in ids.tolist())
