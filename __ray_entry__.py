@@ -1,16 +1,16 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the docodo-ray graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
+
+Float policy: every score/similarity column crosses this boundary as integer
+micro-units (``*_e6 = floor(x * 1e6)``) computed identically in the Ray
+engine and the SQL — float hashing can't flake.
 """
 
 from __future__ import annotations
@@ -20,25 +20,50 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: build the inverted index
+    over the documents table (tokenize actor pool -> term shuffle -> segment
+    write) and return the BM25 top-k table for the reference query set."""
+    from docodo_ray import pipelines
+
+    return pipelines.bm25_topk("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from docodo_ray import dedup, pipelines, sim, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- inverted index + BM25 core (SURVEY §2.2/2.5/2.6, A1-A8) ---
+        "token_counts": pipelines.token_counts,          # M1-M6 tokenize stage
+        "corpus_stats": pipelines.corpus_stats,          # A4 (N, total, avgdl)
+        "term_df": pipelines.term_df,                    # A5 df/cf per term
+        "top_terms": pipelines.top_terms,                # A6 histogram
+        "doc_token_stats": pipelines.doc_token_stats,    # doc-length table
+        "doc_sha256": pipelines.doc_sha256,              # content invariant
+        "bm25_topk": pipelines.bm25_topk,                # A8 replacement: BM25 top-k
+        "phrase_count": pipelines.phrase_count,          # D2 phrase adjacency
+        "fielded_search": pipelines.fielded_search,      # J3 field semi-join
+        "wildcard_terms": pipelines.wildcard_terms,      # O6 GetLikeWords
+        "suggest_prefix": pipelines.suggest_prefix,      # O4 suggestions
+        "levenshtein_close": pipelines.levenshtein_close,  # M13 corrections
+        # --- training-data ops (text analysis) ---
+        "text_quality": textstats.quality_table,
+        "doc_fingerprint": textstats.fingerprint_table,
+        "lang_id": textstats.lang_id_table,              # heuristic: rows-only
+        # --- dedup ---
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_dedup": dedup.minhash_dedup,            # LSH: rows-only
+        "simhash": dedup.simhash_table,                  # rows-only
+        "ngram_jaccard": dedup.ngram_jaccard_pairs,
+        # --- similarity search ---
+        "embedding_topk": sim.embedding_topk,
+        "embedding_topk_ivf": sim.embedding_topk_ivf,    # approximate: rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; non-SQL-expressible ops (minhash LSH,
+    simhash, lang-id heuristic, approximate IVF) are intentionally omitted ->
+    the driver records the weaker rows-only check for those."""
+    from docodo_ray.oracle_sql import oracle_sql as _sql
+
+    return _sql()

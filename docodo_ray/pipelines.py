@@ -1,0 +1,250 @@
+"""Ray-Data pipelines over the driver's ``documents`` table, one per
+SQL-checkable operator (the ``queries()`` surface in __ray_entry__.py).
+
+Every function takes ``sf_dir`` and returns a pyarrow Table whose column
+names/types match the corresponding ``oracle_sql()`` string exactly (the
+driver sorts columns by name and hashes values). Floats never cross the
+boundary raw: scores are floored to integer micro-units (``*_e6``) in BOTH
+engines before ranking, so ulp-level float differences cannot flip a rank or
+a hash.
+
+Index-backed queries build (once, cached+resumable under /tmp) a real
+docodo_ray inverted index over the documents table and answer from it — so
+the driver's DuckDB comparison validates the full build pipeline, not a
+shortcut reimplementation.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from docodo_ray.build import build_index
+from docodo_ray.config import DOC_LEN_TERM, IndexConfig, load_stopwords
+from docodo_ray.search import IndexReader, levenshtein
+from docodo_ray.stages.tokenize import TokenizeStage
+from docodo_ray.tokenizer import TokenizerSpec, tokenize
+
+# ---- the reference query set (shared with oracle_sql) ----------------------
+
+BM25_QUERY_SET: list[tuple[int, str]] = [
+    (1, "merge join"),
+    (2, "hash table"),
+    (3, "customer"),
+    (4, "window stream batch"),
+    (5, "vector nonexistentword"),
+]
+BM25_K = 10
+PHRASE = ("table", "hash")
+FIELDED_TERM, FIELDED_LANG = "merge", "en"
+WILDCARD_PATTERN = "b?t?h"
+SUGGEST_PREFIX, SUGGEST_N = "s", 5
+TOP_TERMS_N = 20
+CLOSE_WORD, CLOSE_MAXDIST = "mergee", 2
+
+DOCS_CFG = IndexConfig(n_buckets=16, store_positions=True)
+
+
+def _spec() -> TokenizerSpec:
+    return TokenizerSpec(3, 32, load_stopwords())
+
+
+_READER_CACHE: dict[str, IndexReader] = {}
+
+
+def get_index(sf_dir: str) -> IndexReader:
+    """Build (or reuse) the inverted index for sf_dir's documents table.
+    Cached on disk under /tmp with full manifest resume; a config/code change
+    fingerprint mismatch triggers a clean rebuild."""
+    sf_dir = sf_dir.rstrip("/")
+    if sf_dir in _READER_CACHE:
+        return _READER_CACHE[sf_dir]
+    out = os.path.join("/tmp/docodo_ray_idx", sf_dir.strip("/").replace("/", "_"))
+    paths = [os.path.join(sf_dir, "documents.parquet")]
+    kwargs = dict(
+        input_paths=paths, cfg=DOCS_CFG, content_col="text", id_col="doc_id",
+        meta_cols=("lang", "source", "n_chars"),
+    )
+    try:
+        build_index(out, **kwargs)
+    except ValueError:
+        shutil.rmtree(out, ignore_errors=True)
+        build_index(out, **kwargs)
+    r = IndexReader(out)
+    _READER_CACHE[sf_dir] = r
+    return r
+
+
+def _documents(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# ---- direct Ray pipelines (no index needed) --------------------------------
+
+def token_counts(sf_dir: str) -> rd.Dataset:
+    """(term, doc_id, tf): the tokenize map stage output, aggregated per doc
+    (SURVEY M1-M6). Pure streaming map_batches; no shuffle. Returns the lazy
+    Dataset — the caller/driver consumes it."""
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    cfg = IndexConfig(n_buckets=1, store_positions=False)
+    tokens = ds.map_batches(
+        TokenizeStage,
+        fn_constructor_kwargs=dict(cfg=cfg, hot_terms={}, content_col="text", id_col="doc_id"),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    import pyarrow.compute as pc
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["term"], DOC_LEN_TERM))
+        return pa.Table.from_arrays(
+            [t["term"], t["doc_id"].cast(pa.int64()), t["tf"].cast(pa.int64())],
+            names=["term", "doc_id", "tf"],
+        )
+
+    return tokens.map_batches(clean, batch_format="pyarrow")
+
+
+# ---- index-backed query tables ---------------------------------------------
+
+def corpus_stats(sf_dir: str) -> pa.Table:
+    r = get_index(sf_dir)
+    n, total = r.n_docs, r.manifest["stats"]["total_tokens"]
+    avgdl_e6 = (1_000_000 * total) // n if n else 0
+    return pa.table(
+        {"n_docs": pa.array([n], pa.int64()),
+         "total_tokens": pa.array([total], pa.int64()),
+         "avgdl_e6": pa.array([avgdl_e6], pa.int64())}
+    )
+
+
+def term_df(sf_dir: str) -> pa.Table:
+    r = get_index(sf_dir)
+    t = r.term_dictionary()
+    return pa.table(
+        {"term": t["term"], "df": t["df"].cast(pa.int64()), "cf": t["cf"].cast(pa.int64())}
+    )
+
+
+def top_terms(sf_dir: str) -> pa.Table:
+    r = get_index(sf_dir)
+    t = r.histogram(TOP_TERMS_N)
+    return pa.table(
+        {"term": t["term"], "df": t["df"].cast(pa.int64())}
+    )
+
+
+def doc_token_stats(sf_dir: str) -> pa.Table:
+    """(doc_id, n_tokens): per-doc kept-token count, read back from the
+    DOC_LEN pseudo-term posting (tf == dl by construction)."""
+    r = get_index(sf_dir)
+    p = r.read_posting(DOC_LEN_TERM)
+    assert p is not None
+    return pa.table(
+        {"doc_id": pa.array(p.doc_ids.astype(np.int64)),
+         "n_tokens": pa.array(p.tfs.astype(np.int64))}
+    )
+
+
+def doc_sha256(sf_dir: str) -> pa.Table:
+    r = get_index(sf_dir)
+    m = r.doc_meta()
+    return pa.table({"doc_id": m["doc_id"].cast(pa.int64()), "sha256": m["sha256"]})
+
+
+def bm25_topk(sf_dir: str) -> pa.Table:
+    """(query_id, doc_id, score_e6): disjunctive BM25 over the query set,
+    ranked by (floor(score*1e6) desc, doc_id) — integer ranking keys so the
+    DuckDB oracle agrees bit-for-bit."""
+    r = get_index(sf_dir)
+    qids, docs_out, scores_out = [], [], []
+    for qid, qtext in BM25_QUERY_SET:
+        terms, _ = tokenize(qtext, r.spec)
+        terms = sorted(set(terms))
+        docs_all, scores_all = [], []
+        for t in terms:
+            p = r.read_posting(t)
+            if p is None:
+                continue
+            docs_all.append(p.doc_ids)
+            scores_all.append(r.score_posting(p))
+        if not docs_all:
+            continue
+        docs = np.concatenate(docs_all)
+        scores = np.concatenate(scores_all)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        tot = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(tot, inv, scores)
+        e6 = np.floor(tot * 1e6).astype(np.int64)
+        order = np.lexsort((uniq, -e6))[:BM25_K]
+        qids.extend([qid] * order.size)
+        docs_out.extend(int(uniq[i]) for i in order)
+        scores_out.extend(int(e6[i]) for i in order)
+    return pa.table(
+        {"query_id": pa.array(qids, pa.int64()),
+         "doc_id": pa.array(docs_out, pa.int64()),
+         "score_e6": pa.array(scores_out, pa.int64())}
+    )
+
+
+def phrase_count(sf_dir: str) -> pa.Table:
+    r = get_index(sf_dir)
+    occ = r.phrase_occurrences(list(PHRASE))
+    return pa.table(
+        {"doc_id": pa.array([d for d, _ in occ], pa.int64()),
+         "n_occ": pa.array([n for _, n in occ], pa.int64())}
+    )
+
+
+def fielded_search(sf_dir: str) -> pa.Table:
+    """(doc_id, tf) of FIELDED_TERM restricted to lang == FIELDED_LANG —
+    the structured-predicate semi-join (SURVEY J3): postings ∩ doc-meta
+    filter."""
+    r = get_index(sf_dir)
+    p = r.read_posting(FIELDED_TERM)
+    if p is None:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "tf": pa.array([], pa.int64())})
+    meta = r.doc_meta()
+    import pyarrow.compute as pc
+
+    keep = meta.filter(pc.equal(meta["lang"], FIELDED_LANG))["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    mask = np.isin(p.doc_ids, keep, assume_unique=True)
+    return pa.table(
+        {"doc_id": pa.array(p.doc_ids[mask].astype(np.int64)),
+         "tf": pa.array(p.tfs[mask].astype(np.int64))}
+    )
+
+
+def wildcard_terms(sf_dir: str) -> pa.Table:
+    r = get_index(sf_dir)
+    terms = r.like_words(WILDCARD_PATTERN)
+    dfs = [r.term_stats(t)[0] for t in terms]
+    return pa.table({"term": pa.array(terms), "df": pa.array(dfs, pa.int64())})
+
+
+def suggest_prefix(sf_dir: str) -> pa.Table:
+    r = get_index(sf_dir)
+    import pyarrow.compute as pc
+
+    t = r.term_dictionary()
+    t = t.filter(pc.starts_with(t["term"], SUGGEST_PREFIX))
+    order = pc.sort_indices(t, sort_keys=[("df", "descending"), ("term", "ascending")])
+    t = t.take(order[:SUGGEST_N])
+    return pa.table({"term": t["term"], "df": t["df"].cast(pa.int64())})
+
+
+def levenshtein_close(sf_dir: str) -> pa.Table:
+    r = get_index(sf_dir)
+    terms = r.term_dictionary(columns=("term",))["term"].to_pylist()
+    rows = [(t, levenshtein(t, CLOSE_WORD)) for t in terms]
+    rows = [(t, d) for t, d in rows if d <= CLOSE_MAXDIST]
+    rows.sort(key=lambda x: (x[1], x[0]))
+    return pa.table(
+        {"term": pa.array([t for t, _ in rows]),
+         "dist": pa.array([d for _, d in rows], pa.int64())}
+    )

@@ -1,0 +1,180 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute-force cosine top-k: broadcast query matrix (ray.put once), numpy
+  matmul per batch, per-batch partial top-k under the SAME integer comparator
+  as the final ranking (floor(cos*1e6) desc, vec_id asc) so the distributed
+  merge is exactly the global top-k;
+- IVF variant (the scale path): k-means-lite centroids on a deterministic
+  sample, per-batch assignment, probe the nprobe nearest lists only.
+
+All float math is float64 (embeddings upcast from float32), matching the
+explicit-DOUBLE SQL oracle to ulp level; ranking keys are integers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+QUERY_VEC_IDS = [0, 1, 2]
+TOPK = 5
+
+
+def _load_queries(sf_dir: str) -> tuple[np.ndarray, list[int]]:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", QUERY_VEC_IDS)])
+    ids = t["vec_id"].to_pylist()
+    q = np.array(t["embedding"].to_pylist(), dtype=np.float32).astype(np.float64)
+    order = np.argsort(ids)
+    return q[order], sorted(ids)
+
+
+def _cosine(mat: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """rows x queries cosine, float64."""
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    return mn @ qn.T
+
+
+class BruteForceTopK:
+    """Per-batch partial top-k per query; state = broadcast query matrix."""
+
+    def __init__(self, queries_ref, query_ids: list[int], k: int):
+        self.queries = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.query_ids = query_ids
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float32).astype(np.float64)
+        # cos per (row, query) — but norms/dots must match the SQL oracle's
+        # per-element double arithmetic: dot / (||a|| * ||q||)
+        dots = mat @ self.queries.T
+        na = np.linalg.norm(mat, axis=1)
+        nq = np.linalg.norm(self.queries, axis=1)
+        qo, vo, eo = [], [], []
+        for j, qid in enumerate(self.query_ids):
+            cos = dots[:, j] / (na * nq[j])
+            e6 = np.floor(cos * 1e6).astype(np.int64)
+            mask = vec_ids != qid  # exclude self
+            vi, ei = vec_ids[mask], e6[mask]
+            order = np.lexsort((vi, -ei))[: self.k]
+            qo.extend([qid] * order.size)
+            vo.extend(vi[order].tolist())
+            eo.extend(ei[order].tolist())
+        return pa.table(
+            {"query_id": pa.array(qo, pa.int64()),
+             "vec_id": pa.array(vo, pa.int64()),
+             "cos_e6": pa.array(eo, pa.int64())}
+        )
+
+
+def embedding_topk(sf_dir: str, k: int = TOPK) -> pa.Table:
+    """(query_id, vec_id, cos_e6): exact cosine top-k for each query vector,
+    self excluded, ranked by (cos_e6 desc, vec_id asc)."""
+    queries, qids = _load_queries(sf_dir)
+    ref = ray.put(queries)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partial = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs=dict(queries_ref=ref, query_ids=qids, k=k),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    rows = partial.take_all()
+    out = {qid: [] for qid in qids}
+    for r in rows:
+        out[r["query_id"]].append((r["cos_e6"], r["vec_id"]))
+    qo, vo, eo = [], [], []
+    for qid in qids:
+        best = sorted(out[qid], key=lambda x: (-x[0], x[1]))[:k]
+        qo.extend([qid] * len(best))
+        vo.extend(v for _, v in best)
+        eo.extend(e for e, _ in best)
+    return pa.table(
+        {"query_id": pa.array(qo, pa.int64()),
+         "vec_id": pa.array(vo, pa.int64()),
+         "cos_e6": pa.array(eo, pa.int64())}
+    )
+
+
+# ---- IVF (approximate, the scale path) -------------------------------------
+
+def _kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 5) -> np.ndarray:
+    """Deterministic k-means: first-n-of-sample init, fixed iterations."""
+    centroids = sample[:n_clusters].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_clusters):
+            m = assign == c
+            if m.any():
+                centroids[c] = sample[m].mean(axis=0)
+    return centroids
+
+
+def embedding_topk_ivf(
+    sf_dir: str, k: int = TOPK, n_clusters: int = 8, nprobe: int = 3
+) -> pa.Table:
+    """(query_id, vec_id, cos_e6) approximate: IVF — centroids from a
+    deterministic head-sample, rows bucketed by nearest centroid inside
+    map_batches, only the nprobe closest lists scored per query. Recall < 1
+    by design; the exactness gate is embedding_topk."""
+    queries, qids = _load_queries(sf_dir)
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).slice(0, 512)
+    sample = np.array(head["embedding"].to_pylist(), dtype=np.float32).astype(np.float64)
+    centroids = _kmeans_lite(sample, min(n_clusters, len(sample)))
+    probe = {}
+    for j, qid in enumerate(qids):
+        d = ((queries[j][None, :] - centroids) ** 2).sum(axis=1)
+        probe[qid] = set(np.argsort(d, kind="stable")[:nprobe].tolist())
+    cref, qref = ray.put(centroids), ray.put(queries)
+
+    class IVFTopK:
+        def __init__(self):
+            self.centroids = ray.get(cref)
+            self.queries = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mat = np.array(batch["embedding"].to_pylist(), dtype=np.float32).astype(np.float64)
+            d = ((mat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            dots = mat @ self.queries.T
+            na = np.linalg.norm(mat, axis=1)
+            nq = np.linalg.norm(self.queries, axis=1)
+            qo, vo, eo = [], [], []
+            for j, qid in enumerate(qids):
+                m = np.isin(assign, list(probe[qid])) & (vec_ids != qid)
+                cos = dots[m, j] / (na[m] * nq[j])
+                e6 = np.floor(cos * 1e6).astype(np.int64)
+                vi = vec_ids[m]
+                order = np.lexsort((vi, -e6))[:k]
+                qo.extend([qid] * order.size)
+                vo.extend(vi[order].tolist())
+                eo.extend(e6[order].tolist())
+            return pa.table(
+                {"query_id": pa.array(qo, pa.int64()),
+                 "vec_id": pa.array(vo, pa.int64()),
+                 "cos_e6": pa.array(eo, pa.int64())}
+            )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rows = ds.map_batches(IVFTopK, batch_format="pyarrow", concurrency=(1, 4)).take_all()
+    out = {qid: [] for qid in qids}
+    for r in rows:
+        out[r["query_id"]].append((r["cos_e6"], r["vec_id"]))
+    qo, vo, eo = [], [], []
+    for qid in qids:
+        best = sorted(out[qid], key=lambda x: (-x[0], x[1]))[:k]
+        qo.extend([qid] * len(best))
+        vo.extend(v for _, v in best)
+        eo.extend(e for e, _ in best)
+    return pa.table(
+        {"query_id": pa.array(qo, pa.int64()),
+         "vec_id": pa.array(vo, pa.int64()),
+         "cos_e6": pa.array(eo, pa.int64())}
+    )

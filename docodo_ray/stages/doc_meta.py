@@ -27,8 +27,9 @@ def make_doc_meta_fn(content_col: str, id_col: str | None, key_cols: list[str] |
         for c in meta_cols:
             arrays.append(batch[c])
             names.append(c)
-        arrays.append(pc.utf8_length(batch[content_col]).cast(pa.int64()))
-        names.append("n_chars")
+        if "n_chars" not in meta_cols:
+            arrays.append(pc.utf8_length(batch[content_col]).cast(pa.int64()))
+            names.append("n_chars")
         arrays.append(pa.array(shas, type=pa.string()))
         names.append("sha256")
         return pa.Table.from_arrays(arrays, names=names)

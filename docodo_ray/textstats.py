@@ -1,0 +1,112 @@
+"""Text-analysis operators for training-data pipelines: token statistics /
+quality signals, document fingerprinting, and a language-ID heuristic.
+All are stateless-or-actor `map_batches` stages over the documents table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+import regex
+
+from docodo_ray.config import load_stopwords
+from docodo_ray.tokenizer import TokenizerSpec, tokenize, tokenize_raw
+
+_DIGIT_RE = regex.compile(r"^[\p{N}]+$")
+
+
+class QualityStage:
+    """Per-doc quality counters (all integers, SQL-reproducible):
+    n_raw (all tokens), n_kept (len 3-32, non-stopword), n_digit (digit runs),
+    sum_token_chars (total chars across raw tokens)."""
+
+    def __init__(self, content_col: str = "text", id_col: str = "doc_id"):
+        self.spec = TokenizerSpec(3, 32, load_stopwords())
+        self.content_col = content_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_raw, n_kept, n_digit, schars = [], [], [], []
+        lo, hi, stop = self.spec.min_len, self.spec.max_len, self.spec.stopwords
+        for text in batch[self.content_col].to_pylist():
+            toks = tokenize_raw(text or "")
+            n_raw.append(len(toks))
+            n_kept.append(sum(1 for t in toks if lo <= len(t) <= hi and t not in stop))
+            n_digit.append(sum(1 for t in toks if _DIGIT_RE.match(t)))
+            schars.append(sum(len(t) for t in toks))
+        return pa.table(
+            {"doc_id": pa.array(ids),
+             "n_raw": pa.array(n_raw, pa.int64()),
+             "n_kept": pa.array(n_kept, pa.int64()),
+             "n_digit": pa.array(n_digit, pa.int64()),
+             "sum_token_chars": pa.array(schars, pa.int64())}
+        )
+
+
+class FingerprintStage:
+    """Document fingerprint = sha256 of the space-joined kept-token stream —
+    a canonical-text fingerprint robust to case/punctuation differences
+    (and exactly reproducible in SQL)."""
+
+    def __init__(self, content_col: str = "text", id_col: str = "doc_id"):
+        self.spec = TokenizerSpec(3, 32, load_stopwords())
+        self.content_col = content_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        fps = []
+        for text in batch[self.content_col].to_pylist():
+            kept, _ = tokenize(text or "", self.spec)
+            fps.append(hashlib.sha256(" ".join(kept).encode("utf-8")).hexdigest())
+        return pa.table({"doc_id": pa.array(ids), "fp": pa.array(fps)})
+
+
+_LANG_LEX: dict[str, frozenset] = {
+    "en": frozenset("the and of to in is you that for with".split()),
+    "de": frozenset("der die und das ist nicht mit für ein ich".split()),
+    "fr": frozenset("le la les et des est pour que une dans".split()),
+    "es": frozenset("el la los de que y en un por con".split()),
+}
+
+
+class LangIdStage:
+    """N-gram-free language-ID heuristic: vote by closed-class-word hits per
+    language lexicon; 'und' (undetermined) when nothing matches. Deterministic
+    ties: languages compared in sorted order, max hit count wins."""
+
+    def __init__(self, content_col: str = "text", id_col: str = "doc_id"):
+        self.content_col = content_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        preds = []
+        for text in batch[self.content_col].to_pylist():
+            toks = tokenize_raw(text or "")
+            best, best_n = "und", 0
+            for lang in sorted(_LANG_LEX):
+                n = sum(1 for t in toks if t in _LANG_LEX[lang])
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return pa.table({"doc_id": pa.array(ids), "pred_lang": pa.array(preds)})
+
+
+def quality_table(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(QualityStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def fingerprint_table(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(FingerprintStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def lang_id_table(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))

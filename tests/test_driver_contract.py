@@ -1,0 +1,74 @@
+"""Pre-flight of the driver's correctness gate: run every queries() entry
+and compare it to its oracle_sql() via DuckDB (row count + schema-ish +
+order-insensitive values), exactly as CORRECTNESS_r{N}.json will."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("uint", "int")):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+SQL_CHECKED = sorted(set(entrymod.oracle_sql()))
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(SQL_CHECKED))
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(name, con):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    got = _canon(_to_pandas(q(SF_DIR)))
+    want = _canon(con.execute(sql).fetchdf())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name):
+    q = entrymod.queries()[name]
+    df = _to_pandas(q(SF_DIR))
+    assert df is not None
+    # deterministic across invocations
+    df2 = _to_pandas(q(SF_DIR))
+    pd.testing.assert_frame_equal(_canon(df), _canon(df2))
+
+
+def test_entry_smoke():
+    res = entrymod.entry()
+    df = _to_pandas(res)
+    assert len(df) >= 0 and set(df.columns) == {"query_id", "doc_id", "score_e6"}
