@@ -1,0 +1,180 @@
+"""Benchmark harness for docodo-ray.
+
+Headline: full inverted-index build (read -> tokenize actor pool ->
+groupby(term-bucket,salt) shuffle -> segment write) over a deterministic
+synthetic code corpus (FIXTURES.md §1; ~50k docs / ~100 MB), plus BM25 query
+latency over the built index, plus a few driver-table pipeline timings at
+$GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline build sec>, "unit": "sec",
+   "queries": {...per-op sec...}, "sf": ..., "num_cpus": N}
+
+--scaling: runs this script twice in fresh processes at num_cpus=8 and 32 on
+the same input and prints throughput at both plus scaling efficiency — the
+sandbox stand-in for the north rule's N->4N node criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+BENCH_CORPUS_DIR = "/tmp/docodo_bench_corpus"
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "50000"))
+# --scaling uses a 4x corpus: fixed per-stage costs (actor spawn, shuffle
+# setup, driver) must be amortized for the efficiency number to measure the
+# pipeline rather than constant overhead
+SCALING_ROWS = 200_000
+BENCH_AVG_TOKENS = 300
+BENCH_FILES = 32
+
+QUERY_SET = [
+    "public static",
+    "return value",
+    "public | static | return",
+    '"old lady"',
+    '"quick brown fox"',
+    "cla?s",
+    "public {lang=cs}",
+    "bazo",
+    "quabri fose",
+    "void class return public static",
+]
+
+
+def run_bench(num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from docodo_ray import IndexConfig, IndexReader, build_index
+    from docodo_ray.corpus import write_corpus
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    timings: dict[str, float] = {}
+
+    # corpus (cached, deterministic, one dir per size); one untimed read
+    # warms the page cache
+    files = write_corpus(
+        f"{BENCH_CORPUS_DIR}_{BENCH_ROWS}", n_rows=BENCH_ROWS, seed=42,
+        n_files=BENCH_FILES, avg_tokens=BENCH_AVG_TOKENS,
+    )
+    corpus_bytes = sum(os.path.getsize(f) for f in files)
+    for f in files:
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+    # ---- headline: index build ----
+    out = f"/tmp/docodo_bench_idx_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = IndexConfig(n_buckets=max(64, num_cpus * 4))
+    t0 = time.perf_counter()
+    res = build_index(
+        out, input_paths=files, cfg=cfg,
+        content_col="content", key_cols=["repo", "path", "commit"],
+        meta_cols=("repo", "path", "lang"),
+    )
+    build_sec = time.perf_counter() - t0
+    timings["index_build"] = round(build_sec, 3)
+    docs_per_sec = res.n_docs / build_sec
+
+    # ---- BM25 query latency over the built index ----
+    reader = IndexReader(out)
+    lats = []
+    for _ in range(3):  # 3 rounds over the query set
+        for q in QUERY_SET:
+            t0 = time.perf_counter()
+            reader.search(q, k=10)
+            lats.append(time.perf_counter() - t0)
+    lats.sort()
+    timings["bm25_query_p50"] = round(statistics.median(lats), 4)
+    timings["bm25_query_p99"] = round(lats[int(len(lats) * 0.99) - 1], 4)
+
+    # ---- driver-table pipelines at sf_dir ----
+    from docodo_ray import dedup, pipelines, sim
+
+    shutil.rmtree("/tmp/docodo_ray_idx", ignore_errors=True)
+    t0 = time.perf_counter()
+    pipelines.bm25_topk(sf_dir)  # includes documents-table index build
+    timings["docs_index_and_bm25"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.token_counts(sf_dir).count()
+    timings["token_counts"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    sim.embedding_topk(sf_dir)
+    timings["embedding_topk"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    dedup.minhash_dedup(sf_dir)
+    timings["minhash_dedup"] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "index-build sec over synthetic code corpus "
+                  f"({BENCH_ROWS} docs, {corpus_bytes >> 20} MiB parquet) "
+                  "+ BM25 p50/p99 + pipeline ops",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "docs_per_sec": round(docs_per_sec, 1),
+        "corpus_mb": round(corpus_bytes / 1e6, 1),
+        "n_docs": res.n_docs,
+        "total_tokens": res.total_tokens,
+    }
+
+
+def run_subprocess(num_cpus: int, rows: int = BENCH_ROWS) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus), GRAFT_BENCH_ROWS=str(rows))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = run_subprocess(lo, rows=SCALING_ROWS)
+        r_hi = run_subprocess(hi, rows=SCALING_ROWS)
+        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        eff = (t_lo / t_hi) / (hi / lo)
+        print(json.dumps({
+            "metric": "index-build scaling efficiency, fresh ray.init at "
+                      f"num_cpus={lo} vs {hi}, same input",
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "sec_lo": t_lo, "sec_hi": t_hi,
+            "docs_per_sec_lo": r_lo["docs_per_sec"],
+            "docs_per_sec_hi": r_hi["docs_per_sec"],
+            "num_cpus_lo": lo, "num_cpus_hi": hi,
+            "queries": {"sec_8": t_lo, "sec_32": t_hi},
+            "sf": r_hi["sf"],
+            "num_cpus": hi,
+        }))
+        return
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

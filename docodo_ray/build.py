@@ -36,8 +36,8 @@ from ray.data.aggregate import Sum
 
 from docodo_ray.config import DOC_LEN_TERM, IndexConfig
 from docodo_ray.stages.doc_meta import make_doc_meta_fn
-from docodo_ray.stages.postings import SegmentMerger, SegmentWriter
-from docodo_ray.stages.tokenize import HotSampleStage, TokenizeStage
+from docodo_ray.stages.postings import SegmentMerger
+from docodo_ray.stages.tokenize import HotSampleStage, TokenizeEncodeStage
 
 MAX_SALT = 4096
 STAGES = ["hot", "doc_meta", "segments", "term_stats", "stats"]
@@ -75,12 +75,20 @@ def _load_manifest(out_dir: str) -> dict | None:
 
 
 def _default_concurrency(cfg: IndexConfig):
-    if cfg.tokenizer_concurrency is not None:
-        return cfg.tokenizer_concurrency
+    """Tokenizer actor-pool size: default cpus//2 (leaves the rest for read +
+    shuffle). Any requested size is clamped to cpus-1 — a pool reserving
+    every CPU deadlocks the streaming pipeline (the upstream read can never
+    schedule)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    return (1, max(2, cpus))
+    cap = max(1, cpus - 1)
+    c = cfg.tokenizer_concurrency
+    if c is None:
+        return max(1, min(cap, cpus // 2))
+    if isinstance(c, tuple):
+        return (min(c[0], cap), min(c[1], cap))
+    return min(c, cap)
 
 
 def _read_input(input_paths: list[str] | None, ds: rd.Dataset | None) -> rd.Dataset:
@@ -101,6 +109,9 @@ def _compute_hot_map(
     target = cfg.shard_target_postings
     rate = cfg.hot_sample_rate
     hot: dict[str, int] = {}
+    if n_docs_est <= target:
+        # df <= N <= target: no term can need salting — skip the sample pass
+        return hot
     if rate > 0 and n_docs_est > 0:
         sample = ds.map_batches(
             HotSampleStage,
@@ -132,8 +143,12 @@ def _build_segments_for(
     ds: rd.Dataset, cfg: IndexConfig, hot: dict[str, int], out_dir: str, subdir: str,
     content_col: str, id_col: str | None, key_cols: list[str] | None,
 ) -> list[dict]:
-    tokens = ds.map_batches(
-        TokenizeStage,
+    """tokenize+combine (map side) -> groupby(bucket, salt) -> k-way merge +
+    segment write (reduce side). The combiner shrinks the shuffle to one
+    pre-encoded row per (block, term); SegmentMerger re-sorts by doc_id and
+    writes the final per-(bucket,salt) file."""
+    partials = ds.map_batches(
+        TokenizeEncodeStage,
         fn_constructor_kwargs=dict(
             cfg=cfg, hot_terms=hot, content_col=content_col,
             id_col=id_col, key_cols=key_cols,
@@ -142,10 +157,10 @@ def _build_segments_for(
         batch_size=cfg.tokenizer_batch_size,
         concurrency=_default_concurrency(cfg),
     )
-    writer = SegmentWriter(out_dir, subdir=subdir)
+    merger = SegmentMerger(out_dir, subdir=subdir)
     rows = (
-        tokens.groupby(["bucket", "salt"])
-        .map_groups(writer, batch_format="pyarrow")
+        partials.groupby(["bucket", "salt"])
+        .map_groups(merger, batch_format="pyarrow")
         .take_all()
     )
     return [dict(r) for r in rows]
@@ -286,9 +301,19 @@ def build_index(
         segs = rd.read_parquet(
             os.path.join(out_dir, "segments"), columns=["term", "df", "cf"]
         )
-        segs.groupby("term").aggregate(
-            Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
-        ).write_parquet(ts_dir)
+        if hot:
+            # salted terms have one row per (term, salt) -> sum them
+            segs.groupby("term").aggregate(
+                Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+            ).write_parquet(ts_dir)
+        else:
+            # no salting: segment rows are already unique per term — plain
+            # column projection, no shuffle
+            segs.map_batches(
+                lambda t: t.set_column(1, "df", t["df"].cast("int64"))
+                .set_column(2, "cf", t["cf"].cast("int64")),
+                batch_format="pyarrow",
+            ).write_parquet(ts_dir)
         stages["term_stats"] = "done"
         _save_manifest(out_dir, manifest)
 

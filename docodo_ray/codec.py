@@ -149,16 +149,119 @@ def encode_positions(pos_lists: list[np.ndarray]) -> bytes:
     return varbyte_encode(np.concatenate(parts))
 
 
-def decode_positions(buf: bytes, n_docs: int) -> list[np.ndarray]:
-    flat = varbyte_decode(buf)
-    out: list[np.ndarray] = []
+def decode_positions_flat(buf: bytes, n_docs: int) -> tuple[np.ndarray, np.ndarray]:
+    """-> (flat_positions, counts): all per-doc position lists decoded into
+    one array (doc order preserved) + per-doc counts. Vectorized: one global
+    cumsum + per-segment offset subtraction instead of one numpy call per doc."""
+    stream = varbyte_decode(buf)
+    counts = np.empty(n_docs, dtype=np.int64)
+    hdr = np.empty(n_docs, dtype=np.int64)  # index of each count entry
     i = 0
-    for _ in range(n_docs):
-        n = int(flat[i])
-        i += 1
-        out.append(delta_decode(flat[i : i + n]))
-        i += n
+    for k in range(n_docs):
+        hdr[k] = i
+        n = int(stream[i])
+        counts[k] = n
+        i += 1 + n
+    mask = np.ones(stream.size, dtype=bool)
+    mask[hdr] = False
+    deltas = stream[mask]
+    if deltas.size == 0:
+        return deltas, counts
+    cum = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    # value before each segment start (0 for the first)
+    base = np.zeros(n_docs, dtype=np.uint64)
+    nz = starts > 0
+    base[nz] = cum[starts[nz] - 1]
+    flat = cum - np.repeat(base, counts)
+    return flat, counts
+
+
+def decode_positions(buf: bytes, n_docs: int) -> list[np.ndarray]:
+    flat, counts = decode_positions_flat(buf, n_docs)
+    out: list[np.ndarray] = []
+    s = 0
+    for n in counts:
+        out.append(flat[s : s + n])
+        s += int(n)
     return out
+
+
+def segmented_delta_decode(gaps: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
+    """Decode many concatenated delta runs in one pass: global cumsum, then
+    subtract the running total at each segment start (first value of each
+    segment is absolute)."""
+    if gaps.size == 0:
+        return gaps
+    cum = np.cumsum(gaps, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
+    base = np.zeros(seg_lens.size, dtype=np.uint64)
+    nz = starts > 0
+    base[nz] = cum[starts[nz] - 1]
+    return cum - np.repeat(base, seg_lens)
+
+
+def segmented_delta_encode(flat: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
+    """Inverse of segmented_delta_decode: per-segment deltas with absolute
+    first values, computed in one vectorized pass."""
+    if flat.size == 0:
+        return flat.astype(np.uint64)
+    flat = flat.astype(np.uint64)
+    out = np.empty_like(flat)
+    out[0] = flat[0]
+    np.subtract(flat[1:], flat[:-1], out=out[1:])
+    starts = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
+    starts = starts[seg_lens > 0] if (seg_lens == 0).any() else starts
+    out[starts] = flat[starts]
+    return out
+
+
+def encode_positions_flat(flat: np.ndarray, counts: np.ndarray) -> bytes:
+    """Encode per-doc position lists given flat layout: one interleaved
+    [n_i, delta...] varbyte stream, vectorized (no per-doc loop).
+    Byte-identical to encode_positions on the equivalent list-of-arrays."""
+    counts = np.asarray(counts, dtype=np.int64)
+    n_docs = counts.size
+    total = int(counts.sum())
+    stream = np.empty(n_docs + total, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    hdr = starts + np.arange(n_docs, dtype=np.int64)
+    stream[hdr] = counts.astype(np.uint64)
+    mask = np.ones(n_docs + total, dtype=bool)
+    mask[hdr] = False
+    if total:
+        stream[mask] = segmented_delta_encode(np.ascontiguousarray(flat), counts)
+    return varbyte_encode(stream)
+
+
+def encode_blockmax_arrays(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> bytes:
+    """Vectorized encode_blockmax (reduceat over block boundaries)."""
+    n = doc_ids.size
+    if n == 0:
+        return b""
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    bounds = np.arange(0, n, BLOCK_SIZE, dtype=np.int64)
+    rec = np.empty(nblocks, dtype=_BM_DTYPE)
+    last = np.minimum(bounds + BLOCK_SIZE, n) - 1
+    rec["last_doc"] = doc_ids[last]
+    rec["max_tf"] = np.maximum.reduceat(tfs.astype(np.uint32), bounds)
+    rec["min_dl"] = np.minimum.reduceat(dls.astype(np.uint32), bounds)
+    return rec.tobytes()
+
+
+def gather_ranges(
+    flat: np.ndarray, offsets: np.ndarray, counts: np.ndarray, rows: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Select variable-length segments `rows` (in that order) from a flat
+    segmented array -> (new_flat, new_counts). Fully vectorized."""
+    lens = counts[rows]
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=flat.dtype), lens
+    starts = offsets[rows]
+    shift = np.repeat(starts - np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+    idx = np.arange(total, dtype=np.int64) + shift
+    return flat[idx], lens
 
 
 def varbyte_encode_chunked(values: np.ndarray, counts: np.ndarray) -> list[bytes]:

@@ -66,7 +66,10 @@ class IndexConfig:
     use_stopwords: bool = True
     stopwords_path: str = DEFAULT_STOPWORDS_PATH
     bm25: BM25Params = field(default_factory=BM25Params)
-    tokenizer_batch_size: int = 256
+    tokenizer_batch_size: int = 512
+    # None -> half the cluster CPUs as a FIXED pool: leaves headroom for the
+    # read + shuffle stages (a pool reserving every CPU starves them) and
+    # skips the autoscaler ramp
     tokenizer_concurrency: int | tuple[int, int] | None = None
     min_word_length: int = MIN_WORD_LENGTH
     max_word_length: int = MAX_WORD_LENGTH

@@ -37,7 +37,7 @@ def _vocab(n: int = 5000) -> list[str]:
             "ra", "se", "ti", "vo", "wu", "xa", "ye", "zo", "qua", "bri"]
     words = set()
     while len(words) < n:
-        w = "".join(rng.choice(syll) for _ in range(rng.randint(2, 5)))
+        w = "".join(rng.choice(syll) for _ in range(rng.randint(2, 6)))
         words.add(w)
     return sorted(words)
 
@@ -85,19 +85,95 @@ def generate_corpus(
     )
 
 
+def generate_corpus_fast(
+    n_rows: int, seed: int = 42, avg_tokens: int = 300, vocab_size: int = 200_000
+) -> pa.Table:
+    """Vectorized generator for large bench corpora: Zipf token indices via
+    numpy, text assembly via Arrow dictionary decode + binary_join (no
+    per-token Python). Same schema as generate_corpus; deterministic for a
+    given seed (used only for benchmarks, where both parallelism levels read
+    the same cached files).
+
+    vocab_size defaults to 200k: a realistic identifier-vocabulary size for a
+    code corpus — a tiny vocab makes every term appear in every block, which
+    is maximally adversarial for map-side combining and unrepresentative."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    rng = np.random.default_rng(seed)
+    vocab = _vocab(vocab_size)
+    base = len(vocab)
+    words = vocab + HOT_TERMS
+    counts = np.clip(
+        rng.normal(avg_tokens, avg_tokens / 4, size=n_rows), 10, avg_tokens * 3
+    ).astype(np.int64)
+    # Each doc draws a LOCAL vocabulary (~150 distinct words, Zipf over the
+    # global vocab) and then samples its tokens from that local set — the way
+    # a real source file reuses a bounded set of identifiers. This gives
+    # realistic df distributions: a shared head (keywords), a long tail of
+    # near-unique identifiers, and bounded distinct-terms-per-doc.
+    local_words = 150
+    # assemble content in doc chunks so each Arrow string array stays < 2 GiB
+    chunk_docs = max(1, (1 << 28) // max(1, avg_tokens * 7))
+    content_chunks = []
+    for s in range(0, n_rows, chunk_docs):
+        ccounts = counts[s : s + chunk_docs]
+        nd = ccounts.size
+        total = int(ccounts.sum())
+        local = np.minimum(
+            rng.zipf(1.2, (nd, local_words)) - 1, base - 1
+        ).astype(np.int32)
+        doc_of_tok = np.repeat(np.arange(nd, dtype=np.int64), ccounts)
+        pick = rng.integers(0, local_words, size=total)
+        idx = local[doc_of_tok, pick]
+        hot_mask = rng.random(total) < 0.12
+        idx[hot_mask] = base + rng.integers(0, len(HOT_TERMS), size=int(hot_mask.sum()))
+        offsets = np.empty(ccounts.size + 1, dtype=np.int32)
+        offsets[0] = 0
+        np.cumsum(ccounts, out=offsets[1:])
+        toks = pa.DictionaryArray.from_arrays(
+            pa.array(idx), pa.array(words, pa.string())
+        ).cast(pa.string())
+        content_chunks.append(
+            pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), toks), " "
+            )
+        )
+    content = pa.chunked_array(content_chunks)
+    repos, paths, commits, langs = [], [], [], []
+    for i in range(n_rows):
+        repo = f"org{i % 7}/repo{i % 23}"
+        ext, lang = _EXT_LANG[i % 3]
+        path = f"src/d{i % 13}/f{i:07d}.{ext}"
+        repos.append(repo)
+        paths.append(path)
+        commits.append(hashlib.sha1(f"{repo}/{path}".encode()).hexdigest())
+        langs.append(lang)
+    return pa.Table.from_arrays(
+        [pa.array(repos), pa.array(paths), pa.array(commits), pa.array(langs), content],
+        names=["repo", "path", "commit", "lang", "content"],
+    )
+
+
 def write_corpus(
     out_dir: str, n_rows: int, seed: int = 42, n_files: int = 8,
-    avg_tokens: int = 120,
+    avg_tokens: int = 120, fast: bool = False, vocab_size: int = 200_000,
 ) -> list[str]:
     """Write the corpus as n_files parquet files (so sharded/resumable builds
     and read parallelism have real file boundaries). Cached: if the directory
     already holds the expected files, reuse them (generator is deterministic)."""
     os.makedirs(out_dir, exist_ok=True)
     files = [os.path.join(out_dir, f"corpus-{i:04d}.parquet") for i in range(n_files)]
-    marker = os.path.join(out_dir, f".done-{n_rows}-{seed}-{n_files}-{avg_tokens}")
+    gen_tag = f"fast{vocab_size}" if fast else "slow"
+    marker = os.path.join(out_dir, f".done-{n_rows}-{seed}-{n_files}-{avg_tokens}-{gen_tag}")
     if os.path.exists(marker) and all(os.path.exists(f) for f in files):
         return files
-    table = generate_corpus(n_rows, seed=seed, avg_tokens=avg_tokens)
+    if fast:
+        table = generate_corpus_fast(
+            n_rows, seed=seed, avg_tokens=avg_tokens, vocab_size=vocab_size
+        )
+    else:
+        table = generate_corpus(n_rows, seed=seed, avg_tokens=avg_tokens)
     per = (n_rows + n_files - 1) // n_files
     for i, f in enumerate(files):
         pq.write_table(table.slice(i * per, per), f, compression="zstd")

@@ -34,6 +34,7 @@ import re
 from dataclasses import dataclass
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
@@ -49,12 +50,28 @@ class Posting:
     doc_ids: np.ndarray  # uint64, ascending
     tfs: np.ndarray      # uint32
     dls: np.ndarray      # uint32
-    positions: list[np.ndarray] | None
+    pos_flat: np.ndarray | None    # all positions, doc order (segmented)
+    pos_counts: np.ndarray | None  # positions per doc
     blockmax: np.ndarray | None
 
     @property
     def df(self) -> int:
         return int(self.doc_ids.size)
+
+    @property
+    def pos_offsets(self) -> np.ndarray:
+        return np.concatenate(([0], np.cumsum(self.pos_counts)[:-1]))
+
+    @property
+    def positions(self) -> list[np.ndarray] | None:
+        """Per-doc position lists (convenience view over the flat layout)."""
+        if self.pos_flat is None:
+            return None
+        out, s = [], 0
+        for n in self.pos_counts:
+            out.append(self.pos_flat[s : s + n])
+            s += int(n)
+        return out
 
 
 def levenshtein(a: str, b: str) -> int:
@@ -75,7 +92,15 @@ def levenshtein(a: str, b: str) -> int:
 
 
 class IndexReader:
-    def __init__(self, index_dir: str):
+    """Driver-side query handle.
+
+    Caching: bucket segment files are read once and kept (term -> row-index
+    map per bucket), and the term dictionary is loaded once — repeated
+    queries cost decode + numpy only. ``max_cached_buckets`` bounds resident
+    buckets LRU-style; at 10^12-doc scale set it to the working set the
+    query node's RAM affords (a bucket is 1/n_buckets of the index)."""
+
+    def __init__(self, index_dir: str, max_cached_buckets: int = 256):
         self.dir = index_dir
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
@@ -88,29 +113,67 @@ class IndexReader:
         stop = load_stopwords(self.cfg.stopwords_path) if self.cfg.use_stopwords else frozenset()
         self.spec = TokenizerSpec(self.cfg.min_word_length, self.cfg.max_word_length, stop)
         self._term_stats_cache: dict[str, tuple[int, int]] = {}
+        self._posting_cache: dict[tuple, "Posting | None"] = {}
+        self._score_cache: dict[str, np.ndarray] = {}
+        self._doc_meta = None
+        self._bucket_cache: dict[int, tuple] = {}  # b -> (table, {term: [rows]})
+        self._max_cached_buckets = max_cached_buckets
+        self._term_dict = None
 
     # ---- posting access -------------------------------------------------
     def _bucket_dir(self, term: str) -> str:
         b = term_bucket(term, self.cfg.n_buckets)
         return os.path.join(self.dir, "segments", f"bucket-{b:05d}")
 
+    def _bucket_rows(self, term: str) -> tuple:
+        """(segment table, row indices) of a term, via the bucket cache."""
+        b = term_bucket(term, self.cfg.n_buckets)
+        hit = self._bucket_cache.get(b)
+        if hit is None:
+            bdir = os.path.join(self.dir, "segments", f"bucket-{b:05d}")
+            if not os.path.isdir(bdir):
+                hit = (None, {})
+            else:
+                t = pq.read_table(bdir)
+                idx: dict[str, list[int]] = {}
+                for i, tm in enumerate(t["term"].to_pylist()):
+                    idx.setdefault(tm, []).append(i)
+                hit = (t, idx)
+            if len(self._bucket_cache) >= self._max_cached_buckets:
+                self._bucket_cache.pop(next(iter(self._bucket_cache)))
+            self._bucket_cache[b] = hit
+        t, idx = hit
+        return t, idx.get(term, [])
+
     def read_posting(self, term: str, with_positions: bool = False) -> Posting | None:
-        bdir = self._bucket_dir(term)
-        if not os.path.isdir(bdir):
+        ck = (term, with_positions)
+        hit = self._posting_cache.get(ck)
+        if hit is not None or ck in self._posting_cache:
+            return hit
+        p = self._read_posting_uncached(term, with_positions)
+        if len(self._posting_cache) >= 4096:
+            self._posting_cache.pop(next(iter(self._posting_cache)))
+        self._posting_cache[ck] = p
+        return p
+
+    def _read_posting_uncached(self, term: str, with_positions: bool) -> Posting | None:
+        full, rows = self._bucket_rows(term)
+        if not rows:
             return None
-        t = pq.read_table(bdir, filters=[("term", "==", term)])
-        if t.num_rows == 0:
-            return None
+        t = full.take(rows)
         parts = []
         for i in range(t.num_rows):
             d = codec.decode_postings(t["doc_blob"][i].as_py())
             tf = codec.decode_values(t["tf_blob"][i].as_py()).astype(np.uint32)
             dl = codec.decode_values(t["dl_blob"][i].as_py()).astype(np.uint32)
             pb = t["pos_blob"][i].as_py()
-            pos = codec.decode_positions(pb, d.size) if (with_positions and pb) else None
-            parts.append((d, tf, dl, pos))
+            if with_positions and pb:
+                pf, pcnt = codec.decode_positions_flat(pb, d.size)
+            else:
+                pf, pcnt = None, None
+            parts.append((d, tf, dl, pf, pcnt))
         if len(parts) == 1:
-            d, tf, dl, pos = parts[0]
+            d, tf, dl, pf, pcnt = parts[0]
         else:
             d = np.concatenate([p[0] for p in parts])
             order = np.argsort(d, kind="stable")
@@ -118,12 +181,14 @@ class IndexReader:
             tf = np.concatenate([p[1] for p in parts])[order]
             dl = np.concatenate([p[2] for p in parts])[order]
             if with_positions and all(p[3] is not None for p in parts):
-                flat = [pl for p in parts for pl in p[3]]
-                pos = [flat[j] for j in order]
+                flat_all = np.concatenate([p[3] for p in parts])
+                cnt_all = np.concatenate([p[4] for p in parts])
+                off_all = np.concatenate(([0], np.cumsum(cnt_all)[:-1]))
+                pf, pcnt = codec.gather_ranges(flat_all, off_all, cnt_all, order)
             else:
-                pos = None
+                pf, pcnt = None, None
         bm = codec.decode_blockmax(t["bm_blob"][0].as_py()) if t.num_rows == 1 else None
-        return Posting(term, d, tf, dl, pos, bm)
+        return Posting(term, d, tf, dl, pf, pcnt, bm)
 
     def term_stats(self, term: str) -> tuple[int, int]:
         """(df, cf) from the term_stats table (global, summed over salts)."""
@@ -138,16 +203,25 @@ class IndexReader:
         return val
 
     def term_dictionary(self, columns=("term", "df", "cf")):
-        """Full term-stats table (suggestions / histogram / wildcard scans)."""
-        t = pq.read_table(os.path.join(self.dir, "term_stats"), columns=list(columns))
-        mask = pc.not_equal(t["term"], DOC_LEN_TERM)
-        return t.filter(mask)
+        """Full term-stats table (suggestions / histogram / wildcard scans),
+        loaded once and cached."""
+        if self._term_dict is None:
+            t = pq.read_table(
+                os.path.join(self.dir, "term_stats"), columns=["term", "df", "cf"]
+            )
+            self._term_dict = t.filter(pc.not_equal(t["term"], DOC_LEN_TERM))
+        return self._term_dict.select(list(columns))
 
     def doc_meta(self, doc_ids: list[int] | None = None):
-        path = os.path.join(self.dir, "doc_meta")
+        if self._doc_meta is None:
+            self._doc_meta = pq.read_table(os.path.join(self.dir, "doc_meta"))
         if doc_ids is None:
-            return pq.read_table(path)
-        return pq.read_table(path, filters=[("doc_id", "in", [int(d) for d in doc_ids])])
+            return self._doc_meta
+        want = pc.is_in(
+            self._doc_meta["doc_id"],
+            value_set=pa.array([int(d) for d in doc_ids], self._doc_meta["doc_id"].type),
+        )
+        return self._doc_meta.filter(want)
 
     # ---- BM25 -----------------------------------------------------------
     def idf(self, df: int) -> float:
@@ -160,8 +234,14 @@ class IndexReader:
         return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
 
     def score_posting(self, p: Posting) -> np.ndarray:
+        hit = self._score_cache.get(p.term)
+        if hit is not None and hit.size == p.doc_ids.size:
+            return hit
         df, _ = self.term_stats(p.term)
-        return self.idf(df) * self._tf_norm(p.tfs, p.dls)
+        s = self.idf(df) * self._tf_norm(p.tfs, p.dls)
+        if len(self._score_cache) < 4096:
+            self._score_cache[p.term] = s
+        return s
 
     # ---- search ---------------------------------------------------------
     def search(
@@ -246,7 +326,10 @@ class IndexReader:
             s = self.score_posting(p)
             d = p.doc_ids
             if cand is not None:
-                m = np.isin(d, cand, assume_unique=True)
+                # both sorted-unique: membership via searchsorted beats isin
+                pos = np.searchsorted(cand, d)
+                pos[pos >= cand.size] = 0
+                m = cand[pos] == d if cand.size else np.zeros(d.size, dtype=bool)
                 d, s = d[m], s[m]
             docs_all.append(d)
             scores_all.append(s)
@@ -259,48 +342,45 @@ class IndexReader:
         top = order[:k]
         return [(int(uniq[i]), float(totals[i])) for i in top]
 
-    def _phrase_docs(self, postings: list[Posting], words: list[str]) -> np.ndarray:
-        """Docs where words occur at consecutive raw-token positions, in
-        order (reference phrase semantics: ordered adjacency, R=-1)."""
-        by_term = {p.term: p for p in postings}
-        ps = [by_term[w] for w in words if w in by_term]
-        if len(ps) < len(words):
-            return np.empty(0, dtype=np.uint64)
+    def _phrase_match(self, words: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized ordered-adjacency phrase match (reference phrase
+        semantics, R=-1): -> (doc_ids asc, n_occurrences).
+
+        Candidate docs = intersection of the words' doc sets; within them,
+        occurrences are found by intersecting packed (local_doc_idx, pos - i)
+        keys across the words — no per-document Python loop."""
+        empty = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
+        ps = [self.read_posting(w, with_positions=True) for w in words]
+        if not ps or any(p is None or p.pos_flat is None for p in ps):
+            return empty
         cand = ps[0].doc_ids
         for p in ps[1:]:
             cand = np.intersect1d(cand, p.doc_ids, assume_unique=True)
-        out = []
-        for d in cand:
-            pos0 = ps[0].positions[int(np.searchsorted(ps[0].doc_ids, d))]
-            ok = pos0
-            for off, p in enumerate(ps[1:], 1):
-                pi = p.positions[int(np.searchsorted(p.doc_ids, d))]
-                ok = ok[np.isin(ok + np.uint64(off), pi)]
-                if ok.size == 0:
-                    break
-            if ok.size:
-                out.append(d)
-        return np.asarray(out, dtype=np.uint64)
+        if cand.size == 0:
+            return empty
+        L = np.uint64(len(words))
+        K = np.uint64(1) << np.uint64(32)
+        cur: np.ndarray | None = None
+        for i, p in enumerate(ps):
+            rows = np.searchsorted(p.doc_ids, cand)
+            flat, lens = codec.gather_ranges(p.pos_flat, p.pos_offsets, p.pos_counts, rows)
+            doc_idx = np.repeat(np.arange(cand.size, dtype=np.uint64), lens)
+            keys = doc_idx * K + (flat + (L - np.uint64(i)))
+            cur = keys if cur is None else np.intersect1d(cur, keys, assume_unique=True)
+            if cur.size == 0:
+                return empty
+        doc_part = (cur >> np.uint64(32)).astype(np.int64)
+        uniq, counts = np.unique(doc_part, return_counts=True)
+        return cand[uniq], counts
+
+    def _phrase_docs(self, postings: list[Posting], words: list[str]) -> np.ndarray:
+        docs, _ = self._phrase_match(words)
+        return docs
 
     def phrase_occurrences(self, words: list[str]) -> list[tuple[int, int]]:
         """[(doc_id, n_occurrences)] of the exact phrase, doc_id ascending."""
-        ps = [self.read_posting(w, with_positions=True) for w in words]
-        if any(p is None or p.positions is None for p in ps):
-            return []
-        cand = ps[0].doc_ids
-        for p in ps[1:]:
-            cand = np.intersect1d(cand, p.doc_ids, assume_unique=True)
-        out = []
-        for d in cand:
-            ok = ps[0].positions[int(np.searchsorted(ps[0].doc_ids, d))]
-            for off, p in enumerate(ps[1:], 1):
-                pi = p.positions[int(np.searchsorted(p.doc_ids, d))]
-                ok = ok[np.isin(ok + np.uint64(off), pi)]
-                if ok.size == 0:
-                    break
-            if ok.size:
-                out.append((int(d), int(ok.size)))
-        return out
+        docs, counts = self._phrase_match(words)
+        return [(int(d), int(n)) for d, n in zip(docs, counts)]
 
     def _wand_topk(self, postings: list[Posting], k: int) -> list[tuple[int, float]]:
         """Block-max WAND (Broder et al. / Ding & Suel): document-at-a-time

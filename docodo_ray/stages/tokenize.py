@@ -143,6 +143,18 @@ class TokenizeStage:
         )
 
 
+class TokenizeEncodeStage(TokenizeStage):
+    """Tokenize + map-side combine: emits pre-encoded partial posting rows
+    (SEGMENT_SCHEMA) instead of raw token rows, so the term shuffle moves
+    one compressed row per (block, term) — the distributed form of the
+    reference's per-task accumulator + spill (Build.cs:258-437)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from docodo_ray.stages.postings import encode_partial_table
+
+        return encode_partial_table(super().__call__(batch))
+
+
 class HotSampleStage:
     """Deterministic doc-hash sample -> partial df counts per term.
 

@@ -3,6 +3,10 @@ import os
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running test")
+
+
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():
     import ray

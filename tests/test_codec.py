@@ -86,13 +86,15 @@ def test_codec_speed_bound():
     rng = np.random.default_rng(5)
     docs = np.cumsum(rng.integers(1, 2**16, size=10_000_000, dtype=np.uint64), dtype=np.uint64)
     codec.decode_postings(codec.encode_postings(docs[:100_000]))  # warm-up
-    t0 = time.perf_counter()
-    buf = codec.encode_postings(docs)
-    enc = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    out = codec.decode_postings(buf)
-    dec = time.perf_counter() - t0
+    enc = dec = float("inf")
+    for _ in range(2):  # best-of-2: tolerate scheduler noise
+        t0 = time.perf_counter()
+        buf = codec.encode_postings(docs)
+        enc = min(enc, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out = codec.decode_postings(buf)
+        dec = min(dec, time.perf_counter() - t0)
     assert np.array_equal(out, docs)
     # generous bound: catches an accidental per-value Python loop (30s+),
     # tolerates CI noise from the concurrently-running Ray session
-    assert enc < 4.0 and dec < 4.0, (enc, dec)
+    assert enc < 6.0 and dec < 6.0, (enc, dec)

@@ -1,0 +1,126 @@
+"""Checkpoint/resume and determinism guarantees (north_rule: resumable from
+per-partition checkpoints with lineage; rank-identical results at any
+parallelism)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+import docodo_ray.build as build_mod
+from docodo_ray import IndexConfig, build_index
+
+
+def _seg_checksums(manifest) -> list[tuple]:
+    return sorted((r["bucket"], r["salt"], r["checksum"]) for r in manifest["segments"])
+
+
+CFG_KW = dict(content_col="content", key_cols=["repo", "path", "commit"],
+              meta_cols=("repo", "path", "lang"))
+
+
+def _cfg():
+    return IndexConfig(n_buckets=8, shard_target_postings=50, hot_sample_rate=1.0,
+                       tokenizer_batch_size=32, tokenizer_concurrency=2)
+
+
+def test_interrupted_sharded_build_resumes(tmp_path, small_corpus_files, monkeypatch):
+    """Kill the build after the first input shard; the re-run must skip the
+    completed shard (lineage in manifest) and produce an index identical to
+    an uninterrupted build."""
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+
+    # uninterrupted reference build
+    ref = build_index(out_b, input_paths=small_corpus_files, cfg=_cfg(), shards=3, **CFG_KW)
+
+    real = build_mod._build_segments_for
+    calls = {"n": 0}
+
+    def dying(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated worker crash")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(build_mod, "_build_segments_for", dying)
+    with pytest.raises(RuntimeError, match="simulated"):
+        build_index(out_a, input_paths=small_corpus_files, cfg=_cfg(), shards=3, **CFG_KW)
+
+    # shard 0 checkpointed with its lineage
+    with open(os.path.join(out_a, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["shards"]["0"]["status"] == "done"
+    assert m["shards"]["0"]["files"], "lineage (input files) must be recorded"
+    assert "1" not in m["shards"]
+
+    # resume: only shards 1 and 2 run (not shard 0)
+    monkeypatch.setattr(build_mod, "_build_segments_for", real)
+    calls2 = {"n": 0, "shards_built": []}
+
+    def counting(ds, cfg, hot, out_dir, subdir, *a, **kw):
+        calls2["n"] += 1
+        calls2["shards_built"].append(subdir)
+        return real(ds, cfg, hot, out_dir, subdir, *a, **kw)
+
+    monkeypatch.setattr(build_mod, "_build_segments_for", counting)
+    res = build_index(out_a, input_paths=small_corpus_files, cfg=_cfg(), shards=3, **CFG_KW)
+    assert calls2["n"] == 2, calls2
+    assert not any("shard-0000" in s for s in calls2["shards_built"])
+
+    assert _seg_checksums(res.manifest) == _seg_checksums(ref.manifest)
+    assert res.n_docs == ref.n_docs and res.total_tokens == ref.total_tokens
+
+
+def test_layout_independence(tmp_path, small_corpus_files):
+    """Identical index content regardless of execution layout (batch size,
+    actor count, input file grouping) — the salt/doc_id determinism property
+    (SURVEY §4 'hard parts')."""
+    out_a = str(tmp_path / "la")
+    out_b = str(tmp_path / "lb")
+    cfg_a = IndexConfig(n_buckets=8, shard_target_postings=50, hot_sample_rate=1.0,
+                        tokenizer_batch_size=16, tokenizer_concurrency=1)
+    cfg_b = IndexConfig(n_buckets=8, shard_target_postings=50, hot_sample_rate=1.0,
+                        tokenizer_batch_size=128, tokenizer_concurrency=4)
+    a = build_index(out_a, input_paths=small_corpus_files, cfg=cfg_a, **CFG_KW)
+    b = build_index(out_b, input_paths=small_corpus_files, cfg=cfg_b, shards=2, **CFG_KW)
+    assert _seg_checksums(a.manifest) == _seg_checksums(b.manifest)
+
+
+@pytest.mark.slow
+def test_fresh_process_parallelism_identity(tmp_path, small_corpus_files):
+    """Same input, fresh ray.init at num_cpus=2 vs 4 in separate processes ->
+    byte-identical segment checksums (the sandbox stand-in for N vs 4N
+    cluster-size rank identity)."""
+    script = r"""
+import ray, sys, json
+ray.init(address="local", num_cpus=int(sys.argv[1]), include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from docodo_ray import IndexConfig, build_index
+files = json.loads(sys.argv[2])
+cfg = IndexConfig(n_buckets=8, shard_target_postings=50, hot_sample_rate=1.0,
+                  tokenizer_batch_size=32)
+res = build_index(sys.argv[3], input_paths=files, cfg=cfg,
+                  content_col="content", key_cols=["repo","path","commit"],
+                  meta_cols=("repo","path","lang"))
+cks = sorted((r["bucket"], r["salt"], r["checksum"]) for r in res.manifest["segments"])
+print("CKS=" + json.dumps(cks))
+ray.shutdown()
+"""
+    outs = []
+    for ncpu in (2, 4):
+        out = str(tmp_path / f"p{ncpu}")
+        env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(__file__)))
+        proc = subprocess.run(
+            [sys.executable, "-c", script, str(ncpu),
+             json.dumps(small_corpus_files), out],
+            capture_output=True, text=True, timeout=300, env=env,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("CKS=")][0]
+        outs.append(line)
+    assert outs[0] == outs[1]
