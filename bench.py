@@ -27,12 +27,18 @@ import time
 
 BENCH_CORPUS_DIR = "/tmp/docodo_bench_corpus"
 BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "50000"))
-# --scaling uses a 4x corpus: fixed per-stage costs (actor spawn, shuffle
-# setup, driver) must be amortized for the efficiency number to measure the
-# pipeline rather than constant overhead
-SCALING_ROWS = 200_000
 BENCH_AVG_TOKENS = 300
 BENCH_FILES = 32
+# --scaling: same job, same input, fresh ray.init at N and 4N CPUs
+# (the sandbox stand-in for N vs 4N nodes). 4 vs 16 keeps BOTH runs well
+# under the 32-core machine so OS/object-store contention does not pollute
+# the ratio; each level is run twice and the min taken (noise filter).
+# The corpus is larger/heavier than the headline one so per-stage fixed
+# costs (actor spawn, driver, footers) are amortized.
+SCALING_ROWS = 200_000
+SCALING_AVG_TOKENS = 1000
+SCALING_CPUS = (4, 16)
+SCALING_REPEATS = 2
 
 QUERY_SET = [
     "public static",
@@ -46,6 +52,46 @@ QUERY_SET = [
     "quabri fose",
     "void class return public static",
 ]
+
+
+def run_scaling_build(num_cpus: int) -> dict:
+    """One scaling measurement: full index build over the (cached) scaling
+    corpus at num_cpus. Used by --scaling via fresh subprocesses."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from docodo_ray import IndexConfig, build_index
+    from docodo_ray.corpus import write_corpus
+
+    files = write_corpus(
+        f"{BENCH_CORPUS_DIR}_scaling", n_rows=SCALING_ROWS, seed=42,
+        n_files=BENCH_FILES, avg_tokens=SCALING_AVG_TOKENS, fast=True,
+    )
+    for f in files:  # warm page cache
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+    out = f"/tmp/docodo_scalebench_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = IndexConfig(n_buckets=max(64, num_cpus * 4), tokenizer_batch_size=2048)
+    t0 = time.perf_counter()
+    res = build_index(
+        out, input_paths=files, cfg=cfg,
+        content_col="content", key_cols=["repo", "path", "commit"],
+        meta_cols=("repo", "path", "lang"),
+    )
+    dt = time.perf_counter() - t0
+    ray.shutdown()
+    return {
+        "metric": f"scaling index build ({SCALING_ROWS} docs)",
+        "value": round(dt, 3), "unit": "sec", "num_cpus": num_cpus,
+        "docs_per_sec": round(res.n_docs / dt, 1),
+        "total_tokens": res.total_tokens, "queries": {}, "sf": "synthetic",
+    }
 
 
 def run_bench(num_cpus: int) -> dict:
@@ -141,8 +187,8 @@ def run_bench(num_cpus: int) -> dict:
     }
 
 
-def run_subprocess(num_cpus: int, rows: int = BENCH_ROWS) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus), GRAFT_BENCH_ROWS=str(rows))
+def run_subprocess(num_cpus: int, mode: str = "bench") -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus), GRAFT_BENCH_MODE=mode)
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env, capture_output=True, text=True, check=True,
@@ -153,26 +199,32 @@ def run_subprocess(num_cpus: int, rows: int = BENCH_ROWS) -> dict:
 
 def main() -> None:
     if "--scaling" in sys.argv:
-        lo, hi = 8, 32
-        r_lo = run_subprocess(lo, rows=SCALING_ROWS)
-        r_hi = run_subprocess(hi, rows=SCALING_ROWS)
-        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        lo, hi = SCALING_CPUS
+        best = {}
+        for ncpu in (lo, hi):
+            runs = [run_subprocess(ncpu, mode="scaling") for _ in range(SCALING_REPEATS)]
+            best[ncpu] = min(runs, key=lambda r: r["value"])
+        t_lo, t_hi = best[lo]["value"], best[hi]["value"]
         eff = (t_lo / t_hi) / (hi / lo)
         print(json.dumps({
-            "metric": "index-build scaling efficiency, fresh ray.init at "
-                      f"num_cpus={lo} vs {hi}, same input",
+            "metric": "index-build throughput scaling efficiency, fresh "
+                      f"ray.init at num_cpus={lo} vs {hi} (N vs 4N), same "
+                      f"input ({SCALING_ROWS} docs), best of {SCALING_REPEATS}",
             "value": round(eff, 3),
             "unit": "efficiency",
             "sec_lo": t_lo, "sec_hi": t_hi,
-            "docs_per_sec_lo": r_lo["docs_per_sec"],
-            "docs_per_sec_hi": r_hi["docs_per_sec"],
+            "docs_per_sec_lo": best[lo]["docs_per_sec"],
+            "docs_per_sec_hi": best[hi]["docs_per_sec"],
             "num_cpus_lo": lo, "num_cpus_hi": hi,
-            "queries": {"sec_8": t_lo, "sec_32": t_hi},
-            "sf": r_hi["sf"],
+            "queries": {f"sec_{lo}": t_lo, f"sec_{hi}": t_hi},
+            "sf": "synthetic",
             "num_cpus": hi,
         }))
         return
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if os.environ.get("GRAFT_BENCH_MODE") == "scaling":
+        print(json.dumps(run_scaling_build(num_cpus)))
+        return
     print(json.dumps(run_bench(num_cpus)))
 
 

@@ -6,9 +6,12 @@ Pipeline (SURVEY §3.4):
     corpus = ray.data.read_parquet(paths)                # (…, content)
     hot    = deterministic doc-hash sample -> df estimates -> salt map
     meta   = corpus.map_batches(doc_meta).write_parquet  # sha256 invariant
-    tokens = corpus.map_batches(TokenizeStage, concurrency=N)   # actor pool
-    segs   = tokens.groupby(["bucket","salt"]).map_groups(SegmentWriter)
-    stats  = segments -> groupby(term) -> term_stats + corpus stats
+    spills = corpus.map_batches(SpillStage, concurrency=N)      # actor pool:
+             # tokenize + map-side combine + spill partial segments to
+             # storage (the exchange medium — see stages/postings.py)
+    segs   = from_items(buckets).map_batches(merge_buckets)     # reduce:
+             # per-bucket pruned read of spills -> k-way merge -> segment
+    stats  = segments -> term_stats + corpus stats
 
 Resume (north_rule: "resumable from checkpoint with per-partition lineage"):
 ``manifest.json`` records config fingerprint, the hot-term salt map, stage
@@ -36,8 +39,8 @@ from ray.data.aggregate import Sum
 
 from docodo_ray.config import DOC_LEN_TERM, IndexConfig
 from docodo_ray.stages.doc_meta import make_doc_meta_fn
-from docodo_ray.stages.postings import SegmentMerger
-from docodo_ray.stages.tokenize import HotSampleStage, TokenizeEncodeStage
+from docodo_ray.stages.postings import make_group_merge_fn
+from docodo_ray.stages.tokenize import HotSampleStage, SpillStage
 
 MAX_SALT = 4096
 STAGES = ["hot", "doc_meta", "segments", "term_stats", "stats"]
@@ -139,30 +142,71 @@ def _compute_hot_map(
     return hot
 
 
-def _build_segments_for(
-    ds: rd.Dataset, cfg: IndexConfig, hot: dict[str, int], out_dir: str, subdir: str,
+def _resolve_merge_groups(cfg: IndexConfig) -> int:
+    if cfg.merge_groups is not None:
+        return max(1, min(cfg.n_buckets, cfg.merge_groups))
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    # one merge task per CPU: more groups means more (tiny) spill files —
+    # total footer opens = n_spill_batches x merge_groups
+    return max(1, min(cfg.n_buckets, cpus))
+
+
+def _spill_for(
+    ds: rd.Dataset, cfg: IndexConfig, hot: dict[str, int], spill_dir: str,
+    merge_groups: int,
     content_col: str, id_col: str | None, key_cols: list[str] | None,
 ) -> list[dict]:
-    """tokenize+combine (map side) -> groupby(bucket, salt) -> k-way merge +
-    segment write (reduce side). The combiner shrinks the shuffle to one
-    pre-encoded row per (block, term); SegmentMerger re-sorts by doc_id and
-    writes the final per-(bucket,salt) file."""
-    partials = ds.map_batches(
-        TokenizeEncodeStage,
+    """Map side of the storage-backed term exchange: tokenize + combine +
+    spill partial posting files pre-split by merge group (see
+    stages/postings.py). Returns the spill manifest rows.
+
+    Pool size: the spill stage writes its own output (no downstream shuffle
+    consumer), so unlike the general default it can take nearly the whole
+    cluster — cpus-2 leaves room for the read tasks."""
+    if cfg.tokenizer_concurrency is not None:
+        conc = _default_concurrency(cfg)
+    else:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # proportional (not cpus-minus-constant) so throughput scales
+        # linearly with cluster size; the remaining quarter feeds the reads
+        conc = max(1, (3 * cpus) // 4)
+    rows = ds.map_batches(
+        SpillStage,
         fn_constructor_kwargs=dict(
-            cfg=cfg, hot_terms=hot, content_col=content_col,
-            id_col=id_col, key_cols=key_cols,
+            spill_dir=spill_dir, merge_groups=merge_groups, cfg=cfg,
+            hot_terms=hot, content_col=content_col, id_col=id_col,
+            key_cols=key_cols,
         ),
         batch_format="pyarrow",
         batch_size=cfg.tokenizer_batch_size,
-        concurrency=_default_concurrency(cfg),
+        concurrency=conc,
+    ).take_all()
+    return [dict(r) for r in rows]
+
+
+def _merge_spills(
+    out_dir: str, cfg: IndexConfig, merge_groups: int, spill_rows: list[dict]
+) -> list[dict]:
+    """Reduce side: one task per merge group reads only its group's spill
+    files and writes its buckets' final segment files."""
+    if not spill_rows:
+        return []
+    by_group: dict[int, list[str]] = {}
+    for r in spill_rows:
+        by_group.setdefault(int(r["group"]), []).append(r["path"])
+    groups = rd.from_items(
+        [{"group": g} for g in range(merge_groups)],
+        override_num_blocks=merge_groups,
     )
-    merger = SegmentMerger(out_dir, subdir=subdir)
-    rows = (
-        partials.groupby(["bucket", "salt"])
-        .map_groups(merger, batch_format="pyarrow")
-        .take_all()
-    )
+    rows = groups.map_batches(
+        make_group_merge_fn(out_dir, by_group, cfg.n_buckets, merge_groups),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).take_all()
     return [dict(r) for r in rows]
 
 
@@ -203,7 +247,7 @@ def build_index(
             "config/input (fingerprint mismatch); use a fresh dir or resume=False"
         )
     if manifest is None:
-        for sub in ("segments", "partial", "doc_meta", "term_stats"):
+        for sub in ("segments", "spill", "doc_meta", "term_stats"):
             shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
         manifest = {
             "version": 1,
@@ -241,58 +285,50 @@ def build_index(
         stages["doc_meta"] = "done"
         _save_manifest(out_dir, manifest)
 
-    # ---- stage: segments ----
+    # ---- stage: segments (spill per input shard -> per-bucket merge) ----
     if stages.get("segments") != "done":
+        if "merge_groups" not in manifest:
+            manifest["merge_groups"] = _resolve_merge_groups(cfg)
+            _save_manifest(out_dir, manifest)
+        mg = int(manifest["merge_groups"])
         if shards is None:
-            seg_rows = _build_segments_for(
-                source, cfg, hot, out_dir, "segments",
-                content_col, id_col, key_cols,
-            )
-            manifest["segments"] = seg_rows
+            groups: list[list[str] | None] = [None]  # one pass over `source`
         else:
             assert input_paths, "sharded build needs input_paths"
             paths = sorted(input_paths)
             groups = [paths[k::shards] for k in range(shards)]
-            for k, files in enumerate(groups):
-                key = str(k)
-                if manifest["shards"].get(key, {}).get("status") == "done":
-                    continue
-                if not files:
-                    manifest["shards"][key] = {"files": [], "status": "done", "segments": []}
-                    _save_manifest(out_dir, manifest)
-                    continue
-                # 'shard-NNNN' not 'shard=NNNN': =-style names would trigger
-                # hive-partition inference on read-back and clash with the
-                # files' own columns
-                sub = os.path.join("partial", f"shard-{k:04d}")
-                shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
-                rows = _build_segments_for(
-                    rd.read_parquet(files), cfg, hot, out_dir, sub,
-                    content_col, id_col, key_cols,
-                )
-                manifest["shards"][key] = {
-                    "files": files,
-                    "status": "done",
-                    "segments": rows,
-                    "n_postings": sum(r["n_postings"] for r in rows),
-                }
+        for k, files in enumerate(groups):
+            key = str(k)
+            if manifest["shards"].get(key, {}).get("status") == "done":
+                continue
+            if files is not None and not files:
+                manifest["shards"][key] = {"files": [], "status": "done", "spills": []}
                 _save_manifest(out_dir, manifest)
-            # merge partials -> final segments
-            partial_files = [
-                os.path.join(out_dir, r["path"])
-                for sh in manifest["shards"].values()
-                for r in sh["segments"]
-            ]
-            shutil.rmtree(os.path.join(out_dir, "segments"), ignore_errors=True)
-            merged = (
-                rd.read_parquet(partial_files)
-                .groupby(["bucket", "salt"])
-                .map_groups(SegmentMerger(out_dir, "segments"), batch_format="pyarrow")
-                .take_all()
+                continue
+            # 'shard-NNNN' not 'shard=NNNN': =-style names would trigger
+            # hive-partition inference on read-back
+            spill_dir = os.path.join(out_dir, "spill", f"shard-{k:04d}")
+            shutil.rmtree(spill_dir, ignore_errors=True)
+            dsk = source if files is None else rd.read_parquet(files)
+            rows = _spill_for(
+                dsk, cfg, hot, spill_dir, mg, content_col, id_col, key_cols
             )
-            manifest["segments"] = [dict(r) for r in merged]
+            manifest["shards"][key] = {
+                "files": files if files is not None else (input_paths or ["<dataset>"]),
+                "status": "done",
+                "spills": [{"path": r["path"], "group": r["group"]} for r in rows],
+                "n_partial_rows": sum(r["n_rows"] for r in rows),
+                "n_postings": sum(r["n_postings"] for r in rows),
+            }
+            _save_manifest(out_dir, manifest)
+        spill_rows = [
+            p for sh in manifest["shards"].values() for p in sh.get("spills", [])
+        ]
+        shutil.rmtree(os.path.join(out_dir, "segments"), ignore_errors=True)
+        manifest["segments"] = _merge_spills(out_dir, cfg, mg, spill_rows)
         stages["segments"] = "done"
         _save_manifest(out_dir, manifest)
+        shutil.rmtree(os.path.join(out_dir, "spill"), ignore_errors=True)
 
     # ---- stage: term stats (global df/cf per term, summed over salt shards) ----
     if stages.get("term_stats") != "done":

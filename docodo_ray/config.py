@@ -60,6 +60,11 @@ class IndexConfig:
     """
 
     n_buckets: int = 64
+    # reduce fan-out of the spill exchange: spills are written pre-split into
+    # this many contiguous-bucket groups and each merge task reads ONLY its
+    # group's files (total footer opens stay constant as the cluster grows).
+    # None -> min(n_buckets, 2 x cluster CPUs), frozen into the manifest.
+    merge_groups: int | None = None
     shard_target_postings: int = 1_000_001
     hot_sample_rate: float = 0.02
     store_positions: bool = True

@@ -121,20 +121,16 @@ class IndexReader:
         self._term_dict = None
 
     # ---- posting access -------------------------------------------------
-    def _bucket_dir(self, term: str) -> str:
-        b = term_bucket(term, self.cfg.n_buckets)
-        return os.path.join(self.dir, "segments", f"bucket-{b:05d}")
-
     def _bucket_rows(self, term: str) -> tuple:
         """(segment table, row indices) of a term, via the bucket cache."""
         b = term_bucket(term, self.cfg.n_buckets)
         hit = self._bucket_cache.get(b)
         if hit is None:
-            bdir = os.path.join(self.dir, "segments", f"bucket-{b:05d}")
-            if not os.path.isdir(bdir):
+            bpath = os.path.join(self.dir, "segments", f"bucket-{b:05d}.parquet")
+            if not os.path.exists(bpath):
                 hit = (None, {})
             else:
-                t = pq.read_table(bdir)
+                t = pq.read_table(bpath)
                 idx: dict[str, list[int]] = {}
                 for i, tm in enumerate(t["term"].to_pylist()):
                     idx.setdefault(tm, []).append(i)

@@ -1,20 +1,30 @@
-"""Posting-list construction and segment merge — the wide (shuffle) stages.
+"""Posting-list construction: map-side combine + spill, per-bucket k-way
+merge — the wide exchange of the index build.
 
 SURVEY A1/A3: the reference accumulates postings in a per-task sorted dict
-with a 1M-posting spill + hierarchical k-way merge with coordinate shifting
-(Build.cs:258-437, Index.cs:537-752). Here the same result is produced by a
-single ``groupby(["bucket","salt"]).map_groups(SegmentWriter)`` shuffle: each
-group receives every (term, doc_id, tf, dl, positions) row of its term
-hash-bucket (hot terms additionally split by doc-hash salt), sorts by
-(term, doc_id), delta+varbyte-encodes one posting row per term, and writes one
-Parquet segment file atomically (tmp + rename). No coordinate shifting exists
-because positions are per-document (SURVEY §1.2).
+with a 1M-posting spill to tmp segment files and a hierarchical merge
+(Build.cs:258-437, Index.cs:537-752). The distributed re-expression keeps
+exactly that shape, because it is also the classic external (storage-backed)
+shuffle of map-reduce index builds:
 
-``SegmentMerger`` is the streaming segment-merge stage for sharded/resumable
-builds: partial segments from K independent input shards are merged per
-(bucket, salt) by decode -> concat -> sort-by-doc_id -> re-encode, the direct
-analogue of the reference's tmp-segment merge (Index.cs:548-560) minus the
-shift machinery.
+  map side   : TokenizeEncode batches -> one pre-encoded partial posting row
+               per (bucket, salt, term) -> SPILLED to shared storage as
+               parquet sorted by bucket (SpillStage, one file per batch).
+  reduce side: one task per term hash-bucket reads only its rows back
+               (parquet row-group pruning on the sorted ``bucket`` column),
+               merges runs per (term, salt) by doc_id, writes the final
+               segment file atomically.
+
+Compared to an object-store all-to-all (``groupby().map_groups``), the
+exchange streams through storage: on a multi-node cluster the spill dir
+lives on the shared filesystem/object store, so reduce tasks read exactly
+the bytes they own, and a killed run resumes from whatever spills + merged
+buckets already exist. No coordinate shifting exists because positions are
+per-document (SURVEY §1.2).
+
+All merge math is vectorized: one global varbyte decode per bucket
+(segmented cumsum), Arrow-native run-boundary detection, reduceat block-max,
+and a verbatim fast path for single-run (long-tail) terms.
 """
 
 from __future__ import annotations
@@ -43,10 +53,18 @@ SEGMENT_SCHEMA = pa.schema(
     ]
 )
 
+SPILL_ROW_SCHEMA = pa.schema(
+    [
+        ("path", pa.string()),
+        ("group", pa.int32()),
+        ("n_rows", pa.int64()),
+        ("n_postings", pa.int64()),
+    ]
+)
+
 MANIFEST_ROW_SCHEMA = pa.schema(
     [
         ("bucket", pa.uint32()),
-        ("salt", pa.uint32()),
         ("path", pa.string()),
         ("n_terms", pa.int64()),
         ("n_postings", pa.int64()),
@@ -54,33 +72,7 @@ MANIFEST_ROW_SCHEMA = pa.schema(
     ]
 )
 
-
-def _encode_term_row(
-    term: str,
-    bucket: int,
-    salt: int,
-    doc_ids: np.ndarray,
-    tfs: np.ndarray,
-    dls: np.ndarray,
-    pos_blob: bytes,
-) -> tuple:
-    if doc_ids.size > 1 and not np.all(doc_ids[1:] > doc_ids[:-1]):
-        raise ValueError(
-            f"duplicate/unsorted doc_ids for term {term!r}: doc_id assignment "
-            "must be unique per document"
-        )
-    return (
-        term,
-        bucket,
-        salt,
-        int(doc_ids.size),
-        int(tfs.sum()),
-        codec.encode_postings(doc_ids),
-        codec.encode_values(tfs),
-        codec.encode_values(dls),
-        pos_blob,
-        codec.encode_blockmax(doc_ids, tfs, dls),
-    )
+SPILL_ROW_GROUP_SIZE = 8192
 
 
 def _rows_to_table(rows: list[tuple]) -> pa.Table:
@@ -91,12 +83,15 @@ def _rows_to_table(rows: list[tuple]) -> pa.Table:
     )
 
 
-def _atomic_write(table: pa.Table, path: str) -> str:
+def _atomic_write(
+    table: pa.Table, path: str, row_group_size: int | None = None,
+    compression: str = "zstd",
+) -> str:
     """Write parquet atomically; idempotent under task retries (same
     deterministic content, rename wins-once). Returns content checksum."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp.{os.getpid()}"
-    pq.write_table(table, tmp, compression="zstd")
+    pq.write_table(table, tmp, compression=compression, row_group_size=row_group_size)
     os.replace(tmp, path)
     h = hashlib.sha256()
     for name in ("term", "df", "doc_blob", "tf_blob"):
@@ -107,55 +102,22 @@ def _atomic_write(table: pa.Table, path: str) -> str:
     return h.hexdigest()
 
 
-def _manifest_table(bucket: int, salt: int, rel: str, table: pa.Table, checksum: str) -> pa.Table:
-    n_post = int(pa.compute.sum(table["df"]).as_py() or 0)
-    return pa.Table.from_arrays(
-        [
-            pa.array([bucket], pa.uint32()),
-            pa.array([salt], pa.uint32()),
-            pa.array([rel], pa.string()),
-            pa.array([table.num_rows], pa.int64()),
-            pa.array([n_post], pa.int64()),
-            pa.array([checksum], pa.string()),
-        ],
-        schema=MANIFEST_ROW_SCHEMA,
-    )
-
-
-def _term_runs(terms: list[str]):
-    """Yield (term, start, end) runs over a sorted term list."""
-    n = len(terms)
-    s = 0
-    while s < n:
-        t = terms[s]
-        e = s + 1
-        while e < n and terms[e] == t:
-            e += 1
-        yield t, s, e
-        s = e
-
-
 def encode_partial_table(tok: pa.Table) -> pa.Table:
     """Map-side combiner (the distributed analogue of the reference's
-    per-task posting accumulator + tmp-segment spill, Build.cs:258-437):
-    collapse a block of token rows into one pre-encoded partial posting row
-    per (bucket, salt, term). Shrinks the shuffle from one row per
-    (doc, term) to one row per distinct term per block, with delta+varbyte
-    bodies — typically an order of magnitude fewer bytes through the
-    all-to-all exchange.
+    per-task posting accumulator, Build.cs:258-437): collapse a block of
+    token rows into one pre-encoded partial posting row per
+    (bucket, salt, term), sorted by (bucket, salt, term).
 
     Fully vectorized: run-boundary detection + one chunked varbyte encode per
-    column for the whole batch (no per-term numpy calls). Partial rows carry
-    bm_blob=b"" — the block-max sidecar is computed once, at the final merge.
-    """
+    column for the whole batch. Partial rows carry bm_blob=b"" — the
+    block-max sidecar is computed once, at the final merge."""
     if tok.num_rows == 0:
         return _rows_to_table([])
     tok = tok.sort_by(
         [("bucket", "ascending"), ("salt", "ascending"),
          ("term", "ascending"), ("doc_id", "ascending")]
-    )
-    tok = tok.combine_chunks()
-    term_col = tok["term"].chunk(0) if tok["term"].num_chunks else tok["term"].combine_chunks()
+    ).combine_chunks()
+    term_col = tok["term"].chunk(0)
     salts = tok["salt"].to_numpy(zero_copy_only=False)
     doc_ids = tok["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
     tfs = tok["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -228,7 +190,6 @@ def _join_blob_runs(blob_col, starts: np.ndarray, lens: np.ndarray) -> list[byte
             for k in range(starts.size)
         ]
     except Exception:
-        # fallback: per-run python join
         blobs = col.to_pylist()
         return [
             b"".join(blobs[int(starts[k]) : int(starts[k] + lens[k])])
@@ -236,128 +197,157 @@ def _join_blob_runs(blob_col, starts: np.ndarray, lens: np.ndarray) -> list[byte
         ]
 
 
-class SegmentWriter:
-    """map_groups fn over (bucket, salt) token groups -> writes one segment
-    file, returns its manifest row."""
-
-    def __init__(self, out_dir: str, subdir: str = "segments"):
-        self.out_dir = out_dir
-        self.subdir = subdir
-        self.__name__ = "SegmentWriter"  # map_groups wants a named callable
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        group = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
-        bucket = int(group["bucket"][0].as_py())
-        salt = int(group["salt"][0].as_py())
-        terms = group["term"].to_pylist()
-        doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        tfs = group["tf"].to_numpy(zero_copy_only=False)
-        dls = group["dl"].to_numpy(zero_copy_only=False)
-        pos = group["pos_blob"].to_pylist()
-
-        rows = []
-        for term, s, e in _term_runs(terms):
-            rows.append(
-                _encode_term_row(
-                    term, bucket, salt,
-                    doc_ids[s:e], tfs[s:e], dls[s:e], b"".join(pos[s:e]),
-                )
-            )
-        table = _rows_to_table(rows)
-        rel = os.path.join(self.subdir, f"bucket-{bucket:05d}", f"s{salt:05d}.parquet")
-        checksum = _atomic_write(table, os.path.join(self.out_dir, rel))
-        return _manifest_table(bucket, salt, rel, table, checksum)
+def _binary_col_view(col) -> tuple[bytes, np.ndarray]:
+    """(data_bytes, offsets) of an Arrow binary column. The data buffer IS
+    the in-order concatenation of all blobs, so any contiguous row range's
+    joined bytes is a single slice — no per-row materialization."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + n + 1
+    ]
+    data = col.buffers()[2]
+    return (data.to_pybytes() if data is not None else b""), offs
 
 
-class SegmentMerger:
-    """map_groups fn over partial-segment rows grouped by (bucket, salt):
-    k-way merge of per-shard posting runs into the final segment file.
+def merge_segment_rows(group: pa.Table) -> pa.Table:
+    """K-way merge of partial posting rows (any mix of buckets is allowed but
+    callers pass one bucket): per (term, salt), decode all runs, re-sort by
+    doc_id, re-encode, compute the block-max sidecar. Deterministic for a
+    given logical row set regardless of how runs were batched."""
+    group = group.sort_by(
+        [("term", "ascending"), ("salt", "ascending")]
+    ).combine_chunks()
+    term_col = group["term"].chunk(0)
+    salts_np = group["salt"].to_numpy(zero_copy_only=False)
+    buckets_np = group["bucket"].to_numpy(zero_copy_only=False)
+    run_starts_rows, run_lens_rows = _run_boundaries(term_col, salts_np)
+    terms = term_col.take(run_starts_rows).to_pylist()
+    dfs = group["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cfs_np = group["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_bytes, doc_offs = _binary_col_view(group["doc_blob"])
+    tf_bytes, tf_offs = _binary_col_view(group["tf_blob"])
+    dl_bytes, dl_offs = _binary_col_view(group["dl_blob"])
+    pos_bytes, pos_offs = _binary_col_view(group["pos_blob"])
+    bm_bytes, bm_offs = _binary_col_view(group["bm_blob"])
 
-    Doc sets of different input shards are disjoint, so the merge is
-    decode -> concat -> argsort(doc_id) -> re-encode per term.
-    """
-
-    def __init__(self, out_dir: str, subdir: str = "segments"):
-        self.out_dir = out_dir
-        self.subdir = subdir
-        self.__name__ = "SegmentMerger"  # map_groups wants a named callable
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        group = group.sort_by([("term", "ascending")]).combine_chunks()
-        bucket = int(group["bucket"][0].as_py())
-        salt = int(group["salt"][0].as_py())
-        term_col = group["term"].chunk(0)
-        salts_np = group["salt"].to_numpy(zero_copy_only=False)
-        run_starts_rows, run_lens_rows = _run_boundaries(term_col, salts_np)
-        terms = term_col.take(run_starts_rows).to_pylist()  # one per distinct term
-        dfs = group["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cfs_np = group["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
-        doc_blobs = group["doc_blob"].to_pylist()
-        tf_blobs = group["tf_blob"].to_pylist()
-        dl_blobs = group["dl_blob"].to_pylist()
-        pos_blobs = group["pos_blob"].to_pylist()
-        bm_blobs = group["bm_blob"].to_pylist()
-
-        # one global decode for the whole group (runs are laid out in row
-        # order, so each term's postings form a CONTIGUOUS span)
-        total = int(dfs.sum())
-        docs_flat = codec.segmented_delta_decode(
-            codec.varbyte_decode(b"".join(doc_blobs)), dfs
+    # one global decode for the whole group (runs laid out in row order, so
+    # each (term, salt)'s postings form a contiguous span)
+    total = int(dfs.sum())
+    docs_flat = codec.segmented_delta_decode(
+        codec.varbyte_decode(doc_bytes[doc_offs[0] : doc_offs[-1]]), dfs
+    )
+    tf_flat = codec.varbyte_decode(tf_bytes[tf_offs[0] : tf_offs[-1]])
+    dl_flat = codec.varbyte_decode(dl_bytes[dl_offs[0] : dl_offs[-1]])
+    have_pos = group.num_rows > 0 and bool(
+        np.all(np.diff(pos_offs) > 0)
+    )  # every row has a non-empty position stream
+    if have_pos:
+        pos_flat, pos_counts = codec.decode_positions_flat(
+            pos_bytes[pos_offs[0] : pos_offs[-1]], total
         )
-        tf_flat = codec.varbyte_decode(b"".join(tf_blobs))
-        dl_flat = codec.varbyte_decode(b"".join(dl_blobs))
-        have_pos = all(pb for pb in pos_blobs) and len(pos_blobs) > 0
-        if have_pos:
-            pos_flat, pos_counts = codec.decode_positions_flat(
-                b"".join(pos_blobs), total
-            )
-            pos_offsets = np.concatenate(([0], np.cumsum(pos_counts)[:-1]))
-        run_starts = np.concatenate(([0], np.cumsum(dfs)[:-1]))
+        pos_offsets = np.concatenate(([0], np.cumsum(pos_counts)[:-1]))
+    run_starts = np.concatenate(([0], np.cumsum(dfs)[:-1]))
 
-        rows = []
-        for k in range(run_starts_rows.size):
-            r0 = int(run_starts_rows[k])
-            r1 = r0 + int(run_lens_rows[k])
-            term = terms[k]
-            if r1 - r0 == 1:
-                # single source run: already doc-sorted — reuse blobs verbatim
-                s0 = int(run_starts[r0])
-                e0 = s0 + int(dfs[r0])
-                bm = bm_blobs[r0] or codec.encode_blockmax_arrays(
-                    docs_flat[s0:e0],
-                    tf_flat[s0:e0].astype(np.uint32),
-                    dl_flat[s0:e0].astype(np.uint32),
-                )
-                rows.append(
-                    (term, bucket, salt, int(dfs[r0]), int(cfs_np[r0]),
-                     doc_blobs[r0], tf_blobs[r0], dl_blobs[r0],
-                     pos_blobs[r0], bm)
-                )
-                continue
-            s = int(run_starts[r0])
-            e = int(run_starts[r1 - 1] + dfs[r1 - 1])
-            d = docs_flat[s:e]
-            order = np.argsort(d, kind="stable")
-            d = d[order]
-            if d.size > 1 and not np.all(d[1:] > d[:-1]):
-                raise ValueError(f"duplicate doc_ids while merging term {term!r}")
-            tf = tf_flat[s:e][order].astype(np.uint32)
-            dl = dl_flat[s:e][order].astype(np.uint32)
-            if have_pos:
-                pf, pc_ = codec.gather_ranges(
-                    pos_flat, pos_offsets, pos_counts,
-                    np.arange(s, e, dtype=np.int64)[order],
-                )
-                pos_blob = codec.encode_positions_flat(pf, pc_)
-            else:
-                pos_blob = b""
-            rows.append(
-                (term, bucket, salt, int(d.size), int(tf.sum()),
-                 codec.encode_postings(d), codec.encode_values(tf),
-                 codec.encode_values(dl), pos_blob,
-                 codec.encode_blockmax_arrays(d, tf, dl))
+    rows = []
+    for k in range(run_starts_rows.size):
+        r0 = int(run_starts_rows[k])
+        r1 = r0 + int(run_lens_rows[k])
+        term = terms[k]
+        bucket = int(buckets_np[r0])
+        salt = int(salts_np[r0])
+        if r1 - r0 == 1:
+            # single source run (long-tail term): reuse blobs verbatim
+            s0 = int(run_starts[r0])
+            e0 = s0 + int(dfs[r0])
+            bm = bm_bytes[bm_offs[r0] : bm_offs[r0 + 1]] or codec.encode_blockmax_arrays(
+                docs_flat[s0:e0],
+                tf_flat[s0:e0].astype(np.uint32),
+                dl_flat[s0:e0].astype(np.uint32),
             )
-        table = _rows_to_table(rows)
-        rel = os.path.join(self.subdir, f"bucket-{bucket:05d}", f"s{salt:05d}.parquet")
-        checksum = _atomic_write(table, os.path.join(self.out_dir, rel))
-        return _manifest_table(bucket, salt, rel, table, checksum)
+            rows.append(
+                (term, bucket, salt, int(dfs[r0]), int(cfs_np[r0]),
+                 doc_bytes[doc_offs[r0] : doc_offs[r0 + 1]],
+                 tf_bytes[tf_offs[r0] : tf_offs[r0 + 1]],
+                 dl_bytes[dl_offs[r0] : dl_offs[r0 + 1]],
+                 pos_bytes[pos_offs[r0] : pos_offs[r0 + 1]], bm)
+            )
+            continue
+        s = int(run_starts[r0])
+        e = int(run_starts[r1 - 1] + dfs[r1 - 1])
+        d = docs_flat[s:e]
+        order = np.argsort(d, kind="stable")
+        d = d[order]
+        if d.size > 1 and not np.all(d[1:] > d[:-1]):
+            raise ValueError(f"duplicate doc_ids while merging term {term!r}")
+        tf = tf_flat[s:e][order].astype(np.uint32)
+        dl = dl_flat[s:e][order].astype(np.uint32)
+        if have_pos:
+            pf, pc_ = codec.gather_ranges(
+                pos_flat, pos_offsets, pos_counts,
+                np.arange(s, e, dtype=np.int64)[order],
+            )
+            pos_blob = codec.encode_positions_flat(pf, pc_)
+        else:
+            pos_blob = b""
+        rows.append(
+            (term, bucket, salt, int(d.size), int(tf.sum()),
+             codec.encode_postings(d), codec.encode_values(tf),
+             codec.encode_values(dl), pos_blob,
+             codec.encode_blockmax_arrays(d, tf, dl))
+        )
+    return _rows_to_table(rows)
+
+
+def bucket_group(bucket: int, n_buckets: int, merge_groups: int) -> int:
+    """Contiguous-range bucket -> merge-group assignment (shared by the
+    spill writer and the merge reader)."""
+    return bucket * merge_groups // n_buckets
+
+
+def make_group_merge_fn(
+    out_dir: str,
+    spill_by_group: dict[int, list[str]],
+    n_buckets: int,
+    merge_groups: int,
+    subdir: str = "segments",
+):
+    """Reduce side: map_batches fn over rows of merge-group ids. Each task
+    reads ONLY its group's spill files (they contain exactly its bucket
+    range), splits per bucket in memory, merges, and writes each final
+    ``segments/bucket-NNNNN.parquet`` atomically. Returns one manifest row
+    per non-empty bucket."""
+
+    def merge_buckets(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out_cols = {name: [] for name in MANIFEST_ROW_SCHEMA.names}
+        for g in batch["group"].to_pylist():
+            files = spill_by_group.get(int(g), [])
+            if not files:
+                continue
+            t_all = pq.read_table(files)
+            for b in range(n_buckets):
+                if bucket_group(b, n_buckets, merge_groups) != g:
+                    continue
+                t = t_all.filter(pc.equal(t_all["bucket"], b))
+                if t.num_rows == 0:
+                    continue
+                merged = merge_segment_rows(t)
+                rel = os.path.join(subdir, f"bucket-{b:05d}.parquet")
+                checksum = _atomic_write(merged, os.path.join(out_dir, rel))
+                out_cols["bucket"].append(b)
+                out_cols["path"].append(rel)
+                out_cols["n_terms"].append(merged.num_rows)
+                out_cols["n_postings"].append(
+                    int(pa.compute.sum(merged["df"]).as_py() or 0)
+                )
+                out_cols["checksum"].append(checksum)
+        return pa.Table.from_arrays(
+            [pa.array(out_cols[f.name], f.type) for f in MANIFEST_ROW_SCHEMA],
+            schema=MANIFEST_ROW_SCHEMA,
+        )
+
+    merge_buckets.__name__ = "merge_buckets"
+    return merge_buckets

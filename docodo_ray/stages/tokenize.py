@@ -15,6 +15,8 @@ same single tokenize pass + term shuffle — replacing the reference's separate
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -145,7 +147,7 @@ class TokenizeStage:
 
 class TokenizeEncodeStage(TokenizeStage):
     """Tokenize + map-side combine: emits pre-encoded partial posting rows
-    (SEGMENT_SCHEMA) instead of raw token rows, so the term shuffle moves
+    (SEGMENT_SCHEMA) instead of raw token rows, so the exchange moves
     one compressed row per (block, term) — the distributed form of the
     reference's per-task accumulator + spill (Build.cs:258-437)."""
 
@@ -153,6 +155,72 @@ class TokenizeEncodeStage(TokenizeStage):
         from docodo_ray.stages.postings import encode_partial_table
 
         return encode_partial_table(super().__call__(batch))
+
+
+class SpillStage(TokenizeEncodeStage):
+    """Tokenize + combine + spill: writes each batch's partial posting rows
+    (sorted by bucket) straight to a parquet spill file on shared storage and
+    returns only a tiny spill-manifest row — the map side of the
+    storage-backed shuffle (see stages/postings.py module docstring).
+
+    File names derive from the batch's (min_doc_id, max_doc_id, n_docs), so
+    a retried task rewrites the SAME file with the SAME deterministic
+    content (idempotent under Ray task retries)."""
+
+    def __init__(self, spill_dir: str, merge_groups: int, **kw):
+        super().__init__(**kw)
+        self.spill_dir = spill_dir
+        self.merge_groups = merge_groups
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from docodo_ray.stages.postings import (
+            SPILL_ROW_GROUP_SIZE,
+            SPILL_ROW_SCHEMA,
+            _atomic_write,
+            bucket_group,
+            encode_partial_table,
+        )
+
+        part = encode_partial_table(TokenizeStage.__call__(self, batch))
+        paths, groups, n_rows, n_posts = [], [], [], []
+        if part.num_rows:
+            doc_ids = resolve_doc_ids(batch, self.id_col, self.key_cols)
+            stem = (
+                f"spill-{int(doc_ids.min()):016x}-{int(doc_ids.max()):016x}"
+                f"-{doc_ids.size}"
+            )
+            # part is sorted by bucket -> contiguous group spans
+            buckets = part["bucket"].to_numpy(zero_copy_only=False)
+            nb, mg = self.cfg.n_buckets, self.merge_groups
+            grp = (buckets.astype(np.int64) * mg) // nb
+            bounds = np.flatnonzero(
+                np.concatenate(([True], grp[1:] != grp[:-1]))
+            ).tolist() + [len(grp)]
+            for i in range(len(bounds) - 1):
+                s, e = bounds[i], bounds[i + 1]
+                g = int(grp[s])
+                assert bucket_group(int(buckets[s]), nb, mg) == g
+                sub = part.slice(s, e - s)
+                path = os.path.join(self.spill_dir, f"{stem}-g{g:04d}.parquet")
+                # lz4: spills are transient; varbyte blobs barely compress,
+                # so don't pay zstd encode+decode on the exchange
+                _atomic_write(
+                    sub, path, row_group_size=SPILL_ROW_GROUP_SIZE,
+                    compression="lz4",
+                )
+                paths.append(path)
+                groups.append(g)
+                n_rows.append(sub.num_rows)
+                n_posts.append(int(pa.compute.sum(sub["df"]).as_py() or 0))
+        return pa.Table.from_arrays(
+            [
+                pa.array(paths, pa.string()),
+                pa.array(groups, pa.int32()),
+                pa.array(n_rows, pa.int64()),
+                pa.array(n_posts, pa.int64()),
+            ],
+            schema=SPILL_ROW_SCHEMA,
+        )
 
 
 class HotSampleStage:

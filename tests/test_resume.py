@@ -14,7 +14,7 @@ from docodo_ray import IndexConfig, build_index
 
 
 def _seg_checksums(manifest) -> list[tuple]:
-    return sorted((r["bucket"], r["salt"], r["checksum"]) for r in manifest["segments"])
+    return sorted((r["bucket"], r["checksum"]) for r in manifest["segments"])
 
 
 CFG_KW = dict(content_col="content", key_cols=["repo", "path", "commit"],
@@ -36,7 +36,7 @@ def test_interrupted_sharded_build_resumes(tmp_path, small_corpus_files, monkeyp
     # uninterrupted reference build
     ref = build_index(out_b, input_paths=small_corpus_files, cfg=_cfg(), shards=3, **CFG_KW)
 
-    real = build_mod._build_segments_for
+    real = build_mod._spill_for
     calls = {"n": 0}
 
     def dying(*a, **kw):
@@ -45,7 +45,7 @@ def test_interrupted_sharded_build_resumes(tmp_path, small_corpus_files, monkeyp
             raise RuntimeError("simulated worker crash")
         return real(*a, **kw)
 
-    monkeypatch.setattr(build_mod, "_build_segments_for", dying)
+    monkeypatch.setattr(build_mod, "_spill_for", dying)
     with pytest.raises(RuntimeError, match="simulated"):
         build_index(out_a, input_paths=small_corpus_files, cfg=_cfg(), shards=3, **CFG_KW)
 
@@ -57,15 +57,15 @@ def test_interrupted_sharded_build_resumes(tmp_path, small_corpus_files, monkeyp
     assert "1" not in m["shards"]
 
     # resume: only shards 1 and 2 run (not shard 0)
-    monkeypatch.setattr(build_mod, "_build_segments_for", real)
+    monkeypatch.setattr(build_mod, "_spill_for", real)
     calls2 = {"n": 0, "shards_built": []}
 
-    def counting(ds, cfg, hot, out_dir, subdir, *a, **kw):
+    def counting(ds, cfg, hot, spill_dir, *a, **kw):
         calls2["n"] += 1
-        calls2["shards_built"].append(subdir)
-        return real(ds, cfg, hot, out_dir, subdir, *a, **kw)
+        calls2["shards_built"].append(spill_dir)
+        return real(ds, cfg, hot, spill_dir, *a, **kw)
 
-    monkeypatch.setattr(build_mod, "_build_segments_for", counting)
+    monkeypatch.setattr(build_mod, "_spill_for", counting)
     res = build_index(out_a, input_paths=small_corpus_files, cfg=_cfg(), shards=3, **CFG_KW)
     assert calls2["n"] == 2, calls2
     assert not any("shard-0000" in s for s in calls2["shards_built"])
@@ -107,7 +107,7 @@ cfg = IndexConfig(n_buckets=8, shard_target_postings=50, hot_sample_rate=1.0,
 res = build_index(sys.argv[3], input_paths=files, cfg=cfg,
                   content_col="content", key_cols=["repo","path","commit"],
                   meta_cols=("repo","path","lang"))
-cks = sorted((r["bucket"], r["salt"], r["checksum"]) for r in res.manifest["segments"])
+cks = sorted((r["bucket"], r["checksum"]) for r in res.manifest["segments"])
 print("CKS=" + json.dumps(cks))
 ray.shutdown()
 """
