@@ -5,13 +5,14 @@ Pipeline (SURVEY §3.4):
 
     corpus = ray.data.read_parquet(paths)                # (…, content)
     hot    = deterministic doc-hash sample -> df estimates -> salt map
-    meta   = corpus.map_batches(doc_meta).write_parquet  # sha256 invariant
     spills = corpus.map_batches(SpillStage, concurrency=N)      # actor pool:
              # tokenize + map-side combine + spill partial segments to
-             # storage (the exchange medium — see stages/postings.py)
-    segs   = from_items(buckets).map_batches(merge_buckets)     # reduce:
-             # per-bucket pruned read of spills -> k-way merge -> segment
-    stats  = segments -> term_stats + corpus stats
+             # storage (the exchange medium — see stages/postings.py);
+             # also writes doc-meta (sha256 invariant) from the same read
+    segs   = from_items(merge_groups).map_batches(merge_buckets)  # reduce:
+             # per-group read of spills -> k-way merge -> segment files
+             # + per-bucket term-stats sidecars
+    stats  = corpus stats from the DOC_LEN pseudo-term
 
 Resume (north_rule: "resumable from checkpoint with per-partition lineage"):
 ``manifest.json`` records config fingerprint, the hot-term salt map, stage
@@ -38,7 +39,6 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from docodo_ray.config import DOC_LEN_TERM, IndexConfig
-from docodo_ray.stages.doc_meta import make_doc_meta_fn
 from docodo_ray.stages.postings import make_group_merge_fn
 from docodo_ray.stages.tokenize import HotSampleStage, SpillStage
 
@@ -157,6 +157,7 @@ def _spill_for(
     ds: rd.Dataset, cfg: IndexConfig, hot: dict[str, int], spill_dir: str,
     merge_groups: int,
     content_col: str, id_col: str | None, key_cols: list[str] | None,
+    doc_meta_dir: str | None = None, meta_cols: tuple[str, ...] = (),
 ) -> list[dict]:
     """Map side of the storage-backed term exchange: tokenize + combine +
     spill partial posting files pre-split by merge group (see
@@ -179,7 +180,7 @@ def _spill_for(
         fn_constructor_kwargs=dict(
             spill_dir=spill_dir, merge_groups=merge_groups, cfg=cfg,
             hot_terms=hot, content_col=content_col, id_col=id_col,
-            key_cols=key_cols,
+            key_cols=key_cols, doc_meta_dir=doc_meta_dir, meta_cols=meta_cols,
         ),
         batch_format="pyarrow",
         batch_size=cfg.tokenizer_batch_size,
@@ -274,16 +275,9 @@ def build_index(
         _save_manifest(out_dir, manifest)
     hot = dict(manifest["hot"])
 
-    # ---- stage: doc metadata (sha256 content invariant) ----
-    if stages.get("doc_meta") != "done":
-        meta_dir = os.path.join(out_dir, "doc_meta")
-        shutil.rmtree(meta_dir, ignore_errors=True)
-        source.map_batches(
-            make_doc_meta_fn(content_col, id_col, key_cols, list(meta_cols)),
-            batch_format="pyarrow",
-        ).write_parquet(meta_dir)
-        stages["doc_meta"] = "done"
-        _save_manifest(out_dir, manifest)
+    # doc_meta (sha256 content invariant) and term_stats ride the segments
+    # pass: SpillStage writes per-shard doc-meta files from the same corpus
+    # read, and each merge task writes its bucket's term-stats sidecar.
 
     # ---- stage: segments (spill per input shard -> per-bucket merge) ----
     if stages.get("segments") != "done":
@@ -308,10 +302,13 @@ def build_index(
             # 'shard-NNNN' not 'shard=NNNN': =-style names would trigger
             # hive-partition inference on read-back
             spill_dir = os.path.join(out_dir, "spill", f"shard-{k:04d}")
+            meta_dir = os.path.join(out_dir, "doc_meta", f"shard-{k:04d}")
             shutil.rmtree(spill_dir, ignore_errors=True)
+            shutil.rmtree(meta_dir, ignore_errors=True)
             dsk = source if files is None else rd.read_parquet(files)
             rows = _spill_for(
-                dsk, cfg, hot, spill_dir, mg, content_col, id_col, key_cols
+                dsk, cfg, hot, spill_dir, mg, content_col, id_col, key_cols,
+                doc_meta_dir=meta_dir, meta_cols=meta_cols,
             )
             manifest["shards"][key] = {
                 "files": files if files is not None else (input_paths or ["<dataset>"]),
@@ -325,33 +322,14 @@ def build_index(
             p for sh in manifest["shards"].values() for p in sh.get("spills", [])
         ]
         shutil.rmtree(os.path.join(out_dir, "segments"), ignore_errors=True)
+        shutil.rmtree(os.path.join(out_dir, "term_stats"), ignore_errors=True)
         manifest["segments"] = _merge_spills(out_dir, cfg, mg, spill_rows)
+        # doc_meta was written by the spill pass; term_stats by the merge pass
         stages["segments"] = "done"
-        _save_manifest(out_dir, manifest)
-        shutil.rmtree(os.path.join(out_dir, "spill"), ignore_errors=True)
-
-    # ---- stage: term stats (global df/cf per term, summed over salt shards) ----
-    if stages.get("term_stats") != "done":
-        ts_dir = os.path.join(out_dir, "term_stats")
-        shutil.rmtree(ts_dir, ignore_errors=True)
-        segs = rd.read_parquet(
-            os.path.join(out_dir, "segments"), columns=["term", "df", "cf"]
-        )
-        if hot:
-            # salted terms have one row per (term, salt) -> sum them
-            segs.groupby("term").aggregate(
-                Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
-            ).write_parquet(ts_dir)
-        else:
-            # no salting: segment rows are already unique per term — plain
-            # column projection, no shuffle
-            segs.map_batches(
-                lambda t: t.set_column(1, "df", t["df"].cast("int64"))
-                .set_column(2, "cf", t["cf"].cast("int64")),
-                batch_format="pyarrow",
-            ).write_parquet(ts_dir)
+        stages["doc_meta"] = "done"
         stages["term_stats"] = "done"
         _save_manifest(out_dir, manifest)
+        shutil.rmtree(os.path.join(out_dir, "spill"), ignore_errors=True)
 
     # ---- stage: corpus stats from the DOC_LEN pseudo-term ----
     if stages.get("stats") != "done":

@@ -78,3 +78,37 @@ class IndexConfig:
     tokenizer_concurrency: int | tuple[int, int] | None = None
     min_word_length: int = MIN_WORD_LENGTH
     max_word_length: int = MAX_WORD_LENGTH
+    # Docodo word-normalization hooks (reference GetWordCodes,
+    # Build.cs:175-247): vocab = ((word, group_id), ...) emits '#<group:x>'
+    # code terms; use_stemmer emits '$<stem>' terms for unknown words.
+    # Both OFF by default: the payload is source code, identifiers must not
+    # be stemmed (SURVEY M6 note).
+    vocab: tuple = ()
+    use_stemmer: bool = False
+
+
+def load_vocab_tsv(path: str) -> tuple:
+    """word<TAB>group_id rows -> hashable vocab tuple for IndexConfig
+    (the fixture format of FIXTURES.md §4, mirroring the reference's .voc
+    dictionaries, Dict.cs:71-95)."""
+    out = []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith(";"):
+                continue
+            word, group = line.split("\t")
+            out.append((word.lower(), int(group)))
+    return tuple(out)
+
+
+def tokenizer_spec(cfg: "IndexConfig"):
+    """The single TokenizerSpec construction shared by every stage and the
+    query engine."""
+    from docodo_ray.tokenizer import TokenizerSpec
+
+    stop = load_stopwords(cfg.stopwords_path) if cfg.use_stopwords else frozenset()
+    return TokenizerSpec(
+        cfg.min_word_length, cfg.max_word_length, stop,
+        vocab=tuple(tuple(p) for p in cfg.vocab), use_stemmer=cfg.use_stemmer,
+    )

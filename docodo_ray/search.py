@@ -110,8 +110,9 @@ class IndexReader:
         st = self.manifest["stats"]
         self.n_docs = st["n_docs"]
         self.avgdl = st["avgdl"] or 1.0
-        stop = load_stopwords(self.cfg.stopwords_path) if self.cfg.use_stopwords else frozenset()
-        self.spec = TokenizerSpec(self.cfg.min_word_length, self.cfg.max_word_length, stop)
+        from docodo_ray.config import tokenizer_spec
+
+        self.spec = tokenizer_spec(self.cfg)
         self._term_stats_cache: dict[str, tuple[int, int]] = {}
         self._posting_cache: dict[tuple, "Posting | None"] = {}
         self._score_cache: dict[str, np.ndarray] = {}

@@ -94,8 +94,8 @@ def _atomic_write(
     pq.write_table(table, tmp, compression=compression, row_group_size=row_group_size)
     os.replace(tmp, path)
     h = hashlib.sha256()
-    for name in ("term", "df", "doc_blob", "tf_blob"):
-        for chunk in table[name].chunks:
+    for col in table.columns:
+        for chunk in col.chunks:
             for buf in chunk.buffers():
                 if buf is not None:
                     h.update(buf)
@@ -306,6 +306,27 @@ def bucket_group(bucket: int, n_buckets: int, merge_groups: int) -> int:
     return bucket * merge_groups // n_buckets
 
 
+def _write_term_stats_sidecar(out_dir: str, bucket: int, merged: pa.Table) -> None:
+    """Global (term, df, cf) for this bucket, aggregated across salt shards —
+    exact because a term's salts all hash to the same bucket, so the merge
+    task sees every shard of every term it owns. Replaces a separate
+    term-stats shuffle stage."""
+    col = merged["term"]
+    tcol = pa.concat_arrays(col.chunks) if isinstance(col, pa.ChunkedArray) else col
+    n = len(tcol)
+    starts, _ = _run_boundaries(tcol, np.zeros(n, dtype=np.int64))
+    df_np = merged["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cf_np = merged["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = pa.table(
+        {
+            "term": tcol.take(starts),
+            "df": pa.array(np.add.reduceat(df_np, starts), pa.int64()),
+            "cf": pa.array(np.add.reduceat(cf_np, starts), pa.int64()),
+        }
+    )
+    _atomic_write(ts, os.path.join(out_dir, "term_stats", f"bucket-{bucket:05d}.parquet"))
+
+
 def make_group_merge_fn(
     out_dir: str,
     spill_by_group: dict[int, list[str]],
@@ -337,6 +358,7 @@ def make_group_merge_fn(
                 merged = merge_segment_rows(t)
                 rel = os.path.join(subdir, f"bucket-{b:05d}.parquet")
                 checksum = _atomic_write(merged, os.path.join(out_dir, rel))
+                _write_term_stats_sidecar(out_dir, b, merged)
                 out_cols["bucket"].append(b)
                 out_cols["path"].append(rel)
                 out_cols["n_terms"].append(merged.num_rows)

@@ -64,8 +64,9 @@ class TokenizeStage:
         id_col: str | None = None,
         key_cols: list[str] | None = None,
     ):
-        stop = load_stopwords(cfg.stopwords_path) if cfg.use_stopwords else frozenset()
-        self.spec = TokenizerSpec(cfg.min_word_length, cfg.max_word_length, stop)
+        from docodo_ray.config import tokenizer_spec
+
+        self.spec = tokenizer_spec(cfg)
         self.cfg = cfg
         self.hot = hot_terms
         self.content_col = content_col
@@ -167,12 +168,22 @@ class SpillStage(TokenizeEncodeStage):
     a retried task rewrites the SAME file with the SAME deterministic
     content (idempotent under Ray task retries)."""
 
-    def __init__(self, spill_dir: str, merge_groups: int, **kw):
+    def __init__(
+        self,
+        spill_dir: str,
+        merge_groups: int,
+        doc_meta_dir: str | None = None,
+        meta_cols: tuple[str, ...] = (),
+        **kw,
+    ):
         super().__init__(**kw)
         self.spill_dir = spill_dir
         self.merge_groups = merge_groups
+        self.doc_meta_dir = doc_meta_dir
+        self.meta_cols = list(meta_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from docodo_ray.stages.doc_meta import make_doc_meta_fn
         from docodo_ray.stages.postings import (
             SPILL_ROW_GROUP_SIZE,
             SPILL_ROW_SCHEMA,
@@ -189,6 +200,15 @@ class SpillStage(TokenizeEncodeStage):
                 f"spill-{int(doc_ids.min()):016x}-{int(doc_ids.max()):016x}"
                 f"-{doc_ids.size}"
             )
+            if self.doc_meta_dir is not None:
+                # doc-meta rides the same corpus pass (saves a full read)
+                meta_fn = make_doc_meta_fn(
+                    self.content_col, self.id_col, self.key_cols, self.meta_cols
+                )
+                _atomic_write(
+                    meta_fn(batch),
+                    os.path.join(self.doc_meta_dir, f"meta{stem[5:]}.parquet"),
+                )
             # part is sorted by bucket -> contiguous group spans
             buckets = part["bucket"].to_numpy(zero_copy_only=False)
             nb, mg = self.cfg.n_buckets, self.merge_groups
@@ -243,8 +263,9 @@ class HotSampleStage:
         id_col: str | None = None,
         key_cols: list[str] | None = None,
     ):
-        stop = load_stopwords(cfg.stopwords_path) if cfg.use_stopwords else frozenset()
-        self.spec = TokenizerSpec(cfg.min_word_length, cfg.max_word_length, stop)
+        from docodo_ray.config import tokenizer_spec
+
+        self.spec = tokenizer_spec(cfg)
         self.rate = cfg.hot_sample_rate
         self.content_col = content_col
         self.id_col = id_col

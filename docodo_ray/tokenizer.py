@@ -30,11 +30,38 @@ import regex
 TOKEN_RE = regex.compile(r"[\p{L}]+|[\p{N}]+")
 
 
+KNOWN_WORD_CHAR = "#"  # vocab word-group code namespace (reference Index.cs:111)
+WORD_STEM_CHAR = "$"   # stemmer-output namespace (reference Index.cs:105-106)
+
+
+def simple_stem(word: str) -> str:
+    """Minimal English suffix stripper — the pluggable stemmer hook's default
+    (the reference wires Snowball stemmers per language, Index.cs:158-181;
+    this container has none, so the hook ships with a deterministic
+    suffix-rule stand-in). Digit-led words pass through untouched
+    (reference Build.cs:180-181)."""
+    if not word or word[0].isdigit() or len(word) <= 3:
+        return word
+    for suf in ("ingly", "edly", "ing", "ied", "ies", "ed", "ly", "es", "s"):
+        if word.endswith(suf) and len(word) - len(suf) >= 3:
+            return word[: -len(suf)]
+    return word
+
+
 @dataclass(frozen=True)
 class TokenizerSpec:
     min_len: int = 3
     max_len: int = 32
     stopwords: frozenset[str] = frozenset()
+    # vocab: word -> morphological group id; matches emit an extra
+    # '#<group:x>' term (reference GetWordCodes, Build.cs:192-204)
+    vocab: tuple = ()  # hashable: tuple of (word, group) pairs
+    # unknown-to-vocab words emit an extra '$<stem>' term when the stem
+    # differs (reference Build.cs:206-238)
+    use_stemmer: bool = False
+
+    def vocab_dict(self) -> dict[str, int]:
+        return dict(self.vocab)
 
 
 def tokenize_raw(text: str) -> list[str]:
@@ -55,6 +82,32 @@ def tokenize(text: str, spec: TokenizerSpec) -> tuple[list[str], list[int]]:
     return terms, positions
 
 
+def expand_terms(
+    terms: list[str], positions: list[int], spec: TokenizerSpec
+) -> tuple[list[str], list[int]]:
+    """Docodo word-code expansion (reference GetWordCodes, Build.cs:175-247):
+    every kept token may additionally emit a '#<group:x>' vocab-code term
+    (when in the vocab) or a '$<stem>' term (when stemming is on and the
+    stem differs), at the SAME raw position. Expansions are extra index
+    keys; they do not count toward dl."""
+    if not spec.vocab and not spec.use_stemmer:
+        return [], []
+    vocab = spec.vocab_dict()
+    ex_t: list[str] = []
+    ex_p: list[int] = []
+    for t, p in zip(terms, positions):
+        g = vocab.get(t)
+        if g is not None:
+            ex_t.append(f"{KNOWN_WORD_CHAR}{g:x}")
+            ex_p.append(p)
+        elif spec.use_stemmer:
+            s = simple_stem(t)
+            if s != t:
+                ex_t.append(f"{WORD_STEM_CHAR}{s}")
+                ex_p.append(p)
+    return ex_t, ex_p
+
+
 def doc_term_stats(
     text: str, spec: TokenizerSpec
 ) -> tuple[list[str], np.ndarray, list[np.ndarray], int]:
@@ -62,12 +115,14 @@ def doc_term_stats(
     term (ascending), and dl = number of kept tokens.
 
     dl (the BM25 length norm) counts *kept* tokens so that engine and SQL
-    oracle agree: dl = COUNT(*) over the filtered token stream.
+    oracle agree: dl = COUNT(*) over the filtered token stream (vocab/stem
+    expansion terms are extra index keys and do not count toward dl).
     """
     terms, positions = tokenize(text, spec)
     dl = len(terms)
+    ex_t, ex_p = expand_terms(terms, positions, spec)
     by_term: dict[str, list[int]] = {}
-    for t, p in zip(terms, positions):
+    for t, p in zip(terms + ex_t, positions + ex_p):
         by_term.setdefault(t, []).append(p)
     uniq = sorted(by_term)
     tfs = np.fromiter((len(by_term[t]) for t in uniq), dtype=np.uint32, count=len(uniq))

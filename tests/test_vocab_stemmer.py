@@ -1,0 +1,59 @@
+"""Vocab-code and stemmer expansion (reference GetWordCodes Build.cs:175-247,
+VocabTest IndexTest.cs:228-270): '#<group>' and '$<stem>' namespace terms."""
+
+import numpy as np
+import pytest
+
+from docodo_ray import IndexConfig, IndexReader, build_index
+from docodo_ray.config import load_stopwords, tokenizer_spec
+from docodo_ray.tokenizer import doc_term_stats, simple_stem
+
+
+def test_simple_stem_rules():
+    assert simple_stem("running") == "runn"
+    assert simple_stem("jumped") == "jump"
+    assert simple_stem("cats") == "cat"
+    assert simple_stem("abc") == "abc"          # too short
+    assert simple_stem("123abcs") == "123abcs"  # digit-led passthrough
+    assert simple_stem("glasses") == "glass"
+
+
+def test_vocab_and_stem_expansion():
+    cfg = IndexConfig(vocab=(("running", 7), ("runs", 7)), use_stemmer=True)
+    spec = tokenizer_spec(cfg)
+    uniq, tfs, pos, dl = doc_term_stats("running runs jumped the cat", spec)
+    d = dict(zip(uniq, tfs.tolist()))
+    # full forms always indexed
+    assert d["running"] == 1 and d["runs"] == 1 and d["jumped"] == 1 and d["cat"] == 1
+    # vocab group code for both vocab members, at their raw positions
+    assert d["#7"] == 2
+    by = dict(zip(uniq, [p.tolist() for p in pos]))
+    assert by["#7"] == [0, 1]
+    # unknown word stems into the $ namespace; vocab members do NOT stem
+    assert d["$jump"] == 1
+    assert "$runn" not in d
+    # dl counts only the primary kept tokens ('the' is a stopword)
+    assert dl == 4
+
+
+def test_vocab_index_end_to_end(tmp_path, small_corpus_files):
+    """#group postings equal the union of the member words' postings —
+    the reference's VocabTest equivalence (IndexTest.cs:262-266)."""
+    cfg = IndexConfig(
+        n_buckets=8, tokenizer_batch_size=64, tokenizer_concurrency=2,
+        vocab=(("public", 3), ("static", 3)),
+    )
+    out = str(tmp_path / "vocab_idx")
+    build_index(out, input_paths=small_corpus_files, cfg=cfg,
+                key_cols=["repo", "path", "commit"])
+    r = IndexReader(out)
+    pg = r.read_posting("#3")
+    pa_ = r.read_posting("public")
+    pb = r.read_posting("static")
+    assert pg is not None and pa_ is not None and pb is not None
+    want_docs = np.union1d(pa_.doc_ids, pb.doc_ids)
+    assert np.array_equal(pg.doc_ids, want_docs)
+    assert pg.tfs.sum() == pa_.tfs.sum() + pb.tfs.sum()
+    # the code term is searchable through the normal surface
+    hits = r.search("public", k=5)
+    assert hits
