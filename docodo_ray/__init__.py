@@ -11,8 +11,8 @@ Reference parity map: see SURVEY.md. Key reference anchors cited per module:
 """
 
 from docodo_ray.config import IndexConfig, BM25Params
-from docodo_ray.build import build_index
+from docodo_ray.build import build_index, update_index
 from docodo_ray.search import IndexReader
 
-__all__ = ["IndexConfig", "BM25Params", "build_index", "IndexReader"]
+__all__ = ["IndexConfig", "BM25Params", "build_index", "update_index", "IndexReader"]
 __version__ = "0.1.0"

@@ -211,6 +211,117 @@ def _merge_spills(
     return [dict(r) for r in rows]
 
 
+def update_index(
+    out_dir: str,
+    *,
+    input_paths: list[str],
+    content_col: str | None = None,
+    id_col: str | None = None,
+    key_cols: list[str] | None = None,
+    meta_cols: tuple[str, ...] | None = None,
+) -> BuildResult:
+    """Incrementally add documents to an existing index — the capability the
+    reference lacks entirely (rebuild-only, Index.cs:442-446). New docs are
+    spilled with the index's frozen salt map, then every bucket is re-merged
+    from [its current segment file + the new spills] into a staging dir that
+    is atomically swapped in (copy-on-write: a crash mid-merge leaves the
+    live index untouched; re-running the update redoes the merge from the
+    intact old segments).
+
+    Doc sets must be disjoint from the existing index (duplicate doc_ids
+    fail loudly in the merge). Column-spec args default to the ones recorded
+    in the manifest."""
+    manifest = _load_manifest(out_dir)
+    if manifest is None or manifest.get("stages", {}).get("stats") != "done":
+        raise ValueError(f"{out_dir} does not hold a completed index")
+    spec = manifest["input"]
+    content_col = content_col or spec["content_col"]
+    id_col = id_col if id_col is not None else spec["id_col"]
+    key_cols = key_cols if key_cols is not None else spec["key_cols"]
+    meta_cols = tuple(meta_cols if meta_cols is not None else spec["meta_cols"])
+    cfgd = dict(manifest["config"])
+    from docodo_ray.config import BM25Params
+
+    cfgd["bm25"] = BM25Params(**cfgd.get("bm25", {}))
+    cfgd["vocab"] = tuple(tuple(p) for p in cfgd.get("vocab", ()))
+    if isinstance(cfgd.get("tokenizer_concurrency"), list):
+        cfgd["tokenizer_concurrency"] = tuple(cfgd["tokenizer_concurrency"])
+    cfg = IndexConfig(**cfgd)
+    hot = dict(manifest["hot"])
+    mg = int(manifest["merge_groups"])
+    gen = int(manifest.get("generation", 0)) + 1
+
+    tag = f"update-{gen:04d}"
+    spill_dir = os.path.join(out_dir, "spill", tag)
+    meta_dir = os.path.join(out_dir, "doc_meta", tag)
+    shutil.rmtree(spill_dir, ignore_errors=True)
+    shutil.rmtree(meta_dir, ignore_errors=True)
+    rows = _spill_for(
+        rd.read_parquet(sorted(input_paths)), cfg, hot, spill_dir, mg,
+        content_col, id_col, key_cols, doc_meta_dir=meta_dir, meta_cols=meta_cols,
+    )
+    by_group: dict[int, list[str]] = {}
+    for r in rows:
+        by_group.setdefault(int(r["group"]), []).append(r["path"])
+    existing = {
+        int(r["bucket"]): os.path.join(out_dir, r["path"])
+        for r in manifest["segments"]
+    }
+    staging = f"segments-{tag}"
+    shutil.rmtree(os.path.join(out_dir, staging), ignore_errors=True)
+    # term_stats sidecars are rewritten into the staging tree too, then moved
+    ts_staging = os.path.join(out_dir, staging, "term_stats")
+    groups = rd.from_items(
+        [{"group": g} for g in range(mg)], override_num_blocks=mg
+    )
+    merge_fn = make_group_merge_fn(
+        os.path.join(out_dir, staging), by_group, cfg.n_buckets, mg,
+        subdir=".", existing_by_bucket=existing,
+    )
+    merged = [dict(r) for r in groups.map_batches(
+        merge_fn, batch_format="pyarrow", batch_size=None
+    ).take_all()]
+    # atomic-ish swap: segments then term_stats, manifest last
+    old_seg = os.path.join(out_dir, "segments")
+    shutil.rmtree(old_seg + ".old", ignore_errors=True)
+    os.replace(old_seg, old_seg + ".old")
+    os.makedirs(os.path.join(out_dir, staging), exist_ok=True)
+    os.replace(os.path.join(out_dir, staging), old_seg)
+    # merge fn wrote term_stats under <staging>/term_stats (now segments/term_stats)
+    ts_new = os.path.join(old_seg, "term_stats")
+    if os.path.isdir(ts_new):
+        shutil.rmtree(os.path.join(out_dir, "term_stats"), ignore_errors=True)
+        os.replace(ts_new, os.path.join(out_dir, "term_stats"))
+    shutil.rmtree(old_seg + ".old", ignore_errors=True)
+    shutil.rmtree(spill_dir, ignore_errors=True)
+
+    for r in merged:
+        r["path"] = os.path.join("segments", os.path.basename(r["path"]))
+    manifest["segments"] = merged
+    manifest["generation"] = gen
+    manifest["shards"][tag] = {
+        "files": sorted(input_paths), "status": "done",
+        "n_postings": sum(r["n_postings"] for r in rows),
+    }
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(out_dir, "term_stats"), filters=[("term", "==", DOC_LEN_TERM)]
+    )
+    n_docs = int(t["df"][0].as_py()) if t.num_rows else 0
+    total_tokens = int(t["cf"][0].as_py()) if t.num_rows else 0
+    manifest["stats"] = {
+        "n_docs": n_docs, "total_tokens": total_tokens,
+        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+    }
+    _save_manifest(out_dir, manifest)
+    return BuildResult(
+        out_dir=out_dir, n_docs=n_docs, total_tokens=total_tokens,
+        avgdl=manifest["stats"]["avgdl"], n_segment_files=len(merged),
+        manifest=manifest,
+    )
+
+
 def build_index(
     out_dir: str,
     *,

@@ -1,0 +1,111 @@
+"""Distributed BM25 scoring: run a query over the index segments as a Ray
+Data pipeline.
+
+The driver-side IndexReader is the low-latency path (ms per query). This is
+the scale path for when a single query's candidate set is too large for one
+node, or for batch/offline scoring: segment files of the query's term
+buckets are read as a Dataset (partition-pruned — only those buckets leave
+storage), each batch of posting rows is decoded and scored vectorized, and
+per-doc partials are combined with a small groupby. Scores match the
+driver scorer to float tolerance (summation order differs across partials;
+ties at that granularity are broken by doc_id in both paths).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from docodo_ray import codec
+from docodo_ray.search import IndexReader
+from docodo_ray.tokenizer import term_bucket, tokenize
+
+
+class ScoreSegments:
+    """map_batches fn over segment rows: decode the query terms' postings
+    and emit (doc_id, score, hits) partials."""
+
+    def __init__(self, terms: list[str], idf: dict[str, float],
+                 avgdl: float, k1: float, b: float):
+        self.terms = set(terms)
+        self.idf = idf
+        self.avgdl = avgdl
+        self.k1 = k1
+        self.b = b
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docs_out, score_out, hits_out = [], [], []
+        for i in range(batch.num_rows):
+            term = batch["term"][i].as_py()
+            if term not in self.terms:
+                continue
+            d = codec.decode_postings(batch["doc_blob"][i].as_py())
+            tf = codec.decode_values(batch["tf_blob"][i].as_py()).astype(np.float64)
+            dl = codec.decode_values(batch["dl_blob"][i].as_py()).astype(np.float64)
+            s = self.idf[term] * tf * (self.k1 + 1.0) / (
+                tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+            )
+            docs_out.append(d.astype(np.int64))
+            score_out.append(s)
+            hits_out.append(np.ones(d.size, dtype=np.int64))
+        if not docs_out:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64()),
+                             "hits": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(docs_out)),
+            "score": pa.array(np.concatenate(score_out)),
+            "hits": pa.array(np.concatenate(hits_out)),
+        })
+
+
+def search_topk_distributed(
+    index_dir: str, query: str, k: int = 10, mode: str = "or"
+) -> list[tuple[int, float]]:
+    """-> [(doc_id, score)] like IndexReader.search, computed as a Ray
+    pipeline over the segment files (term/OR/AND clauses; phrase and
+    wildcard belong to the driver path)."""
+    reader = IndexReader(index_dir)
+    terms = sorted(set(tokenize(query, reader.spec)[0]))
+    if not terms:
+        return []
+    idf = {}
+    for t in terms:
+        df, _ = reader.term_stats(t)
+        if df:
+            idf[t] = reader.idf(df)
+    if not idf:
+        return []
+    if mode == "and" and len(idf) < len(terms):
+        return []  # a required term is absent
+    files = sorted({
+        os.path.join(index_dir, "segments", f"bucket-{term_bucket(t, reader.cfg.n_buckets):05d}.parquet")
+        for t in idf
+    })
+    files = [f for f in files if os.path.exists(f)]
+    ds = rd.read_parquet(files, columns=["term", "doc_blob", "tf_blob", "dl_blob"])
+    partials = ds.map_batches(
+        ScoreSegments,
+        fn_constructor_kwargs=dict(
+            terms=list(idf), idf=idf, avgdl=reader.avgdl,
+            k1=reader.cfg.bm25.k1, b=reader.cfg.bm25.b,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    agg = partials.groupby("doc_id").aggregate(
+        Sum("score", alias_name="score"), Sum("hits", alias_name="hits")
+    )
+    if mode == "and":
+        need = len(idf)
+        import pyarrow.compute as pc
+
+        agg = agg.map_batches(
+            lambda t: t.filter(pc.equal(t["hits"], need)), batch_format="pyarrow"
+        )
+    top = agg.sort(["score", "doc_id"], descending=[True, False]).limit(k).take_all()
+    return [(int(r["doc_id"]), float(r["score"])) for r in top]

@@ -333,12 +333,20 @@ def make_group_merge_fn(
     n_buckets: int,
     merge_groups: int,
     subdir: str = "segments",
+    existing_by_bucket: dict[int, str] | None = None,
 ):
     """Reduce side: map_batches fn over rows of merge-group ids. Each task
     reads ONLY its group's spill files (they contain exactly its bucket
     range), splits per bucket in memory, merges, and writes each final
     ``segments/bucket-NNNNN.parquet`` atomically. Returns one manifest row
-    per non-empty bucket."""
+    per non-empty bucket.
+
+    existing_by_bucket: for INCREMENTAL updates — each bucket's current
+    segment file is fed into the merge as one more set of runs (its rows
+    are valid partial posting rows) and the result lands under ``subdir``
+    (a staging dir the caller atomically swaps in). Re-adding an existing
+    document raises the duplicate-doc_id error from merge_segment_rows:
+    updates require disjoint doc sets."""
 
     def merge_buckets(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -346,15 +354,19 @@ def make_group_merge_fn(
         out_cols = {name: [] for name in MANIFEST_ROW_SCHEMA.names}
         for g in batch["group"].to_pylist():
             files = spill_by_group.get(int(g), [])
-            if not files:
-                continue
-            t_all = pq.read_table(files)
+            t_all = pq.read_table(files) if files else None
             for b in range(n_buckets):
                 if bucket_group(b, n_buckets, merge_groups) != g:
                     continue
-                t = t_all.filter(pc.equal(t_all["bucket"], b))
-                if t.num_rows == 0:
+                parts = []
+                if t_all is not None:
+                    parts.append(t_all.filter(pc.equal(t_all["bucket"], b)))
+                if existing_by_bucket and b in existing_by_bucket:
+                    parts.append(pq.read_table(existing_by_bucket[b]))
+                parts = [p for p in parts if p.num_rows]
+                if not parts:
                     continue
+                t = pa.concat_tables(parts).combine_chunks() if len(parts) > 1 else parts[0]
                 merged = merge_segment_rows(t)
                 rel = os.path.join(subdir, f"bucket-{b:05d}.parquet")
                 checksum = _atomic_write(merged, os.path.join(out_dir, rel))

@@ -1,0 +1,32 @@
+"""Distributed segment-scoring path vs the driver scorer."""
+
+import pytest
+
+from docodo_ray import IndexConfig, IndexReader, build_index
+from docodo_ray.distributed import search_topk_distributed
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory, small_corpus_files):
+    out = str(tmp_path_factory.mktemp("dist") / "idx")
+    cfg = IndexConfig(n_buckets=8, shard_target_postings=50, hot_sample_rate=1.0,
+                      tokenizer_batch_size=64, tokenizer_concurrency=2)
+    build_index(out, input_paths=small_corpus_files, cfg=cfg,
+                content_col="content", key_cols=["repo", "path", "commit"])
+    return out
+
+
+@pytest.mark.parametrize("query,mode", [
+    ("public static", "or"),
+    ("public static", "and"),
+    ("void", "or"),
+    ("nonexistentterm", "or"),
+    ("nonexistentterm public", "and"),
+])
+def test_distributed_matches_driver(idx, query, mode):
+    r = IndexReader(idx)
+    want = r.search(query, k=15, mode=mode)
+    got = search_topk_distributed(idx, query, k=15, mode=mode)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9

@@ -1,0 +1,62 @@
+"""Incremental index update: add documents to a live index (a capability the
+reference lacks — it only supports full rebuild, Index.cs:442-446)."""
+
+import numpy as np
+import pytest
+
+from docodo_ray import IndexConfig, IndexReader, build_index, update_index
+
+CFG_KW = dict(content_col="content", key_cols=["repo", "path", "commit"],
+              meta_cols=("repo", "path", "lang"))
+
+
+def _cfg():
+    return IndexConfig(n_buckets=8, shard_target_postings=50, hot_sample_rate=1.0,
+                       tokenizer_batch_size=32, tokenizer_concurrency=2)
+
+
+def test_update_equals_full_rebuild(tmp_path, small_corpus_files):
+    part_a = small_corpus_files[:2]
+    part_b = small_corpus_files[2:]
+
+    # full build over everything (the oracle)
+    full = build_index(str(tmp_path / "full"), input_paths=small_corpus_files,
+                       cfg=_cfg(), **CFG_KW)
+
+    # build A, then add B incrementally
+    inc_dir = str(tmp_path / "inc")
+    build_index(inc_dir, input_paths=part_a, cfg=_cfg(), **CFG_KW)
+    res = update_index(inc_dir, input_paths=part_b)
+
+    assert res.n_docs == full.n_docs
+    assert res.total_tokens == full.total_tokens
+    # posting-level equality for every term
+    rf, ri = IndexReader(full.out_dir), IndexReader(inc_dir)
+    terms = rf.term_dictionary()["term"].to_pylist()
+    assert set(terms) == set(ri.term_dictionary()["term"].to_pylist())
+    for t in terms[:200]:
+        pf = rf.read_posting(t, with_positions=True)
+        pi = ri.read_posting(t, with_positions=True)
+        assert np.array_equal(pf.doc_ids, pi.doc_ids), t
+        assert np.array_equal(pf.tfs, pi.tfs), t
+        assert np.array_equal(pf.dls, pi.dls), t
+        if pf.pos_flat is not None:
+            assert np.array_equal(pf.pos_flat, pi.pos_flat), t
+    # identical BM25 results
+    for q in ["public static", '"old lady"', "public | void"]:
+        assert rf.search(q, k=10) == ri.search(q, k=10), q
+    # lineage recorded
+    assert res.manifest["generation"] == 1
+    assert res.manifest["shards"]["update-0001"]["status"] == "done"
+
+
+def test_update_rejects_duplicate_docs(tmp_path, small_corpus_files):
+    inc_dir = str(tmp_path / "dup")
+    build_index(inc_dir, input_paths=small_corpus_files[:2], cfg=_cfg(), **CFG_KW)
+    with pytest.raises(Exception, match="duplicate doc_ids"):
+        update_index(inc_dir, input_paths=small_corpus_files[:1])
+
+
+def test_update_requires_completed_index(tmp_path):
+    with pytest.raises(ValueError, match="completed index"):
+        update_index(str(tmp_path / "nope"), input_paths=["x.parquet"])
