@@ -29,7 +29,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from docodo_ray import dedup, pipelines, sim, textstats
+    from docodo_ray import dedup, multimodal, pipelines, sim, textstats
 
     return {
         # --- inverted index + BM25 core (SURVEY §2.2/2.5/2.6, A1-A8) ---
@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "embedding_topk": sim.embedding_topk,
         "embedding_topk_ivf": sim.embedding_topk_ivf,    # approximate: rows-only
+        # --- multimodal plumbing (stubbed decode kernel): rows-only ---
+        "media_features": multimodal.media_features,
     }
 
 

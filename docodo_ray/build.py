@@ -446,11 +446,11 @@ def build_index(
     if stages.get("stats") != "done":
         import pyarrow.parquet as pq
 
-        t = pq.read_table(
-            os.path.join(out_dir, "term_stats"),
-            filters=[("term", "==", DOC_LEN_TERM)],
-        )
-        if t.num_rows:
+        ts_dir = os.path.join(out_dir, "term_stats")
+        os.makedirs(ts_dir, exist_ok=True)  # empty corpus -> no sidecars
+        t = pq.read_table(ts_dir, filters=[("term", "==", DOC_LEN_TERM)]) \
+            if any(os.scandir(ts_dir)) else None
+        if t is not None and t.num_rows:
             n_docs = int(t["df"][0].as_py())
             total_tokens = int(t["cf"][0].as_py())
         else:

@@ -1,0 +1,179 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The decode kernels themselves are STUBBED (this container ships no
+PIL/ffmpeg/librosa — each stage probes for the real library in ``__init__``
+and falls back to a deterministic fake decode derived from the payload
+bytes). The Ray-side plumbing is real and tested: schema contract, binary
+columns kept in ``batch_format="pyarrow"`` end-to-end (nested/binary does
+not round-trip pandas safely), small batch sizes for wide payloads, actor
+state in ``__init__``, fixed-shape Arrow list outputs.
+
+Schema contract for a media table:
+    (doc_id:int64, media:binary, media_type:string, ...meta)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+FEATURE_DIM = 8
+
+# batch sizing: media payloads are wide — size batches so
+# batch_size x payload x concurrency fits the worker heap
+MEDIA_BATCH_SIZE = 64
+
+
+def _fake_floats(payload: bytes, n: int, salt: bytes) -> np.ndarray:
+    """Deterministic stand-in for a model/codec output: blake2b of the
+    payload expanded to n float32 in [0, 1)."""
+    out = np.empty(n, dtype=np.float32)
+    i = 0
+    counter = 0
+    while i < n:
+        h = hashlib.blake2b(payload, digest_size=32, salt=salt,
+                            person=counter.to_bytes(8, "little")).digest()
+        chunk = np.frombuffer(h, dtype="<u4").astype(np.float32) / np.float32(2**32)
+        take = min(n - i, chunk.size)
+        out[i : i + take] = chunk[:take]
+        i += take
+        counter += 1
+    return out
+
+
+class DecodeImageStage:
+    """binary image -> (width, height, channels, feature[FEATURE_DIM]).
+
+    Real path (when PIL exists): decode, read size, downsample features.
+    Stub path: deterministic dimensions/features from the payload hash —
+    clearly marked, same output schema either way."""
+
+    def __init__(self):
+        try:
+            from PIL import Image  # noqa: F401
+
+            self.pil = Image
+        except ImportError:
+            self.pil = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, chans, feats = [], [], [], []
+        for payload in batch["media"].to_pylist():
+            payload = payload or b""
+            if self.pil is not None:
+                import io
+
+                img = self.pil.open(io.BytesIO(payload))
+                w, h = img.size
+                c = len(img.getbands())
+                arr = np.asarray(img.resize((4, 2))).astype(np.float32)
+                feat = arr.mean(axis=-1).reshape(-1)[:FEATURE_DIM] / 255.0
+            else:
+                h8 = hashlib.blake2b(payload, digest_size=8).digest()
+                w = 64 + h8[0] * 8
+                h = 64 + h8[1] * 8
+                c = 3
+                feat = _fake_floats(payload, FEATURE_DIM, b"imgfeat_")
+            widths.append(w)
+            heights.append(h)
+            chans.append(c)
+            feats.append(feat.tolist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "channels": pa.array(chans, pa.int32()),
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
+class AudioFeatureStage:
+    """binary audio -> (duration_ms, feature[FEATURE_DIM]) — MFCC-ish stub
+    (librosa probe + deterministic fallback)."""
+
+    def __init__(self, sample_rate: int = 16_000):
+        self.sample_rate = sample_rate
+        try:
+            import librosa  # noqa: F401
+
+            self.librosa = librosa
+        except ImportError:
+            self.librosa = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        durs, feats = [], []
+        for payload in batch["media"].to_pylist():
+            payload = payload or b""
+            if self.librosa is not None:
+                raise NotImplementedError("real audio decode untested in this env")
+            # stub: 2 bytes/sample mono PCM assumption for duration
+            durs.append(int(len(payload) / 2 / self.sample_rate * 1000))
+            feats.append(_fake_floats(payload, FEATURE_DIM, b"audfeat_").tolist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "duration_ms": pa.array(durs, pa.int64()),
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
+class FrameSampleStage:
+    """binary video -> up to ``n_frames`` evenly-spaced frame payloads
+    (list<binary>). Stub frames are byte slices; a real decoder would emit
+    encoded frames with the same output schema."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frames_col = []
+        for payload in batch["media"].to_pylist():
+            payload = payload or b""
+            if not payload:
+                frames_col.append([])
+                continue
+            n = min(self.n_frames, max(1, len(payload) // 16))
+            step = len(payload) // n
+            frames_col.append(
+                [payload[i * step : i * step + min(16, step or 16)] for i in range(n)]
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_frames": pa.array([len(f) for f in frames_col], pa.int32()),
+                "frames": pa.array(frames_col, pa.list_(pa.binary())),
+            }
+        )
+
+
+def media_features(sf_dir: str) -> rd.Dataset:
+    """queries() surface: treat documents.text bytes as an opaque media
+    payload and run the image-decode actor pool over it — exercises the
+    full multimodal plumbing (binary column, pyarrow batches, actor pool,
+    fixed-shape list output) with the deterministic stub kernel."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        payloads = [x.encode("utf-8") for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "media": pa.array(payloads, pa.binary()),
+                "media_type": pa.array(["text/fake-image"] * t.num_rows),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    return media.map_batches(
+        DecodeImageStage,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, 4),
+    )

@@ -192,9 +192,10 @@ class IndexReader:
         hit = self._term_stats_cache.get(term)
         if hit is not None:
             return hit
-        t = pq.read_table(
-            os.path.join(self.dir, "term_stats"), filters=[("term", "==", term)]
-        )
+        ts_dir = os.path.join(self.dir, "term_stats")
+        if not os.path.isdir(ts_dir) or not any(os.scandir(ts_dir)):
+            return (0, 0)
+        t = pq.read_table(ts_dir, filters=[("term", "==", term)])
         val = (int(t["df"][0].as_py()), int(t["cf"][0].as_py())) if t.num_rows else (0, 0)
         self._term_stats_cache[term] = val
         return val
@@ -203,15 +204,25 @@ class IndexReader:
         """Full term-stats table (suggestions / histogram / wildcard scans),
         loaded once and cached."""
         if self._term_dict is None:
-            t = pq.read_table(
-                os.path.join(self.dir, "term_stats"), columns=["term", "df", "cf"]
-            )
-            self._term_dict = t.filter(pc.not_equal(t["term"], DOC_LEN_TERM))
+            ts_dir = os.path.join(self.dir, "term_stats")
+            if not os.path.isdir(ts_dir) or not any(os.scandir(ts_dir)):
+                self._term_dict = pa.table(
+                    {"term": pa.array([], pa.string()),
+                     "df": pa.array([], pa.int64()),
+                     "cf": pa.array([], pa.int64())}
+                )
+            else:
+                t = pq.read_table(ts_dir, columns=["term", "df", "cf"])
+                self._term_dict = t.filter(pc.not_equal(t["term"], DOC_LEN_TERM))
         return self._term_dict.select(list(columns))
 
     def doc_meta(self, doc_ids: list[int] | None = None):
         if self._doc_meta is None:
-            self._doc_meta = pq.read_table(os.path.join(self.dir, "doc_meta"))
+            md = os.path.join(self.dir, "doc_meta")
+            if not os.path.isdir(md) or not any(os.scandir(md)):
+                self._doc_meta = pa.table({"doc_id": pa.array([], pa.uint64())})
+            else:
+                self._doc_meta = pq.read_table(md)
         if doc_ids is None:
             return self._doc_meta
         want = pc.is_in(

@@ -1,0 +1,49 @@
+"""Edge cases: empty corpus, empty docs, snippets."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from docodo_ray import IndexConfig, IndexReader, build_index
+from docodo_ray.search import make_snippet
+
+
+def test_empty_corpus_build(tmp_path):
+    p = str(tmp_path / "empty.parquet")
+    pq.write_table(
+        pa.table({"repo": pa.array([], pa.string()), "path": pa.array([], pa.string()),
+                  "commit": pa.array([], pa.string()), "lang": pa.array([], pa.string()),
+                  "content": pa.array([], pa.string())}),
+        p,
+    )
+    res = build_index(str(tmp_path / "idx"), input_paths=[p],
+                      cfg=IndexConfig(n_buckets=4, tokenizer_concurrency=1),
+                      key_cols=["repo", "path", "commit"])
+    assert res.n_docs == 0 and res.total_tokens == 0
+    r = IndexReader(res.out_dir)
+    assert r.search("anything", k=5) == []
+    assert r.suggest("a") == []
+
+
+def test_empty_and_whitespace_docs(tmp_path):
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [1, 2, 3], "text": ["", "   \n\t ", "real words here"]}),
+        p,
+    )
+    res = build_index(str(tmp_path / "idx"), input_paths=[p],
+                      cfg=IndexConfig(n_buckets=4, tokenizer_concurrency=1),
+                      content_col="text", id_col="doc_id")
+    # all three docs counted (N includes empty docs), only one has tokens
+    assert res.n_docs == 3
+    r = IndexReader(res.out_dir)
+    assert [d for d, _ in r.search("real", k=5)] == [3]
+
+
+def test_make_snippet():
+    text = "x " * 50 + "the quick brown fox jumps over the lazy dog " + "y " * 200
+    s = make_snippet(text, ["quick", "lazy"])
+    assert "<b>quick</b>" in s
+    assert len(s) <= 320 + 2 * len("<b></b>") * 8
+    # no hits -> head of text
+    assert make_snippet("short text", ["absent"]) == "short text"
