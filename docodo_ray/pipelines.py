@@ -16,7 +16,6 @@ shortcut reimplementation.
 
 from __future__ import annotations
 
-import math
 import os
 import shutil
 
