@@ -38,7 +38,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from docodo_ray.config import DOC_LEN_TERM, IndexConfig
+from docodo_ray.config import DOC_LEN_TERM, IndexConfig, resolve_n_buckets
 from docodo_ray.stages.postings import make_group_merge_fn
 from docodo_ray.stages.tokenize import HotSampleStage, SpillStage
 
@@ -59,6 +59,22 @@ class BuildResult:
 def _cfg_fingerprint(cfg: IndexConfig, input_desc: dict) -> str:
     payload = json.dumps({"cfg": asdict(cfg), "input": input_desc}, sort_keys=True, default=str)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _input_stat(paths: list[str] | None) -> list[list] | None:
+    """(size, mtime_ns) per input file, folded into the resume fingerprint so
+    re-running over in-place-modified inputs rebuilds instead of silently
+    returning the stale index."""
+    if not paths:
+        return None
+    out = []
+    for p in sorted(paths):
+        try:
+            st = os.stat(p)
+            out.append([p, st.st_size, st.st_mtime_ns])
+        except OSError:
+            out.append([p, -1, -1])
+    return out
 
 
 def _save_manifest(out_dir: str, manifest: dict) -> None:
@@ -344,13 +360,18 @@ def build_index(
                     shuffle producing the same final layout. Requires
                     ``input_paths``.
     """
-    cfg = cfg or IndexConfig()
+    cfg = resolve_n_buckets(cfg or IndexConfig())
     input_desc = {
         "paths": sorted(input_paths) if input_paths else None,
+        "stat": _input_stat(input_paths),
         "content_col": content_col, "id_col": id_col,
         "key_cols": key_cols, "meta_cols": list(meta_cols), "shards": shards,
     }
     fp = _cfg_fingerprint(cfg, input_desc)
+    if ds is not None and input_paths is None:
+        # ad-hoc Dataset: no describable lineage to fingerprint -> never
+        # resume a previous build over possibly-different data
+        resume = False
     os.makedirs(out_dir, exist_ok=True)
     manifest = _load_manifest(out_dir) if resume else None
     if manifest is not None and manifest.get("fingerprint") != fp:

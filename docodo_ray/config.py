@@ -46,7 +46,10 @@ class IndexConfig:
     """Build-time knobs.
 
     n_buckets: number of term hash-buckets = shuffle groups = output files.
-        At cluster scale set ~4x total cores so the groupby fans out.
+        None -> resolved at build time to max(64, 4 x cluster CPUs) and
+        frozen into the manifest, so the bucket fan-out grows with the
+        cluster (a bucket is the unit of merge parallelism AND the unit of
+        query-side read amplification).
     shard_target_postings: a term whose estimated df exceeds this is "hot"
         and its postings are salted into ceil(df_est/target) doc-hash shards
         (SURVEY §4 skew row). Default mirrors the reference's per-task spill
@@ -59,7 +62,7 @@ class IndexConfig:
         needed.
     """
 
-    n_buckets: int = 64
+    n_buckets: int | None = None
     # reduce fan-out of the spill exchange: spills are written pre-split into
     # this many contiguous-bucket groups and each merge task reads ONLY its
     # group's files (total footer opens stay constant as the cluster grows).
@@ -85,6 +88,21 @@ class IndexConfig:
     # be stemmed (SURVEY M6 note).
     vocab: tuple = ()
     use_stemmer: bool = False
+
+
+def resolve_n_buckets(cfg: "IndexConfig") -> "IndexConfig":
+    """Return a config with ``n_buckets`` resolved to a concrete int:
+    max(64, 4 x cluster CPUs) when left as None. Called once by build_index
+    BEFORE fingerprinting, so the resolved value is what the manifest (and
+    every reader) sees."""
+    if cfg.n_buckets is not None:
+        return cfg
+    from dataclasses import replace
+
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 16)) if ray.is_initialized() else 16
+    return replace(cfg, n_buckets=max(64, 4 * cpus))
 
 
 def load_vocab_tsv(path: str) -> tuple:

@@ -83,11 +83,20 @@ def search_topk_distributed(
     if mode == "and" and len(idf) < len(terms):
         return []  # a required term is absent
     files = sorted({
-        os.path.join(index_dir, "segments", f"bucket-{term_bucket(t, reader.cfg.n_buckets):05d}.parquet")
+        p
         for t in idf
+        for p in reader._segment_paths(term_bucket(t, reader.cfg.n_buckets))
     })
     files = [f for f in files if os.path.exists(f)]
-    ds = rd.read_parquet(files, columns=["term", "doc_blob", "tf_blob", "dl_blob"])
+    import pyarrow.dataset as pds
+
+    # push the term filter into the read: non-query terms' posting blobs
+    # never leave storage (row-group pruning on the sorted term column)
+    ds = rd.read_parquet(
+        files,
+        columns=["term", "doc_blob", "tf_blob", "dl_blob"],
+        filter=pds.field("term").isin(sorted(idf)),
+    )
     partials = ds.map_batches(
         ScoreSegments,
         fn_constructor_kwargs=dict(

@@ -142,10 +142,16 @@ GROUP BY f.doc_id
 
     from docodo_ray.pipelines import WILDCARD_PATTERN
 
+    from docodo_ray.queryparse import MAX_LIKE_WORDS
+
     wc_regex = "^" + "".join("." if c in "?_" else c for c in WILDCARD_PATTERN) + "$"
+    # LIMIT over term-ascending order mirrors like_words' sorted()[:100] cap
+    # (reference MAX_LIKE_WORDS, Search.cs:158-167)
     sql["wildcard_terms"] = pro + f"""
-SELECT term, count(DISTINCT doc_id) AS df FROM filt
-WHERE regexp_matches(term, '{wc_regex}') GROUP BY term
+SELECT term, df FROM (
+  SELECT term, count(DISTINCT doc_id) AS df FROM filt
+  WHERE regexp_matches(term, '{wc_regex}') GROUP BY term
+) ORDER BY term ASC LIMIT {MAX_LIKE_WORDS}
 """
 
     sql["suggest_prefix"] = pro + f"""

@@ -208,10 +208,11 @@ def fielded_search(sf_dir: str) -> pa.Table:
     p = r.read_posting(FIELDED_TERM)
     if p is None:
         return pa.table({"doc_id": pa.array([], pa.int64()), "tf": pa.array([], pa.int64())})
-    meta = r.doc_meta()
-    import pyarrow.compute as pc
+    from docodo_ray.queryparse import ParsedQuery
 
-    keep = meta.filter(pc.equal(meta["lang"], FIELDED_LANG))["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    # pushdown point read of the meta predicate's doc set (never the table)
+    keep = r._meta_candidates(ParsedQuery(field_eq={"lang": FIELDED_LANG}))
+    assert keep is not None
     mask = np.isin(p.doc_ids, keep, assume_unique=True)
     return pa.table(
         {"doc_id": pa.array(p.doc_ids[mask].astype(np.int64)),

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import json
 import os
-import re
+
 from dataclasses import dataclass
 
 import numpy as np
@@ -94,13 +94,16 @@ def levenshtein(a: str, b: str) -> int:
 class IndexReader:
     """Driver-side query handle.
 
-    Caching: bucket segment files are read once and kept (term -> row-index
-    map per bucket), and the term dictionary is loaded once — repeated
-    queries cost decode + numpy only. ``max_cached_buckets`` bounds resident
-    buckets LRU-style; at 10^12-doc scale set it to the working set the
-    query node's RAM affords (a bucket is 1/n_buckets of the index)."""
+    Term lookup is partition-pruned at two levels: term -> crc32 bucket
+    selects the segment file(s), then the per-row-group term min/max parquet
+    statistics (footers cached once per bucket) select the row groups — a
+    cold single-term lookup reads ~SEGMENT_ROW_GROUP_SIZE rows of one
+    bucket, never the whole file (the analogue of the reference's lazy seek
+    LoadSequence, Index.cs:198-216). Decoded postings and the term
+    dictionary are cached; ``io_stats`` counts rows/row-groups actually read
+    (asserted ≪ bucket size in tests)."""
 
-    def __init__(self, index_dir: str, max_cached_buckets: int = 256):
+    def __init__(self, index_dir: str, max_cached_buckets: int = 4096):
         self.dir = index_dir
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
@@ -117,30 +120,80 @@ class IndexReader:
         self._posting_cache: dict[tuple, "Posting | None"] = {}
         self._score_cache: dict[str, np.ndarray] = {}
         self._doc_meta = None
-        self._bucket_cache: dict[int, tuple] = {}  # b -> (table, {term: [rows]})
+        # b -> [(ParquetFile, term_min per rg, term_max per rg)], one entry
+        # per segment run file of the bucket (footers only, no data pages)
+        self._bucket_cache: dict[int, list[tuple]] = {}
         self._max_cached_buckets = max_cached_buckets
         self._term_dict = None
+        self._seg_by_bucket: dict[int, list[str]] | None = None
+        self._ts_by_bucket: dict[int, list[str]] | None = None
+        self.io_stats = {"rows_read": 0, "row_groups_read": 0, "file_opens": 0}
 
     # ---- posting access -------------------------------------------------
-    def _bucket_rows(self, term: str) -> tuple:
-        """(segment table, row indices) of a term, via the bucket cache."""
-        b = term_bucket(term, self.cfg.n_buckets)
+    def _segment_paths(self, b: int) -> list[str]:
+        """Segment run files of bucket b, from the manifest (LSM layout:
+        possibly several generations per bucket)."""
+        if self._seg_by_bucket is None:
+            by: dict[int, list[str]] = {}
+            for r in self.manifest.get("segments", []):
+                by.setdefault(int(r["bucket"]), []).append(
+                    os.path.join(self.dir, r["path"])
+                )
+            self._seg_by_bucket = by
+        return self._seg_by_bucket.get(b, [])
+
+    def _bucket_handle(self, b: int) -> list[tuple]:
         hit = self._bucket_cache.get(b)
         if hit is None:
-            bpath = os.path.join(self.dir, "segments", f"bucket-{b:05d}.parquet")
-            if not os.path.exists(bpath):
-                hit = (None, {})
-            else:
-                t = pq.read_table(bpath)
-                idx: dict[str, list[int]] = {}
-                for i, tm in enumerate(t["term"].to_pylist()):
-                    idx.setdefault(tm, []).append(i)
-                hit = (t, idx)
+            hit = []
+            for path in self._segment_paths(b):
+                if not os.path.exists(path):
+                    continue
+                pf = pq.ParquetFile(path)
+                md = pf.metadata
+                ci = md.schema.to_arrow_schema().get_field_index("term")
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(ci).statistics
+                    if s is None or not s.has_min_max:
+                        mins.append("")          # no stats: never prune
+                        maxs.append("\U0010ffff")
+                    else:
+                        mins.append(s.min)
+                        maxs.append(s.max)
+                hit.append((pf, mins, maxs))
+                self.io_stats["file_opens"] += 1
             if len(self._bucket_cache) >= self._max_cached_buckets:
                 self._bucket_cache.pop(next(iter(self._bucket_cache)))
             self._bucket_cache[b] = hit
-        t, idx = hit
-        return t, idx.get(term, [])
+        return hit
+
+    def _term_rows(self, term: str, with_positions: bool = True) -> pa.Table | None:
+        """All segment rows of ``term`` (its salt shards x generations),
+        reading only the row groups whose term-range statistics cover it."""
+        from bisect import bisect_left
+
+        cols = ["term", "df", "cf", "doc_blob", "tf_blob", "dl_blob", "bm_blob"]
+        if with_positions:
+            cols.append("pos_blob")
+        out = []
+        for pf, mins, maxs in self._bucket_handle(term_bucket(term, self.cfg.n_buckets)):
+            g = bisect_left(maxs, term)  # first rg whose max >= term
+            rgs = []
+            while g < len(mins) and mins[g] <= term:
+                rgs.append(g)
+                g += 1
+            if not rgs:
+                continue
+            t = pf.read_row_groups(rgs, columns=cols)
+            self.io_stats["rows_read"] += t.num_rows
+            self.io_stats["row_groups_read"] += len(rgs)
+            t = t.filter(pc.equal(t["term"], term))
+            if t.num_rows:
+                out.append(t)
+        if not out:
+            return None
+        return pa.concat_tables(out) if len(out) > 1 else out[0]
 
     def read_posting(self, term: str, with_positions: bool = False) -> Posting | None:
         ck = (term, with_positions)
@@ -154,16 +207,15 @@ class IndexReader:
         return p
 
     def _read_posting_uncached(self, term: str, with_positions: bool) -> Posting | None:
-        full, rows = self._bucket_rows(term)
-        if not rows:
+        t = self._term_rows(term, with_positions)
+        if t is None:
             return None
-        t = full.take(rows)
         parts = []
         for i in range(t.num_rows):
             d = codec.decode_postings(t["doc_blob"][i].as_py())
             tf = codec.decode_values(t["tf_blob"][i].as_py()).astype(np.uint32)
             dl = codec.decode_values(t["dl_blob"][i].as_py()).astype(np.uint32)
-            pb = t["pos_blob"][i].as_py()
+            pb = t["pos_blob"][i].as_py() if with_positions else None
             if with_positions and pb:
                 pf, pcnt = codec.decode_positions_flat(pb, d.size)
             else:
@@ -171,6 +223,7 @@ class IndexReader:
             parts.append((d, tf, dl, pf, pcnt))
         if len(parts) == 1:
             d, tf, dl, pf, pcnt = parts[0]
+            bm = codec.decode_blockmax(t["bm_blob"][0].as_py())
         else:
             d = np.concatenate([p[0] for p in parts])
             order = np.argsort(d, kind="stable")
@@ -184,52 +237,148 @@ class IndexReader:
                 pf, pcnt = codec.gather_ranges(flat_all, off_all, cnt_all, order)
             else:
                 pf, pcnt = None, None
-        bm = codec.decode_blockmax(t["bm_blob"][0].as_py()) if t.num_rows == 1 else None
-        return Posting(term, d, tf, dl, pf, pcnt, bm)
+            # salted/multi-run terms: recompute the block-max sidecar from
+            # the merged arrays — these are exactly the very long lists WAND
+            # block skipping exists for
+            bm = codec.decode_blockmax(codec.encode_blockmax_arrays(d, tf, dl))
+        return Posting(term, d, tf, dl, pf, pcnt, bm if bm.size else None)
+
+    def _term_stats_paths(self, b: int) -> list[str]:
+        """term_stats sidecar files of bucket b (one per generation)."""
+        if self._ts_by_bucket is None:
+            by: dict[int, list[str]] = {}
+            ts_dir = os.path.join(self.dir, "term_stats")
+            if os.path.isdir(ts_dir):
+                for root, _dirs, names in os.walk(ts_dir):
+                    for n in sorted(names):
+                        if n.startswith("bucket-") and n.endswith(".parquet"):
+                            by.setdefault(int(n[7:12]), []).append(
+                                os.path.join(root, n)
+                            )
+            self._ts_by_bucket = by
+        return self._ts_by_bucket.get(b, [])
 
     def term_stats(self, term: str) -> tuple[int, int]:
-        """(df, cf) from the term_stats table (global, summed over salts)."""
+        """(df, cf): summed over salt shards at write time and over LSM
+        generations here (doc sets across generations are disjoint, so sums
+        are exact). Reads only the term's bucket sidecar(s) with a term==
+        row filter."""
         hit = self._term_stats_cache.get(term)
         if hit is not None:
             return hit
-        ts_dir = os.path.join(self.dir, "term_stats")
-        if not os.path.isdir(ts_dir) or not any(os.scandir(ts_dir)):
+        paths = self._term_stats_paths(term_bucket(term, self.cfg.n_buckets))
+        if not paths:
             return (0, 0)
-        t = pq.read_table(ts_dir, filters=[("term", "==", term)])
-        val = (int(t["df"][0].as_py()), int(t["cf"][0].as_py())) if t.num_rows else (0, 0)
+        t = pq.read_table(paths, filters=[("term", "==", term)])
+        val = (
+            (int(pc.sum(t["df"]).as_py()), int(pc.sum(t["cf"]).as_py()))
+            if t.num_rows
+            else (0, 0)
+        )
         self._term_stats_cache[term] = val
         return val
 
     def term_dictionary(self, columns=("term", "df", "cf")):
         """Full term-stats table (suggestions / histogram / wildcard scans),
-        loaded once and cached."""
+        loaded once and cached; df/cf summed across LSM generations."""
         if self._term_dict is None:
-            ts_dir = os.path.join(self.dir, "term_stats")
-            if not os.path.isdir(ts_dir) or not any(os.scandir(ts_dir)):
+            paths = sorted(
+                p for b in range(self.cfg.n_buckets) for p in self._term_stats_paths(b)
+            )
+            if not paths:
                 self._term_dict = pa.table(
                     {"term": pa.array([], pa.string()),
                      "df": pa.array([], pa.int64()),
                      "cf": pa.array([], pa.int64())}
                 )
             else:
-                t = pq.read_table(ts_dir, columns=["term", "df", "cf"])
-                self._term_dict = t.filter(pc.not_equal(t["term"], DOC_LEN_TERM))
+                t = pq.read_table(paths, columns=["term", "df", "cf"])
+                t = t.filter(pc.not_equal(t["term"], DOC_LEN_TERM))
+                t = t.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+                self._term_dict = pa.table(
+                    {"term": t["term"], "df": t["df_sum"], "cf": t["cf_sum"]}
+                )
         return self._term_dict.select(list(columns))
 
-    def doc_meta(self, doc_ids: list[int] | None = None):
+    def _doc_meta_dir(self) -> str | None:
+        md = os.path.join(self.dir, "doc_meta")
+        if os.path.isdir(md) and any(
+            f.endswith(".parquet") for _r, _d, fs in os.walk(md) for f in fs
+        ):
+            return md
+        return None
+
+    def doc_meta_schema(self) -> pa.Schema | None:
+        md = self._doc_meta_dir()
+        if md is None:
+            return None
+        import pyarrow.dataset as pds
+
+        return pds.dataset(md, format="parquet").schema
+
+    def doc_meta(self, doc_ids: list[int] | None = None, columns: list[str] | None = None):
+        """Doc-meta rows. With ``doc_ids``: a filter-pushdown point read
+        (only matching row groups leave storage) — the whole-table load only
+        happens for doc_ids=None, which callers must reserve for
+        corpus-small results (pipelines over the test tables)."""
+        md = self._doc_meta_dir()
+        if md is None:
+            return pa.table({"doc_id": pa.array([], pa.uint64())})
+        if doc_ids is not None:
+            ids = pa.array([int(d) for d in doc_ids], pa.uint64())
+            return pq.read_table(
+                md, columns=columns, filters=[("doc_id", "in", ids)]
+            )
         if self._doc_meta is None:
-            md = os.path.join(self.dir, "doc_meta")
-            if not os.path.isdir(md) or not any(os.scandir(md)):
-                self._doc_meta = pa.table({"doc_id": pa.array([], pa.uint64())})
-            else:
-                self._doc_meta = pq.read_table(md)
-        if doc_ids is None:
-            return self._doc_meta
-        want = pc.is_in(
-            self._doc_meta["doc_id"],
-            value_set=pa.array([int(d) for d in doc_ids], self._doc_meta["doc_id"].type),
-        )
-        return self._doc_meta.filter(want)
+            self._doc_meta = pq.read_table(md)
+        return self._doc_meta.select(columns) if columns else self._doc_meta
+
+    def _meta_candidates(self, q: ParsedQuery) -> np.ndarray | None:
+        """Doc-id candidate set for the query's {field=value} / -filter:
+        predicates, computed BEFORE ranking (reference intersects doc sets
+        before ranking, Search.cs:423-428,544-547; round-1 applied these
+        after top-k truncation, which silently dropped ranked-below-k
+        matches). Column-pruned pushdown reads; unknown fields are ignored
+        (reference behavior). Returns None when no predicate applies."""
+        if not q.field_eq and not q.name_filters:
+            return None
+        md = self._doc_meta_dir()
+        schema = self.doc_meta_schema()
+        if md is None or schema is None:
+            return None
+        cand: np.ndarray | None = None
+
+        def merge(ids: np.ndarray) -> None:
+            nonlocal cand
+            ids = np.sort(ids.astype(np.uint64))
+            cand = ids if cand is None else np.intersect1d(cand, ids, assume_unique=True)
+
+        for fld, val in q.field_eq.items():
+            if fld not in schema.names:
+                continue
+            typ = schema.field(fld).type
+            v: object = val
+            try:
+                if pa.types.is_integer(typ):
+                    v = int(val)
+                elif pa.types.is_floating(typ):
+                    v = float(val)
+            except ValueError:
+                return np.empty(0, dtype=np.uint64)
+            t = pq.read_table(md, columns=["doc_id"], filters=[(fld, "==", v)])
+            merge(t["doc_id"].to_numpy(zero_copy_only=False))
+            if cand is not None and cand.size == 0:
+                return cand
+        name_col = next((c for c in ("path", "source") if c in schema.names), None)
+        for rx in q.name_filters:
+            if name_col is None:
+                continue
+            t = pq.read_table(md, columns=["doc_id", name_col])
+            m = pc.match_substring_regex(t[name_col].cast(pa.string()), rx)
+            merge(t.filter(m)["doc_id"].to_numpy(zero_copy_only=False))
+            if cand is not None and cand.size == 0:
+                return cand
+        return cand
 
     # ---- BM25 -----------------------------------------------------------
     def idf(self, df: int) -> float:
@@ -285,8 +434,12 @@ class IndexReader:
         ):
             return []
 
-        # candidate doc set: AND across clauses (each clause = union of its postings)
-        cand: np.ndarray | None = None
+        # candidate doc set: AND across clauses (each clause = union of its
+        # postings), intersected with the meta-predicate doc set BEFORE
+        # ranking (so k filtered hits are returned whenever >= k docs match)
+        cand: np.ndarray | None = self._meta_candidates(q)
+        if cand is not None and cand.size == 0:
+            return []
         if mode == "and" or phrase_clauses:
             sets = []
             for ps, c in zip(clause_postings, q.clauses):
@@ -299,8 +452,10 @@ class IndexReader:
                 else:
                     s = ps[0].doc_ids if len(ps) == 1 else np.unique(np.concatenate([p.doc_ids for p in ps]))
                 sets.append(s)
-            if not sets:
+            if not sets and cand is None:
                 return []
+            if cand is not None:
+                sets.append(cand)
             sets.sort(key=lambda s: s.size)
             cand = sets[0]
             for s in sets[1:]:
@@ -317,9 +472,6 @@ class IndexReader:
             top = self._wand_topk(list(all_postings.values()), k)
         else:
             top = self._score_topk(list(all_postings.values()), cand, k)
-
-        if q.field_eq or q.name_filters:
-            top = self._apply_meta_filters(top, q, k)
         return top[:k]
 
     def _score_topk(
@@ -466,25 +618,6 @@ class IndexReader:
                 live = [c for c in live if c["i"] < c["docs"].size]
         out = sorted(heap, key=lambda x: (-x[0], -x[1]))
         return [(-nd, s) for s, nd in out]
-
-    def _apply_meta_filters(
-        self, scored: list[tuple[int, float]], q: ParsedQuery, k: int
-    ) -> list[tuple[int, float]]:
-        if not scored:
-            return scored
-        meta = self.doc_meta([d for d, _ in scored])
-        keep = set(meta["doc_id"].to_pylist())
-        cols = {name: dict(zip(meta["doc_id"].to_pylist(), meta[name].to_pylist()))
-                for name in meta.schema.names if name != "doc_id"}
-        for fld, val in q.field_eq.items():
-            if fld in cols:
-                keep = {d for d in keep if str(cols[fld].get(d)) == val}
-        for rx in q.name_filters:
-            cr = re.compile(rx)
-            name_col = "path" if "path" in cols else ("source" if "source" in cols else None)
-            if name_col:
-                keep = {d for d in keep if cr.search(str(cols[name_col].get(d, "")))}
-        return [(d, s) for d, s in scored if d in keep]
 
     # ---- Docodo-parity surfaces ----------------------------------------
     def suggest(self, prefix: str, n: int = 10) -> list[str]:

@@ -73,6 +73,13 @@ MANIFEST_ROW_SCHEMA = pa.schema(
 )
 
 SPILL_ROW_GROUP_SIZE = 8192
+# Final segment files are sorted by (term, salt); writing tiny row groups
+# gives the reader per-term row-group pruning via the parquet term min/max
+# statistics (the analogue of the reference's lazy posting seek,
+# Index.cs:198-216) — a cold single-term lookup reads ~SEGMENT_ROW_GROUP_SIZE
+# rows, not the whole bucket.
+SEGMENT_ROW_GROUP_SIZE = 32
+TERM_STATS_ROW_GROUP_SIZE = 1024
 
 
 def _rows_to_table(rows: list[tuple]) -> pa.Table:
@@ -324,7 +331,10 @@ def _write_term_stats_sidecar(out_dir: str, bucket: int, merged: pa.Table) -> No
             "cf": pa.array(np.add.reduceat(cf_np, starts), pa.int64()),
         }
     )
-    _atomic_write(ts, os.path.join(out_dir, "term_stats", f"bucket-{bucket:05d}.parquet"))
+    _atomic_write(
+        ts, os.path.join(out_dir, "term_stats", f"bucket-{bucket:05d}.parquet"),
+        row_group_size=TERM_STATS_ROW_GROUP_SIZE,
+    )
 
 
 def make_group_merge_fn(
@@ -354,13 +364,33 @@ def make_group_merge_fn(
         out_cols = {name: [] for name in MANIFEST_ROW_SCHEMA.names}
         for g in batch["group"].to_pylist():
             files = spill_by_group.get(int(g), [])
-            t_all = pq.read_table(files) if files else None
+            # open each spill footer ONCE per task; per-bucket reads then pull
+            # only the row groups whose bucket stats overlap (spills are
+            # sorted by bucket with small row groups), so peak task memory is
+            # ~one bucket of postings — not the whole merge group.
+            handles: list[tuple[pq.ParquetFile, list[int], list[int]]] = []
+            for path in files:
+                pf = pq.ParquetFile(path)
+                md = pf.metadata
+                ci = md.schema.to_arrow_schema().get_field_index("bucket")
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    mins.append(int(st.min))
+                    maxs.append(int(st.max))
+                handles.append((pf, mins, maxs))
             for b in range(n_buckets):
                 if bucket_group(b, n_buckets, merge_groups) != g:
                     continue
                 parts = []
-                if t_all is not None:
-                    parts.append(t_all.filter(pc.equal(t_all["bucket"], b)))
+                for pf, mins, maxs, in handles:
+                    rgs = [i for i in range(len(mins)) if mins[i] <= b <= maxs[i]]
+                    if not rgs:
+                        continue
+                    t = pf.read_row_groups(rgs)
+                    t = t.filter(pc.equal(t["bucket"], b))
+                    if t.num_rows:
+                        parts.append(t)
                 if existing_by_bucket and b in existing_by_bucket:
                     parts.append(pq.read_table(existing_by_bucket[b]))
                 parts = [p for p in parts if p.num_rows]
@@ -369,7 +399,10 @@ def make_group_merge_fn(
                 t = pa.concat_tables(parts).combine_chunks() if len(parts) > 1 else parts[0]
                 merged = merge_segment_rows(t)
                 rel = os.path.join(subdir, f"bucket-{b:05d}.parquet")
-                checksum = _atomic_write(merged, os.path.join(out_dir, rel))
+                checksum = _atomic_write(
+                    merged, os.path.join(out_dir, rel),
+                    row_group_size=SEGMENT_ROW_GROUP_SIZE,
+                )
                 _write_term_stats_sidecar(out_dir, b, merged)
                 out_cols["bucket"].append(b)
                 out_cols["path"].append(rel)

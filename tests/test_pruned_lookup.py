@@ -1,0 +1,117 @@
+"""Partition-pruned posting lookup + meta-filter-before-ranking semantics.
+
+The round-1 reader materialized the whole bucket file per cold term lookup
+and applied {field=value} filters after top-k truncation; these tests pin
+the round-2 fixes:
+
+- a cold single-term read touches only the term's row groups (io_stats
+  rows_read ≪ bucket rows) — reference lazy seek parity (Index.cs:198-216);
+- field/name predicates restrict the candidate set BEFORE ranking
+  (reference Search.cs:423-428,544-547), so k hits come back whenever >= k
+  docs match, even when every unfiltered top-k doc fails the predicate.
+"""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from docodo_ray import IndexConfig, IndexReader, build_index
+from docodo_ray.tokenizer import term_bucket
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory, small_corpus_files):
+    out = str(tmp_path_factory.mktemp("idx_pruned") / "t1")
+    cfg = IndexConfig(
+        n_buckets=2,  # few buckets -> many terms per bucket, pruning visible
+        tokenizer_batch_size=64,
+        tokenizer_concurrency=2,
+    )
+    return build_index(
+        out,
+        input_paths=small_corpus_files,
+        cfg=cfg,
+        content_col="content",
+        key_cols=["repo", "path", "commit"],
+        meta_cols=("repo", "path", "lang"),
+    )
+
+
+def test_cold_lookup_reads_fraction_of_bucket(built):
+    r = IndexReader(built.out_dir)
+    term = "public"
+    b = term_bucket(term, r.cfg.n_buckets)
+    (path,) = r._segment_paths(b)
+    bucket_rows = pq.read_metadata(path).num_rows
+    assert bucket_rows > 200  # the bucket is big enough to make pruning matter
+
+    p = r.read_posting(term)  # cold: no caches yet
+    assert p is not None and p.df > 0
+    rows_read = r.io_stats["rows_read"]
+    assert 0 < rows_read < bucket_rows / 4, (rows_read, bucket_rows)
+    # a second term in the same bucket reads only its own row groups too
+    before = r.io_stats["rows_read"]
+    terms = [t for t in r.term_dictionary()["term"].to_pylist()
+             if term_bucket(t, r.cfg.n_buckets) == b and t != term]
+    r.read_posting(terms[0])
+    assert r.io_stats["rows_read"] - before < bucket_rows / 4
+
+
+def test_salted_term_gets_merged_blockmax(tmp_path, small_corpus_files):
+    """Hot (salted) terms span several segment rows; the reader must
+    recompute the block-max sidecar over the merged arrays instead of
+    dropping it (round-1 neutralized WAND skipping exactly on the long
+    lists it exists for)."""
+    out = str(tmp_path / "salted")
+    cfg = IndexConfig(n_buckets=4, shard_target_postings=50, hot_sample_rate=1.0,
+                      tokenizer_batch_size=32, tokenizer_concurrency=2)
+    built = build_index(out, input_paths=small_corpus_files, cfg=cfg,
+                        content_col="content", key_cols=["repo", "path", "commit"])
+    hot = [t for t in built.manifest["hot"] if not t.startswith("\x00")]
+    assert hot
+    r = IndexReader(out)
+    p = r.read_posting(hot[0])
+    assert p is not None
+    t = r._term_rows(hot[0])
+    assert t.num_rows > 1  # genuinely salted into multiple rows
+    assert p.blockmax is not None
+    from docodo_ray import codec
+
+    want = codec.decode_blockmax(
+        codec.encode_blockmax_arrays(p.doc_ids, p.tfs, p.dls)
+    )
+    assert np.array_equal(p.blockmax, want)
+
+
+def test_meta_filter_before_ranking(built):
+    r = IndexReader(built.out_dir)
+    term = "public"
+    p = r.read_posting(term)
+    meta = r.doc_meta(columns=["doc_id", "lang"])
+    lang_of = dict(zip(meta["doc_id"].to_pylist(), meta["lang"].to_pylist()))
+    matching = [int(d) for d in p.doc_ids if lang_of[int(d)] == "cs"]
+    k = 5
+    assert len(matching) >= k  # the corpus has enough cs matches
+
+    res = r.search(f"{term} {{lang=cs}}", k=k)
+    assert len(res) == k  # full k results even if unfiltered top-k is all non-cs
+    assert all(lang_of[d] == "cs" for d, _ in res)
+    # and the k results are exactly the best-scoring cs docs
+    cand = np.array(sorted(matching), dtype=np.uint64)
+    want = r._score_topk([p], cand, k)
+    assert [d for d, _ in res] == [d for d, _ in want]
+    # scores must match the unfiltered scores of the same docs (filtering
+    # restricts candidates, it must not change scoring)
+    full = dict(r.search(term, k=r.n_docs))
+    for d, s in res:
+        assert abs(s - full[d]) < 1e-12
+
+
+def test_filter_only_regex_prefilters(built):
+    r = IndexReader(built.out_dir)
+    res = r.search(r"public -filter:\.py$", k=500)
+    assert res
+    meta = r.doc_meta([d for d, _ in res])
+    assert all(x.endswith(".py") for x in meta["path"].to_pylist())
+    # empty-match predicate -> no results, not an error
+    assert r.search("public {lang=nosuchlang}", k=5) == []
