@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sha256": pipelines.doc_sha256,              # content invariant
         "bm25_topk": pipelines.bm25_topk,                # A8 replacement: BM25 top-k
         "phrase_count": pipelines.phrase_count,          # D2 phrase adjacency
+        "boolean_search": pipelines.boolean_search,      # M11 nested AND/OR tree
+        "proximity_search": pipelines.proximity_search,  # D2 distance-R intersect
         "fielded_search": pipelines.fielded_search,      # J3 field semi-join
         "wildcard_terms": pipelines.wildcard_terms,      # O6 GetLikeWords
         "suggest_prefix": pipelines.suggest_prefix,      # O4 suggestions

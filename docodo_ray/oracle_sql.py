@@ -133,6 +133,35 @@ WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
 GROUP BY a.doc_id
 """
 
+    from docodo_ray.pipelines import BOOLEAN_QUERY, PROX_R, PROX_WORDS
+
+    def _norm(w: str) -> str:
+        ts = tokenize(w, spec)[0]
+        assert ts, w
+        return ts[0]
+
+    # (merge | join) table -> EXISTS-composed boolean over the token table
+    t_or1, t_or2 = _norm("merge"), _norm("join")
+    t_and = _norm("table")
+    assert BOOLEAN_QUERY == "(merge | join) table"  # SQL below mirrors it
+    sql["boolean_search"] = pro + f"""
+SELECT d.doc_id FROM documents d
+WHERE (EXISTS(SELECT 1 FROM filt f WHERE f.doc_id = d.doc_id AND f.term = '{t_or1}')
+    OR EXISTS(SELECT 1 FROM filt f WHERE f.doc_id = d.doc_id AND f.term = '{t_or2}'))
+  AND EXISTS(SELECT 1 FROM filt f WHERE f.doc_id = d.doc_id AND f.term = '{t_and}')
+"""
+
+    # ordered proximity: chain-end count = distinct positions of the second
+    # word with a first-word occurrence in the preceding |R| positions
+    pw0, pw1, pr = _norm(PROX_WORDS[0]), _norm(PROX_WORDS[1]), abs(PROX_R)
+    sql["proximity_search"] = pro + f"""
+SELECT b.doc_id AS doc_id, count(DISTINCT b.pos) AS n_occ
+FROM filt a JOIN filt b
+  ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + {pr}
+WHERE a.term = '{pw0}' AND b.term = '{pw1}'
+GROUP BY b.doc_id
+"""
+
     sql["fielded_search"] = pro + f"""
 SELECT f.doc_id, count(*) AS tf
 FROM filt f JOIN documents d USING (doc_id)

@@ -42,6 +42,12 @@ BM25_K = 10
 PHRASE = ("table", "hash")
 FIELDED_TERM, FIELDED_LANG = "merge", "en"
 WILDCARD_PATTERN = "b?t?h"
+# nested boolean tree: (merge OR join) AND table (reference RequestSyntaxTest
+# nesting, Search.cs:319-363)
+BOOLEAN_QUERY = "(merge | join) table"
+# ordered proximity: 'hash … table' with gap <= 5 (reference IndexSequence
+# distance intersect, IndexSequence.cs:218-284; R<0 = order-sensitive)
+PROX_WORDS, PROX_R = ("hash", "table"), -5
 SUGGEST_PREFIX, SUGGEST_N = "s", 5
 TOP_TERMS_N = 20
 CLOSE_WORD, CLOSE_MAXDIST = "mergee", 2
@@ -194,6 +200,28 @@ def bm25_topk(sf_dir: str) -> pa.Table:
 def phrase_count(sf_dir: str) -> pa.Table:
     r = get_index(sf_dir)
     occ = r.phrase_occurrences(list(PHRASE))
+    return pa.table(
+        {"doc_id": pa.array([d for d, _ in occ], pa.int64()),
+         "n_occ": pa.array([n for _, n in occ], pa.int64())}
+    )
+
+
+def boolean_search(sf_dir: str) -> pa.Table:
+    """(doc_id): docs satisfying the nested boolean tree BOOLEAN_QUERY —
+    evaluated through the real query parser + index doc-set algebra."""
+    from docodo_ray.queryparse import parse_query
+
+    r = get_index(sf_dir)
+    q = parse_query(BOOLEAN_QUERY, r.spec)
+    docs = r._doc_set(q.tree, {})
+    return pa.table({"doc_id": pa.array(docs.astype(np.int64))})
+
+
+def proximity_search(sf_dir: str) -> pa.Table:
+    """(doc_id, n_occ): ordered within-|R| proximity matches of PROX_WORDS,
+    from the positional index (n_occ = chain-end count)."""
+    r = get_index(sf_dir)
+    occ = r.proximity_occurrences(list(PROX_WORDS), PROX_R)
     return pa.table(
         {"doc_id": pa.array([d for d, _ in occ], pa.int64()),
          "n_occ": pa.array([n for _, n in occ], pa.int64())}

@@ -1,19 +1,31 @@
-"""Query-language parser — Docodo surface re-expressed (reference
-Search.cs:319-363, M11 in SURVEY.md):
+"""Query-language parser — the Docodo request surface re-expressed as a
+nested boolean expression tree (reference Search.cs:319-363 compiles requests
+with DynamicExpresso into an operator tree over IndexSequence,
+IndexSequence.cs:205-322; M11 in SURVEY.md):
 
-- whitespace-separated words            -> AND clauses
-- ``a | b``                              -> OR clause
-- ``"exact phrase"``                    -> order-sensitive adjacency clause
-  (reference phrase = proximity with R=-1, IndexSequence.cs:218-284)
-- ``?`` / ``_`` inside a word            -> wildcard (expanded against the
+- whitespace / ``*``                      -> AND
+- ``a | b`` / ``a + b``                   -> OR
+- ``( ... )``                             -> grouping, arbitrarily nested:
+  ``(merge | join) table``, ``(a+b)*c``
+- ``"w1 w2 ..."``                         -> proximity clause, default R=-1 =
+  order-sensitive adjacency (reference phrase semantics,
+  IndexSequence.cs:218-284); an explicit distance suffix ``"w1 w2"~R``
+  sets R: R>0 = unordered within R, R<0 = order-sensitive within |R|
+- ``"word"`` / ``=word``                  -> EXACT form: bypasses vocab/stem
+  expansion (reference quoted->UPPER exact-match mode, Search.cs:199,284,349)
+- ``?`` / ``_`` inside a word             -> wildcard (expanded against the
   term dictionary, capped at MAX_LIKE_WORDS=100, reference Search.cs:158-167)
-- ``{field=value}``                      -> structured predicate on a doc-meta
-  column (reference field queries, Search.cs:126-155) — lang/repo/source etc.
-- ``-filter:regex[,regex]``              -> regex post-filter on doc names
-  (reference Search.cs:456-466); here applied to a meta column (path/source)
+- ``{field=value}``                       -> structured predicate on a
+  doc-meta column (reference field queries, Search.cs:126-155)
+- ``-filter:regex[,regex]``               -> regex filter on doc names
+  (reference Search.cs:456-466); applied to a meta column (path/source)
 
 Words are normalized exactly like document text (lowercase + token regex +
-length bounds + stopword strip, reference Search.cs:200,346).
+length bounds + stopword strip, reference Search.cs:200,346). When the index
+was built with a vocab / stemmer, a plain word additionally matches its
+morphological group: ``running`` parses to ``running | #<group>`` (the code
+term its variants were indexed under, reference GetWordCodes
+Build.cs:175-247) — quoting demands the literal form.
 """
 
 from __future__ import annotations
@@ -21,39 +33,200 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from docodo_ray.tokenizer import TokenizerSpec, tokenize
+from docodo_ray.tokenizer import TokenizerSpec, simple_stem, tokenize
 
 MAX_LIKE_WORDS = 100  # reference Index.cs MAX_LIKE_WORDS
 
 
+# ---- expression tree --------------------------------------------------------
+
 @dataclass
-class Clause:
-    kind: str  # "term" | "or" | "phrase" | "wildcard"
-    terms: list[str]
+class Term:
+    term: str
+
+
+@dataclass
+class Wildcard:
+    pattern: str
+
+
+@dataclass
+class Phrase:
+    words: list[str]
+    r: int = -1  # r<0: ordered, gaps in [1,|r|]; r>0: unordered, |gap|<=r
+
+
+@dataclass
+class Or:
+    children: list
+
+
+@dataclass
+class And:
+    children: list
+
+
+Node = Term | Wildcard | Phrase | Or | And
 
 
 @dataclass
 class ParsedQuery:
-    clauses: list[Clause] = field(default_factory=list)
+    tree: Node | None = None
     field_eq: dict[str, str] = field(default_factory=dict)
     name_filters: list[str] = field(default_factory=list)
 
     @property
     def flat_terms(self) -> list[str]:
-        out: list[str] = []
-        for c in self.clauses:
-            out.extend(c.terms)
-        return sorted(set(out))
+        out: set[str] = set()
+        collect_terms(self.tree, out)
+        return sorted(out)
+
+
+def collect_terms(node: Node | None, out: set[str]) -> None:
+    """Every concrete index term mentioned by the tree (wildcards excluded —
+    they expand against the live term dictionary at search time)."""
+    if node is None:
+        return
+    if isinstance(node, Term):
+        out.add(node.term)
+    elif isinstance(node, Phrase):
+        out.update(node.words)
+    elif isinstance(node, (Or, And)):
+        for c in node.children:
+            collect_terms(c, out)
+
+
+def collect_wildcards(node: Node | None, out: set[str]) -> None:
+    if node is None:
+        return
+    if isinstance(node, Wildcard):
+        out.add(node.pattern)
+    elif isinstance(node, (Or, And)):
+        for c in node.children:
+            collect_wildcards(c, out)
 
 
 _FIELD_RE = re.compile(r"\{(\w+)=([^}]*)\}")
 _FILTER_RE = re.compile(r"-filter:(\S+)")
-_PHRASE_RE = re.compile(r'"([^"]*)"')
+_PROX_RE = re.compile(r"~(-?\d+)")
 
 
-def _norm_word(w: str, spec: TokenizerSpec) -> str | None:
-    terms, _ = tokenize(w, spec)
-    return terms[0] if terms else None
+# ---- lexer ------------------------------------------------------------------
+
+_OPS = set("()|+*")
+
+
+def _lex(s: str) -> list[tuple[str, object]]:
+    toks: list[tuple[str, object]] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch.isspace():
+            i += 1
+        elif ch in _OPS:
+            toks.append(("op", ch))
+            i += 1
+        elif ch == '"':
+            j = s.find('"', i + 1)
+            body, i = (s[i + 1 :], n) if j < 0 else (s[i + 1 : j], j + 1)
+            r = -1
+            m = _PROX_RE.match(s, i)
+            if m:
+                r = int(m.group(1))
+                i = m.end()
+            toks.append(("quote", (body, r)))
+        else:
+            j = i
+            while j < n and not s[j].isspace() and s[j] not in _OPS and s[j] != '"':
+                j += 1
+            toks.append(("word", s[i:j]))
+            i = j
+    return toks
+
+
+# ---- recursive-descent parser ----------------------------------------------
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, object]], spec: TokenizerSpec):
+        self.toks = toks
+        self.i = 0
+        self.spec = spec
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def parse_or(self) -> Node | None:
+        children = []
+        node = self.parse_and()
+        if node is not None:
+            children.append(node)
+        while self._peek() == ("op", "|") or self._peek() == ("op", "+"):
+            self.i += 1
+            node = self.parse_and()
+            if node is not None:
+                children.append(node)
+        if not children:
+            return None
+        return children[0] if len(children) == 1 else Or(children)
+
+    def parse_and(self) -> Node | None:
+        children = []
+        while True:
+            kind, val = self._peek()
+            if kind is None or (kind == "op" and val in (")", "|", "+")):
+                break
+            if kind == "op" and val == "*":  # explicit AND operator
+                self.i += 1
+                continue
+            node = self.parse_factor()
+            if node is not None:
+                children.append(node)
+        if not children:
+            return None
+        return children[0] if len(children) == 1 else And(children)
+
+    def parse_factor(self) -> Node | None:
+        kind, val = self._peek()
+        if kind == "op" and val == "(":
+            self.i += 1
+            node = self.parse_or()
+            if self._peek() == ("op", ")"):
+                self.i += 1
+            return node
+        self.i += 1
+        if kind == "quote":
+            body, r = val
+            words = tokenize(body, self.spec)[0]
+            if not words:
+                return None
+            if len(words) == 1:
+                return Term(words[0])  # exact form: no vocab/stem expansion
+            return Phrase(words, r)
+        # bare word
+        w = str(val)
+        exact = w.startswith("=")
+        if exact:
+            w = w[1:]
+        if "?" in w or "_" in w:
+            return Wildcard(w.lower())
+        terms = tokenize(w, self.spec)[0]
+        if not terms:
+            return None
+        nodes = [Term(t) if exact else self._expand(t) for t in terms]
+        return nodes[0] if len(nodes) == 1 else And(nodes)
+
+    def _expand(self, w: str) -> Node:
+        """Plain-word morphology (reference GetWordCodes): a vocab member
+        also matches its '#<group>' code term; with the stemmer on, an
+        unknown word also matches its '$<stem>' term."""
+        g = self.spec.vocab_dict().get(w) if self.spec.vocab else None
+        if g is not None:
+            return Or([Term(w), Term(f"#{g:x}")])
+        if self.spec.use_stemmer:
+            s = simple_stem(w)
+            if s != w:
+                return Or([Term(w), Term(f"${s}")])
+        return Term(w)
 
 
 def parse_query(q: str, spec: TokenizerSpec) -> ParsedQuery:
@@ -67,49 +240,31 @@ def parse_query(q: str, spec: TokenizerSpec) -> ParsedQuery:
         pq.field_eq[m.group(1).lower()] = m.group(2)
         return " "
 
-    def grab_phrase(m: re.Match) -> str:
-        words = [t for t in tokenize(m.group(1), spec)[0]]
-        if words:
-            pq.clauses.append(Clause("phrase", words))
-        return " "
-
     q = _FILTER_RE.sub(grab_filter, q)
     q = _FIELD_RE.sub(grab_field, q)
-    q = _PHRASE_RE.sub(grab_phrase, q)
-
-    # OR groups: "a | b | c" — split on top-level whitespace, then regroup
-    toks = q.replace("|", " | ").split()
-    i = 0
-    while i < len(toks):
-        # collect an or-chain: w (| w)*
-        group = [toks[i]]
-        j = i + 1
-        while j + 1 < len(toks) + 1 and j < len(toks) and toks[j] == "|":
-            if j + 1 < len(toks):
-                group.append(toks[j + 1])
-                j += 2
-            else:
-                break
-        i = j
-        words: list[str] = []
-        has_wild = False
-        for w in group:
-            if "?" in w or "_" in w:
-                has_wild = True
-                words.append(w.lower())
-            else:
-                nw = _norm_word(w, spec)
-                if nw:
-                    words.append(nw)
-        if not words:
-            continue
-        if has_wild and len(words) == 1:
-            pq.clauses.append(Clause("wildcard", words))
-        elif len(words) == 1:
-            pq.clauses.append(Clause("term", words))
-        else:
-            pq.clauses.append(Clause("or", words))
+    pq.tree = _Parser(_lex(q), spec).parse_or()
     return pq
+
+
+def relax_to_or(node: Node | None) -> Node | None:
+    """mode="or" compatibility: turn the top-level AND into an OR (each
+    operand keeps its own internal structure)."""
+    if isinstance(node, And):
+        return Or(node.children)
+    return node
+
+
+def is_pure_disjunction(node: Node | None) -> bool:
+    """True when the tree is an OR (or single leaf) of plain terms/wildcards
+    — the shape that can be scored disjunctively without materializing a
+    candidate doc set (and the shape WAND accelerates)."""
+    if node is None:
+        return False
+    if isinstance(node, (Term, Wildcard)):
+        return True
+    if isinstance(node, Or):
+        return all(isinstance(c, (Term, Wildcard)) for c in node.children)
+    return False
 
 
 def wildcard_to_regex(pattern: str) -> str:

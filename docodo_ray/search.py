@@ -415,64 +415,81 @@ class IndexReader:
     def search_parsed(
         self, q: ParsedQuery, k: int = 10, mode: str = "and", wand: bool = False
     ) -> list[tuple[int, float]]:
-        clause_postings: list[list[Posting]] = []
-        phrase_clauses: list[list[str]] = []
-        for c in q.clauses:
-            if c.kind == "wildcard":
-                terms = self.like_words(c.terms[0])
-            else:
-                terms = c.terms
-            if c.kind == "phrase":
-                phrase_clauses.append(c.terms)
-            ps = [p for t in sorted(set(terms)) if (p := self.read_posting(t, with_positions=c.kind == "phrase")) is not None]
-            if c.kind in ("term", "phrase") and len(ps) < len(set(terms)):
-                return []  # a required term is absent
-            clause_postings.append(ps)
+        """Evaluate the parsed boolean expression tree: the tree determines
+        the candidate doc set (reference operator tree over IndexSequence,
+        IndexSequence.cs:205-322), BM25 over every mentioned term ranks the
+        candidates. mode="or" relaxes the top-level AND to OR."""
+        from docodo_ray import queryparse as qp
 
-        if not clause_postings or any(
-            not ps and c.kind in ("term", "phrase") for ps, c in zip(clause_postings, q.clauses)
-        ):
+        tree = qp.relax_to_or(q.tree) if mode == "or" else q.tree
+        if tree is None:
+            return []
+        meta_cand = self._meta_candidates(q)
+        if meta_cand is not None and meta_cand.size == 0:
             return []
 
-        # candidate doc set: AND across clauses (each clause = union of its
-        # postings), intersected with the meta-predicate doc set BEFORE
-        # ranking (so k filtered hits are returned whenever >= k docs match)
-        cand: np.ndarray | None = self._meta_candidates(q)
-        if cand is not None and cand.size == 0:
+        terms: set[str] = set()
+        qp.collect_terms(tree, terms)
+        wilds: set[str] = set()
+        qp.collect_wildcards(tree, wilds)
+        expansions = {w: self.like_words(w) for w in wilds}
+        score_terms = terms | {t for ts in expansions.values() for t in ts}
+        postings = {
+            t: p for t in sorted(score_terms)
+            if (p := self.read_posting(t)) is not None
+        }
+        if not postings:
             return []
-        if mode == "and" or phrase_clauses:
-            sets = []
-            for ps, c in zip(clause_postings, q.clauses):
-                if not ps:
-                    if c.kind in ("or", "wildcard"):
-                        return []
-                    continue
-                if c.kind == "phrase":
-                    s = self._phrase_docs(ps, c.terms)
-                else:
-                    s = ps[0].doc_ids if len(ps) == 1 else np.unique(np.concatenate([p.doc_ids for p in ps]))
-                sets.append(s)
-            if not sets and cand is None:
-                return []
-            if cand is not None:
-                sets.append(cand)
-            sets.sort(key=lambda s: s.size)
-            cand = sets[0]
-            for s in sets[1:]:
-                cand = np.intersect1d(cand, s, assume_unique=True)
-                if cand.size == 0:
-                    return []
 
-        # score: sum BM25 of every concrete term, sorted-term order
-        all_postings: dict[str, Posting] = {}
-        for ps in clause_postings:
-            for p in ps:
-                all_postings[p.term] = p
-        if wand and cand is None:
-            top = self._wand_topk(list(all_postings.values()), k)
+        if qp.is_pure_disjunction(tree) and meta_cand is None:
+            cand = None  # disjunctive: no candidate materialization (WAND path)
         else:
-            top = self._score_topk(list(all_postings.values()), cand, k)
+            cand = self._doc_set(tree, expansions)
+            if meta_cand is not None:
+                cand = np.intersect1d(cand, meta_cand, assume_unique=True)
+            if cand.size == 0:
+                return []
+
+        ps = list(postings.values())
+        if wand and cand is None:
+            top = self._wand_topk(ps, k)
+        else:
+            top = self._score_topk(ps, cand, k)
         return top[:k]
+
+    def _doc_set(self, node, expansions: dict[str, list[str]]) -> np.ndarray:
+        """Sorted-unique doc_ids satisfying the boolean subtree."""
+        from docodo_ray import queryparse as qp
+
+        empty = np.empty(0, dtype=np.uint64)
+        if isinstance(node, qp.Term):
+            p = self.read_posting(node.term)
+            return p.doc_ids if p is not None else empty
+        if isinstance(node, qp.Wildcard):
+            out = empty
+            for t in expansions.get(node.pattern, []):
+                p = self.read_posting(t)
+                if p is not None:
+                    out = np.union1d(out, p.doc_ids)
+            return out
+        if isinstance(node, qp.Phrase):
+            docs, _ = self._chain_match(node.words, node.r)
+            return docs
+        if isinstance(node, qp.Or):
+            out = empty
+            for c in node.children:
+                out = np.union1d(out, self._doc_set(c, expansions))
+            return out
+        # And: intersect smallest-first for early exit
+        sets = sorted(
+            (self._doc_set(c, expansions) for c in node.children), key=lambda s: s.size
+        )
+        cand = sets[0]
+        for s in sets[1:]:
+            if cand.size == 0:
+                return cand
+            cand = np.intersect1d(cand, s, assume_unique=True)
+        return cand
 
     def _score_topk(
         self, postings: list[Posting], cand: np.ndarray | None, k: int
@@ -502,13 +519,16 @@ class IndexReader:
         top = order[:k]
         return [(int(uniq[i]), float(totals[i])) for i in top]
 
-    def _phrase_match(self, words: list[str]) -> tuple[np.ndarray, np.ndarray]:
-        """Vectorized ordered-adjacency phrase match (reference phrase
-        semantics, R=-1): -> (doc_ids asc, n_occurrences).
+    def _chain_match(self, words: list[str], r: int = -1) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized proximity-chain match (reference distance intersect
+        IndexSequence operator*, IndexSequence.cs:218-284): each consecutive
+        word pair must appear within the distance budget — r<0: in order
+        with gap in [1,|r|] (r=-1 is the exact-adjacency phrase); r>0:
+        either order with |gap| <= r. -> (doc_ids asc, n_chain_ends per doc).
 
-        Candidate docs = intersection of the words' doc sets; within them,
-        occurrences are found by intersecting packed (local_doc_idx, pos - i)
-        keys across the words — no per-document Python loop."""
+        Candidate docs = intersection of the words' doc sets; within them
+        the chain is advanced by searchsorted range tests over packed
+        (local_doc_idx << 32 | position) keys — no per-document Python loop."""
         empty = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
         ps = [self.read_posting(w, with_positions=True) for w in words]
         if not ps or any(p is None or p.pos_flat is None for p in ps):
@@ -518,28 +538,44 @@ class IndexReader:
             cand = np.intersect1d(cand, p.doc_ids, assume_unique=True)
         if cand.size == 0:
             return empty
-        L = np.uint64(len(words))
-        K = np.uint64(1) << np.uint64(32)
+        K = np.int64(1) << np.int64(32)
+        R = np.int64(r)
         cur: np.ndarray | None = None
-        for i, p in enumerate(ps):
+        for p in ps:
             rows = np.searchsorted(p.doc_ids, cand)
             flat, lens = codec.gather_ranges(p.pos_flat, p.pos_offsets, p.pos_counts, rows)
-            doc_idx = np.repeat(np.arange(cand.size, dtype=np.uint64), lens)
-            keys = doc_idx * K + (flat + (L - np.uint64(i)))
-            cur = keys if cur is None else np.intersect1d(cur, keys, assume_unique=True)
+            doc_idx = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+            keys = doc_idx * K + flat.astype(np.int64)
+            if cur is None:
+                cur = keys
+                continue
+            if r < 0:  # ordered: prior word at [pos-|r|, pos-1]
+                lo = np.searchsorted(cur, keys + R)
+                hi = np.searchsorted(cur, keys)
+                ok = hi > lo
+            else:  # unordered: prior word within r, excluding self-position
+                lo = np.searchsorted(cur, keys - R)
+                hi = np.searchsorted(cur, keys + R, side="right")
+                n = hi - lo
+                at = np.searchsorted(cur, keys)
+                self_hit = (at < cur.size) & (cur[np.minimum(at, cur.size - 1)] == keys)
+                ok = (n - self_hit.astype(np.int64)) > 0
+            cur = keys[ok]
             if cur.size == 0:
                 return empty
-        doc_part = (cur >> np.uint64(32)).astype(np.int64)
+        doc_part = (cur >> np.int64(32)).astype(np.int64)
         uniq, counts = np.unique(doc_part, return_counts=True)
         return cand[uniq], counts
 
-    def _phrase_docs(self, postings: list[Posting], words: list[str]) -> np.ndarray:
-        docs, _ = self._phrase_match(words)
-        return docs
-
     def phrase_occurrences(self, words: list[str]) -> list[tuple[int, int]]:
         """[(doc_id, n_occurrences)] of the exact phrase, doc_id ascending."""
-        docs, counts = self._phrase_match(words)
+        docs, counts = self._chain_match(words, -1)
+        return [(int(d), int(n)) for d, n in zip(docs, counts)]
+
+    def proximity_occurrences(self, words: list[str], r: int) -> list[tuple[int, int]]:
+        """[(doc_id, n_chain_ends)] of words within distance r (r>0
+        unordered, r<0 ordered), doc_id ascending."""
+        docs, counts = self._chain_match(words, r)
         return [(int(d), int(n)) for d, n in zip(docs, counts)]
 
     def _wand_topk(self, postings: list[Posting], k: int) -> list[tuple[int, float]]:

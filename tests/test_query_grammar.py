@@ -1,0 +1,176 @@
+"""Nested boolean grammar, exact-match mode, and proximity-R operators
+(reference Search.cs:319-363 request compilation, IndexSequence.cs:205-322
+operator tree, RequestSyntaxTest / IndexTest.cs:164-226 count assertions).
+
+Each assertion is checked against an independent brute-force pass over the
+raw corpus text (tokenize per doc in Python, no index involved)."""
+
+import numpy as np
+import pytest
+
+from docodo_ray import IndexConfig, IndexReader, build_index
+from docodo_ray.config import load_stopwords
+from docodo_ray.queryparse import And, Or, Phrase, Term, Wildcard, parse_query
+from docodo_ray.tokenizer import TokenizerSpec, tokenize
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return TokenizerSpec(3, 32, load_stopwords())
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory, small_corpus_files):
+    out = str(tmp_path_factory.mktemp("idx_grammar") / "t1")
+    cfg = IndexConfig(n_buckets=8, tokenizer_batch_size=64, tokenizer_concurrency=2)
+    return build_index(out, input_paths=small_corpus_files, cfg=cfg,
+                       content_col="content", key_cols=["repo", "path", "commit"])
+
+
+def brute_docs(docs, spec, term):
+    return {d for d, text in docs.items() if term in tokenize(text, spec)[0]}
+
+
+def brute_chain(docs, spec, words, r):
+    """Brute-force chain match -> {doc_id: n_chain_ends}."""
+    out = {}
+    for d, text in docs.items():
+        terms, positions = tokenize(text, spec)
+        pos_of = {}
+        for t, p in zip(terms, positions):
+            pos_of.setdefault(t, []).append(p)
+        if any(w not in pos_of for w in words):
+            continue
+        cur = set(pos_of[words[0]])
+        for w in words[1:]:
+            if r < 0:
+                cur = {p for p in pos_of[w] if any(p - abs(r) <= q <= p - 1 for q in cur)}
+            else:
+                cur = {p for p in pos_of[w] if any(abs(p - q) <= r for q in cur if q != p)}
+        if cur:
+            out[d] = len(cur)
+    return out
+
+
+# ---- parser shape -----------------------------------------------------------
+
+def test_parse_nested_tree(spec):
+    t = parse_query("(merge | join) table", spec).tree
+    assert isinstance(t, And) and len(t.children) == 2
+    assert isinstance(t.children[0], Or)
+    assert [c.term for c in t.children[0].children] == ["merge", "join"]
+    assert t.children[1] == Term("table")
+    # Docodo operator spellings: + is OR, * is AND
+    t2 = parse_query("(merge + join) * table", spec).tree
+    assert t2 == t
+    # deep nesting
+    t3 = parse_query("((alpha | beta) gamma) | delta", spec).tree
+    assert isinstance(t3, Or) and isinstance(t3.children[0], And)
+
+
+def test_parse_phrase_proximity_exact(spec):
+    t = parse_query('"hash table"~5', spec).tree
+    assert t == Phrase(["hash", "table"], 5)
+    t = parse_query('"hash table"~-3', spec).tree
+    assert t == Phrase(["hash", "table"], -3)
+    t = parse_query('"hash table"', spec).tree
+    assert t == Phrase(["hash", "table"], -1)
+    # single-word quote / =word -> exact Term (no vocab/stem expansion)
+    assert parse_query('"running"', spec).tree == Term("running")
+    assert parse_query("=running", spec).tree == Term("running")
+    # wildcards survive as leaves inside the tree
+    t = parse_query("(cla?s | merge) table", spec).tree
+    assert isinstance(t.children[0].children[0], Wildcard)
+
+
+def test_exact_vs_expanded_with_vocab():
+    vspec_cfg = IndexConfig(vocab=(("running", 7), ("runs", 7)), use_stemmer=True)
+    from docodo_ray.config import tokenizer_spec
+
+    vspec = tokenizer_spec(vspec_cfg)
+    # plain word expands to its morphological group code
+    assert parse_query("running", vspec).tree == Or([Term("running"), Term("#7")])
+    # stemmer fallback for non-vocab words
+    assert parse_query("jumped", vspec).tree == Or([Term("jumped"), Term("$jump")])
+    # quoted/= demands the literal form (reference exact-match mode)
+    assert parse_query('"running"', vspec).tree == Term("running")
+    assert parse_query("=jumped", vspec).tree == Term("jumped")
+
+
+# ---- end-to-end counts vs brute force --------------------------------------
+
+def test_nested_boolean_counts(built, small_corpus_docs, spec):
+    r = IndexReader(built.out_dir)
+    A = brute_docs(small_corpus_docs, spec, "public")
+    B = brute_docs(small_corpus_docs, spec, "static")
+    C = brute_docs(small_corpus_docs, spec, "void")
+    want = (A | B) & C
+    assert want and want != (A | B)  # non-trivial intersection
+    got = {d for d, _ in r.search("(public | static) void", k=10_000)}
+    assert got == want
+    # same tree via Docodo spellings
+    got2 = {d for d, _ in r.search("(public + static) * void", k=10_000)}
+    assert got2 == want
+    # OR of a phrase and a term
+    phrase_docs = set(d for d, _ in r.phrase_occurrences(["old", "lady"]))
+    got3 = {d for d, _ in r.search('"old lady" | void', k=10_000)}
+    assert got3 == (phrase_docs | C)
+    # AND distributes over nested OR
+    D = brute_docs(small_corpus_docs, spec, "return")
+    got4 = {d for d, _ in r.search("((public | static) void) | (return public)", k=10_000)}
+    assert got4 == (((A | B) & C) | (D & A))
+
+
+def test_proximity_counts(built, small_corpus_docs, spec):
+    r = IndexReader(built.out_dir)
+    # adjacency == phrase (R=-1)
+    want1 = brute_chain(small_corpus_docs, spec, ["old", "lady"], -1)
+    assert want1
+    assert dict(r.phrase_occurrences(["old", "lady"])) == want1
+    # ordered within 5: superset of adjacency
+    want5 = brute_chain(small_corpus_docs, spec, ["old", "lady"], -5)
+    got5 = dict(r.proximity_occurrences(["old", "lady"], -5))
+    assert got5 == want5
+    assert set(want1) <= set(want5)
+    # reversed order within 5 is a different (ordered) relation
+    wantr = brute_chain(small_corpus_docs, spec, ["lady", "old"], -5)
+    assert dict(r.proximity_occurrences(["lady", "old"], -5)) == wantr
+    # unordered within 3
+    wantu = brute_chain(small_corpus_docs, spec, ["old", "lady"], 3)
+    gotu = dict(r.proximity_occurrences(["old", "lady"], 3))
+    assert gotu == wantu
+    # through the query surface
+    got_q = {d for d, _ in r.search('"old lady"~-5', k=10_000)}
+    assert got_q == set(want5)
+    got_qu = {d for d, _ in r.search('"old lady"~3', k=10_000)}
+    assert got_qu == set(wantu)
+
+
+def test_exact_match_end_to_end(tmp_path, small_corpus_files, small_corpus_docs):
+    """With a vocab, a plain word finds its whole morphological group while
+    the quoted form finds only the literal word (reference Search.cs:199,284)."""
+    cfg = IndexConfig(n_buckets=8, tokenizer_batch_size=64, tokenizer_concurrency=2,
+                      vocab=(("void", 3), ("lady", 3)))
+    out = str(tmp_path / "exact_idx")
+    build_index(out, input_paths=small_corpus_files, cfg=cfg,
+                content_col="content", key_cols=["repo", "path", "commit"])
+    r = IndexReader(out)
+    spec_plain = TokenizerSpec(3, 32, load_stopwords())
+    A = brute_docs(small_corpus_docs, spec_plain, "void")
+    B = brute_docs(small_corpus_docs, spec_plain, "lady")
+    assert B - A  # some group-member docs lack the literal word
+    got_group = {d for d, _ in r.search("void", k=10_000)}
+    assert got_group == (A | B)  # group code match
+    got_exact = {d for d, _ in r.search('"void"', k=10_000)}
+    assert got_exact == A  # literal form only
+    assert got_exact < got_group
+
+
+def test_wildcard_inside_tree(built, small_corpus_docs, spec):
+    r = IndexReader(built.out_dir)
+    exp = r.like_words("cla?s")
+    assert "class" in exp
+    C = brute_docs(small_corpus_docs, spec, "void")
+    want = set().union(*(brute_docs(small_corpus_docs, spec, t) for t in exp)) & C
+    got = {d for d, _ in r.search("cla?s void", k=10_000)}
+    assert got == want
