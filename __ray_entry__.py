@@ -53,9 +53,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id_table,              # heuristic: rows-only
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
-        "minhash_dedup": dedup.minhash_dedup,            # LSH: rows-only
+        "minhash_dedup": dedup.minhash_dedup,            # LSH 16x4: rows-only
+        "minhash_verified_pairs": dedup.minhash_verified_pairs,  # LSH 32x2 + distributed verify
         "simhash": dedup.simhash_table,                  # rows-only
-        "ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "ngram_jaccard": dedup.ngram_jaccard_pairs,      # char3 LSH + verify
         # --- similarity search ---
         "embedding_topk": sim.embedding_topk,
         "embedding_topk_ivf": sim.embedding_topk_ivf,    # approximate: rows-only

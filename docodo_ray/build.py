@@ -34,6 +34,7 @@ import shutil
 from dataclasses import asdict, dataclass
 from typing import Any
 
+import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
@@ -227,6 +228,15 @@ def _merge_spills(
     return [dict(r) for r in rows]
 
 
+def _walk_parquet(root: str, exclude_dir: str | None = None) -> list[str]:
+    out = []
+    for r, _d, names in os.walk(root):
+        if exclude_dir and os.path.abspath(r).startswith(os.path.abspath(exclude_dir)):
+            continue
+        out.extend(os.path.join(r, n) for n in names if n.endswith(".parquet"))
+    return sorted(out)
+
+
 def update_index(
     out_dir: str,
     *,
@@ -235,18 +245,34 @@ def update_index(
     id_col: str | None = None,
     key_cols: list[str] | None = None,
     meta_cols: tuple[str, ...] | None = None,
+    compact_threshold: int = 4,
 ) -> BuildResult:
     """Incrementally add documents to an existing index — the capability the
-    reference lacks entirely (rebuild-only, Index.cs:442-446). New docs are
-    spilled with the index's frozen salt map, then every bucket is re-merged
-    from [its current segment file + the new spills] into a staging dir that
-    is atomically swapped in (copy-on-write: a crash mid-merge leaves the
-    live index untouched; re-running the update redoes the merge from the
-    intact old segments).
+    reference lacks entirely (rebuild-only, Index.cs:442-446). LSM-style
+    APPEND-ONLY: new docs are spilled with the index's frozen salt map and
+    merged into NEW per-bucket run files (``bucket-NNNNN-uGGGG.parquet``)
+    beside the existing generations; nothing already on disk is rewritten.
+    The reader merges a bucket's runs at query time and sums term-stats
+    across them (doc sets are disjoint). Buckets accumulating more than
+    ``compact_threshold`` runs are compacted back into a single run by a
+    distributed per-bucket k-way merge; replaced runs are deleted after the
+    manifest switch (best-effort — strays are harmless, see below).
 
-    Doc sets must be disjoint from the existing index (duplicate doc_ids
-    fail loudly in the merge). Column-spec args default to the ones recorded
-    in the manifest."""
+    Crash safety: every file write is atomic (tmp+rename) and the manifest
+    — the ONLY pointer readers and stats follow — is written last. A crash
+    mid-update leaves the live index untouched plus some unreferenced run
+    files; re-running the same update regenerates the same generation tag
+    and overwrites them deterministically.
+
+    Doc sets must be disjoint from the existing index: a pushdown semi-join
+    of the new doc_ids against the stored doc-meta raises 'duplicate
+    doc_ids' up front (and compaction's merge re-checks as a backstop).
+    Column-spec args default to the ones recorded in the manifest."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docodo_ray.stages.postings import make_compact_fn
+
     manifest = _load_manifest(out_dir)
     if manifest is None or manifest.get("stages", {}).get("stats") != "done":
         raise ValueError(f"{out_dir} does not hold a completed index")
@@ -266,8 +292,9 @@ def update_index(
     hot = dict(manifest["hot"])
     mg = int(manifest["merge_groups"])
     gen = int(manifest.get("generation", 0)) + 1
-
     tag = f"update-{gen:04d}"
+    suffix = f"-u{gen:04d}"
+
     spill_dir = os.path.join(out_dir, "spill", tag)
     meta_dir = os.path.join(out_dir, "doc_meta", tag)
     shutil.rmtree(spill_dir, ignore_errors=True)
@@ -276,64 +303,104 @@ def update_index(
         rd.read_parquet(sorted(input_paths)), cfg, hot, spill_dir, mg,
         content_col, id_col, key_cols, doc_meta_dir=meta_dir, meta_cols=meta_cols,
     )
+
+    # duplicate-doc guard: pushdown point reads of the new ids against the
+    # stored doc-meta (bounded by update size, never a full-table load)
+    new_meta = _walk_parquet(meta_dir)
+    old_meta = _walk_parquet(os.path.join(out_dir, "doc_meta"), exclude_dir=meta_dir)
+    if new_meta and old_meta:
+        new_ids = pq.read_table(new_meta, columns=["doc_id"])["doc_id"].to_numpy(
+            zero_copy_only=False
+        )
+        for s in range(0, new_ids.size, 50_000):
+            chunk = pa.array(new_ids[s : s + 50_000], pa.uint64())
+            hit = pq.read_table(
+                old_meta, columns=["doc_id"], filters=[("doc_id", "in", chunk)]
+            )
+            if hit.num_rows:
+                shutil.rmtree(spill_dir, ignore_errors=True)
+                shutil.rmtree(meta_dir, ignore_errors=True)
+                raise ValueError(
+                    f"duplicate doc_ids: update re-adds {hit.num_rows} docs "
+                    "already in the index (updates require disjoint doc sets)"
+                )
+
+    # merge the new spills into NEW run files (existing runs untouched)
     by_group: dict[int, list[str]] = {}
     for r in rows:
         by_group.setdefault(int(r["group"]), []).append(r["path"])
-    existing = {
-        int(r["bucket"]): os.path.join(out_dir, r["path"])
-        for r in manifest["segments"]
-    }
-    staging = f"segments-{tag}"
-    shutil.rmtree(os.path.join(out_dir, staging), ignore_errors=True)
-    # term_stats sidecars are rewritten into the staging tree too, then moved
-    ts_staging = os.path.join(out_dir, staging, "term_stats")
     groups = rd.from_items(
         [{"group": g} for g in range(mg)], override_num_blocks=mg
     )
     merge_fn = make_group_merge_fn(
-        os.path.join(out_dir, staging), by_group, cfg.n_buckets, mg,
-        subdir=".", existing_by_bucket=existing,
+        out_dir, by_group, cfg.n_buckets, mg, subdir="segments", file_suffix=suffix,
     )
-    merged = [dict(r) for r in groups.map_batches(
+    new_runs = [dict(r) for r in groups.map_batches(
         merge_fn, batch_format="pyarrow", batch_size=None
     ).take_all()]
-    # atomic-ish swap: segments then term_stats, manifest last
-    old_seg = os.path.join(out_dir, "segments")
-    shutil.rmtree(old_seg + ".old", ignore_errors=True)
-    os.replace(old_seg, old_seg + ".old")
-    os.makedirs(os.path.join(out_dir, staging), exist_ok=True)
-    os.replace(os.path.join(out_dir, staging), old_seg)
-    # merge fn wrote term_stats under <staging>/term_stats (now segments/term_stats)
-    ts_new = os.path.join(old_seg, "term_stats")
-    if os.path.isdir(ts_new):
-        shutil.rmtree(os.path.join(out_dir, "term_stats"), ignore_errors=True)
-        os.replace(ts_new, os.path.join(out_dir, "term_stats"))
-    shutil.rmtree(old_seg + ".old", ignore_errors=True)
-    shutil.rmtree(spill_dir, ignore_errors=True)
+    segments = [dict(r) for r in manifest["segments"]] + new_runs
 
-    for r in merged:
-        r["path"] = os.path.join("segments", os.path.basename(r["path"]))
-    manifest["segments"] = merged
+    # compaction: buckets with too many runs get k-way-merged into one
+    by_bucket: dict[int, list[dict]] = {}
+    for r in segments:
+        by_bucket.setdefault(int(r["bucket"]), []).append(r)
+    need = sorted(b for b, rs in by_bucket.items() if len(rs) > compact_threshold)
+    replaced_files: list[str] = []
+    if need:
+        files_by_bucket = {
+            b: [os.path.join(out_dir, r["path"]) for r in by_bucket[b]] for b in need
+        }
+        cds = rd.from_items(
+            [{"bucket": b} for b in need], override_num_blocks=min(len(need), mg)
+        )
+        compacted = [dict(r) for r in cds.map_batches(
+            make_compact_fn(out_dir, files_by_bucket, f"{suffix}c"),
+            batch_format="pyarrow", batch_size=None,
+        ).take_all()]
+        for b in need:
+            replaced_files.extend(files_by_bucket[b])
+        segments = [r for r in segments if int(r["bucket"]) not in set(need)] + compacted
+
+    manifest["segments"] = sorted(segments, key=lambda r: (r["bucket"], r["path"]))
     manifest["generation"] = gen
     manifest["shards"][tag] = {
         "files": sorted(input_paths), "status": "done",
         "n_postings": sum(r["n_postings"] for r in rows),
     }
-    import pyarrow.parquet as pq
+    # corpus stats from the DOC_LEN pseudo-term's sidecars (manifest-listed)
+    from docodo_ray.tokenizer import term_bucket
 
-    t = pq.read_table(
-        os.path.join(out_dir, "term_stats"), filters=[("term", "==", DOC_LEN_TERM)]
-    )
-    n_docs = int(t["df"][0].as_py()) if t.num_rows else 0
-    total_tokens = int(t["cf"][0].as_py()) if t.num_rows else 0
+    b_dl = term_bucket(DOC_LEN_TERM, cfg.n_buckets)
+    ts_paths = [
+        p for r in manifest["segments"] if int(r["bucket"]) == b_dl
+        if os.path.exists(
+            p := os.path.join(out_dir, "term_stats", os.path.basename(r["path"]))
+        )
+    ]
+    n_docs = total_tokens = 0
+    if ts_paths:
+        t = pq.read_table(ts_paths, filters=[("term", "==", DOC_LEN_TERM)])
+        n_docs = int(pa.compute.sum(t["df"]).as_py() or 0)
+        total_tokens = int(pa.compute.sum(t["cf"]).as_py() or 0)
     manifest["stats"] = {
         "n_docs": n_docs, "total_tokens": total_tokens,
         "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
     }
     _save_manifest(out_dir, manifest)
+
+    # GC: replaced runs + their sidecars + spills (best-effort; the manifest
+    # no longer references them, so a failure here only leaves dead bytes)
+    for p in replaced_files:
+        for victim in (p, os.path.join(out_dir, "term_stats", os.path.basename(p))):
+            try:
+                os.remove(victim)
+            except OSError:
+                pass
+    shutil.rmtree(spill_dir, ignore_errors=True)
+
     return BuildResult(
         out_dir=out_dir, n_docs=n_docs, total_tokens=total_tokens,
-        avgdl=manifest["stats"]["avgdl"], n_segment_files=len(merged),
+        avgdl=manifest["stats"]["avgdl"], n_segment_files=len(manifest["segments"]),
         manifest=manifest,
     )
 

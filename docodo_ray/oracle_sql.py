@@ -22,7 +22,7 @@ from docodo_ray.pipelines import (
     SUGGEST_PREFIX,
     TOP_TERMS_N,
 )
-from docodo_ray.dedup import NGRAM_CAP_DOC_ID, NGRAM_THRESHOLD
+from docodo_ray.dedup import MINHASH_VERIFY_THRESHOLD, NGRAM_THRESHOLD
 from docodo_ray.sim import QUERY_VEC_IDS, TOPK
 from docodo_ray.tokenizer import TokenizerSpec, tokenize
 
@@ -224,12 +224,16 @@ SELECT sha256(text) AS text_sha, min(doc_id) AS min_doc_id, count(*) AS n
 FROM documents GROUP BY sha256(text)
 """
 
+    # all-pairs oracles for the LSH-blocked near-dup operators: the Ray side
+    # generates candidates with MinHash-LSH (32x2 banding) and verifies with
+    # the exact distributed Jaccard; the SQL side brute-forces every pair —
+    # equality certifies both the blocking recall and the verify math.
     sql["ngram_jaccard"] = f"""
 WITH g AS (
   SELECT doc_id,
     list_distinct(list_transform(range(length(lower(text)) - 2),
                                  i -> substr(lower(text), CAST(i + 1 AS INT), 3))) AS gr
-  FROM documents WHERE doc_id < {NGRAM_CAP_DOC_ID}
+  FROM documents
 ),
 p AS (
   SELECT a.doc_id AS a, b.doc_id AS b,
@@ -241,6 +245,34 @@ p AS (
 )
 SELECT a, b, CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_e6
 FROM p WHERE j >= {NGRAM_THRESHOLD}
+"""
+
+    sql["minhash_verified_pairs"] = pro + f""",
+kept AS (
+  SELECT d.doc_id, COALESCE(k.kl, CAST([] AS VARCHAR[])) AS kl
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, list(term ORDER BY pos) AS kl FROM filt GROUP BY doc_id
+  ) k USING (doc_id)
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(kl) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(kl) < 3 THEN [array_to_string(kl, ' ')]
+         ELSE list_distinct(list_transform(range(len(kl) - 2),
+                i -> kl[i+1] || ' ' || kl[i+2] || ' ' || kl[i+3]))
+    END AS s
+  FROM kept
+),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+    CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 1.0
+         ELSE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s)))
+    END AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT a, b, CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_e6
+FROM p WHERE j >= {MINHASH_VERIFY_THRESHOLD}
 """
 
     qvec = ", ".join(str(v) for v in QUERY_VEC_IDS)

@@ -128,6 +128,12 @@ class IndexReader:
         self._seg_by_bucket: dict[int, list[str]] | None = None
         self._ts_by_bucket: dict[int, list[str]] | None = None
         self.io_stats = {"rows_read": 0, "row_groups_read": 0, "file_opens": 0}
+        import threading
+
+        # coarse guard for the mutable caches: concurrent queries (REST
+        # serving, server.py) share one reader; posting decode dominates, so
+        # serializing the cache-fill sections costs little
+        self._lock = threading.RLock()
 
     # ---- posting access -------------------------------------------------
     def _segment_paths(self, b: int) -> list[str]:
@@ -200,11 +206,15 @@ class IndexReader:
         hit = self._posting_cache.get(ck)
         if hit is not None or ck in self._posting_cache:
             return hit
-        p = self._read_posting_uncached(term, with_positions)
-        if len(self._posting_cache) >= 4096:
-            self._posting_cache.pop(next(iter(self._posting_cache)))
-        self._posting_cache[ck] = p
-        return p
+        with self._lock:
+            hit = self._posting_cache.get(ck)
+            if hit is not None or ck in self._posting_cache:
+                return hit
+            p = self._read_posting_uncached(term, with_positions)
+            if len(self._posting_cache) >= 4096:
+                self._posting_cache.pop(next(iter(self._posting_cache)))
+            self._posting_cache[ck] = p
+            return p
 
     def _read_posting_uncached(self, term: str, with_positions: bool) -> Posting | None:
         t = self._term_rows(term, with_positions)
@@ -244,17 +254,15 @@ class IndexReader:
         return Posting(term, d, tf, dl, pf, pcnt, bm if bm.size else None)
 
     def _term_stats_paths(self, b: int) -> list[str]:
-        """term_stats sidecar files of bucket b (one per generation)."""
+        """term_stats sidecar files of bucket b (one per segment run, same
+        basename). Manifest-driven — stray files from a crashed update are
+        never read (the manifest is the only pointer readers follow)."""
         if self._ts_by_bucket is None:
             by: dict[int, list[str]] = {}
-            ts_dir = os.path.join(self.dir, "term_stats")
-            if os.path.isdir(ts_dir):
-                for root, _dirs, names in os.walk(ts_dir):
-                    for n in sorted(names):
-                        if n.startswith("bucket-") and n.endswith(".parquet"):
-                            by.setdefault(int(n[7:12]), []).append(
-                                os.path.join(root, n)
-                            )
+            for r in self.manifest.get("segments", []):
+                p = os.path.join(self.dir, "term_stats", os.path.basename(r["path"]))
+                if os.path.exists(p):
+                    by.setdefault(int(r["bucket"]), []).append(p)
             self._ts_by_bucket = by
         return self._ts_by_bucket.get(b, [])
 

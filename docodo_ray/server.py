@@ -1,0 +1,108 @@
+"""Thin REST serving wrapper over IndexReader — the K5 surface the round-1
+repo lacked (reference server.cs:19-118: `GET /search?req=...` returning a
+`{found, result[]}` JSON body).
+
+Stdlib-only (ThreadingHTTPServer): one shared IndexReader answers concurrent
+queries (its caches are guarded, search.py); each result row carries the
+doc's meta columns via a pushdown point read. Endpoints:
+
+    GET /search?req=<query>[&k=10][&mode=and|or][&meta=1]
+    GET /suggest?prefix=<p>[&n=10]
+    GET /stats
+
+Run: ``python -m docodo_ray.server <index_dir> [port]`` (or embed via
+``make_server`` / ``serve``).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from docodo_ray.search import IndexReader
+
+
+def search_payload(reader: IndexReader, req: str, k: int = 10,
+                   mode: str = "and", with_meta: bool = True) -> dict:
+    """The `{found, result[]}` body (reference server.cs response shape)."""
+    hits = reader.search(req, k=k, mode=mode)
+    result = [{"doc_id": int(d), "score": float(s)} for d, s in hits]
+    if with_meta and hits:
+        meta = reader.doc_meta([d for d, _ in hits])
+        by_id = {}
+        for i in range(meta.num_rows):
+            row = {c: meta[c][i].as_py() for c in meta.schema.names}
+            by_id[int(row.pop("doc_id"))] = row
+        for r in result:
+            r.update(by_id.get(r["doc_id"], {}))
+    return {"found": len(result), "result": result}
+
+
+def make_server(index_dir: str, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """Build (don't start) the HTTP server; ``.server_address`` has the
+    bound port (port=0 -> ephemeral, for tests)."""
+    reader = IndexReader(index_dir)
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, body: dict) -> None:
+            data = json.dumps(body).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self) -> None:  # noqa: N802 (stdlib API name)
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+
+            def arg(name: str, default: str) -> str:
+                return q.get(name, [default])[0]
+
+            try:
+                if u.path == "/search":
+                    self._send(200, search_payload(
+                        reader, arg("req", ""), k=int(arg("k", "10")),
+                        mode=arg("mode", "and"),
+                        with_meta=arg("meta", "1") not in ("0", "false"),
+                    ))
+                elif u.path == "/suggest":
+                    terms = reader.suggest(arg("prefix", ""), n=int(arg("n", "10")))
+                    self._send(200, {"found": len(terms), "result": terms})
+                elif u.path == "/stats":
+                    self._send(200, {
+                        "n_docs": reader.n_docs,
+                        "total_tokens": reader.manifest["stats"]["total_tokens"],
+                        "avgdl": reader.avgdl,
+                        "generation": reader.manifest.get("generation", 0),
+                    })
+                else:
+                    self._send(404, {"error": f"no such endpoint {u.path}"})
+            except Exception as e:  # surface as JSON, keep the server alive
+                self._send(500, {"error": str(e)})
+
+        def log_message(self, *args) -> None:  # quiet
+            pass
+
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.reader = reader  # type: ignore[attr-defined]
+    return srv
+
+
+def serve(index_dir: str, host: str = "127.0.0.1", port: int = 8080,
+          background: bool = False) -> ThreadingHTTPServer:
+    srv = make_server(index_dir, host, port)
+    if background:
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+    else:
+        srv.serve_forever()
+    return srv
+
+
+if __name__ == "__main__":
+    import sys
+
+    serve(sys.argv[1], port=int(sys.argv[2]) if len(sys.argv) > 2 else 8080)

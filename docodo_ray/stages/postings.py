@@ -313,11 +313,15 @@ def bucket_group(bucket: int, n_buckets: int, merge_groups: int) -> int:
     return bucket * merge_groups // n_buckets
 
 
-def _write_term_stats_sidecar(out_dir: str, bucket: int, merged: pa.Table) -> None:
-    """Global (term, df, cf) for this bucket, aggregated across salt shards —
-    exact because a term's salts all hash to the same bucket, so the merge
-    task sees every shard of every term it owns. Replaces a separate
-    term-stats shuffle stage."""
+def _write_term_stats_sidecar(
+    out_dir: str, bucket: int, merged: pa.Table, file_suffix: str = ""
+) -> None:
+    """Global (term, df, cf) for this bucket RUN, aggregated across salt
+    shards — exact because a term's salts all hash to the same bucket, so
+    the merge task sees every shard of every term it owns. One sidecar per
+    segment run file (same basename); readers sum df/cf across runs (doc
+    sets across runs are disjoint). Replaces a separate term-stats shuffle
+    stage."""
     col = merged["term"]
     tcol = pa.concat_arrays(col.chunks) if isinstance(col, pa.ChunkedArray) else col
     n = len(tcol)
@@ -332,7 +336,8 @@ def _write_term_stats_sidecar(out_dir: str, bucket: int, merged: pa.Table) -> No
         }
     )
     _atomic_write(
-        ts, os.path.join(out_dir, "term_stats", f"bucket-{bucket:05d}.parquet"),
+        ts,
+        os.path.join(out_dir, "term_stats", f"bucket-{bucket:05d}{file_suffix}.parquet"),
         row_group_size=TERM_STATS_ROW_GROUP_SIZE,
     )
 
@@ -343,20 +348,18 @@ def make_group_merge_fn(
     n_buckets: int,
     merge_groups: int,
     subdir: str = "segments",
-    existing_by_bucket: dict[int, str] | None = None,
+    file_suffix: str = "",
 ):
     """Reduce side: map_batches fn over rows of merge-group ids. Each task
     reads ONLY its group's spill files (they contain exactly its bucket
     range), splits per bucket in memory, merges, and writes each final
-    ``segments/bucket-NNNNN.parquet`` atomically. Returns one manifest row
-    per non-empty bucket.
+    ``segments/bucket-NNNNN<suffix>.parquet`` atomically. Returns one
+    manifest row per non-empty bucket.
 
-    existing_by_bucket: for INCREMENTAL updates — each bucket's current
-    segment file is fed into the merge as one more set of runs (its rows
-    are valid partial posting rows) and the result lands under ``subdir``
-    (a staging dir the caller atomically swaps in). Re-adding an existing
-    document raises the duplicate-doc_id error from merge_segment_rows:
-    updates require disjoint doc sets."""
+    file_suffix: for INCREMENTAL (LSM) updates — the new run files land
+    beside the existing generations (``-uNNNN`` suffix) instead of
+    replacing them; the reader merges runs at query time and compaction
+    folds them back into one (see build.update_index)."""
 
     def merge_buckets(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -391,19 +394,17 @@ def make_group_merge_fn(
                     t = t.filter(pc.equal(t["bucket"], b))
                     if t.num_rows:
                         parts.append(t)
-                if existing_by_bucket and b in existing_by_bucket:
-                    parts.append(pq.read_table(existing_by_bucket[b]))
                 parts = [p for p in parts if p.num_rows]
                 if not parts:
                     continue
                 t = pa.concat_tables(parts).combine_chunks() if len(parts) > 1 else parts[0]
                 merged = merge_segment_rows(t)
-                rel = os.path.join(subdir, f"bucket-{b:05d}.parquet")
+                rel = os.path.join(subdir, f"bucket-{b:05d}{file_suffix}.parquet")
                 checksum = _atomic_write(
                     merged, os.path.join(out_dir, rel),
                     row_group_size=SEGMENT_ROW_GROUP_SIZE,
                 )
-                _write_term_stats_sidecar(out_dir, b, merged)
+                _write_term_stats_sidecar(out_dir, b, merged, file_suffix)
                 out_cols["bucket"].append(b)
                 out_cols["path"].append(rel)
                 out_cols["n_terms"].append(merged.num_rows)
@@ -418,3 +419,39 @@ def make_group_merge_fn(
 
     merge_buckets.__name__ = "merge_buckets"
     return merge_buckets
+
+
+def make_compact_fn(out_dir: str, files_by_bucket: dict[int, list[str]], file_suffix: str):
+    """LSM compaction: map_batches fn over rows of bucket ids. Each task
+    k-way-merges ALL run files of its bucket back into a single run (segment
+    rows are valid partial posting rows, so merge_segment_rows applies
+    verbatim) and writes it with the compaction suffix. Peak memory = one
+    bucket. Duplicate doc_ids across runs — an update that re-added live
+    docs — fail loudly here (merge_segment_rows raises)."""
+
+    def compact_buckets(batch: pa.Table) -> pa.Table:
+        out_cols = {name: [] for name in MANIFEST_ROW_SCHEMA.names}
+        for b in batch["bucket"].to_pylist():
+            b = int(b)
+            t = pa.concat_tables(
+                [pq.read_table(f) for f in files_by_bucket[b]]
+            ).combine_chunks()
+            merged = merge_segment_rows(t)
+            rel = os.path.join("segments", f"bucket-{b:05d}{file_suffix}.parquet")
+            checksum = _atomic_write(
+                merged, os.path.join(out_dir, rel),
+                row_group_size=SEGMENT_ROW_GROUP_SIZE,
+            )
+            _write_term_stats_sidecar(out_dir, b, merged, file_suffix)
+            out_cols["bucket"].append(b)
+            out_cols["path"].append(rel)
+            out_cols["n_terms"].append(merged.num_rows)
+            out_cols["n_postings"].append(int(pa.compute.sum(merged["df"]).as_py() or 0))
+            out_cols["checksum"].append(checksum)
+        return pa.Table.from_arrays(
+            [pa.array(out_cols[f.name], f.type) for f in MANIFEST_ROW_SCHEMA],
+            schema=MANIFEST_ROW_SCHEMA,
+        )
+
+    compact_buckets.__name__ = "compact_buckets"
+    return compact_buckets

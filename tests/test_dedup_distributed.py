@@ -1,0 +1,108 @@
+"""Distributed MinHash verification over a seeded near-dup corpus (round-1
+verified candidate pairs in a driver-side Python loop; round 2 routes shingle
+sets to pairs with union + groupby exchanges and verifies inside map_groups —
+see dedup.verified_pairs). The brute-force all-pairs Jaccard over the seeded
+corpus is the oracle here; the DuckDB SQL oracle covers the driver tables."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from docodo_ray.config import load_stopwords
+from docodo_ray.dedup import (
+    MINHASH_VERIFY_THRESHOLD,
+    VERIFY_BANDS,
+    VERIFY_ROWS,
+    _token_shingles,
+    minhash_dedup,
+    verified_pairs,
+)
+from docodo_ray.tokenizer import TokenizerSpec
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the old lady watches "
+    "from her porch holding a steaming cup of black coffee in the morning sun "
+    "as swallows circle the red barn behind the wheat field near the river"
+)
+
+
+@pytest.fixture(scope="module")
+def seeded_dir(tmp_path_factory):
+    """30 docs: 10 unique, 5 exact-dup pairs (J=1), 5 near-dup pairs with a
+    few words perturbed (J in ~[0.4, 0.9])."""
+    rng = np.random.default_rng(7)
+    words = BASE.split()
+    docs = []
+    for i in range(10):
+        perm = rng.permutation(words).tolist()
+        docs.append(" ".join(perm))
+    texts, ids = [], []
+    n = 0
+    for i in range(10):  # unique docs
+        texts.append(docs[i] + f" unique{i} marker{i}")
+        ids.append(n); n += 1
+    for i in range(5):  # exact dups
+        texts += [docs[i], docs[i]]
+        ids += [n, n + 1]; n += 2
+    for i in range(5):  # near dups: change i+1 words
+        w = docs[5 + i].split()
+        w2 = list(w)
+        for j in range(i + 1):
+            w2[3 * j] = f"changed{i}{j}"
+        texts += [" ".join(w), " ".join(w2)]
+        ids += [n, n + 1]; n += 2
+    d = tmp_path_factory.mktemp("neardup")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    return str(d)
+
+
+def brute_pairs(sf_dir, threshold):
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    spec = TokenizerSpec(3, 32, load_stopwords())
+    sh = {int(d): set(_token_shingles(x, spec).tolist())
+          for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    out = {}
+    ks = sorted(sh)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1:]:
+            union = len(sh[a] | sh[b])
+            j = (len(sh[a] & sh[b]) / union) if union else 1.0
+            if j >= threshold:
+                out[(a, b)] = int(np.floor(j * 1e6))
+    return out
+
+
+def test_distributed_verify_matches_bruteforce(seeded_dir):
+    got = {
+        (r["a"], r["b"]): r["jaccard_e6"]
+        for r in verified_pairs(
+            seeded_dir, MINHASH_VERIFY_THRESHOLD, kind="token",
+            bands=VERIFY_BANDS, rows_per_band=VERIFY_ROWS, max_bucket=4096,
+        ).take_all()
+    }
+    want = brute_pairs(seeded_dir, MINHASH_VERIFY_THRESHOLD)
+    assert got == want
+    # the seed plants both exact (J=1) and strictly-near (0.5<=J<1) pairs
+    assert sum(1 for v in want.values() if v == 1_000_000) >= 5
+    assert sum(1 for v in want.values() if v < 1_000_000) >= 2
+
+
+def test_default_banding_is_subset_of_bruteforce(seeded_dir):
+    """16x4 banding is allowed to miss borderline pairs (probabilistic
+    recall) but everything it reports must be exact-verified."""
+    got = {
+        (r["a"], r["b"]): r["jaccard_e6"]
+        for r in minhash_dedup(seeded_dir, threshold=0.6).take_all()
+    }
+    want = brute_pairs(seeded_dir, 0.6)
+    assert set(got).issubset(set(want))
+    for k, v in got.items():
+        assert v == want[k]
+    # exact dups can never be missed (every band matches)
+    assert all((a, b) in got for (a, b), v in want.items() if v == 1_000_000)

@@ -50,6 +50,87 @@ def test_update_equals_full_rebuild(tmp_path, small_corpus_files):
     assert res.manifest["shards"]["update-0001"]["status"] == "done"
 
 
+def _file_hashes(out_dir):
+    import hashlib
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        m = json.load(f)
+    out = {}
+    for r in m["segments"]:
+        p = os.path.join(out_dir, r["path"])
+        out[r["path"]] = hashlib.sha256(open(p, "rb").read()).hexdigest()
+    return out
+
+
+def test_update_is_append_only(tmp_path, small_corpus_files):
+    """LSM invariant: an update must not rewrite any existing run file —
+    only add new ones (so a 1%-of-corpus update costs ~1% of the build,
+    not a full re-merge of every bucket)."""
+    inc_dir = str(tmp_path / "appendonly")
+    build_index(inc_dir, input_paths=small_corpus_files[:3], cfg=_cfg(), **CFG_KW)
+    before = _file_hashes(inc_dir)
+    update_index(inc_dir, input_paths=small_corpus_files[3:])
+    after = _file_hashes(inc_dir)
+    assert set(before) < set(after)  # old runs still referenced, new ones added
+    for p, h in before.items():
+        assert after[p] == h, f"update rewrote existing run {p}"
+    assert any(p.endswith("-u0001.parquet") for p in after)
+
+
+def test_compaction_bounds_runs_and_preserves_postings(tmp_path, small_corpus_files):
+    """Repeated updates trigger per-bucket compaction; posting-level content
+    still equals the full rebuild."""
+    full = build_index(str(tmp_path / "cfull"), input_paths=small_corpus_files,
+                       cfg=_cfg(), **CFG_KW)
+    inc_dir = str(tmp_path / "cinc")
+    build_index(inc_dir, input_paths=small_corpus_files[:1], cfg=_cfg(), **CFG_KW)
+    for k in range(1, 4):
+        res = update_index(inc_dir, input_paths=[small_corpus_files[k]],
+                           compact_threshold=2)
+    # run count per bucket stays bounded by the threshold
+    runs = {}
+    for r in res.manifest["segments"]:
+        runs[r["bucket"]] = runs.get(r["bucket"], 0) + 1
+    assert max(runs.values()) <= 2 + 1  # at most threshold+1 before next compaction
+    assert any(p["path"].endswith("c.parquet") for p in res.manifest["segments"])
+    rf, ri = IndexReader(full.out_dir), IndexReader(inc_dir)
+    assert res.n_docs == full.n_docs and res.total_tokens == full.total_tokens
+    terms = rf.term_dictionary()["term"].to_pylist()
+    assert set(terms) == set(ri.term_dictionary()["term"].to_pylist())
+    for t in terms[:150]:
+        pf = rf.read_posting(t, with_positions=True)
+        pi = ri.read_posting(t, with_positions=True)
+        assert np.array_equal(pf.doc_ids, pi.doc_ids), t
+        assert np.array_equal(pf.tfs, pi.tfs), t
+        assert np.array_equal(pf.pos_flat, pi.pos_flat), t
+    for q in ["public static", '"old lady"', "(public | void) return"]:
+        assert rf.search(q, k=10) == ri.search(q, k=10), q
+
+
+def test_reader_ignores_stray_files(tmp_path, small_corpus_files):
+    """Crash-safety contract: files not referenced by the manifest (as left
+    by a crashed update) are invisible to readers."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "stray")
+    build_index(out, input_paths=small_corpus_files, cfg=_cfg(), **CFG_KW)
+    r1 = IndexReader(out)
+    base = r1.search("public static", k=10)
+    df_base = r1.term_stats("public")
+    # simulate a crashed update: copy a real run + sidecar to stray names
+    seg = r1.manifest["segments"][0]["path"]
+    shutil.copy(os.path.join(out, seg),
+                os.path.join(out, seg.replace(".parquet", "-u0099.parquet")))
+    ts = os.path.join(out, "term_stats", os.path.basename(seg))
+    shutil.copy(ts, ts.replace(".parquet", "-u0099.parquet"))
+    r2 = IndexReader(out)
+    assert r2.search("public static", k=10) == base
+    assert r2.term_stats("public") == df_base
+
+
 def test_update_rejects_duplicate_docs(tmp_path, small_corpus_files):
     inc_dir = str(tmp_path / "dup")
     build_index(inc_dir, input_paths=small_corpus_files[:2], cfg=_cfg(), **CFG_KW)

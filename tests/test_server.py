@@ -1,0 +1,90 @@
+"""REST serving wrapper (reference server.cs:19-118): `{found, result[]}`
+response shape + concurrent queries against the shared IndexReader."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from docodo_ray import IndexConfig, IndexReader, build_index
+from docodo_ray.server import make_server
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory, small_corpus_files):
+    out = str(tmp_path_factory.mktemp("idx_srv") / "t1")
+    cfg = IndexConfig(n_buckets=8, tokenizer_batch_size=64, tokenizer_concurrency=2)
+    build_index(out, input_paths=small_corpus_files, cfg=cfg,
+                content_col="content", key_cols=["repo", "path", "commit"],
+                meta_cols=("repo", "path", "lang"))
+    srv = make_server(out, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    host, port = srv.server_address
+    yield out, f"http://{host}:{port}"
+    srv.shutdown()
+
+
+def _get(url: str) -> dict:
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.loads(r.read().decode())
+
+
+def test_search_endpoint_shape(served):
+    out, base = served
+    body = _get(f"{base}/search?req=public+static&k=5")
+    assert set(body) == {"found", "result"}
+    assert body["found"] == len(body["result"]) == 5
+    row = body["result"][0]
+    assert {"doc_id", "score", "path", "lang"} <= set(row)
+    # matches the direct reader
+    r = IndexReader(out)
+    want = r.search("public static", k=5)
+    assert [x["doc_id"] for x in body["result"]] == [d for d, _ in want]
+    # boolean / phrase / fielded through the same endpoint
+    assert _get(f"{base}/search?req=(public%20|%20static)%20void&k=3")["found"] == 3
+    assert _get(f'{base}/search?req=%22old%20lady%22&k=3')["found"] > 0
+
+
+def test_suggest_and_stats(served):
+    out, base = served
+    sugg = _get(f"{base}/suggest?prefix=pub&n=3")
+    assert "public" in sugg["result"]
+    st = _get(f"{base}/stats")
+    assert st["n_docs"] == 200 and st["avgdl"] > 0
+    assert _get(f"{base}/search?req=")["found"] == 0
+    # unknown endpoint -> 404 JSON, server stays alive
+    try:
+        _get(f"{base}/nope")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_concurrent_queries_consistent(served):
+    """N threads hammer the shared reader with a query mix; every response
+    must equal the single-threaded answer (cache-fill races are guarded)."""
+    out, base = served
+    r = IndexReader(out)
+    queries = ["public", "public static", "void | return", '"old lady"',
+               "cla?s", "(public | static) void"]
+    want = {q: [d for d, _ in r.search(q, k=10)] for q in queries}
+    errors = []
+
+    def worker(n):
+        try:
+            for i in range(8):
+                q = queries[(n + i) % len(queries)]
+                body = _get(f"{base}/search?req={urllib.parse.quote(q)}&k=10&meta=0")
+                got = [x["doc_id"] for x in body["result"]]
+                assert got == want[q], (q, got)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
