@@ -23,11 +23,29 @@ QUERY_VEC_IDS = [0, 1, 2]
 TOPK = 5
 
 
+def _embedding_matrix(col) -> np.ndarray:
+    """list<float>/fixed_size_list column -> (n, d) float64 matrix, reshaped
+    zero-copy from the Arrow values buffer — the column's data buffer IS the
+    row-major matrix; no per-row Python lists (round-1 used to_pylist)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+    else:
+        lens = col.value_lengths().to_numpy(zero_copy_only=False)
+        d = int(lens[0]) if n else 0
+        if n and not (lens == d).all():
+            raise ValueError("ragged embedding column")
+    flat = col.flatten().to_numpy(zero_copy_only=True)
+    return flat.reshape(n, d).astype(np.float64)
+
+
 def _load_queries(sf_dir: str) -> tuple[np.ndarray, list[int]]:
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
                       filters=[("vec_id", "in", QUERY_VEC_IDS)])
     ids = t["vec_id"].to_pylist()
-    q = np.array(t["embedding"].to_pylist(), dtype=np.float32).astype(np.float64)
+    q = _embedding_matrix(t["embedding"])
     order = np.argsort(ids)
     return q[order], sorted(ids)
 
@@ -49,7 +67,7 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float32).astype(np.float64)
+        mat = _embedding_matrix(batch["embedding"])
         # cos per (row, query) — but norms/dots must match the SQL oracle's
         # per-element double arithmetic: dot / (||a|| * ||q||)
         dots = mat @ self.queries.T
@@ -116,16 +134,39 @@ def _kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 5) -> np.ndar
     return centroids
 
 
+def _sampled_matrix(sf_dir: str, target: int = 4096) -> np.ndarray:
+    """Deterministic splitmix64(vec_id) sample of ~target embedding rows,
+    drawn ACROSS the whole dataset (round-1 took the head 512 rows of one
+    file — unrepresentative at scale). Layout-independent: the same rows
+    are picked at any parallelism."""
+    from docodo_ray.tokenizer import splitmix64
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    total = ds.count()
+    thresh = np.uint64(min(1_000_000, int(1_000_000 * target / max(total, 1))))
+
+    def samp(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = (splitmix64(ids) % np.uint64(1_000_000)) < thresh
+        return t.filter(pa.array(keep))
+
+    t = pa.Table.from_pylist(ds.map_batches(samp, batch_format="pyarrow").take_all())
+    if t.num_rows == 0:
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).slice(0, 64)
+    order = pa.compute.sort_indices(t["vec_id"])  # deterministic centroid init
+    return _embedding_matrix(t["embedding"].take(order))
+
+
 def embedding_topk_ivf(
     sf_dir: str, k: int = TOPK, n_clusters: int = 8, nprobe: int = 3
 ) -> pa.Table:
-    """(query_id, vec_id, cos_e6) approximate: IVF — centroids from a
-    deterministic head-sample, rows bucketed by nearest centroid inside
-    map_batches, only the nprobe closest lists scored per query. Recall < 1
-    by design; the exactness gate is embedding_topk."""
+    """(query_id, vec_id, cos_e6) approximate: IVF — centroids k-means'd on
+    a deterministic corpus-wide sample, rows bucketed by nearest centroid
+    inside map_batches, only the nprobe closest lists scored per query.
+    Recall < 1 by design; the exactness gate is embedding_topk."""
     queries, qids = _load_queries(sf_dir)
-    head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).slice(0, 512)
-    sample = np.array(head["embedding"].to_pylist(), dtype=np.float32).astype(np.float64)
+    sample = _sampled_matrix(sf_dir)
     centroids = _kmeans_lite(sample, min(n_clusters, len(sample)))
     probe = {}
     for j, qid in enumerate(qids):
@@ -140,7 +181,7 @@ def embedding_topk_ivf(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            mat = np.array(batch["embedding"].to_pylist(), dtype=np.float32).astype(np.float64)
+            mat = _embedding_matrix(batch["embedding"])
             d = ((mat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
             assign = d.argmin(axis=1)
             dots = mat @ self.queries.T

@@ -20,9 +20,14 @@ import os
 import numpy as np
 import pyarrow as pa
 
+from itertools import chain
+
+import pyarrow.compute as pc
+
 from docodo_ray import codec
 from docodo_ray.config import DOC_LEN_TERM, IndexConfig, load_stopwords
 from docodo_ray.tokenizer import (
+    TOKEN_RE,
     TokenizerSpec,
     doc_id_from_key,
     doc_term_stats,
@@ -74,6 +79,9 @@ class TokenizeStage:
         self.key_cols = key_cols
         self.bucket_cache: dict[str, int] = {}
         self.store_positions = cfg.store_positions
+        self._stop_arr = (
+            pa.array(sorted(self.spec.stopwords)) if self.spec.stopwords else None
+        )
 
     def _bucket(self, term: str) -> int:
         b = self.bucket_cache.get(term)
@@ -83,6 +91,185 @@ class TokenizeStage:
         return b
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Dispatch: the batch-vectorized path covers the default (no
+        vocab/stemmer) configuration; word-code expansion keeps the
+        per-document path (expansion rows share raw positions, which the
+        flat layout can't express cheaply)."""
+        if self.spec.vocab or self.spec.use_stemmer:
+            return self._call_perdoc(batch)
+        return self._call_vectorized(batch)
+
+    def _flat_tokens_regex(self, texts: list) -> tuple:
+        """General path: per-doc regex findall (regex parity with the DuckDB
+        oracle for any Unicode). -> (kept pa.StringArray, doc_idx, pos)."""
+        n_docs = len(texts)
+        toks = [TOKEN_RE.findall(t.lower()) if t else [] for t in texts]
+        n_raw = np.fromiter((len(x) for x in toks), np.int64, count=n_docs)
+        total_raw = int(n_raw.sum())
+        if total_raw == 0:
+            return None, None, None
+        arr = pa.array(list(chain.from_iterable(toks)), pa.string())
+        lens = pc.utf8_length(arr).to_numpy().astype(np.int64)
+        keep = (lens >= self.spec.min_len) & (lens <= self.spec.max_len)
+        if self._stop_arr is not None:
+            keep &= ~pc.is_in(arr, value_set=self._stop_arr).to_numpy(
+                zero_copy_only=False
+            )
+        kept_idx = np.flatnonzero(keep)
+        if kept_idx.size == 0:
+            return None, None, None
+        doc_idx_raw = np.repeat(np.arange(n_docs, dtype=np.int64), n_raw)
+        starts_raw = np.concatenate(([0], np.cumsum(n_raw)[:-1]))
+        pos_raw = np.arange(total_raw, dtype=np.int64) - np.repeat(starts_raw, n_raw)
+        return arr.take(pa.array(kept_idx)), doc_idx_raw[kept_idx], pos_raw[kept_idx]
+
+    def _flat_tokens_ascii(self, texts: list) -> tuple:
+        """ASCII fast path: byte-level run detection over the whole batch —
+        classify letter/digit bytes, find class-change run boundaries,
+        length-filter on byte lengths, and build the kept-token Arrow string
+        array straight from gathered byte buffers. ZERO per-token Python
+        objects. `[a-z]+|[0-9]+` over lowered ASCII is exactly
+        `\\p{L}+|\\p{N}+` (the oracle regex), so results are byte-identical
+        to the regex path — asserted by tests."""
+        n_docs = len(texts)
+        joined = "\x00".join((t.lower() if t else "") for t in texts)
+        b = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+        if b.size == 0:
+            return None, None, None
+        doc_lens = np.fromiter(
+            (len(t) if t else 0 for t in texts), np.int64, count=n_docs
+        )
+        doc_starts = np.concatenate(([0], np.cumsum(doc_lens + 1)[:-1]))
+        cls = np.zeros(b.size, dtype=np.int8)
+        cls[(b >= 97) & (b <= 122)] = 1  # a-z
+        cls[(b >= 48) & (b <= 57)] = 2   # 0-9
+        prev = np.concatenate(([0], cls[:-1]))
+        nxt = np.concatenate((cls[1:], [0]))
+        tok_starts = np.flatnonzero((cls != 0) & (cls != prev))
+        if tok_starts.size == 0:
+            return None, None, None
+        tok_lens = np.flatnonzero((cls != 0) & (cls != nxt)) + 1 - tok_starts
+        doc_of = np.searchsorted(doc_starts, tok_starts, side="right") - 1
+        n_raw = np.bincount(doc_of, minlength=n_docs)
+        first_tok = np.concatenate(([0], np.cumsum(n_raw)[:-1]))
+        pos_raw = np.arange(tok_starts.size, dtype=np.int64) - first_tok[doc_of]
+        keep = (tok_lens >= self.spec.min_len) & (tok_lens <= self.spec.max_len)
+        sel_starts, sel_lens = tok_starts[keep], tok_lens[keep]
+        if sel_starts.size == 0:
+            return None, None, None
+        ends = np.cumsum(sel_lens)
+        shift = np.repeat(sel_starts - (ends - sel_lens), sel_lens)
+        data = b[np.arange(int(ends[-1]), dtype=np.int64) + shift]
+        offsets = np.concatenate(([0], ends)).astype(np.int32)
+        arr = pa.Array.from_buffers(
+            pa.utf8(), sel_lens.size,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+        )
+        doc_idx, pos = doc_of[keep], pos_raw[keep]
+        if self._stop_arr is not None:
+            m = pc.is_in(arr, value_set=self._stop_arr).to_numpy(zero_copy_only=False)
+            if m.any():
+                k = np.flatnonzero(~m)
+                arr, doc_idx, pos = arr.take(pa.array(k)), doc_idx[k], pos[k]
+        return arr, doc_idx, pos
+
+    def _call_vectorized(self, batch: pa.Table) -> pa.Table:
+        """Batch-vectorized tokenize: the length/stopword filter,
+        per-(doc,term) aggregation, tf counting, position framing and
+        bucket/salt assignment are Arrow/numpy over the whole batch; token
+        extraction is byte-vectorized for all-ASCII batches and per-doc
+        regex otherwise. Produces the same logical rows as the per-doc
+        path (asserted by tests)."""
+        doc_ids = resolve_doc_ids(batch, self.id_col, self.key_cols)
+        n_docs = doc_ids.size
+        sbase = splitmix64(doc_ids)
+        texts = batch[self.content_col].to_pylist()
+        if all(t is None or t.isascii() for t in texts):
+            arr, doc_idx, pos = self._flat_tokens_ascii(texts)
+        else:
+            arr, doc_idx, pos = self._flat_tokens_regex(texts)
+        if arr is None:
+            dls = np.zeros(n_docs, dtype=np.int64)
+            return self._with_doclen_rows([], n_docs, doc_ids, dls, sbase)
+        dic = arr.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dls = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+
+        order = np.lexsort((pos, codes, doc_idx))
+        d_s, c_s, p_s = doc_idx[order], codes[order], pos[order]
+        change = np.concatenate(
+            ([True], (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1]))
+        )
+        run_starts = np.flatnonzero(change)
+        tf = np.diff(np.concatenate((run_starts, [d_s.size])))
+
+        dvals = dic.dictionary.to_pylist()
+        buckets_d = np.fromiter(
+            (self._bucket(t) for t in dvals), np.int64, count=len(dvals)
+        )
+        shards_d = np.fromiter(
+            (self.hot.get(t, 0) for t in dvals), np.int64, count=len(dvals)
+        )
+        rc, rd = c_s[run_starts], d_s[run_starts]
+        s_t = shards_d[rc]
+        safe = np.maximum(s_t, 1).astype(np.uint64)
+        run_salts = np.where(s_t > 0, (sbase[rd] % safe).astype(np.int64), 0)
+
+        if self.store_positions:
+            total_kept = int(tf.sum())
+            stream = np.empty(run_starts.size + total_kept, dtype=np.uint64)
+            seg_starts = np.concatenate(([0], np.cumsum(tf)[:-1]))
+            hdr = seg_starts + np.arange(run_starts.size, dtype=np.int64)
+            stream[hdr] = tf.astype(np.uint64)
+            mask = np.ones(stream.size, dtype=bool)
+            mask[hdr] = False
+            stream[mask] = codec.segmented_delta_encode(p_s.astype(np.uint64), tf)
+            blobs = codec.varbyte_encode_chunked(stream, 1 + tf)
+        else:
+            blobs = [b""] * run_starts.size
+
+        cols = [
+            dic.dictionary.take(pa.array(rc)),
+            pa.array(buckets_d[rc], pa.uint32()),
+            pa.array(run_salts, pa.uint32()),
+            pa.array(doc_ids[rd], pa.uint64()),
+            pa.array(tf, pa.uint32()),
+            pa.array(dls[rd], pa.uint32()),
+            pa.array(blobs, pa.binary()),
+        ]
+        return self._with_doclen_rows(cols, n_docs, doc_ids, dls, sbase)
+
+    def _with_doclen_rows(
+        self, token_cols: list, n_docs: int, doc_ids: np.ndarray,
+        dls: np.ndarray, sbase: np.ndarray,
+    ) -> pa.Table:
+        """Append the one-per-doc DOC_LEN pseudo-posting rows (tf = dl; the
+        corpus-stats / norm table rides the same shuffle)."""
+        s_dl = self.hot.get(DOC_LEN_TERM, 0)
+        dl_salts = (
+            (sbase % np.uint64(s_dl)).astype(np.int64)
+            if s_dl
+            else np.zeros(n_docs, dtype=np.int64)
+        )
+        dl_cols = [
+            pa.array([DOC_LEN_TERM] * n_docs, pa.string()),
+            pa.array(np.full(n_docs, self._bucket(DOC_LEN_TERM)), pa.uint32()),
+            pa.array(dl_salts, pa.uint32()),
+            pa.array(doc_ids, pa.uint64()),
+            pa.array(dls, pa.uint32()),
+            pa.array(dls, pa.uint32()),
+            pa.array(
+                [b"\x00"] * n_docs if self.store_positions else [b""] * n_docs,
+                pa.binary(),
+            ),
+        ]
+        dl_table = pa.Table.from_arrays(dl_cols, schema=TOKEN_SCHEMA)
+        if not token_cols:
+            return dl_table
+        tok_table = pa.Table.from_arrays(token_cols, schema=TOKEN_SCHEMA)
+        return pa.concat_tables([tok_table, dl_table])
+
+    def _call_perdoc(self, batch: pa.Table) -> pa.Table:
         doc_ids = resolve_doc_ids(batch, self.id_col, self.key_cols)
         texts = batch[self.content_col].to_pylist()
 

@@ -66,3 +66,104 @@ def test_media_features_pipeline():
     df = media_features("/root/testdata/sf0.001").to_pandas()
     assert len(df) == 500
     assert set(df.columns) == {"doc_id", "width", "height", "channels", "feature"}
+    # real PPM kernel ran: dimensions are the fixture's, not hash fakes
+    from docodo_ray.multimodal import PPM_H, PPM_W
+
+    assert set(df["width"]) == {PPM_W} and set(df["height"]) == {PPM_H}
+
+
+# ---- REAL pure-numpy decode kernels -----------------------------------------
+
+def _make_ppm(w, h, pix):
+    return f"P6\n# comment\n{w} {h}\n255\n".encode() + pix.tobytes()
+
+
+def test_decode_ppm_exact():
+    from docodo_ray.multimodal import decode_ppm
+
+    pix = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    got = decode_ppm(_make_ppm(3, 2, pix))
+    assert np.array_equal(got, pix)
+    # grayscale P5
+    g = np.array([[0, 128], [255, 7]], dtype=np.uint8)
+    got5 = decode_ppm(b"P5\n2 2\n255\n" + g.tobytes())
+    assert np.array_equal(got5[:, :, 0], g)
+    with pytest.raises(ValueError):
+        decode_ppm(b"JUNK")
+
+
+def _make_bmp(pix_rgb):
+    """Minimal 24-bit bottom-up BI_RGB BMP from an (h, w, 3) RGB array."""
+    import struct
+
+    h, w, _ = pix_rgb.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in pix_rgb[::-1]:  # bottom-up
+        r = bytearray()
+        for px in row:
+            r += bytes([px[2], px[1], px[0]])  # BGR
+        r += b"\x00" * (stride - len(r))
+        body += r
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def test_decode_bmp_exact():
+    from docodo_ray.multimodal import decode_bmp
+
+    pix = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                    [[1, 2, 3], [4, 5, 6], [7, 8, 9]]], dtype=np.uint8)
+    got = decode_bmp(_make_bmp(pix))
+    assert np.array_equal(got, pix)
+
+
+def _make_wav(samples_i16, rate=8000, channels=1):
+    import struct
+
+    data = samples_i16.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_decode_wav_exact():
+    from docodo_ray.multimodal import decode_wav
+
+    s = np.array([0, 16384, -16384, 32767], dtype=np.int16)
+    x, rate = decode_wav(_make_wav(s, rate=4))
+    assert rate == 4 and x.shape == (4, 1)
+    assert np.allclose(x[:, 0], s / 32768.0)
+
+
+def test_stages_use_real_kernels():
+    """Payloads in real formats go through the numpy kernels: exact
+    dimensions and feature values, not hash fakes."""
+    from docodo_ray.multimodal import _block_mean_features, decode_ppm
+
+    pix = np.full((8, 16, 3), 100, dtype=np.uint8)
+    pix[:, 8:, :] = 200  # left half 100, right half 200
+    ppm = _make_ppm(16, 8, pix)
+    batch = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "media": pa.array([ppm], pa.binary()),
+                      "media_type": pa.array(["image/x-portable-pixmap"])})
+    out = DecodeImageStage()(batch)
+    assert out["width"][0].as_py() == 16 and out["height"][0].as_py() == 8
+    feat = np.array(out["feature"][0].as_py())
+    want = _block_mean_features(decode_ppm(ppm))
+    assert np.allclose(feat, want)
+    assert np.allclose(feat[:2], 100 / 255) and np.allclose(feat[2:4], 200 / 255)
+
+    # WAV: 1 second of silence then full-scale -> rising band energies
+    s = np.concatenate([np.zeros(4000, np.int16), np.full(4000, 16384, np.int16)])
+    wav = _make_wav(s, rate=8000)
+    batch = pa.table({"doc_id": pa.array([2], pa.int64()),
+                      "media": pa.array([wav], pa.binary()),
+                      "media_type": pa.array(["audio/wav"])})
+    out = AudioFeatureStage()(batch)
+    assert out["duration_ms"][0].as_py() == 1000
+    feat = np.array(out["feature"][0].as_py())
+    assert np.allclose(feat[:4], 0.0) and np.allclose(feat[4:], 0.5, atol=1e-4)
