@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": dedup.minhash_dedup,            # LSH 16x4: rows-only
         "minhash_verified_pairs": dedup.minhash_verified_pairs,  # LSH 32x2 + distributed verify
         "simhash": dedup.simhash_table,                  # rows-only
+        "simhash_near_pairs": dedup.simhash_near_pairs,  # Hamming join: rows-only
         "ngram_jaccard": dedup.ngram_jaccard_pairs,      # char3 LSH + verify
         # --- similarity search ---
         "embedding_topk": sim.embedding_topk,

@@ -54,6 +54,9 @@ QUERY_SET = [
     "bazo",
     "quabri fose",
     "void class return public static",
+    "(public | static) void",   # nested boolean tree
+    '"old lady"~5',             # ordered proximity
+    '"public"',                 # exact-match form
 ]
 
 
@@ -176,7 +179,7 @@ def run_bench(num_cpus: int) -> dict:
     sim.embedding_topk(sf_dir)
     timings["embedding_topk"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    dedup.minhash_dedup(sf_dir)
+    dedup.minhash_dedup(sf_dir).count()  # lazy Dataset: count() executes it
     timings["minhash_dedup"] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()

@@ -43,23 +43,67 @@ def _hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
 
 
-def _token_shingles(text: str, spec: TokenizerSpec, w: int = 3) -> np.ndarray:
+_MIX1 = np.uint64(0xA24BAED4963EE407)
+_MIX2 = np.uint64(0x9FB21C651E98DF25)
+_SHORT_TAG = np.uint64(0xD6E8FEB86659FD93)
+
+
+def _elem_hashes(elems: list[str], cache: dict | None) -> np.ndarray:
+    """blake2b-64 per element, memoized across documents (an actor-level
+    cache turns per-token hashing into per-UNIQUE-token hashing — the
+    vocabulary is tiny next to the token stream)."""
+    out = np.empty(len(elems), dtype=np.uint64)
+    if cache is None:
+        cache = {}
+    get = cache.get
+    for i, t in enumerate(elems):
+        h = get(t)
+        if h is None:
+            h = _hash64(t)
+            cache[t] = h
+        out[i] = h
+    return out
+
+
+def _shingle_mix(hs: np.ndarray, w: int = 3) -> np.ndarray:
+    """Sorted-unique 64-bit shingle hashes from element hashes: each window
+    of w consecutive elements is mixed with vectorized splitmix64 (the
+    shingle identity function — injective w.h.p. on 64 bits, so set
+    Jaccard over these equals Jaccard over the string shingles; the hash
+    itself never crosses the oracle boundary)."""
+    n = hs.size
+    if n == 0:
+        return hs
+    if n < w:
+        acc = _SHORT_TAG + np.uint64(n)
+        for v in hs:
+            acc = splitmix64(acc ^ (np.uint64(v) * _MIX1))
+        return np.array([acc], dtype=np.uint64)
+    mixed = splitmix64(
+        hs[: n - w + 1] ^ splitmix64(hs[1 : n - w + 2] + _MIX1)
+        ^ splitmix64(hs[2 : n - w + 3] + _MIX2)
+    )
+    return np.unique(mixed)
+
+
+def _token_shingles(text: str, spec: TokenizerSpec, cache: dict | None = None,
+                    w: int = 3) -> np.ndarray:
     toks, _ = tokenize(text or "", spec)
-    if len(toks) < w:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
-    return np.array(sorted({_hash64(s) for s in shingles}), dtype=np.uint64)
+    return _shingle_mix(_elem_hashes(toks, cache), w)
 
 
-def _char3_shingles(text: str) -> np.ndarray:
+def _char3_shingles(text: str, cache: dict | None = None) -> np.ndarray:
     s = (text or "").lower()
-    grams = {s[i : i + 3] for i in range(len(s) - 2)} if len(s) >= 3 else set()
-    return np.array(sorted(_hash64(g) for g in grams), dtype=np.uint64)
+    grams = [s[i : i + 3] for i in range(len(s) - 2)]
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(_elem_hashes(grams, cache))
 
 
-def _shingles(text: str, spec: TokenizerSpec, kind: str) -> np.ndarray:
-    return _token_shingles(text, spec) if kind == "token" else _char3_shingles(text)
+def _shingles(text: str, spec: TokenizerSpec, kind: str,
+              cache: dict | None = None) -> np.ndarray:
+    return (_token_shingles(text, spec, cache) if kind == "token"
+            else _char3_shingles(text, cache))
 
 
 def _minhash_sig(shingle_hashes: np.ndarray) -> np.ndarray:
@@ -105,12 +149,13 @@ class MinHashStage:
         self.kind = kind
         self.bands = bands
         self.rpb = rows_per_band
+        self._hcache: dict = {}  # element-hash memo, shared across batches
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         bands, bhash, docs = [], [], []
         for i, text in enumerate(batch[self.content_col].to_pylist()):
-            sig = _minhash_sig(_shingles(text, self.spec, self.kind))
+            sig = _minhash_sig(_shingles(text, self.spec, self.kind, self._hcache))
             for b in range(self.bands):
                 chunk = sig[b * self.rpb : (b + 1) * self.rpb]
                 bands.append(b)
@@ -135,11 +180,12 @@ class ShingleStage:
         self.content_col = content_col
         self.id_col = id_col
         self.kind = kind
+        self._hcache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         blobs = [
-            _shingles(text, self.spec, self.kind).tobytes()
+            _shingles(text, self.spec, self.kind, self._hcache).tobytes()
             for text in batch[self.content_col].to_pylist()
         ]
         return pa.table(
@@ -156,15 +202,16 @@ _VERIFIED_SCHEMA = pa.schema(
 )
 
 
-def candidate_pairs(
-    sf_dir: str, kind: str = "token", bands: int = MINHASH_BANDS,
-    rows_per_band: int = MINHASH_K // MINHASH_BANDS, max_bucket: int = 64,
+def _raw_pairs(
+    sf_dir: str, kind: str, bands: int, rows_per_band: int, max_bucket: int,
 ) -> rd.Dataset:
-    """LSH bucket groupby -> unique candidate pairs, as a DATASET (pairs
-    never leave the cluster). Buckets larger than max_bucket are truncated —
-    at corpus scale a giant bucket means near-identical boilerplate; cap
-    instead of an O(n^2) blowup (truncation loses only pairs *within* the
-    overflow, and every doc keeps its other bands)."""
+    """LSH bucket groupby -> candidate pairs WITH cross-band duplicates
+    (each matching band re-emits the pair; downstream groupbys key on the
+    pair, so duplicates collapse there without a dedicated dedup shuffle).
+    Buckets larger than max_bucket are truncated — at corpus scale a giant
+    bucket means near-identical boilerplate; cap instead of an O(n^2)
+    blowup (truncation loses only pairs *within* the overflow, and every
+    doc keeps its other bands)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     rows = ds.map_batches(
         MinHashStage, batch_format="pyarrow", concurrency=(1, 4),
@@ -180,9 +227,18 @@ def candidate_pairs(
         return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
     pairs_of.__name__ = "pairs_of"
-    cand = rows.groupby(["band", "band_hash"]).map_groups(pairs_of, batch_format="pyarrow")
+    return rows.groupby(["band", "band_hash"]).map_groups(pairs_of, batch_format="pyarrow")
 
-    def first_row(group: pa.Table) -> pa.Table:  # distributed pair dedup
+
+def candidate_pairs(
+    sf_dir: str, kind: str = "token", bands: int = MINHASH_BANDS,
+    rows_per_band: int = MINHASH_K // MINHASH_BANDS, max_bucket: int = 64,
+) -> rd.Dataset:
+    """LSH candidate pairs, deduplicated across bands (a DATASET — pairs
+    never leave the cluster)."""
+    cand = _raw_pairs(sf_dir, kind, bands, rows_per_band, max_bucket)
+
+    def first_row(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
 
     first_row.__name__ = "first_row"
@@ -201,8 +257,12 @@ def verified_pairs(
     pairs, and a groupby(pair) computes the exact Jaccard from the two
     blobs inside map_groups. No take_all() on pair-scale data anywhere.
     (Production note: a membership-filter pre-pass on pair doc_ids would
-    avoid shuffling shingle blobs of unpaired docs.)"""
-    pairs = candidate_pairs(sf_dir, kind, bands, rows_per_band, max_bucket)
+    avoid shuffling shingle blobs of unpaired docs.)
+
+    Cross-band duplicate pairs are NOT pre-deduplicated (that would cost a
+    dedicated shuffle): the attach stage emits each (doc, pair) once via
+    pc.unique, so the final pair groupby sees exactly two rows per pair."""
+    pairs = _raw_pairs(sf_dir, kind, bands, rows_per_band, max_bucket)
 
     def to_assign(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False)
@@ -232,10 +292,10 @@ def verified_pairs(
                 [pa.array([], pa.string()), pa.array([], pa.binary())],
                 names=["pair", "sh"],
             )
+        uniq = pc.unique(pair_rows["pair"])  # collapse cross-band duplicates
         blob = sh_row["sh"][0].as_py()
         return pa.table(
-            {"pair": pair_rows["pair"],
-             "sh": pa.array([blob] * pair_rows.num_rows, pa.binary())}
+            {"pair": uniq, "sh": pa.array([blob] * len(uniq), pa.binary())}
         )
 
     attach.__name__ = "attach"
@@ -294,6 +354,7 @@ class SimHashStage:
         self.content_col = content_col
         self.id_col = id_col
         self._bits = np.arange(64, dtype=np.uint64)
+        self._hcache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -304,7 +365,7 @@ class SimHashStage:
                 out.append(0)
                 continue
             uniq, counts = np.unique(toks, return_counts=True)
-            hs = np.array([_hash64(t) for t in uniq], dtype=np.uint64)
+            hs = _elem_hashes(list(uniq), self._hcache)
             bits = ((hs[:, None] >> self._bits[None, :]) & np.uint64(1)).astype(np.int64)
             v = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
             sh = int(((v > 0).astype(np.uint64) << self._bits).sum() & np.uint64(0x7FFFFFFFFFFFFFFF))
@@ -315,6 +376,83 @@ class SimHashStage:
 def simhash_table(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+SIMHASH_MAX_HAMMING = 3
+_POPCNT_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (byte LUT — numpy<2 has no bit_count)."""
+    return _POPCNT_LUT[x.view(np.uint8).reshape(*x.shape, 8)].sum(axis=-1).astype(np.int64)
+
+
+def simhash_near_pairs(
+    sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING, max_bucket: int = 1024,
+) -> rd.Dataset:
+    """(a, b, hamming): doc pairs whose 64-bit SimHash fingerprints differ
+    in <= max_hamming bits — the Hamming-neighbor join that turns the
+    SimHash column into an actual near-dup operator (round 1 only emitted
+    the fingerprints). Pigeonhole blocking: the 64 bits split into
+    max_hamming+1 contiguous chunks; a pair within the budget must agree
+    EXACTLY on >=1 chunk, so the (chunk, bits) groupby has recall 1 —
+    deterministic, not probabilistic. XOR-popcount verifies inside each
+    group; cross-chunk duplicates collapse in a final pair groupby."""
+    nch = max_hamming + 1
+    bounds = np.linspace(0, 64, nch + 1).astype(int)
+
+    base = simhash_table(sf_dir)
+
+    def to_chunks(t: pa.Table) -> pa.Table:
+        sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = sh.size
+        chunk_col, val_col, id_col, sh_col = [], [], [], []
+        for c in range(nch):
+            lo, hi = int(bounds[c]), int(bounds[c + 1])
+            mask = (np.uint64(1) << np.uint64(hi - lo)) - np.uint64(1)
+            vals = ((sh >> np.uint64(lo)) & mask).astype(np.int64)
+            chunk_col.append(np.full(n, c, dtype=np.int32))
+            val_col.append(vals)
+            id_col.append(ids)
+            sh_col.append(sh.astype(np.int64))
+        return pa.table(
+            {"chunk": pa.array(np.concatenate(chunk_col), pa.int32()),
+             "val": pa.array(np.concatenate(val_col), pa.int64()),
+             "doc_id": pa.array(np.concatenate(id_col), pa.int64()),
+             "simhash": pa.array(np.concatenate(sh_col), pa.int64())}
+        )
+
+    chunks = base.map_batches(to_chunks, batch_format="pyarrow")
+
+    def ham_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shs = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ids)
+        ids, shs = ids[order], shs[order]
+        keep = np.concatenate(([True], ids[1:] != ids[:-1]))  # dedup docs
+        ids, shs = ids[keep][:max_bucket], shs[keep][:max_bucket]
+        if ids.size < 2:
+            return empty
+        ham = _popcount64(shs[:, None] ^ shs[None, :])
+        ai, bi = np.nonzero(np.triu(ham <= max_hamming, k=1))
+        if ai.size == 0:
+            return empty
+        return pa.table(
+            {"a": pa.array(ids[ai], pa.int64()), "b": pa.array(ids[bi], pa.int64()),
+             "hamming": pa.array(ham[ai, bi], pa.int64())}
+        )
+
+    ham_pairs.__name__ = "ham_pairs"
+    cand = chunks.groupby(["chunk", "val"]).map_groups(ham_pairs, batch_format="pyarrow")
+
+    def first_row(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    first_row.__name__ = "first_row"
+    return cand.groupby(["a", "b"]).map_groups(first_row, batch_format="pyarrow")
 
 
 # ---- n-gram Jaccard behind LSH blocking ------------------------------------

@@ -93,6 +93,27 @@ def test_distributed_verify_matches_bruteforce(seeded_dir):
     assert sum(1 for v in want.values() if v < 1_000_000) >= 2
 
 
+def test_simhash_hamming_join_matches_bruteforce(seeded_dir):
+    """Pigeonhole blocking has recall 1: the distributed Hamming join must
+    find EXACTLY the brute-force pairs within the bit budget."""
+    from docodo_ray.dedup import SIMHASH_MAX_HAMMING, _popcount64, simhash_near_pairs, simhash_table
+
+    sh = {r["doc_id"]: np.uint64(r["simhash"])
+          for r in simhash_table(seeded_dir).take_all()}
+    ks = sorted(sh)
+    want = {}
+    for i, a in enumerate(ks):
+        for b in ks[i + 1:]:
+            h = int(_popcount64(np.array([sh[a] ^ sh[b]], dtype=np.uint64))[0])
+            if h <= SIMHASH_MAX_HAMMING:
+                want[(a, b)] = h
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in simhash_near_pairs(seeded_dir).take_all()}
+    assert got == want
+    assert want  # the seeded dups produce at least the exact-dup pairs (h=0)
+    assert any(v == 0 for v in want.values())
+
+
 def test_default_banding_is_subset_of_bruteforce(seeded_dir):
     """16x4 banding is allowed to miss borderline pairs (probabilistic
     recall) but everything it reports must be exact-verified."""
