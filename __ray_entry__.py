@@ -39,6 +39,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": pipelines.top_terms,                # A6 histogram
         "doc_token_stats": pipelines.doc_token_stats,    # doc-length table
         "doc_sha256": pipelines.doc_sha256,              # content invariant
+        "html_extract": pipelines.html_extract,          # M9 HTML extractor round-trip
+        "charset_roundtrip": pipelines.charset_roundtrip,  # M8 charset decode
+        "pdf_extract": pipelines.pdf_extract,            # M10/S3 PDF text extractor
         "bm25_topk": pipelines.bm25_topk,                # A8 replacement: BM25 top-k
         "phrase_count": pipelines.phrase_count,          # D2 phrase adjacency
         "boolean_search": pipelines.boolean_search,      # M11 nested AND/OR tree

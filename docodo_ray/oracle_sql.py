@@ -85,6 +85,15 @@ USING (doc_id)
 SELECT doc_id, sha256(text) AS sha256 FROM documents
 """
 
+    # extractor round-trips (sources.py M8/M9/M10): the Ray side wraps each
+    # text into HTML / BOM'd bytes / a real PDF and extracts it back with
+    # the REAL kernel; hash equality vs plain sha256(text) proves the
+    # extractor inverts the wrapping exactly.
+    for q in ("html_extract", "charset_roundtrip", "pdf_extract"):
+        sql[q] = """
+SELECT doc_id, sha256(text) AS sha256 FROM documents
+"""
+
     # BM25 query terms, normalized with the engine tokenizer
     spec = TokenizerSpec(3, 32, load_stopwords())
     qt_values = []

@@ -115,6 +115,98 @@ def token_counts(sf_dir: str) -> rd.Dataset:
     return tokens.map_batches(clean, batch_format="pyarrow")
 
 
+# ---- extractor round-trips (sources.py: M8/M9/M10 kernels) ------------------
+#
+# Each wraps documents.text into the format (HTML-escaped markup / BOM'd
+# bytes / a real one-page PDF), runs the REAL extractor stage, and returns
+# sha256 of the extracted text — the DuckDB oracle is simply sha256(text),
+# so a hash match proves extraction exactly inverts the wrapping.
+
+def html_extract(sf_dir: str) -> rd.Dataset:
+    import hashlib
+    import html as _html
+
+    from docodo_ray.sources import HtmlExtractStage
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def wrap(t: pa.Table) -> pa.Table:
+        docs = [
+            "<html><head><title>t</title><style>p{color:red}</style></head>"
+            f"<body><pre>{_html.escape(x or '')}</pre>"
+            "<script>var x=1;</script></body></html>"
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "html": pa.array(docs, pa.string())})
+
+    def sha(t: pa.Table) -> pa.Table:
+        out = [hashlib.sha256((x or "").encode()).hexdigest()
+               for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "sha256": pa.array(out, pa.string())})
+
+    return (
+        ds.map_batches(wrap, batch_format="pyarrow")
+        .map_batches(HtmlExtractStage, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(sha, batch_format="pyarrow")
+    )
+
+
+def charset_roundtrip(sf_dir: str) -> rd.Dataset:
+    import hashlib
+
+    from docodo_ray.sources import DecodeTextStage
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    encs = ["utf-8", "utf-8-sig", "utf-16", "utf-32"]
+
+    def wrap(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = [
+            (x or "").encode(encs[int(d) % len(encs)])
+            for d, x in zip(ids, t["text"].to_pylist())
+        ]
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "media": pa.array(payloads, pa.binary())})
+
+    def sha(t: pa.Table) -> pa.Table:
+        out = [hashlib.sha256((x or "").encode()).hexdigest()
+               for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "sha256": pa.array(out, pa.string())})
+
+    return (
+        ds.map_batches(wrap, batch_format="pyarrow")
+        .map_batches(DecodeTextStage, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(sha, batch_format="pyarrow")
+    )
+
+
+def pdf_extract(sf_dir: str) -> rd.Dataset:
+    import hashlib
+
+    from docodo_ray.sources import PdfExtractStage, make_pdf
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def wrap(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = [make_pdf(x or "", compress=bool(int(d) % 2))
+                    for d, x in zip(ids, t["text"].to_pylist())]
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "media": pa.array(payloads, pa.binary())})
+
+    def sha(t: pa.Table) -> pa.Table:
+        out = [hashlib.sha256((x or "").encode()).hexdigest()
+               for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "sha256": pa.array(out, pa.string())})
+
+    return (
+        ds.map_batches(wrap, batch_format="pyarrow")
+        .map_batches(PdfExtractStage, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(sha, batch_format="pyarrow")
+    )
+
+
 # ---- index-backed query tables ---------------------------------------------
 
 def corpus_stats(sf_dir: str) -> pa.Table:

@@ -361,40 +361,55 @@ def make_group_merge_fn(
     replacing them; the reader merges runs at query time and compaction
     folds them back into one (see build.update_index)."""
 
-    def merge_buckets(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    class _FileCursor:
+        """Streaming per-file reader for the ascending-bucket merge loop:
+        each row group is READ+DECOMPRESSED exactly once (cached until the
+        bucket scan passes its max bucket, then evicted), so peak task
+        memory stays ~one bucket while total decode work stays one pass —
+        a naive per-bucket read_row_groups would re-decompress boundary
+        row groups once per overlapping bucket."""
 
+        def __init__(self, path: str):
+            import pyarrow.compute as pc  # noqa: F401 (used below)
+
+            self.pf = pq.ParquetFile(path)
+            md = self.pf.metadata
+            ci = md.schema.to_arrow_schema().get_field_index("bucket")
+            self.mins, self.maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                self.mins.append(int(st.min))
+                self.maxs.append(int(st.max))
+            self._cache: dict[int, pa.Table] = {}
+
+        def bucket_table(self, b: int) -> pa.Table | None:
+            import pyarrow.compute as pc
+
+            parts = []
+            for i in range(len(self.mins)):
+                if self.mins[i] <= b <= self.maxs[i]:
+                    t = self._cache.get(i)
+                    if t is None:
+                        t = self.pf.read_row_groups([i])
+                        self._cache[i] = t
+                    parts.append(t)
+            for i in [i for i, mx in enumerate(self.maxs) if mx <= b]:
+                self._cache.pop(i, None)  # bucket scan is ascending
+            if not parts:
+                return None
+            t = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+            t = t.filter(pc.equal(t["bucket"], b))
+            return t if t.num_rows else None
+
+    def merge_buckets(batch: pa.Table) -> pa.Table:
         out_cols = {name: [] for name in MANIFEST_ROW_SCHEMA.names}
         for g in batch["group"].to_pylist():
             files = spill_by_group.get(int(g), [])
-            # open each spill footer ONCE per task; per-bucket reads then pull
-            # only the row groups whose bucket stats overlap (spills are
-            # sorted by bucket with small row groups), so peak task memory is
-            # ~one bucket of postings — not the whole merge group.
-            handles: list[tuple[pq.ParquetFile, list[int], list[int]]] = []
-            for path in files:
-                pf = pq.ParquetFile(path)
-                md = pf.metadata
-                ci = md.schema.to_arrow_schema().get_field_index("bucket")
-                mins, maxs = [], []
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(ci).statistics
-                    mins.append(int(st.min))
-                    maxs.append(int(st.max))
-                handles.append((pf, mins, maxs))
+            cursors = [_FileCursor(path) for path in files]
             for b in range(n_buckets):
                 if bucket_group(b, n_buckets, merge_groups) != g:
                     continue
-                parts = []
-                for pf, mins, maxs, in handles:
-                    rgs = [i for i in range(len(mins)) if mins[i] <= b <= maxs[i]]
-                    if not rgs:
-                        continue
-                    t = pf.read_row_groups(rgs)
-                    t = t.filter(pc.equal(t["bucket"], b))
-                    if t.num_rows:
-                        parts.append(t)
-                parts = [p for p in parts if p.num_rows]
+                parts = [t for c in cursors if (t := c.bucket_table(b)) is not None]
                 if not parts:
                     continue
                 t = pa.concat_tables(parts).combine_chunks() if len(parts) > 1 else parts[0]

@@ -1,0 +1,72 @@
+"""DB source, charset decode, HTML extractor, PDF extractor (SURVEY S6,
+M8, M9, M10 — reference DataSources.cs / DocumentsDataSource.cs), all real
+stdlib implementations with exact-value assertions."""
+
+import numpy as np
+import pytest
+
+from docodo_ray.sources import (
+    guess_decode,
+    html_to_text,
+    make_pdf,
+    pdf_text,
+    read_duckdb,
+    read_duckdb_partitioned,
+)
+
+SAMPLE = "Hello Straße ПРИВЕТ naïve — mixed text 123"
+
+
+def test_guess_decode_boms_and_fallback():
+    for enc, want_enc in [
+        ("utf-8", "utf-8"),
+        ("utf-8-sig", "utf-8-sig"),
+        ("utf-16", "utf-16-le"),       # python utf-16 writes an LE BOM
+        ("utf-32", "utf-32-le"),
+    ]:
+        t, e = guess_decode(SAMPLE.encode(enc))
+        assert t == SAMPLE, enc
+        assert e == want_enc, enc
+    # arbitrary bytes always decode (latin-1 bijection)
+    t, e = guess_decode(bytes(range(256)))
+    assert e == "latin-1" and len(t) == 256
+    assert guess_decode(b"") == ("", "utf-8")
+
+
+def test_html_to_text_semantics():
+    doc = ("<html><head><title>T</title><style>p{}</style></head>"
+           "<body><h1>A</h1><p>b &amp; c &lt;d&gt;</p>"
+           "<script>var x = '<p>no</p>';</script>tail</body></html>")
+    assert html_to_text(doc) == "Ab & c <d>tail"
+    # verbatim whitespace in text nodes
+    assert html_to_text("<pre>  a\n\tb  </pre>") == "  a\n\tb  "
+    # unclosed / malformed tags don't crash
+    assert "x" in html_to_text("<div><b>x")
+
+
+def test_pdf_roundtrip_and_forms():
+    for compress in (False, True):
+        assert pdf_text(make_pdf(SAMPLE, compress=compress)) == SAMPLE
+    # literal string form with escapes, and TJ array form
+    body = (b"stream\n"
+            b"BT (a\\(b\\)c\\\\d\\110) Tj [ (e) -120 <6620> (g) ] TJ ET\n"
+            b"endstream")
+    assert pdf_text(b"%PDF-1.4\n" + body) == "a(b)c\\dHef g"
+    with pytest.raises(ValueError):
+        pdf_text(b"%PDF-1.4 /Encrypt <<>> ...")
+
+
+def test_duckdb_source(tmp_path):
+    import duckdb
+
+    db = str(tmp_path / "t.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT range AS id, 'row-' || range AS s FROM range(1000)")
+    con.close()
+    ds = read_duckdb("SELECT * FROM t WHERE id < 10 ORDER BY id", db_path=db)
+    rows = ds.take_all()
+    assert [r["id"] for r in rows] == list(range(10))
+    # partitioned scan covers every row exactly once
+    ds2 = read_duckdb_partitioned(db, "t", num_partitions=7)
+    got = sorted(r["id"] for r in ds2.take_all())
+    assert got == list(range(1000))
