@@ -29,7 +29,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from docodo_ray import dedup, multimodal, pipelines, sim, textstats
+    from docodo_ray import dedup, multimodal, pipelines, sim, textstats, windows
 
     return {
         # --- inverted index + BM25 core (SURVEY §2.2/2.5/2.6, A1-A8) ---
@@ -61,6 +61,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": dedup.simhash_table,                  # rows-only
         "simhash_near_pairs": dedup.simhash_near_pairs,  # Hamming join: rows-only
         "ngram_jaccard": dedup.ngram_jaccard_pairs,      # char3 LSH + verify
+        # --- streaming windows over the events table ---
+        "tumbling_window": windows.tumbling_window,      # combiner + small groupby
+        "sessionize": windows.sessionize,                # per-key gap sessions
         # --- similarity search ---
         "embedding_topk": sim.embedding_topk,
         "embedding_topk_ivf": sim.embedding_topk_ivf,    # approximate: rows-only

@@ -88,6 +88,7 @@ class IndexConfig:
     # be stemmed (SURVEY M6 note).
     vocab: tuple = ()
     use_stemmer: bool = False
+    stemmer: str = "simple"  # or "porter"
 
 
 def resolve_n_buckets(cfg: "IndexConfig") -> "IndexConfig":
@@ -120,6 +121,41 @@ def load_vocab_tsv(path: str) -> tuple:
     return tuple(out)
 
 
+def build_vocab(pairs) -> tuple:
+    """Union-find merge of related-word pairs into morphological groups —
+    the importer-side group merge of the reference's vocab builders
+    (Dict.cs:109-296 merges OpenCorpora/FreeLib lemma groups the same way).
+    Input: iterable of (word_a, word_b) relations. Output: the hashable
+    ((word, group_id), ...) tuple IndexConfig.vocab takes, group ids
+    assigned deterministically (by each group's lexicographically smallest
+    member)."""
+    parent: dict[str, str] = {}
+
+    def find(w: str) -> str:
+        r = w
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[w] != r:  # path compression
+            parent[w], w = r, parent[w]
+        return r
+
+    for a, b in pairs:
+        a, b = a.lower(), b.lower()
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by lexicographic root: deterministic representative
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    groups: dict[str, list[str]] = {}
+    for w in parent:
+        groups.setdefault(find(w), []).append(w)
+    out = []
+    for gid, root in enumerate(sorted(groups)):
+        for w in sorted(groups[root]):
+            out.append((w, gid))
+    return tuple(sorted(out))
+
+
 def tokenizer_spec(cfg: "IndexConfig"):
     """The single TokenizerSpec construction shared by every stage and the
     query engine."""
@@ -129,4 +165,5 @@ def tokenizer_spec(cfg: "IndexConfig"):
     return TokenizerSpec(
         cfg.min_word_length, cfg.max_word_length, stop,
         vocab=tuple(tuple(p) for p in cfg.vocab), use_stemmer=cfg.use_stemmer,
+        stemmer=cfg.stemmer,
     )

@@ -284,6 +284,36 @@ SELECT a, b, CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_e6
 FROM p WHERE j >= {MINHASH_VERIFY_THRESHOLD}
 """
 
+    from docodo_ray.windows import SESSION_GAP_MINUTES, WINDOW_MINUTES
+
+    w_span = WINDOW_MINUTES * 60 * 1_000_000
+    sql["tumbling_window"] = f"""
+SELECT (epoch_us(ts) // {w_span}) * {w_span} AS window_us, event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+    s_gap = SESSION_GAP_MINUTES * 60 * 1_000_000
+    sql["sessionize"] = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+o AS (
+  SELECT user_id, us,
+    CASE WHEN lag(us) OVER w IS NULL
+              OR us - lag(us) OVER w > {s_gap} THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+  SELECT user_id, us,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM o
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(us) AS start_us, max(us) AS end_us
+FROM s GROUP BY user_id, session_id
+"""
+
     qvec = ", ".join(str(v) for v in QUERY_VEC_IDS)
     sql["embedding_topk"] = f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN ({qvec})),

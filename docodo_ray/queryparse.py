@@ -33,7 +33,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from docodo_ray.tokenizer import TokenizerSpec, simple_stem, tokenize
+from docodo_ray.tokenizer import TokenizerSpec, tokenize
 
 MAX_LIKE_WORDS = 100  # reference Index.cs MAX_LIKE_WORDS
 
@@ -223,7 +223,7 @@ class _Parser:
         if g is not None:
             return Or([Term(w), Term(f"#{g:x}")])
         if self.spec.use_stemmer:
-            s = simple_stem(w)
+            s = self.spec.stem(w)
             if s != w:
                 return Or([Term(w), Term(f"${s}")])
         return Term(w)

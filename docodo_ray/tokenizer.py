@@ -35,17 +35,152 @@ WORD_STEM_CHAR = "$"   # stemmer-output namespace (reference Index.cs:105-106)
 
 
 def simple_stem(word: str) -> str:
-    """Minimal English suffix stripper — the pluggable stemmer hook's default
-    (the reference wires Snowball stemmers per language, Index.cs:158-181;
-    this container has none, so the hook ships with a deterministic
-    suffix-rule stand-in). Digit-led words pass through untouched
-    (reference Build.cs:180-181)."""
+    """Minimal English suffix stripper — the lightweight stemmer option
+    (kept as the byte-stable default for existing indexes). Digit-led words
+    pass through untouched (reference Build.cs:180-181)."""
     if not word or word[0].isdigit() or len(word) <= 3:
         return word
     for suf in ("ingly", "edly", "ing", "ied", "ies", "ed", "ly", "es", "s"):
         if word.endswith(suf) and len(word) - len(suf) >= 3:
             return word[: -len(suf)]
     return word
+
+
+# ---- Porter stemmer (Porter 1980, the public algorithm the reference's
+# Snowball English stemmer implements; Index.cs:158-181 wires per-language
+# Snowball stemmers — this is the full English one, selectable via
+# IndexConfig(stemmer="porter")) ----------------------------------------------
+
+_VOWELS = set("aeiou")
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m = number of VC sequences in [C](VC){m}[V]."""
+    m = 0
+    prev_v = False
+    for i in range(len(stem)):
+        v = not _is_cons(stem, i)
+        if not v and prev_v:
+            m += 1
+        prev_v = v
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1)
+
+
+def _cvc(w: str) -> bool:
+    """*o: stem ends cvc where the final c is not w, x or y."""
+    if len(w) < 3:
+        return False
+    return (
+        _is_cons(w, len(w) - 3)
+        and not _is_cons(w, len(w) - 2)
+        and _is_cons(w, len(w) - 1)
+        and w[-1] not in "wxy"
+    )
+
+
+def _repl(w: str, suf: str, rep: str, min_m: int) -> str | None:
+    if w.endswith(suf):
+        stem = w[: len(w) - len(suf)]
+        if _measure(stem) > min_m:
+            return stem + rep
+    return None
+
+
+_STEP2 = [("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+          ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+          ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+          ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+          ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble")]
+_STEP3 = [("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+          ("ical", "ic"), ("ful", ""), ("ness", "")]
+# longest-first so endswith scanning picks the longest matching suffix
+_STEP4 = ["ement", "ance", "ence", "able", "ible", "ment", "ant", "ent",
+          "ism", "ate", "iti", "ous", "ive", "ize", "ion", "al", "er", "ic", "ou"]
+
+
+def porter_stem(word: str) -> str:
+    """Porter (1980) English stemmer, steps 1a-5b."""
+    w = word
+    if len(w) <= 2 or w[0].isdigit():
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        hit = None
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            hit = w = w[:-2]
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            hit = w = w[:-3]
+        if hit is not None:
+            if w.endswith(("at", "bl", "iz")):
+                w = w + "e"
+            elif _ends_double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _measure(w) == 1 and _cvc(w):
+                w = w + "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            r = _repl(w, suf, rep, 0)
+            if r is not None:
+                w = r
+            break
+    # step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            r = _repl(w, suf, rep, 0)
+            if r is not None:
+                w = r
+            break
+    # step 4 (one rule fires: the longest matching suffix; 'ion' requires
+    # the stem to end in s/t)
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if _measure(stem) > 1 and (suf != "ion" or (stem and stem[-1] in "st")):
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
 
 
 @dataclass(frozen=True)
@@ -59,9 +194,16 @@ class TokenizerSpec:
     # unknown-to-vocab words emit an extra '$<stem>' term when the stem
     # differs (reference Build.cs:206-238)
     use_stemmer: bool = False
+    # which stemmer: "simple" (suffix rules, byte-stable default) or
+    # "porter" (full Porter 1980 English — what the reference's Snowball
+    # English stemmer implements)
+    stemmer: str = "simple"
 
     def vocab_dict(self) -> dict[str, int]:
         return dict(self.vocab)
+
+    def stem(self, word: str) -> str:
+        return porter_stem(word) if self.stemmer == "porter" else simple_stem(word)
 
 
 def tokenize_raw(text: str) -> list[str]:
@@ -101,7 +243,7 @@ def expand_terms(
             ex_t.append(f"{KNOWN_WORD_CHAR}{g:x}")
             ex_p.append(p)
         elif spec.use_stemmer:
-            s = simple_stem(t)
+            s = spec.stem(t)
             if s != t:
                 ex_t.append(f"{WORD_STEM_CHAR}{s}")
                 ex_p.append(p)

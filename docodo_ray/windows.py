@@ -1,0 +1,97 @@
+"""Windowed / sessionized aggregates over the ``events`` stream table — the
+streaming-semantics operator family a large-scale pipeline needs (the
+reference is batch-with-streaming-ingest and has no windows, SURVEY §2.9;
+these are the Ray-Data-native equivalents of tumbling windows and
+gap-sessionization).
+
+Shapes:
+- tumbling window: window assignment is a per-row pure function, so it's a
+  map_batches partial pre-aggregation (one row per (window, type) per
+  batch) followed by a SMALL groupby-sum — the combiner pattern; the
+  all-to-all moves windows x types rows, not events.
+- sessionization: per-key state (gap detection needs a per-user ordered
+  scan), so it's groupby(user).map_groups with a vectorized diff/cumsum
+  inside — the actor-state-per-key shape; skewed users are bounded by the
+  per-group sort only.
+
+Money/value columns cross the DuckDB-oracle boundary as integer cents
+(floor(v*100+0.5) per row, summed as int64) — float summation order can
+never flip a hash. Timestamps cross as int64 epoch microseconds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+WINDOW_MINUTES = 60
+SESSION_GAP_MINUTES = 30
+
+
+def _events(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def tumbling_window(sf_dir: str, minutes: int = WINDOW_MINUTES) -> rd.Dataset:
+    """(window_us, event_type, n, sum_cents): per-(tumbling window, type)
+    event count and value sum. Window start = ts floored to the interval."""
+    span = np.int64(minutes * 60 * 1_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (us // span) * span
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        g = pa.table(
+            {"window_us": pa.array(win, pa.int64()),
+             "event_type": t["event_type"],
+             "n": pa.array(np.ones(len(win), dtype=np.int64)),
+             "sum_cents": pa.array(cents, pa.int64())}
+        ).group_by(["window_us", "event_type"]).aggregate(
+            [("n", "sum"), ("sum_cents", "sum")]
+        )
+        return pa.table(
+            {"window_us": g["window_us"], "event_type": g["event_type"],
+             "n": g["n_sum"], "sum_cents": g["sum_cents_sum"]}
+        )
+
+    partial.__name__ = "window_partial"
+    ds = _events(sf_dir, columns=["ts", "event_type", "value"])
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_us", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    )
+    return agg
+
+
+def sessionize(sf_dir: str, gap_minutes: int = SESSION_GAP_MINUTES) -> rd.Dataset:
+    """(user_id, session_id, n_events, start_us, end_us): gap-based session
+    windows per user — a new session starts when the inter-event gap
+    exceeds ``gap_minutes``. Per-user ordered scan inside map_groups
+    (vectorized diff + cumsum), sessions numbered 0.. in time order."""
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+
+    def sessions(g: pa.Table) -> pa.Table:
+        us = np.sort(g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        uid = int(g["user_id"][0].as_py())
+        brk = np.concatenate(([0], (np.diff(us) > gap_us).astype(np.int64)))
+        sid = np.cumsum(brk)
+        starts = np.flatnonzero(np.concatenate(([1], brk[1:])))
+        n_sessions = starts.size
+        counts = np.diff(np.concatenate((starts, [us.size])))
+        return pa.table(
+            {"user_id": pa.array(np.full(n_sessions, uid), pa.int64()),
+             "session_id": pa.array(np.arange(n_sessions), pa.int64()),
+             "n_events": pa.array(counts, pa.int64()),
+             "start_us": pa.array(us[starts], pa.int64()),
+             "end_us": pa.array(us[starts + counts - 1], pa.int64())}
+        )
+
+    sessions.__name__ = "sessions"
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")

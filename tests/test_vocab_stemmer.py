@@ -18,6 +18,56 @@ def test_simple_stem_rules():
     assert simple_stem("glasses") == "glass"
 
 
+def test_build_vocab_union_find():
+    """Transitive group merge (reference Dict.cs group-merge semantics):
+    chains of relations coalesce into one group; ids deterministic."""
+    from docodo_ray.config import build_vocab
+
+    v = build_vocab([("run", "running"), ("running", "runs"),
+                     ("walk", "walked"), ("Walk", "walking")])
+    d = dict(v)
+    assert d["run"] == d["running"] == d["runs"]
+    assert d["walk"] == d["walked"] == d["walking"]
+    assert d["run"] != d["walk"]
+    # deterministic regardless of pair order
+    v2 = build_vocab([("walking", "walk"), ("runs", "running"),
+                      ("walked", "walk"), ("running", "run")])
+    assert v == v2
+    # usable directly as IndexConfig.vocab
+    spec = tokenizer_spec(IndexConfig(vocab=v))
+    uniq, _, _, _ = doc_term_stats("running walked", spec)
+    assert f"#{d['running']:x}" in uniq and f"#{d['walked']:x}" in uniq
+
+
+def test_porter_stemmer():
+    """Porter (1980) classic vocabulary checks + config plumbing."""
+    from docodo_ray.tokenizer import porter_stem
+
+    cases = {
+        "caresses": "caress", "ponies": "poni", "cats": "cat", "feed": "feed",
+        "agreed": "agre", "plastered": "plaster", "motoring": "motor",
+        "sing": "sing", "hopping": "hop", "sized": "size", "happy": "happi",
+        "relational": "relat", "conditional": "condit", "rational": "ration",
+        "digitizer": "digit", "operator": "oper", "decisiveness": "decis",
+        "hopefulness": "hope", "electriciti": "electr", "electrical": "electr",
+        "triplicate": "triplic", "dependent": "depend", "adoption": "adopt",
+        "generalization": "gener", "oscillators": "oscil", "controlling": "control",
+        "rolling": "roll", "rate": "rate", "probate": "probat",
+    }
+    for w, want in cases.items():
+        assert porter_stem(w) == want, (w, porter_stem(w), want)
+    # config plumbing: stemmer="porter" flows into expansion + query side
+    cfg = IndexConfig(use_stemmer=True, stemmer="porter")
+    spec = tokenizer_spec(cfg)
+    uniq, _, _, _ = doc_term_stats("generalization happened", spec)
+    assert "$gener" in uniq and "$happen" in uniq
+    from docodo_ray.queryparse import Or, Term, parse_query
+
+    assert parse_query("generalization", spec).tree == Or(
+        [Term("generalization"), Term("$gener")]
+    )
+
+
 def test_vocab_and_stem_expansion():
     cfg = IndexConfig(vocab=(("running", 7), ("runs", 7)), use_stemmer=True)
     spec = tokenizer_spec(cfg)
