@@ -10,9 +10,12 @@ Reference parity map: see SURVEY.md. Key reference anchors cited per module:
 - query engine        -> reference Search.cs (BM25 replaces proximity rank, A8)
 """
 
-from docodo_ray.config import IndexConfig, BM25Params
+from docodo_ray.config import IndexConfig, BM25Params, build_vocab, load_vocab_tsv
 from docodo_ray.build import build_index, update_index
 from docodo_ray.search import IndexReader
 
-__all__ = ["IndexConfig", "BM25Params", "build_index", "update_index", "IndexReader"]
+__all__ = [
+    "IndexConfig", "BM25Params", "build_index", "update_index", "IndexReader",
+    "build_vocab", "load_vocab_tsv",
+]
 __version__ = "0.1.0"

@@ -13,6 +13,9 @@ explicit-DOUBLE SQL oracle to ulp level; ranking keys are integers.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -158,20 +161,99 @@ def _sampled_matrix(sf_dir: str, target: int = 4096) -> np.ndarray:
     return _embedding_matrix(t["embedding"].take(order))
 
 
+def build_ivf(sf_dir: str, out_dir: str, n_clusters: int = 8) -> np.ndarray:
+    """Build (or reuse) a PARTITIONED-BY-CENTROID IVF layout: embeddings are
+    written under ``out_dir/list-NNNN/`` by nearest centroid, so a query
+    reads only its nprobe list directories — storage-level partition
+    pruning, the layout a real IVF needs at corpus scale (the round-1
+    variant assigned lists inside map_batches but still scanned every
+    row). Centroids are k-means'd on a deterministic corpus-wide sample
+    and stored beside the lists. Returns the centroid matrix."""
+    import json
+
+    import pyarrow.parquet as pqt
+
+    cpath = os.path.join(out_dir, "centroids.parquet")
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done) and os.path.exists(cpath):
+        t = pqt.read_table(cpath)
+        return _embedding_matrix(t["centroid"])
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    sample = _sampled_matrix(sf_dir)
+    centroids = _kmeans_lite(sample, min(n_clusters, len(sample)))
+    cref = ray.put(centroids)
+
+    class AssignWrite:
+        """Writes each batch's rows into their list dirs (atomic files named
+        by the batch's vec_id range — idempotent under task retries)."""
+
+        def __init__(self):
+            self.centroids = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _embedding_matrix(batch["embedding"])
+            vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = ((mat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            lists, counts = [], []
+            stem = f"part-{vec_ids.min():012d}-{vec_ids.max():012d}"
+            for c in np.unique(assign):
+                rows = batch.filter(pa.array(assign == c))
+                path = os.path.join(out_dir, f"list-{int(c):04d}", f"{stem}.parquet")
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = path + f".tmp.{os.getpid()}"
+                pqt.write_table(rows, tmp)
+                os.replace(tmp, path)
+                lists.append(int(c))
+                counts.append(rows.num_rows)
+            return pa.table({"list": pa.array(lists, pa.int32()),
+                             "n": pa.array(counts, pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    stats = ds.map_batches(AssignWrite, batch_format="pyarrow", concurrency=(1, 4)).take_all()
+    d = centroids.shape[1]
+    pqt.write_table(
+        pa.table({"centroid": pa.FixedSizeListArray.from_arrays(
+            pa.array(centroids.astype(np.float32).reshape(-1), pa.float32()), d
+        )}),
+        cpath,
+    )
+    with open(done, "w") as f:
+        json.dump({"n_rows": int(sum(r["n"] for r in stats))}, f)
+    return centroids
+
+
 def embedding_topk_ivf(
     sf_dir: str, k: int = TOPK, n_clusters: int = 8, nprobe: int = 3
 ) -> pa.Table:
-    """(query_id, vec_id, cos_e6) approximate: IVF — centroids k-means'd on
-    a deterministic corpus-wide sample, rows bucketed by nearest centroid
-    inside map_batches, only the nprobe closest lists scored per query.
-    Recall < 1 by design; the exactness gate is embedding_topk."""
+    """(query_id, vec_id, cos_e6) approximate: IVF over the
+    partitioned-by-centroid layout — ONLY the union of the queries' nprobe
+    list directories is read from storage (path-level pruning); each batch
+    then scores against the queries that probe its list. Recall < 1 by
+    design; the exactness gate is embedding_topk."""
+    out_dir = os.path.join(
+        "/tmp/docodo_ray_ivf", sf_dir.rstrip("/").strip("/").replace("/", "_")
+    )
+    centroids = build_ivf(sf_dir, out_dir, n_clusters)
     queries, qids = _load_queries(sf_dir)
-    sample = _sampled_matrix(sf_dir)
-    centroids = _kmeans_lite(sample, min(n_clusters, len(sample)))
     probe = {}
     for j, qid in enumerate(qids):
         d = ((queries[j][None, :] - centroids) ** 2).sum(axis=1)
         probe[qid] = set(np.argsort(d, kind="stable")[:nprobe].tolist())
+    needed = sorted(set().union(*probe.values()))
+    dirs = [
+        os.path.join(root, f)
+        for c in needed
+        if os.path.isdir(p := os.path.join(out_dir, f"list-{c:04d}"))
+        for root, _d, files in os.walk(p)
+        for f in sorted(files)
+        if f.endswith(".parquet")
+    ]
+    if not dirs:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "cos_e6": pa.array([], pa.int64())})
     cref, qref = ray.put(centroids), ray.put(queries)
 
     class IVFTopK:
@@ -182,6 +264,8 @@ def embedding_topk_ivf(
         def __call__(self, batch: pa.Table) -> pa.Table:
             vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             mat = _embedding_matrix(batch["embedding"])
+            # list membership of these rows (cheap re-derivation — the rows
+            # of one file all belong to one list, but batches may span files)
             d = ((mat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
             assign = d.argmin(axis=1)
             dots = mat @ self.queries.T
@@ -203,8 +287,9 @@ def embedding_topk_ivf(
                  "cos_e6": pa.array(eo, pa.int64())}
             )
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    rows = ds.map_batches(IVFTopK, batch_format="pyarrow", concurrency=(1, 4)).take_all()
+    rows = rd.read_parquet(dirs).map_batches(
+        IVFTopK, batch_format="pyarrow", concurrency=(1, 4)
+    ).take_all()
     out = {qid: [] for qid in qids}
     for r in rows:
         out[r["query_id"]].append((r["cos_e6"], r["vec_id"]))
