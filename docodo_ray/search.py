@@ -21,9 +21,12 @@ Two scoring paths:
   Produces the identical top-k (tests assert so); kept as the scale path for
   very long posting lists.
 
-Term lookup is partition-pruned: term -> crc32 bucket -> read only
-``segments/bucket-NNNNN/`` with a parquet ``term ==`` row filter (the analogue
-of the reference's lazy seek LoadSequence, Index.cs:198-216).
+Term lookup is partition-pruned at two levels: term -> crc32 bucket selects
+the segment run file(s), then the per-row-group term min/max parquet
+statistics (footers cached per bucket) select the row groups — a cold
+lookup reads a few 32-row groups, never the bucket (the analogue of the
+reference's lazy seek LoadSequence, Index.cs:198-216; asserted by
+tests/test_pruned_lookup.py via io_stats).
 """
 
 from __future__ import annotations

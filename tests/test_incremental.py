@@ -109,6 +109,43 @@ def test_compaction_bounds_runs_and_preserves_postings(tmp_path, small_corpus_fi
         assert rf.search(q, k=10) == ri.search(q, k=10), q
 
 
+def test_crashed_update_leaves_live_index_and_rerun_succeeds(
+    tmp_path, small_corpus_files, monkeypatch
+):
+    """Inject a crash at the manifest write (the LAST step): the live index
+    must be untouched (readers follow only the manifest) and re-running the
+    same update must succeed and equal a full rebuild."""
+    import docodo_ray.build as B
+
+    full = build_index(str(tmp_path / "xfull"), input_paths=small_corpus_files,
+                       cfg=_cfg(), **CFG_KW)
+    inc_dir = str(tmp_path / "xinc")
+    a = build_index(inc_dir, input_paths=small_corpus_files[:2], cfg=_cfg(), **CFG_KW)
+    before = _file_hashes(inc_dir)
+
+    real_save = B._save_manifest
+
+    def boom(out_dir, manifest):
+        raise RuntimeError("injected crash before manifest write")
+
+    monkeypatch.setattr(B, "_save_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        update_index(inc_dir, input_paths=small_corpus_files[2:])
+    monkeypatch.setattr(B, "_save_manifest", real_save)
+
+    # live index unchanged: same manifest, same referenced files, old answers
+    r = IndexReader(inc_dir)
+    assert r.n_docs == a.n_docs
+    assert _file_hashes(inc_dir) == before  # stray run files are unreferenced
+
+    # re-run the same update: deterministic overwrite of the strays, success
+    res = update_index(inc_dir, input_paths=small_corpus_files[2:])
+    assert res.n_docs == full.n_docs and res.total_tokens == full.total_tokens
+    rf, ri = IndexReader(full.out_dir), IndexReader(inc_dir)
+    for q in ["public static", '"old lady"', "(public | void) return"]:
+        assert rf.search(q, k=10) == ri.search(q, k=10), q
+
+
 def test_reader_ignores_stray_files(tmp_path, small_corpus_files):
     """Crash-safety contract: files not referenced by the manifest (as left
     by a crashed update) are invisible to readers."""
