@@ -74,6 +74,10 @@ class IndexConfig:
     use_stopwords: bool = True
     stopwords_path: str = DEFAULT_STOPWORDS_PATH
     bm25: BM25Params = field(default_factory=BM25Params)
+    # 512 by default: batch-size sweeps on the sandbox are noise-dominated
+    # (2-3x merge-stage spread on identical configs), and 512 never measured
+    # worse; long-document corpora benefit from 2048 (fewer spill files per
+    # merge group — the scaling bench sets it explicitly)
     tokenizer_batch_size: int = 512
     # None -> half the cluster CPUs as a FIXED pool: leaves headroom for the
     # read + shuffle stages (a pool reserving every CPU starves them) and

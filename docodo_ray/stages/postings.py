@@ -82,12 +82,37 @@ SEGMENT_ROW_GROUP_SIZE = 32
 TERM_STATS_ROW_GROUP_SIZE = 1024
 
 
+# Arrow binary arrays cap at 2 GiB of data per array chunk; a hot bucket at
+# corpus scale can exceed that, so segment tables are built in bounded-size
+# chunks (ChunkedArray columns — parquet writes them transparently).
+_MAX_CHUNK_BLOB_BYTES = 1 << 29  # 512 MiB per chunk, far under the 2 GiB cap
+
+
 def _rows_to_table(rows: list[tuple]) -> pa.Table:
-    cols = list(zip(*rows)) if rows else [[] for _ in SEGMENT_SCHEMA]
-    return pa.Table.from_arrays(
-        [pa.array(c, type=f.type) for c, f in zip(cols, SEGMENT_SCHEMA)],
-        schema=SEGMENT_SCHEMA,
-    )
+    if not rows:
+        return pa.Table.from_arrays(
+            [pa.array([], type=f.type) for f in SEGMENT_SCHEMA], schema=SEGMENT_SCHEMA
+        )
+    # split on cumulative blob bytes so no single Arrow chunk nears the cap
+    chunks: list[list[tuple]] = []
+    cur: list[tuple] = []
+    size = 0
+    for r in rows:
+        b = len(r[5]) + len(r[6]) + len(r[7]) + len(r[8]) + len(r[9])
+        if cur and size + b > _MAX_CHUNK_BLOB_BYTES:
+            chunks.append(cur)
+            cur, size = [], 0
+        cur.append(r)
+        size += b
+    chunks.append(cur)
+    tables = []
+    for ch in chunks:
+        cols = list(zip(*ch))
+        tables.append(pa.Table.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, SEGMENT_SCHEMA)],
+            schema=SEGMENT_SCHEMA,
+        ))
+    return tables[0] if len(tables) == 1 else pa.concat_tables(tables)
 
 
 def _atomic_write(
@@ -222,7 +247,13 @@ def merge_segment_rows(group: pa.Table) -> pa.Table:
     """K-way merge of partial posting rows (any mix of buckets is allowed but
     callers pass one bucket): per (term, salt), decode all runs, re-sort by
     doc_id, re-encode, compute the block-max sidecar. Deterministic for a
-    given logical row set regardless of how runs were batched."""
+    given logical row set regardless of how runs were batched.
+
+    Boundary: combine_chunks requires one bucket's blob data to fit a single
+    Arrow binary array (< 2 GiB). n_buckets auto-scales with the cluster
+    (4x CPUs) precisely so per-bucket data stays far below this; raise it
+    for corpora where a bucket would approach the cap. (The WRITE side has
+    no such cap — _rows_to_table chunks output columns.)"""
     group = group.sort_by(
         [("term", "ascending"), ("salt", "ascending")]
     ).combine_chunks()

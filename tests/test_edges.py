@@ -47,3 +47,23 @@ def test_make_snippet():
     assert len(s) <= 320 + 2 * len("<b></b>") * 8
     # no hits -> head of text
     assert make_snippet("short text", ["absent"]) == "short text"
+
+
+def test_rows_to_table_chunks_under_blob_cap(monkeypatch):
+    """Segment tables split into bounded-size Arrow chunks (the 2 GiB binary
+    array cap would otherwise break hot buckets at corpus scale); chunking
+    is deterministic, so checksums stay layout-independent."""
+    import tempfile
+
+    import docodo_ray.stages.postings as P
+
+    monkeypatch.setattr(P, "_MAX_CHUNK_BLOB_BYTES", 64)
+    rows = [(f"t{i:03d}", 1, 0, 2, 4, b"x" * 30, b"y" * 10, b"z" * 10, b"", b"b" * 12)
+            for i in range(50)]
+    t = P._rows_to_table(rows)
+    assert t.num_rows == 50 and t["doc_blob"].num_chunks > 1
+    assert t["term"].to_pylist() == [r[0] for r in rows]
+    assert t["doc_blob"].to_pylist() == [r[5] for r in rows]
+    h1 = P._atomic_write(t, tempfile.mktemp(suffix=".parquet"))
+    h2 = P._atomic_write(P._rows_to_table(rows), tempfile.mktemp(suffix=".parquet"))
+    assert h1 == h2
