@@ -96,6 +96,17 @@ def collect_terms(node: Node | None, out: set[str]) -> None:
             collect_terms(c, out)
 
 
+def collect_phrase_words(node: Node | None, out: set[str]) -> None:
+    """Words needing POSITIONAL postings (phrase/proximity evaluation)."""
+    if node is None:
+        return
+    if isinstance(node, Phrase):
+        out.update(node.words)
+    elif isinstance(node, (Or, And)):
+        for c in node.children:
+            collect_phrase_words(c, out)
+
+
 def collect_wildcards(node: Node | None, out: set[str]) -> None:
     if node is None:
         return

@@ -153,29 +153,71 @@ class IndexReader:
 
     def _bucket_handle(self, b: int) -> list[tuple]:
         hit = self._bucket_cache.get(b)
-        if hit is None:
-            hit = []
-            for path in self._segment_paths(b):
-                if not os.path.exists(path):
-                    continue
-                pf = pq.ParquetFile(path)
-                md = pf.metadata
-                ci = md.schema.to_arrow_schema().get_field_index("term")
-                mins, maxs = [], []
-                for rg in range(md.num_row_groups):
-                    s = md.row_group(rg).column(ci).statistics
-                    if s is None or not s.has_min_max:
-                        mins.append("")          # no stats: never prune
-                        maxs.append("\U0010ffff")
-                    else:
-                        mins.append(s.min)
-                        maxs.append(s.max)
-                hit.append((pf, mins, maxs))
-                self.io_stats["file_opens"] += 1
+        if hit is not None:
+            return hit
+        # footer reads run OUTSIDE the lock so concurrent prefetch threads
+        # open different buckets in parallel; a rare duplicate open for the
+        # same bucket is harmless (last insert wins)
+        hit = []
+        for path in self._segment_paths(b):
+            if not os.path.exists(path):
+                continue
+            pf = pq.ParquetFile(path)
+            md = pf.metadata
+            ci = md.schema.to_arrow_schema().get_field_index("term")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(ci).statistics
+                if s is None or not s.has_min_max:
+                    mins.append("")          # no stats: never prune
+                    maxs.append("\U0010ffff")
+                else:
+                    mins.append(s.min)
+                    maxs.append(s.max)
+            hit.append((pf, mins, maxs))
+            self.io_stats["file_opens"] += 1
+        with self._lock:
             if len(self._bucket_cache) >= self._max_cached_buckets:
                 self._bucket_cache.pop(next(iter(self._bucket_cache)))
             self._bucket_cache[b] = hit
         return hit
+
+    def prefetch_postings(self, terms, with_positions: bool = False) -> None:
+        """Load several cold postings AND their term stats CONCURRENTLY
+        (thread pool; parquet reads release the GIL during I/O). Multi-term
+        queries otherwise pay one serial cold read per term for the posting
+        plus one for the stats sidecar. On page-cached local files the
+        effect measures neutral (reads are ~ms); the win is on real remote
+        storage where each cold read is a network round trip — there the
+        serial path costs terms x latency and this path costs ~one."""
+        missing = [
+            t for t in sorted(set(terms))
+            if (t, with_positions) not in self._posting_cache
+            or t not in self._term_stats_cache
+        ]
+        if len(missing) <= 1:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        def load(t: str):
+            ck = (t, with_positions)
+            p = (
+                self._posting_cache[ck]
+                if ck in self._posting_cache
+                else self._read_posting_uncached(t, with_positions)
+            )
+            st = self._term_stats_cache.get(t)
+            if st is None:
+                st = self._term_stats_uncached(t)
+            return t, p, st
+
+        with ThreadPoolExecutor(max_workers=min(8, len(missing))) as ex:
+            for t, p, st in ex.map(load, missing):
+                with self._lock:
+                    if len(self._posting_cache) >= 4096:
+                        self._posting_cache.pop(next(iter(self._posting_cache)))
+                    self._posting_cache[(t, with_positions)] = p
+                    self._term_stats_cache[t] = st
 
     def _term_rows(self, term: str, with_positions: bool = True) -> pa.Table | None:
         """All segment rows of ``term`` (its salt shards x generations),
@@ -277,17 +319,21 @@ class IndexReader:
         hit = self._term_stats_cache.get(term)
         if hit is not None:
             return hit
+        val = self._term_stats_uncached(term)
+        with self._lock:
+            self._term_stats_cache[term] = val
+        return val
+
+    def _term_stats_uncached(self, term: str) -> tuple[int, int]:
         paths = self._term_stats_paths(term_bucket(term, self.cfg.n_buckets))
         if not paths:
             return (0, 0)
         t = pq.read_table(paths, filters=[("term", "==", term)])
-        val = (
+        return (
             (int(pc.sum(t["df"]).as_py()), int(pc.sum(t["cf"]).as_py()))
             if t.num_rows
             else (0, 0)
         )
-        self._term_stats_cache[term] = val
-        return val
 
     def term_dictionary(self, columns=("term", "df", "cf")):
         """Full term-stats table (suggestions / histogram / wildcard scans),
@@ -445,6 +491,12 @@ class IndexReader:
         qp.collect_wildcards(tree, wilds)
         expansions = {w: self.like_words(w) for w in wilds}
         score_terms = terms | {t for ts in expansions.values() for t in ts}
+        # cold multi-term queries: fetch every needed posting concurrently
+        self.prefetch_postings(score_terms)
+        pwords: set[str] = set()
+        qp.collect_phrase_words(tree, pwords)
+        if pwords:
+            self.prefetch_postings(pwords, with_positions=True)
         postings = {
             t: p for t in sorted(score_terms)
             if (p := self.read_posting(t)) is not None
