@@ -66,18 +66,99 @@ class FingerprintStage:
         return pa.table({"doc_id": pa.array(ids), "fp": pa.array(fps)})
 
 
+# closed-class (function) words — the highest-frequency, most
+# language-discriminative tokens; ~35 per language
 _LANG_LEX: dict[str, frozenset] = {
-    "en": frozenset("the and of to in is you that for with".split()),
-    "de": frozenset("der die und das ist nicht mit für ein ich".split()),
-    "fr": frozenset("le la les et des est pour que une dans".split()),
-    "es": frozenset("el la los de que y en un por con".split()),
+    "en": frozenset(
+        "the and of to in is was you that it for with as on are this be at "
+        "have from or by not but they his her which had were we an will all".split()
+    ),
+    "de": frozenset(
+        "der die und das ist nicht mit für ein eine ich sie auf den dem des "
+        "im zu von sich auch als nach bei einem einer aber wenn noch nur "
+        "werden wird haben sind oder wie".split()
+    ),
+    "fr": frozenset(
+        "le la les et des est pour que une dans un du au aux ce cette il "
+        "elle nous vous ils sont avec sur pas plus mais par son ses leur "
+        "être avoir comme ne je".split()
+    ),
+    "es": frozenset(
+        "el la los las de que y en un una por con para es son su sus al lo "
+        "se no como más pero sí este esta esto cuando hay ser estar entre "
+        "también muy".split()
+    ),
+    "it": frozenset(
+        "il la le gli di che e in un una per con del della dei delle non si "
+        "sono è più come anche questo questa ma dal nel alla sul essere "
+        "avere molto".split()
+    ),
+    "pt": frozenset(
+        "o a os as de que e em um uma para com por não se do da dos das no "
+        "na nos nas é são mais como mas seu sua ele ela este esta também "
+        "muito ser".split()
+    ),
+    "nl": frozenset(
+        "de het een en van in is dat op te met voor niet zijn aan er ook "
+        "als maar bij dan nog naar door over deze dit hij zij wordt worden "
+        "heeft hebben".split()
+    ),
 }
+
+# script ranges that identify a language family before any lexicon vote
+_SCRIPTS = [
+    ("ru", 0x0400, 0x04FF),   # Cyrillic
+    ("el", 0x0370, 0x03FF),   # Greek
+    ("ar", 0x0600, 0x06FF),   # Arabic
+    ("ko", 0xAC00, 0xD7AF),   # Hangul syllables
+    ("ja", 0x3040, 0x30FF),   # Hiragana + Katakana
+    ("zh", 0x4E00, 0x9FFF),   # CJK unified (checked AFTER kana: ja uses both)
+]
+
+
+def classify_language(text: str) -> str:
+    """Deterministic language ID: (1) non-Latin script detection by Unicode
+    block majority (kana before CJK so Japanese beats the shared Han range);
+    (2) closed-class-word vote over the Latin-script lexicons, hit-RATE
+    normalized so long documents don't bias toward big lexicons; 'und' when
+    nothing matches. Ties break in sorted language order."""
+    if not text:
+        return "und"
+    counts = dict.fromkeys(("latin",) + tuple(l for l, _a, _b in _SCRIPTS), 0)
+    n_alpha = 0
+    for ch in text[:4000]:
+        if not ch.isalpha():
+            continue
+        n_alpha += 1
+        o = ord(ch)
+        if o < 0x250:
+            counts["latin"] += 1
+            continue
+        for lang, a, b in _SCRIPTS:
+            if a <= o <= b:
+                counts[lang] += 1
+                break
+    if n_alpha == 0:
+        return "und"
+    for lang, _a, _b in _SCRIPTS:  # kana listed before CJK -> ja wins over zh
+        if counts[lang] * 2 > n_alpha:
+            return lang
+    toks = tokenize_raw(text)
+    if not toks:
+        return "und"
+    best, best_rate = "und", 0.0
+    for lang in sorted(_LANG_LEX):
+        hits = sum(1 for t in toks if t in _LANG_LEX[lang])
+        rate = hits / len(toks)
+        if rate > best_rate:
+            best, best_rate = lang, rate
+    return best if best_rate > 0 else "und"
 
 
 class LangIdStage:
-    """N-gram-free language-ID heuristic: vote by closed-class-word hits per
-    language lexicon; 'und' (undetermined) when nothing matches. Deterministic
-    ties: languages compared in sorted order, max hit count wins."""
+    """Language-ID stage: script-block detection + function-word vote (see
+    classify_language). Pure function of the text — deterministic at any
+    parallelism."""
 
     def __init__(self, content_col: str = "text", id_col: str = "doc_id"):
         self.content_col = content_col
@@ -85,15 +166,7 @@ class LangIdStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        preds = []
-        for text in batch[self.content_col].to_pylist():
-            toks = tokenize_raw(text or "")
-            best, best_n = "und", 0
-            for lang in sorted(_LANG_LEX):
-                n = sum(1 for t in toks if t in _LANG_LEX[lang])
-                if n > best_n:
-                    best, best_n = lang, n
-            preds.append(best)
+        preds = [classify_language(t or "") for t in batch[self.content_col].to_pylist()]
         return pa.table({"doc_id": pa.array(ids), "pred_lang": pa.array(preds)})
 
 

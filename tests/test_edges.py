@@ -67,3 +67,23 @@ def test_rows_to_table_chunks_under_blob_cap(monkeypatch):
     h1 = P._atomic_write(t, tempfile.mktemp(suffix=".parquet"))
     h2 = P._atomic_write(P._rows_to_table(rows), tempfile.mktemp(suffix=".parquet"))
     assert h1 == h2
+
+
+def test_language_classifier():
+    """Script-block + function-word language ID on real multilingual text."""
+    from docodo_ray.textstats import classify_language as c
+
+    assert c("The quick brown fox jumps over the lazy dog and it was not there") == "en"
+    assert c("Der schnelle braune Fuchs springt über den faulen Hund und ist weg") == "de"
+    assert c("Le renard brun rapide saute par-dessus le chien paresseux dans la forêt") == "fr"
+    assert c("El rápido zorro marrón salta sobre el perro perezoso en la casa") == "es"
+    assert c("La volpe marrone veloce salta sopra il cane pigro e non si vede più") == "it"
+    assert c("A rápida raposa marrom pula sobre o cão preguiçoso e não se vê na casa") == "pt"
+    assert c("De snelle bruine vos springt over de luie hond en is niet te zien") == "nl"
+    assert c("Быстрая коричневая лиса перепрыгивает через ленивую собаку") == "ru"
+    assert c("Η γρήγορη καφέ αλεπού πηδάει πάνω από το σκυλί") == "el"
+    assert c("الثعلب البني السريع يقفز فوق الكلب الكسول") == "ar"
+    assert c("빠른 갈색 여우가 게으른 개를 뛰어넘는다") == "ko"
+    assert c("素早い茶色のキツネが怠け者の犬を飛び越える") == "ja"  # kana beats shared Han
+    assert c("敏捷的棕色狐狸跳过懒狗") == "zh"
+    assert c("") == "und" and c("12345 67890") == "und"
