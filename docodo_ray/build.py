@@ -96,13 +96,15 @@ def _load_manifest(out_dir: str) -> dict | None:
 
 def _default_concurrency(cfg: IndexConfig):
     """Tokenizer actor-pool size: default cpus//2 (leaves the rest for read +
-    shuffle). Any requested size is clamped to cpus-1 — a pool reserving
-    every CPU deadlocks the streaming pipeline (the upstream read can never
-    schedule)."""
+    shuffle). Any requested size is clamped to cpus-2 — a pool reserving
+    all (or all-but-one) CPUs intermittently deadlocks the streaming
+    pipeline under backpressure (observed: a 3-actor pool on a 4-CPU
+    cluster stalled with queued blocks and zero running tasks; read +
+    downstream stages need at least two free slots)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    cap = max(1, cpus - 1)
+    cap = max(1, cpus - 2)
     c = cfg.tokenizer_concurrency
     if c is None:
         return max(1, min(cap, cpus // 2))
@@ -190,8 +192,9 @@ def _spill_for(
 
         cpus = int(ray.cluster_resources().get("CPU", 8))
         # proportional (not cpus-minus-constant) so throughput scales
-        # linearly with cluster size; the remaining quarter feeds the reads
-        conc = max(1, (3 * cpus) // 4)
+        # linearly with cluster size; the remaining quarter feeds the reads.
+        # Clamp to cpus-2 on tiny clusters (see _default_concurrency).
+        conc = max(1, min((3 * cpus) // 4, cpus - 2))
     rows = ds.map_batches(
         SpillStage,
         fn_constructor_kwargs=dict(

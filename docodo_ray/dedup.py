@@ -39,6 +39,19 @@ VERIFY_BANDS, VERIFY_ROWS = 32, 2
 MINHASH_VERIFY_THRESHOLD = 0.5
 
 
+def _pool() -> tuple[int, int]:
+    """Actor-pool bounds for the dedup stages. The verified-pairs pipeline
+    runs TWO actor pools concurrently (MinHash bands + Shingle blobs); if
+    together they can reserve every cluster CPU, the downstream groupby
+    tasks can never schedule and the pipeline deadlocks intermittently
+    (observed at num_cpus=4 with two (1,4) pools). Cap each pool at
+    (cpus-1)//2 so the pair of pools always leaves CPUs free."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(1, (cpus - 1) // 2))
+
+
 def _hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
 
@@ -214,7 +227,7 @@ def _raw_pairs(
     doc keeps its other bands)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     rows = ds.map_batches(
-        MinHashStage, batch_format="pyarrow", concurrency=(1, 4),
+        MinHashStage, batch_format="pyarrow", concurrency=_pool(),
         fn_constructor_kwargs=dict(kind=kind, bands=bands, rows_per_band=rows_per_band),
     )
 
@@ -279,7 +292,7 @@ def verified_pairs(
     sh_rows = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(
-        ShingleStage, batch_format="pyarrow", concurrency=(1, 4),
+        ShingleStage, batch_format="pyarrow", concurrency=_pool(),
         fn_constructor_kwargs=dict(kind=kind),
     )
 

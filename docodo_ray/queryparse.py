@@ -218,6 +218,19 @@ class _Parser:
         exact = w.startswith("=")
         if exact:
             w = w[1:]
+        if "&" in w:
+            # Docodo word-parts combine (IndexSequence.cs:205-215): 'a&b'
+            # matches the compound word OR the parts written adjacently —
+            # re-expressed over token-level positions as
+            # Or(Term("ab"), Phrase([a, b], adjacency))
+            parts = [t for p in w.split("&") for t in tokenize(p, self.spec)[0]]
+            if not parts:
+                return None
+            joined = tokenize("".join(parts), self.spec)[0]
+            alts: list = [Phrase(parts, -1)] if len(parts) > 1 else [Term(parts[0])]
+            if joined and len(joined) == 1 and [joined[0]] != parts:
+                alts.insert(0, Term(joined[0]))
+            return alts[0] if len(alts) == 1 else Or(alts)
         if "?" in w or "_" in w:
             return Wildcard(w.lower())
         terms = tokenize(w, self.spec)[0]

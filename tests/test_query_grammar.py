@@ -174,3 +174,20 @@ def test_wildcard_inside_tree(built, small_corpus_docs, spec):
     want = set().union(*(brute_docs(small_corpus_docs, spec, t) for t in exp)) & C
     got = {d for d, _ in r.search("cla?s void", k=10_000)}
     assert got == want
+
+
+def test_word_parts_combine(spec, built, small_corpus_docs):
+    """Docodo '&' word-parts operator (IndexSequence.cs:205-215): 'a&b'
+    matches the compound word OR the adjacent parts."""
+    from docodo_ray.queryparse import Or, Phrase, Term
+
+    t = parse_query("data&base", spec).tree
+    assert t == Or([Term("database"), Phrase(["data", "base"], -1)])
+    # end-to-end: union of the compound term's docs and the adjacency docs
+    r = IndexReader(built.out_dir)
+    got = {d for d, _ in r.search("old&lady", k=10_000)}
+    p = r.read_posting("oldlady")
+    compound = set(p.doc_ids.tolist()) if p is not None else set()
+    adjacent = {d for d, _ in r.phrase_occurrences(["old", "lady"])}
+    assert got == (compound | adjacent)
+    assert adjacent  # the corpus has the adjacent form
