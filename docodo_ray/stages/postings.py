@@ -288,52 +288,105 @@ def merge_segment_rows(group: pa.Table) -> pa.Table:
         pos_offsets = np.concatenate(([0], np.cumsum(pos_counts)[:-1]))
     run_starts = np.concatenate(([0], np.cumsum(dfs)[:-1]))
 
+    # ---- multi-run terms: ONE vectorized pass over all of them -------------
+    # (per-term varbyte encodes were the merge-stage bottleneck: tens of
+    # thousands of tiny numpy calls; the chunked encoders produce
+    # byte-identical blobs — LEB128 is per-value — in a handful of passes)
+    n_runs = run_starts_rows.size
+    is_multi = run_lens_rows > 1
+    multi_k = np.flatnonzero(is_multi)
+    mr: dict[int, tuple] = {}  # k -> blobs for multi-run terms
+    if multi_k.size:
+        r0s = run_starts_rows[multi_k]
+        r1s = r0s + run_lens_rows[multi_k]
+        p_starts = run_starts[r0s]
+        p_lens = (run_starts[r1s - 1] + dfs[r1s - 1]) - p_starts
+        M = int(p_lens.sum())
+        shift = np.repeat(
+            p_starts - np.concatenate(([0], np.cumsum(p_lens)[:-1])), p_lens
+        )
+        idx = np.arange(M, dtype=np.int64) + shift
+        term_id = np.repeat(np.arange(multi_k.size, dtype=np.int64), p_lens)
+        d = docs_flat[idx]
+        order = np.lexsort((d, term_id))
+        d_s = d[order]
+        tf_s = tf_flat[idx][order]
+        dl_s = dl_flat[idx][order]
+        t_starts = np.concatenate(([0], np.cumsum(p_lens)[:-1]))
+        same_term = term_id[order][1:] == term_id[order][:-1] if M > 1 else np.empty(0, bool)
+        if M > 1 and np.any(same_term & (d_s[1:] <= d_s[:-1])):
+            bad = int(np.flatnonzero(same_term & (d_s[1:] <= d_s[:-1]))[0])
+            raise ValueError(
+                f"duplicate doc_ids while merging term "
+                f"{terms[int(multi_k[int(term_id[order][bad])])]!r}"
+            )
+        doc_blobs = codec.varbyte_encode_chunked(
+            codec.segmented_delta_encode(d_s, p_lens), p_lens
+        )
+        tf_blobs = codec.varbyte_encode_chunked(tf_s, p_lens)
+        dl_blobs = codec.varbyte_encode_chunked(dl_s, p_lens)
+        if have_pos:
+            src = idx[order]
+            pf, pcnt = codec.gather_ranges(pos_flat, pos_offsets, pos_counts, src)
+            total_p = int(pcnt.sum())
+            stream = np.empty(M + total_p, dtype=np.uint64)
+            seg_starts = np.concatenate(([0], np.cumsum(pcnt)[:-1]))
+            hdr = seg_starts + np.arange(M, dtype=np.int64)
+            stream[hdr] = pcnt.astype(np.uint64)
+            mask = np.ones(stream.size, dtype=bool)
+            mask[hdr] = False
+            if total_p:
+                stream[mask] = codec.segmented_delta_encode(pf, pcnt)
+            # per-term stream lengths = n_postings + its positions
+            pos_per_term = np.add.reduceat(pcnt, t_starts) if M else pcnt
+            pos_blobs = codec.varbyte_encode_chunked(stream, p_lens + pos_per_term)
+        else:
+            pos_blobs = [b""] * multi_k.size
+        # block-max over the globally sorted arrays: blocks never span terms
+        # because every term start has within-term index 0
+        w = np.arange(M, dtype=np.int64) - np.repeat(t_starts, p_lens)
+        bstarts = np.flatnonzero(w % codec.BLOCK_SIZE == 0)
+        bends = np.concatenate((bstarts[1:], [M])) - 1
+        rec = np.empty(bstarts.size, dtype=codec._BM_DTYPE)
+        rec["last_doc"] = d_s[bends]
+        rec["max_tf"] = np.maximum.reduceat(tf_s, bstarts).astype(np.uint32)
+        rec["min_dl"] = np.minimum.reduceat(dl_s, bstarts).astype(np.uint32)
+        blocks_per_term = -(-p_lens // codec.BLOCK_SIZE)
+        b_bounds = np.concatenate(([0], np.cumsum(blocks_per_term)))
+        cfs_m = np.add.reduceat(tf_s, t_starts) if M else np.empty(0)
+        rec_bytes = rec.tobytes()
+        rs = codec._BM_DTYPE.itemsize
+        for j, k in enumerate(multi_k):
+            mr[int(k)] = (
+                int(p_lens[j]), int(cfs_m[j]), doc_blobs[j], tf_blobs[j],
+                dl_blobs[j], pos_blobs[j],
+                rec_bytes[int(b_bounds[j]) * rs : int(b_bounds[j + 1]) * rs],
+            )
+
     rows = []
-    for k in range(run_starts_rows.size):
+    for k in range(n_runs):
         r0 = int(run_starts_rows[k])
-        r1 = r0 + int(run_lens_rows[k])
         term = terms[k]
         bucket = int(buckets_np[r0])
         salt = int(salts_np[r0])
-        if r1 - r0 == 1:
-            # single source run (long-tail term): reuse blobs verbatim
-            s0 = int(run_starts[r0])
-            e0 = s0 + int(dfs[r0])
-            bm = bm_bytes[bm_offs[r0] : bm_offs[r0 + 1]] or codec.encode_blockmax_arrays(
-                docs_flat[s0:e0],
-                tf_flat[s0:e0].astype(np.uint32),
-                dl_flat[s0:e0].astype(np.uint32),
-            )
-            rows.append(
-                (term, bucket, salt, int(dfs[r0]), int(cfs_np[r0]),
-                 doc_bytes[doc_offs[r0] : doc_offs[r0 + 1]],
-                 tf_bytes[tf_offs[r0] : tf_offs[r0 + 1]],
-                 dl_bytes[dl_offs[r0] : dl_offs[r0 + 1]],
-                 pos_bytes[pos_offs[r0] : pos_offs[r0 + 1]], bm)
-            )
+        if k in mr:
+            df_k, cf_k, db, tb, lb, pb, bm = mr[k]
+            rows.append((term, bucket, salt, df_k, cf_k, db, tb, lb, pb, bm))
             continue
-        s = int(run_starts[r0])
-        e = int(run_starts[r1 - 1] + dfs[r1 - 1])
-        d = docs_flat[s:e]
-        order = np.argsort(d, kind="stable")
-        d = d[order]
-        if d.size > 1 and not np.all(d[1:] > d[:-1]):
-            raise ValueError(f"duplicate doc_ids while merging term {term!r}")
-        tf = tf_flat[s:e][order].astype(np.uint32)
-        dl = dl_flat[s:e][order].astype(np.uint32)
-        if have_pos:
-            pf, pc_ = codec.gather_ranges(
-                pos_flat, pos_offsets, pos_counts,
-                np.arange(s, e, dtype=np.int64)[order],
-            )
-            pos_blob = codec.encode_positions_flat(pf, pc_)
-        else:
-            pos_blob = b""
+        # single source run (long-tail term): reuse blobs verbatim
+        s0 = int(run_starts[r0])
+        e0 = s0 + int(dfs[r0])
+        bm = bm_bytes[bm_offs[r0] : bm_offs[r0 + 1]] or codec.encode_blockmax_arrays(
+            docs_flat[s0:e0],
+            tf_flat[s0:e0].astype(np.uint32),
+            dl_flat[s0:e0].astype(np.uint32),
+        )
         rows.append(
-            (term, bucket, salt, int(d.size), int(tf.sum()),
-             codec.encode_postings(d), codec.encode_values(tf),
-             codec.encode_values(dl), pos_blob,
-             codec.encode_blockmax_arrays(d, tf, dl))
+            (term, bucket, salt, int(dfs[r0]), int(cfs_np[r0]),
+             doc_bytes[doc_offs[r0] : doc_offs[r0 + 1]],
+             tf_bytes[tf_offs[r0] : tf_offs[r0 + 1]],
+             dl_bytes[dl_offs[r0] : dl_offs[r0 + 1]],
+             pos_bytes[pos_offs[r0] : pos_offs[r0 + 1]], bm)
         )
     return _rows_to_table(rows)
 
