@@ -305,8 +305,8 @@ o AS (
 ),
 s AS (
   SELECT user_id, us,
-    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
-                   ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM o
 )
 SELECT user_id, session_id, count(*) AS n_events,

@@ -47,15 +47,49 @@ SQL_CHECKED = sorted(set(entrymod.oracle_sql()))
 ROWS_ONLY = sorted(set(entrymod.queries()) - set(SQL_CHECKED))
 
 
+def _arrow_types(res):
+    """name -> pyarrow type for a queries() result (None if pandas-only)."""
+    if hasattr(res, "schema"):
+        sch = res.schema() if callable(res.schema) else res.schema
+        try:
+            return {n: t for n, t in zip(sch.names, sch.types)}
+        except AttributeError:
+            return None
+    return None
+
+
 @pytest.mark.parametrize("name", SQL_CHECKED)
 def test_query_matches_oracle(name, con):
     q = entrymod.queries()[name]
     sql = entrymod.oracle_sql()[name]
-    got = _canon(_to_pandas(q(SF_DIR)))
-    want = _canon(con.execute(sql).fetchdf())
+    res = q(SF_DIR)
+    got = _canon(_to_pandas(res))
+    want_arrow = con.execute(sql).fetch_arrow_table()
+    want = _canon(want_arrow.to_pandas())
     assert list(got.columns) == list(want.columns), (got.columns, want.columns)
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # The driver's value hash is type-sensitive: an uncast DuckDB aggregate
+    # (SUM(BIGINT) -> HUGEINT/decimal128) flips the hash even when values
+    # match (round-2 `sessionize` red cell). Enforce numeric type parity.
+    import pyarrow.types as pt
+    engine_types = _arrow_types(res)
+    for field in want_arrow.schema:
+        if pt.is_decimal(field.type):
+            raise AssertionError(
+                f"{name}: oracle column {field.name!r} is {field.type} — "
+                f"cast the SQL aggregate (DuckDB SUM(BIGINT) -> HUGEINT)")
+        # Integer widths canonicalize (driver casts int* -> int64, r02
+        # bm25_topk passed with an int32 VALUES oracle); only the numeric
+        # KIND must agree.
+        if engine_types and field.name in engine_types:
+            et = engine_types[field.name]
+            if pt.is_integer(et):
+                assert pt.is_integer(field.type), (
+                    f"{name}.{field.name}: engine {et} vs oracle {field.type}")
+            elif pt.is_floating(et):
+                assert pt.is_floating(field.type), (
+                    f"{name}.{field.name}: engine {et} vs oracle {field.type}")
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
