@@ -161,7 +161,15 @@ class IndexReader:
         hit = []
         for path in self._segment_paths(b):
             if not os.path.exists(path):
-                continue
+                # A manifest-referenced segment is part of this reader's
+                # snapshot: missing means the index was compacted/GC'd
+                # underneath us (or is corrupt). Serving partial postings
+                # silently would be a wrong answer — fail loudly so the
+                # caller re-opens the new manifest.
+                raise FileNotFoundError(
+                    f"segment {path} referenced by manifest is missing — "
+                    f"index was updated/compacted; re-open IndexReader({self.dir!r})"
+                )
             pf = pq.ParquetFile(path)
             md = pf.metadata
             ci = md.schema.to_arrow_schema().get_field_index("term")
@@ -169,11 +177,13 @@ class IndexReader:
             for rg in range(md.num_row_groups):
                 s = md.row_group(rg).column(ci).statistics
                 if s is None or not s.has_min_max:
-                    mins.append("")          # no stats: never prune
-                    maxs.append("\U0010ffff")
-                else:
-                    mins.append(s.min)
-                    maxs.append(s.max)
+                    # A stats-less row group would break _term_rows'
+                    # sorted-maxs bisect (placeholders make later matching
+                    # groups unreachable) — disable pruning for this FILE.
+                    mins, maxs = None, None
+                    break
+                mins.append(s.min)
+                maxs.append(s.max)
             hit.append((pf, mins, maxs))
             self.io_stats["file_opens"] += 1
         with self._lock:
@@ -229,11 +239,14 @@ class IndexReader:
             cols.append("pos_blob")
         out = []
         for pf, mins, maxs in self._bucket_handle(term_bucket(term, self.cfg.n_buckets)):
-            g = bisect_left(maxs, term)  # first rg whose max >= term
-            rgs = []
-            while g < len(mins) and mins[g] <= term:
-                rgs.append(g)
-                g += 1
+            if mins is None:  # stats-less file: pruning disabled, read all
+                rgs = list(range(pf.metadata.num_row_groups))
+            else:
+                g = bisect_left(maxs, term)  # first rg whose max >= term
+                rgs = []
+                while g < len(mins) and mins[g] <= term:
+                    rgs.append(g)
+                    g += 1
             if not rgs:
                 continue
             t = pf.read_row_groups(rgs, columns=cols)

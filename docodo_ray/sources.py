@@ -63,10 +63,14 @@ def read_duckdb_partitioned(
 
     con = duckdb.connect(db_path, read_only=True)
     try:
-        n = con.execute(f"SELECT count(*) FROM {table}").fetchone()[0]
+        # rowids are sparse after deletes — span [min, max+1], not [0, n).
+        lo_hi = con.execute(
+            f"SELECT min(rowid), max(rowid) FROM {table}").fetchone()
     finally:
         con.close()
-    bounds = np.linspace(0, n, num_partitions + 1).astype(int)
+    if lo_hi[0] is None:  # empty table
+        return rd.from_arrow(pa.table({}))
+    bounds = np.linspace(lo_hi[0], lo_hi[1] + 1, num_partitions + 1).astype(int)
     parts = [
         {"lo": int(bounds[i]), "hi": int(bounds[i + 1])}
         for i in range(num_partitions)
@@ -81,8 +85,13 @@ def read_duckdb_partitioned(
         for lo, hi in zip(batch["lo"].to_pylist(), batch["hi"].to_pylist()):
             c = _dd.connect(db_path, read_only=True)
             try:
+                # Explicit rowid range, NOT LIMIT/OFFSET: DuckDB gives no
+                # ordering guarantee across separate (parallel) scans, so
+                # OFFSET pagination can overlap/drop rows — and each OFFSET
+                # costs a full skip-scan (O(P*N) across P partitions).
                 out.append(c.execute(
-                    f"SELECT {cols} FROM {table} LIMIT {hi - lo} OFFSET {lo}"
+                    f"SELECT {cols} FROM {table} "
+                    f"WHERE rowid >= {lo} AND rowid < {hi}"
                 ).arrow())
             finally:
                 c.close()

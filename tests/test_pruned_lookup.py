@@ -107,6 +107,64 @@ def test_meta_filter_before_ranking(built):
         assert abs(s - full[d]) < 1e-12
 
 
+def test_missing_manifest_segment_raises(tmp_path, small_corpus_files):
+    """A manifest-referenced segment file that vanished (post-compaction GC
+    under a long-lived reader) must raise, not silently serve partial
+    postings (ADVICE r2: stale REST reader served partial results)."""
+    import os
+
+    out = str(tmp_path / "gced")
+    cfg = IndexConfig(n_buckets=2, tokenizer_batch_size=64, tokenizer_concurrency=2)
+    build_index(out, input_paths=small_corpus_files, cfg=cfg,
+                content_col="content", key_cols=["repo", "path", "commit"])
+    r = IndexReader(out)
+    b = term_bucket("public", r.cfg.n_buckets)
+    (path,) = r._segment_paths(b)
+    os.remove(path)
+    with pytest.raises(FileNotFoundError, match="re-open"):
+        r.read_posting("public")
+
+
+def test_statless_row_groups_disable_pruning_not_results(tmp_path, small_corpus_files):
+    """A segment file written without parquet statistics must fall back to
+    reading ALL its row groups — never insert placeholder min/max into the
+    bisect arrays (that breaks the sorted-maxs invariant and silently drops
+    postings for terms in later row groups)."""
+    out = str(tmp_path / "nostats")
+    cfg = IndexConfig(n_buckets=2, tokenizer_batch_size=64, tokenizer_concurrency=2)
+    build_index(out, input_paths=small_corpus_files, cfg=cfg,
+                content_col="content", key_cols=["repo", "path", "commit"])
+    r0 = IndexReader(out)
+    terms = [t for t in r0.term_dictionary()["term"].to_pylist()][:50]
+    want = {t: r0.read_posting(t) for t in terms}
+
+    # strip statistics from every segment file, preserving row-group layout
+    for rec in r0.manifest["segments"]:
+        import os
+
+        path = os.path.join(out, rec["path"])
+        pf = pq.ParquetFile(path)
+        rg_tables = [pf.read_row_group(i) for i in range(pf.metadata.num_row_groups)]
+        w = pq.ParquetWriter(path + ".tmp", rg_tables[0].schema,
+                             write_statistics=False, compression="zstd")
+        for t in rg_tables:
+            w.write_table(t, row_group_size=t.num_rows)
+        w.close()
+        os.replace(path + ".tmp", path)
+
+    r1 = IndexReader(out)
+    for t in terms:
+        p0, p1 = want[t], r1.read_posting(t)
+        assert (p0 is None) == (p1 is None)
+        if p0 is not None:
+            assert np.array_equal(p0.doc_ids, p1.doc_ids), t
+            assert np.array_equal(p0.tfs, p1.tfs), t
+    # pruning is genuinely off: a lookup reads the whole bucket
+    b = term_bucket(terms[0], r1.cfg.n_buckets)
+    (path,) = r1._segment_paths(b)
+    assert r1.io_stats["rows_read"] >= pq.read_metadata(path).num_rows
+
+
 def test_filter_only_regex_prefilters(built):
     r = IndexReader(built.out_dir)
     res = r.search(r"public -filter:\.py$", k=500)

@@ -66,7 +66,29 @@ def test_duckdb_source(tmp_path):
     ds = read_duckdb("SELECT * FROM t WHERE id < 10 ORDER BY id", db_path=db)
     rows = ds.take_all()
     assert [r["id"] for r in rows] == list(range(10))
-    # partitioned scan covers every row exactly once
-    ds2 = read_duckdb_partitioned(db, "t", num_partitions=7)
-    got = sorted(r["id"] for r in ds2.take_all())
-    assert got == list(range(1000))
+    # partitioned scan == one-shot scan as a MULTISET (rowid ranges, not
+    # LIMIT/OFFSET: DuckDB gives no scan-order guarantee across parallel
+    # connections, so OFFSET pagination could silently overlap/drop rows)
+    want = sorted((r["id"], r["s"])
+                  for r in read_duckdb("SELECT * FROM t", db_path=db).take_all())
+    ds2 = read_duckdb_partitioned(db, "t", num_partitions=8)
+    got = sorted((r["id"], r["s"]) for r in ds2.take_all())
+    assert got == want and len(got) == 1000
+
+
+def test_duckdb_partitioned_sparse_rowids(tmp_path):
+    """After deletes, rowids are sparse — the range partitioner must still
+    cover every surviving row exactly once."""
+    import duckdb
+
+    db = str(tmp_path / "sparse.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT range AS id FROM range(500)")
+    con.execute("DELETE FROM t WHERE id % 3 = 0")
+    con.close()
+    want = sorted(i for i in range(500) if i % 3 != 0)
+    got = sorted(
+        r["id"]
+        for r in read_duckdb_partitioned(db, "t", num_partitions=9).take_all()
+    )
+    assert got == want
