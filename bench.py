@@ -141,17 +141,43 @@ def run_bench(num_cpus: int) -> dict:
             while fh.read(1 << 22):
                 pass
 
+    # Every recorded number is BEST-OF-N: this box's run-to-run wall noise
+    # is ±30-40% (BASELINE.md §3), so a single draw regularly reads as a
+    # ±40% regression/speedup that a rerun reverses (the r2 13.6s-vs-8.9s
+    # artifact). min over repeats estimates the noise floor.
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    draws: dict[str, list[float]] = {}
+
+    def best_of(fn, setup=None, name: str = "", n: int = 0) -> float:
+        ds = []
+        for _ in range(n or repeats):
+            if setup is not None:
+                setup()
+            t0 = time.perf_counter()
+            fn()
+            ds.append(round(time.perf_counter() - t0, 3))
+        if name:
+            draws[name] = ds
+        return min(ds)
+
     # ---- headline: index build ----
     out = f"/tmp/docodo_bench_idx_{num_cpus}"
-    shutil.rmtree(out, ignore_errors=True)
     cfg = IndexConfig(n_buckets=max(64, num_cpus * 4))
-    t0 = time.perf_counter()
-    res = build_index(
-        out, input_paths=files, cfg=cfg,
-        content_col="content", key_cols=["repo", "path", "commit"],
-        meta_cols=("repo", "path", "lang"),
-    )
-    build_sec = time.perf_counter() - t0
+    res = None
+
+    def _build():
+        nonlocal res
+        res = build_index(
+            out, input_paths=files, cfg=cfg,
+            content_col="content", key_cols=["repo", "path", "commit"],
+            meta_cols=("repo", "path", "lang"),
+        )
+
+    # rmtree per repeat: a leftover index would resume (near-instant no-op).
+    # 3 repeats for the headline: slow phases on this box correlate within
+    # ~a minute, so extra draws buy more than they cost (~8s each).
+    build_sec = best_of(_build, setup=lambda: shutil.rmtree(out, ignore_errors=True),
+                        name="index_build", n=max(repeats, 3))
     timings["index_build"] = round(build_sec, 3)
     docs_per_sec = res.n_docs / build_sec
 
@@ -170,19 +196,23 @@ def run_bench(num_cpus: int) -> dict:
     # ---- driver-table pipelines at sf_dir ----
     from docodo_ray import dedup, pipelines, sim
 
-    shutil.rmtree("/tmp/docodo_ray_idx", ignore_errors=True)
-    t0 = time.perf_counter()
-    pipelines.bm25_topk(sf_dir)  # includes documents-table index build
-    timings["docs_index_and_bm25"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    pipelines.token_counts(sf_dir).count()
-    timings["token_counts"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    sim.embedding_topk(sf_dir)
-    timings["embedding_topk"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    dedup.minhash_dedup(sf_dir).count()  # lazy Dataset: count() executes it
-    timings["minhash_dedup"] = round(time.perf_counter() - t0, 3)
+    def _reset_docs_index():
+        pipelines._READER_CACHE.clear()  # else repeat 2 reuses the reader
+        shutil.rmtree("/tmp/docodo_ray_idx", ignore_errors=True)
+
+    timings["docs_index_and_bm25"] = round(best_of(
+        lambda: pipelines.bm25_topk(sf_dir),  # includes documents-table index build
+        setup=_reset_docs_index, name="docs_index_and_bm25",
+    ), 3)
+    timings["token_counts"] = round(
+        best_of(lambda: pipelines.token_counts(sf_dir).count(),
+                name="token_counts"), 3)
+    timings["embedding_topk"] = round(
+        best_of(lambda: sim.embedding_topk(sf_dir), name="embedding_topk"), 3)
+    # lazy Dataset: count() executes it
+    timings["minhash_dedup"] = round(
+        best_of(lambda: dedup.minhash_dedup(sf_dir).count(),
+                name="minhash_dedup"), 3)
 
     ray.shutdown()
     return {
@@ -198,6 +228,7 @@ def run_bench(num_cpus: int) -> dict:
         "corpus_mb": round(corpus_bytes / 1e6, 1),
         "n_docs": res.n_docs,
         "total_tokens": res.total_tokens,
+        "draws": draws,  # every repeat, for noise diagnosis (BASELINE.md §3)
     }
 
 
