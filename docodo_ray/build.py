@@ -224,7 +224,8 @@ def _merge_spills(
         override_num_blocks=merge_groups,
     )
     rows = groups.map_batches(
-        make_group_merge_fn(out_dir, by_group, cfg.n_buckets, merge_groups),
+        make_group_merge_fn(out_dir, by_group, cfg.n_buckets, merge_groups,
+                            ts_row_group_size=cfg.term_stats_row_group_size),
         batch_format="pyarrow",
         batch_size=None,
     ).take_all()
@@ -337,6 +338,7 @@ def update_index(
     )
     merge_fn = make_group_merge_fn(
         out_dir, by_group, cfg.n_buckets, mg, subdir="segments", file_suffix=suffix,
+        ts_row_group_size=cfg.term_stats_row_group_size,
     )
     new_runs = [dict(r) for r in groups.map_batches(
         merge_fn, batch_format="pyarrow", batch_size=None
@@ -357,7 +359,8 @@ def update_index(
             [{"bucket": b} for b in need], override_num_blocks=min(len(need), mg)
         )
         compacted = [dict(r) for r in cds.map_batches(
-            make_compact_fn(out_dir, files_by_bucket, f"{suffix}c"),
+            make_compact_fn(out_dir, files_by_bucket, f"{suffix}c",
+                            ts_row_group_size=cfg.term_stats_row_group_size),
             batch_format="pyarrow", batch_size=None,
         ).take_all()]
         for b in need:

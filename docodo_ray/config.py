@@ -85,6 +85,10 @@ class IndexConfig:
     tokenizer_concurrency: int | tuple[int, int] | None = None
     min_word_length: int = MIN_WORD_LENGTH
     max_word_length: int = MAX_WORD_LENGTH
+    # rows per row group in the term-stats sidecars: small enough that a
+    # dictionary range read (suggest/wildcard prefix) prunes to ~1 group per
+    # run per bucket, large enough to keep footer metadata tiny
+    term_stats_row_group_size: int = 1024
     # Docodo word-normalization hooks (reference GetWordCodes,
     # Build.cs:175-247): vocab = ((word, group_id), ...) emits '#<group:x>'
     # code terms; use_stemmer emits '$<stem>' terms for unknown words.

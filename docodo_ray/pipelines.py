@@ -349,22 +349,15 @@ def wildcard_terms(sf_dir: str) -> pa.Table:
 
 def suggest_prefix(sf_dir: str) -> pa.Table:
     r = get_index(sf_dir)
-    import pyarrow.compute as pc
-
-    t = r.term_dictionary()
-    t = t.filter(pc.starts_with(t["term"], SUGGEST_PREFIX))
-    order = pc.sort_indices(t, sort_keys=[("df", "descending"), ("term", "ascending")])
-    t = t.take(order[:SUGGEST_N])
+    t = r.suggest_table(SUGGEST_PREFIX, SUGGEST_N)  # pruned range read
     return pa.table({"term": t["term"], "df": t["df"].cast(pa.int64())})
 
 
 def levenshtein_close(sf_dir: str) -> pa.Table:
     r = get_index(sf_dir)
-    terms = r.term_dictionary(columns=("term",))["term"].to_pylist()
-    rows = [(t, levenshtein(t, CLOSE_WORD)) for t in terms]
-    rows = [(t, d) for t, d in rows if d <= CLOSE_MAXDIST]
-    rows.sort(key=lambda x: (x[1], x[0]))
-    return pa.table(
-        {"term": pa.array([t for t, _ in rows]),
-         "dist": pa.array([d for _, d in rows], pa.int64())}
-    )
+    t = r.close_terms(CLOSE_WORD, CLOSE_MAXDIST)  # streamed + length-banded
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(t, sort_keys=[("dist", "ascending"), ("term", "ascending")])
+    t = t.take(order)
+    return pa.table({"term": t["term"], "dist": t["dist"].cast(pa.int64())})

@@ -94,6 +94,17 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def prefix_upper_bound(prefix: str) -> str | None:
+    """Smallest string greater than every string starting with ``prefix``
+    (increment the last incrementable code point); None if no such bound
+    exists (prefix is all U+10FFFF — callers fall back to a full scan)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        if c < 0x10FFFF:
+            return prefix[:i] + chr(c + 1)
+    return None
+
+
 class IndexReader:
     """Driver-side query handle.
 
@@ -130,7 +141,13 @@ class IndexReader:
         self._term_dict = None
         self._seg_by_bucket: dict[int, list[str]] | None = None
         self._ts_by_bucket: dict[int, list[str]] | None = None
-        self.io_stats = {"rows_read": 0, "row_groups_read": 0, "file_opens": 0}
+        # b -> [(ParquetFile, term mins, term maxs)] for term-stats sidecars
+        # (footers only — prefix/range dictionary lookups prune row groups)
+        self._ts_cache: dict[int, list[tuple]] = {}
+        self.io_stats = {
+            "rows_read": 0, "row_groups_read": 0, "file_opens": 0,
+            "ts_rows_read": 0, "ts_row_groups_read": 0,
+        }
         import threading
 
         # coarse guard for the mutable caches: concurrent queries (REST
@@ -347,6 +364,96 @@ class IndexReader:
             if t.num_rows
             else (0, 0)
         )
+
+    def _ts_handle(self, b: int) -> list[tuple]:
+        """Footer-cached term-stats sidecar handles of bucket b: one
+        (ParquetFile, term mins per rg, term maxs per rg) per LSM run.
+        Sidecars are written term-sorted (postings._write_term_stats_sidecar)
+        with TERM_STATS_ROW_GROUP_SIZE rows per group, so the min/max column
+        statistics support bisect range pruning exactly like segment files."""
+        hit = self._ts_cache.get(b)
+        if hit is not None:
+            return hit
+        hit = []
+        for path in self._term_stats_paths(b):
+            pf = pq.ParquetFile(path)
+            md = pf.metadata
+            ci = md.schema.to_arrow_schema().get_field_index("term")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(ci).statistics
+                if s is None or not s.has_min_max:
+                    mins, maxs = None, None  # stats-less file: no pruning
+                    break
+                mins.append(s.min)
+                maxs.append(s.max)
+            hit.append((pf, mins, maxs))
+            self.io_stats["file_opens"] += 1
+        with self._lock:
+            if len(self._ts_cache) >= self._max_cached_buckets:
+                self._ts_cache.pop(next(iter(self._ts_cache)))
+            self._ts_cache[b] = hit
+        return hit
+
+    def _ts_read_bucket(self, b: int, columns=("term", "df", "cf"),
+                        lo: str | None = None, hi: str | None = None) -> pa.Table | None:
+        """One bucket's term stats, optionally range-pruned to
+        lo <= term < hi via row-group statistics, df/cf summed across LSM
+        runs (doc sets across runs are disjoint, so sums are exact)."""
+        from bisect import bisect_left
+
+        cols = list(columns)
+        parts = []
+        for pf, mins, maxs in self._ts_handle(b):
+            if mins is None or lo is None:
+                rgs = list(range(pf.metadata.num_row_groups))
+            else:
+                g = bisect_left(maxs, lo)
+                rgs = []
+                while g < len(mins) and (hi is None or mins[g] < hi):
+                    rgs.append(g)
+                    g += 1
+            if not rgs:
+                continue
+            t = pf.read_row_groups(rgs, columns=cols)
+            self.io_stats["ts_rows_read"] += t.num_rows
+            self.io_stats["ts_row_groups_read"] += len(rgs)
+            if lo is not None:
+                m = pc.greater_equal(t["term"], lo)
+                if hi is not None:
+                    m = pc.and_(m, pc.less(t["term"], hi))
+                t = t.filter(m)
+            if t.num_rows:
+                parts.append(t)
+        if not parts:
+            return None
+        t = pa.concat_tables(parts)
+        t = t.filter(pc.not_equal(t["term"], DOC_LEN_TERM))
+        if len(parts) > 1:  # a term may appear in several runs: sum
+            vcols = [c for c in cols if c != "term"]
+            g = t.group_by("term").aggregate([(c, "sum") for c in vcols])
+            t = pa.table({"term": g["term"],
+                          **{c: g[f"{c}_sum"] for c in vcols}})
+        return t
+
+    def term_stats_range(self, lo: str, hi: str | None) -> pa.Table:
+        """(term, df, cf) for lo <= term < hi. Terms are hash-scattered
+        across buckets, so every bucket is probed — but only the row groups
+        whose term min/max statistics overlap the range leave storage
+        (~1 row group per run per bucket for a prefix; io_stats
+        ts_rows_read is asserted ≪ dictionary size in tests). This keeps
+        suggest/wildcard lookups off the whole-dictionary driver load that
+        a billion-term corpus cannot afford."""
+        parts = []
+        for b in range(self.cfg.n_buckets):
+            t = self._ts_read_bucket(b, lo=lo, hi=hi)
+            if t is not None:
+                parts.append(t)
+        if not parts:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "cf": pa.array([], pa.int64())})
+        return pa.concat_tables(parts)
 
     def term_dictionary(self, columns=("term", "df", "cf")):
         """Full term-stats table (suggestions / histogram / wildcard scans),
@@ -732,47 +839,105 @@ class IndexReader:
         return [(-nd, s) for s, nd in out]
 
     # ---- Docodo-parity surfaces ----------------------------------------
-    def suggest(self, prefix: str, n: int = 10) -> list[str]:
-        """Prefix suggestions ordered by df desc, term asc (reference
-        GetSuggessions, Search.cs:176-188)."""
-        t = self.term_dictionary()
-        m = pc.starts_with(t["term"], prefix.lower())
-        t = t.filter(m)
+    # None of these load the full term dictionary onto the driver (the
+    # round-2 scale hazard: a 100-TB corpus has billions of unique terms).
+    # Prefix-shaped lookups are row-group-pruned range reads; full-scan
+    # surfaces stream one bucket at a time, holding ≤ one bucket + the
+    # running result.
+
+    def suggest_table(self, prefix: str, n: int = 10) -> pa.Table:
+        """(term, df) prefix suggestions ordered by df desc, term asc
+        (reference GetSuggessions, Search.cs:176-188), via a pruned
+        dictionary range read."""
+        p = prefix.lower()
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64())})
+        if not p:
+            return empty
+        t = self.term_stats_range(p, prefix_upper_bound(p))
+        if not t.num_rows:
+            return empty
         order = pc.sort_indices(
             t, sort_keys=[("df", "descending"), ("term", "ascending")]
         )
-        return t.take(order[:n])["term"].to_pylist()
+        return t.take(order[:n]).select(["term", "df"])
+
+    def suggest(self, prefix: str, n: int = 10) -> list[str]:
+        return self.suggest_table(prefix, n)["term"].to_pylist()
 
     def like_words(self, pattern: str, cap: int = MAX_LIKE_WORDS) -> list[str]:
         """Wildcard expansion against the term dictionary, capped at 100
-        (reference GetLikeWords, Search.cs:158-167)."""
-        rx = wildcard_to_regex(pattern.lower())
-        t = self.term_dictionary(columns=("term",))
-        m = pc.match_substring_regex(t["term"], rx)
-        return sorted(t.filter(m)["term"].to_pylist())[:cap]
+        (reference GetLikeWords, Search.cs:158-167). The literal prefix
+        before the first wildcard prunes the read to its dictionary range;
+        a leading wildcard degrades to the streamed full scan."""
+        pat = pattern.lower()
+        rx = wildcard_to_regex(pat)
+        i = next((j for j, ch in enumerate(pat) if ch in ("?", "_")), len(pat))
+        if i > 0:
+            terms = self.term_stats_range(pat[:i], prefix_upper_bound(pat[:i]))["term"]
+        else:
+            terms = self.term_dictionary(columns=("term",))["term"]
+        m = pc.match_substring_regex(terms, rx)
+        return sorted(terms.filter(m).to_pylist())[:cap]
+
+    def close_terms(self, word: str, max_dist: int = 2) -> pa.Table:
+        """(term, dist, df) for every dictionary term within ``max_dist``
+        edits (reference Search.cs:169-174). Streams one bucket's sidecars
+        at a time and length-bands candidates VECTORIZED before the
+        O(len²) DP — the driver never holds the dictionary, and the DP only
+        runs on terms whose length is within max_dist of the query's."""
+        w = word.lower()
+        out_t: list[str] = []
+        out_d: list[int] = []
+        out_f: list[int] = []
+        for b in range(self.cfg.n_buckets):
+            t = self._ts_read_bucket(b, columns=("term", "df"))
+            if t is None:
+                continue
+            lens = pc.utf8_length(t["term"])
+            t = t.filter(pc.and_(
+                pc.greater_equal(lens, len(w) - max_dist),
+                pc.less_equal(lens, len(w) + max_dist),
+            ))
+            for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+                d = levenshtein(term, w)
+                if d <= max_dist:
+                    out_t.append(term)
+                    out_d.append(d)
+                    out_f.append(df)
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "dist": pa.array(out_d, pa.int64()),
+                         "df": pa.array(out_f, pa.int64())})
 
     def close_words(self, word: str, n: int = 10, max_dist: int = 2) -> list[str]:
-        """Levenshtein corrections (reference Search.cs:169-174): candidate
-        terms within edit distance, ordered by (distance, -df, term)."""
-        t = self.term_dictionary()
-        w = word.lower()
-        cands: list[tuple[int, int, str]] = []
-        terms = t["term"].to_pylist()
-        dfs = t["df"].to_pylist()
-        for term, df in zip(terms, dfs):
-            if abs(len(term) - len(w)) > max_dist:
-                continue
-            d = levenshtein(term, w)
-            if d <= max_dist:
-                cands.append((d, -df, term))
-        cands.sort()
+        """Top-n Levenshtein corrections ordered by (distance, -df, term)."""
+        t = self.close_terms(word, max_dist)
+        cands = sorted(
+            (d, -df, term)
+            for term, d, df in zip(t["term"].to_pylist(),
+                                   t["dist"].to_pylist(), t["df"].to_pylist())
+        )
         return [c[2] for c in cands[:n]]
 
     def histogram(self, n: int = 1000):
-        """Top-n terms by df (reference CalcHistogram, Index.cs:284-307)."""
-        t = self.term_dictionary()
-        order = pc.sort_indices(t, sort_keys=[("df", "descending"), ("term", "ascending")])
-        return t.take(order[:n])
+        """Top-n (term, df) by df (reference CalcHistogram,
+        Index.cs:284-307). Buckets partition terms disjointly, so per-bucket
+        df sums are global — stream bucket-at-a-time keeping the running
+        top-n (driver memory: one bucket + n rows)."""
+        best: pa.Table | None = None
+        for b in range(self.cfg.n_buckets):
+            t = self._ts_read_bucket(b, columns=("term", "df"))
+            if t is None:
+                continue
+            cand = t if best is None else pa.concat_tables([best, t])
+            order = pc.sort_indices(
+                cand, sort_keys=[("df", "descending"), ("term", "ascending")]
+            )
+            best = cand.take(order[:n]).combine_chunks()
+        if best is None:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        return best
 
 
 MAX_FOUND_PAGE_TEXT = 320  # reference Index.cs:103

@@ -398,7 +398,8 @@ def bucket_group(bucket: int, n_buckets: int, merge_groups: int) -> int:
 
 
 def _write_term_stats_sidecar(
-    out_dir: str, bucket: int, merged: pa.Table, file_suffix: str = ""
+    out_dir: str, bucket: int, merged: pa.Table, file_suffix: str = "",
+    row_group_size: int | None = None,
 ) -> None:
     """Global (term, df, cf) for this bucket RUN, aggregated across salt
     shards — exact because a term's salts all hash to the same bucket, so
@@ -422,7 +423,7 @@ def _write_term_stats_sidecar(
     _atomic_write(
         ts,
         os.path.join(out_dir, "term_stats", f"bucket-{bucket:05d}{file_suffix}.parquet"),
-        row_group_size=TERM_STATS_ROW_GROUP_SIZE,
+        row_group_size=row_group_size or TERM_STATS_ROW_GROUP_SIZE,
     )
 
 
@@ -433,6 +434,7 @@ def make_group_merge_fn(
     merge_groups: int,
     subdir: str = "segments",
     file_suffix: str = "",
+    ts_row_group_size: int | None = None,
 ):
     """Reduce side: map_batches fn over rows of merge-group ids. Each task
     reads ONLY its group's spill files (they contain exactly its bucket
@@ -503,7 +505,8 @@ def make_group_merge_fn(
                     merged, os.path.join(out_dir, rel),
                     row_group_size=SEGMENT_ROW_GROUP_SIZE,
                 )
-                _write_term_stats_sidecar(out_dir, b, merged, file_suffix)
+                _write_term_stats_sidecar(
+                    out_dir, b, merged, file_suffix, ts_row_group_size)
                 out_cols["bucket"].append(b)
                 out_cols["path"].append(rel)
                 out_cols["n_terms"].append(merged.num_rows)
@@ -520,7 +523,8 @@ def make_group_merge_fn(
     return merge_buckets
 
 
-def make_compact_fn(out_dir: str, files_by_bucket: dict[int, list[str]], file_suffix: str):
+def make_compact_fn(out_dir: str, files_by_bucket: dict[int, list[str]],
+                    file_suffix: str, ts_row_group_size: int | None = None):
     """LSM compaction: map_batches fn over rows of bucket ids. Each task
     k-way-merges ALL run files of its bucket back into a single run (segment
     rows are valid partial posting rows, so merge_segment_rows applies
@@ -541,7 +545,8 @@ def make_compact_fn(out_dir: str, files_by_bucket: dict[int, list[str]], file_su
                 merged, os.path.join(out_dir, rel),
                 row_group_size=SEGMENT_ROW_GROUP_SIZE,
             )
-            _write_term_stats_sidecar(out_dir, b, merged, file_suffix)
+            _write_term_stats_sidecar(
+                out_dir, b, merged, file_suffix, ts_row_group_size)
             out_cols["bucket"].append(b)
             out_cols["path"].append(rel)
             out_cols["n_terms"].append(merged.num_rows)

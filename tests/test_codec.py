@@ -87,7 +87,7 @@ def test_codec_speed_bound():
     docs = np.cumsum(rng.integers(1, 2**16, size=10_000_000, dtype=np.uint64), dtype=np.uint64)
     codec.decode_postings(codec.encode_postings(docs[:100_000]))  # warm-up
     enc = dec = float("inf")
-    for _ in range(2):  # best-of-2: tolerate scheduler noise
+    for _ in range(3):  # best-of-3: tolerate scheduler noise
         t0 = time.perf_counter()
         buf = codec.encode_postings(docs)
         enc = min(enc, time.perf_counter() - t0)
@@ -96,5 +96,6 @@ def test_codec_speed_bound():
         dec = min(dec, time.perf_counter() - t0)
     assert np.array_equal(out, docs)
     # generous bound: catches an accidental per-value Python loop (30s+),
-    # tolerates CI noise from the concurrently-running Ray session
-    assert enc < 6.0 and dec < 6.0, (enc, dec)
+    # tolerates CI noise from the concurrently-running Ray session and the
+    # rest of the suite's workers (observed >6s best-of-2 under full load)
+    assert enc < 12.0 and dec < 12.0, (enc, dec)

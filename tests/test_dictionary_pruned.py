@@ -1,0 +1,114 @@
+"""Dictionary surfaces (suggest / like_words / close_words / histogram)
+without the whole-vocabulary driver load.
+
+Round-2 verdict "What's wrong" #3: every suggest/wildcard/histogram/
+close-words call loaded ALL term-stats sidecars into driver RAM. These
+tests pin the round-3 fix:
+
+- prefix lookups are row-group-pruned range reads over the term-sorted
+  sidecars (io_stats ts_rows_read ≪ dictionary size);
+- full-scan surfaces (histogram, close_words) stream bucket-at-a-time and
+  still return exactly what a full-dictionary scan would;
+- prefix_upper_bound produces a correct exclusive upper bound.
+"""
+
+import pyarrow.compute as pc
+import pytest
+
+from docodo_ray import IndexConfig, IndexReader, build_index
+from docodo_ray.search import levenshtein, prefix_upper_bound
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory, small_corpus_files):
+    out = str(tmp_path_factory.mktemp("idx_dict") / "t1")
+    cfg = IndexConfig(
+        n_buckets=2,  # few buckets -> many terms per sidecar, pruning visible
+        tokenizer_batch_size=64,
+        tokenizer_concurrency=2,
+        # small sidecar row groups so range pruning is observable at test scale
+        term_stats_row_group_size=32,
+    )
+    return build_index(
+        out,
+        input_paths=small_corpus_files,
+        cfg=cfg,
+        content_col="content",
+        key_cols=["repo", "path", "commit"],
+        meta_cols=("repo", "path", "lang"),
+    )
+
+
+def test_prefix_upper_bound():
+    assert prefix_upper_bound("ab") == "ac"
+    assert prefix_upper_bound("a\U0010ffff") == "b"  # carry to previous char
+    assert prefix_upper_bound("\U0010ffff") is None  # no bound exists
+    # bound is exclusive-correct: everything with the prefix sorts below it
+    assert "abzzz" < prefix_upper_bound("ab")
+    assert "ac" >= prefix_upper_bound("ab")
+
+
+def test_suggest_prunes_and_matches_full_scan(built):
+    r = IndexReader(built.out_dir)
+    full = r.term_dictionary()
+    dict_rows = full.num_rows
+    assert dict_rows > 300  # big enough that pruning matters
+
+    r2 = IndexReader(built.out_dir)  # fresh io_stats
+    got = r2.suggest("re", n=10)
+    assert r2.io_stats["ts_rows_read"] < dict_rows / 2, (
+        r2.io_stats["ts_rows_read"], dict_rows)
+
+    # parity with the straightforward full-dictionary computation
+    t = full.filter(pc.starts_with(full["term"], "re"))
+    order = pc.sort_indices(
+        t, sort_keys=[("df", "descending"), ("term", "ascending")])
+    want = t.take(order[:10])["term"].to_pylist()
+    assert got == want
+
+
+def test_like_words_prefix_pruned_and_leading_wildcard(built):
+    r = IndexReader(built.out_dir)
+    full_terms = r.term_dictionary(columns=("term",))["term"]
+    dict_rows = len(full_terms)
+
+    r2 = IndexReader(built.out_dir)
+    got = r2.like_words("re?")  # literal prefix "re" prunes the read
+    assert r2.io_stats["ts_rows_read"] < dict_rows / 2
+    from docodo_ray.search import wildcard_to_regex
+    rx = wildcard_to_regex("re?")
+    want = sorted(full_terms.filter(
+        pc.match_substring_regex(full_terms, rx)).to_pylist())[:100]
+    assert got == want
+
+    # leading wildcard cannot prune; still correct
+    got2 = r.like_words("?eturn")
+    rx2 = wildcard_to_regex("?eturn")
+    want2 = sorted(full_terms.filter(
+        pc.match_substring_regex(full_terms, rx2)).to_pylist())[:100]
+    assert got2 == want2
+
+
+def test_close_words_streamed_matches_full_scan(built):
+    r = IndexReader(built.out_dir)
+    full = r.term_dictionary()
+    got = r.close_words("retur", n=10, max_dist=2)
+
+    cands = []
+    for term, df in zip(full["term"].to_pylist(), full["df"].to_pylist()):
+        d = levenshtein(term, "retur")
+        if d <= 2:
+            cands.append((d, -df, term))
+    cands.sort()
+    assert got == [c[2] for c in cands[:10]]
+
+
+def test_histogram_streamed_matches_full_scan(built):
+    r = IndexReader(built.out_dir)
+    full = r.term_dictionary()
+    got = r.histogram(n=25)
+    order = pc.sort_indices(
+        full, sort_keys=[("df", "descending"), ("term", "ascending")])
+    want = full.take(order[:25])
+    assert got["term"].to_pylist() == want["term"].to_pylist()
+    assert got["df"].to_pylist() == want["df"].to_pylist()
