@@ -330,9 +330,11 @@ def fielded_search(sf_dir: str) -> pa.Table:
         return pa.table({"doc_id": pa.array([], pa.int64()), "tf": pa.array([], pa.int64())})
     from docodo_ray.queryparse import ParsedQuery
 
-    # pushdown point read of the meta predicate's doc set (never the table)
-    keep = r._meta_candidates(ParsedQuery(field_eq={"lang": FIELDED_LANG}))
-    assert keep is not None
+    # streamed scan of the meta predicate's doc set (never the whole table
+    # in driver memory); the test corpus is under the residual cap, so the
+    # candidate array materializes here
+    keep, residuals = r._meta_candidates(ParsedQuery(field_eq={"lang": FIELDED_LANG}))
+    assert keep is not None and not residuals
     mask = np.isin(p.doc_ids, keep, assume_unique=True)
     return pa.table(
         {"doc_id": pa.array(p.doc_ids[mask].astype(np.int64)),

@@ -117,8 +117,13 @@ class IndexReader:
     dictionary are cached; ``io_stats`` counts rows/row-groups actually read
     (asserted ≪ bucket size in tests)."""
 
-    def __init__(self, index_dir: str, max_cached_buckets: int = 4096):
+    def __init__(self, index_dir: str, max_cached_buckets: int = 4096,
+                 max_meta_candidates: int = 1_000_000):
         self.dir = index_dir
+        # cap on a materialized meta-predicate candidate id-set: a predicate
+        # matching more docs than this (lang=en ≈ the corpus) switches to
+        # lazy post-scoring verification instead of a driver-side id array
+        self.max_meta_candidates = max_meta_candidates
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         cfgd = dict(self.manifest["config"])
@@ -147,6 +152,7 @@ class IndexReader:
         self.io_stats = {
             "rows_read": 0, "row_groups_read": 0, "file_opens": 0,
             "ts_rows_read": 0, "ts_row_groups_read": 0,
+            "meta_rows_read": 0,
         }
         import threading
 
@@ -510,25 +516,53 @@ class IndexReader:
             self._doc_meta = pq.read_table(md)
         return self._doc_meta.select(columns) if columns else self._doc_meta
 
-    def _meta_candidates(self, q: ParsedQuery) -> np.ndarray | None:
-        """Doc-id candidate set for the query's {field=value} / -filter:
-        predicates, computed BEFORE ranking (reference intersects doc sets
-        before ranking, Search.cs:423-428,544-547; round-1 applied these
+    def _meta_candidates(
+        self, q: ParsedQuery
+    ) -> tuple[np.ndarray | None, list[tuple]]:
+        """-> (candidate doc_ids | None, residual predicates).
+
+        {field=value} / -filter: predicates restrict the doc set BEFORE
+        ranking (reference Search.cs:423-428,544-547; round-1 applied them
         after top-k truncation, which silently dropped ranked-below-k
-        matches). Column-pruned pushdown reads; unknown fields are ignored
-        (reference behavior). Returns None when no predicate applies."""
+        matches). Each predicate is evaluated as a STREAMED column-pruned
+        scan of the doc-meta table (batch at a time — the driver never holds
+        the table); a predicate whose match set exceeds ``max_meta_candidates``
+        (low selectivity: lang=en ≈ the corpus) is abandoned mid-scan and
+        returned as a residual, applied lazily to ranked docs by
+        ``_residual_mask`` point reads — so driver memory is bounded by the
+        cap regardless of corpus size, and results stay exact. Unknown
+        fields are ignored (reference behavior)."""
         if not q.field_eq and not q.name_filters:
-            return None
+            return None, []
         md = self._doc_meta_dir()
         schema = self.doc_meta_schema()
         if md is None or schema is None:
-            return None
+            return None, []
+        import pyarrow.dataset as pds
+
+        dset = pds.dataset(md, format="parquet")
         cand: np.ndarray | None = None
+        residuals: list[tuple] = []
 
         def merge(ids: np.ndarray) -> None:
             nonlocal cand
             ids = np.sort(ids.astype(np.uint64))
             cand = ids if cand is None else np.intersect1d(cand, ids, assume_unique=True)
+
+        def stream(scanner, match_fn) -> list[np.ndarray] | None:
+            """Accumulate matching doc_ids batch-by-batch; None once the
+            match count passes the cap (predicate goes residual)."""
+            got: list[np.ndarray] = []
+            n = 0
+            for rb in scanner.to_batches():
+                self.io_stats["meta_rows_read"] += rb.num_rows
+                ids = match_fn(pa.Table.from_batches([rb]))
+                if ids.size:
+                    got.append(ids)
+                    n += ids.size
+                    if n > self.max_meta_candidates:
+                        return None
+            return got
 
         for fld, val in q.field_eq.items():
             if fld not in schema.names:
@@ -541,21 +575,57 @@ class IndexReader:
                 elif pa.types.is_floating(typ):
                     v = float(val)
             except ValueError:
-                return np.empty(0, dtype=np.uint64)
-            t = pq.read_table(md, columns=["doc_id"], filters=[(fld, "==", v)])
-            merge(t["doc_id"].to_numpy(zero_copy_only=False))
+                return np.empty(0, dtype=np.uint64), []
+            sc = dset.scanner(columns=["doc_id"], filter=pds.field(fld) == v)
+            got = stream(sc, lambda t: t["doc_id"].to_numpy(zero_copy_only=False))
+            if got is None:
+                residuals.append(("eq", fld, v))
+                continue
+            merge(np.concatenate(got) if got else np.empty(0, dtype=np.uint64))
             if cand is not None and cand.size == 0:
-                return cand
+                return cand, []
         name_col = next((c for c in ("path", "source") if c in schema.names), None)
         for rx in q.name_filters:
             if name_col is None:
                 continue
-            t = pq.read_table(md, columns=["doc_id", name_col])
-            m = pc.match_substring_regex(t[name_col].cast(pa.string()), rx)
-            merge(t.filter(m)["doc_id"].to_numpy(zero_copy_only=False))
+
+            def rx_match(t: pa.Table, rx=rx) -> np.ndarray:
+                m = pc.match_substring_regex(t[name_col].cast(pa.string()), rx)
+                return t.filter(m)["doc_id"].to_numpy(zero_copy_only=False)
+
+            sc = dset.scanner(columns=["doc_id", name_col])
+            got = stream(sc, rx_match)
+            if got is None:
+                residuals.append(("rx", name_col, rx))
+                continue
+            merge(np.concatenate(got) if got else np.empty(0, dtype=np.uint64))
             if cand is not None and cand.size == 0:
-                return cand
-        return cand
+                return cand, []
+        return cand, residuals
+
+    def _residual_mask(self, residuals: list[tuple], doc_ids: np.ndarray) -> np.ndarray:
+        """Boolean mask over ``doc_ids`` (any order): does the doc satisfy
+        every residual meta predicate? One doc-id-pushdown point read of the
+        needed columns per call — callers pass ranked chunks, so the read is
+        O(chunk), never O(corpus). Docs absent from doc-meta fail (matches
+        the eager path: they can never enter a candidate set)."""
+        cols = sorted({f for op, f, _v in residuals})
+        t = self.doc_meta(doc_ids=[int(d) for d in doc_ids],
+                          columns=["doc_id"] + cols)
+        self.io_stats["meta_rows_read"] += t.num_rows
+        keep = np.ones(t.num_rows, dtype=bool)
+        for op, fld, v in residuals:
+            if op == "eq":
+                m = pc.equal(t[fld], v)
+            else:
+                m = pc.match_substring_regex(t[fld].cast(pa.string()), v)
+            keep &= pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+        ok_ids = t["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        ok_ids = np.sort(ok_ids.astype(np.uint64))
+        pos = np.searchsorted(ok_ids, doc_ids)
+        pos[pos >= ok_ids.size] = 0
+        return ok_ids[pos] == doc_ids if ok_ids.size else np.zeros(
+            doc_ids.size, dtype=bool)
 
     # ---- BM25 -----------------------------------------------------------
     def idf(self, df: int) -> float:
@@ -601,7 +671,7 @@ class IndexReader:
         tree = qp.relax_to_or(q.tree) if mode == "or" else q.tree
         if tree is None:
             return []
-        meta_cand = self._meta_candidates(q)
+        meta_cand, residuals = self._meta_candidates(q)
         if meta_cand is not None and meta_cand.size == 0:
             return []
 
@@ -624,7 +694,7 @@ class IndexReader:
         if not postings:
             return []
 
-        if qp.is_pure_disjunction(tree) and meta_cand is None:
+        if qp.is_pure_disjunction(tree) and meta_cand is None and not residuals:
             cand = None  # disjunctive: no candidate materialization (WAND path)
         else:
             cand = self._doc_set(tree, expansions)
@@ -634,11 +704,36 @@ class IndexReader:
                 return []
 
         ps = list(postings.values())
-        if wand and cand is None:
+        if residuals:
+            top = self._topk_with_residuals(ps, cand, k, residuals)
+        elif wand and cand is None:
             top = self._wand_topk(ps, k)
         else:
             top = self._score_topk(ps, cand, k)
         return top[:k]
+
+    def _topk_with_residuals(
+        self, postings: list[Posting], cand: np.ndarray | None, k: int,
+        residuals: list[tuple],
+    ) -> list[tuple[int, float]]:
+        """Exact top-k under lazily-verified meta predicates: walk the full
+        ranking downward in chunks, point-reading doc-meta per chunk, until
+        k survivors (or exhaustion). For the low-selectivity predicates that
+        take this path, the first chunk almost always suffices — the lazy
+        verify does O(k) meta reads where the eager path would materialize
+        ~the whole corpus's ids."""
+        uniq, totals, order = self._score_ranked(postings, cand)
+        out: list[tuple[int, float]] = []
+        CHUNK = max(4 * k, 256)
+        for i in range(0, order.size, CHUNK):
+            idx = order[i:i + CHUNK]
+            ids = uniq[idx]
+            m = self._residual_mask(residuals, ids)
+            for j in np.flatnonzero(m):
+                out.append((int(ids[j]), float(totals[idx[j]])))
+                if len(out) == k:
+                    return out
+        return out
 
     def _doc_set(self, node, expansions: dict[str, list[str]]) -> np.ndarray:
         """Sorted-unique doc_ids satisfying the boolean subtree."""
@@ -674,12 +769,13 @@ class IndexReader:
             cand = np.intersect1d(cand, s, assume_unique=True)
         return cand
 
-    def _score_topk(
-        self, postings: list[Posting], cand: np.ndarray | None, k: int
-    ) -> list[tuple[int, float]]:
+    def _score_ranked(
+        self, postings: list[Posting], cand: np.ndarray | None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """-> (uniq doc_ids, BM25 totals, rank order by (-score, doc_id))."""
         if not postings:
-            return []
-        acc: dict[int, float] = {}
+            e = np.empty(0, dtype=np.uint64)
+            return e, np.empty(0, dtype=np.float64), np.empty(0, dtype=np.int64)
         docs_all: list[np.ndarray] = []
         scores_all: list[np.ndarray] = []
         for p in sorted(postings, key=lambda p: p.term):
@@ -699,6 +795,12 @@ class IndexReader:
         totals = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(totals, inv, scores)
         order = np.lexsort((uniq, -totals))
+        return uniq, totals, order
+
+    def _score_topk(
+        self, postings: list[Posting], cand: np.ndarray | None, k: int
+    ) -> list[tuple[int, float]]:
+        uniq, totals, order = self._score_ranked(postings, cand)
         top = order[:k]
         return [(int(uniq[i]), float(totals[i])) for i in top]
 
