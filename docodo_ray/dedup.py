@@ -188,15 +188,30 @@ class ShingleStage:
     the shingle-set side of the distributed pair-verify union."""
 
     def __init__(self, content_col: str = "text", id_col: str = "doc_id",
-                 kind: str = "token"):
+                 kind: str = "token", member_ref=None):
         self.spec = TokenizerSpec(3, 32, load_stopwords())
         self.content_col = content_col
         self.id_col = id_col
         self.kind = kind
         self._hcache: dict = {}
+        # semi-join membership filter: sorted int64 doc_ids that participate
+        # in at least one candidate pair, broadcast once via ray.put and
+        # fetched once per actor — docs outside it are dropped BEFORE
+        # shingling, so unpaired docs' blobs are never computed or shuffled
+        import ray
+
+        self.members = ray.get(member_ref) if member_ref is not None else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if self.members is not None:
+            pos = np.searchsorted(self.members, ids)
+            pos[pos >= self.members.size] = 0
+            keep = (self.members[pos] == ids if self.members.size
+                    else np.zeros(ids.size, dtype=bool))
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+                ids = ids[keep]
         blobs = [
             _shingles(text, self.spec, self.kind, self._hcache).tobytes()
             for text in batch[self.content_col].to_pylist()
@@ -269,13 +284,48 @@ def verified_pairs(
     shingle rows, a groupby(doc_id) attaches each doc's shingle blob to its
     pairs, and a groupby(pair) computes the exact Jaccard from the two
     blobs inside map_groups. No take_all() on pair-scale data anywhere.
-    (Production note: a membership-filter pre-pass on pair doc_ids would
-    avoid shuffling shingle blobs of unpaired docs.)
+
+    The shingle side is SEMI-JOINED against the distinct pair doc_ids first
+    (round-2 production note, now implemented): the pair set is
+    materialized (pair-scale — candidate dups only, ≪ corpus at a sane dup
+    rate), its distinct ids are broadcast once via ray.put, and each
+    ShingleStage actor drops non-member docs before shingling — so at 100 TB
+    with a low dup rate the union shuffles blobs for ~paired docs, not the
+    whole corpus (asserted in tests).
 
     Cross-band duplicate pairs are NOT pre-deduplicated (that would cost a
     dedicated shuffle): the attach stage emits each (doc, pair) once via
     pc.unique, so the final pair groupby sees exactly two rows per pair."""
-    pairs = _raw_pairs(sf_dir, kind, bands, rows_per_band, max_bucket)
+    import logging
+
+    import ray
+
+    pairs = _raw_pairs(sf_dir, kind, bands, rows_per_band, max_bucket).materialize()
+
+    def ids_of(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        return pa.table({"doc_id": pc.unique(both)})
+
+    ids_of.__name__ = "ids_of"
+    member_parts = [
+        b["doc_id"].to_numpy(zero_copy_only=False)
+        for b in pairs.map_batches(ids_of, batch_format="pyarrow")
+                      .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    members = (np.unique(np.concatenate(member_parts)).astype(np.int64)
+               if member_parts else np.empty(0, dtype=np.int64))
+    if members.size == 0:
+        return rd.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())], schema=_VERIFIED_SCHEMA))
+    logging.getLogger(__name__).info(
+        "verified_pairs semi-join: %d docs participate in candidate pairs",
+        members.size)
+    member_ref = ray.put(members)
 
     def to_assign(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False)
@@ -293,7 +343,7 @@ def verified_pairs(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(
         ShingleStage, batch_format="pyarrow", concurrency=_pool(),
-        fn_constructor_kwargs=dict(kind=kind),
+        fn_constructor_kwargs=dict(kind=kind, member_ref=member_ref),
     )
 
     def attach(group: pa.Table) -> pa.Table:

@@ -127,3 +127,38 @@ def test_default_banding_is_subset_of_bruteforce(seeded_dir):
         assert v == want[k]
     # exact dups can never be missed (every band matches)
     assert all((a, b) in got for (a, b), v in want.items() if v == 1_000_000)
+
+
+def test_shingle_semijoin_drops_unpaired_docs(seeded_dir):
+    """Round-3 fix: the shingle side is membership-filtered against the
+    distinct pair doc_ids BEFORE the union — unpaired docs' blobs are never
+    computed or shuffled."""
+    import ray
+
+    from docodo_ray.dedup import ShingleStage
+
+    t = pq.read_table(f"{seeded_dir}/documents.parquet")
+    members = np.array([10, 11, 20, 21], dtype=np.int64)  # two dup pairs
+    st = ShingleStage(member_ref=ray.put(members))
+    out = st(t)
+    assert sorted(out["doc_id"].to_pylist()) == members.tolist()
+
+    # no members -> no filter (stage stays usable standalone)
+    st2 = ShingleStage()
+    assert st2(t).num_rows == t.num_rows
+
+
+def test_verified_pairs_no_candidates_short_circuits(tmp_path):
+    """A corpus with zero LSH candidates returns an empty verified set
+    without running the shingle/union stages."""
+    abc = "abcdefghijklmnopqrstuvwxyz"
+    texts = ["document " + " ".join(
+        f"doc{abc[i] * 4}unit{abc[j]}" for j in range(26)) for i in range(8)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(8), pa.int64()),
+                  "text": pa.array(texts)}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    got = verified_pairs(str(tmp_path), MINHASH_VERIFY_THRESHOLD,
+                         kind="token", bands=VERIFY_BANDS,
+                         rows_per_band=VERIFY_ROWS).take_all()
+    assert got == []
