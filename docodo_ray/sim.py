@@ -124,17 +124,57 @@ def embedding_topk(sf_dir: str, k: int = TOPK) -> pa.Table:
 
 # ---- IVF (approximate, the scale path) -------------------------------------
 
+def _sq_dists(rows: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """(n, k) squared euclidean distances via the dot-product identity —
+    peak memory n*k, never the n*k*d broadcast tensor (at sqrt(N)-scaled
+    cluster counts the naive broadcast is tens of GB)."""
+    return (
+        (rows * rows).sum(axis=1, keepdims=True)
+        - 2.0 * (rows @ centroids.T)
+        + (centroids * centroids).sum(axis=1)[None, :]
+    )
+
+
 def _kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 5) -> np.ndarray:
     """Deterministic k-means: first-n-of-sample init, fixed iterations."""
     centroids = sample[:n_clusters].copy()
     for _ in range(iters):
-        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _sq_dists(sample, centroids).argmin(axis=1)
         for c in range(n_clusters):
             m = assign == c
             if m.any():
                 centroids[c] = sample[m].mean(axis=0)
     return centroids
+
+
+def _resolve_n_clusters(sf_dir: str, n_clusters: int | None) -> int:
+    """None -> ~sqrt(N) lists (the standard IVF sizing: probe cost and list
+    size both scale ~sqrt(N)), clamped to [8, 4096]."""
+    if n_clusters is not None:
+        return n_clusters
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    return int(min(4096, max(8, round(np.sqrt(max(n, 1))))))
+
+
+def _ivf_fingerprint(sf_dir: str, n_clusters: int) -> dict:
+    """Input identity for the _DONE marker: a layout built from different
+    embeddings (same path, new content) or with different clustering must
+    not be silently reused."""
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    return {"size": st.st_size, "mtime_ns": st.st_mtime_ns,
+            "n_clusters": int(n_clusters)}
+
+
+def _default_ivf_root(sf_dir: str) -> str:
+    """Layout root. On a multi-node cluster this MUST be shared storage
+    (every AssignWrite actor and the driver walk the same tree) — beside
+    the corpus when its directory is writable; the /tmp fallback is for
+    read-only corpora on a single node (this sandbox)."""
+    if os.access(sf_dir, os.W_OK):
+        return os.path.join(sf_dir, "_docodo_ivf")
+    return os.path.join(
+        "/tmp/docodo_ray_ivf", sf_dir.rstrip("/").strip("/").replace("/", "_")
+    )
 
 
 def _sampled_matrix(sf_dir: str, target: int = 4096) -> np.ndarray:
@@ -161,26 +201,38 @@ def _sampled_matrix(sf_dir: str, target: int = 4096) -> np.ndarray:
     return _embedding_matrix(t["embedding"].take(order))
 
 
-def build_ivf(sf_dir: str, out_dir: str, n_clusters: int = 8) -> np.ndarray:
+def build_ivf(sf_dir: str, out_dir: str, n_clusters: int | None = None) -> np.ndarray:
     """Build (or reuse) a PARTITIONED-BY-CENTROID IVF layout: embeddings are
     written under ``out_dir/list-NNNN/`` by nearest centroid, so a query
     reads only its nprobe list directories — storage-level partition
     pruning, the layout a real IVF needs at corpus scale (the round-1
     variant assigned lists inside map_batches but still scanned every
     row). Centroids are k-means'd on a deterministic corpus-wide sample
-    and stored beside the lists. Returns the centroid matrix."""
+    and stored beside the lists. Returns the centroid matrix.
+
+    ``out_dir`` must be shared storage on a multi-node cluster (see
+    _default_ivf_root). n_clusters=None scales as ~sqrt(N). The _DONE
+    marker records an input fingerprint (embeddings size/mtime +
+    n_clusters); a stale or differently-configured layout is rebuilt, never
+    silently reused."""
     import json
 
     import pyarrow.parquet as pqt
 
+    n_clusters = _resolve_n_clusters(sf_dir, n_clusters)
+    fp = _ivf_fingerprint(sf_dir, n_clusters)
     cpath = os.path.join(out_dir, "centroids.parquet")
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done) and os.path.exists(cpath):
-        t = pqt.read_table(cpath)
-        return _embedding_matrix(t["centroid"])
+        with open(done) as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") == fp:
+            t = pqt.read_table(cpath)
+            return _embedding_matrix(t["centroid"])
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
-    sample = _sampled_matrix(sf_dir)
+    # sample sized to the cluster count (>= 32 points per centroid)
+    sample = _sampled_matrix(sf_dir, target=min(65536, max(4096, 32 * n_clusters)))
     centroids = _kmeans_lite(sample, min(n_clusters, len(sample)))
     cref = ray.put(centroids)
 
@@ -194,8 +246,7 @@ def build_ivf(sf_dir: str, out_dir: str, n_clusters: int = 8) -> np.ndarray:
         def __call__(self, batch: pa.Table) -> pa.Table:
             mat = _embedding_matrix(batch["embedding"])
             vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            d = ((mat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
+            assign = _sq_dists(mat, self.centroids).argmin(axis=1)
             lists, counts = [], []
             stem = f"part-{vec_ids.min():012d}-{vec_ids.max():012d}"
             for c in np.unique(assign):
@@ -215,27 +266,36 @@ def build_ivf(sf_dir: str, out_dir: str, n_clusters: int = 8) -> np.ndarray:
     d = centroids.shape[1]
     pqt.write_table(
         pa.table({"centroid": pa.FixedSizeListArray.from_arrays(
-            pa.array(centroids.astype(np.float32).reshape(-1), pa.float32()), d
+            # float64: the reuse path must return bit-identical centroids,
+            # or borderline list assignments differ between build and query
+            pa.array(centroids.reshape(-1), pa.float64()), d
         )}),
         cpath,
     )
     with open(done, "w") as f:
-        json.dump({"n_rows": int(sum(r["n"] for r in stats))}, f)
+        json.dump({"n_rows": int(sum(r["n"] for r in stats)),
+                   "fingerprint": fp}, f)
     return centroids
 
 
 def embedding_topk_ivf(
-    sf_dir: str, k: int = TOPK, n_clusters: int = 8, nprobe: int = 3
+    sf_dir: str, k: int = TOPK, n_clusters: int | None = None,
+    nprobe: int | None = None, ivf_root: str | None = None,
 ) -> pa.Table:
     """(query_id, vec_id, cos_e6) approximate: IVF over the
     partitioned-by-centroid layout — ONLY the union of the queries' nprobe
     list directories is read from storage (path-level pruning); each batch
     then scores against the queries that probe its list. Recall < 1 by
-    design; the exactness gate is embedding_topk."""
-    out_dir = os.path.join(
-        "/tmp/docodo_ray_ivf", sf_dir.rstrip("/").strip("/").replace("/", "_")
-    )
+    design; the exactness gate is embedding_topk.
+
+    n_clusters=None -> ~sqrt(N) lists; nprobe=None -> ~sqrt(n_clusters)
+    probes. ``ivf_root`` must be SHARED storage on a multi-node cluster
+    (defaults beside the corpus when writable; /tmp only as a single-node
+    fallback for read-only corpora)."""
+    out_dir = ivf_root or _default_ivf_root(sf_dir)
     centroids = build_ivf(sf_dir, out_dir, n_clusters)
+    if nprobe is None:
+        nprobe = max(3, int(round(np.sqrt(centroids.shape[0]))))
     queries, qids = _load_queries(sf_dir)
     probe = {}
     for j, qid in enumerate(qids):
@@ -266,8 +326,7 @@ def embedding_topk_ivf(
             mat = _embedding_matrix(batch["embedding"])
             # list membership of these rows (cheap re-derivation — the rows
             # of one file all belong to one list, but batches may span files)
-            d = ((mat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
+            assign = _sq_dists(mat, self.centroids).argmin(axis=1)
             dots = mat @ self.queries.T
             na = np.linalg.norm(mat, axis=1)
             nq = np.linalg.norm(self.queries, axis=1)

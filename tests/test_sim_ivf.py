@@ -37,7 +37,7 @@ def test_ivf_layout_partitions_every_row():
 
 def test_ivf_reads_only_probed_lists_and_recall():
     exact = embedding_topk(SF)
-    approx = embedding_topk_ivf(SF)
+    approx = embedding_topk_ivf(SF, n_clusters=8, nprobe=3, ivf_root=IVF_DIR)
     # same schema/shape; per-query results are a plausible subset
     assert approx.column_names == exact.column_names
     ex = {}
@@ -58,3 +58,62 @@ def test_ivf_reads_only_probed_lists_and_recall():
                        approx["cos_e6"].to_pylist()):
         if (q, v) in exact_scores:
             assert s == exact_scores[(q, v)]
+
+
+def _write_clustered_embeddings(d: str, n: int = 2000, dim: int = 16,
+                                true_clusters: int = 8, seed: int = 11) -> None:
+    """Seeded corpus WITH cluster structure (what IVF is for): n vectors in
+    tight balls around spread-out centers; vec_ids 0..2 (the query ids) are
+    ordinary members."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0.0, 10.0, size=(true_clusters, dim))
+    assign = rng.integers(0, true_clusters, size=n)
+    vecs = centers[assign] + rng.normal(0.0, 0.05, size=(n, dim))
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.astype(np.float32).reshape(-1), pa.float32()), dim),
+        }),
+        os.path.join(d, "embeddings.parquet"))
+
+
+def test_ivf_recall_at_5_on_clustered_corpus(tmp_path):
+    """Round-3 bar: recall@5 >= 0.9 with the SCALED defaults
+    (n_clusters ~ sqrt(N), nprobe ~ sqrt(n_clusters)). The corpus dir is
+    writable, so this also exercises the beside-the-corpus default layout
+    root (shared storage on a real cluster)."""
+    d = str(tmp_path)
+    _write_clustered_embeddings(d)
+    exact = embedding_topk(d)
+    approx = embedding_topk_ivf(d)  # all knobs defaulted/scaled
+    assert os.path.isdir(os.path.join(d, "_docodo_ivf"))  # default root
+
+    ex, ap = {}, {}
+    for q, v in zip(exact["query_id"].to_pylist(), exact["vec_id"].to_pylist()):
+        ex.setdefault(q, set()).add(v)
+    for q, v in zip(approx["query_id"].to_pylist(), approx["vec_id"].to_pylist()):
+        ap.setdefault(q, set()).add(v)
+    recalls = [len(ap.get(q, set()) & ex[q]) / len(ex[q]) for q in ex]
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_ivf_done_marker_invalidated_on_input_change(tmp_path):
+    """The _DONE marker carries an input fingerprint: rewriting embeddings
+    at the same path must rebuild the layout, not serve stale results."""
+    d = str(tmp_path)
+    _write_clustered_embeddings(d, n=400, seed=1)
+    root = os.path.join(d, "ivf")
+    c1 = build_ivf(d, root, n_clusters=8)
+    # same input -> reused (identical centroids, no rebuild)
+    c2 = build_ivf(d, root, n_clusters=8)
+    assert np.array_equal(c1, c2)
+    # new content at the same path -> fingerprint mismatch -> rebuilt
+    _write_clustered_embeddings(d, n=400, seed=2)
+    c3 = build_ivf(d, root, n_clusters=8)
+    assert not np.array_equal(c1, c3)
+    # different clustering config -> also rebuilt
+    c4 = build_ivf(d, root, n_clusters=16)
+    assert c4.shape[0] > c3.shape[0]
