@@ -44,6 +44,11 @@ import pyarrow.parquet as pq
 from docodo_ray import codec
 from docodo_ray.config import DOC_LEN_TERM, BM25Params, IndexConfig, load_stopwords
 from docodo_ray.queryparse import MAX_LIKE_WORDS, ParsedQuery, parse_query, wildcard_to_regex
+
+# auto-WAND: below this summed df, exhaustive disjunctive scoring beats the
+# WAND cursor bookkeeping; above it, block-max skipping wins (p99 stays flat
+# as df grows — measured in bench.py query tails)
+AUTO_WAND_MIN_POSTINGS = 8192
 from docodo_ray.tokenizer import TokenizerSpec, term_bucket
 
 
@@ -653,14 +658,22 @@ class IndexReader:
         query: str,
         k: int = 10,
         mode: str = "and",
-        wand: bool = False,
+        wand: bool | None = None,
     ) -> list[tuple[int, float]]:
-        """-> [(doc_id, score)] sorted by (-score, doc_id), length <= k."""
+        """-> [(doc_id, score)] sorted by (-score, doc_id), length <= k.
+
+        wand=None (default) auto-selects block-max WAND for pure-disjunctive
+        queries whose summed df exceeds AUTO_WAND_MIN_POSTINGS — exhaustive
+        scoring for short posting lists (cheaper than cursor bookkeeping),
+        skip-heavy WAND once the lists are long enough that most postings
+        can't reach the top-k. WAND is exact, so the switch never changes
+        results (equality-tested)."""
         pq_ = parse_query(query, self.spec)
         return self.search_parsed(pq_, k=k, mode=mode, wand=wand)
 
     def search_parsed(
-        self, q: ParsedQuery, k: int = 10, mode: str = "and", wand: bool = False
+        self, q: ParsedQuery, k: int = 10, mode: str = "and",
+        wand: bool | None = None,
     ) -> list[tuple[int, float]]:
         """Evaluate the parsed boolean expression tree: the tree determines
         the candidate doc set (reference operator tree over IndexSequence,
@@ -704,6 +717,8 @@ class IndexReader:
                 return []
 
         ps = list(postings.values())
+        if wand is None and cand is None and not residuals:
+            wand = sum(p.doc_ids.size for p in ps) > AUTO_WAND_MIN_POSTINGS
         if residuals:
             top = self._topk_with_residuals(ps, cand, k, residuals)
         elif wand and cand is None:

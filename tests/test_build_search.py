@@ -110,6 +110,34 @@ def test_wand_matches_exhaustive(built):
         assert [(d, round(s, 9)) for d, s in exact] == [(d, round(s, 9)) for d, s in wand], q
 
 
+def test_auto_wand_switch(built, monkeypatch):
+    """wand=None auto-selects: WAND above the summed-df threshold,
+    exhaustive below — both exact, switch verified via _wand_topk spy."""
+    import docodo_ray.search as search_mod
+
+    r = IndexReader(built.out_dir)
+    calls = []
+    orig = r._wand_topk
+
+    def spy(ps, k):
+        calls.append(len(ps))
+        return orig(ps, k)
+
+    r._wand_topk = spy
+    q = "public | static | return"
+    monkeypatch.setattr(search_mod, "AUTO_WAND_MIN_POSTINGS", 10**12)
+    low = r.search(q, k=10, mode="or")
+    assert calls == []  # below threshold: exhaustive path
+    monkeypatch.setattr(search_mod, "AUTO_WAND_MIN_POSTINGS", 0)
+    high = r.search(q, k=10, mode="or")
+    assert calls  # above threshold: WAND picked automatically
+    assert [(d, round(s, 9)) for d, s in low] == [(d, round(s, 9)) for d, s in high]
+    # forced flags still respected
+    calls.clear()
+    r.search(q, k=10, mode="or", wand=False)
+    assert calls == []
+
+
 def test_phrase_search(built, oracle, small_corpus_docs):
     r = IndexReader(built.out_dir)
     want = phrase_docs(oracle, ["old", "lady"])
