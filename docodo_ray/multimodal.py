@@ -269,10 +269,82 @@ class AudioFeatureStage:
         )
 
 
+def parse_y4m_header(payload: bytes) -> tuple[int, int, str, list[int], int]:
+    """Parse an uncompressed YUV4MPEG2 stream's structure without touching
+    pixel data: -> (width, height, colorspace, per-frame plane offsets,
+    frame byte size). Stream = ``YUV4MPEG2 W.. H.. [F..] [C..]\\n`` then per
+    frame a ``FRAME[ params]\\n`` line followed by raw planar YUV bytes —
+    the only video container decodable pure-numpy in this sandbox."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = 0
+    cs = "420"
+    for p in payload[9:nl].split():
+        tag, val = p[:1], p[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"C":
+            cs = val.decode("ascii")
+    if w <= 0 or h <= 0:
+        raise ValueError("YUV4MPEG2 header missing W/H")
+    if cs.startswith("420"):
+        fsz = w * h + 2 * ((w // 2) * (h // 2))
+    elif cs.startswith("422"):
+        fsz = w * h + 2 * ((w // 2) * h)
+    elif cs.startswith("444"):
+        fsz = 3 * w * h
+    elif cs.startswith("mono"):
+        fsz = w * h
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {cs!r}")
+    offs: list[int] = []
+    i = nl + 1
+    while i < len(payload):
+        if payload[i : i + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {i}")
+        j = payload.index(b"\n", i)
+        if j + 1 + fsz > len(payload):
+            raise ValueError("truncated Y4M frame")
+        offs.append(j + 1)
+        i = j + 1 + fsz
+    return w, h, cs, offs, fsz
+
+
+def decode_y4m_luma(payload: bytes, indices: list[int] | None = None
+                    ) -> tuple[int, int, list[np.ndarray]]:
+    """Decode the Y (luma) plane of selected frames -> (w, h, [(h, w) uint8]).
+    Seeks directly to each requested frame's offset — only the requested
+    planes are materialized, never the whole stream as pixels. (Every Y4M
+    colorspace stores Y first, so the luma keyframe path is
+    colorspace-independent; chroma stays available via the offsets.)"""
+    w, h, _cs, offs, _fsz = parse_y4m_header(payload)
+    if indices is None:
+        indices = list(range(len(offs)))
+    planes = [
+        np.frombuffer(payload, dtype=np.uint8, count=w * h,
+                      offset=offs[i]).reshape(h, w)
+        for i in indices
+    ]
+    return w, h, planes
+
+
+def encode_pgm(plane: np.ndarray) -> bytes:
+    """(h, w) uint8 -> binary P5 PGM (the exact inverse of decode_ppm's P5
+    path — frame thumbnails stay composable with DecodeImageStage)."""
+    h, w = plane.shape
+    return f"P5\n{w} {h}\n255\n".encode() + plane.tobytes()
+
+
 class FrameSampleStage:
-    """binary video -> up to ``n_frames`` evenly-spaced frame payloads
-    (list<binary>). Stub frames are byte slices; a real decoder would emit
-    encoded frames with the same output schema."""
+    """binary video -> up to ``n_frames`` evenly-spaced keyframes
+    (list<binary>). YUV4MPEG2 payloads take the REAL pure-numpy path: the
+    frame index is parsed, n evenly-spaced frames are seek-decoded, and
+    each luma plane is emitted as a P5 PGM payload (feedable straight into
+    DecodeImageStage). Payloads in codec'd containers (no decoder in this
+    sandbox) keep the declared byte-slice stub with the same schema."""
 
     def __init__(self, n_frames: int = 4):
         self.n_frames = n_frames
@@ -283,6 +355,16 @@ class FrameSampleStage:
             payload = payload or b""
             if not payload:
                 frames_col.append([])
+                continue
+            if payload.startswith(b"YUV4MPEG2"):
+                _w, _h, _cs, offs, _fsz = parse_y4m_header(payload)
+                n = min(self.n_frames, len(offs))
+                # evenly spaced over the stream, first frame always included
+                idx = sorted(set(
+                    int(round(i * (len(offs) - 1) / max(n - 1, 1)))
+                    for i in range(n)))
+                _w2, _h2, planes = decode_y4m_luma(payload, idx)
+                frames_col.append([encode_pgm(p) for p in planes])
                 continue
             n = min(self.n_frames, max(1, len(payload) // 16))
             step = len(payload) // n

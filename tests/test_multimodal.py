@@ -167,3 +167,91 @@ def test_stages_use_real_kernels():
     assert out["duration_ms"][0].as_py() == 1000
     feat = np.array(out["feature"][0].as_py())
     assert np.allclose(feat[:4], 0.0) and np.allclose(feat[4:], 0.5, atol=1e-4)
+
+
+def _make_y4m(n_frames: int, w: int = 6, h: int = 4, cs: str = "420",
+              params_every: int = 0) -> tuple[bytes, list]:
+    """Deterministic Y4M stream; frame i's luma = (i*10 + col + row*w) % 256.
+    params_every>0 adds per-frame parameters on every that-many-th FRAME
+    line (allowed by the format; exercises variable frame-header lengths)."""
+    import numpy as np
+
+    lumas = []
+    body = b""
+    for i in range(n_frames):
+        y = ((np.arange(w * h, dtype=np.uint16) + i * 10) % 256).astype(np.uint8).reshape(h, w)
+        lumas.append(y)
+        if cs == "420":
+            chroma = bytes((w // 2) * (h // 2)) * 2
+        elif cs == "444":
+            chroma = bytes(w * h) * 2
+        else:  # mono
+            chroma = b""
+        hdr = b"FRAME Xseq=%d\n" % i if (params_every and i % params_every == 0) else b"FRAME\n"
+        body += hdr + y.tobytes() + chroma
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{cs}\n".encode()
+    return head + body, lumas
+
+
+def test_y4m_decode_exact_pixels():
+    """Real video kernel: decoded luma planes equal the encoded arrays
+    byte-for-byte, for 420/444/mono and variable FRAME headers."""
+    import numpy as np
+
+    from docodo_ray.multimodal import decode_y4m_luma, parse_y4m_header
+
+    for cs in ("420", "444", "mono"):
+        payload, lumas = _make_y4m(5, cs=cs, params_every=2)
+        w, h, css, offs, fsz = parse_y4m_header(payload)
+        assert (w, h) == (6, 4) and css == cs and len(offs) == 5
+        _w, _h, planes = decode_y4m_luma(payload)
+        for got, want in zip(planes, lumas):
+            assert np.array_equal(got, want)
+        # seek decode: only the requested frames
+        _w, _h, two = decode_y4m_luma(payload, [0, 4])
+        assert np.array_equal(two[0], lumas[0]) and np.array_equal(two[1], lumas[4])
+
+
+def test_frame_sample_stage_real_y4m():
+    """FrameSampleStage on a Y4M payload emits evenly-spaced P5 PGM
+    keyframes that round-trip through decode_ppm to the exact luma."""
+    import numpy as np
+    import pyarrow as pa
+
+    from docodo_ray.multimodal import FrameSampleStage, decode_ppm
+
+    payload, lumas = _make_y4m(9)
+    batch = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "media": pa.array([payload], pa.binary()),
+        "media_type": pa.array(["video/x-yuv4mpeg"]),
+    })
+    out = FrameSampleStage(n_frames=4)(batch)
+    frames = out["frames"][0].as_py()
+    assert out["n_frames"][0].as_py() == 4
+    # evenly spaced over 9 frames: indices 0, 3, 5, 8
+    for blob, idx in zip(frames, [0, 3, 5, 8]):
+        img = decode_ppm(blob)
+        assert img.shape == (4, 6, 1)
+        assert np.array_equal(img[:, :, 0], lumas[idx])
+
+
+def test_frame_sample_stage_stub_fallback_and_errors():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from docodo_ray.multimodal import FrameSampleStage, parse_y4m_header
+
+    # non-Y4M payloads keep the declared byte-slice stub
+    batch = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "media": pa.array([b"\x00" * 64], pa.binary()),
+        "media_type": pa.array(["video/mp4"]),
+    })
+    out = FrameSampleStage(n_frames=2)(batch)
+    assert out["n_frames"][0].as_py() == 2
+    # corrupt Y4M fails loudly, not silently
+    with _pytest.raises(ValueError):
+        parse_y4m_header(b"YUV4MPEG2 W4 H4 C420\nFRAME\n\x00\x00")  # truncated
+    with _pytest.raises(ValueError):
+        parse_y4m_header(b"YUV4MPEG2 C420\nFRAME\n")  # missing W/H
