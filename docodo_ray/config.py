@@ -96,7 +96,9 @@ class IndexConfig:
     # be stemmed (SURVEY M6 note).
     vocab: tuple = ()
     use_stemmer: bool = False
-    stemmer: str = "simple"  # or "porter"
+    # "simple" | "porter" | "russian" | "german" | "french" | "auto"
+    # (auto = per-word script dispatch, Cyrillic -> russian else porter)
+    stemmer: str = "simple"
 
 
 def resolve_n_buckets(cfg: "IndexConfig") -> "IndexConfig":

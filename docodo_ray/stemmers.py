@@ -1,0 +1,539 @@
+"""Snowball stemmers for Russian, German and French — pure-Python
+implementations of the published algorithm descriptions (snowballstem.org;
+Porter's Snowball family). The reference wires per-language Snowball stemmers
+(Docodo.NET Index.cs:158-181) and exercises Russian against a Cyrillic corpus
+(XUnitDocodoTest/IndexTest.cs:228-270); these close that gap for the
+``IndexConfig(stemmer=...)`` hook. English lives in tokenizer.porter_stem.
+
+Each stemmer is a pure function str -> str over an already-lowercased word.
+Region definitions (shared Snowball vocabulary):
+
+- R1: the region after the first non-vowel following a vowel.
+- R2: R1 of R1.
+- RV (Russian): the region after the first vowel.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Russian
+# ---------------------------------------------------------------------------
+
+_RU_VOWELS = set("аеиоуыэюя")
+
+_RU_PERF_GERUND_1 = ("вшись", "вши", "в")            # require preceding а/я
+_RU_PERF_GERUND_2 = ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+_RU_ADJECTIVE = (
+    "ими", "ыми", "его", "ого", "ему", "ому",
+    "ее", "ие", "ые", "ое", "ей", "ий", "ый", "ой", "ем", "им", "ым", "ом",
+    "их", "ых", "ею", "ою", "ую", "юю", "ая", "яя",
+)
+_RU_PARTICIPLE_1 = ("ем", "нн", "вш", "ющ", "щ")     # require preceding а/я
+_RU_PARTICIPLE_2 = ("ивш", "ывш", "ующ")
+_RU_REFLEXIVE = ("ся", "сь")
+_RU_VERB_1 = (                                        # require preceding а/я
+    "ешь", "нно", "ете", "йте",
+    "ла", "на", "ли", "ем", "ло", "но", "ет", "ют", "ны", "ть",
+    "й", "л", "н",
+)
+_RU_VERB_2 = (
+    "ейте", "уйте",
+    "ила", "ыла", "ена", "ите", "или", "ыли", "ило", "ыло", "ено", "ует",
+    "уют", "ены", "ить", "ыть", "ишь",
+    "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ят", "ит", "ыт", "ую",
+    "ю",
+)
+_RU_NOUN = (
+    "иями", "ями", "ами", "ией", "иям", "ием", "иях",
+    "ев", "ов", "ие", "ье", "еи", "ии", "ей", "ой", "ий", "ям", "ем", "ам",
+    "ом", "ах", "ях", "ию", "ью", "ия", "ья",
+    "а", "е", "и", "й", "о", "у", "ы", "ь", "ю", "я",
+)
+_RU_SUPERLATIVE = ("ейше", "ейш")
+_RU_DERIVATIONAL = ("ость", "ост")
+
+
+def _ru_regions(w: str) -> tuple[int, int]:
+    """-> (rv, r2) start indices."""
+    n = len(w)
+    rv = n
+    for i, c in enumerate(w):
+        if c in _RU_VOWELS:
+            rv = i + 1
+            break
+    # R1: after first non-vowel following a vowel
+    r1 = n
+    for i in range(1, n):
+        if w[i] not in _RU_VOWELS and w[i - 1] in _RU_VOWELS:
+            r1 = i + 1
+            break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if w[i] not in _RU_VOWELS and w[i - 1] in _RU_VOWELS:
+            r2 = i + 1
+            break
+    return rv, r2
+
+
+def _ru_strip(w: str, rv: int, sufs: tuple[str, ...],
+              group1: bool = False) -> str | None:
+    """Remove the longest of ``sufs`` found in RV; group1 suffixes require a
+    preceding а/я (which is kept). Suffix tuples are ordered longest-first."""
+    for s in sufs:
+        if w.endswith(s) and len(w) - len(s) >= rv:
+            if group1:
+                stem = len(w) - len(s)
+                if stem == 0 or w[stem - 1] not in ("а", "я"):
+                    continue
+            return w[: len(w) - len(s)]
+    return None
+
+
+def russian_stem(word: str) -> str:
+    """Snowball Russian stemmer (the published algorithm, steps 1-4)."""
+    w = word.replace("ё", "е")
+    if not any(c in _RU_VOWELS for c in w):
+        return w
+    rv, r2 = _ru_regions(w)
+
+    # step 1: perfective gerund, else [reflexive] + adjectival|verb|noun
+    r = (_ru_strip(w, rv, _RU_PERF_GERUND_2)
+         or _ru_strip(w, rv, _RU_PERF_GERUND_1, group1=True))
+    if r is not None:
+        w = r
+    else:
+        r = _ru_strip(w, rv, _RU_REFLEXIVE)
+        if r is not None:
+            w = r
+        r = _ru_strip(w, rv, _RU_ADJECTIVE)
+        if r is not None:
+            w = r
+            r = (_ru_strip(w, rv, _RU_PARTICIPLE_2)
+                 or _ru_strip(w, rv, _RU_PARTICIPLE_1, group1=True))
+            if r is not None:
+                w = r
+        else:
+            r = (_ru_strip(w, rv, _RU_VERB_2)
+                 or _ru_strip(w, rv, _RU_VERB_1, group1=True))
+            if r is not None:
+                w = r
+            else:
+                r = _ru_strip(w, rv, _RU_NOUN)
+                if r is not None:
+                    w = r
+
+    # step 2: final и
+    if w.endswith("и") and len(w) - 1 >= rv:
+        w = w[:-1]
+    # step 3: derivational ость/ост in R2
+    for s in _RU_DERIVATIONAL:
+        if w.endswith(s) and len(w) - len(s) >= r2:
+            w = w[: len(w) - len(s)]
+            break
+    # step 4: нн -> н | superlative (+ нн -> н) | trailing ь
+    if w.endswith("нн") and len(w) - 1 >= rv:
+        w = w[:-1]
+    else:
+        r = _ru_strip(w, rv, _RU_SUPERLATIVE)
+        if r is not None:
+            w = r
+            if w.endswith("нн") and len(w) - 1 >= rv:
+                w = w[:-1]
+        elif w.endswith("ь") and len(w) - 1 >= rv:
+            w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# German
+# ---------------------------------------------------------------------------
+
+_DE_VOWELS = set("aeiouyäöü")
+_DE_S_ENDING = set("bdfghklmnrt")
+_DE_ST_ENDING = set("bdfghklmnt")
+
+
+def _de_mark(w: str) -> str:
+    """ß -> ss; u/y between vowels become U/Y (consonant role for the
+    region computation — undone at the end)."""
+    w = w.replace("ß", "ss")
+    out = list(w)
+    for i in range(1, len(w) - 1):
+        if w[i] in "uy" and w[i - 1] in _DE_VOWELS and w[i + 1] in _DE_VOWELS:
+            out[i] = w[i].upper()
+    return "".join(out)
+
+
+def _de_regions(w: str) -> tuple[int, int]:
+    n = len(w)
+    lower = w.lower()
+    r1 = n
+    for i in range(1, n):
+        if lower[i] not in _DE_VOWELS and lower[i - 1] in _DE_VOWELS:
+            r1 = i + 1
+            break
+    r1 = max(r1, min(3, n))  # R1 starts at least at position 3
+    r2 = n
+    for i in range(r1 + 1, n):
+        if lower[i] not in _DE_VOWELS and lower[i - 1] in _DE_VOWELS:
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def german_stem(word: str) -> str:
+    """Snowball German stemmer (the published algorithm, steps 1-3)."""
+    w = _de_mark(word)
+    r1, r2 = _de_regions(w)
+
+    def in_r1(s: str) -> bool:
+        return len(w) - len(s) >= r1
+
+    def in_r2(s: str) -> bool:
+        return len(w) - len(s) >= r2
+
+    # step 1
+    done = False
+    for s in ("ern", "em", "er"):
+        if w.endswith(s) and in_r1(s):
+            w = w[: len(w) - len(s)]
+            done = True
+            break
+    if not done:
+        for s in ("en", "es", "e"):
+            if w.endswith(s) and in_r1(s):
+                w = w[: len(w) - len(s)]
+                if w.endswith("niss"):  # Zeugnisse -> zeugnis
+                    w = w[:-1]
+                done = True
+                break
+    if not done and w.endswith("s") and in_r1("s") and len(w) >= 2 \
+            and w[-2] in _DE_S_ENDING:
+        w = w[:-1]
+
+    # step 2
+    r1, r2 = _de_regions(w)
+    done = False
+    for s in ("est", "en", "er"):
+        if w.endswith(s) and len(w) - len(s) >= r1:
+            w = w[: len(w) - len(s)]
+            done = True
+            break
+    if not done and w.endswith("st") and len(w) - 2 >= r1 and len(w) >= 6 \
+            and w[-3] in _DE_ST_ENDING:
+        w = w[:-2]
+
+    # step 3: d-suffixes
+    r1, r2 = _de_regions(w)
+
+    def ends_r2(s: str) -> bool:
+        return w.endswith(s) and len(w) - len(s) >= r2
+
+    if ends_r2("end") or ends_r2("ung"):
+        w = w[:-3]
+        if w.endswith("ig") and len(w) - 2 >= r2 and not w.endswith("eig"):
+            w = w[:-2]
+    elif (ends_r2("isch") and not w.endswith("eisch")):
+        w = w[:-4]
+    elif (ends_r2("ig") and not w.endswith("eig")) or \
+            (ends_r2("ik") and not w.endswith("eik")):
+        w = w[:-2]
+    elif ends_r2("lich") or ends_r2("heit"):
+        w = w[:-4]
+        for s in ("er", "en"):
+            if w.endswith(s) and len(w) - 2 >= r1:
+                w = w[:-2]
+                break
+    elif ends_r2("keit"):
+        w = w[:-4]
+        if w.endswith("lich") and len(w) - 4 >= r2:
+            w = w[:-4]
+        elif w.endswith("ig") and len(w) - 2 >= r2:
+            w = w[:-2]
+
+    return (w.replace("U", "u").replace("Y", "y")
+             .replace("ä", "a").replace("ö", "o").replace("ü", "u"))
+
+
+# ---------------------------------------------------------------------------
+# French
+# ---------------------------------------------------------------------------
+
+_FR_VOWELS = set("aeiouyâàëéêèïîôûù")
+
+
+def _fr_mark(word: str) -> str:
+    """u/i between vowels -> U/I; y next to a vowel -> Y; u after q -> U
+    (markers = consonant role; undone at the end)."""
+    w = list(word)
+    n = len(w)
+    for i in range(n):
+        c = word[i]
+        prev_v = i > 0 and word[i - 1] in _FR_VOWELS
+        next_v = i + 1 < n and word[i + 1] in _FR_VOWELS
+        if c in "ui" and prev_v and next_v:
+            w[i] = c.upper()
+        elif c == "y" and (prev_v or next_v):
+            w[i] = "Y"
+        elif c == "u" and i > 0 and word[i - 1] == "q":
+            w[i] = "U"
+    return "".join(w)
+
+
+def _fr_is_vowel(c: str) -> bool:
+    return c in _FR_VOWELS  # markers U/I/Y are consonant-role by casing
+
+
+def _fr_regions(w: str) -> tuple[int, int, int]:
+    n = len(w)
+    # RV: after 3rd letter if starts with two vowels or with par/col/tap,
+    # else after the first vowel not at position 0
+    if n >= 3 and ((_fr_is_vowel(w[0]) and _fr_is_vowel(w[1]))
+                   or w[:3] in ("par", "col", "tap")):
+        rv = 3
+    else:
+        rv = n
+        for i in range(1, n):
+            if _fr_is_vowel(w[i]):
+                rv = i + 1
+                break
+    r1 = n
+    for i in range(1, n):
+        if not _fr_is_vowel(w[i]) and _fr_is_vowel(w[i - 1]):
+            r1 = i + 1
+            break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if not _fr_is_vowel(w[i]) and _fr_is_vowel(w[i - 1]):
+            r2 = i + 1
+            break
+    return rv, r1, r2
+
+
+_FR_STEP2A = (
+    "issaIent", "issantes", "iraIent", "issante", "issants", "issions",
+    "irions", "issais", "issait", "issant", "issent", "issiez", "issons",
+    "irais", "irait", "irent", "iriez", "irons", "iront", "isses", "issez",
+    "îmes", "îtes", "irai", "iras", "irez", "isse",
+    "ies", "ira", "ît", "ie", "ir", "is", "it", "i",
+)
+_FR_STEP2B_ER = (
+    "eraIent", "erions", "èrent", "erais", "erait", "eriez", "erons",
+    "eront", "erai", "eras", "erez", "ées", "era", "iez", "ez", "er",
+    "ée", "és", "é",
+)
+_FR_STEP2B_A = (
+    "assions", "assent", "assiez", "aIent", "antes", "asses", "âmes",
+    "âtes", "ante", "ants", "asse", "ais", "ait", "ant", "ât", "ai", "as",
+    "a",
+)
+
+
+def french_stem(word: str) -> str:
+    """Snowball French stemmer (the published algorithm, steps 1-6)."""
+    w = _fr_mark(word)
+    rv, r1, r2 = _fr_regions(w)
+    orig = w
+
+    def in_rv(s: str, www: str) -> bool:
+        return len(www) - len(s) >= rv
+
+    def in_r1(s: str, www: str) -> bool:
+        return len(www) - len(s) >= r1
+
+    def in_r2(s: str, www: str) -> bool:
+        return len(www) - len(s) >= r2
+
+    # ---- step 1: standard suffixes (longest match governs) ----
+    step1_done = False
+    found_ment = False
+    sufs = sorted({
+        "ance", "iqUe", "isme", "able", "iste", "eux", "ances", "iqUes",
+        "ismes", "ables", "istes",
+        "atrice", "ateur", "ation", "atrices", "ateurs", "ations",
+        "logie", "logies", "usion", "ution", "usions", "utions",
+        "ence", "ences", "ement", "ements", "ité", "ités",
+        "if", "ive", "ifs", "ives", "eaux", "aux", "euse", "euses",
+        "issement", "issements", "amment", "emment", "ment", "ments",
+    }, key=len, reverse=True)
+    for s in sufs:
+        if not w.endswith(s):
+            continue
+        stem = w[: len(w) - len(s)]
+        if s in ("ance", "iqUe", "isme", "able", "iste", "eux",
+                 "ances", "iqUes", "ismes", "ables", "istes"):
+            if in_r2(s, w):
+                w, step1_done = stem, True
+        elif s in ("atrice", "ateur", "ation", "atrices", "ateurs", "ations"):
+            if in_r2(s, w):
+                w, step1_done = stem, True
+                if w.endswith("ic"):
+                    if in_r2("ic" + s, orig):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif s in ("logie", "logies"):
+            if in_r2(s, w):
+                w, step1_done = stem + "log", True
+        elif s in ("usion", "ution", "usions", "utions"):
+            if in_r2(s, w):
+                w, step1_done = stem + "u", True
+        elif s in ("ence", "ences"):
+            if in_r2(s, w):
+                w, step1_done = stem + "ent", True
+        elif s in ("ement", "ements"):
+            if in_rv(s, w):
+                w, step1_done = stem, True
+                if w.endswith("iv") and in_r2("iv" + s, orig):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2("ativ" + s, orig):
+                        w = w[:-2]
+                elif w.endswith("eus"):
+                    if in_r2("eus" + s, orig):
+                        w = w[:-3]
+                    elif in_r1("eus" + s, orig):
+                        w = w[:-3] + "eux"
+                elif w.endswith("abl") and in_r2("abl" + s, orig):
+                    w = w[:-3]
+                elif w.endswith("iqU") and in_r2("iqU" + s, orig):
+                    w = w[:-3]
+                elif w.endswith("ièr") and in_rv("ièr" + s, orig):
+                    w = w[:-3] + "i"
+                elif w.endswith("Ièr") and in_rv("Ièr" + s, orig):
+                    w = w[:-3] + "i"
+        elif s in ("ité", "ités"):
+            if in_r2(s, w):
+                w, step1_done = stem, True
+                if w.endswith("abil"):
+                    if in_r2("abil" + s, orig):
+                        w = w[:-4]
+                    else:
+                        w = w[:-4] + "abl"
+                elif w.endswith("ic"):
+                    if in_r2("ic" + s, orig):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+                elif w.endswith("iv") and in_r2("iv" + s, orig):
+                    w = w[:-2]
+        elif s in ("if", "ive", "ifs", "ives"):
+            if in_r2(s, w):
+                w, step1_done = stem, True
+                if w.endswith("at") and in_r2("at" + s, orig):
+                    w = w[:-2]
+                    if w.endswith("ic"):
+                        if in_r2("icat" + s, orig):
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+        elif s == "eaux":
+            w, step1_done = stem + "eau", True
+        elif s == "aux":
+            if in_r1(s, w):
+                w, step1_done = stem + "al", True
+        elif s in ("euse", "euses"):
+            if in_r2(s, w):
+                w, step1_done = stem, True
+            elif in_r1(s, w):
+                w, step1_done = stem + "eux", True
+        elif s in ("issement", "issements"):
+            if in_r1(s, w) and stem and not _fr_is_vowel(stem[-1]):
+                w, step1_done = stem, True
+        elif s == "amment":
+            if in_rv(s, w):
+                w, found_ment = stem + "ant", True
+        elif s == "emment":
+            if in_rv(s, w):
+                w, found_ment = stem + "ent", True
+        elif s in ("ment", "ments"):
+            if stem and in_rv(s, w) and len(stem) - 1 >= rv \
+                    and _fr_is_vowel(stem[-1]):
+                w, found_ment = stem, True
+        break  # longest suffix considered exactly once
+
+    altered = w != orig
+    # ---- step 2a: verb suffixes beginning i (if step 1 left the word
+    # unchanged, or matched one of the -ment endings) ----
+    step2_altered = False
+    if not step1_done or found_ment:
+        base = w
+        for s in _FR_STEP2A:
+            if w.endswith(s) and in_rv(s, w):
+                stem = w[: len(w) - len(s)]
+                if stem and len(stem) - 1 >= rv and not _fr_is_vowel(stem[-1]) \
+                        and stem[-1] != "H":
+                    w = stem
+                    step2_altered = True
+                break
+        # ---- step 2b (only if 2a removed nothing) ----
+        if w == base:
+            for s in sorted(set(_FR_STEP2B_ER) | set(_FR_STEP2B_A) | {"ions"},
+                            key=len, reverse=True):
+                if not w.endswith(s):
+                    continue
+                stem = w[: len(w) - len(s)]
+                if s == "ions":
+                    if in_r2(s, w):
+                        w, step2_altered = stem, True
+                elif s in _FR_STEP2B_ER:
+                    if in_rv(s, w):
+                        w, step2_altered = stem, True
+                else:  # a-group
+                    if in_rv(s, w):
+                        w, step2_altered = stem, True
+                        if w.endswith("e") and len(w) - 1 >= rv:
+                            w = w[:-1]
+                break
+
+    altered = altered or step2_altered
+    if altered:
+        # ---- step 3 ----
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # ---- step 4 ----
+        if w.endswith("s") and (len(w) < 2 or w[-2] not in "aiouès") \
+                and not w.endswith("Hs"):
+            w = w[:-1]
+        if w.endswith("ion") and in_r2("ion", w) and len(w) >= 4 \
+                and w[-4] in "st":
+            w = w[:-3]
+        else:
+            for s in ("ière", "Ière", "ier", "Ier"):
+                if w.endswith(s) and in_rv(s, w):
+                    w = w[: len(w) - len(s)] + "i"
+                    break
+            else:
+                if w.endswith("e") and in_rv("e", w):
+                    w = w[:-1]
+                elif w.endswith("guë") and in_rv("ë", w):
+                    w = w[:-1]
+
+    # ---- step 5: undouble ----
+    for s in ("enn", "onn", "ett", "ell", "eill"):
+        if w.endswith(s):
+            w = w[:-1]
+            break
+    # ---- step 6: un-accent é/è before a trailing non-vowel run ----
+    i = len(w) - 1
+    seen_cons = False
+    while i >= 0:
+        c = w[i]
+        if c in _FR_VOWELS:
+            if c in "éè" and seen_cons:
+                w = w[:i] + "e" + w[i + 1:]
+            break
+        seen_cons = True
+        i -= 1
+    return w.replace("U", "u").replace("I", "i").replace("Y", "y")
+
+
+# ---------------------------------------------------------------------------
+
+_CYRILLIC_LO, _CYRILLIC_HI = 0x0400, 0x04FF
+
+
+def is_cyrillic(word: str) -> bool:
+    return bool(word) and _CYRILLIC_LO <= ord(word[0]) <= _CYRILLIC_HI

@@ -194,16 +194,34 @@ class TokenizerSpec:
     # unknown-to-vocab words emit an extra '$<stem>' term when the stem
     # differs (reference Build.cs:206-238)
     use_stemmer: bool = False
-    # which stemmer: "simple" (suffix rules, byte-stable default) or
-    # "porter" (full Porter 1980 English — what the reference's Snowball
-    # English stemmer implements)
+    # which stemmer: "simple" (suffix rules, byte-stable default), "porter"
+    # (full Porter 1980 English), "russian"/"german"/"french" (Snowball,
+    # docodo_ray.stemmers — reference wires the same language set,
+    # Index.cs:158-181), or "auto" (per-word script dispatch: Cyrillic ->
+    # russian, else porter — the multilingual-corpus mode)
     stemmer: str = "simple"
 
     def vocab_dict(self) -> dict[str, int]:
         return dict(self.vocab)
 
     def stem(self, word: str) -> str:
-        return porter_stem(word) if self.stemmer == "porter" else simple_stem(word)
+        if self.stemmer == "simple":
+            return simple_stem(word)
+        if self.stemmer == "porter":
+            return porter_stem(word)
+        from docodo_ray import stemmers
+
+        if self.stemmer == "russian":
+            return stemmers.russian_stem(word)
+        if self.stemmer == "german":
+            return stemmers.german_stem(word)
+        if self.stemmer == "french":
+            return stemmers.french_stem(word)
+        if self.stemmer == "auto":
+            if stemmers.is_cyrillic(word):
+                return stemmers.russian_stem(word)
+            return porter_stem(word)
+        raise ValueError(f"unknown stemmer {self.stemmer!r}")
 
 
 def tokenize_raw(text: str) -> list[str]:

@@ -1,0 +1,125 @@
+"""Snowball ru/de/fr stemmers (reference wires the same Snowball language
+set, Index.cs:158-181; its VocabTest exercises a Cyrillic corpus,
+XUnitDocodoTest/IndexTest.cs:228-270).
+
+Unit cases are hand-derived by following the published algorithm (region
+computation + suffix tables); the end-to-end test mirrors VocabTest: a
+Cyrillic corpus indexed with stemmer="russian" must match a query in a
+different morphological form via the '$<stem>' namespace terms.
+"""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from docodo_ray import IndexConfig, IndexReader, build_index
+from docodo_ray.stemmers import (
+    french_stem,
+    german_stem,
+    is_cyrillic,
+    russian_stem,
+)
+
+
+def test_russian_stem_cases():
+    cases = {
+        # noun declension family -> one stem
+        "книга": "книг", "книги": "книг", "книгу": "книг",
+        "книге": "книг", "книгами": "книг",
+        # adjective family
+        "красивый": "красив", "красивая": "красив", "красивые": "красив",
+        # reflexive + verb
+        "стремятся": "стрем",
+        # verb group-1 (suffix valid only after а/я, which stays)
+        "бегала": "бега",
+        # participle ющ after а
+        "читающий": "чита", "делающий": "дела",
+        # derivational ость outside R2 stays (only ь drops)
+        "важность": "важност",
+        # ё normalized to е
+        "чёрный": "черн",
+        # no vowels: untouched
+        "впрк": "впрк",
+    }
+    for w, want in cases.items():
+        assert russian_stem(w) == want, (w, russian_stem(w), want)
+
+
+def test_russian_stem_families_collapse():
+    fams = [
+        ["книга", "книги", "книгу", "книгами"],
+        ["красивый", "красивая", "красивые"],
+    ]
+    for fam in fams:
+        stems = {russian_stem(w) for w in fam}
+        assert len(stems) == 1, (fam, stems)
+
+
+def test_german_stem_cases():
+    cases = {
+        "häusern": "haus", "häuser": "haus", "hauses": "haus", "haus": "haus",
+        "zeugnisse": "zeugnis",     # e removed, then niss -> nis
+        "aufeinander": "aufeinand",
+        "kategorien": "kategori",
+        "schönheit": "schonheit",   # heit outside R2; umlaut still removed
+        "größe": "gross",           # ß -> ss, e in R1 removed, ö -> o
+    }
+    for w, want in cases.items():
+        assert german_stem(w) == want, (w, german_stem(w), want)
+
+
+def test_french_stem_cases():
+    cases = {
+        "importance": "import", "importances": "import",  # ance(s) in R2
+        "nationaux": "national", "nationale": "national",
+        "national": "national",
+        "eaux": "eau",                       # unconditional replacement
+        "majestueux": "majestu",             # eux in R2
+        "parlement": "parl",                 # ement in RV (par* -> RV at 3)
+        "continuellement": "continuel",      # ement + undouble ell
+    }
+    for w, want in cases.items():
+        assert french_stem(w) == want, (w, french_stem(w), want)
+
+
+def test_auto_dispatch_and_unknown():
+    from docodo_ray.tokenizer import TokenizerSpec, porter_stem
+
+    assert is_cyrillic("книга") and not is_cyrillic("book")
+    spec = TokenizerSpec(use_stemmer=True, stemmer="auto")
+    assert spec.stem("книгами") == russian_stem("книгами")
+    assert spec.stem("generalization") == porter_stem("generalization")
+    with pytest.raises(ValueError):
+        TokenizerSpec(stemmer="klingon").stem("word")
+
+
+def test_cyrillic_index_stem_expansion(tmp_path):
+    """VocabTest mirror: index Russian text with stemmer='russian'; a query
+    in a different morphological form hits the doc via $stem terms."""
+    texts = [
+        "старая книга лежит на столе в библиотеке",      # has книга
+        "красивая девушка читала стихи вечером",         # has красивая
+        "программа работает без ошибок каждый день",     # unrelated
+    ]
+    f = str(tmp_path / "ru.parquet")
+    pq.write_table(
+        pa.table({
+            "repo": pa.array(["r"] * 3), "path": pa.array([f"d{i}" for i in range(3)]),
+            "commit": pa.array(["c"] * 3), "lang": pa.array(["ru"] * 3),
+            "content": pa.array(texts),
+        }), f)
+    out = str(tmp_path / "idx")
+    cfg = IndexConfig(n_buckets=4, use_stemmer=True, stemmer="russian",
+                      use_stopwords=False, tokenizer_concurrency=2)
+    res = build_index(out, input_paths=[f], cfg=cfg, content_col="content",
+                      key_cols=["repo", "path", "commit"],
+                      meta_cols=("repo", "path", "lang"))
+    r = IndexReader(res.out_dir)
+    # query 'книгами' (instrumental pl.) — doc only contains 'книга'
+    hits = r.search("книгами", k=5, mode="or")
+    assert len(hits) == 1
+    # query 'красивые' — doc contains 'красивая'
+    hits2 = r.search("красивые", k=5, mode="or")
+    assert len(hits2) == 1
+    # unrelated morphology does not cross-match
+    assert r.search("столами красивый", k=5, mode="and") == []
