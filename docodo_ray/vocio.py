@@ -1,0 +1,172 @@
+"""Binary ``.voc`` vocabulary import/export + dictionary builders.
+
+Format parity with the reference (Docodo.NET Dict.cs:194-210): a .voc file
+is a flat sequence of records, each a .NET ``BinaryWriter`` string (7-bit
+variable-length byte-count prefix, then UTF-8 bytes) followed by a little-
+endian int32 group id. Bit 0x01000000 of the group id is the
+GROUP_NOT_EXCACT_WORD_MASK flag ("skip the word when it is exactly its own
+stem", Dict.cs:15); the low 24 bits (GROUP_NUMBER_MASK) are the group
+number. Keys are the STEMMED forms.
+
+Builders mirror the reference's dictionary sources:
+- OpenCorpora XML (Dict.cs:215-255): each ``<lemma>`` element's ``t``
+  attributes form one morphological group, stemmed with the Russian
+  Snowball stemmer;
+- FreeLib folder (Dict.cs:258-287): text files of ``word1 word2`` lines,
+  each line one 2-word group, stemmed with English.
+
+Group merging reuses config.build_vocab's union-find (the Ray-native
+re-expression of VocBuilder's replaces map): groups sharing a stem
+coalesce transitively with a deterministic representative.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+GROUP_NOT_EXACT_MASK = 0x01000000   # Dict.cs:15
+GROUP_NUMBER_MASK = 0xFFFFFF        # Dict.cs:16
+
+
+def _read_7bit_int(buf: bytes, i: int) -> tuple[int, int]:
+    """.NET 7-bit variable-length uint -> (value, next offset)."""
+    val = shift = 0
+    while True:
+        if i >= len(buf):
+            raise ValueError("truncated .voc length prefix")
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+        if shift > 35:
+            raise ValueError("malformed .voc length prefix")
+
+
+def _write_7bit_int(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def load_voc(path: str, include_inexact: bool = True) -> tuple:
+    """Parse a binary .voc file -> hashable ``((stem, group), ...)`` vocab
+    tuple for ``IndexConfig(vocab=...)``. Group ids keep only the low 24
+    bits; entries flagged not-exact are kept (default) or dropped."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    out = []
+    i = 0
+    while i < len(buf):
+        nbytes, i = _read_7bit_int(buf, i)
+        if i + nbytes + 4 > len(buf):
+            raise ValueError(f"truncated .voc record at byte {i}")
+        word = buf[i : i + nbytes].decode("utf-8")
+        i += nbytes
+        (group,) = struct.unpack_from("<i", buf, i)
+        i += 4
+        if not include_inexact and group & GROUP_NOT_EXACT_MASK:
+            continue
+        out.append((word, group & GROUP_NUMBER_MASK))
+    return tuple(out)
+
+
+def write_voc(path: str, vocab, inexact: frozenset | set = frozenset()) -> None:
+    """Write ``(word, group)`` pairs as a reference-format .voc file,
+    sorted by word (the reference's VocBuilder is a SortedDictionary).
+    Words in ``inexact`` get the not-exact flag bit."""
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        for word, group in sorted(vocab):
+            g = int(group) & GROUP_NUMBER_MASK
+            if word in inexact:
+                g |= GROUP_NOT_EXACT_MASK
+            enc = word.encode("utf-8")
+            f.write(_write_7bit_int(len(enc)))
+            f.write(enc)
+            f.write(struct.pack("<i", g))
+    os.replace(tmp, path)
+
+
+def _groups_to_voc(groups, stem_fn) -> tuple[tuple, frozenset]:
+    """Morphological groups -> ((stem, group_id), ...) via union-find over
+    stems, plus the not-exact set (stems whose group contains no word equal
+    to the stem itself — the reference's hasmatch logic, Dict.cs:129-163)."""
+    from docodo_ray.config import build_vocab
+
+    pairs = []
+    exact_stems: set[str] = set()
+    all_stems: set[str] = set()
+    for grouplist in groups:
+        stems = [stem_fn(w) for w in grouplist]
+        all_stems.update(stems)
+        if any(s in grouplist for s in stems):
+            exact_stems.update(stems)
+        first = stems[0]
+        for s in stems[1:]:
+            pairs.append((first, s))
+        if len(stems) == 1:
+            pairs.append((first, first))
+    vocab = build_vocab(pairs)
+    # union-find may merge groups; a merged group is exact if ANY member
+    # group was (reference clears the bit on the first match)
+    merged_exact: set[str] = set()
+    gid = dict(vocab)
+    exact_groups = {gid[s] for s in exact_stems if s in gid}
+    inexact = frozenset(s for s, g in vocab if g not in exact_groups)
+    del merged_exact
+    return vocab, inexact
+
+
+def build_voc_from_opencorpora(xml_path: str, out_path: str) -> tuple:
+    """OpenCorpora dictionary XML -> .voc (Dict.cs:215-255): every
+    ``<lemma>``'s ``t`` attribute values are one group, stemmed Russian."""
+    import xml.etree.ElementTree as ET
+
+    from docodo_ray.stemmers import russian_stem
+
+    groups = []
+    cur: list[str] = []
+    for event, el in ET.iterparse(xml_path, events=("start", "end")):
+        if event == "start" and el.tag == "lemma":
+            cur = []
+        elif event == "end":
+            if el.tag == "lemma":
+                if cur:
+                    groups.append(cur)
+                el.clear()
+            else:
+                t = el.get("t")
+                if t:
+                    cur.append(t.lower())
+    vocab, inexact = _groups_to_voc(groups, russian_stem)
+    write_voc(out_path, vocab, inexact)
+    return vocab
+
+
+def build_voc_from_freelib(folder: str, out_path: str) -> tuple:
+    """FreeLib text folder -> .voc (Dict.cs:258-287): each line's first two
+    space-separated words are one group, stemmed English (Porter)."""
+    from docodo_ray.tokenizer import porter_stem
+
+    groups = []
+    for name in sorted(os.listdir(folder)):
+        p = os.path.join(folder, name)
+        if not os.path.isfile(p):
+            continue
+        with open(p, encoding="utf-8") as f:
+            for line in f:
+                a = line.split(" ")
+                if len(a) >= 2 and a[0] and a[1].strip():
+                    groups.append([a[0].lower(), a[1].strip().lower()])
+    vocab, inexact = _groups_to_voc(groups, porter_stem)
+    write_voc(out_path, vocab, inexact)
+    return vocab

@@ -1,0 +1,88 @@
+"""Binary .voc vocabulary import/export (reference Dict.cs:109-296).
+
+Format: repeated [.NET BinaryWriter string = 7-bit-encoded byte count +
+UTF-8 bytes][int32 LE group], not-exact flag in bit 0x01000000.
+"""
+
+import os
+import struct
+
+import pytest
+
+from docodo_ray.config import tokenizer_spec
+from docodo_ray.vocio import (
+    GROUP_NOT_EXACT_MASK,
+    build_voc_from_freelib,
+    build_voc_from_opencorpora,
+    load_voc,
+    write_voc,
+)
+
+
+def test_load_voc_exact_byte_format(tmp_path):
+    """Parse a hand-constructed file in the reference's exact binary layout
+    (7-bit length prefix, UTF-8, int32 LE group, flag bit)."""
+    rec = b""
+    for word, group in [("cat", 3), ("книг", 7 | GROUP_NOT_EXACT_MASK)]:
+        enc = word.encode("utf-8")
+        rec += bytes([len(enc)]) + enc + struct.pack("<i", group)
+    p = str(tmp_path / "en.voc")
+    with open(p, "wb") as f:
+        f.write(rec)
+    assert load_voc(p) == (("cat", 3), ("книг", 7))
+    assert load_voc(p, include_inexact=False) == (("cat", 3),)
+    # truncation fails loudly
+    with open(p, "wb") as f:
+        f.write(rec[:-2])
+    with pytest.raises(ValueError):
+        load_voc(p)
+
+
+def test_write_load_roundtrip_long_words(tmp_path):
+    """Round-trip incl. a word long enough to need a 2-byte 7-bit prefix."""
+    long_word = "слово" * 40  # 400 UTF-8 bytes -> two prefix bytes
+    vocab = (("alpha", 1), (long_word, 2), ("zeta", 1))
+    p = str(tmp_path / "x.voc")
+    write_voc(p, vocab, inexact={"zeta"})
+    assert load_voc(p) == tuple(sorted(vocab))
+    assert load_voc(p, include_inexact=False) == (("alpha", 1), (long_word, 2))
+
+
+def test_opencorpora_builder(tmp_path):
+    xml = """<?xml version="1.0" encoding="utf-8"?>
+<dictionary>
+ <lemmata>
+  <lemma id="1"><l t="книга"/><f t="книги"/><f t="книгу"/><f t="книгами"/></lemma>
+  <lemma id="2"><l t="красивый"/><f t="красивая"/><f t="красивые"/></lemma>
+ </lemmata>
+</dictionary>"""
+    xp = str(tmp_path / "oc.xml")
+    with open(xp, "w", encoding="utf-8") as f:
+        f.write(xml)
+    out = str(tmp_path / "ru.voc")
+    vocab = build_voc_from_opencorpora(xp, out)
+    d = dict(vocab)
+    # all forms of a lemma stem to one entry in one group
+    assert d.keys() == {"книг", "красив"}
+    assert d["книг"] != d["красив"]
+    # loadable straight into the tokenizer hook: matching docs emit #codes
+    from docodo_ray import IndexConfig
+    from docodo_ray.tokenizer import doc_term_stats
+
+    loaded = load_voc(out)
+    spec = tokenizer_spec(IndexConfig(vocab=loaded, use_stopwords=False))
+    uniq, _, _, _ = doc_term_stats("книг красив", spec)
+    assert f"#{d['книг']:x}" in uniq and f"#{d['красив']:x}" in uniq
+
+
+def test_freelib_builder_and_transitive_merge(tmp_path):
+    folder = str(tmp_path / "fl")
+    os.makedirs(folder)
+    with open(os.path.join(folder, "a.txt"), "w", encoding="utf-8") as f:
+        f.write("run running\nrunning runs\nwalk walked\n")
+    out = str(tmp_path / "en.voc")
+    vocab = build_voc_from_freelib(folder, out)
+    d = dict(load_voc(out))
+    # porter stems: run/running/runs -> run; walk/walked -> walk; chains merge
+    assert d["run"] == dict(vocab)["run"]
+    assert d["walk"] != d["run"]
