@@ -717,15 +717,61 @@ class IndexReader:
                 return []
 
         ps = list(postings.values())
-        if wand is None and cand is None and not residuals:
-            wand = sum(p.doc_ids.size for p in ps) > AUTO_WAND_MIN_POSTINGS
         if residuals:
             top = self._topk_with_residuals(ps, cand, k, residuals)
         elif wand and cand is None:
             top = self._wand_topk(ps, k)
+        elif (wand is None and cand is None
+              and sum(p.doc_ids.size for p in ps) > AUTO_WAND_MIN_POSTINGS):
+            # auto path for big disjunctions: vectorized MaxScore — exact,
+            # numpy throughput when terms are equally heavy, doc-skipping
+            # when they are not (measured: python-loop WAND loses to
+            # vectorized exhaustive scoring whenever blocks can't be
+            # skipped, so the auto path must never select it)
+            top = self._maxscore_topk(ps, k)
         else:
             top = self._score_topk(ps, cand, k)
         return top[:k]
+
+    def _maxscore_topk(self, postings: list[Posting], k: int) -> list[tuple[int, float]]:
+        """Exact disjunctive top-k via term-at-a-time MaxScore (Turtle &
+        Flood 1995), vectorized: terms merge in descending max-contribution
+        order; once the running kth-best strictly exceeds the summed max of
+        the remaining terms, docs not yet seen cannot reach the top-k, so
+        the remaining (low-impact, often longest) posting lists only update
+        already-seen docs via a searchsorted membership add — no Python
+        per-document loop anywhere."""
+        scored = []
+        for p in sorted(postings, key=lambda p: p.term):
+            s = self.score_posting(p)
+            scored.append((p.doc_ids, s))
+        scored.sort(key=lambda t: -(float(t[1].max()) if t[1].size else 0.0))
+        maxs = [float(s.max()) if s.size else 0.0 for _, s in scored]
+        suffix = np.concatenate([np.cumsum(maxs[::-1])[::-1], [0.0]])
+        docs = np.empty(0, dtype=np.uint64)
+        tot = np.empty(0, dtype=np.float64)
+        i = 0
+        while i < len(scored):
+            if docs.size >= k:
+                kth = np.partition(tot, tot.size - k)[tot.size - k]
+                if kth > suffix[i]:  # strict: exact under score ties
+                    break
+            d, s = scored[i]
+            alld = np.concatenate([docs, d])
+            alls = np.concatenate([tot, s])
+            docs, inv = np.unique(alld, return_inverse=True)
+            tot = np.zeros(docs.size, dtype=np.float64)
+            np.add.at(tot, inv, alls)
+            i += 1
+        for d, s in scored[i:]:
+            if docs.size == 0:
+                break
+            pos = np.searchsorted(docs, d)
+            pos[pos >= docs.size] = 0
+            m = docs[pos] == d
+            np.add.at(tot, pos[m], s[m])
+        order = np.lexsort((docs, -tot))[:k]
+        return [(int(docs[j]), float(tot[j])) for j in order]
 
     def _topk_with_residuals(
         self, postings: list[Posting], cand: np.ndarray | None, k: int,

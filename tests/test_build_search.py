@@ -110,32 +110,48 @@ def test_wand_matches_exhaustive(built):
         assert [(d, round(s, 9)) for d, s in exact] == [(d, round(s, 9)) for d, s in wand], q
 
 
-def test_auto_wand_switch(built, monkeypatch):
-    """wand=None auto-selects: WAND above the summed-df threshold,
-    exhaustive below — both exact, switch verified via _wand_topk spy."""
+def test_auto_maxscore_switch(built, monkeypatch):
+    """wand=None auto-selects: vectorized MaxScore above the summed-df
+    threshold, exhaustive below — both exact, switch verified via spy."""
     import docodo_ray.search as search_mod
 
     r = IndexReader(built.out_dir)
     calls = []
-    orig = r._wand_topk
+    orig = r._maxscore_topk
 
     def spy(ps, k):
         calls.append(len(ps))
         return orig(ps, k)
 
-    r._wand_topk = spy
+    r._maxscore_topk = spy
     q = "public | static | return"
     monkeypatch.setattr(search_mod, "AUTO_WAND_MIN_POSTINGS", 10**12)
     low = r.search(q, k=10, mode="or")
     assert calls == []  # below threshold: exhaustive path
     monkeypatch.setattr(search_mod, "AUTO_WAND_MIN_POSTINGS", 0)
     high = r.search(q, k=10, mode="or")
-    assert calls  # above threshold: WAND picked automatically
+    assert calls  # above threshold: MaxScore picked automatically
     assert [(d, round(s, 9)) for d, s in low] == [(d, round(s, 9)) for d, s in high]
-    # forced flags still respected
+    # forced flags still respected (wand=False -> exhaustive, wand=True -> WAND)
     calls.clear()
     r.search(q, k=10, mode="or", wand=False)
     assert calls == []
+
+
+def test_maxscore_matches_exhaustive(built):
+    """MaxScore is exact for every disjunction shape, including uneven-df
+    term mixes (where the membership-add phase actually skips docs)."""
+    r = IndexReader(built.out_dir)
+    for q in ["public | static | return", "public | zoba", "void | bazo | fose",
+              "public | static | return | void | bazo"]:
+        terms = [t for t in q.split() if t != "|"]
+        ps = [p for t in terms if (p := r.read_posting(t)) is not None]
+        if not ps:
+            continue
+        exact = r._score_topk(ps, None, 10)
+        ms = r._maxscore_topk(ps, 10)
+        assert [(d, round(s, 9)) for d, s in exact] == \
+               [(d, round(s, 9)) for d, s in ms], q
 
 
 def test_phrase_search(built, oracle, small_corpus_docs):
