@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_terms": pipelines.wildcard_terms,      # O6 GetLikeWords
         "suggest_prefix": pipelines.suggest_prefix,      # O4 suggestions
         "levenshtein_close": pipelines.levenshtein_close,  # M13 corrections
+        "snippets": pipelines.snippets,                  # M14/O7 found-page text
+        "incremental_term_df": pipelines.incremental_term_df,  # LSM update path
         # --- training-data ops (text analysis) ---
         "text_quality": textstats.quality_table,
         "doc_fingerprint": textstats.fingerprint_table,

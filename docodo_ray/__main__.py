@@ -1,0 +1,4 @@
+"""``python -m docodo_ray`` — see cli.py for the subcommand surface."""
+from docodo_ray.cli import main
+
+raise SystemExit(main())

@@ -31,6 +31,7 @@ import json
 import math
 import os
 import shutil
+import time
 from dataclasses import asdict, dataclass
 from typing import Any
 
@@ -466,17 +467,23 @@ def build_index(
         _save_manifest(out_dir, manifest)
 
     stages = manifest["stages"]
+    # per-stage / per-shard wall-time metrics live in the same checkpoint
+    # manifest as the lineage (north_rule: "per-partition lineage + metrics"),
+    # so a resumed run's report distinguishes redone work from skipped work
+    metrics = manifest.setdefault("metrics", {})
     source = _read_input(input_paths, ds)
 
     # ---- stage: hot-term salt map (deterministic; reused on resume so salt
     # assignment is identical across re-runs) ----
     if stages.get("hot") != "done":
+        t0 = time.perf_counter()
         n_docs_est = source.count()
         manifest["n_docs_est"] = n_docs_est
         manifest["hot"] = _compute_hot_map(
             source, cfg, n_docs_est, content_col, id_col, key_cols
         )
         stages["hot"] = "done"
+        metrics["hot_sec"] = round(time.perf_counter() - t0, 3)
         _save_manifest(out_dir, manifest)
     hot = dict(manifest["hot"])
 
@@ -511,6 +518,7 @@ def build_index(
             shutil.rmtree(spill_dir, ignore_errors=True)
             shutil.rmtree(meta_dir, ignore_errors=True)
             dsk = source if files is None else rd.read_parquet(files)
+            t0 = time.perf_counter()
             rows = _spill_for(
                 dsk, cfg, hot, spill_dir, mg, content_col, id_col, key_cols,
                 doc_meta_dir=meta_dir, meta_cols=meta_cols,
@@ -521,6 +529,7 @@ def build_index(
                 "spills": [{"path": r["path"], "group": r["group"]} for r in rows],
                 "n_partial_rows": sum(r["n_rows"] for r in rows),
                 "n_postings": sum(r["n_postings"] for r in rows),
+                "sec": round(time.perf_counter() - t0, 3),
             }
             _save_manifest(out_dir, manifest)
         spill_rows = [
@@ -528,7 +537,9 @@ def build_index(
         ]
         shutil.rmtree(os.path.join(out_dir, "segments"), ignore_errors=True)
         shutil.rmtree(os.path.join(out_dir, "term_stats"), ignore_errors=True)
+        t0 = time.perf_counter()
         manifest["segments"] = _merge_spills(out_dir, cfg, mg, spill_rows)
+        metrics["merge_sec"] = round(time.perf_counter() - t0, 3)
         # doc_meta was written by the spill pass; term_stats by the merge pass
         stages["segments"] = "done"
         stages["doc_meta"] = "done"

@@ -1,0 +1,356 @@
+"""Command-line entry points: ``python -m docodo_ray <cmd>``.
+
+The distributed analogue of the reference's console app (Program.cs:150-307:
+I=index, S=search with live suggestions, O=info/histogram, V=vocab
+management). Build/update commands attach to the running Ray cluster (or
+auto-start a local one), so the same module is the ``ray job submit``
+driver script on a real cluster:
+
+    ray job submit --working-dir . -- \
+        python -m docodo_ray build --input /data/corpus --out /shared/index
+
+Search/info/suggest/serve are pure-pyarrow readers — they never touch Ray
+(IndexReader reads the partitioned segment files directly), so a query
+shell can run on any node that sees the index directory.
+
+The interactive search shell mirrors Program.cs's ReadSearchRequest: on a
+TTY it shows up to 12 live suggestions under the prompt after every
+keystroke (cbreak mode + ANSI redraw); piped stdin falls back to one query
+per line so the shell stays scriptable/testable (`echo query | ...`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _ensure_ray() -> None:
+    """Attach to the cluster ray job submit started (RAY_ADDRESS) or start a
+    local one. The driver/tests own their own sessions; this only fires for
+    standalone CLI build/update runs."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False, logging_level="ERROR")
+
+
+def _input_paths(inputs: list[str]) -> list[str]:
+    """Expand each --input operand: a parquet file, or a directory walked
+    recursively for *.parquet (sorted — stable shard assignment)."""
+    out: list[str] = []
+    for p in inputs:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                out.extend(os.path.join(root, f) for f in sorted(files)
+                           if f.endswith(".parquet"))
+        else:
+            out.append(p)
+    if not out:
+        raise SystemExit("no parquet inputs found")
+    return sorted(out)
+
+
+def _build_cfg(args) -> "object":
+    from docodo_ray.config import IndexConfig, load_vocab_tsv
+
+    vocab: tuple = ()
+    if args.vocab:
+        if args.vocab.endswith(".voc"):
+            from docodo_ray.vocio import load_voc
+
+            vocab = load_voc(args.vocab)
+        else:
+            vocab = load_vocab_tsv(args.vocab)
+    return IndexConfig(
+        store_positions=not args.no_positions,
+        use_stopwords=not args.no_stopwords,
+        use_stemmer=args.stemmer != "none",
+        stemmer=args.stemmer if args.stemmer != "none" else "simple",
+        vocab=vocab,
+    )
+
+
+def cmd_build(args) -> int:
+    _ensure_ray()
+    from docodo_ray.build import build_index
+
+    paths = _input_paths(args.input)
+    t0 = time.perf_counter()
+    res = build_index(
+        args.out,
+        input_paths=paths,
+        cfg=_build_cfg(args),
+        content_col=args.content_col,
+        id_col=args.id_col,
+        key_cols=args.key_cols.split(",") if args.key_cols else None,
+        meta_cols=tuple(args.meta_cols.split(",")) if args.meta_cols else (),
+        shards=args.shards,
+    )
+    print(json.dumps({
+        "out_dir": res.out_dir, "n_docs": res.n_docs,
+        "total_tokens": res.total_tokens, "avgdl": round(res.avgdl, 3),
+        "n_segment_files": res.n_segment_files,
+        "sec": round(time.perf_counter() - t0, 3),
+    }))
+    return 0
+
+
+def cmd_update(args) -> int:
+    _ensure_ray()
+    from docodo_ray.build import update_index
+
+    paths = _input_paths(args.input)
+    t0 = time.perf_counter()
+    res = update_index(args.out, input_paths=paths,
+                       content_col=args.content_col, id_col=args.id_col)
+    print(json.dumps({
+        "out_dir": args.out, "added_docs": res.n_docs,
+        "sec": round(time.perf_counter() - t0, 3),
+    }))
+    return 0
+
+
+def _print_hits(reader, query: str, k: int, mode: str, snippets: bool) -> None:
+    """Program.cs result rendering: doc line + optional snippet text."""
+    t0 = time.perf_counter()
+    hits = reader.search(query, k=k, mode=mode)
+    dt = (time.perf_counter() - t0) * 1e3
+    print(f"Found {len(hits)} docs ({dt:.1f} ms):")
+    if not hits:
+        return
+    meta = reader.doc_meta([d for d, _ in hits])
+    by_id = {}
+    for i in range(meta.num_rows):
+        row = {c: meta[c][i].as_py() for c in meta.schema.names}
+        by_id[int(row.pop("doc_id"))] = row
+    for doc_id, score in hits:
+        m = by_id.get(int(doc_id), {})
+        name = m.get("path") or m.get("source") or ""
+        print(f"  doc {doc_id}  score {score:.4f}  {name}")
+        if snippets:
+            text = m.get("text") or m.get("content") or ""
+            if text:
+                from docodo_ray.search import make_snippet
+
+                terms = [w for w in query.lower().split() if w]
+                print("    " + make_snippet(text, terms).replace("\n", " "))
+
+
+def _repl_line_mode(reader, k: int, mode: str, snippets: bool) -> int:
+    """Piped/scripted shell: one query per line; a trailing '?' asks for
+    suggestions of the prefix instead (e.g. 'mer?'). 'e' exits (Program.cs
+    convention)."""
+    for line in sys.stdin:
+        q = line.strip()
+        if not q or q == "e":
+            if q == "e":
+                break
+            continue
+        if q.endswith("?"):
+            for s in reader.suggest(q[:-1], n=12):
+                print(s)
+        else:
+            _print_hits(reader, q, k, mode, snippets)
+    return 0
+
+
+def _repl_tty(reader, k: int, mode: str, snippets: bool) -> int:
+    """Live-suggestion shell (reference ReadSearchRequest,
+    Program.cs:268-307): cbreak mode, up to 12 dim suggestions redrawn
+    under the prompt on every keystroke; Enter runs the query, 'e' exits."""
+    import termios
+    import tty
+
+    N_SUG = 12
+    print("Type text to search, e - exit")
+    fd = sys.stdin.fileno()
+    old = termios.tcgetattr(fd)
+    try:
+        while True:
+            sys.stdout.write("req:")
+            sys.stdout.flush()
+            buf = ""
+            tty.setcbreak(fd)
+            try:
+                while True:
+                    ch = sys.stdin.read(1)
+                    if ch in ("\r", "\n"):
+                        break
+                    if ch in ("\x7f", "\b"):
+                        buf = buf[:-1]
+                    elif ch == "\x03":  # Ctrl-C
+                        buf = "e"
+                        break
+                    elif ch.isprintable():
+                        buf += ch
+                    # redraw: prompt line + dim suggestions below
+                    prefix = buf.split()[-1] if buf.split() else ""
+                    sugg = reader.suggest(prefix, n=N_SUG) if prefix else []
+                    out = ["\r\x1b[Jreq:" + buf]
+                    for s in sugg:
+                        out.append("\n\x1b[2m" + buf + s[len(prefix):] + "\x1b[0m")
+                    if sugg:  # cursor back up to the prompt line
+                        out.append(f"\x1b[{len(sugg)}A")
+                    out.append("\r" + f"\x1b[{4 + len(buf)}C")
+                    sys.stdout.write("".join(out))
+                    sys.stdout.flush()
+            finally:
+                termios.tcsetattr(fd, termios.TCSADRAIN, old)
+            sys.stdout.write("\r\x1b[J")
+            if buf.strip() == "e":
+                return 0
+            if buf.strip():
+                print(f"req:{buf}")
+                _print_hits(reader, buf, k, mode, snippets)
+    finally:
+        termios.tcsetattr(fd, termios.TCSADRAIN, old)
+
+
+def cmd_search(args) -> int:
+    from docodo_ray.search import IndexReader
+
+    reader = IndexReader(args.index_dir)
+    if args.query is not None:
+        _print_hits(reader, args.query, args.k, args.mode, args.snippets)
+        return 0
+    if sys.stdin.isatty():
+        return _repl_tty(reader, args.k, args.mode, args.snippets)
+    return _repl_line_mode(reader, args.k, args.mode, args.snippets)
+
+
+def cmd_info(args) -> int:
+    """ShowInfo parity (Program.cs:308-320): corpus stats + df histogram as
+    a percentage of documents."""
+    from docodo_ray.search import IndexReader
+
+    reader = IndexReader(args.index_dir)
+    st = reader.manifest["stats"]
+    print(f"Index contains: {st['n_docs']} docs, "
+          f"{st['total_tokens']} tokens, avgdl {reader.avgdl:.2f}")
+    hist = reader.histogram(n=args.n)
+    print("Histogram:")
+    for i in range(hist.num_rows):
+        term = hist["term"][i].as_py()
+        df = hist["df"][i].as_py()
+        print(f"{term}: {100.0 * df / max(1, st['n_docs']):.2f}%")
+    return 0
+
+
+def cmd_suggest(args) -> int:
+    from docodo_ray.search import IndexReader
+
+    for s in IndexReader(args.index_dir).suggest(args.prefix, n=args.n):
+        print(s)
+    return 0
+
+
+def cmd_voc(args) -> int:
+    """Vocab management (Program.cs:157-176 'V' menu + CreateVoc)."""
+    from docodo_ray import vocio
+
+    if args.voc_cmd == "opencorpora":
+        vocab, inexact = vocio.build_voc_from_opencorpora(args.src, args.out)
+    elif args.voc_cmd == "freelib":
+        vocab, inexact = vocio.build_voc_from_freelib(args.src, args.out)
+    else:  # info
+        vocab = vocio.load_voc(args.src)
+        exact = vocio.load_voc(args.src, include_inexact=False)
+        print(json.dumps({"words": len(vocab),
+                          "groups": len({g for _w, g in vocab}),
+                          "inexact": len(vocab) - len(exact)}))
+        return 0
+    print(json.dumps({"out": args.out, "words": len(vocab),
+                      "inexact": len(inexact)}))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from docodo_ray.server import serve
+
+    print(f"serving {args.index_dir} on {args.host}:{args.port}")
+    serve(args.index_dir, host=args.host, port=args.port)
+    return 0
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="docodo_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an index (Ray job driver)")
+    b.add_argument("--input", nargs="+", required=True,
+                   help="parquet files or directories")
+    b.add_argument("--out", required=True)
+    b.add_argument("--shards", type=int, default=None,
+                   help="K resumable input shards (default: single-shot)")
+    b.add_argument("--content-col", default="content")
+    b.add_argument("--id-col", default=None)
+    b.add_argument("--key-cols", default=None,
+                   help="comma list forming the stable doc key")
+    b.add_argument("--meta-cols", default=None, help="comma list")
+    b.add_argument("--stemmer", default="none",
+                   choices=["none", "simple", "porter", "russian", "german",
+                            "french", "auto"])
+    b.add_argument("--vocab", default=None, help=".voc or TSV vocab file")
+    b.add_argument("--no-positions", action="store_true")
+    b.add_argument("--no-stopwords", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    u = sub.add_parser("update", help="incrementally add documents (LSM run)")
+    u.add_argument("--input", nargs="+", required=True)
+    u.add_argument("--out", required=True)
+    u.add_argument("--content-col", default=None,
+                   help="default: the column recorded in the index manifest")
+    u.add_argument("--id-col", default=None)
+    u.set_defaults(fn=cmd_update)
+
+    s = sub.add_parser("search", help="query shell (live suggestions on a TTY)")
+    s.add_argument("index_dir")
+    s.add_argument("-q", "--query", default=None, help="one-shot query")
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--mode", default="and", choices=["and", "or"])
+    s.add_argument("--snippets", action="store_true")
+    s.set_defaults(fn=cmd_search)
+
+    i = sub.add_parser("info", help="corpus stats + term histogram")
+    i.add_argument("index_dir")
+    i.add_argument("-n", type=int, default=20)
+    i.set_defaults(fn=cmd_info)
+
+    g = sub.add_parser("suggest", help="prefix suggestions")
+    g.add_argument("index_dir")
+    g.add_argument("prefix")
+    g.add_argument("-n", type=int, default=12)
+    g.set_defaults(fn=cmd_suggest)
+
+    v = sub.add_parser("voc", help="vocabulary management")
+    vs = v.add_subparsers(dest="voc_cmd", required=True)
+    vo = vs.add_parser("opencorpora")
+    vo.add_argument("src")
+    vo.add_argument("out")
+    vf = vs.add_parser("freelib")
+    vf.add_argument("src")
+    vf.add_argument("out")
+    vi = vs.add_parser("info")
+    vi.add_argument("src")
+    for x in (vo, vf, vi):
+        x.set_defaults(fn=cmd_voc)
+
+    w = sub.add_parser("serve", help="REST server over an index")
+    w.add_argument("index_dir")
+    w.add_argument("--host", default="127.0.0.1")
+    w.add_argument("--port", type=int, default=8080)
+    w.set_defaults(fn=cmd_serve)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = make_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -337,4 +337,25 @@ SELECT query_id, vec_id, cos_e6 FROM (
 ) WHERE rn <= {TOPK}
 """
 
+    from docodo_ray.pipelines import SNIPPET_TERM, SNIPPET_WINDOW
+
+    # make_snippet arithmetic (search.py): first hit at 0-based f,
+    # s = max(0, f - window//4), slice [s, s+window), wrap in-window hits.
+    # strpos is 1-based -> s = GREATEST(p - 1 - window//4, 0).
+    sql["snippets"] = f"""
+WITH hits AS (
+  SELECT doc_id, text, strpos(lower(text), '{SNIPPET_TERM}') AS p FROM documents
+  WHERE strpos(lower(text), '{SNIPPET_TERM}') > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  regexp_replace(
+    substr(text, GREATEST(p - 1 - {SNIPPET_WINDOW // 4}, 0) + 1, {SNIPPET_WINDOW}),
+    '(?i)({SNIPPET_TERM})', '<b>\\1</b>', 'g') AS snippet
+FROM hits
+"""
+
+    # the LSM-updated index must reproduce the full-corpus term stats —
+    # same oracle as term_df, different engine path (base + run merge)
+    sql["incremental_term_df"] = sql["term_df"]
+
     return sql

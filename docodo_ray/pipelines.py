@@ -363,3 +363,99 @@ def levenshtein_close(sf_dir: str) -> pa.Table:
     order = pc.sort_indices(t, sort_keys=[("dist", "ascending"), ("term", "ascending")])
     t = t.take(order)
     return pa.table({"term": t["term"], "dist": t["dist"].cast(pa.int64())})
+
+
+SNIPPET_TERM = "hash"
+SNIPPET_WINDOW = 320  # reference MAX_FOUND_PAGE_TEXT, Index.cs:103
+
+
+def snippets(sf_dir: str) -> rd.Dataset:
+    """(doc_id, snippet): the found-page snippet formatter (SURVEY M14/O7,
+    reference Search.cs:619-751) run distributed — window of SNIPPET_WINDOW
+    chars anchored before the first SNIPPET_TERM hit, every in-window hit
+    wrapped in <b>…</b>. Pure streaming map_batches over the documents
+    table; the DuckDB oracle reproduces it with strpos + substr +
+    regexp_replace, so the hash check pins the exact window arithmetic and
+    span-wrapping."""
+    from docodo_ray.search import make_snippet
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def snip(t: pa.Table) -> pa.Table:
+        ids, outs = [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            x = x or ""
+            if SNIPPET_TERM in x.lower():
+                ids.append(int(d))
+                outs.append(make_snippet(x, [SNIPPET_TERM], SNIPPET_WINDOW))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "snippet": pa.array(outs, pa.string())})
+
+    return ds.map_batches(snip, batch_format="pyarrow")
+
+
+# ---- LSM incremental update, oracle-checked --------------------------------
+
+_LSM_READER_CACHE: dict[str, IndexReader] = {}
+
+
+def _lsm_reader(sf_dir: str) -> IndexReader:
+    """Build a base index over the even-doc_id half of the documents table,
+    then ``update_index`` the odd half as an LSM run — the incremental-add
+    path (build.py:244-408) exercised end-to-end. Cached on disk keyed by
+    the source file's (size, mtime); any change rebuilds from scratch."""
+    import pyarrow.compute as pc
+
+    from docodo_ray.build import update_index
+
+    sf_dir = sf_dir.rstrip("/")
+    if sf_dir in _LSM_READER_CACHE:
+        return _LSM_READER_CACHE[sf_dir]
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = f"{st.st_size}:{st.st_mtime_ns}"
+    root = os.path.join("/tmp/docodo_ray_lsm", sf_dir.strip("/").replace("/", "_"))
+    idx = os.path.join(root, "idx")
+    done = os.path.join(root, "_DONE")
+    if not (os.path.exists(done) and open(done).read() == fp):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+
+        def half(par: int):
+            def f(t: pa.Table) -> pa.Table:
+                ids = t["doc_id"].cast(pa.int64())
+                return t.filter(pc.equal(pc.bit_wise_and(ids, 1), par))
+            return f
+
+        even_dir, odd_dir = os.path.join(root, "even"), os.path.join(root, "odd")
+        rd.read_parquet(src).map_batches(half(0), batch_format="pyarrow") \
+            .write_parquet(even_dir)
+        rd.read_parquet(src).map_batches(half(1), batch_format="pyarrow") \
+            .write_parquet(odd_dir)
+
+        def walk(d: str) -> list[str]:
+            return sorted(
+                os.path.join(r, f) for r, _dd, fs in os.walk(d)
+                for f in fs if f.endswith(".parquet")
+            )
+
+        build_index(idx, input_paths=walk(even_dir), cfg=DOCS_CFG,
+                    content_col="text", id_col="doc_id",
+                    meta_cols=("lang", "source", "n_chars"))
+        update_index(idx, input_paths=walk(odd_dir))
+        with open(done, "w") as f:
+            f.write(fp)
+    r = IndexReader(idx)
+    _LSM_READER_CACHE[sf_dir] = r
+    return r
+
+
+def incremental_term_df(sf_dir: str) -> pa.Table:
+    """term_df read back from the LSM-updated index (base=even half,
+    update=odd half): must equal the full-corpus oracle — proving run-merge
+    + cross-generation stat summing give byte-identical global stats."""
+    r = _lsm_reader(sf_dir)
+    t = r.term_dictionary()
+    return pa.table(
+        {"term": t["term"], "df": t["df"].cast(pa.int64()), "cf": t["cf"].cast(pa.int64())}
+    )
