@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": dedup.simhash_table,                  # rows-only
         "simhash_near_pairs": dedup.simhash_near_pairs,  # Hamming join: rows-only
         "ngram_jaccard": dedup.ngram_jaccard_pairs,      # char3 LSH + verify
+        "embedding_near_dup": sim.embedding_near_dup,    # exact cosine pairs
         # --- streaming windows over the events table ---
         "tumbling_window": windows.tumbling_window,      # combiner + small groupby
         "sessionize": windows.sessionize,                # per-key gap sessions

@@ -337,6 +337,23 @@ SELECT query_id, vec_id, cos_e6 FROM (
 ) WHERE rn <= {TOPK}
 """
 
+    from docodo_ray.sim import NEARDUP_COS_E6
+
+    sql["embedding_near_dup"] = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+    list_sum(list_transform(range(len(a.embedding)),
+      i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+    / ( sqrt(list_sum(list_transform(range(len(a.embedding)),
+          i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
+      * sqrt(list_sum(list_transform(range(len(b.embedding)),
+          i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))) ) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_id_a, vec_id_b, CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_e6
+FROM pairs WHERE CAST(FLOOR(cos * 1000000) AS BIGINT) >= {NEARDUP_COS_E6}
+"""
+
     from docodo_ray.pipelines import SNIPPET_TERM, SNIPPET_WINDOW
 
     # make_snippet arithmetic (search.py): first hit at 0-based f,

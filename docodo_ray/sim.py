@@ -363,3 +363,64 @@ def embedding_topk_ivf(
          "vec_id": pa.array(vo, pa.int64()),
          "cos_e6": pa.array(eo, pa.int64())}
     )
+
+
+# ---- embedding-cosine near-duplicate pairs ---------------------------------
+
+NEARDUP_COS_E6 = 350_000  # pairs with floor(cos*1e6) >= this are near-dups
+
+
+class EmbeddingNearDupStage:
+    """Per-batch exact pair finder against the broadcast corpus matrix:
+    dots = batch @ corpus.T, keep (a < b, cos_e6 >= threshold). The corpus
+    matrix is ray.put once and shared read-only by every actor (never
+    re-shipped per batch). Exact by construction — every qualifying pair is
+    emitted by exactly one batch (the one holding its `a` side)."""
+
+    def __init__(self, mat_ref, ids_ref, threshold_e6: int):
+        self.mat = ray.get(mat_ref) if isinstance(mat_ref, ray.ObjectRef) else mat_ref
+        self.ids = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+        self.norms = np.linalg.norm(self.mat, axis=1)
+        self.th = threshold_e6
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bm = _embedding_matrix(batch["embedding"])
+        bn = np.linalg.norm(bm, axis=1)
+        # cos per (batch row a, corpus row b), same double arithmetic as the
+        # SQL oracle: dot / (||a|| * ||b||)
+        cos = (bm @ self.mat.T) / (bn[:, None] * self.norms[None, :])
+        e6 = np.floor(cos * 1e6).astype(np.int64)
+        keep = (e6 >= self.th) & (bids[:, None] < self.ids[None, :])
+        ai, bj = np.nonzero(keep)
+        return pa.table(
+            {"vec_id_a": pa.array(bids[ai], pa.int64()),
+             "vec_id_b": pa.array(self.ids[bj], pa.int64()),
+             "cos_e6": pa.array(e6[ai, bj], pa.int64())}
+        )
+
+
+def embedding_near_dup(sf_dir: str, threshold_e6: int = NEARDUP_COS_E6) -> rd.Dataset:
+    """(vec_id_a, vec_id_b, cos_e6), a < b: EXACT embedding-cosine
+    near-duplicate pairs — the numeric sibling of minhash/simhash dedup.
+
+    Scale note: the broadcast-matrix pair scan is exact and O(N²/P) compute
+    with O(N·d) broadcast memory — the right tool up to a few million
+    vectors. Past that, block by IVF centroid first (the partitioned layout
+    ``embedding_topk_ivf`` already builds: candidates only within the same
+    probed lists — same bucket→verify shape as the MinHash pipeline) and
+    accept the recall of nprobe, or band a hyperplane SimHash of the
+    embedding. This query keeps the exact path so the DuckDB all-pairs
+    oracle can certify it."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _embedding_matrix(t["embedding"])
+    mat_ref, ids_ref = ray.put(mat), ray.put(ids)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        EmbeddingNearDupStage,
+        fn_constructor_kwargs=dict(mat_ref=mat_ref, ids_ref=ids_ref,
+                                   threshold_e6=threshold_e6),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
