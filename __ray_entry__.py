@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": textstats.quality_table,
         "doc_fingerprint": textstats.fingerprint_table,
         "lang_id": textstats.lang_id_table,              # heuristic: rows-only
+        "bpe_token_counts": textstats.bpe_token_counts,  # ws + BPE-ish counts
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,            # LSH 16x4: rows-only
@@ -66,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": sim.embedding_near_dup,    # exact cosine pairs
         # --- streaming windows over the events table ---
         "tumbling_window": windows.tumbling_window,      # combiner + small groupby
+        "hopping_window": windows.hopping_window,        # overlapping windows
         "sessionize": windows.sessionize,                # per-key gap sessions
         # --- similarity search ---
         "embedding_topk": sim.embedding_topk,

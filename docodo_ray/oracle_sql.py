@@ -294,6 +294,37 @@ SELECT (epoch_us(ts) // {w_span}) * {w_span} AS window_us, event_type,
 FROM events GROUP BY 1, 2
 """
 
+    from docodo_ray.windows import HOP_MINUTES, WINDOW_MINUTES
+
+    h_span = WINDOW_MINUTES * 60 * 1_000_000
+    h_hop = HOP_MINUTES * 60 * 1_000_000
+    h_reps = h_span // h_hop
+    sql["hopping_window"] = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) AS us, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+x AS (
+  SELECT ((us // {h_hop}) - i) * {h_hop} AS window_us, event_type, cents
+  FROM ev, (SELECT unnest(range({h_reps})) AS i)
+  WHERE ((us // {h_hop}) - i) * {h_hop} > us - {h_span}
+)
+SELECT window_us, event_type, count(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM x GROUP BY 1, 2
+"""
+
+    from docodo_ray.textstats import BPE_PATTERN
+
+    bpe_sql = BPE_PATTERN.replace("'", "''")
+    sql["bpe_token_counts"] = f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '\\S+')) AS n_ws,
+  len(regexp_extract_all(text, '{bpe_sql}')) AS n_bpe
+FROM documents
+"""
+
     s_gap = SESSION_GAP_MINUTES * 60 * 1_000_000
     sql["sessionize"] = f"""
 WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),

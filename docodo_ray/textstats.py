@@ -183,3 +183,42 @@ def fingerprint_table(sf_dir: str) -> rd.Dataset:
 def lang_id_table(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# BPE-ish pre-tokenizer pattern: the GPT-2 split regex minus its trailing
+# `\s+(?!\S)` branch — RE2 (the DuckDB oracle engine) has no lookahead, so
+# both engines run this IDENTICAL lookahead-free pattern. Counts
+# approximate subword-tokenizer input units well enough for corpus sizing.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+_BPE_RE = regex.compile(BPE_PATTERN)
+_WS_RE = regex.compile(r"\S+")
+
+
+class TokenCountStage:
+    """(doc_id, n_ws, n_bpe): whitespace token count + BPE-ish
+    pre-tokenizer match count per document — the corpus token-budget
+    estimator of a training-data pipeline. Patterns compiled once per
+    actor; counting is one findall per doc (regex engine does the work,
+    no per-char Python)."""
+
+    def __init__(self, content_col: str = "text", id_col: str = "doc_id"):
+        self.content_col = content_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_ws, n_bpe = [], []
+        for text in batch[self.content_col].to_pylist():
+            text = text or ""
+            n_ws.append(len(_WS_RE.findall(text)))
+            n_bpe.append(len(_BPE_RE.findall(text)))
+        return pa.table(
+            {"doc_id": pa.array(ids),
+             "n_ws": pa.array(n_ws, pa.int64()),
+             "n_bpe": pa.array(n_bpe, pa.int64())}
+        )
+
+
+def bpe_token_counts(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(TokenCountStage, batch_format="pyarrow", concurrency=(1, 4))

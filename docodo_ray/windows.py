@@ -95,3 +95,50 @@ def sessionize(sf_dir: str, gap_minutes: int = SESSION_GAP_MINUTES) -> rd.Datase
     sessions.__name__ = "sessions"
     ds = _events(sf_dir, columns=["user_id", "ts"])
     return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+HOP_MINUTES = 15
+
+
+def hopping_window(sf_dir: str, minutes: int = WINDOW_MINUTES,
+                   hop_minutes: int = HOP_MINUTES) -> rd.Dataset:
+    """(window_us, event_type, n, sum_cents) for HOPPING windows of length
+    ``minutes`` advancing every ``hop_minutes`` — each event lands in
+    span/hop overlapping windows. Same combiner shape as tumbling: the
+    replication happens INSIDE the per-batch partial aggregation, so the
+    all-to-all still moves (windows x types) rows, never events x reps."""
+    span = np.int64(minutes * 60 * 1_000_000)
+    hop = np.int64(hop_minutes * 60 * 1_000_000)
+    reps = int(span // hop)
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        k = us // hop
+        i = np.arange(reps, dtype=np.int64)
+        win = (k[:, None] - i[None, :]) * hop            # (n, reps)
+        keep = win > (us[:, None] - span)                # window covers event
+        rows, cols = np.nonzero(keep)
+        et = t["event_type"].combine_chunks().take(pa.array(rows, pa.int64()))
+        g = pa.table(
+            {"window_us": pa.array(win[rows, cols], pa.int64()),
+             "event_type": et,
+             "n": pa.array(np.ones(rows.size, dtype=np.int64)),
+             "sum_cents": pa.array(cents[rows], pa.int64())}
+        ).group_by(["window_us", "event_type"]).aggregate(
+            [("n", "sum"), ("sum_cents", "sum")]
+        )
+        return pa.table(
+            {"window_us": g["window_us"], "event_type": g["event_type"],
+             "n": g["n_sum"], "sum_cents": g["sum_cents_sum"]}
+        )
+
+    partial.__name__ = "hopping_partial"
+    ds = _events(sf_dir, columns=["ts", "event_type", "value"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_us", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    )

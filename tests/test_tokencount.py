@@ -1,0 +1,23 @@
+"""TokenCountStage: BPE-ish pre-tokenizer vs whitespace counts — pinned on
+text where they differ (the synthetic corpus is space-separated words, so
+the oracle equality alone can't distinguish the two patterns)."""
+
+import pyarrow as pa
+
+from docodo_ray.textstats import TokenCountStage
+
+
+def test_bpe_vs_ws_counts():
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "don't stop-me now123",
+            # contractions split: we + 're + " can" + 't  (4 bpe, 2 ws)
+            "we're can't",
+            "",
+        ]),
+    })
+    out = TokenCountStage()(t)
+    assert out["n_ws"].to_pylist() == [3, 2, 0]
+    # don | 't | " stop" | "-" | "me" | " now" | "123"  -> 7
+    assert out["n_bpe"].to_pylist() == [7, 4, 0]
