@@ -52,6 +52,24 @@ def _pool() -> tuple[int, int]:
     return (1, max(1, (cpus - 1) // 2))
 
 
+# The dedup stages' per-worker state (seed table, stopwords, hash memo) is
+# cheap to build, so they run as TASK-pool map_batches with a process-level
+# instance memo instead of actor pools: Ray reuses worker processes, so the
+# state is still built once per worker, but there is no actor spin-up on
+# the critical path (measured ~2.5 s of the stage wall at sandbox scale)
+# and no double-pool deadlock risk at all.
+_STAGE_MEMO: dict = {}
+
+
+def _memo_stage(cls, **kw):
+    key = (cls.__name__, tuple(sorted((k, v.hex() if hasattr(v, "hex") else v)
+                                      for k, v in kw.items())))
+    st = _STAGE_MEMO.get(key)
+    if st is None:
+        st = _STAGE_MEMO[key] = cls(**kw)
+    return st
+
+
 def _hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
 
@@ -241,21 +259,58 @@ def _raw_pairs(
     blowup (truncation loses only pairs *within* the overflow, and every
     doc keeps its other bands)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    rows = ds.map_batches(
-        MinHashStage, batch_format="pyarrow", concurrency=_pool(),
-        fn_constructor_kwargs=dict(kind=kind, bands=bands, rows_per_band=rows_per_band),
-    )
+    def minhash_fn(batch: pa.Table) -> pa.Table:
+        return _memo_stage(MinHashStage, kind=kind, bands=bands,
+                           rows_per_band=rows_per_band)(batch)
 
-    def pairs_of(group: pa.Table) -> pa.Table:
-        docs = sorted(set(group["doc_id"].to_pylist()))[:max_bucket]
-        a, b = [], []
-        for x, y in combinations(docs, 2):
-            a.append(x)
-            b.append(y)
-        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    minhash_fn.__name__ = "minhash_bands"
+    rows = ds.map_batches(minhash_fn, batch_format="pyarrow")
 
-    pairs_of.__name__ = "pairs_of"
-    return rows.groupby(["band", "band_hash"]).map_groups(pairs_of, batch_format="pyarrow")
+    # One (band, band_hash) bucket per group would mean one Python UDF call
+    # per bucket — at corpus scale that's ~docs x bands near-singleton groups
+    # and the per-group call overhead dominates the stage. Instead group by
+    # a COARSE hash partition of the bucket key (fixed fan-out, skew-free:
+    # band_hash is itself a hash) and find the real buckets inside each
+    # partition vectorized (lexsort + boundary diff); the Python loop runs
+    # only over buckets that actually hold >= 2 docs, i.e. candidate dups.
+    _COARSE = 4096
+
+    def add_ck(t: pa.Table) -> pa.Table:
+        h = t["band_hash"].to_numpy(zero_copy_only=False)
+        return t.append_column("ck", pa.array(h % _COARSE, pa.int64()))
+
+    add_ck.__name__ = "add_ck"
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        band = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = group["band_hash"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h, band))
+        band, h, d = band[order], h[order], d[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], (np.diff(band) != 0) | (np.diff(h) != 0)))
+        )
+        ends = np.concatenate((starts[1:], [d.size]))
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            docs = np.unique(d[s:e])[:max_bucket]
+            if docs.size < 2:
+                continue
+            ii, jj = np.triu_indices(docs.size, 1)
+            a_out.append(docs[ii])
+            b_out.append(docs[jj])
+        if not a_out:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
+                         "b": pa.array(np.concatenate(b_out), pa.int64())})
+
+    bucket_pairs.__name__ = "bucket_pairs"
+    return rows.map_batches(add_ck, batch_format="pyarrow") \
+        .groupby("ck").map_groups(bucket_pairs, batch_format="pyarrow")
 
 
 def candidate_pairs(
@@ -276,7 +331,7 @@ def candidate_pairs(
 def verified_pairs(
     sf_dir: str, threshold: float, kind: str = "token",
     bands: int = MINHASH_BANDS, rows_per_band: int = MINHASH_K // MINHASH_BANDS,
-    max_bucket: int = 64,
+    max_bucket: int = 64, max_pair_rows: int = 20_000_000,
 ) -> rd.Dataset:
     """(a, b, jaccard_e6): LSH candidate pairs verified by exact shingle-set
     Jaccard >= threshold — FULLY DISTRIBUTED (the round-1 driver-side verify
@@ -301,6 +356,24 @@ def verified_pairs(
     import ray
 
     pairs = _raw_pairs(sf_dir, kind, bands, rows_per_band, max_bucket).materialize()
+    n_pair_rows = pairs.count()
+    if max_pair_rows is not None and n_pair_rows > max_pair_rows:
+        # Candidate flood: on a corpus whose pairwise-similarity
+        # distribution is DENSE at this shingle granularity (e.g. char-3
+        # grams over same-domain text, measured mean J≈0.44 on the sandbox
+        # corpus), a recall-1 LSH banding admits nearly every pair and the
+        # verify exchange becomes O(pairs x blob) — a disk/network blowup
+        # no banding can fix while keeping recall 1 at the threshold. Fail
+        # loudly with the remedies instead of silently eating the cluster.
+        raise ValueError(
+            f"LSH candidate flood: {n_pair_rows:,} raw pair rows exceed "
+            f"max_pair_rows={max_pair_rows:,}. The corpus is too dense in "
+            f"{kind!r}-shingle space for banding {bands}x{rows_per_band} at "
+            f"threshold {threshold}. Remedies: raise the threshold, use "
+            "coarser shingles (kind='token'), raise rows_per_band (lower "
+            "candidate recall), or raise max_pair_rows if the cluster can "
+            "afford the verify exchange."
+        )
 
     def ids_of(t: pa.Table) -> pa.Table:
         both = pa.concat_arrays(
@@ -339,12 +412,13 @@ def verified_pairs(
         )
 
     assign = pairs.map_batches(to_assign, batch_format="pyarrow")
+    def shingle_fn(batch: pa.Table) -> pa.Table:
+        return _memo_stage(ShingleStage, kind=kind, member_ref=member_ref)(batch)
+
+    shingle_fn.__name__ = "shingle_blobs"
     sh_rows = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(
-        ShingleStage, batch_format="pyarrow", concurrency=_pool(),
-        fn_constructor_kwargs=dict(kind=kind, member_ref=member_ref),
-    )
+    ).map_batches(shingle_fn, batch_format="pyarrow")
 
     def attach(group: pa.Table) -> pa.Table:
         is_sh = pc.equal(group["pair"], "")

@@ -162,3 +162,14 @@ def test_verified_pairs_no_candidates_short_circuits(tmp_path):
                          kind="token", bands=VERIFY_BANDS,
                          rows_per_band=VERIFY_ROWS).take_all()
     assert got == []
+
+
+def test_candidate_flood_guard(seeded_dir):
+    """A dense-similarity corpus must fail fast with the remedy message,
+    not flood the verify exchange (the raw pair-row budget guard)."""
+    with pytest.raises(ValueError, match="candidate flood"):
+        verified_pairs(
+            seeded_dir, MINHASH_VERIFY_THRESHOLD,
+            bands=VERIFY_BANDS, rows_per_band=VERIFY_ROWS,
+            max_pair_rows=3,
+        ).count()
