@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textstats.fingerprint_table,
         "lang_id": textstats.lang_id_table,              # heuristic: rows-only
         "bpe_token_counts": textstats.bpe_token_counts,  # ws + BPE-ish counts
+        "winnow_fingerprints": textstats.winnow_fingerprints,  # MOSS winnowing
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,            # LSH 16x4: rows-only

@@ -315,6 +315,43 @@ SELECT window_us, event_type, count(*) AS n,
 FROM x GROUP BY 1, 2
 """
 
+    from docodo_ray.textstats import WINNOW_K, WINNOW_W
+
+    # winnowing (MOSS): rightmost-min gram hash per sliding window of W,
+    # incl. ramp-up prefixes — mirrors WinnowStage exactly (fp compare is
+    # lexicographic on a fixed-width lowercase hex prefix)
+    sql["winnow_fingerprints"] = pro + f""",
+ord_t AS (
+  SELECT doc_id, term,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS i
+  FROM filt
+),
+g0 AS (
+  SELECT doc_id, i,
+         list(term) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND {WINNOW_K - 1} FOLLOWING) AS l
+  FROM ord_t
+),
+grams AS (
+  SELECT doc_id, i, substr(md5(array_to_string(l, ' ')), 1, 16) AS h
+  FROM g0 WHERE len(l) = {WINNOW_K}
+),
+wmin AS (
+  SELECT doc_id, i AS e,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS mh
+  FROM grams
+),
+sel AS (
+  SELECT w.doc_id, w.e, w.mh, max(g.i) AS p
+  FROM wmin w JOIN grams g
+    ON g.doc_id = w.doc_id AND g.i BETWEEN w.e - {WINNOW_W - 1} AND w.e
+   AND g.h = w.mh
+  GROUP BY w.doc_id, w.e, w.mh
+)
+SELECT DISTINCT doc_id, p AS pos, mh AS fp FROM sel
+"""
+
     from docodo_ray.textstats import BPE_PATTERN
 
     bpe_sql = BPE_PATTERN.replace("'", "''")

@@ -222,3 +222,64 @@ class TokenCountStage:
 def bpe_token_counts(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(TokenCountStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
+# local document-fingerprinting algorithm): hash every K-token gram, then in
+# each sliding window of W gram hashes select the minimum (rightmost on
+# ties). Guarantees any shared run of >= W+K-1 tokens yields a shared
+# fingerprint — the standard copy-detection sketch for source code.
+WINNOW_K = 5   # tokens per gram
+WINNOW_W = 4   # gram hashes per winnowing window
+
+
+class WinnowStage:
+    """(doc_id, pos, fp): selected winnowing fingerprints. fp is the first
+    16 hex chars of md5(space-joined gram) — lexicographic string order ==
+    uint64 order, so the engine's vectorized min agrees byte-for-byte with
+    the SQL oracle's MIN(varchar). Ramp-up windows (the first W-1 prefixes)
+    are selected too, matching the SQL frame `W-1 PRECEDING AND CURRENT
+    ROW` for every gram index."""
+
+    def __init__(self, content_col: str = "text", id_col: str = "doc_id"):
+        self.spec = TokenizerSpec(3, 32, load_stopwords())
+        self.content_col = content_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib as _hl
+
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        o_id, o_pos, o_fp = [], [], []
+        k, w = WINNOW_K, WINNOW_W
+        for d, text in zip(ids, batch[self.content_col].to_pylist()):
+            kept, _ = tokenize(text or "", self.spec)
+            m = len(kept) - k + 1
+            if m <= 0:
+                continue
+            hh = [_hl.md5(" ".join(kept[i:i + k]).encode()).hexdigest()[:16]
+                  for i in range(m)]
+            v = np.array([int(x, 16) for x in hh], dtype=np.uint64)
+            sel: list[int] = []
+            for e in range(min(w - 1, m)):          # ramp-up prefixes
+                win = v[: e + 1]
+                sel.append(int(np.flatnonzero(win == win.min())[-1]))
+            if m >= w:
+                sw = np.lib.stride_tricks.sliding_window_view(v, w)
+                # argmin over the reversed window = rightmost min in order
+                am = w - 1 - np.argmin(sw[:, ::-1], axis=1)
+                sel.extend((am + np.arange(m - w + 1)).tolist())
+            for p in np.unique(np.asarray(sel, dtype=np.int64)):
+                o_id.append(int(d))
+                o_pos.append(int(p))
+                o_fp.append(hh[p])
+        return pa.table(
+            {"doc_id": pa.array(o_id, pa.int64()),
+             "pos": pa.array(o_pos, pa.int64()),
+             "fp": pa.array(o_fp, pa.string())}
+        )
+
+
+def winnow_fingerprints(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(WinnowStage, batch_format="pyarrow", concurrency=(1, 4))

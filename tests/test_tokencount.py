@@ -21,3 +21,33 @@ def test_bpe_vs_ws_counts():
     assert out["n_ws"].to_pylist() == [3, 2, 0]
     # don | 't | " stop" | "-" | "me" | " now" | "123"  -> 7
     assert out["n_bpe"].to_pylist() == [7, 4, 0]
+
+
+def test_winnow_shared_run_guarantee():
+    """MOSS property: two docs sharing a run of >= W+K-1 tokens must share
+    at least one selected fingerprint."""
+    from docodo_ray.textstats import WINNOW_K, WINNOW_W, WinnowStage
+
+    shared = " ".join(f"common{i:02d}" for i in range(WINNOW_W + WINNOW_K - 1))
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([
+            "alpha bravo charlie " + shared + " delta echo foxtrot",
+            "golf hotel india juliet " + shared + " kilo lima",
+        ]),
+    })
+    out = WinnowStage()(t)
+    fps = {}
+    for i in range(out.num_rows):
+        fps.setdefault(out["doc_id"][i].as_py(), set()).add(out["fp"][i].as_py())
+    assert fps[1] & fps[2], "no shared fingerprint for a shared run"
+
+
+def test_winnow_short_doc():
+    from docodo_ray.textstats import WinnowStage
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["one two", "alpha bravo charlie delta echo foxtrot"])})
+    out = WinnowStage()(t)
+    # doc 1 has < K tokens -> no grams -> no fingerprints; doc 2 has 2 grams
+    assert set(out["doc_id"].to_pylist()) == {2}
