@@ -62,8 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,            # LSH 16x4: rows-only
         "minhash_verified_pairs": dedup.minhash_verified_pairs,  # LSH 32x2 + distributed verify
-        "simhash": dedup.simhash_table,                  # rows-only
-        "simhash_near_pairs": dedup.simhash_near_pairs,  # Hamming join: rows-only
+        "simhash": dedup.simhash_table,                  # md5-bit votes, SQL-checked
+        "simhash_near_pairs": dedup.simhash_near_pairs,  # Hamming join, SQL-checked
         "ngram_jaccard": dedup.ngram_jaccard_pairs,      # char3 LSH + verify
         "embedding_near_dup": sim.embedding_near_dup,    # exact cosine pairs
         # --- streaming windows over the events table ---
@@ -79,8 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; non-SQL-expressible ops (minhash LSH,
-    simhash, lang-id heuristic, approximate IVF) are intentionally omitted ->
+    """DuckDB-equivalent SQL per query; the four non-SQL-expressible ops
+    (minhash_dedup's probabilistic 16x4 recall, the lang-id heuristic, the
+    approximate IVF path, stubbed media codecs) are intentionally omitted ->
     the driver records the weaker rows-only check for those."""
     from docodo_ray.oracle_sql import oracle_sql as _sql
 

@@ -485,6 +485,25 @@ def minhash_verified_pairs(sf_dir: str) -> rd.Dataset:
 
 # ---- SimHash ---------------------------------------------------------------
 
+def _md5_hashes(elems: list[str], cache: dict) -> np.ndarray:
+    """First-16-hex-chars of md5 per element as uint64, memoized. Chosen
+    over blake2b for the SimHash path ONLY because DuckDB can reproduce it
+    (md5 + nibble arithmetic), making the fingerprint column SQL-checkable;
+    the shingle paths keep blake2b (their oracle verifies set Jaccard, not
+    hash values)."""
+    import hashlib as _hl
+
+    out = np.empty(len(elems), dtype=np.uint64)
+    get = cache.get
+    for i, t in enumerate(elems):
+        h = get(t)
+        if h is None:
+            h = np.uint64(int(_hl.md5(t.encode("utf-8")).hexdigest()[:16], 16))
+            cache[t] = h
+        out[i] = h
+    return out
+
+
 class SimHashStage:
     def __init__(self, content_col: str = "text", id_col: str = "doc_id"):
         self.spec = TokenizerSpec(3, 32, load_stopwords())
@@ -502,7 +521,7 @@ class SimHashStage:
                 out.append(0)
                 continue
             uniq, counts = np.unique(toks, return_counts=True)
-            hs = _elem_hashes(list(uniq), self._hcache)
+            hs = _md5_hashes(list(uniq), self._hcache)
             bits = ((hs[:, None] >> self._bits[None, :]) & np.uint64(1)).astype(np.int64)
             v = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
             sh = int(((v > 0).astype(np.uint64) << self._bits).sum() & np.uint64(0x7FFFFFFFFFFFFFFF))

@@ -405,6 +405,46 @@ SELECT query_id, vec_id, cos_e6 FROM (
 ) WHERE rn <= {TOPK}
 """
 
+    from docodo_ray.dedup import SIMHASH_MAX_HAMMING
+
+    # SimHash: bit i of md5-prefix-64(term) drives a +tf/-tf vote; the
+    # fingerprint keeps bits 0..62 (the engine masks bit 63 to stay in
+    # int64). Bit extraction is pure nibble arithmetic — no 64-bit shifts,
+    # so DuckDB reproduces the engine's uint64 semantics exactly.
+    simhash_core = """
+tf AS (SELECT doc_id, term, count(*) AS tf FROM filt GROUP BY doc_id, term),
+th AS (
+  SELECT term, list_transform(range(63), i ->
+    ((strpos('0123456789abcdef', substr(md5(term), 16 - (i // 4), 1)) - 1)
+     >> (i % 4)) & 1) AS bits
+  FROM (SELECT DISTINCT term FROM tf)
+),
+v AS (
+  SELECT t.doc_id, i.i AS bit, SUM(t.tf * (2 * h.bits[i.i + 1] - 1)) AS v
+  FROM tf t JOIN th h USING (term), (SELECT unnest(range(63)) AS i) i
+  GROUP BY t.doc_id, i.i
+),
+sh AS (
+  SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN (
+    SELECT doc_id,
+      CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+           AS BIGINT) AS simhash
+    FROM v GROUP BY doc_id
+  ) s USING (doc_id)
+)"""
+
+    sql["simhash"] = pro + "," + simhash_core + """
+SELECT doc_id, simhash FROM sh
+"""
+
+    sql["simhash_near_pairs"] = pro + "," + simhash_core + f"""
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
     from docodo_ray.sim import NEARDUP_COS_E6
 
     sql["embedding_near_dup"] = f"""
