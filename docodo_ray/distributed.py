@@ -118,3 +118,57 @@ def search_topk_distributed(
         )
     top = agg.sort(["score", "doc_id"], descending=[True, False]).limit(k).take_all()
     return [(int(r["doc_id"]), float(r["score"])) for r in top]
+
+
+class BatchQueryScorer:
+    """Actor-pool stage for OFFLINE/batch query evaluation: each actor
+    opens the IndexReader once (manifest, footer caches, posting cache all
+    amortize across every query the actor answers) and scores its batch of
+    (query_id, query) rows with the same integer-micro-unit comparator as
+    the driver bm25_topk pipeline (search.score_query_e6) — so the batch
+    path is oracle-checkable against the identical SQL. The queries TABLE
+    streams through the pool; the index itself never moves."""
+
+    def __init__(self, index_dir: str, k: int = 10,
+                 query_col: str = "query", id_col: str = "query_id"):
+        self.reader = IndexReader(index_dir)
+        self.k = k
+        self.query_col = query_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from docodo_ray.search import score_query_e6
+
+        qids_out, docs_out, e6_out = [], [], []
+        ids = batch[self.id_col].to_pylist()
+        for qid, qtext in zip(ids, batch[self.query_col].to_pylist()):
+            docs, e6 = score_query_e6(self.reader, qtext or "", self.k)
+            qids_out.extend([qid] * docs.size)
+            docs_out.extend(docs.tolist())
+            e6_out.extend(e6.tolist())
+        return pa.table(
+            {"query_id": pa.array(qids_out, pa.int64()),
+             "doc_id": pa.array(docs_out, pa.int64()),
+             "score_e6": pa.array(e6_out, pa.int64())}
+        )
+
+
+def batch_search_topk(
+    index_dir: str, queries, k: int = 10, concurrency=(1, 4),
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """Score a whole query table against the index: ``queries`` is a
+    Dataset with (query_id, query) columns or a list of (id, text) pairs.
+    Returns the lazy (query_id, doc_id, score_e6) Dataset — consume with
+    write_parquet/iter_batches; nothing materializes on the driver."""
+    if not isinstance(queries, rd.Dataset):
+        queries = rd.from_items(
+            [{"query_id": int(i), "query": q} for i, q in queries]
+        )
+    return queries.map_batches(
+        BatchQueryScorer,
+        fn_constructor_kwargs=dict(index_dir=index_dir, k=k),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -483,4 +483,8 @@ FROM hits
     # same oracle as term_df, different engine path (base + run merge)
     sql["incremental_term_df"] = sql["term_df"]
 
+    # the distributed batch-query executor answers the same query set with
+    # the same integer comparator — same oracle
+    sql["bm25_batch_distributed"] = sql["bm25_topk"]
+
     return sql

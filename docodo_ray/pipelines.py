@@ -258,35 +258,32 @@ def bm25_topk(sf_dir: str) -> pa.Table:
     """(query_id, doc_id, score_e6): disjunctive BM25 over the query set,
     ranked by (floor(score*1e6) desc, doc_id) — integer ranking keys so the
     DuckDB oracle agrees bit-for-bit."""
+    from docodo_ray.search import score_query_e6
+
     r = get_index(sf_dir)
     qids, docs_out, scores_out = [], [], []
     for qid, qtext in BM25_QUERY_SET:
-        terms, _ = tokenize(qtext, r.spec)
-        terms = sorted(set(terms))
-        docs_all, scores_all = [], []
-        for t in terms:
-            p = r.read_posting(t)
-            if p is None:
-                continue
-            docs_all.append(p.doc_ids)
-            scores_all.append(r.score_posting(p))
-        if not docs_all:
-            continue
-        docs = np.concatenate(docs_all)
-        scores = np.concatenate(scores_all)
-        uniq, inv = np.unique(docs, return_inverse=True)
-        tot = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(tot, inv, scores)
-        e6 = np.floor(tot * 1e6).astype(np.int64)
-        order = np.lexsort((uniq, -e6))[:BM25_K]
-        qids.extend([qid] * order.size)
-        docs_out.extend(int(uniq[i]) for i in order)
-        scores_out.extend(int(e6[i]) for i in order)
+        docs, e6 = score_query_e6(r, qtext, BM25_K)
+        qids.extend([qid] * docs.size)
+        docs_out.extend(docs.tolist())
+        scores_out.extend(e6.tolist())
     return pa.table(
         {"query_id": pa.array(qids, pa.int64()),
          "doc_id": pa.array(docs_out, pa.int64()),
          "score_e6": pa.array(scores_out, pa.int64())}
     )
+
+
+def bm25_batch_distributed(sf_dir: str) -> rd.Dataset:
+    """The SAME query set answered by the distributed batch-query executor
+    (actor pool of IndexReaders streaming a queries table,
+    distributed.batch_search_topk) — oracle-identical to bm25_topk, so the
+    offline-evaluation path is certified against the same SQL."""
+    from docodo_ray.distributed import batch_search_topk
+
+    # ensure the index exists/cached before the pool's actors open it
+    index_dir = get_index(sf_dir).dir
+    return batch_search_topk(index_dir, list(BM25_QUERY_SET), k=BM25_K)
 
 
 def phrase_count(sf_dir: str) -> pa.Table:

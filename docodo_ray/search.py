@@ -1136,3 +1136,35 @@ def make_snippet(text: str, terms: list[str], window: int = MAX_FOUND_PAGE_TEXT)
         cur = b
     out.append(text[cur:e])
     return "".join(out)
+
+
+def score_query_e6(reader: "IndexReader", qtext: str, k: int) -> tuple:
+    """Disjunctive BM25 with integer micro-unit ranking: -> (doc_ids,
+    score_e6) arrays of the top-k ranked by (floor(score*1e6) desc, doc_id
+    asc). The integer comparator is what lets a DuckDB oracle agree
+    bit-for-bit; shared by the driver bm25_topk pipeline and the
+    distributed batch-query executor."""
+    terms = sorted(set(tokenize_query_terms(qtext, reader.spec)))
+    docs_all, scores_all = [], []
+    for t in terms:
+        p = reader.read_posting(t)
+        if p is None:
+            continue
+        docs_all.append(p.doc_ids)
+        scores_all.append(reader.score_posting(p))
+    if not docs_all:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    docs = np.concatenate(docs_all)
+    scores = np.concatenate(scores_all)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    tot = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(tot, inv, scores)
+    e6 = np.floor(tot * 1e6).astype(np.int64)
+    order = np.lexsort((uniq, -e6))[:k]
+    return (uniq[order].astype(np.int64), e6[order])
+
+
+def tokenize_query_terms(qtext: str, spec) -> list[str]:
+    from docodo_ray.tokenizer import tokenize as _tok
+
+    return _tok(qtext, spec)[0]
