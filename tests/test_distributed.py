@@ -30,3 +30,23 @@ def test_distributed_matches_driver(idx, query, mode):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (_, gs), (_, ws) in zip(got, want):
         assert abs(gs - ws) < 1e-9
+
+
+def test_batch_executor_matches_driver_e6(idx):
+    """batch_search_topk (actor pool of readers over a queries table) must
+    reproduce the driver's integer-comparator top-k for every query."""
+    import numpy as np
+
+    from docodo_ray.distributed import batch_search_topk
+    from docodo_ray.search import score_query_e6
+
+    queries = [(1, "public static"), (2, "void return"), (3, "zzznothing")]
+    rows = batch_search_topk(idx, queries, k=7).take_all()
+    got = {}
+    for r_ in rows:
+        got.setdefault(r_["query_id"], []).append((r_["doc_id"], r_["score_e6"]))
+    reader = IndexReader(idx)
+    for qid, qtext in queries:
+        docs, e6 = score_query_e6(reader, qtext, 7)
+        want = list(zip(docs.tolist(), e6.tolist()))
+        assert got.get(qid, []) == want, qid
