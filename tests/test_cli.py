@@ -107,3 +107,55 @@ def test_readonly_search_subprocess_no_ray(cli_index, top_term):
     )
     assert proc.returncode == 0, proc.stderr
     assert proc.stdout.startswith("Found ")
+
+
+def test_tty_repl_live_suggestions(cli_index, top_term):
+    """Drive the cbreak live-suggestion shell through a real pty: typing a
+    prefix must render dim suggestions below the prompt; Enter runs the
+    query; 'e' exits cleanly (Program.cs ReadSearchRequest behavior)."""
+    import os
+    import pty
+    import select
+    import subprocess
+    import time
+
+    master, slave = pty.openpty()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "docodo_ray", "search", cli_index, "-k", "3"],
+        stdin=slave, stdout=slave, stderr=subprocess.DEVNULL,
+        env={**dict(PATH="/usr/bin:/bin", PYTHONPATH="/root/repo",
+                    HOME="/root"), "TERM": "xterm"},
+    )
+    os.close(slave)
+    buf = b""
+
+    def read_until(needle: bytes, timeout: float = 60.0) -> bytes:
+        nonlocal buf
+        end = time.monotonic() + timeout
+        while needle not in buf:
+            left = end - time.monotonic()
+            assert left > 0, f"timeout waiting for {needle!r}; got {buf!r}"
+            r, _w, _x = select.select([master], [], [], left)
+            if r:
+                try:
+                    buf += os.read(master, 4096)
+                except OSError:
+                    break
+        return buf
+
+    try:
+        read_until(b"req:")
+        for ch in top_term[:3]:
+            os.write(master, ch.encode())
+        # dim-rendered suggestion line containing the full top term
+        read_until(b"\x1b[2m")
+        read_until(top_term.encode())
+        os.write(master, b"\r")
+        read_until(b"Found ")
+        os.write(master, b"e\r")
+        proc.wait(timeout=60)
+        assert proc.returncode == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        os.close(master)
