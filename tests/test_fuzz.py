@@ -1,0 +1,59 @@
+"""Hypothesis fuzz: the query surface must be TOTAL — arbitrary input
+never raises, it just returns empty/parsed results (reference behavior:
+Search() on garbage returns an empty result, Search.cs). Snippets must be
+well-formed: stripping the <b> spans reconstructs a contiguous slice of
+the source text."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docodo_ray import IndexConfig, IndexReader, build_index
+from docodo_ray.config import load_stopwords
+from docodo_ray.queryparse import parse_query
+from docodo_ray.search import make_snippet
+from docodo_ray.tokenizer import TokenizerSpec
+
+SPEC = TokenizerSpec(3, 32, load_stopwords())
+
+# printable-ish text plus the query language's own operator characters
+QUERY_ALPHABET = st.sampled_from(
+    list("abcdefgh XYZ0189 \t(){}|+*\"'=~-:?_&.,\\/[]!привет中")
+)
+QUERIES = st.text(alphabet=QUERY_ALPHABET, max_size=60)
+
+
+@given(QUERIES)
+@settings(max_examples=200, deadline=None)
+def test_parse_query_total(q):
+    parse_query(q, SPEC)  # must never raise
+
+
+@pytest.fixture(scope="module")
+def fuzz_index(tmp_path_factory, small_corpus_files):
+    out = str(tmp_path_factory.mktemp("fuzz") / "idx")
+    build_index(out, input_paths=small_corpus_files,
+                cfg=IndexConfig(n_buckets=4, tokenizer_concurrency=2),
+                content_col="content", key_cols=["repo", "path", "commit"],
+                meta_cols=("repo", "lang"))
+    return IndexReader(out)
+
+
+@given(QUERIES)
+@settings(max_examples=100, deadline=None)
+def test_search_total(fuzz_index, q):
+    hits = fuzz_index.search(q, k=5)
+    assert isinstance(hits, list) and len(hits) <= 5
+    # ranked by (-score, doc_id)
+    keys = [(-s, d) for d, s in hits]
+    assert keys == sorted(keys)
+
+
+@given(st.text(max_size=400),
+       st.lists(st.text(min_size=1, max_size=8), max_size=3))
+@settings(max_examples=200, deadline=None)
+def test_snippet_well_formed(text, terms):
+    snip = make_snippet(text, [t.lower() for t in terms])
+    plain = snip.replace("<b>", "").replace("</b>", "")
+    assert plain in text
+    assert len(plain) <= 320
