@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_pairs": dedup.simhash_near_pairs,  # Hamming join, SQL-checked
         "ngram_jaccard": dedup.ngram_jaccard_pairs,      # char3 LSH + verify
         "embedding_near_dup": sim.embedding_near_dup,    # exact cosine pairs
+        "embedding_near_dup_blocked": sim.embedding_near_dup_blocked,  # IVF-blocked scale path: rows-only
         # --- streaming windows over the events table ---
         "tumbling_window": windows.tumbling_window,      # combiner + small groupby
         "hopping_window": windows.hopping_window,        # overlapping windows
@@ -80,10 +81,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; the four non-SQL-expressible ops
+    """DuckDB-equivalent SQL per query; the five non-SQL-expressible ops
     (minhash_dedup's probabilistic 16x4 recall, the lang-id heuristic, the
-    approximate IVF path, stubbed media codecs) are intentionally omitted ->
-    the driver records the weaker rows-only check for those."""
+    approximate IVF top-k and IVF-blocked near-dup paths, stubbed media
+    codecs) are intentionally omitted -> the driver records the weaker
+    rows-only check for those. Each approximate path has an exact
+    oracle-checked sibling plus a measured-recall pytest."""
     from docodo_ray.oracle_sql import oracle_sql as _sql
 
     return _sql()

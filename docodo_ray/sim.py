@@ -424,3 +424,70 @@ def embedding_near_dup(sf_dir: str, threshold_e6: int = NEARDUP_COS_E6) -> rd.Da
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+def embedding_near_dup_blocked(
+    sf_dir: str, threshold_e6: int = NEARDUP_COS_E6,
+    n_clusters: int | None = None, assign_top: int = 4,
+    ivf_root: str | None = None,
+) -> rd.Dataset:
+    """(vec_id_a, vec_id_b, cos_e6): IVF-BLOCKED near-duplicate pairs — the
+    >10^6-vector scale path promised by embedding_near_dup's docstring.
+    Each vector is assigned to its ``assign_top`` nearest centroids (from
+    the shared IVF build); candidate pairs are generated ONLY inside each
+    list by a per-group matmul, then deduplicated across lists. Compute is
+    O(Σ list²) instead of O(N²) and nothing is broadcast. Approximate by
+    design: a pair is missed iff the two vectors share none of their
+    assign_top lists (recall measured ≥0.9 on the sandbox corpus,
+    tests/test_sim_ivf.py); the exact operator is the correctness oracle."""
+    out_dir = ivf_root or _default_ivf_root(sf_dir)
+    centroids = build_ivf(sf_dir, out_dir, n_clusters)
+    cref = ray.put(centroids)
+    top = int(min(assign_top, centroids.shape[0]))
+
+    class AssignLists:
+        def __init__(self):
+            self.centroids = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _embedding_matrix(batch["embedding"])
+            near = np.argsort(_sq_dists(mat, self.centroids), axis=1,
+                              kind="stable")[:, :top]
+            idx = np.repeat(np.arange(batch.num_rows), top)
+            out = batch.take(pa.array(idx))
+            return out.append_column(
+                "list", pa.array(near.reshape(-1).astype(np.int32)))
+
+    def pairs_in_list(group: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id_a": pa.array([], pa.int64()),
+                          "vec_id_b": pa.array([], pa.int64()),
+                          "cos_e6": pa.array([], pa.int64())})
+        if group.num_rows < 2:
+            return empty
+        ids = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _embedding_matrix(group["embedding"])
+        n = np.linalg.norm(mat, axis=1)
+        cos = (mat @ mat.T) / (n[:, None] * n[None, :])
+        e6 = np.floor(cos * 1e6).astype(np.int64)
+        keep = (e6 >= threshold_e6) & (ids[:, None] < ids[None, :])
+        ai, bj = np.nonzero(keep)
+        if ai.size == 0:
+            return empty
+        return pa.table({"vec_id_a": pa.array(ids[ai], pa.int64()),
+                         "vec_id_b": pa.array(ids[bj], pa.int64()),
+                         "cos_e6": pa.array(e6[ai, bj], pa.int64())})
+
+    pairs_in_list.__name__ = "pairs_in_list"
+
+    def first_row(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    first_row.__name__ = "first_row"
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cand = ds.map_batches(AssignLists, batch_format="pyarrow",
+                          concurrency=(1, 4)) \
+        .groupby("list").map_groups(pairs_in_list, batch_format="pyarrow")
+    # a pair found in several shared lists collapses to one row
+    return cand.groupby(["vec_id_a", "vec_id_b"]).map_groups(
+        first_row, batch_format="pyarrow")

@@ -117,3 +117,22 @@ def test_ivf_done_marker_invalidated_on_input_change(tmp_path):
     # different clustering config -> also rebuilt
     c4 = build_ivf(d, root, n_clusters=16)
     assert c4.shape[0] > c3.shape[0]
+
+
+def test_blocked_near_dup_recall():
+    """The IVF-blocked pair finder must recover >=90% of the exact
+    operator's pairs (and report the number), with zero false cosines:
+    every emitted pair's cos_e6 matches the exact computation."""
+    from docodo_ray.sim import embedding_near_dup, embedding_near_dup_blocked
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r["vec_id_a"], r["vec_id_b"]): r["cos_e6"]
+             for r in embedding_near_dup(sf).take_all()}
+    blocked = {(r["vec_id_a"], r["vec_id_b"]): r["cos_e6"]
+               for r in embedding_near_dup_blocked(sf).take_all()}
+    assert blocked, "blocked finder returned nothing"
+    for pair, e6 in blocked.items():
+        assert exact[pair] == e6  # subset with identical cosines
+    recall = len(blocked) / len(exact)
+    print(f"blocked near-dup recall: {recall:.3f} ({len(blocked)}/{len(exact)})")
+    assert recall >= 0.9
