@@ -29,7 +29,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from docodo_ray import dedup, multimodal, pipelines, sim, textstats, windows
+    from docodo_ray import (
+        dedup,
+        multimodal,
+        pipelines,
+        sim,
+        textstats,
+        traindata,
+        windows,
+    )
 
     return {
         # --- inverted index + BM25 core (SURVEY §2.2/2.5/2.6, A1-A8) ---
@@ -59,6 +67,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id_table,              # heuristic: rows-only
         "bpe_token_counts": textstats.bpe_token_counts,  # ws + BPE-ish counts
         "winnow_fingerprints": textstats.winnow_fingerprints,  # MOSS winnowing
+        # --- training-data curation (decontamination / packing / mixing) ---
+        "decontaminate": traindata.decontaminate,        # eval n-gram overlap
+        "pack_sequences": traindata.pack_sequences,      # distributed prefix scan
+        "stratified_sample": traindata.stratified_sample,  # hash-deterministic mixing
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,            # LSH 16x4: rows-only

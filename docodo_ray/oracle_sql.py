@@ -487,4 +487,71 @@ FROM hits
     # the same integer comparator — same oracle
     sql["bm25_batch_distributed"] = sql["bm25_topk"]
 
+    from docodo_ray.traindata import (
+        DECON_EVAL_MOD,
+        DECON_NGRAM,
+        PACK_BUDGET,
+        SAMPLE_THRESHOLDS,
+    )
+
+    # decontamination: window-list n-grams over the raw token stream (same
+    # gram builder as winnow_fingerprints); eval split = doc_id % mod == 0;
+    # a training doc's n_hits counts its DISTINCT grams shared with ANY
+    # eval doc
+    sql["decontaminate"] = pro + f""",
+g0 AS (
+  SELECT doc_id, pos,
+         list(term) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {DECON_NGRAM - 1} FOLLOWING) AS l
+  FROM rawtok
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(l, ' ') AS g
+  FROM g0 WHERE len(l) = {DECON_NGRAM}
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % {DECON_EVAL_MOD} = 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM grams
+WHERE doc_id % {DECON_EVAL_MOD} != 0 AND g IN (SELECT g FROM ev)
+GROUP BY doc_id
+"""
+
+    # sequence packing: exclusive window cumsum of whitespace token counts
+    # in doc_id order (CAST: SUM(BIGINT) OVER is HUGEINT in DuckDB)
+    sql["pack_sequences"] = f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ntok
+  FROM documents
+),
+p AS (
+  SELECT doc_id, ntok,
+         CAST(COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prior
+  FROM c
+)
+SELECT doc_id, ntok,
+       prior // {PACK_BUDGET} AS pack_id,
+       prior % {PACK_BUDGET} AS pack_offset
+FROM p
+"""
+
+    # stratified sampling: 16 high bits of the 32-bit Knuth multiplicative
+    # hash of doc_id (HUGEINT keeps the product exact) vs the per-language
+    # integer threshold
+    _cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_THRESHOLDS.items())
+    )
+    sql["stratified_sample"] = f"""
+WITH u AS (
+  SELECT doc_id, lang,
+         CAST(((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+               % 4294967296) // 65536 AS BIGINT) AS u16
+  FROM documents
+)
+SELECT doc_id, lang, u16 FROM u
+WHERE u16 < CASE lang {_cases} ELSE 65536 END
+"""
+
     return sql

@@ -1,0 +1,250 @@
+"""Training-data curation operators: decontamination, sequence packing,
+stratified sampling.
+
+Three canonical LLM-training-pipeline stages the reference engine has no
+counterpart for, expressed Ray-Data-first over the ``documents`` table:
+
+- ``decontaminate``: flag training documents sharing any n-token gram with
+  an evaluation set (the GPT-3/Dolma n-gram-overlap decontamination rule).
+  The eval side is tiny by construction (benchmark suites are MBs against
+  TBs of training data), so its gram set is collected once on the driver
+  and broadcast via ``ray.put`` — the training side streams through a
+  ``map_batches`` membership probe, no shuffle at all.
+- ``pack_sequences``: assign each document its token offset in the
+  concatenated training stream and the fixed-budget sequence (pack) it
+  starts in. A global running sum is inherently sequential, so it is
+  computed as a distributed two-phase prefix scan: per-range partial sums
+  (one small ``groupby``), an exclusive scan over the tiny per-range table
+  on the driver, then a per-range ``map_groups`` cumsum seeded with the
+  range's offset. The text column never enters the shuffle — only
+  ``(doc_id, ntok)`` rows (16 bytes/doc) move.
+- ``stratified_sample``: deterministic per-stratum downsampling (domain /
+  language mixing) via an integer multiplicative hash of ``doc_id``
+  (Knuth 2654435761; the 16 high bits of the 32-bit product) compared to a
+  per-stratum integer threshold. Pure vectorized uint64 arithmetic in both
+  the engine and the DuckDB oracle — no floats, no RNG state, identical on
+  every backend and rerun.
+
+All three are exactly reproduced by ``oracle_sql()`` entries (window-list
+grams / window cumsum / HUGEINT hash arithmetic), so the driver hash-checks
+them end to end.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from docodo_ray.tokenizer import tokenize_raw
+
+# queries() fixture constants. Production decontamination uses 8-13-token
+# grams (GPT-3 appendix C uses 13); the synthetic corpus' planted near-dups
+# share runs of ~5+ tokens, so the fixture uses n=5 to exercise a non-trivial
+# hit set at sf0.01 (7 contaminated docs / 331 shared grams).
+DECON_NGRAM = 5
+DECON_EVAL_MOD = 10          # doc_id % 10 == 0 plays the "benchmark" split
+PACK_BUDGET = 512            # tokens per training sequence
+# Per-language keep rates in 1/65536 units (u16 threshold). Unlisted
+# strata default to keep-all.
+SAMPLE_THRESHOLDS = {
+    "en": 32768,   # 0.5
+    "de": 65536,   # 1.0
+    "es": 16384,   # 0.25
+    "fr": 49152,   # 0.75
+    "zh": 8192,    # 0.125
+}
+_HASH_A = np.uint64(2654435761)   # Knuth multiplicative constant
+_MOD32 = np.uint64(1 << 32)
+
+
+def _docs(sf_dir: str, columns) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=list(columns))
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def _doc_grams(text: str, n: int) -> set[str]:
+    toks = tokenize_raw(text)
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+class _DeconStage:
+    """Per-batch membership probe against the broadcast eval-gram set.
+
+    The gram set is ``ray.put`` once and fetched once per worker process —
+    never re-shipped per batch. Grams are exact strings so the result is
+    oracle-identical; a 100-TB deployment would hash both sides to uint64
+    (collision odds ~n²/2⁶⁴) to shrink the broadcast, which changes none of
+    the plumbing here.
+    """
+
+    def __init__(self, grams_ref, n: int, eval_mod: int):
+        self.grams: frozenset[str] = (
+            ray.get(grams_ref) if isinstance(grams_ref, ray.ObjectRef) else grams_ref
+        )
+        self.n = n
+        self.eval_mod = eval_mod
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hits = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            if doc_id % self.eval_mod == 0:
+                continue  # eval docs are not training candidates
+            k = len(_doc_grams(text, self.n) & self.grams)
+            if k:
+                ids.append(doc_id)
+                hits.append(k)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_hits": pa.array(hits, pa.int64())})
+
+
+def decontaminate(sf_dir: str, n: int = DECON_NGRAM,
+                  eval_mod: int = DECON_EVAL_MOD) -> rd.Dataset:
+    """(doc_id, n_hits): training docs sharing >=1 n-token gram with any
+    eval doc, with the count of distinct shared grams.
+
+    Eval split = ``doc_id % eval_mod == 0`` (a stand-in for a benchmark
+    manifest; any small keyed subset slots in). Phase 1 streams ONLY the
+    eval rows (predicate applied per batch before gram extraction) and
+    unions their grams on the driver — the eval side is small by
+    construction. Phase 2 is a stateless map over the full corpus.
+    """
+    docs = _docs(sf_dir, ("doc_id", "text"))
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = pa.array(ids % eval_mod == 0)
+        grams: set[str] = set()
+        for text in batch.filter(mask)["text"].to_pylist():
+            grams |= _doc_grams(text, n)
+        return pa.table({"g": pa.array(sorted(grams), pa.string())})
+
+    gset: set[str] = set()
+    for b in docs.map_batches(eval_grams, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        gset.update(b["g"].to_pylist())
+    ref = ray.put(frozenset(gset))
+
+    return docs.map_batches(
+        _DeconStage, fn_constructor_kwargs=dict(grams_ref=ref, n=n, eval_mod=eval_mod),
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (distributed prefix scan)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
+                   range_size: int = 1024) -> rd.Dataset:
+    """(doc_id, ntok, pack_id, pack_offset): concatenation packing of the
+    corpus (ordered by doc_id) into fixed ``budget``-token training
+    sequences. ``pack_id`` is the sequence the document STARTS in;
+    ``pack_offset`` its token offset inside it (documents may straddle
+    sequence boundaries, as concat-packing does).
+
+    ntok = whitespace token count (``\\S+`` runs), matching the
+    ``bpe_token_counts`` oracle definition.
+
+    Scan shape: drop ``text`` immediately (16-byte rows shuffle, not
+    documents), partial-sum per ``doc_id // range_size`` range via one
+    small groupby, exclusive-scan the per-range sums on the driver
+    (range count = N/range_size rows — KBs at sandbox scale, MBs at
+    100 TB), then cumsum inside each range with the range's seed offset.
+    """
+    docs = _docs(sf_dir, ("doc_id", "text"))
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        return pa.table({
+            "doc_id": ids,
+            "ntok": pc.cast(pc.count_substring_regex(batch["text"], r"\S+"),
+                            pa.int64()),
+            "rng": pc.cast(pc.divide(ids, range_size), pa.int64()),
+        })
+
+    nt = docs.map_batches(counts, batch_format="pyarrow")
+
+    sums = {r["rng"]: r["ntok_sum"]
+            for r in nt.groupby("rng")
+                       .aggregate(Sum("ntok", alias_name="ntok_sum"))
+                       .take_all()}
+    seeds: dict[int, int] = {}
+    acc = 0
+    for rng in sorted(sums):
+        seeds[rng] = acc
+        acc += sums[rng]
+
+    def pack(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        group = group.take(order)
+        ntok = group["ntok"].to_numpy(zero_copy_only=False)
+        seed = seeds[group["rng"][0].as_py()]
+        prior = seed + np.cumsum(ntok) - ntok
+        return pa.table({
+            "doc_id": group["doc_id"],
+            "ntok": group["ntok"],
+            "pack_id": pa.array(prior // budget, pa.int64()),
+            "pack_offset": pa.array(prior % budget, pa.int64()),
+        })
+
+    return nt.groupby("rng").map_groups(pack, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+def _u16(ids: np.ndarray) -> np.ndarray:
+    """16 high bits of the 32-bit Knuth multiplicative hash of doc_id.
+    uint64 arithmetic throughout: (id mod 2^32) * A stays < 2^63, so the
+    product is exact and the DuckDB HUGEINT oracle reproduces it bit-for-
+    bit."""
+    x = ids.astype(np.uint64) % _MOD32
+    return ((x * _HASH_A) % _MOD32) >> np.uint64(16)
+
+
+def stratified_sample(sf_dir: str,
+                      thresholds: dict[str, int] | None = None,
+                      stratum_col: str = "lang") -> rd.Dataset:
+    """(doc_id, lang, u16): deterministic per-stratum downsample — keep a
+    row iff hash-u16(doc_id) < threshold[stratum]. Embarrassingly parallel
+    (no shuffle, no RNG), stable across reruns, cluster sizes and block
+    layouts; re-running with a larger threshold strictly grows the sample
+    (nested samples, the property curriculum/mixture reweighting needs).
+    """
+    th = SAMPLE_THRESHOLDS if thresholds is None else thresholds
+
+    def sample(batch: pa.Table) -> pa.Table:
+        u16 = _u16(batch["doc_id"].to_numpy(zero_copy_only=False))
+        if len(batch):
+            # dictionary-encode the stratum column so the python-dict
+            # threshold lookup runs once per DISTINCT stratum, then a
+            # vectorized gather maps it back onto the rows
+            da = pc.dictionary_encode(
+                batch[stratum_col].combine_chunks())
+            lut = np.array([th.get(v, 65536) for v in da.dictionary.to_pylist()],
+                           dtype=np.int64)
+            limits = lut[da.indices.to_numpy(zero_copy_only=False)]
+        else:
+            limits = np.array([], dtype=np.int64)
+        keep = u16.astype(np.int64) < limits
+        out = batch.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": out["doc_id"],
+            stratum_col: out[stratum_col],
+            "u16": pa.array(u16[keep].astype(np.int64), pa.int64()),
+        })
+
+    return _docs(sf_dir, ("doc_id", stratum_col)).map_batches(
+        sample, batch_format="pyarrow")

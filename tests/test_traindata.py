@@ -1,0 +1,99 @@
+"""Training-data curation ops: decontamination, sequence packing,
+stratified sampling. Semantic/invariant tests — engine-vs-DuckDB equality
+is covered for all three by tests/test_driver_contract.py."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from docodo_ray import traindata
+
+
+@pytest.fixture(scope="module")
+def tiny_docs_dir(tmp_path_factory):
+    """documents.parquet with a planted 5-gram overlap: doc 0 (eval,
+    0 % 10 == 0) shares 'alpha beta gamma delta epsilon' with docs 3 and
+    7; doc 12 shares nothing."""
+    d = tmp_path_factory.mktemp("traindata_docs")
+    run = "alpha beta gamma delta epsilon"
+    t = pa.table({
+        "doc_id": pa.array([0, 3, 7, 12], pa.int64()),
+        "text": pa.array([
+            f"eval doc header {run} eval doc footer",
+            f"train one {run} more words here",
+            f"{run} zeta eta theta {run}",
+            "totally unrelated text with no shared runs at all",
+        ]),
+        "lang": pa.array(["en", "en", "de", "zh"]),
+        "source": pa.array(["s0", "s1", "s1", "s2"]),
+        "n_chars": pa.array([0, 0, 0, 0], pa.int64()),
+    })
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_decontaminate_planted_overlap(tiny_docs_dir):
+    out = traindata.decontaminate(tiny_docs_dir).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_hits"]))
+    # both training docs containing the run are flagged; doc 12 is not;
+    # the eval doc itself is never a training candidate
+    assert set(got) == {3, 7}
+    assert all(v >= 1 for v in got.values())
+
+
+def test_decontaminate_ngram_boundary(tiny_docs_dir):
+    # with n larger than the shared run, nothing is contaminated
+    out = traindata.decontaminate(tiny_docs_dir, n=9).to_pandas()
+    assert len(out) == 0
+
+
+def test_pack_sequences_invariants():
+    sf = "/root/testdata/sf0.001"
+    out = (traindata.pack_sequences(sf, budget=128)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    prior = out["pack_id"] * 128 + out["pack_offset"]
+    # offsets live inside the budget
+    assert (out["pack_offset"] < 128).all() and (out["pack_offset"] >= 0).all()
+    # exact concatenation: each doc starts where the previous one ended
+    assert (prior.to_numpy()[1:]
+            == (prior + out["ntok"]).to_numpy()[:-1]).all()
+    assert prior.iloc[0] == 0
+
+
+def test_pack_sequences_range_size_independent():
+    """The distributed prefix scan must not depend on the range
+    partitioning knob (parallelism independence)."""
+    sf = "/root/testdata/sf0.001"
+    a = (traindata.pack_sequences(sf, range_size=64)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (traindata.pack_sequences(sf, range_size=4096)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_stratified_sample_nested_and_deterministic():
+    sf = "/root/testdata/sf0.001"
+    half = {k: 32768 for k in ("en", "de", "es", "fr", "zh")}
+    quarter = {k: 16384 for k in ("en", "de", "es", "fr", "zh")}
+    s_half = set(traindata.stratified_sample(sf, thresholds=half)
+                 .to_pandas()["doc_id"])
+    s_quarter = set(traindata.stratified_sample(sf, thresholds=quarter)
+                    .to_pandas()["doc_id"])
+    # nested: raising the threshold only adds rows
+    assert s_quarter <= s_half
+    # uniform hash: rates land near the target on 500 docs
+    assert 0.4 <= len(s_half) / 500 <= 0.6
+    assert 0.15 <= len(s_quarter) / 500 <= 0.35
+    # deterministic across runs
+    again = set(traindata.stratified_sample(sf, thresholds=half)
+                .to_pandas()["doc_id"])
+    assert again == s_half
+
+
+def test_stratified_sample_respects_strata(tiny_docs_dir):
+    out = traindata.stratified_sample(
+        tiny_docs_dir, thresholds={"en": 65536, "de": 0, "zh": 0}
+    ).to_pandas()
+    assert set(out["lang"]) == {"en"}
+    assert set(out["doc_id"]) == {0, 3}
