@@ -202,8 +202,9 @@ class MinHashStage:
 
 
 class ShingleStage:
-    """doc -> (doc_id, pair="", sh=<sorted uint64 shingle hashes as bytes>):
-    the shingle-set side of the distributed pair-verify union."""
+    """doc -> (doc_id, a=-1, b=-1, sh=<uint64 shingle hashes as bytes>):
+    the shingle-set side of the distributed pair-verify union (a/b = -1
+    marks a shingle row vs a pair-assignment row)."""
 
     def __init__(self, content_col: str = "text", id_col: str = "doc_id",
                  kind: str = "token", member_ref=None):
@@ -234,15 +235,32 @@ class ShingleStage:
             _shingles(text, self.spec, self.kind, self._hcache).tobytes()
             for text in batch[self.content_col].to_pylist()
         ]
-        return pa.table(
-            {"doc_id": pa.array(ids), "pair": pa.array([""] * len(blobs)),
-             "sh": pa.array(blobs, pa.binary())},
+        neg = np.full(len(blobs), -1, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ids), pa.array(neg), pa.array(neg),
+             pa.array(blobs, pa.binary()),
+             pa.array(_coarse_mix(ids), pa.int64())],
+            schema=_PAIR_SCHEMA,
         )
 
 
+# union schema of the pair-verify exchange: pair-assignment rows carry
+# (doc_id, a, b, sh=b"", ck), shingle rows (doc_id, -1, -1, blob, ck);
+# ck is the COARSE attach partition of doc_id (see _raw_pairs on why
+# near-singleton map_groups groups are avoided)
 _PAIR_SCHEMA = pa.schema(
-    [("doc_id", pa.int64()), ("pair", pa.string()), ("sh", pa.binary())]
+    [("doc_id", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+     ("sh", pa.binary()), ("ck", pa.int64())]
 )
+_VERIFY_COARSE = 4096
+
+
+def _coarse_mix(ids: np.ndarray, salt: int = 0) -> np.ndarray:
+    """Skew-free coarse partition of int64 ids (multiplicative mix — raw
+    ``id % C`` would stripe structured id spaces)."""
+    x = ids.astype(np.uint64) + np.uint64(salt)
+    return (((x * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40))
+            % np.uint64(_VERIFY_COARSE)).astype(np.int64)
 _VERIFIED_SCHEMA = pa.schema(
     [("a", pa.int64()), ("b", pa.int64()), ("jaccard_e6", pa.int64())]
 )
@@ -349,8 +367,14 @@ def verified_pairs(
     whole corpus (asserted in tests).
 
     Cross-band duplicate pairs are NOT pre-deduplicated (that would cost a
-    dedicated shuffle): the attach stage emits each (doc, pair) once via
-    pc.unique, so the final pair groupby sees exactly two rows per pair."""
+    dedicated shuffle): the attach stage collapses duplicate (doc, pair)
+    assignments vectorized, so the final pair groupby sees exactly two rows
+    per pair. Both verify groupbys key on a COARSE multiplicative-hash
+    partition (not the raw doc/pair key): one Python UDF call handles a
+    whole partition with numpy sort/searchsorted joins inside, instead of
+    one dispatch per near-singleton group — at corpus scale the dispatch
+    overhead, not the Jaccard math, would otherwise dominate (same design
+    note as _raw_pairs)."""
     import logging
 
     import ray
@@ -403,11 +427,14 @@ def verified_pairs(
     def to_assign(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
-        pair = [f"{x}:{y}" for x, y in zip(a, b)]
+        doc = np.concatenate((a, b))
+        aa = np.concatenate((a, a))
+        bb = np.concatenate((b, b))
         return pa.Table.from_arrays(
-            [pa.array(np.concatenate((a, b)), pa.int64()),
-             pa.array(pair + pair, pa.string()),
-             pa.array([b""] * (2 * len(pair)), pa.binary())],
+            [pa.array(doc, pa.int64()), pa.array(aa, pa.int64()),
+             pa.array(bb, pa.int64()),
+             pa.array([b""] * doc.size, pa.binary()),
+             pa.array(_coarse_mix(doc), pa.int64())],
             schema=_PAIR_SCHEMA,
         )
 
@@ -420,48 +447,85 @@ def verified_pairs(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(shingle_fn, batch_format="pyarrow")
 
+    _ATTACHED = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                           ("sh", pa.binary()), ("vck", pa.int64())])
+
     def attach(group: pa.Table) -> pa.Table:
-        is_sh = pc.equal(group["pair"], "")
-        sh_row = group.filter(is_sh)
-        pair_rows = group.filter(pc.invert(is_sh))
-        if pair_rows.num_rows == 0 or sh_row.num_rows == 0:
+        """One COARSE partition of docs: vectorized join of each doc's blob
+        onto its (deduplicated) pair assignments — sort the shingle side,
+        unique the pair side, searchsorted + take. One UDF call covers
+        ~|docs|/COARSE docs, not one call per doc."""
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        a = group["a"].to_numpy(zero_copy_only=False)
+        b = group["b"].to_numpy(zero_copy_only=False)
+        is_sh = a < 0
+        sh_doc = doc[is_sh]
+        sh_blobs = group["sh"].combine_chunks().filter(pa.array(is_sh))
+        order = np.argsort(sh_doc, kind="stable")
+        sh_doc = sh_doc[order]
+        sh_blobs = sh_blobs.take(pa.array(order))
+        pm = ~is_sh
+        pd_, pa_, pb_ = doc[pm], a[pm], b[pm]
+        if pd_.size:
+            # collapse cross-band duplicate assignments of the same pair
+            o = np.lexsort((pb_, pa_, pd_))
+            pd_, pa_, pb_ = pd_[o], pa_[o], pb_[o]
+            keep = np.concatenate(([True], (np.diff(pd_) != 0)
+                                   | (np.diff(pa_) != 0)
+                                   | (np.diff(pb_) != 0)))
+            pd_, pa_, pb_ = pd_[keep], pa_[keep], pb_[keep]
+        if pd_.size == 0 or sh_doc.size == 0:
             return pa.Table.from_arrays(
-                [pa.array([], pa.string()), pa.array([], pa.binary())],
-                names=["pair", "sh"],
-            )
-        uniq = pc.unique(pair_rows["pair"])  # collapse cross-band duplicates
-        blob = sh_row["sh"][0].as_py()
-        return pa.table(
-            {"pair": uniq, "sh": pa.array([blob] * len(uniq), pa.binary())}
-        )
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.binary()), pa.array([], pa.int64())],
+                schema=_ATTACHED)
+        idx = np.searchsorted(sh_doc, pd_)
+        idx[idx >= sh_doc.size] = 0
+        ok = sh_doc[idx] == pd_
+        pa_, pb_, idx = pa_[ok], pb_[ok], idx[ok]
+        return pa.Table.from_arrays(
+            [pa.array(pa_, pa.int64()), pa.array(pb_, pa.int64()),
+             sh_blobs.take(pa.array(idx)),
+             pa.array(_coarse_mix(pa_ * np.int64(3) + pb_, salt=1), pa.int64())],
+            schema=_ATTACHED)
 
     attach.__name__ = "attach"
-    merged = assign.union(sh_rows).groupby("doc_id").map_groups(
+    merged = assign.union(sh_rows).groupby("ck").map_groups(
         attach, batch_format="pyarrow"
     )
 
     def jaccard(group: pa.Table) -> pa.Table:
-        empty = pa.Table.from_arrays(
-            [pa.array([], pa.int64()), pa.array([], pa.int64()),
-             pa.array([], pa.int64())], schema=_VERIFIED_SCHEMA,
-        )
-        if group.num_rows != 2:
-            return empty
-        sa = set(np.frombuffer(group["sh"][0].as_py(), dtype=np.uint64).tolist())
-        sb = set(np.frombuffer(group["sh"][1].as_py(), dtype=np.uint64).tolist())
-        union = len(sa | sb)
-        j = (len(sa & sb) / union) if union else 1.0
-        if j < threshold:
-            return empty
-        a_s, b_s = group["pair"][0].as_py().split(":")
+        """One COARSE partition of pairs: exact Jaccard per pair from its
+        two blobs. The per-pair loop runs numpy set kernels only — the
+        Ray/Python group-dispatch overhead is per PARTITION, not per pair."""
+        a = group["a"].to_numpy(zero_copy_only=False)
+        b = group["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        blobs = group["sh"].combine_chunks().take(pa.array(order))
+        starts = np.flatnonzero(
+            np.concatenate(([True], (np.diff(a) != 0) | (np.diff(b) != 0))))
+        ends = np.concatenate((starts[1:], [a.size]))
+        oa, ob, oj = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s != 2:  # a pair must carry exactly its two docs' blobs
+                continue
+            x = np.unique(np.frombuffer(blobs[s].as_py(), dtype=np.uint64))
+            y = np.unique(np.frombuffer(blobs[s + 1].as_py(), dtype=np.uint64))
+            inter = np.intersect1d(x, y, assume_unique=True).size
+            union = x.size + y.size - inter
+            j = (inter / union) if union else 1.0
+            if j < threshold:
+                continue
+            oa.append(a[s])
+            ob.append(b[s])
+            oj.append(int(np.floor(j * 1e6)))
         return pa.Table.from_arrays(
-            [pa.array([int(a_s)], pa.int64()), pa.array([int(b_s)], pa.int64()),
-             pa.array([int(np.floor(j * 1e6))], pa.int64())],
-            schema=_VERIFIED_SCHEMA,
-        )
+            [pa.array(oa, pa.int64()), pa.array(ob, pa.int64()),
+             pa.array(oj, pa.int64())], schema=_VERIFIED_SCHEMA)
 
     jaccard.__name__ = "jaccard"
-    return merged.groupby("pair").map_groups(jaccard, batch_format="pyarrow")
+    return merged.groupby("vck").map_groups(jaccard, batch_format="pyarrow")
 
 
 def minhash_dedup(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
