@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract": pipelines.pdf_extract,            # M10/S3 PDF text extractor
         "bm25_topk": pipelines.bm25_topk,                # A8 replacement: BM25 top-k
         "bm25_batch_distributed": pipelines.bm25_batch_distributed,  # actor-pool batch eval
+        "docodo_rank": pipelines.docodo_rank,            # A8 original: proximity ranker
         "phrase_count": pipelines.phrase_count,          # D2 phrase adjacency
         "boolean_search": pipelines.boolean_search,      # M11 nested AND/OR tree
         "proximity_search": pipelines.proximity_search,  # D2 distance-R intersect

@@ -135,6 +135,30 @@ SELECT query_id, doc_id, score_e6 FROM (
 ) WHERE rn <= {BM25_K}
 """
 
+    # the reference's original proximity ranker (Search.cs:99-111,552-555):
+    # merged match positions per doc; bonus = Σ 30 // max(5, gap) (C# integer
+    # division); page rank = 1 + bonus + ln(n); doc rank = 1 + ln(page rank)
+    from docodo_ray.pipelines import DOCODO_RANK_WORDS
+
+    dr_terms = ", ".join(f"'{w}'" for w in DOCODO_RANK_WORDS)
+    sql["docodo_rank"] = pro + f""",
+m AS (SELECT DISTINCT doc_id, pos FROM filt WHERE term IN ({dr_terms})),
+o AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM m
+),
+agg AS (
+  SELECT doc_id, count(*) AS n,
+    COALESCE(SUM(CASE WHEN prev IS NULL THEN 0
+                      ELSE 30 // GREATEST(5, pos - prev) END), 0) AS bonus
+  FROM o GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_pos,
+  CAST(FLOOR((1 + ln(1 + bonus + ln(n))) * 1000000) AS BIGINT) AS rank_e6
+FROM agg
+"""
+
     sql["phrase_count"] = pro + f"""
 SELECT a.doc_id, count(*) AS n_occ
 FROM rawtok a JOIN rawtok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1

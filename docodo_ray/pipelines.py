@@ -51,6 +51,8 @@ PROX_WORDS, PROX_R = ("hash", "table"), -5
 SUGGEST_PREFIX, SUGGEST_N = "s", 5
 TOP_TERMS_N = 20
 CLOSE_WORD, CLOSE_MAXDIST = "mergee", 2
+# words for the reference's original proximity ranker (Search.cs:99-111)
+DOCODO_RANK_WORDS = ("merge", "join", "table")
 
 DOCS_CFG = IndexConfig(n_buckets=16, store_positions=True)
 
@@ -284,6 +286,21 @@ def bm25_batch_distributed(sf_dir: str) -> rd.Dataset:
     # ensure the index exists/cached before the pool's actors open it
     index_dir = get_index(sf_dir).dir
     return batch_search_topk(index_dir, list(BM25_QUERY_SET), k=BM25_K)
+
+
+def docodo_rank(sf_dir: str) -> pa.Table:
+    """(doc_id, n_pos, rank_e6): the reference's ORIGINAL ranking formula
+    (page rank = 1 + Σ 30//max(5,gap) + ln(n); doc rank = 1 + ln(page rank);
+    Search.cs:99-111,552-555) over the merged positions of
+    DOCODO_RANK_WORDS — the opt-in alternative to BM25 (A8), answered from
+    the positional index."""
+    r = get_index(sf_dir)
+    docs, n_pos, rank = r.docodo_rank(list(DOCODO_RANK_WORDS))
+    return pa.table(
+        {"doc_id": pa.array(docs, pa.int64()),
+         "n_pos": pa.array(n_pos, pa.int64()),
+         "rank_e6": pa.array(np.floor(rank * 1e6).astype(np.int64), pa.int64())}
+    )
 
 
 def phrase_count(sf_dir: str) -> pa.Table:

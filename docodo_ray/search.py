@@ -49,6 +49,9 @@ from docodo_ray.queryparse import MAX_LIKE_WORDS, ParsedQuery, parse_query, wild
 # WAND cursor bookkeeping; above it, block-max skipping wins (p99 stays flat
 # as df grows — measured in bench.py query tails)
 AUTO_WAND_MIN_POSTINGS = 8192
+# header/field-hit doc-rank multiplier of the reference's original ranker
+# (Index.cs:115, applied Search.cs:556-557)
+DOC_RANK_MULTIPLY = 10
 from docodo_ray.tokenizer import TokenizerSpec, term_bucket
 
 
@@ -923,6 +926,60 @@ class IndexReader:
         unordered, r<0 ordered), doc_id ascending."""
         docs, counts = self._chain_match(words, r)
         return [(int(d), int(n)) for d, n in zip(docs, counts)]
+
+    def docodo_rank(
+        self, words: list[str], header_boost_docs: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """The reference's ORIGINAL proximity ranker (opt-in alternative to
+        BM25 — the one A8 consciously replaced), re-expressed over per-doc
+        token positions:
+
+        - page rank = ``1 + Σ 30 // max(5, gap) + ln(n_pos)`` over the merged
+          ascending positions of all matched query words; the bonus term is
+          C# *integer* division (``30 / Math.Max(5, pos[q]-pos[q-1])`` on
+          ``List<int>``, reference Search.cs:99-111)
+        - docs here are single-page (SURVEY §1.2 collapses Docodo pages to
+          whole-file documents), so ``pages.Sum`` degenerates and
+          doc rank = ``1 + ln(page_rank)`` (Search.cs:552-555)
+        - ``header_boost_docs`` (doc ids whose hit is a header/field match,
+          the page-id-"0" case) get ×DOC_RANK_MULTIPLY (Search.cs:556-557,
+          Index.cs:115)
+
+        Gap unit is tokens (our positions) rather than the reference's page
+        character offsets — the formula, division semantics and multiplier
+        are the parity target. Fully vectorized: one packed-key merge, no
+        per-document loop. -> (doc_ids asc int64, n_pos int64, rank float64).
+        """
+        empty = (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float64),
+        )
+        ps = [self.read_posting(w, with_positions=True) for w in dict.fromkeys(words)]
+        ps = [p for p in ps if p is not None and p.pos_flat is not None]
+        if not ps:
+            return empty
+        all_docs = np.unique(np.concatenate([p.doc_ids for p in ps]))
+        K = np.int64(1) << np.int64(32)
+        parts = []
+        for p in ps:
+            doc_idx = np.searchsorted(all_docs, p.doc_ids).astype(np.int64)
+            parts.append(np.repeat(doc_idx, p.pos_counts) * K + p.pos_flat.astype(np.int64))
+        # one token position matches at most one term, so unique() is the
+        # cross-term merge (and dedups a word listed twice in the query)
+        keys = np.unique(np.concatenate(parts))
+        doc_part = (keys >> np.int64(32)).astype(np.int64)
+        n_pos = np.bincount(doc_part, minlength=all_docs.size).astype(np.int64)
+        bonus = np.zeros(all_docs.size, dtype=np.int64)
+        same = doc_part[1:] == doc_part[:-1]
+        if same.any():
+            gaps = (keys[1:] - keys[:-1])[same]
+            np.add.at(bonus, doc_part[1:][same], 30 // np.maximum(np.int64(5), gaps))
+        page_rank = 1.0 + bonus.astype(np.float64) + np.log(n_pos.astype(np.float64))
+        doc_rank = 1.0 + np.log(page_rank)
+        if header_boost_docs is not None and len(header_boost_docs):
+            doc_rank[np.isin(all_docs, header_boost_docs)] *= DOC_RANK_MULTIPLY
+        return all_docs.astype(np.int64), n_pos, doc_rank
 
     def _wand_topk(self, postings: list[Posting], k: int) -> list[tuple[int, float]]:
         """Block-max WAND (Broder et al. / Ding & Suel): document-at-a-time

@@ -102,6 +102,52 @@ def test_bm25_rank_identity(built, oracle):
                 assert abs(gs - ws) < 1e-9, (terms, mode)
 
 
+def test_docodo_rank_matches_bruteforce(built, oracle):
+    """The reference's original proximity ranker (Search.cs:99-111,552-555):
+    engine output equals a per-doc pure-Python evaluation of the exact
+    formula (integer-division bonus, ln page rank, ln doc rank) over the
+    oracle's positional postings; the header-hit path multiplies by
+    DOC_RANK_MULTIPLY=10 (Search.cs:556-557, Index.cs:115)."""
+    import math
+
+    from docodo_ray.search import DOC_RANK_MULTIPLY
+
+    r = IndexReader(built.out_dir)
+    words = ["public", "static", "return"]
+    docs, n_pos, rank = r.docodo_rank(words)
+
+    merged: dict[int, list[int]] = {}
+    for w in words:
+        for d, (_tf, positions) in oracle.postings.get(w, {}).items():
+            merged.setdefault(d, []).extend(positions)
+    want = {}
+    for d, plist in merged.items():
+        ps = sorted(set(plist))
+        bonus = sum(30 // max(5, b - a) for a, b in zip(ps, ps[1:]))
+        page = 1 + bonus + math.log(len(ps))
+        want[d] = (len(ps), 1 + math.log(page))
+    assert docs.tolist() == sorted(want)
+    for d, n, rk in zip(docs.tolist(), n_pos.tolist(), rank.tolist()):
+        assert n == want[d][0], d
+        assert abs(rk - want[d][1]) < 1e-12, d
+
+    # header/field-hit boost: exactly DOC_RANK_MULTIPLY on the marked docs
+    boost = docs[:2]
+    _, _, rank_b = r.docodo_rank(words, header_boost_docs=boost)
+    np.testing.assert_allclose(rank_b[:2], rank[:2] * DOC_RANK_MULTIPLY, rtol=0)
+    np.testing.assert_array_equal(rank_b[2:], rank[2:])
+
+    # duplicate query words must not change the result
+    docs2, n2, rank2 = r.docodo_rank(words + words)
+    np.testing.assert_array_equal(docs2, docs)
+    np.testing.assert_array_equal(n2, n_pos)
+    np.testing.assert_array_equal(rank2, rank)
+
+    # no matching words -> empty
+    d0, n0, r0 = r.docodo_rank(["nonexistentterm"])
+    assert d0.size == n0.size == r0.size == 0
+
+
 def test_wand_matches_exhaustive(built):
     r = IndexReader(built.out_dir)
     for q in ["public", "public | static | return", "void | zoba"]:
