@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": traindata.decontaminate,        # eval n-gram overlap
         "pack_sequences": traindata.pack_sequences,      # distributed prefix scan
         "stratified_sample": traindata.stratified_sample,  # hash-deterministic mixing
+        "curate_corpus": traindata.curate_corpus,        # the full composition
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,            # LSH 16x4: rows-only

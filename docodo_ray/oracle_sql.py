@@ -567,6 +567,71 @@ FROM p
     _cases = " ".join(
         f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_THRESHOLDS.items())
     )
+
+    # end-to-end curation: the composition of exact dedup, n-gram
+    # decontamination, the quality filter, stratified sampling and sequence
+    # packing — each CTE mirrors its standalone oracle above
+    from docodo_ray.traindata import CURATE_MAX_DIGIT_PCT, CURATE_MIN_KEPT
+
+    sql["curate_corpus"] = pro + f""",
+g0 AS (
+  SELECT doc_id, pos,
+         list(term) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {DECON_NGRAM - 1} FOLLOWING) AS gl
+  FROM rawtok
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(gl, ' ') AS g
+  FROM g0 WHERE len(gl) = {DECON_NGRAM}
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % {DECON_EVAL_MOD} = 0),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % {DECON_EVAL_MOD} != 0 AND g IN (SELECT g FROM ev)
+),
+q AS (
+  SELECT doc_id,
+    len(l) AS n_raw,
+    len(list_filter(l, x -> length(x) BETWEEN 3 AND 32
+                            AND NOT list_contains([{stop}], x))) AS n_kept,
+    len(list_filter(l, x -> regexp_matches(x, '^[\\p{{N}}]+$'))) AS n_digit
+  FROM toks
+),
+d AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ntok,
+    CAST(((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+          % 4294967296) // 65536 AS BIGINT) AS u16,
+    sha256(text) AS s
+  FROM documents
+),
+dk AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY s) AS m FROM d
+  ) WHERE doc_id = m
+),
+surv AS (
+  SELECT d.doc_id, d.lang, d.ntok FROM d JOIN q USING (doc_id)
+  WHERE d.doc_id IN (SELECT doc_id FROM dk)
+    AND d.doc_id % {DECON_EVAL_MOD} != 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND q.n_kept >= {CURATE_MIN_KEPT}
+    AND q.n_digit * 100 <= q.n_raw * {CURATE_MAX_DIGIT_PCT}
+    AND d.u16 < CASE d.lang {_cases} ELSE 65536 END
+),
+p AS (
+  SELECT doc_id, lang, ntok,
+    CAST(COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS prior
+  FROM surv
+)
+SELECT doc_id, lang, ntok,
+       prior // {PACK_BUDGET} AS pack_id,
+       prior % {PACK_BUDGET} AS pack_offset
+FROM p
+"""
+
     sql["stratified_sample"] = f"""
 WITH u AS (
   SELECT doc_id, lang,

@@ -1,7 +1,9 @@
 """Training-data curation operators: decontamination, sequence packing,
-stratified sampling.
+stratified sampling — plus ``curate_corpus``, the end-to-end composition
+(exact dedup → decontamination → quality filter → stratified sample →
+packing) in one Dataset flow, hash-checked as a whole by its own oracle.
 
-Three canonical LLM-training-pipeline stages the reference engine has no
+Canonical LLM-training-pipeline stages the reference engine has no
 counterpart for, expressed Ray-Data-first over the ``documents`` table:
 
 - ``decontaminate``: flag training documents sharing any n-token gram with
@@ -199,6 +201,160 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
         })
 
     return nt.groupby("rng").map_groups(pack, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation: dedup -> decontaminate -> quality -> sample -> pack
+# ---------------------------------------------------------------------------
+
+CURATE_MIN_KEPT = 20       # quality floor: >= 20 kept (len-3..32 non-stop) tokens
+CURATE_MAX_DIGIT_PCT = 25  # digit-run tokens <= 25% of raw tokens
+
+
+class _CurateStatsStage:
+    """One streamed pass over the corpus emitting the per-doc curation row
+    (text is dropped at emit — only ~60-byte stat rows enter the dedup
+    shuffle): sha256, quality counters, whitespace token count, the
+    stratified-sample hash, and the broadcast eval-gram membership probe."""
+
+    def __init__(self, grams_ref, n: int, eval_mod: int):
+        import hashlib
+
+        from docodo_ray.config import load_stopwords
+
+        self._sha = hashlib.sha256
+        self.grams: frozenset[str] = (
+            ray.get(grams_ref) if isinstance(grams_ref, ray.ObjectRef) else grams_ref
+        )
+        self.n = n
+        self.eval_mod = eval_mod
+        self.stop = load_stopwords()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import regex
+
+        digit_re = regex.compile(r"^[\p{N}]+$")
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        shas, n_raw, n_kept, n_digit, hit = [], [], [], [], []
+        for text in batch["text"].to_pylist():
+            shas.append(self._sha(text.encode("utf-8")).hexdigest())
+            toks = tokenize_raw(text)
+            n_raw.append(len(toks))
+            n_kept.append(sum(1 for t in toks
+                              if 3 <= len(t) <= 32 and t not in self.stop))
+            n_digit.append(sum(1 for t in toks if digit_re.match(t)))
+            hit.append(any(" ".join(toks[i:i + self.n]) in self.grams
+                           for i in range(len(toks) - self.n + 1)))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "sha": pa.array(shas, pa.string()),
+            "ntok": pc.cast(pc.count_substring_regex(batch["text"], r"\S+"),
+                            pa.int64()),
+            "n_raw": pa.array(n_raw, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "n_digit": pa.array(n_digit, pa.int64()),
+            "u16": pa.array(_u16(ids).astype(np.int64), pa.int64()),
+            "is_eval": pa.array(ids % self.eval_mod == 0),
+            "decon_hit": pa.array(hit, pa.bool_()),
+        })
+
+
+def curate_corpus(sf_dir: str, budget: int = PACK_BUDGET,
+                  range_size: int = 1024) -> rd.Dataset:
+    """(doc_id, lang, ntok, pack_id, pack_offset): the full training-data
+    curation pipeline in one Dataset flow —
+
+      exact dedup (full-corpus sha256 winner) → eval-split decontamination
+      (n-gram overlap) → quality filter (kept-token floor + digit-ratio
+      cap) → per-language stratified sampling → sequence packing of the
+      survivors.
+
+    Shape at scale: ONE streamed pass over text (stats stage above), then
+    every exchange moves only fixed-width stat rows — the sha dedup groupby
+    (~60 B/doc), the per-range packing sums (range count rows), and the
+    per-range cumsum. Dedup winners are chosen over the FULL corpus (a
+    kept doc can lose to an eval twin), then eval docs, contaminated docs,
+    low-quality docs and sampled-out docs are dropped, and the survivors
+    are packed in doc_id order. The whole composition is reproduced by one
+    oracle_sql entry, so the driver hash-checks the pipeline end to end.
+    """
+    docs = _docs(sf_dir, ("doc_id", "lang", "text"))
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        grams: set[str] = set()
+        for text in batch.filter(pa.array(ids % DECON_EVAL_MOD == 0))["text"].to_pylist():
+            grams |= _doc_grams(text, DECON_NGRAM)
+        return pa.table({"g": pa.array(sorted(grams), pa.string())})
+
+    gset: set[str] = set()
+    for b in docs.map_batches(eval_grams, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        gset.update(b["g"].to_pylist())
+    ref = ray.put(frozenset(gset))
+
+    stats = docs.map_batches(
+        _CurateStatsStage,
+        fn_constructor_kwargs=dict(grams_ref=ref, n=DECON_NGRAM,
+                                   eval_mod=DECON_EVAL_MOD),
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    th = SAMPLE_THRESHOLDS
+
+    def dedup_filter(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        winner = ids.min()
+        keep = (
+            (ids == winner)
+            & ~group["is_eval"].to_numpy(zero_copy_only=False)
+            & ~group["decon_hit"].to_numpy(zero_copy_only=False)
+            & (group["n_kept"].to_numpy(zero_copy_only=False) >= CURATE_MIN_KEPT)
+            & (group["n_digit"].to_numpy(zero_copy_only=False) * 100
+               <= group["n_raw"].to_numpy(zero_copy_only=False) * CURATE_MAX_DIGIT_PCT)
+            & (group["u16"].to_numpy(zero_copy_only=False)
+               < np.array([th.get(v, 65536)
+                           for v in group["lang"].to_pylist()], dtype=np.int64))
+        )
+        out = group.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "lang": out["lang"],
+            "ntok": out["ntok"],
+            "rng": pc.cast(pc.divide(out["doc_id"], range_size), pa.int64()),
+        })
+
+    surv = stats.groupby("sha").map_groups(dedup_filter, batch_format="pyarrow")
+
+    # distributed prefix scan over the survivors (same shape as
+    # pack_sequences): per-range partial sums -> tiny driver exclusive scan
+    # -> per-range seeded cumsum
+    sums = {r["rng"]: r["ntok_sum"]
+            for r in surv.groupby("rng")
+                        .aggregate(Sum("ntok", alias_name="ntok_sum"))
+                        .take_all()}
+    seeds: dict[int, int] = {}
+    acc = 0
+    for rng in sorted(sums):
+        seeds[rng] = acc
+        acc += sums[rng]
+
+    def pack(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        group = group.take(order)
+        ntok = group["ntok"].to_numpy(zero_copy_only=False)
+        seed = seeds[group["rng"][0].as_py()]
+        prior = seed + np.cumsum(ntok) - ntok
+        return pa.table({
+            "doc_id": group["doc_id"],
+            "lang": group["lang"],
+            "ntok": group["ntok"],
+            "pack_id": pa.array(prior // budget, pa.int64()),
+            "pack_offset": pa.array(prior % budget, pa.int64()),
+        })
+
+    return surv.groupby("rng").map_groups(pack, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

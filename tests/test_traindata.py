@@ -72,6 +72,45 @@ def test_pack_sequences_range_size_independent():
     assert a.equals(b)
 
 
+def test_curate_corpus_composition():
+    """curate_corpus == the composition of its standalone stages: every
+    survivor passes each filter individually, and the packing is the exact
+    concatenation scan over exactly the survivor set."""
+    sf = "/root/testdata/sf0.001"
+    out = (traindata.curate_corpus(sf)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) > 0
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    dup_losers = set(con.execute(
+        "SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER "
+        "(PARTITION BY sha256(text)) m FROM documents) WHERE doc_id != m"
+    ).df()["doc_id"])
+
+    ids = set(out["doc_id"])
+    # each standalone filter individually admits every survivor
+    assert not ids & dup_losers
+    assert all(d % traindata.DECON_EVAL_MOD != 0 for d in ids)
+    contaminated = set(traindata.decontaminate(sf).to_pandas()["doc_id"])
+    assert not ids & contaminated
+    sampled = set(traindata.stratified_sample(sf).to_pandas()["doc_id"])
+    assert ids <= sampled
+
+    # packing: exact concatenation over the survivor order
+    prior = (out["pack_id"] * traindata.PACK_BUDGET + out["pack_offset"]).to_numpy()
+    assert prior[0] == 0
+    assert (prior[1:] == (prior + out["ntok"].to_numpy())[:-1]).all()
+
+    # range-partitioning independence of the composed scan
+    b = (traindata.curate_corpus(sf, range_size=64)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.equals(b)
+
+
 def test_stratified_sample_nested_and_deterministic():
     sf = "/root/testdata/sf0.001"
     half = {k: 32768 for k in ("en", "de", "es", "fr", "zh")}
