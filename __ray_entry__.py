@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "levenshtein_close": pipelines.levenshtein_close,  # M13 corrections
         "snippets": pipelines.snippets,                  # M14/O7 found-page text
         "incremental_term_df": pipelines.incremental_term_df,  # LSM update path
+        "deleted_term_df": pipelines.deleted_term_df,    # LSM delete + compaction
         # --- training-data ops (text analysis) ---
         "text_quality": textstats.quality_table,
         "doc_fingerprint": textstats.fingerprint_table,

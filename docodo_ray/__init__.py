@@ -11,11 +11,11 @@ Reference parity map: see SURVEY.md. Key reference anchors cited per module:
 """
 
 from docodo_ray.config import IndexConfig, BM25Params, build_vocab, load_vocab_tsv
-from docodo_ray.build import build_index, update_index
+from docodo_ray.build import build_index, compact_index, delete_docs, update_index
 from docodo_ray.search import IndexReader
 
 __all__ = [
-    "IndexConfig", "BM25Params", "build_index", "update_index", "IndexReader",
-    "build_vocab", "load_vocab_tsv",
+    "IndexConfig", "BM25Params", "build_index", "update_index", "delete_docs",
+    "compact_index", "IndexReader", "build_vocab", "load_vocab_tsv",
 ]
 __version__ = "0.1.0"

@@ -242,6 +242,240 @@ def _walk_parquet(root: str, exclude_dir: str | None = None) -> list[str]:
     return sorted(out)
 
 
+def _load_tombstones(out_dir: str, manifest: dict) -> "np.ndarray":
+    """Union of the manifest's tombstone files -> sorted uint64 doc_ids.
+    A missing manifest-referenced tombstone file is corruption from this
+    snapshot's view (same rule as segments) — fail loudly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rels = manifest.get("tombstones", [])
+    if not rels:
+        return np.empty(0, dtype=np.uint64)
+    parts = []
+    for rel in rels:
+        p = os.path.join(out_dir, rel)
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"tombstone file {p} referenced by manifest is missing — "
+                f"index was compacted; re-open the index at {out_dir!r}"
+            )
+        parts.append(pq.read_table(p, columns=["doc_id"])["doc_id"].to_numpy(
+            zero_copy_only=False).astype(np.uint64))
+    return np.unique(np.concatenate(parts))
+
+
+def delete_docs(out_dir: str, doc_ids) -> BuildResult:
+    """Tombstone-delete documents — the LSM complement of ``update_index``
+    (the reference can do neither: rebuild-only, Index.cs:442-446).
+    APPEND-ONLY: one sorted parquet of doc_ids is written under
+    ``tombstones/`` and referenced by the manifest; nothing else is touched.
+
+    Visibility contract (the standard LSM one — Lucene's docFreq behaves
+    the same):
+    - search results, posting reads and doc-meta reads exclude deleted docs
+      IMMEDIATELY (IndexReader filters against the tombstone set);
+      ``n_docs`` (BM25's N) is adjusted immediately too;
+    - per-term df/cf dictionary stats (suggest/histogram ranking) and avgdl
+      still count deleted docs until ``compact_index`` physically rewrites
+      the segments;
+    - deleted ids cannot be re-added by ``update_index`` until a compaction
+      has removed them (the duplicate-doc guard rejects them, by design:
+      an old run still holding the id would shadow the re-add).
+
+    Crash-safe like every other mutation: the tombstone file write is
+    atomic (tmp+rename), the manifest — the only pointer readers follow —
+    is written last. Unknown doc_ids raise; already-deleted ids are
+    ignored (idempotent re-delete)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    manifest = _load_manifest(out_dir)
+    if manifest is None or manifest.get("stages", {}).get("stats") != "done":
+        raise ValueError(f"{out_dir} does not hold a completed index")
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.uint64))
+    old = _load_tombstones(out_dir, manifest)
+    ids = ids[~np.isin(ids, old)]
+    if ids.size == 0:
+        st = manifest["stats"]
+        live = st["n_docs"] - int(manifest.get("tombstone_stats", {}).get("n_docs", 0))
+        return BuildResult(out_dir=out_dir, n_docs=live,
+                           total_tokens=st["total_tokens"], avgdl=st["avgdl"],
+                           n_segment_files=len(manifest["segments"]),
+                           manifest=manifest)
+
+    # every id must exist: pushdown point reads against doc-meta (bounded
+    # by the delete size, never a full-table load)
+    meta_files = _doc_meta_files(out_dir, manifest)
+    found = 0
+    for s in range(0, ids.size, 50_000):
+        chunk = pa.array(ids[s : s + 50_000], pa.uint64())
+        found += pq.read_table(
+            meta_files, columns=["doc_id"], filters=[("doc_id", "in", chunk)]
+        ).num_rows
+    if found != ids.size:
+        raise ValueError(
+            f"delete_docs: {ids.size - found} doc_ids are not in the index"
+        )
+
+    gen = int(manifest.get("generation", 0)) + 1
+    rel = os.path.join("tombstones", f"del-{gen:04d}.parquet")
+    from docodo_ray.stages.postings import _atomic_write
+
+    _atomic_write(pa.table({"doc_id": pa.array(ids, pa.uint64())}),
+                  os.path.join(out_dir, rel))
+    manifest["generation"] = gen
+    manifest.setdefault("tombstones", []).append(rel)
+    ts = manifest.setdefault("tombstone_stats", {"n_docs": 0})
+    ts["n_docs"] += int(ids.size)
+    _save_manifest(out_dir, manifest)
+    st = manifest["stats"]
+    return BuildResult(
+        out_dir=out_dir, n_docs=st["n_docs"] - ts["n_docs"],
+        total_tokens=st["total_tokens"], avgdl=st["avgdl"],
+        n_segment_files=len(manifest["segments"]), manifest=manifest,
+    )
+
+
+def compact_index(out_dir: str) -> BuildResult:
+    """Full compaction: every bucket with pending tombstones or multiple LSM
+    runs is k-way-merged into a single run with deleted docs physically
+    dropped; doc-meta files are rewritten without deleted rows; tombstones
+    are cleared; corpus stats become exact again. Distributed per-bucket
+    (peak memory = one bucket), atomic writes, manifest switched last,
+    replaced files GC'd after (best-effort — the manifest no longer
+    references them)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docodo_ray.stages.postings import _atomic_write, make_compact_fn
+
+    manifest = _load_manifest(out_dir)
+    if manifest is None or manifest.get("stages", {}).get("stats") != "done":
+        raise ValueError(f"{out_dir} does not hold a completed index")
+    tombs = _load_tombstones(out_dir, manifest)
+    mg = int(manifest["merge_groups"])
+    gen = int(manifest.get("generation", 0)) + 1
+    suffix = f"-c{gen:04d}"
+
+    by_bucket: dict[int, list[dict]] = {}
+    for r in manifest["segments"]:
+        by_bucket.setdefault(int(r["bucket"]), []).append(dict(r))
+    need = sorted(
+        b for b, rs in by_bucket.items() if len(rs) > 1 or tombs.size
+    )
+    replaced: list[str] = []
+    if need:
+        files_by_bucket = {
+            b: [os.path.join(out_dir, r["path"]) for r in by_bucket[b]]
+            for b in need
+        }
+        cds = rd.from_items(
+            [{"bucket": b} for b in need], override_num_blocks=min(len(need), mg)
+        )
+        cfgd = manifest["config"]
+        compacted = [dict(r) for r in cds.map_batches(
+            make_compact_fn(out_dir, files_by_bucket, suffix,
+                            ts_row_group_size=cfgd.get("term_stats_row_group_size"),
+                            tombstones=tombs),
+            batch_format="pyarrow", batch_size=None,
+        ).take_all()]
+        for b in need:
+            replaced.extend(files_by_bucket[b])
+        segments = [r for rs in by_bucket.values() for r in rs
+                    if int(r["bucket"]) not in set(need)] + compacted
+        manifest["segments"] = sorted(segments, key=lambda r: (r["bucket"], r["path"]))
+
+    # rewrite doc-meta without deleted rows into a consolidated dir
+    old_meta_dirs = list(manifest.get("doc_meta_dirs") or [])
+    replaced_meta: list[str] = []
+    if tombs.size:
+        new_tag = f"compact-{gen:04d}"
+        new_dir = os.path.join(out_dir, "doc_meta", new_tag)
+        shutil.rmtree(new_dir, ignore_errors=True)
+        os.makedirs(new_dir, exist_ok=True)
+        k = 0
+        for f in _doc_meta_files(out_dir, manifest):
+            t = pq.read_table(f)
+            m = np.isin(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                        tombs, assume_unique=False)
+            if m.any():
+                t = t.filter(pa.array(~m))
+            _atomic_write(t, os.path.join(new_dir, f"part-{k:05d}.parquet"),
+                          compression="zstd")
+            replaced_meta.append(f)
+            k += 1
+        manifest["doc_meta_dirs"] = [new_tag]
+
+    # exact stats from the rewritten DOC_LEN sidecars
+    from docodo_ray.tokenizer import term_bucket
+
+    cfg_nb = int(manifest["config"]["n_buckets"])
+    b_dl = term_bucket(DOC_LEN_TERM, cfg_nb)
+    ts_paths = [
+        p for r in manifest["segments"] if int(r["bucket"]) == b_dl
+        if os.path.exists(
+            p := os.path.join(out_dir, "term_stats", os.path.basename(r["path"]))
+        )
+    ]
+    n_docs = total_tokens = 0
+    if ts_paths:
+        t = pq.read_table(ts_paths, filters=[("term", "==", DOC_LEN_TERM)])
+        n_docs = int(pa.compute.sum(t["df"]).as_py() or 0)
+        total_tokens = int(pa.compute.sum(t["cf"]).as_py() or 0)
+    manifest["stats"] = {
+        "n_docs": n_docs, "total_tokens": total_tokens,
+        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+    }
+    old_tombs = list(manifest.get("tombstones", []))
+    manifest["tombstones"] = []
+    manifest["tombstone_stats"] = {"n_docs": 0}
+    manifest["generation"] = gen
+    _save_manifest(out_dir, manifest)
+
+    # GC replaced runs + sidecars + old doc-meta dirs + cleared tombstones
+    for p in replaced:
+        for victim in (p, os.path.join(out_dir, "term_stats", os.path.basename(p))):
+            try:
+                os.remove(victim)
+            except OSError:
+                pass
+    for p in replaced_meta:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    for d in old_meta_dirs:
+        try:
+            os.rmdir(os.path.join(out_dir, "doc_meta", d))
+        except OSError:
+            pass
+    for rel in old_tombs:
+        try:
+            os.remove(os.path.join(out_dir, rel))
+        except OSError:
+            pass
+    return BuildResult(
+        out_dir=out_dir, n_docs=n_docs, total_tokens=total_tokens,
+        avgdl=manifest["stats"]["avgdl"],
+        n_segment_files=len(manifest["segments"]), manifest=manifest,
+    )
+
+
+def _doc_meta_files(out_dir: str, manifest: dict) -> list[str]:
+    """Doc-meta parquet files of this manifest snapshot. Manifest-tracked
+    (``doc_meta_dirs``) so stray files from a crashed update are never read;
+    legacy manifests without the key fall back to a directory walk."""
+    dirs = manifest.get("doc_meta_dirs")
+    root = os.path.join(out_dir, "doc_meta")
+    if dirs is None:
+        return _walk_parquet(root)
+    out: list[str] = []
+    for d in dirs:
+        out.extend(_walk_parquet(os.path.join(root, d)))
+    return sorted(out)
+
+
 def update_index(
     out_dir: str,
     *,
@@ -310,9 +544,11 @@ def update_index(
     )
 
     # duplicate-doc guard: pushdown point reads of the new ids against the
-    # stored doc-meta (bounded by update size, never a full-table load)
+    # stored doc-meta (bounded by update size, never a full-table load).
+    # Tombstoned ids are still present in doc-meta until compaction, so the
+    # guard also rejects re-adding a deleted id (see delete_docs contract).
     new_meta = _walk_parquet(meta_dir)
-    old_meta = _walk_parquet(os.path.join(out_dir, "doc_meta"), exclude_dir=meta_dir)
+    old_meta = _doc_meta_files(out_dir, manifest)
     if new_meta and old_meta:
         new_ids = pq.read_table(new_meta, columns=["doc_id"])["doc_id"].to_numpy(
             zero_copy_only=False
@@ -346,7 +582,11 @@ def update_index(
     ).take_all()]
     segments = [dict(r) for r in manifest["segments"]] + new_runs
 
-    # compaction: buckets with too many runs get k-way-merged into one
+    # compaction: buckets with too many runs get k-way-merged into one.
+    # Pending tombstones are NOT applied here — the manifest's corpus stats
+    # are defined as sidecar truth (deleted docs included) with the live
+    # count derived by subtracting tombstone_stats; filtering some buckets
+    # early would double-subtract. Physical delete is compact_index's job.
     by_bucket: dict[int, list[dict]] = {}
     for r in segments:
         by_bucket.setdefault(int(r["bucket"]), []).append(r)
@@ -370,6 +610,10 @@ def update_index(
 
     manifest["segments"] = sorted(segments, key=lambda r: (r["bucket"], r["path"]))
     manifest["generation"] = gen
+    if new_meta:
+        dirs = manifest.get("doc_meta_dirs")
+        if dirs is not None and tag not in dirs:
+            dirs.append(tag)
     manifest["shards"][tag] = {
         "files": sorted(input_paths), "status": "done",
         "n_postings": sum(r["n_postings"] for r in rows),
@@ -406,7 +650,11 @@ def update_index(
     shutil.rmtree(spill_dir, ignore_errors=True)
 
     return BuildResult(
-        out_dir=out_dir, n_docs=n_docs, total_tokens=total_tokens,
+        out_dir=out_dir,
+        # manifest stats are sidecar truth (incl. tombstoned docs); report
+        # the live count
+        n_docs=n_docs - int(manifest.get("tombstone_stats", {}).get("n_docs", 0)),
+        total_tokens=total_tokens,
         avgdl=manifest["stats"]["avgdl"], n_segment_files=len(manifest["segments"]),
         manifest=manifest,
     )
@@ -540,7 +788,16 @@ def build_index(
         t0 = time.perf_counter()
         manifest["segments"] = _merge_spills(out_dir, cfg, mg, spill_rows)
         metrics["merge_sec"] = round(time.perf_counter() - t0, 3)
-        # doc_meta was written by the spill pass; term_stats by the merge pass
+        # doc_meta was written by the spill pass; term_stats by the merge
+        # pass. Record the doc-meta dirs in the manifest (readers follow the
+        # manifest only — a stray dir from some crashed later update must
+        # never be walked): every shard is complete at this point, so the
+        # directory listing is trustworthy exactly once, here.
+        meta_root = os.path.join(out_dir, "doc_meta")
+        manifest["doc_meta_dirs"] = sorted(
+            d for d in (os.listdir(meta_root) if os.path.isdir(meta_root) else [])
+            if _walk_parquet(os.path.join(meta_root, d))
+        )
         stages["segments"] = "done"
         stages["doc_meta"] = "done"
         stages["term_stats"] = "done"

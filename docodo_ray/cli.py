@@ -114,6 +114,34 @@ def cmd_update(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    from docodo_ray.build import delete_docs
+
+    ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]
+    t0 = time.perf_counter()
+    res = delete_docs(args.out, ids)
+    print(json.dumps({
+        "out_dir": args.out, "live_docs": res.n_docs,
+        "pending_tombstones": res.manifest["tombstone_stats"]["n_docs"],
+        "sec": round(time.perf_counter() - t0, 3),
+    }))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    _ensure_ray()
+    from docodo_ray.build import compact_index
+
+    t0 = time.perf_counter()
+    res = compact_index(args.out)
+    print(json.dumps({
+        "out_dir": args.out, "n_docs": res.n_docs,
+        "n_segment_files": res.n_segment_files,
+        "sec": round(time.perf_counter() - t0, 3),
+    }))
+    return 0
+
+
 def _print_hits(reader, query: str, k: int, mode: str, snippets: bool) -> None:
     """Program.cs result rendering: doc line + optional snippet text."""
     t0 = time.perf_counter()
@@ -306,6 +334,16 @@ def make_parser() -> argparse.ArgumentParser:
                    help="default: the column recorded in the index manifest")
     u.add_argument("--id-col", default=None)
     u.set_defaults(fn=cmd_update)
+
+    dl = sub.add_parser("delete", help="tombstone-delete documents (LSM)")
+    dl.add_argument("out")
+    dl.add_argument("doc_ids", help="comma-separated doc ids")
+    dl.set_defaults(fn=cmd_delete)
+
+    cp = sub.add_parser("compact", help="full compaction: apply tombstones, "
+                                        "merge runs, restore exact stats")
+    cp.add_argument("out")
+    cp.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("search", help="query shell (live suggestions on a TTY)")
     s.add_argument("index_dir")

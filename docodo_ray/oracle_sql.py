@@ -507,6 +507,25 @@ FROM hits
     # same oracle as term_df, different engine path (base + run merge)
     sql["incremental_term_df"] = sql["term_df"]
 
+    # the LSM delete path (tombstones + compaction): term stats over ONLY
+    # the surviving docs
+    from docodo_ray.pipelines import DELETE_MOD
+
+    sql["deleted_term_df"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS l
+  FROM documents WHERE doc_id % {DELETE_MOD} != 0
+),
+rawtok AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos FROM toks
+),
+filt AS (
+  SELECT doc_id, term, pos FROM rawtok
+  WHERE length(term) BETWEEN 3 AND 32 AND term NOT IN ({stop})
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM filt GROUP BY term
+"""
+
     # the distributed batch-query executor answers the same query set with
     # the same integer comparator — same oracle
     sql["bm25_batch_distributed"] = sql["bm25_topk"]

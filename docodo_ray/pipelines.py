@@ -473,3 +473,57 @@ def incremental_term_df(sf_dir: str) -> pa.Table:
     return pa.table(
         {"term": t["term"], "df": t["df"].cast(pa.int64()), "cf": t["cf"].cast(pa.int64())}
     )
+
+
+# ---- LSM deletes (tombstones + compaction), oracle-checked ------------------
+
+DELETE_MOD = 7  # docs with doc_id % 7 == 0 get tombstone-deleted
+
+_DEL_READER_CACHE: dict[str, IndexReader] = {}
+
+
+def _deleted_reader(sf_dir: str) -> IndexReader:
+    """Build a full index over the documents table, tombstone-delete every
+    doc_id % DELETE_MOD == 0, then compact_index — the LSM delete path
+    (build.delete_docs/compact_index) exercised end-to-end. Disk-cached
+    keyed by the source file's (size, mtime)."""
+    from docodo_ray.build import compact_index, delete_docs
+
+    sf_dir = sf_dir.rstrip("/")
+    if sf_dir in _DEL_READER_CACHE:
+        return _DEL_READER_CACHE[sf_dir]
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = f"{st.st_size}:{st.st_mtime_ns}"
+    root = os.path.join("/tmp/docodo_ray_del", sf_dir.strip("/").replace("/", "_"))
+    idx = os.path.join(root, "idx")
+    done = os.path.join(root, "_DONE")
+    if not (os.path.exists(done) and open(done).read() == fp):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        build_index(idx, input_paths=[src], cfg=DOCS_CFG,
+                    content_col="text", id_col="doc_id",
+                    meta_cols=("lang", "source", "n_chars"))
+        import pyarrow.parquet as pq
+
+        ids = pq.read_table(src, columns=["doc_id"])["doc_id"].to_numpy(
+            zero_copy_only=False)
+        delete_docs(idx, ids[ids % DELETE_MOD == 0].tolist())
+        compact_index(idx)
+        with open(done, "w") as f:
+            f.write(fp)
+    r = IndexReader(idx)
+    _DEL_READER_CACHE[sf_dir] = r
+    return r
+
+
+def deleted_term_df(sf_dir: str) -> pa.Table:
+    """term_df after tombstone-delete + compaction of every
+    doc_id % DELETE_MOD == 0 doc: must equal the oracle computed over only
+    the surviving docs — proving the physical delete path (posting filter,
+    empty-row drop, sidecar rewrite) is exact."""
+    r = _deleted_reader(sf_dir)
+    t = r.term_dictionary()
+    return pa.table(
+        {"term": t["term"], "df": t["df"].cast(pa.int64()), "cf": t["cf"].cast(pa.int64())}
+    )

@@ -138,7 +138,18 @@ class IndexReader:
         bm = cfgd.pop("bm25", {})
         self.cfg = IndexConfig(**{**cfgd, "bm25": BM25Params(**bm)})
         st = self.manifest["stats"]
-        self.n_docs = st["n_docs"]
+        # LSM deletes: manifest stats are sidecar truth (tombstoned docs
+        # included); the tombstone set filters postings/doc-meta at read
+        # time and adjusts N immediately. avgdl and per-term df/cf stay
+        # sidecar-truth until compact_index rewrites the segments — the
+        # standard LSM visibility contract (delete_docs docstring).
+        from docodo_ray.build import _load_tombstones
+
+        self._tombs = _load_tombstones(index_dir, self.manifest)
+        if self._tombs.size == 0:
+            self._tombs = None
+        tomb_n = int(self.manifest.get("tombstone_stats", {}).get("n_docs", 0))
+        self.n_docs = st["n_docs"] - tomb_n
         self.avgdl = st["avgdl"] or 1.0
         from docodo_ray.config import tokenizer_spec
 
@@ -340,6 +351,24 @@ class IndexReader:
             # the merged arrays — these are exactly the very long lists WAND
             # block skipping exists for
             bm = codec.decode_blockmax(codec.encode_blockmax_arrays(d, tf, dl))
+        if self._tombs is not None and d.size:
+            j = np.searchsorted(self._tombs, d)
+            dead = (j < self._tombs.size) & (
+                self._tombs[np.minimum(j, self._tombs.size - 1)] == d
+            )
+            if dead.any():
+                alive = ~dead
+                if pf is not None:
+                    pf, pcnt = codec.gather_ranges(
+                        pf, np.concatenate(([0], np.cumsum(pcnt)[:-1])),
+                        pcnt, np.flatnonzero(alive),
+                    )
+                d, tf, dl = d[alive], tf[alive], dl[alive]
+                if d.size == 0:
+                    return None
+                # block boundaries shifted: rebuild block-max so WAND/
+                # MaxScore upper bounds stay aligned with the live list
+                bm = codec.decode_blockmax(codec.encode_blockmax_arrays(d, tf, dl))
         return Posting(term, d, tf, dl, pf, pcnt, bm if bm.size else None)
 
     def _term_stats_paths(self, b: int) -> list[str]:
@@ -491,37 +520,45 @@ class IndexReader:
                 )
         return self._term_dict.select(list(columns))
 
-    def _doc_meta_dir(self) -> str | None:
-        md = os.path.join(self.dir, "doc_meta")
-        if os.path.isdir(md) and any(
-            f.endswith(".parquet") for _r, _d, fs in os.walk(md) for f in fs
-        ):
-            return md
-        return None
+    def _doc_meta_files(self) -> list[str]:
+        """Doc-meta parquet files of THIS manifest snapshot (manifest-tracked
+        ``doc_meta_dirs`` — stray files from a crashed update are never read;
+        legacy manifests fall back to a directory walk)."""
+        from docodo_ray.build import _doc_meta_files
+
+        return _doc_meta_files(self.dir, self.manifest)
 
     def doc_meta_schema(self) -> pa.Schema | None:
-        md = self._doc_meta_dir()
-        if md is None:
+        files = self._doc_meta_files()
+        if not files:
             return None
         import pyarrow.dataset as pds
 
-        return pds.dataset(md, format="parquet").schema
+        return pds.dataset(files, format="parquet").schema
+
+    def _drop_tombstoned(self, t: pa.Table) -> pa.Table:
+        if self._tombs is None or t.num_rows == 0 or "doc_id" not in t.column_names:
+            return t
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dead = np.isin(ids, self._tombs, assume_unique=False)
+        return t.filter(pa.array(~dead)) if dead.any() else t
 
     def doc_meta(self, doc_ids: list[int] | None = None, columns: list[str] | None = None):
-        """Doc-meta rows. With ``doc_ids``: a filter-pushdown point read
-        (only matching row groups leave storage) — the whole-table load only
-        happens for doc_ids=None, which callers must reserve for
-        corpus-small results (pipelines over the test tables)."""
-        md = self._doc_meta_dir()
-        if md is None:
+        """Doc-meta rows (tombstone-deleted docs excluded). With ``doc_ids``:
+        a filter-pushdown point read (only matching row groups leave
+        storage) — the whole-table load only happens for doc_ids=None, which
+        callers must reserve for corpus-small results (pipelines over the
+        test tables)."""
+        files = self._doc_meta_files()
+        if not files:
             return pa.table({"doc_id": pa.array([], pa.uint64())})
         if doc_ids is not None:
             ids = pa.array([int(d) for d in doc_ids], pa.uint64())
-            return pq.read_table(
-                md, columns=columns, filters=[("doc_id", "in", ids)]
-            )
+            return self._drop_tombstoned(pq.read_table(
+                files, columns=columns, filters=[("doc_id", "in", ids)]
+            ))
         if self._doc_meta is None:
-            self._doc_meta = pq.read_table(md)
+            self._doc_meta = self._drop_tombstoned(pq.read_table(files))
         return self._doc_meta.select(columns) if columns else self._doc_meta
 
     def _meta_candidates(
@@ -542,13 +579,13 @@ class IndexReader:
         fields are ignored (reference behavior)."""
         if not q.field_eq and not q.name_filters:
             return None, []
-        md = self._doc_meta_dir()
+        files = self._doc_meta_files()
         schema = self.doc_meta_schema()
-        if md is None or schema is None:
+        if not files or schema is None:
             return None, []
         import pyarrow.dataset as pds
 
-        dset = pds.dataset(md, format="parquet")
+        dset = pds.dataset(files, format="parquet")
         cand: np.ndarray | None = None
         residuals: list[tuple] = []
 

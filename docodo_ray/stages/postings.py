@@ -523,14 +523,111 @@ def make_group_merge_fn(
     return merge_buckets
 
 
+def filter_tombstoned_rows(group: pa.Table, tombs: np.ndarray) -> pa.Table:
+    """Drop tombstone-deleted doc entries from partial posting rows (the
+    physical half of LSM deletes — compaction routes run files through this
+    before the k-way merge). One global decode/re-encode pass, same chunked
+    codecs as the merge: rows untouched by any tombstone keep their original
+    blob slices verbatim; rows whose posting list empties vanish; modified
+    rows get ``bm_blob=b""`` (the downstream merge/read path recomputes
+    block-max from the filtered arrays). ``tombs`` must be sorted uint64."""
+    if group.num_rows == 0 or tombs.size == 0:
+        return group
+    group = group.combine_chunks()
+    dfs = group["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_bytes, doc_offs = _binary_col_view(group["doc_blob"])
+    docs_flat = codec.segmented_delta_decode(
+        codec.varbyte_decode(doc_bytes[doc_offs[0] : doc_offs[-1]]), dfs
+    )
+    i = np.searchsorted(tombs, docs_flat)
+    hit = (i < tombs.size) & (tombs[np.minimum(i, tombs.size - 1)] == docs_flat)
+    if not hit.any():
+        return group
+    keep = ~hit
+    row_starts = np.concatenate(([0], np.cumsum(dfs)[:-1]))
+    new_dfs = np.add.reduceat(keep.astype(np.int64), row_starts)
+    changed = new_dfs != dfs
+
+    tf_bytes, tf_offs = _binary_col_view(group["tf_blob"])
+    dl_bytes, dl_offs = _binary_col_view(group["dl_blob"])
+    pos_bytes, pos_offs = _binary_col_view(group["pos_blob"])
+    bm_bytes, bm_offs = _binary_col_view(group["bm_blob"])
+    tf_flat = codec.varbyte_decode(tf_bytes[tf_offs[0] : tf_offs[-1]])
+    dl_flat = codec.varbyte_decode(dl_bytes[dl_offs[0] : dl_offs[-1]])
+    have_pos = bool(np.all(np.diff(pos_offs) > 0))
+
+    # re-encode ONLY the changed, still-alive rows — one chunked pass
+    alive_changed = np.flatnonzero(changed & (new_dfs > 0))
+    entry_sel = keep & changed[np.repeat(np.arange(dfs.size), dfs)]
+    lens = new_dfs[alive_changed]
+    d_s = docs_flat[entry_sel]
+    tf_s = tf_flat[entry_sel]
+    dl_s = dl_flat[entry_sel]
+    doc_blobs = codec.varbyte_encode_chunked(
+        codec.segmented_delta_encode(d_s, lens), lens)
+    tf_blobs = codec.varbyte_encode_chunked(tf_s, lens)
+    dl_blobs = codec.varbyte_encode_chunked(dl_s, lens)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    cfs_new = (np.add.reduceat(tf_s, starts) if d_s.size else
+               np.empty(0, np.int64))
+    if have_pos:
+        pos_flat, pos_counts = codec.decode_positions_flat(
+            pos_bytes[pos_offs[0] : pos_offs[-1]], int(dfs.sum())
+        )
+        pos_offsets = np.concatenate(([0], np.cumsum(pos_counts)[:-1]))
+        kept_idx = np.flatnonzero(entry_sel)
+        pf2, pcnt2 = codec.gather_ranges(pos_flat, pos_offsets, pos_counts, kept_idx)
+        M = kept_idx.size
+        stream = np.empty(M + int(pcnt2.sum()), dtype=np.uint64)
+        seg_starts = np.concatenate(([0], np.cumsum(pcnt2)[:-1]))
+        hdr = seg_starts + np.arange(M, dtype=np.int64)
+        stream[hdr] = pcnt2.astype(np.uint64)
+        mask = np.ones(stream.size, dtype=bool)
+        mask[hdr] = False
+        if pf2.size:
+            stream[mask] = codec.segmented_delta_encode(pf2, pcnt2)
+        pos_per_row = (np.add.reduceat(pcnt2, starts) if M else
+                       np.empty(0, np.int64))
+        pos_blobs = codec.varbyte_encode_chunked(stream, lens + pos_per_row)
+    else:
+        pos_blobs = [b""] * alive_changed.size
+
+    re_enc = {int(r): j for j, r in enumerate(alive_changed)}
+    terms = group["term"].to_pylist()
+    buckets_np = group["bucket"].to_numpy(zero_copy_only=False)
+    salts_np = group["salt"].to_numpy(zero_copy_only=False)
+    cfs_np = group["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = []
+    for r in range(group.num_rows):
+        if new_dfs[r] == 0:
+            continue
+        if r in re_enc:
+            j = re_enc[r]
+            rows.append((terms[r], int(buckets_np[r]), int(salts_np[r]),
+                         int(lens[j]), int(cfs_new[j]), doc_blobs[j],
+                         tf_blobs[j], dl_blobs[j], pos_blobs[j], b""))
+        else:
+            rows.append((terms[r], int(buckets_np[r]), int(salts_np[r]),
+                         int(dfs[r]), int(cfs_np[r]),
+                         doc_bytes[doc_offs[r] : doc_offs[r + 1]],
+                         tf_bytes[tf_offs[r] : tf_offs[r + 1]],
+                         dl_bytes[dl_offs[r] : dl_offs[r + 1]],
+                         pos_bytes[pos_offs[r] : pos_offs[r + 1]],
+                         bm_bytes[bm_offs[r] : bm_offs[r + 1]]))
+    return _rows_to_table(rows)
+
+
 def make_compact_fn(out_dir: str, files_by_bucket: dict[int, list[str]],
-                    file_suffix: str, ts_row_group_size: int | None = None):
+                    file_suffix: str, ts_row_group_size: int | None = None,
+                    tombstones: np.ndarray | None = None):
     """LSM compaction: map_batches fn over rows of bucket ids. Each task
     k-way-merges ALL run files of its bucket back into a single run (segment
     rows are valid partial posting rows, so merge_segment_rows applies
     verbatim) and writes it with the compaction suffix. Peak memory = one
     bucket. Duplicate doc_ids across runs — an update that re-added live
-    docs — fail loudly here (merge_segment_rows raises)."""
+    docs — fail loudly here (merge_segment_rows raises). With ``tombstones``
+    (sorted uint64 doc_ids), deleted docs are physically dropped before the
+    merge — compaction is where LSM deletes stop being logical."""
 
     def compact_buckets(batch: pa.Table) -> pa.Table:
         out_cols = {name: [] for name in MANIFEST_ROW_SCHEMA.names}
@@ -539,6 +636,8 @@ def make_compact_fn(out_dir: str, files_by_bucket: dict[int, list[str]],
             t = pa.concat_tables(
                 [pq.read_table(f) for f in files_by_bucket[b]]
             ).combine_chunks()
+            if tombstones is not None and tombstones.size:
+                t = filter_tombstoned_rows(t, tombstones)
             merged = merge_segment_rows(t)
             rel = os.path.join("segments", f"bucket-{b:05d}{file_suffix}.parquet")
             checksum = _atomic_write(

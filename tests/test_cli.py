@@ -159,3 +159,26 @@ def test_tty_repl_live_suggestions(cli_index, top_term):
         if proc.poll() is None:
             proc.kill()
         os.close(master)
+
+
+def test_delete_and_compact_cli(tmp_path, small_corpus_files, capsys):
+    out = str(tmp_path / "delidx")
+    assert cli.main([
+        "build", "--input", *small_corpus_files[:2], "--out", out,
+        "--key-cols", "repo,path,commit", "--meta-cols", "repo,path,lang",
+    ]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    from docodo_ray.search import IndexReader
+
+    ids = IndexReader(out).doc_meta(columns=["doc_id"])["doc_id"].to_pylist()
+    assert cli.main(["delete", out, ",".join(str(i) for i in ids[:5])]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["live_docs"] == built["n_docs"] - 5
+    assert rep["pending_tombstones"] == 5
+    assert cli.main(["compact", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_docs"] == built["n_docs"] - 5
+    r = IndexReader(out)
+    assert r.n_docs == built["n_docs"] - 5
+    assert not set(ids[:5]) & set(
+        r.doc_meta(columns=["doc_id"])["doc_id"].to_pylist())

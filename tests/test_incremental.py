@@ -178,3 +178,147 @@ def test_update_rejects_duplicate_docs(tmp_path, small_corpus_files):
 def test_update_requires_completed_index(tmp_path):
     with pytest.raises(ValueError, match="completed index"):
         update_index(str(tmp_path / "nope"), input_paths=["x.parquet"])
+
+
+# ---- LSM deletes (tombstones) + full compaction ---------------------------
+
+def test_delete_docs_visibility_and_compaction(tmp_path, small_corpus_files):
+    """The LSM delete contract: search/postings/doc-meta exclude deleted
+    docs immediately; n_docs adjusts immediately; df/cf dictionary stats
+    stay sidecar-truth until compact_index; after compaction the index is
+    posting-identical to a fresh build over the surviving corpus."""
+    import pyarrow.parquet as pq
+
+    from docodo_ray import compact_index, delete_docs
+
+    out = str(tmp_path / "del")
+    res = build_index(out, input_paths=small_corpus_files, cfg=_cfg(), **CFG_KW)
+    r0 = IndexReader(out)
+    all_ids = np.sort(
+        r0.doc_meta(columns=["doc_id"])["doc_id"].to_numpy(zero_copy_only=False)
+    )
+    victims = all_ids[:: 4]  # delete every 4th doc
+    keep_set = np.setdiff1d(all_ids, victims)
+
+    dres = delete_docs(out, victims.tolist())
+    assert dres.n_docs == res.n_docs - victims.size
+
+    r1 = IndexReader(out)
+    assert r1.n_docs == res.n_docs - victims.size
+    # postings exclude victims immediately
+    for t in r1.term_dictionary()["term"].to_pylist()[:100]:
+        p = r1.read_posting(t, with_positions=True)
+        if p is not None:
+            assert not np.intersect1d(p.doc_ids, victims).size, t
+    # search never returns a deleted doc
+    for q in ["public static", "public | void", '"old lady"']:
+        assert not set(d for d, _ in r1.search(q, k=50)) & set(victims.tolist()), q
+    # doc-meta excludes victims
+    meta_ids = r1.doc_meta(columns=["doc_id"])["doc_id"].to_numpy(zero_copy_only=False)
+    assert not np.intersect1d(meta_ids, victims).size
+    # df is stale (sidecar truth) until compaction — by contract
+    df_before, _ = r1.term_stats(r1.term_dictionary()["term"].to_pylist()[0])
+
+    # idempotent re-delete; unknown ids raise
+    delete_docs(out, victims[:3].tolist())
+    with pytest.raises(ValueError, match="not in the index"):
+        delete_docs(out, [999999999999])
+    # deleted ids cannot be re-added until compaction
+    with pytest.raises(ValueError, match="duplicate doc_ids"):
+        update_index(out, input_paths=small_corpus_files[:1])
+
+    cres = compact_index(out)
+    assert cres.n_docs == keep_set.size
+    assert cres.manifest["tombstones"] == []
+    assert [len(v) for v in [cres.manifest["doc_meta_dirs"]]] == [1]
+
+    # posting-identical to a fresh build over the surviving corpus
+    surv_dir = str(tmp_path / "surv")
+    import pyarrow as pa
+
+    tabs = [pq.read_table(f) for f in small_corpus_files]
+    full = pa.concat_tables(tabs)
+    # reproduce doc_id assignment by filtering input rows via the doc-meta
+    # of the original build (repo/path/commit keys of survivors)
+    surv_meta = IndexReader(out).doc_meta(columns=["doc_id", "repo", "path"])
+    surv_keys = set(zip(surv_meta["repo"].to_pylist(), surv_meta["path"].to_pylist()))
+    mask = [
+        (r, p) in surv_keys
+        for r, p in zip(full["repo"].to_pylist(), full["path"].to_pylist())
+    ]
+    surv_file = str(tmp_path / "surv_input.parquet")
+    pq.write_table(full.filter(pa.array(mask)), surv_file)
+    fresh = build_index(surv_dir, input_paths=[surv_file], cfg=_cfg(), **CFG_KW)
+    assert fresh.n_docs == keep_set.size
+
+    rc, rf = IndexReader(out), IndexReader(surv_dir)
+    terms_c = set(rc.term_dictionary()["term"].to_pylist())
+    assert terms_c == set(rf.term_dictionary()["term"].to_pylist())
+    for t in sorted(terms_c)[:150]:
+        pc_, pf_ = rc.read_posting(t, with_positions=True), rf.read_posting(t, with_positions=True)
+        assert np.array_equal(pc_.doc_ids, pf_.doc_ids), t
+        assert np.array_equal(pc_.tfs, pf_.tfs), t
+        assert np.array_equal(pc_.dls, pf_.dls), t
+        if pf_.pos_flat is not None:
+            assert np.array_equal(pc_.pos_flat, pf_.pos_flat), t
+        # df/cf sidecars exact again after compaction
+        assert rc.term_stats(t) == rf.term_stats(t), t
+    for q in ["public static", "public | void", '"old lady"']:
+        assert rc.search(q, k=10) == rf.search(q, k=10), q
+    # after compaction, previously-deleted ids may be re-added (and ONLY
+    # those — still-live docs keep being rejected by the duplicate guard)
+    victims_file = str(tmp_path / "victims_input.parquet")
+    pq.write_table(full.filter(pa.array([not m for m in mask])), victims_file)
+    back = update_index(out, input_paths=[victims_file])
+    assert back.n_docs == res.n_docs
+    with pytest.raises(ValueError, match="duplicate doc_ids"):
+        update_index(out, input_paths=small_corpus_files[:1])
+
+
+def test_delete_all_docs_of_some_texts_then_compact(tmp_path, small_corpus_files):
+    """Edge: deleting every doc that contains some term empties posting
+    rows (and possibly whole bucket runs) — compaction must drop them
+    cleanly and searches must return empty, not crash."""
+    from docodo_ray import compact_index, delete_docs
+
+    out = str(tmp_path / "delall")
+    build_index(out, input_paths=small_corpus_files[:1], cfg=_cfg(), **CFG_KW)
+    r = IndexReader(out)
+    ids = r.doc_meta(columns=["doc_id"])["doc_id"].to_pylist()
+    delete_docs(out, ids)  # delete EVERYTHING
+    r1 = IndexReader(out)
+    assert r1.n_docs == 0
+    assert r1.search("public", k=5) == []
+    cres = compact_index(out)
+    assert cres.n_docs == 0 and cres.total_tokens == 0
+    r2 = IndexReader(out)
+    assert r2.search("public", k=5) == []
+    assert r2.doc_meta(columns=["doc_id"]).num_rows == 0
+
+
+def test_tombstone_crash_safety(tmp_path, small_corpus_files, monkeypatch):
+    """A crash between the tombstone write and the manifest write leaves
+    the live index untouched (reader sees no deletes)."""
+    import docodo_ray.build as build_mod
+    from docodo_ray import delete_docs
+
+    out = str(tmp_path / "crash")
+    res = build_index(out, input_paths=small_corpus_files[:2], cfg=_cfg(), **CFG_KW)
+    ids = IndexReader(out).doc_meta(columns=["doc_id"])["doc_id"].to_pylist()
+
+    real_save = build_mod._save_manifest
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before manifest write")
+
+    monkeypatch.setattr(build_mod, "_save_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        delete_docs(out, ids[:5])
+    monkeypatch.setattr(build_mod, "_save_manifest", real_save)
+
+    r = IndexReader(out)  # fresh reader: manifest never switched
+    assert r.n_docs == res.n_docs
+    assert r.doc_meta(columns=["doc_id"]).num_rows == res.n_docs
+    # re-running the delete succeeds and lands cleanly
+    delete_docs(out, ids[:5])
+    assert IndexReader(out).n_docs == res.n_docs - 5
