@@ -462,6 +462,90 @@ def compact_index(out_dir: str) -> BuildResult:
     )
 
 
+def fsck_index(out_dir: str) -> dict:
+    """Distributed integrity check of an index against its manifest: every
+    manifest-referenced segment run is re-hashed (sha256 of file bytes) and
+    compared to the checksum recorded at write time; term-stats sidecars,
+    doc-meta dirs and tombstone files are checked for existence; corpus
+    stats are re-derived from the DOC_LEN sidecars and compared (modulo
+    pending tombstones, which legitimately make sidecar stats exceed the
+    live count). The re-hash runs as a Ray task pool over segment rows —
+    at 100-TB scale this is a full read of the index, which is exactly the
+    point. Returns a report dict; ``ok`` is the verdict."""
+    import pyarrow.parquet as pq
+
+    from docodo_ray.stages.postings import file_checksum
+
+    manifest = _load_manifest(out_dir)
+    if manifest is None:
+        return {"ok": False, "errors": ["no manifest"], "n_segments": 0}
+    errors: list[str] = []
+    notes: list[str] = []
+    verifiable = manifest.get("checksum_kind") == "file_sha256"
+    if not verifiable:
+        notes.append("legacy manifest (Arrow-buffer checksums): hash "
+                     "comparison skipped, existence checks only")
+
+    segs = manifest.get("segments", [])
+    if segs:
+        def check(batch: pa.Table) -> pa.Table:
+            bad = []
+            for path, want in zip(batch["path"].to_pylist(),
+                                  batch["checksum"].to_pylist()):
+                full = os.path.join(out_dir, path)
+                if not os.path.exists(full):
+                    bad.append(f"missing segment {path}")
+                elif verifiable and file_checksum(full) != want:
+                    bad.append(f"checksum mismatch {path}")
+            return pa.table({"err": pa.array(bad, pa.string())})
+
+        rows = rd.from_items(
+            [{"path": r["path"], "checksum": r["checksum"]} for r in segs]
+        ).map_batches(check, batch_format="pyarrow").take_all()
+        errors.extend(r["err"] for r in rows)
+
+    for r in segs:
+        p = os.path.join(out_dir, "term_stats", os.path.basename(r["path"]))
+        if not os.path.exists(p):
+            errors.append(f"missing term-stats sidecar for {r['path']}")
+    for rel in manifest.get("tombstones", []):
+        if not os.path.exists(os.path.join(out_dir, rel)):
+            errors.append(f"missing tombstone file {rel}")
+    meta_files = _doc_meta_files(out_dir, manifest)
+    for d in manifest.get("doc_meta_dirs") or []:
+        if not _walk_parquet(os.path.join(out_dir, "doc_meta", d)):
+            errors.append(f"empty/missing doc_meta dir {d}")
+
+    # stats cross-check: DOC_LEN sidecar truth vs manifest
+    from docodo_ray.tokenizer import term_bucket
+
+    b_dl = term_bucket(DOC_LEN_TERM, int(manifest["config"]["n_buckets"]))
+    ts_paths = [
+        p for r in segs if int(r["bucket"]) == b_dl
+        if os.path.exists(
+            p := os.path.join(out_dir, "term_stats", os.path.basename(r["path"]))
+        )
+    ]
+    if ts_paths:
+        t = pq.read_table(ts_paths, filters=[("term", "==", DOC_LEN_TERM)])
+        n_docs = int(pa.compute.sum(t["df"]).as_py() or 0)
+        if n_docs != manifest["stats"]["n_docs"]:
+            errors.append(
+                f"stats drift: sidecar n_docs {n_docs} != manifest "
+                f"{manifest['stats']['n_docs']}"
+            )
+    return {
+        "ok": not errors,
+        "errors": errors,
+        "notes": notes,
+        "n_segments": len(segs),
+        "n_doc_meta_files": len(meta_files),
+        "pending_tombstones": int(
+            manifest.get("tombstone_stats", {}).get("n_docs", 0)
+        ),
+    }
+
+
 def _doc_meta_files(out_dir: str, manifest: dict) -> list[str]:
     """Doc-meta parquet files of this manifest snapshot. Manifest-tracked
     (``doc_meta_dirs``) so stray files from a crashed update are never read;
@@ -711,6 +795,10 @@ def build_index(
             "input": input_desc,
             "stages": {},
             "shards": {},
+            # checksum scheme marker: segment checksums are sha256 of FILE
+            # bytes (fsck_index re-verifies; older manifests hashed Arrow
+            # buffers and are reported as unverifiable, not corrupt)
+            "checksum_kind": "file_sha256",
         }
         _save_manifest(out_dir, manifest)
 

@@ -142,6 +142,15 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    _ensure_ray()
+    from docodo_ray.build import fsck_index
+
+    rep = fsck_index(args.out)
+    print(json.dumps(rep))
+    return 0 if rep["ok"] else 1
+
+
 def _print_hits(reader, query: str, k: int, mode: str, snippets: bool) -> None:
     """Program.cs result rendering: doc line + optional snippet text."""
     t0 = time.perf_counter()
@@ -344,6 +353,11 @@ def make_parser() -> argparse.ArgumentParser:
                                         "merge runs, restore exact stats")
     cp.add_argument("out")
     cp.set_defaults(fn=cmd_compact)
+
+    fs = sub.add_parser("fsck", help="verify index integrity against the "
+                                     "manifest (distributed re-hash)")
+    fs.add_argument("out")
+    fs.set_defaults(fn=cmd_fsck)
 
     s = sub.add_parser("search", help="query shell (live suggestions on a TTY)")
     s.add_argument("index_dir")

@@ -209,6 +209,93 @@ class DecodeImageStage:
         )
 
 
+def bilinear_resize(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Pure-numpy bilinear resize of an (h, w, c) uint8 image to (th, tw, c)
+    — half-pixel-center sampling (the PIL/OpenCV convention: src = (dst +
+    0.5) * scale - 0.5, edges clamped), fully vectorized, rounded
+    half-away-from-zero back to uint8."""
+    h, w = img.shape[:2]
+    ys = (np.arange(th, dtype=np.float64) + 0.5) * (h / th) - 0.5
+    xs = (np.arange(tw, dtype=np.float64) + 0.5) * (w / tw) - 0.5
+    y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    f = img.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.floor(out + 0.5).astype(np.uint8)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary P6 PPM (inverse of decode_ppm)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+class ResizeImageStage:
+    """binary image -> (resized P6 PPM binary, new dims) — the resize stage
+    of a multimodal preprocessing pipeline as an actor-pool map_batches
+    (SURVEY-beyond: decode/feature/RESIZE/frame-sample quartet).
+
+    Real path: PPM/BMP decoded by the pure-numpy kernels (or PIL when
+    present), bilinear-resized (exact-pixel-tested), re-encoded as P6.
+    Undecodable formats get a deterministic fake payload of the target
+    dimensions — clearly marked, same output schema."""
+
+    def __init__(self, width: int = 32, height: int = 32):
+        self.tw, self.th = int(width), int(height)
+        try:
+            from PIL import Image  # noqa: F401
+
+            self.pil = Image
+        except ImportError:
+            self.pil = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs, fake = [], []
+        for payload in batch["media"].to_pylist():
+            payload = payload or b""
+            img = None
+            try:
+                if payload[:2] in (b"P6", b"P5"):
+                    img = decode_ppm(payload)
+                elif payload[:2] == b"BM":
+                    img = decode_bmp(payload)
+            except Exception:
+                img = None
+            if img is None and self.pil is not None:
+                import io
+
+                try:
+                    img = np.asarray(
+                        self.pil.open(io.BytesIO(payload)).convert("RGB"))
+                except Exception:
+                    img = None
+            if img is not None:
+                if img.ndim == 2:
+                    img = np.repeat(img[:, :, None], 3, axis=2)
+                blobs.append(encode_ppm(bilinear_resize(img, self.th, self.tw)))
+                fake.append(False)
+            else:
+                px = (_fake_floats(payload, self.th * self.tw * 3, b"imgrsze_")
+                      * 255.0).astype(np.uint8).reshape(self.th, self.tw, 3)
+                blobs.append(encode_ppm(px))
+                fake.append(True)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media": pa.array(blobs, pa.binary()),
+                "width": pa.array([self.tw] * len(blobs), pa.int32()),
+                "height": pa.array([self.th] * len(blobs), pa.int32()),
+                "fake": pa.array(fake, pa.bool_()),
+            }
+        )
+
+
 class AudioFeatureStage:
     """binary audio -> (duration_ms, feature[FEATURE_DIM]) — MFCC-ish stub
     (librosa probe + deterministic fallback)."""

@@ -120,17 +120,23 @@ def _atomic_write(
     compression: str = "zstd",
 ) -> str:
     """Write parquet atomically; idempotent under task retries (same
-    deterministic content, rename wins-once). Returns content checksum."""
+    deterministic content, rename wins-once). Returns the sha256 of the
+    FILE bytes (deterministic for a given logical row set: row content,
+    chunking and compression are all deterministic) — recorded in the
+    manifest and re-verifiable later by ``fsck_index``."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp.{os.getpid()}"
     pq.write_table(table, tmp, compression=compression, row_group_size=row_group_size)
     os.replace(tmp, path)
+    return file_checksum(path)
+
+
+def file_checksum(path: str) -> str:
+    """sha256 of a file's bytes, streamed (fsck re-verification)."""
     h = hashlib.sha256()
-    for col in table.columns:
-        for chunk in col.chunks:
-            for buf in chunk.buffers():
-                if buf is not None:
-                    h.update(buf)
+    with open(path, "rb") as f:
+        while block := f.read(1 << 22):
+            h.update(block)
     return h.hexdigest()
 
 

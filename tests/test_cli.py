@@ -182,3 +182,36 @@ def test_delete_and_compact_cli(tmp_path, small_corpus_files, capsys):
     assert r.n_docs == built["n_docs"] - 5
     assert not set(ids[:5]) & set(
         r.doc_meta(columns=["doc_id"])["doc_id"].to_pylist())
+
+
+def test_fsck_detects_corruption(tmp_path, small_corpus_files, capsys):
+    import json as _json
+    import os
+
+    out = str(tmp_path / "fsckidx")
+    assert cli.main([
+        "build", "--input", *small_corpus_files[:2], "--out", out,
+        "--key-cols", "repo,path,commit", "--meta-cols", "repo,path,lang",
+    ]) == 0
+    capsys.readouterr()
+    assert cli.main(["fsck", out]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ok"] and rep["n_segments"] > 0 and not rep["errors"]
+
+    # flip one byte in a segment -> fsck must flag exactly that file
+    m = _json.load(open(os.path.join(out, "manifest.json")))
+    victim = os.path.join(out, m["segments"][0]["path"])
+    blob = bytearray(open(victim, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(victim, "wb").write(bytes(blob))
+    assert cli.main(["fsck", out]) == 1
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert any("checksum mismatch" in e for e in rep["errors"])
+
+    # legacy manifest (pre-file-checksum scheme): hash comparison is
+    # SKIPPED with a note, not reported as corruption
+    del m["checksum_kind"]
+    _json.dump(m, open(os.path.join(out, "manifest.json"), "w"))
+    assert cli.main(["fsck", out]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ok"] and any("legacy" in n for n in rep["notes"])
