@@ -213,6 +213,11 @@ def run_bench(num_cpus: int) -> dict:
     timings["minhash_dedup"] = round(
         best_of(lambda: dedup.minhash_dedup(sf_dir).count(),
                 name="minhash_dedup"), 3)
+    from docodo_ray import traindata
+
+    timings["curate_corpus"] = round(
+        best_of(lambda: traindata.curate_corpus(sf_dir).count(),
+                name="curate_corpus"), 3)
 
     ray.shutdown()
     return {

@@ -151,10 +151,12 @@ def cmd_fsck(args) -> int:
     return 0 if rep["ok"] else 1
 
 
-def _print_hits(reader, query: str, k: int, mode: str, snippets: bool) -> None:
+def _print_hits(reader, query: str, k: int, mode: str, snippets: bool,
+                ranker: str = "bm25") -> None:
     """Program.cs result rendering: doc line + optional snippet text."""
     t0 = time.perf_counter()
-    hits = reader.search(query, k=k, mode=mode)
+    hits = (reader.search_docodo(query, k=k) if ranker == "docodo"
+            else reader.search(query, k=k, mode=mode))
     dt = (time.perf_counter() - t0) * 1e3
     print(f"Found {len(hits)} docs ({dt:.1f} ms):")
     if not hits:
@@ -252,7 +254,8 @@ def cmd_search(args) -> int:
 
     reader = IndexReader(args.index_dir)
     if args.query is not None:
-        _print_hits(reader, args.query, args.k, args.mode, args.snippets)
+        _print_hits(reader, args.query, args.k, args.mode, args.snippets,
+                    ranker=args.ranker)
         return 0
     if sys.stdin.isatty():
         return _repl_tty(reader, args.k, args.mode, args.snippets)
@@ -365,6 +368,8 @@ def make_parser() -> argparse.ArgumentParser:
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--mode", default="and", choices=["and", "or"])
     s.add_argument("--snippets", action="store_true")
+    s.add_argument("--ranker", default="bm25", choices=["bm25", "docodo"],
+                   help="docodo = the reference's original proximity rank")
     s.set_defaults(fn=cmd_search)
 
     i = sub.add_parser("info", help="corpus stats + term histogram")

@@ -1018,6 +1018,33 @@ class IndexReader:
             doc_rank[np.isin(all_docs, header_boost_docs)] *= DOC_RANK_MULTIPLY
         return all_docs.astype(np.int64), n_pos, doc_rank
 
+    def search_docodo(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k by the reference's ORIGINAL proximity rank (the user-facing
+        form of ``docodo_rank``): tokenize the query with the engine spec,
+        rank the merged word positions, intersect `{field=value}` /
+        `-filter:` predicates into the doc set BEFORE ranking truncation
+        (same pre-ranking semantics as the BM25 path, J3). Results descend
+        by (rank, then doc_id asc) — the reference's own ordering is
+        ASCENDING rank (`orderby doc.rank`, Search.cs:599 — the O2 quirk);
+        we keep best-first like every other surface here and note the
+        divergence."""
+        q = parse_query(query, self.spec)
+        words = q.flat_terms
+        if not words:
+            return []
+        docs, _n, rank = self.docodo_rank(words)
+        if docs.size == 0:
+            return []
+        keep, residuals = self._meta_candidates(q)
+        if keep is not None:
+            m = np.isin(docs, keep.astype(np.int64), assume_unique=True)
+            docs, rank = docs[m], rank[m]
+        if residuals:
+            m = self._residual_mask(residuals, docs.astype(np.uint64))
+            docs, rank = docs[m], rank[m]
+        order = np.lexsort((docs, -rank))[:k]
+        return [(int(docs[i]), float(rank[i])) for i in order]
+
     def _wand_topk(self, postings: list[Posting], k: int) -> list[tuple[int, float]]:
         """Block-max WAND (Broder et al. / Ding & Suel): document-at-a-time
         with per-block upper bounds from the (last_doc, max_tf, min_dl)

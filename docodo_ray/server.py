@@ -6,7 +6,7 @@ Stdlib-only (ThreadingHTTPServer): one shared IndexReader answers concurrent
 queries (its caches are guarded, search.py); each result row carries the
 doc's meta columns via a pushdown point read. Endpoints:
 
-    GET /search?req=<query>[&k=10][&mode=and|or][&meta=1]
+    GET /search?req=<query>[&k=10][&mode=and|or][&meta=1][&ranker=bm25|docodo]
     GET /suggest?prefix=<p>[&n=10]
     GET /stats
 
@@ -25,9 +25,12 @@ from docodo_ray.search import IndexReader
 
 
 def search_payload(reader: IndexReader, req: str, k: int = 10,
-                   mode: str = "and", with_meta: bool = True) -> dict:
-    """The `{found, result[]}` body (reference server.cs response shape)."""
-    hits = reader.search(req, k=k, mode=mode)
+                   mode: str = "and", with_meta: bool = True,
+                   ranker: str = "bm25") -> dict:
+    """The `{found, result[]}` body (reference server.cs response shape).
+    ranker="docodo" serves the reference's original proximity rank."""
+    hits = (reader.search_docodo(req, k=k) if ranker == "docodo"
+            else reader.search(req, k=k, mode=mode))
     result = [{"doc_id": int(d), "score": float(s)} for d, s in hits]
     if with_meta and hits:
         meta = reader.doc_meta([d for d, _ in hits])
@@ -67,6 +70,7 @@ def make_server(index_dir: str, host: str = "127.0.0.1", port: int = 0) -> Threa
                         reader, arg("req", ""), k=int(arg("k", "10")),
                         mode=arg("mode", "and"),
                         with_meta=arg("meta", "1") not in ("0", "false"),
+                        ranker=arg("ranker", "bm25"),
                     ))
                 elif u.path == "/suggest":
                     terms = reader.suggest(arg("prefix", ""), n=int(arg("n", "10")))

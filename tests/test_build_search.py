@@ -262,3 +262,25 @@ def test_empty_and_edge_queries(built):
     assert r.search("zz", k=10) == []          # below min length -> no terms
     assert r.search("the", k=10) == []          # stopword-only query
     assert r.search("nonexistentterm public", k=10) == []  # AND with absent term
+
+
+def test_search_docodo_user_surface(built):
+    """search_docodo = tokenize -> docodo_rank -> pre-ranking meta
+    intersection -> (rank desc, doc_id asc) top-k; field predicates
+    restrict the doc set exactly like the BM25 path."""
+    r = IndexReader(built.out_dir)
+    hits = r.search_docodo("public static", k=10)
+    assert hits
+    docs, _n, rank = r.docodo_rank(["public", "static"])
+    by_id = dict(zip(docs.tolist(), rank.tolist()))
+    assert all(abs(by_id[d] - s) < 1e-12 for d, s in hits)
+    scores = [s for _, s in hits]
+    assert scores == sorted(scores, reverse=True)
+    # field predicate intersects BEFORE ranking truncation
+    fielded = r.search_docodo("public static {lang=cs}", k=100)
+    meta = r.doc_meta([d for d, _ in fielded], columns=["doc_id", "lang"])
+    assert set(meta["lang"].to_pylist()) <= {"cs"}
+    assert set(d for d, _ in fielded) <= set(docs.tolist())
+    # empty / no-match queries are total
+    assert r.search_docodo("", k=5) == []
+    assert r.search_docodo("zzzznope", k=5) == []

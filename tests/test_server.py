@@ -88,3 +88,15 @@ def test_concurrent_queries_consistent(served):
     for t in threads:
         t.join()
     assert not errors, errors
+
+
+def test_docodo_ranker_endpoint(served):
+    out, base = served
+    body = _get(f"{base}/search?req=public+static&k=5&ranker=docodo&meta=0")
+    assert body["found"] > 0
+    want = IndexReader(out).search_docodo("public static", k=5)
+    got = [(r["doc_id"], r["score"]) for r in body["result"]]
+    assert got == [(int(d), float(s)) for d, s in want]
+    # descending rank, ties by doc_id
+    scores = [s for _, s in got]
+    assert scores == sorted(scores, reverse=True)
