@@ -99,3 +99,70 @@ def test_codec_speed_bound():
     # tolerates CI noise from the concurrently-running Ray session and the
     # rest of the suite's workers (observed >6s best-of-2 under full load)
     assert enc < 12.0 and dec < 12.0, (enc, dec)
+
+
+def _segment_row(term, docs, tfs, dls, poss, with_pos=True):
+    """Build one encoded segment row (the filter_tombstoned_rows input
+    shape) from plain arrays."""
+    import pyarrow as pa
+
+    docs = np.asarray(docs, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    dls = np.asarray(dls, dtype=np.uint64)
+    pos_blob = b""
+    if with_pos:
+        flat = np.concatenate([np.asarray(p, np.uint64) for p in poss]) \
+            if any(len(p) for p in poss) else np.empty(0, np.uint64)
+        cnts = np.array([len(p) for p in poss], np.int64)
+        pos_blob = codec.encode_positions_flat(flat, cnts)
+    return (term, 0, 0, len(docs), int(tfs.sum()),
+            codec.encode_postings(docs), codec.encode_values(tfs),
+            codec.encode_values(dls), pos_blob,
+            codec.encode_blockmax_arrays(docs, tfs.astype(np.uint32),
+                                         dls.astype(np.uint32)))
+
+
+@pytest.mark.parametrize("with_pos", [True, False])
+def test_filter_tombstoned_rows_roundtrip(with_pos):
+    """Direct unit lock on the compaction delete filter: kept entries,
+    df/cf recompute, per-posting position streams, whole-row death, and
+    the untouched-row fast path (original blobs verbatim)."""
+    import pyarrow as pa
+
+    from docodo_ray.stages.postings import (
+        SEGMENT_SCHEMA, _rows_to_table, filter_tombstoned_rows,
+    )
+
+    rows = [
+        _segment_row("alpha", [1, 5, 9], [2, 3, 4], [10, 11, 12],
+                     [[0, 7], [1, 2, 3], [4]], with_pos),
+        _segment_row("beta", [5], [6], [11], [[2, 9]], with_pos),   # dies
+        _segment_row("gamma", [2, 8], [1, 1], [13, 14],
+                     [[5], [6]], with_pos),                          # untouched
+    ]
+    t = _rows_to_table(rows)
+    tombs = np.array([5, 9], dtype=np.uint64)
+    out = filter_tombstoned_rows(t, tombs)
+    assert out.schema.equals(SEGMENT_SCHEMA)
+    got = {out["term"][i].as_py(): i for i in range(out.num_rows)}
+    assert set(got) == {"alpha", "gamma"}  # beta's whole list died
+
+    a = got["alpha"]
+    assert out["df"][a].as_py() == 1 and out["cf"][a].as_py() == 2
+    assert codec.decode_postings(out["doc_blob"][a].as_py()).tolist() == [1]
+    assert codec.decode_values(out["tf_blob"][a].as_py()).tolist() == [2]
+    assert codec.decode_values(out["dl_blob"][a].as_py()).tolist() == [10]
+    assert out["bm_blob"][a].as_py() == b""  # modified row: bm cleared
+    if with_pos:
+        pf, cnt = codec.decode_positions_flat(out["pos_blob"][a].as_py(), 1)
+        assert pf.tolist() == [0, 7] and cnt.tolist() == [2]
+
+    g = got["gamma"]  # untouched row keeps its original blobs verbatim
+    for col in ("doc_blob", "tf_blob", "dl_blob", "pos_blob", "bm_blob"):
+        assert out[col][g].as_py() == t[col][2].as_py(), col
+
+    # no-hit fast path: content unchanged (combine_chunks may re-wrap)
+    same = filter_tombstoned_rows(t, np.array([777], dtype=np.uint64))
+    assert same.equals(t)
+    # empty tombstone set is a no-op
+    assert filter_tombstoned_rows(t, np.empty(0, np.uint64)).equals(t)
