@@ -322,3 +322,55 @@ def test_tombstone_crash_safety(tmp_path, small_corpus_files, monkeypatch):
     # re-running the delete succeeds and lands cleanly
     delete_docs(out, ids[:5])
     assert IndexReader(out).n_docs == res.n_docs - 5
+
+
+def test_interleaved_lsm_lifecycle(tmp_path, small_corpus_files):
+    """The realistic LSM sequence: build(A) -> update(B) -> delete(some of
+    A+B) -> update(C) -> compact -> fsck green + posting-identical to a
+    fresh build over (A+B+C minus deleted)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docodo_ray import compact_index, delete_docs
+    from docodo_ray.build import fsck_index
+
+    fa, fb, fc = (small_corpus_files[:2], small_corpus_files[2:3],
+                  small_corpus_files[3:])
+    out = str(tmp_path / "lsm_life")
+    build_index(out, input_paths=fa, cfg=_cfg(), **CFG_KW)
+    update_index(out, input_paths=fb)
+    ids = np.sort(IndexReader(out).doc_meta(columns=["doc_id"])["doc_id"]
+                  .to_numpy(zero_copy_only=False))
+    victims = ids[::5]
+    delete_docs(out, victims.tolist())
+    res = update_index(out, input_paths=fc)     # adds land amid tombstones
+    assert res.n_docs == ids.size - victims.size + build_index(
+        str(tmp_path / "c_only"), input_paths=fc, cfg=_cfg(), **CFG_KW).n_docs
+    cres = compact_index(out)
+    rep = fsck_index(out)
+    assert rep["ok"], rep["errors"]
+    assert rep["pending_tombstones"] == 0
+
+    # fresh-build equivalence over the surviving rows
+    full = pa.concat_tables([pq.read_table(f) for f in small_corpus_files])
+    surv_meta = IndexReader(out).doc_meta(columns=["doc_id", "repo", "path"])
+    keys = set(zip(surv_meta["repo"].to_pylist(), surv_meta["path"].to_pylist()))
+    mask = [(r, p) in keys for r, p in zip(full["repo"].to_pylist(),
+                                           full["path"].to_pylist())]
+    surv_file = str(tmp_path / "surv.parquet")
+    pq.write_table(full.filter(pa.array(mask)), surv_file)
+    fresh = build_index(str(tmp_path / "fresh"), input_paths=[surv_file],
+                        cfg=_cfg(), **CFG_KW)
+    assert cres.n_docs == fresh.n_docs
+    rc, rf = IndexReader(out), IndexReader(fresh.out_dir)
+    terms = sorted(set(rf.term_dictionary()["term"].to_pylist()))
+    assert set(rc.term_dictionary()["term"].to_pylist()) == set(terms)
+    for t in terms[:120]:
+        p1, p2 = rc.read_posting(t, with_positions=True), rf.read_posting(t, with_positions=True)
+        assert np.array_equal(p1.doc_ids, p2.doc_ids), t
+        assert np.array_equal(p1.tfs, p2.tfs), t
+        if p2.pos_flat is not None:
+            assert np.array_equal(p1.pos_flat, p2.pos_flat), t
+        assert rc.term_stats(t) == rf.term_stats(t), t
+    for q in ["public static", "public | void", '"old lady"']:
+        assert rc.search(q, k=10) == rf.search(q, k=10), q
