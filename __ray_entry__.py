@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_search": pipelines.boolean_search,      # M11 nested AND/OR tree
         "proximity_search": pipelines.proximity_search,  # D2 distance-R intersect
         "fielded_search": pipelines.fielded_search,      # J3 field semi-join
+        "facet_counts": pipelines.facet_counts,          # facet panel over meta cols
+        "grouped_topk": pipelines.grouped_topk,          # diversified top-k per facet
         "wildcard_terms": pipelines.wildcard_terms,      # O6 GetLikeWords
         "suggest_prefix": pipelines.suggest_prefix,      # O4 suggestions
         "levenshtein_close": pipelines.levenshtein_close,  # M13 corrections

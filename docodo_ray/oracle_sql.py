@@ -184,6 +184,57 @@ WHERE (EXISTS(SELECT 1 FROM filt f WHERE f.doc_id = d.doc_id AND f.term = '{t_or
   AND EXISTS(SELECT 1 FROM filt f WHERE f.doc_id = d.doc_id AND f.term = '{t_and}')
 """
 
+    # facet panel: the boolean hit set grouped by the lang meta column
+    sql["facet_counts"] = pro + f"""
+SELECT d.lang, count(*) AS n_docs FROM documents d
+WHERE (EXISTS(SELECT 1 FROM filt f WHERE f.doc_id = d.doc_id AND f.term = '{t_or1}')
+    OR EXISTS(SELECT 1 FROM filt f WHERE f.doc_id = d.doc_id AND f.term = '{t_or2}'))
+  AND EXISTS(SELECT 1 FROM filt f WHERE f.doc_id = d.doc_id AND f.term = '{t_and}')
+GROUP BY d.lang
+"""
+
+    # grouped (diversified) top-k: same BM25 formula as bm25_topk, ranked
+    # within each lang facet value by the identical integer comparator
+    from docodo_ray.pipelines import GROUPED_K, GROUPED_QUERY_ID
+
+    gq_terms = sorted(set(tokenize(dict(BM25_QUERY_SET)[GROUPED_QUERY_ID], spec)[0]))
+    gq_vals = ", ".join(f"('{t}')" for t in gq_terms)
+    sql["grouped_topk"] = pro + f""",
+qt(term) AS (VALUES {gq_vals}),
+s AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM filt) AS total
+),
+tft AS (
+  SELECT term, doc_id, count(*) AS tf FROM filt
+  WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id
+),
+dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM filt
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+dlt AS (SELECT doc_id, count(*) AS dl FROM filt GROUP BY doc_id),
+scored AS (
+  SELECT tft.doc_id,
+    SUM(
+      ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+      * (tft.tf * (1.2 + 1)) / (tft.tf + 1.2 * (1 - 0.75 + 0.75 * dlt.dl / (s.total::DOUBLE / s.n_docs)))
+    ) AS score
+  FROM qt JOIN tft USING (term) JOIN dft USING (term)
+  JOIN dlt ON tft.doc_id = dlt.doc_id CROSS JOIN s
+  GROUP BY tft.doc_id
+)
+SELECT lang, doc_id, score_e6 FROM (
+  SELECT d.lang, sc.doc_id,
+    CAST(FLOOR(sc.score * 1000000) AS BIGINT) AS score_e6,
+    ROW_NUMBER() OVER (
+      PARTITION BY d.lang
+      ORDER BY CAST(FLOOR(sc.score * 1000000) AS BIGINT) DESC, sc.doc_id ASC
+    ) AS rn
+  FROM scored sc JOIN documents d USING (doc_id)
+) WHERE rn <= {GROUPED_K}
+"""
+
     # ordered proximity: chain-end count = distinct positions of the second
     # word with a first-word occurrence in the preceding |R| positions
     pw0, pw1, pr = _norm(PROX_WORDS[0]), _norm(PROX_WORDS[1]), abs(PROX_R)

@@ -323,6 +323,122 @@ def boolean_search(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(docs.astype(np.int64))})
 
 
+def facet_counts(sf_dir: str) -> pa.Table:
+    """(lang, n_docs): facet histogram of the BOOLEAN_QUERY hit set over the
+    doc-meta ``lang`` column — the classic search-result facet panel
+    (generalizes the reference's per-source result grouping,
+    Search.cs:544-557, to any structured meta column).
+
+    Scale shape: the hit doc-id set (bounded by query selectivity, already
+    capped by the engine's result limits for interactive use) is broadcast
+    ONCE via ray.put; the doc-meta table streams through map_batches with
+    each batch emitting at most n_distinct_langs partial-count rows, so only
+    those tiny partials ever reach the driver — the meta table itself never
+    materializes anywhere.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from docodo_ray.queryparse import parse_query
+
+    r = get_index(sf_dir)
+    q = parse_query(BOOLEAN_QUERY, r.spec)
+    hits = np.sort(r._doc_set(q.tree, {}).astype(np.uint64))
+    hits_ref = ray.put(hits)
+    files = r._doc_meta_files()
+
+    def partial(t: pa.Table) -> pa.Table:
+        hit = ray.get(hits_ref)  # zero-copy plasma read, shared per worker
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sub = t.filter(pa.array(np.isin(ids, hit, assume_unique=False)))
+        vc = pc.value_counts(sub["lang"])
+        return pa.table({
+            "lang": vc.field("values").cast(pa.string()),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    partials = (
+        rd.read_parquet(files, columns=["doc_id", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    if not partials:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64())})
+    t = pa.Table.from_pylist(partials)
+    g = t.group_by("lang").aggregate([("n", "sum")])
+    return pa.table({"lang": g["lang"], "n_docs": g["n_sum"].cast(pa.int64())})
+
+
+GROUPED_QUERY_ID, GROUPED_K = 1, 3  # "merge join", top-3 per lang
+
+
+def grouped_topk(sf_dir: str) -> pa.Table:
+    """(lang, doc_id, score_e6): the top-GROUPED_K BM25 hits PER lang facet
+    value for query GROUPED_QUERY_ID — diversified ("grouped") results, the
+    other half of the facet panel next to facet_counts.
+
+    Scale shape: the scored hit map (doc_id -> score_e6, bounded by query
+    selectivity) is broadcast ONCE via ray.put; doc-meta streams through
+    map_batches with each batch emitting at most n_langs x K partial rows
+    (a per-batch per-group top-K combiner); the driver only re-reduces those
+    partials — neither the meta table nor the full per-lang ranking ever
+    materializes. Ranking key is (score_e6 desc, doc_id asc), the same
+    integer comparator the DuckDB oracle uses.
+    """
+    import ray
+
+    from docodo_ray.search import score_query_e6
+
+    r = get_index(sf_dir)
+    qtext = dict(BM25_QUERY_SET)[GROUPED_QUERY_ID]
+    docs, e6 = score_query_e6(r, qtext, 1 << 62)  # all scored docs
+    o = np.argsort(docs)
+    hits_ref = ray.put((docs[o], e6[o]))
+    files = r._doc_meta_files()
+
+    def topk_per_lang(langs: np.ndarray, ids: np.ndarray, sc: np.ndarray,
+                      k: int) -> pa.Table:
+        out_l: list[str] = []
+        out_d: list[int] = []
+        out_s: list[int] = []
+        for lang in np.unique(langs):
+            m = langs == lang
+            li, ls = ids[m], sc[m]
+            order = np.lexsort((li, -ls))[:k]
+            out_l.extend([str(lang)] * order.size)
+            out_d.extend(li[order].tolist())
+            out_s.extend(ls[order].tolist())
+        return pa.table({
+            "lang": pa.array(out_l, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score_e6": pa.array(out_s, pa.int64()),
+        })
+
+    def partial(t: pa.Table) -> pa.Table:
+        hit_ids, hit_sc = ray.get(hits_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(hit_ids, ids).clip(0, max(hit_ids.size - 1, 0))
+        mask = (hit_ids[pos] == ids) if hit_ids.size else np.zeros(ids.size, bool)
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)[mask]
+        return topk_per_lang(langs, ids[mask], hit_sc[pos[mask]], GROUPED_K)
+
+    partials = (
+        rd.read_parquet(files, columns=["doc_id", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    if not partials:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score_e6": pa.array([], pa.int64())})
+    t = pa.Table.from_pylist(partials)
+    return topk_per_lang(np.asarray(t["lang"].to_pylist(), dtype=object),
+                         t["doc_id"].to_numpy(zero_copy_only=False),
+                         t["score_e6"].to_numpy(zero_copy_only=False),
+                         GROUPED_K)
+
+
 def proximity_search(sf_dir: str) -> pa.Table:
     """(doc_id, n_occ): ordered within-|R| proximity matches of PROX_WORDS,
     from the positional index (n_occ = chain-end count)."""
