@@ -1,0 +1,50 @@
+"""Facet panel invariants (pipelines.facet_counts / grouped_topk) checked
+against driver-side brute force over the sf0.001 documents table — the
+DuckDB hash equality itself is covered by test_driver_contract; this locks
+the combiner semantics (per-batch partials re-reduce exactly) and the
+integer tie-breaking independent of the oracle."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from docodo_ray import pipelines
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_facet_counts_matches_bruteforce(ray_session):
+    t = pipelines.facet_counts(SF)
+    hits = set(pipelines.boolean_search(SF)["doc_id"].to_pylist())
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    want: dict[str, int] = {}
+    for d, lang in zip(docs["doc_id"].to_pylist(), docs["lang"].to_pylist()):
+        if d in hits:
+            want[lang] = want.get(lang, 0) + 1
+    got = dict(zip(t["lang"].to_pylist(), t["n_docs"].to_pylist()))
+    assert got == want
+    assert sum(got.values()) == len(hits)
+
+
+def test_grouped_topk_matches_bruteforce(ray_session):
+    from docodo_ray.search import score_query_e6
+
+    t = pipelines.grouped_topk(SF)
+    r = pipelines.get_index(SF)
+    qtext = dict(pipelines.BM25_QUERY_SET)[pipelines.GROUPED_QUERY_ID]
+    docs, e6 = score_query_e6(r, qtext, 1 << 62)
+    lang_of = dict(zip(
+        *(pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])[c]
+          .to_pylist() for c in ("doc_id", "lang"))))
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for d, s in zip(docs.tolist(), e6.tolist()):
+        by_lang.setdefault(lang_of[d], []).append((-s, d))
+    want = set()
+    for lang, rows in by_lang.items():
+        for negs, d in sorted(rows)[: pipelines.GROUPED_K]:
+            want.add((lang, d, -negs))
+    got = set(zip(t["lang"].to_pylist(), t["doc_id"].to_pylist(),
+                  t["score_e6"].to_pylist()))
+    assert got == want
+    # per-lang cardinality cap
+    langs, counts = np.unique(np.asarray(t["lang"].to_pylist()), return_counts=True)
+    assert (counts <= pipelines.GROUPED_K).all()
