@@ -256,6 +256,13 @@ def cmd_search(args) -> int:
     if args.query is not None:
         _print_hits(reader, args.query, args.k, args.mode, args.snippets,
                     ranker=args.ranker)
+        if args.facets:
+            panel = reader.facets(args.query, tuple(args.facets.split(",")),
+                                  mode=args.mode)
+            for col, counts in panel.items():
+                row = "  ".join(f"{v}={n}" for v, n in
+                                sorted(counts.items(), key=lambda x: (-x[1], x[0])))
+                print(f"  [{col}] {row}")
         return 0
     if sys.stdin.isatty():
         return _repl_tty(reader, args.k, args.mode, args.snippets)
@@ -370,6 +377,9 @@ def make_parser() -> argparse.ArgumentParser:
     s.add_argument("--snippets", action="store_true")
     s.add_argument("--ranker", default="bm25", choices=["bm25", "docodo"],
                    help="docodo = the reference's original proximity rank")
+    s.add_argument("--facets", default=None,
+                   help="comma list of meta columns: print full-hit-set "
+                        "value counts per column (one-shot -q mode)")
     s.set_defaults(fn=cmd_search)
 
     i = sub.add_parser("info", help="corpus stats + term histogram")

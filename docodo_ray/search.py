@@ -672,6 +672,68 @@ class IndexReader:
         return ok_ids[pos] == doc_ids if ok_ids.size else np.zeros(
             doc_ids.size, dtype=bool)
 
+    def facets(self, query: str, cols: tuple[str, ...] = ("lang",),
+               mode: str = "and") -> dict[str, dict[str, int]]:
+        """Facet panel: value -> hit-count histogram of the query's FULL
+        match set (not top-k) for each requested doc-meta column —
+        ``{col: {value: n_docs}}``.
+
+        Serving-side shape: the hit doc-id set stays one sorted array; the
+        doc-meta table streams batch-by-batch through a column-pruned
+        scanner with residual meta predicates applied per batch, so only
+        per-value counters accumulate and the table never materializes.
+        The distributed equivalent over a Ray cluster (hit set broadcast
+        once, per-batch partial counts) is ``pipelines.facet_counts``."""
+        from docodo_ray import queryparse as qp
+
+        empty: dict[str, dict[str, int]] = {c: {} for c in cols}
+        q = parse_query(query, self.spec)
+        tree = qp.relax_to_or(q.tree) if mode == "or" else q.tree
+        if tree is None:
+            return empty
+        meta_cand, residuals = self._meta_candidates(q)
+        if meta_cand is not None and meta_cand.size == 0:
+            return empty
+        wilds: set[str] = set()
+        qp.collect_wildcards(tree, wilds)
+        expansions = {w: self.like_words(w) for w in wilds}
+        hits = self._doc_set(tree, expansions)
+        if meta_cand is not None:
+            hits = np.intersect1d(hits, meta_cand, assume_unique=True)
+        if hits.size == 0:
+            return empty
+        hits = np.sort(hits.astype(np.uint64))
+        files = self._doc_meta_files()
+        schema = self.doc_meta_schema()
+        if not files or schema is None:
+            return empty
+        want = [c for c in cols if c in schema.names]
+        rcols = sorted({f for _op, f, _v in residuals})
+        import pyarrow.dataset as pds
+
+        dset = pds.dataset(files, format="parquet")
+        out: dict[str, dict[str, int]] = {c: {} for c in cols}
+        scan_cols = list(dict.fromkeys(["doc_id", *want, *rcols]))
+        for rb in dset.scanner(columns=scan_cols).to_batches():
+            self.io_stats["meta_rows_read"] += rb.num_rows
+            t = pa.Table.from_batches([rb])
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            m = np.isin(ids, hits, assume_unique=False)
+            for op, fld, v in residuals:
+                rm = (pc.equal(t[fld], v) if op == "eq" else
+                      pc.match_substring_regex(t[fld].cast(pa.string()), v))
+                m &= pc.fill_null(rm, False).to_numpy(zero_copy_only=False)
+            if not m.any():
+                continue
+            sub = t.filter(pa.array(m))
+            for c in want:
+                vc = pc.value_counts(sub[c])
+                d = out[c]
+                for v, n in zip(vc.field("values").to_pylist(),
+                                vc.field("counts").to_pylist()):
+                    d[str(v)] = d.get(str(v), 0) + int(n)
+        return out
+
     # ---- BM25 -----------------------------------------------------------
     def idf(self, df: int) -> float:
         return float(np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))

@@ -6,7 +6,7 @@ Stdlib-only (ThreadingHTTPServer): one shared IndexReader answers concurrent
 queries (its caches are guarded, search.py); each result row carries the
 doc's meta columns via a pushdown point read. Endpoints:
 
-    GET /search?req=<query>[&k=10][&mode=and|or][&meta=1][&ranker=bm25|docodo]
+    GET /search?req=<query>[&k=10][&mode=and|or][&meta=1][&ranker=bm25|docodo][&facets=lang,source]
     GET /suggest?prefix=<p>[&n=10]
     GET /stats
 
@@ -26,9 +26,10 @@ from docodo_ray.search import IndexReader
 
 def search_payload(reader: IndexReader, req: str, k: int = 10,
                    mode: str = "and", with_meta: bool = True,
-                   ranker: str = "bm25") -> dict:
+                   ranker: str = "bm25", facets: list[str] | None = None) -> dict:
     """The `{found, result[]}` body (reference server.cs response shape).
-    ranker="docodo" serves the reference's original proximity rank."""
+    ranker="docodo" serves the reference's original proximity rank;
+    facets=[col,...] adds a `facets` panel of full-hit-set value counts."""
     hits = (reader.search_docodo(req, k=k) if ranker == "docodo"
             else reader.search(req, k=k, mode=mode))
     result = [{"doc_id": int(d), "score": float(s)} for d, s in hits]
@@ -40,7 +41,10 @@ def search_payload(reader: IndexReader, req: str, k: int = 10,
             by_id[int(row.pop("doc_id"))] = row
         for r in result:
             r.update(by_id.get(r["doc_id"], {}))
-    return {"found": len(result), "result": result}
+    body = {"found": len(result), "result": result}
+    if facets:
+        body["facets"] = reader.facets(req, tuple(facets), mode=mode)
+    return body
 
 
 def make_server(index_dir: str, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
@@ -71,6 +75,7 @@ def make_server(index_dir: str, host: str = "127.0.0.1", port: int = 0) -> Threa
                         mode=arg("mode", "and"),
                         with_meta=arg("meta", "1") not in ("0", "false"),
                         ranker=arg("ranker", "bm25"),
+                        facets=[f for f in arg("facets", "").split(",") if f],
                     ))
                 elif u.path == "/suggest":
                     terms = reader.suggest(arg("prefix", ""), n=int(arg("n", "10")))

@@ -60,6 +60,19 @@ def test_oneshot_search(cli_index, top_term, capsys):
     assert "doc " in out
 
 
+def test_oneshot_search_facets(cli_index, top_term, capsys):
+    rc = cli.main(["search", cli_index, "-q", top_term, "-k", "3",
+                   "--facets", "lang,repo"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "[lang]" in out and "[repo]" in out
+    from docodo_ray.search import IndexReader
+
+    panel = IndexReader(cli_index).facets(top_term, ("lang",))
+    top_lang, n = max(panel["lang"].items(), key=lambda x: (x[1], x[0]))
+    assert f"{top_lang}={n}" in out
+
+
 def test_line_mode_repl(cli_index, top_term, capsys, monkeypatch):
     monkeypatch.setattr(
         "sys.stdin", io.StringIO(f"{top_term}\n{top_term[:2]}?\ne\n"))

@@ -48,3 +48,32 @@ def test_grouped_topk_matches_bruteforce(ray_session):
     # per-lang cardinality cap
     langs, counts = np.unique(np.asarray(t["lang"].to_pylist()), return_counts=True)
     assert (counts <= pipelines.GROUPED_K).all()
+
+
+def test_reader_facets_surface(ray_session):
+    """IndexReader.facets (the serving-side streamed scan) agrees with the
+    distributed pipeline and composes with field predicates + residuals."""
+    r = pipelines.get_index(SF)
+    panel = r.facets(pipelines.BOOLEAN_QUERY, ("lang", "source"))
+    t = pipelines.facet_counts(SF)
+    want = dict(zip(t["lang"].to_pylist(), t["n_docs"].to_pylist()))
+    assert panel["lang"] == want
+    assert sum(panel["source"].values()) == sum(want.values())
+
+    # field predicate restricts the panel to one lang
+    one = r.facets(f"{pipelines.BOOLEAN_QUERY} {{lang=en}}", ("lang",))
+    assert set(one["lang"]) == {"en"} and one["lang"]["en"] == want["en"]
+
+    # force the predicate residual (cap below the lang=en match count):
+    # the per-batch residual application must give the identical panel
+    old = r.max_meta_candidates
+    try:
+        r.max_meta_candidates = 1
+        res = r.facets(f"{pipelines.BOOLEAN_QUERY} {{lang=en}}", ("lang",))
+    finally:
+        r.max_meta_candidates = old
+    assert res == one
+
+    # no matches / empty query -> empty panels, no exceptions
+    assert r.facets("zzzznotaterm", ("lang",)) == {"lang": {}}
+    assert r.facets("", ("lang",)) == {"lang": {}}

@@ -100,3 +100,15 @@ def test_docodo_ranker_endpoint(served):
     # descending rank, ties by doc_id
     scores = [s for _, s in got]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_facets_param(served):
+    out, base = served
+    body = _get(f"{base}/search?req=public&k=3&facets=lang,repo")
+    assert set(body) == {"found", "result", "facets"}
+    r = IndexReader(out)
+    assert body["facets"] == r.facets("public", ("lang", "repo"))
+    # facet counts cover the FULL hit set, not just the k returned rows
+    assert sum(body["facets"]["lang"].values()) >= body["found"]
+    # no facets param -> no panel key (backward-compatible shape)
+    assert "facets" not in _get(f"{base}/search?req=public&k=3")
