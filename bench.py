@@ -62,6 +62,35 @@ QUERY_SET = [
 ]
 
 
+def cpu_calibration() -> dict:
+    """Fixed single-core microbenchmark recorded with every bench JSON.
+
+    This VM's per-core throughput swings 2-3x between runs hours apart
+    (BASELINE.md §3 documents a degraded window where an unchanged build
+    measured 147 s vs 103 s and a 2-CPU scaling leg 860 s vs 303 s).
+    Recording a deterministic probe alongside the wall numbers lets a
+    reader normalize across draws: engine regressions move the ratio
+    wall/probe; VM weather moves both together.
+    """
+    import numpy as np
+
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(5_000_000):
+        s += i
+    pyloop_s = time.perf_counter() - t0
+    a = np.random.default_rng(0).random((1024, 1024))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a = a @ a
+        a /= np.max(a)
+    matmul_s = time.perf_counter() - t0
+    return {
+        "pyloop_miter_per_s": round(5.0 / pyloop_s, 1),
+        "matmul_gflops": round(3 * 2 * 1024**3 / matmul_s / 1e9, 1),
+    }
+
+
 def run_scaling_build(num_cpus: int) -> dict:
     """One scaling measurement: full index build over the (cached) scaling
     corpus at num_cpus. Used by --scaling via fresh subprocesses."""
@@ -105,6 +134,7 @@ def run_scaling_build(num_cpus: int) -> dict:
         "value": round(dt, 3), "unit": "sec", "num_cpus": num_cpus,
         "docs_per_sec": round(res.n_docs / dt, 1),
         "total_tokens": res.total_tokens, "queries": {}, "sf": "synthetic",
+        "cpu_calibration": cpu_calibration(),
     }
 
 
@@ -128,6 +158,7 @@ def run_bench(num_cpus: int) -> dict:
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     timings: dict[str, float] = {}
+    calib = cpu_calibration()
 
     # corpus (cached, deterministic, one dir per size); one untimed read
     # warms the page cache
@@ -234,6 +265,7 @@ def run_bench(num_cpus: int) -> dict:
         "n_docs": res.n_docs,
         "total_tokens": res.total_tokens,
         "draws": draws,  # every repeat, for noise diagnosis (BASELINE.md §3)
+        "cpu_calibration": calib,  # normalize wall numbers across VM weather
     }
 
 
@@ -269,6 +301,8 @@ def main() -> None:
             "queries": {f"sec_{lo}": t_lo, f"sec_{hi}": t_hi},
             "sf": "synthetic",
             "num_cpus": hi,
+            "cpu_calibration_lo": best[lo].get("cpu_calibration"),
+            "cpu_calibration_hi": best[hi].get("cpu_calibration"),
         }))
         return
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
