@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": traindata.pack_sequences,      # distributed prefix scan
         "stratified_sample": traindata.stratified_sample,  # hash-deterministic mixing
         "curate_corpus": traindata.curate_corpus,        # the full composition
+        "pii_redact": traindata.redact_pii,              # email/IP/key redaction
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,            # LSH 16x4: rows-only

@@ -702,6 +702,39 @@ SELECT doc_id, lang, ntok,
 FROM p
 """
 
+    # PII redaction: the four rule patterns are imported from traindata
+    # (single source of truth) and applied as the SAME ordered chain — each
+    # rule's count is taken on the text state left by the previous rule.
+    # Python compiles them with re.ASCII precisely so \b/\d semantics match
+    # this RE2 evaluation. The doc_id-derived suffix reproduces
+    # traindata._pii_suffix verbatim.
+    from docodo_ray.traindata import (
+        PII_FIXTURE_AWS, PII_FIXTURE_HEX, PII_RULES)
+
+    (_, e_pat, _), (_, a_pat, _), (_, h_pat, _), (_, i_pat, _) = PII_RULES
+    sql["pii_redact"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.'
+      || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+      || ' key {PII_FIXTURE_AWS} secret {PII_FIXTURE_HEX}' AS t0
+  FROM documents
+),
+s1 AS (SELECT doc_id,
+  CAST(len(regexp_extract_all(t0, '{e_pat}')) AS BIGINT) AS n_email,
+  regexp_replace(t0, '{e_pat}', '<EMAIL>', 'g') AS t1 FROM aug),
+s2 AS (SELECT doc_id, n_email,
+  CAST(len(regexp_extract_all(t1, '{a_pat}')) AS BIGINT) AS n_awskey,
+  regexp_replace(t1, '{a_pat}', '<AWSKEY>', 'g') AS t2 FROM s1),
+s3 AS (SELECT doc_id, n_email, n_awskey,
+  CAST(len(regexp_extract_all(t2, '{h_pat}')) AS BIGINT) AS n_hexsecret,
+  regexp_replace(t2, '{h_pat}', '<HEXSECRET>', 'g') AS t3 FROM s2)
+SELECT doc_id, n_email, n_awskey, n_hexsecret,
+  CAST(len(regexp_extract_all(t3, '{i_pat}')) AS BIGINT) AS n_ipv4,
+  sha256(regexp_replace(t3, '{i_pat}', '<IP>', 'g')) AS redacted_sha
+FROM s3
+"""
+
     sql["stratified_sample"] = f"""
 WITH u AS (
   SELECT doc_id, lang,
