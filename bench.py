@@ -80,11 +80,12 @@ def cpu_calibration() -> dict:
         s += i
     pyloop_s = time.perf_counter() - t0
     a = np.random.default_rng(0).random((1024, 1024))
-    t0 = time.perf_counter()
+    matmul_s = 0.0
     for _ in range(3):
-        a = a @ a
-        a /= np.max(a)
-    matmul_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        b = a @ a
+        matmul_s += time.perf_counter() - t0
+        a = b / np.max(b)  # renormalize OUTSIDE the timed region
     return {
         "pyloop_miter_per_s": round(5.0 / pyloop_s, 1),
         "matmul_gflops": round(3 * 2 * 1024**3 / matmul_s / 1e9, 1),

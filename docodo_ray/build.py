@@ -374,14 +374,20 @@ def compact_index(out_dir: str) -> BuildResult:
             [{"bucket": b} for b in need], override_num_blocks=min(len(need), mg)
         )
         cfgd = manifest["config"]
+        # single-run buckets are only in `need` because of tombstones; the
+        # task probes them (bucket_contains_docs) and returns the ORIGINAL
+        # row when no deleted doc's postings live there — one delete does
+        # not rewrite the whole index.
+        orig_rows = {b: by_bucket[b][0] for b in need if len(by_bucket[b]) == 1}
         compacted = [dict(r) for r in cds.map_batches(
             make_compact_fn(out_dir, files_by_bucket, suffix,
                             ts_row_group_size=cfgd.get("term_stats_row_group_size"),
-                            tombstones=tombs),
+                            tombstones=tombs, orig_rows_by_bucket=orig_rows),
             batch_format="pyarrow", batch_size=None,
         ).take_all()]
+        kept_paths = {os.path.join(out_dir, r["path"]) for r in compacted}
         for b in need:
-            replaced.extend(files_by_bucket[b])
+            replaced.extend(f for f in files_by_bucket[b] if f not in kept_paths)
         segments = [r for rs in by_bucket.values() for r in rs
                     if int(r["bucket"]) not in set(need)] + compacted
         manifest["segments"] = sorted(segments, key=lambda r: (r["bucket"], r["path"]))
@@ -529,10 +535,16 @@ def fsck_index(out_dir: str) -> dict:
     if ts_paths:
         t = pq.read_table(ts_paths, filters=[("term", "==", DOC_LEN_TERM)])
         n_docs = int(pa.compute.sum(t["df"]).as_py() or 0)
-        if n_docs != manifest["stats"]["n_docs"]:
+        stats = manifest.get("stats")
+        if stats is None:
+            # a crash between the merge and the stats stage leaves exactly
+            # this state — the very thing fsck exists to diagnose, so it
+            # must report, not KeyError.
+            errors.append("manifest missing stats (crash before stats stage)")
+        elif n_docs != stats["n_docs"]:
             errors.append(
                 f"stats drift: sidecar n_docs {n_docs} != manifest "
-                f"{manifest['stats']['n_docs']}"
+                f"{stats['n_docs']}"
             )
     return {
         "ok": not errors,
@@ -632,7 +644,13 @@ def update_index(
     # Tombstoned ids are still present in doc-meta until compaction, so the
     # guard also rejects re-adding a deleted id (see delete_docs contract).
     new_meta = _walk_parquet(meta_dir)
-    old_meta = _doc_meta_files(out_dir, manifest)
+    # legacy manifests (no doc_meta_dirs key) fall back to a full directory
+    # walk that would include the meta_dir just spilled above — exclude it
+    # or every new doc_id matches itself and the guard always fires.
+    _pfx = meta_dir.rstrip(os.sep) + os.sep
+    old_meta = [
+        f for f in _doc_meta_files(out_dir, manifest) if not f.startswith(_pfx)
+    ]
     if new_meta and old_meta:
         new_ids = pq.read_table(new_meta, columns=["doc_id"])["doc_id"].to_numpy(
             zero_copy_only=False

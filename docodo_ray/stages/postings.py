@@ -623,9 +623,33 @@ def filter_tombstoned_rows(group: pa.Table, tombs: np.ndarray) -> pa.Table:
     return _rows_to_table(rows)
 
 
+def bucket_contains_docs(files: list[str], tombs: np.ndarray) -> bool:
+    """Cheap probe: does any run file of a bucket hold postings of any doc in
+    ``tombs`` (sorted uint64)? Column-pruned read (df + doc_blob only) and a
+    doc-id decode + searchsorted — no tf/pos/bm decode, no re-encode, no
+    write. Lets compaction skip single-run buckets untouched by a delete
+    instead of rewriting the whole index for one tombstone."""
+    for f in files:
+        t = pq.read_table(f, columns=["df", "doc_blob"]).combine_chunks()
+        if t.num_rows == 0:
+            continue
+        dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_bytes, doc_offs = _binary_col_view(t["doc_blob"])
+        docs_flat = codec.segmented_delta_decode(
+            codec.varbyte_decode(doc_bytes[doc_offs[0] : doc_offs[-1]]), dfs
+        )
+        i = np.searchsorted(tombs, docs_flat)
+        if np.any(
+            (i < tombs.size) & (tombs[np.minimum(i, tombs.size - 1)] == docs_flat)
+        ):
+            return True
+    return False
+
+
 def make_compact_fn(out_dir: str, files_by_bucket: dict[int, list[str]],
                     file_suffix: str, ts_row_group_size: int | None = None,
-                    tombstones: np.ndarray | None = None):
+                    tombstones: np.ndarray | None = None,
+                    orig_rows_by_bucket: dict[int, dict] | None = None):
     """LSM compaction: map_batches fn over rows of bucket ids. Each task
     k-way-merges ALL run files of its bucket back into a single run (segment
     rows are valid partial posting rows, so merge_segment_rows applies
@@ -633,12 +657,29 @@ def make_compact_fn(out_dir: str, files_by_bucket: dict[int, list[str]],
     bucket. Duplicate doc_ids across runs — an update that re-added live
     docs — fail loudly here (merge_segment_rows raises). With ``tombstones``
     (sorted uint64 doc_ids), deleted docs are physically dropped before the
-    merge — compaction is where LSM deletes stop being logical."""
+    merge — compaction is where LSM deletes stop being logical.
+
+    With ``orig_rows_by_bucket``, a single-run bucket is first probed with
+    ``bucket_contains_docs``; if none of its postings belong to a tombstoned
+    doc, the task emits the bucket's ORIGINAL manifest row verbatim (no
+    read-decode-rewrite) — deleting one doc no longer rewrites every
+    segment of the index."""
 
     def compact_buckets(batch: pa.Table) -> pa.Table:
         out_cols = {name: [] for name in MANIFEST_ROW_SCHEMA.names}
         for b in batch["bucket"].to_pylist():
             b = int(b)
+            orig = (orig_rows_by_bucket or {}).get(b)
+            if (
+                orig is not None
+                and len(files_by_bucket[b]) == 1
+                and tombstones is not None
+                and tombstones.size
+                and not bucket_contains_docs(files_by_bucket[b], tombstones)
+            ):
+                for name in MANIFEST_ROW_SCHEMA.names:
+                    out_cols[name].append(orig[name])
+                continue
             t = pa.concat_tables(
                 [pq.read_table(f) for f in files_by_bucket[b]]
             ).combine_chunks()

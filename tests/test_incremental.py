@@ -374,3 +374,118 @@ def test_interleaved_lsm_lifecycle(tmp_path, small_corpus_files):
         assert rc.term_stats(t) == rf.term_stats(t), t
     for q in ["public static", "public | void", '"old lady"']:
         assert rc.search(q, k=10) == rf.search(q, k=10), q
+
+
+def test_update_on_legacy_manifest_without_doc_meta_dirs(
+    tmp_path, small_corpus_files
+):
+    """Regression (r3 ADVICE): on a manifest predating the doc_meta_dirs
+    key, the duplicate-doc guard's directory-walk fallback used to include
+    the update's OWN just-spilled doc-meta dir, so every new doc matched
+    itself and any update raised a spurious 'duplicate doc_ids'."""
+    import json
+    import os
+
+    out = str(tmp_path / "legacy")
+    build_index(out, input_paths=small_corpus_files[:2], cfg=_cfg(), **CFG_KW)
+    mpath = os.path.join(out, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m.pop("doc_meta_dirs", None)  # simulate a pre-doc_meta_dirs index
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    res = update_index(out, input_paths=small_corpus_files[2:])
+    full = build_index(str(tmp_path / "legacy_full"),
+                       input_paths=small_corpus_files, cfg=_cfg(), **CFG_KW)
+    assert res.n_docs == full.n_docs
+    # the guard must still catch REAL duplicates on the legacy manifest
+    with open(mpath) as f:
+        m = json.load(f)
+    m.pop("doc_meta_dirs", None)
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="duplicate doc_ids"):
+        update_index(out, input_paths=small_corpus_files[:1])
+
+
+def test_compact_skips_buckets_untouched_by_delete(tmp_path):
+    """Regression (r3 ADVICE): deleting one doc used to force a rewrite of
+    EVERY segment. Now compaction probes single-run buckets and leaves the
+    ones holding no postings of a deleted doc byte-identical on disk."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docodo_ray import compact_index, delete_docs
+    from docodo_ray.build import fsck_index
+    from docodo_ray.tokenizer import doc_id_from_key, term_bucket
+    from docodo_ray.config import DOC_LEN_TERM
+
+    # each doc = one unique word (x5) + a shared word; victim's terms touch
+    # only its own bucket + the shared-word bucket + the DOC_LEN bucket.
+    n_buckets = 16
+    # letters only: the tokenizer splits letter/digit runs, so "uniq000"
+    # would decompose into tokens shared across docs
+    words = [f"uniq{chr(97 + i // 26)}{chr(97 + i % 26)}word" for i in range(24)]
+    rows = {
+        "repo": ["r"] * 24,
+        "path": [f"f{i:03d}.txt" for i in range(24)],
+        "commit": ["c"] * 24,
+        "lang": ["txt"] * 24,
+        "content": [f"{w} {w} {w} {w} {w} shared" for w in words],
+    }
+    src = str(tmp_path / "skipcorpus.parquet")
+    pq.write_table(pa.table(rows), src)
+    out = str(tmp_path / "skipdel")
+    cfg = IndexConfig(n_buckets=n_buckets, shard_target_postings=500,
+                      hot_sample_rate=1.0, tokenizer_batch_size=32,
+                      tokenizer_concurrency=2)
+    build_index(out, input_paths=[src], cfg=cfg, **CFG_KW)
+
+    victim = int(doc_id_from_key(["r\x00f000.txt\x00c"])[0])
+    touched = {term_bucket(w, n_buckets) for w in
+               ("uniqaaword", "shared", DOC_LEN_TERM)}
+    before = _file_hashes(out)
+    delete_docs(out, [victim])
+    compact_index(out)
+    after = _file_hashes(out)
+
+    untouched = [p for p in before
+                 if int(p.split("bucket-")[1][:5]) not in touched]
+    assert untouched, "corpus must populate buckets the victim never touches"
+    for p in untouched:
+        assert after.get(p) == before[p], f"compaction rewrote untouched {p}"
+    # touched buckets WERE rewritten (victim postings physically dropped)
+    for p in before:
+        if int(p.split("bucket-")[1][:5]) in touched:
+            assert p not in after, f"touched bucket {p} not rewritten"
+    rep = fsck_index(out)
+    assert rep["ok"], rep["errors"]
+    r = IndexReader(out)
+    assert r.read_posting("uniqaaword") is None or np.array_equal(
+        r.read_posting("uniqaaword").doc_ids, np.array([], dtype=np.uint64))
+    p = r.read_posting("shared")
+    assert victim not in set(p.doc_ids.tolist())
+    assert r.n_docs == 23
+
+
+def test_fsck_reports_missing_stats(tmp_path, small_corpus_files):
+    """Regression (r3 ADVICE): fsck on a manifest that has segments but no
+    stats key (crash before the stats stage) must return a report, not
+    KeyError — that damaged state is what fsck exists to diagnose."""
+    import json
+    import os
+
+    from docodo_ray.build import fsck_index
+
+    out = str(tmp_path / "nostats")
+    build_index(out, input_paths=small_corpus_files[:1], cfg=_cfg(), **CFG_KW)
+    mpath = os.path.join(out, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["stats"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    rep = fsck_index(out)
+    assert rep["ok"] is False
+    assert any("missing stats" in e for e in rep["errors"])
