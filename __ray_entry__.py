@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": traindata.pack_sequences,      # distributed prefix scan
         "stratified_sample": traindata.stratified_sample,  # hash-deterministic mixing
         "curate_corpus": traindata.curate_corpus,        # the full composition
+        "curate_corpus_fuzzy": traindata.curate_corpus_fuzzy,  # + near-dup cluster drop
         "pii_redact": traindata.redact_pii,              # email/IP/key redaction
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
@@ -84,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": dedup.simhash_table,                  # md5-bit votes, SQL-checked
         "simhash_near_pairs": dedup.simhash_near_pairs,  # Hamming join, SQL-checked
         "ngram_jaccard": dedup.ngram_jaccard_pairs,      # char3 LSH + verify
+        "fuzzy_components": dedup.fuzzy_components,      # distributed CC over pairs
+        "fuzzy_dedup_survivors": dedup.fuzzy_dedup_survivors,  # cluster-winner dedup
         "embedding_near_dup": sim.embedding_near_dup,    # exact cosine pairs
         "embedding_near_dup_blocked": sim.embedding_near_dup_blocked,  # IVF-blocked scale path: rows-only
         # --- streaming windows over the events table ---

@@ -691,3 +691,207 @@ def ngram_jaccard_pairs(sf_dir: str) -> rd.Dataset:
         sf_dir, NGRAM_THRESHOLD, kind="char3",
         bands=VERIFY_BANDS, rows_per_band=VERIFY_ROWS, max_bucket=4096,
     )
+
+
+# ---- distributed connected components over near-dup pairs -------------------
+#
+# The round-3 gap: verified pairs dead-ended — nothing consumed them. The
+# reference consumes dedup inline at ingest (WebDataSource.cs:146-158,
+# URL-exact only); at training-data scale the analogous composition is
+# "resolve the near-dup pair graph into clusters and keep one canonical doc
+# per cluster", which needs connected components over the pair stream.
+
+_CC_ROW = pa.schema(
+    [("node", pa.int64()), ("val", pa.int64()),
+     ("kind", pa.int64()), ("ck", pa.int64())]
+)
+_CC_LABEL = pa.schema(
+    [("node", pa.int64()), ("label", pa.int64()), ("changed", pa.int64())]
+)
+
+
+def _cc_empty(schema: pa.Schema) -> pa.Table:
+    return pa.Table.from_arrays(
+        [pa.array([], f.type) for f in schema], schema=schema)
+
+
+def connected_components(pairs: rd.Dataset, max_iters: int = 64) -> rd.Dataset:
+    """(doc_id, component) for every node of the undirected pair graph,
+    where component = the minimum doc_id reachable from the node —
+    DISTRIBUTED min-label propagation, no driver-side union-find:
+
+      labels(node) <- min(labels of node's neighbors + own label)
+
+    iterated to fixpoint. Each iteration is two groupby exchanges over
+    fixed-width int rows (edge-scale, coarse-partitioned so one map_groups
+    call covers a whole partition with numpy sort/searchsorted joins —
+    never one dispatch per node) plus a node-scale changed-count aggregate.
+    Rounds needed = graph diameter; LSH near-dup components are band-bucket
+    cliques glued at shared docs, so diameter is small (2-4 observed) and
+    independent of corpus size. ``max_iters`` is a fail-loud backstop, not
+    a tuning knob. Nothing node- or edge-scale ever reaches the driver."""
+    import logging
+
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return rd.from_arrow(pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["doc_id", "component"]))
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate((a, b))
+        dst = np.concatenate((b, a))
+        return pa.Table.from_arrays(
+            [pa.array(src, pa.int64()), pa.array(dst, pa.int64()),
+             pa.array(np.zeros(src.size, np.int64)),
+             pa.array(_coarse_mix(src), pa.int64())], schema=_CC_ROW)
+
+    to_edges.__name__ = "to_edges"
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    def init_labels(group: pa.Table) -> pa.Table:
+        nodes = np.unique(group["node"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_arrays(
+            [pa.array(nodes, pa.int64()), pa.array(nodes, pa.int64()),
+             pa.array(np.ones(nodes.size, np.int64))], schema=_CC_LABEL)
+
+    init_labels.__name__ = "init_labels"
+    labels = edges.groupby("ck").map_groups(
+        init_labels, batch_format="pyarrow").materialize()
+
+    def labels_to_rows(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [t["node"].combine_chunks(), t["label"].combine_chunks(),
+             pa.array(np.ones(node.size, np.int64)),
+             pa.array(_coarse_mix(node), pa.int64())], schema=_CC_ROW)
+
+    labels_to_rows.__name__ = "labels_to_rows"
+
+    def propagate(group: pa.Table) -> pa.Table:
+        """One coarse partition of nodes: send each node's label to every
+        neighbor and to itself; re-emit the old label tagged kind=1 so the
+        reduce can detect convergence."""
+        node = group["node"].to_numpy(zero_copy_only=False)
+        val = group["val"].to_numpy(zero_copy_only=False)
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        is_lbl = kind == 1
+        ln, lv = node[is_lbl], val[is_lbl]
+        order = np.argsort(ln, kind="stable")
+        ln, lv = ln[order], lv[order]
+        src, dst = node[~is_lbl], val[~is_lbl]
+        i = np.searchsorted(ln, src)
+        # every edge src has a label row in the same ck partition by
+        # construction; guard anyway (a missing label would mis-route)
+        i = np.minimum(i, max(ln.size - 1, 0))
+        if src.size and not np.all(ln[i] == src):
+            raise AssertionError("cc: edge source missing its label row")
+        out_node = np.concatenate((dst, ln, ln))
+        out_val = np.concatenate((lv[i] if src.size else lv[:0], lv, lv))
+        out_kind = np.concatenate(
+            (np.zeros(dst.size + ln.size, np.int64), np.ones(ln.size, np.int64)))
+        return pa.Table.from_arrays(
+            [pa.array(out_node, pa.int64()), pa.array(out_val, pa.int64()),
+             pa.array(out_kind, pa.int64()),
+             pa.array(_coarse_mix(out_node), pa.int64())], schema=_CC_ROW)
+
+    propagate.__name__ = "propagate"
+
+    def min_reduce(group: pa.Table) -> pa.Table:
+        """One coarse partition of message rows: per node, new label = min
+        over candidates and old; changed = new < old."""
+        node = group["node"].to_numpy(zero_copy_only=False)
+        val = group["val"].to_numpy(zero_copy_only=False)
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        node, val, kind = node[order], val[order], kind[order]
+        starts = np.flatnonzero(np.concatenate(([True], np.diff(node) != 0)))
+        uniq = node[starts]
+        new = np.minimum.reduceat(val, starts)
+        old = np.full(uniq.size, np.iinfo(np.int64).max)
+        is_old = kind == 1
+        old_idx = np.searchsorted(uniq, node[is_old])
+        np.minimum.at(old, old_idx, val[is_old])
+        return pa.Table.from_arrays(
+            [pa.array(uniq, pa.int64()), pa.array(new, pa.int64()),
+             pa.array((new < old).astype(np.int64))], schema=_CC_LABEL)
+
+    min_reduce.__name__ = "min_reduce"
+
+    log = logging.getLogger(__name__)
+    for it in range(1, max_iters + 1):
+        msgs = edges.union(
+            labels.map_batches(labels_to_rows, batch_format="pyarrow"))
+        labels = msgs.groupby("ck").map_groups(
+            propagate, batch_format="pyarrow"
+        ).groupby("ck").map_groups(
+            min_reduce, batch_format="pyarrow"
+        ).materialize()
+        changed = labels.sum("changed")
+        log.info("connected_components iter %d: %s labels changed", it, changed)
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iters "
+            "(graph diameter exceeds the backstop — raise max_iters)")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"], "component": t["label"]})
+
+    finish.__name__ = "finish"
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def fuzzy_components(sf_dir: str) -> rd.Dataset:
+    """(doc_id, component): near-dup cluster label (min reachable doc_id)
+    for every doc participating in a verified near-dup pair (token-shingle
+    Jaccard >= 0.5 through the oracle-complete 32x2 banding). DuckDB oracle:
+    recursive-CTE transitive closure over the same pair set."""
+    return connected_components(minhash_verified_pairs(sf_dir))
+
+
+def fuzzy_dedup_survivors(sf_dir: str) -> rd.Dataset:
+    """(doc_id,): the corpus after FUZZY dedup — drop every non-canonical
+    member of a near-dup cluster (winner = min doc_id per component), keep
+    everything else. The anti-join runs as a union + coarse-groupby
+    exchange (doc rows vs loser rows), never a driver-side set: at 100 TB
+    the loser set is dup-scale and stays on the cluster."""
+    comps = fuzzy_components(sf_dir)
+
+    def losers(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["doc_id"], t["component"])
+        ids = t.filter(keep)["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()),
+             pa.array(np.ones(ids.size, np.int64)),
+             pa.array(np.zeros(ids.size, np.int64)),
+             pa.array(_coarse_mix(ids), pa.int64())], schema=_CC_ROW)
+
+    losers.__name__ = "losers"
+
+    def docs_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(np.zeros(ids.size, np.int64)),
+             pa.array(np.zeros(ids.size, np.int64)),
+             pa.array(_coarse_mix(ids), pa.int64())], schema=_CC_ROW)
+
+    docs_rows.__name__ = "docs_rows"
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def anti(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy(zero_copy_only=False)
+        dropped = group["val"].to_numpy(zero_copy_only=False)
+        drop_ids = np.unique(node[dropped == 1])
+        keep_ids = node[dropped == 0]
+        i = np.searchsorted(drop_ids, keep_ids)
+        hit = (i < drop_ids.size) & (drop_ids[np.minimum(i, max(drop_ids.size - 1, 0))] == keep_ids) if drop_ids.size else np.zeros(keep_ids.size, bool)
+        return pa.table({"doc_id": pa.array(keep_ids[~hit], pa.int64())})
+
+    anti.__name__ = "anti"
+    return docs.map_batches(docs_rows, batch_format="pyarrow").union(
+        comps.map_batches(losers, batch_format="pyarrow")
+    ).groupby("ck").map_groups(anti, batch_format="pyarrow")

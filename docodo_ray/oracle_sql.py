@@ -331,7 +331,9 @@ SELECT a, b, CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_e6
 FROM p WHERE j >= {NGRAM_THRESHOLD}
 """
 
-    sql["minhash_verified_pairs"] = pro + f""",
+    # token-shingle all-pairs Jaccard CTEs, shared by the verified-pairs
+    # oracle and the connected-components oracles built on the same pair set
+    vp_ctes = f""",
 kept AS (
   SELECT d.doc_id, COALESCE(k.kl, CAST([] AS VARCHAR[])) AS kl
   FROM documents d LEFT JOIN (
@@ -354,9 +356,37 @@ p AS (
               / len(list_distinct(list_concat(a.s, b.s)))
     END AS j
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-)
+)"""
+
+    sql["minhash_verified_pairs"] = pro + vp_ctes + f"""
 SELECT a, b, CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_e6
 FROM p WHERE j >= {MINHASH_VERIFY_THRESHOLD}
+"""
+
+    # connected components over the verified pair set: recursive-CTE
+    # transitive closure (node reaches m), component = min reachable id.
+    # The Ray side is distributed min-label propagation (dedup.py
+    # connected_components) — equality certifies the whole composition:
+    # shingles -> LSH recall -> exact verify -> component resolution.
+    rec_pro = pro.replace("WITH toks AS", "WITH RECURSIVE toks AS")
+    cc_ctes = f""",
+vp AS (SELECT a, b FROM p WHERE j >= {MINHASH_VERIFY_THRESHOLD}),
+edges AS (SELECT a, b FROM vp UNION SELECT b AS a, a AS b FROM vp),
+reach AS (
+  SELECT a AS node, b AS m FROM edges
+  UNION
+  SELECT r.node, e.b AS m FROM reach r JOIN edges e ON e.a = r.m
+),
+comp AS (
+  SELECT node AS doc_id, LEAST(node, MIN(m)) AS component
+  FROM reach GROUP BY node
+)"""
+    sql["fuzzy_components"] = rec_pro + vp_ctes + cc_ctes + """
+SELECT doc_id, component FROM comp
+"""
+    sql["fuzzy_dedup_survivors"] = rec_pro + vp_ctes + cc_ctes + """
+SELECT d.doc_id FROM documents d LEFT JOIN comp c USING (doc_id)
+WHERE c.component IS NULL OR c.component = d.doc_id
 """
 
     from docodo_ray.windows import SESSION_GAP_MINUTES, WINDOW_MINUTES
@@ -643,7 +673,50 @@ FROM p
     # packing — each CTE mirrors its standalone oracle above
     from docodo_ray.traindata import CURATE_MAX_DIGIT_PCT, CURATE_MIN_KEPT
 
-    sql["curate_corpus"] = pro + f""",
+    # near-dup CTEs for the fuzzy curate variant: token-shingle all-pairs
+    # Jaccard (distinct CTE names — fkept/fsh/fp — to avoid collision with
+    # the curate CTEs), recursive transitive closure, min-label component,
+    # loser = any non-canonical member
+    fuzzy_ctes = f""",
+fkept AS (
+  SELECT d.doc_id, COALESCE(k.kl, CAST([] AS VARCHAR[])) AS kl
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, list(term ORDER BY pos) AS kl FROM filt GROUP BY doc_id
+  ) k USING (doc_id)
+),
+fsh AS (
+  SELECT doc_id,
+    CASE WHEN len(kl) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(kl) < 3 THEN [array_to_string(kl, ' ')]
+         ELSE list_distinct(list_transform(range(len(kl) - 2),
+                i -> kl[i+1] || ' ' || kl[i+2] || ' ' || kl[i+3]))
+    END AS s
+  FROM fkept
+),
+fp AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+    CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 1.0
+         ELSE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s)))
+    END AS j
+  FROM fsh a JOIN fsh b ON a.doc_id < b.doc_id
+),
+fvp AS (SELECT a, b FROM fp WHERE j >= {MINHASH_VERIFY_THRESHOLD}),
+fedges AS (SELECT a, b FROM fvp UNION SELECT b AS a, a AS b FROM fvp),
+freach AS (
+  SELECT a AS node, b AS m FROM fedges
+  UNION
+  SELECT r.node, e.b AS m FROM freach r JOIN fedges e ON e.a = r.m
+),
+floser AS (
+  SELECT node AS doc_id FROM freach GROUP BY node
+  HAVING LEAST(node, MIN(m)) != node
+)"""
+
+    def _curate_sql(extra_ctes: str = "", extra_cond: str = "") -> str:
+        head = pro if not extra_ctes else pro.replace(
+            "WITH toks AS", "WITH RECURSIVE toks AS")
+        return head + extra_ctes + f""",
 g0 AS (
   SELECT doc_id, pos,
          list(term) OVER (PARTITION BY doc_id ORDER BY pos
@@ -688,6 +761,7 @@ surv AS (
     AND q.n_kept >= {CURATE_MIN_KEPT}
     AND q.n_digit * 100 <= q.n_raw * {CURATE_MAX_DIGIT_PCT}
     AND d.u16 < CASE d.lang {_cases} ELSE 65536 END
+    {extra_cond}
 ),
 p AS (
   SELECT doc_id, lang, ntok,
@@ -701,6 +775,10 @@ SELECT doc_id, lang, ntok,
        prior % {PACK_BUDGET} AS pack_offset
 FROM p
 """
+
+    sql["curate_corpus"] = _curate_sql()
+    sql["curate_corpus_fuzzy"] = _curate_sql(
+        fuzzy_ctes, "AND d.doc_id NOT IN (SELECT doc_id FROM floser)")
 
     # PII redaction: the four rule patterns are imported from traindata
     # (single source of truth) and applied as the SAME ordered chain — each

@@ -262,14 +262,24 @@ class _CurateStatsStage:
 
 
 def curate_corpus(sf_dir: str, budget: int = PACK_BUDGET,
-                  range_size: int = 1024) -> rd.Dataset:
+                  range_size: int = 1024, fuzzy: bool = False) -> rd.Dataset:
     """(doc_id, lang, ntok, pack_id, pack_offset): the full training-data
     curation pipeline in one Dataset flow —
 
-      exact dedup (full-corpus sha256 winner) → eval-split decontamination
-      (n-gram overlap) → quality filter (kept-token floor + digit-ratio
-      cap) → per-language stratified sampling → sequence packing of the
-      survivors.
+      exact dedup (full-corpus sha256 winner) → [fuzzy=True: NEAR-dup drop —
+      distributed connected components over the MinHash-LSH verified pair
+      graph, keep only each cluster's min-doc_id winner] → eval-split
+      decontamination (n-gram overlap) → quality filter (kept-token floor +
+      digit-ratio cap) → per-language stratified sampling → sequence packing
+      of the survivors.
+
+    The fuzzy drop set joins the survivor stream through a union +
+    coarse-groupby exchange (never a driver-side set): at 100 TB the
+    near-dup loser set is dup-scale — potentially a third of the corpus —
+    so broadcasting it would OOM the workers; the exchange moves only
+    fixed-width stat rows it was already shuffling. Reference analog: the
+    crawler consumes dedup inline at ingest (WebDataSource.cs:146-158);
+    this is the corpus-scale composition of that idea.
 
     Shape at scale: ONE streamed pass over text (stats stage above), then
     every exchange moves only fixed-width stat rows — the sha dedup groupby
@@ -328,6 +338,53 @@ def curate_corpus(sf_dir: str, budget: int = PACK_BUDGET,
 
     surv = stats.groupby("sha").map_groups(dedup_filter, batch_format="pyarrow")
 
+    if fuzzy:
+        from docodo_ray.dedup import _coarse_mix, fuzzy_components
+
+        _SURV = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                           ("ntok", pa.int64()), ("rng", pa.int64()),
+                           ("is_drop", pa.int64()), ("fck", pa.int64())])
+
+        def loser_rows(t: pa.Table) -> pa.Table:
+            ids = t.filter(pc.not_equal(t["doc_id"], t["component"]))[
+                "doc_id"].to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays(
+                [pa.array(ids, pa.int64()),
+                 pa.array([""] * ids.size, pa.string()),
+                 pa.array(np.zeros(ids.size, np.int64)),
+                 pa.array(np.zeros(ids.size, np.int64)),
+                 pa.array(np.ones(ids.size, np.int64)),
+                 pa.array(_coarse_mix(ids), pa.int64())], schema=_SURV)
+
+        def surv_rows(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.Table.from_arrays(
+                [t["doc_id"].combine_chunks(), t["lang"].combine_chunks(),
+                 t["ntok"].combine_chunks(), t["rng"].combine_chunks(),
+                 pa.array(np.zeros(ids.size, np.int64)),
+                 pa.array(_coarse_mix(ids), pa.int64())], schema=_SURV)
+
+        def drop_fuzzy(group: pa.Table) -> pa.Table:
+            is_drop = group["is_drop"].to_numpy(zero_copy_only=False)
+            ids = group["doc_id"].to_numpy(zero_copy_only=False)
+            drop_ids = np.unique(ids[is_drop == 1])
+            keep = is_drop == 0
+            if drop_ids.size:
+                i = np.searchsorted(drop_ids, ids)
+                hit = (i < drop_ids.size) & (
+                    drop_ids[np.minimum(i, drop_ids.size - 1)] == ids)
+                keep &= ~hit
+            out = group.filter(pa.array(keep))
+            return out.select(["doc_id", "lang", "ntok", "rng"])
+
+        loser_rows.__name__ = "loser_rows"
+        surv_rows.__name__ = "surv_rows"
+        drop_fuzzy.__name__ = "drop_fuzzy"
+        losers = fuzzy_components(sf_dir).map_batches(
+            loser_rows, batch_format="pyarrow")
+        surv = surv.map_batches(surv_rows, batch_format="pyarrow").union(
+            losers).groupby("fck").map_groups(drop_fuzzy, batch_format="pyarrow")
+
     # distributed prefix scan over the survivors (same shape as
     # pack_sequences): per-range partial sums -> tiny driver exclusive scan
     # -> per-range seeded cumsum
@@ -356,6 +413,16 @@ def curate_corpus(sf_dir: str, budget: int = PACK_BUDGET,
         })
 
     return surv.groupby("rng").map_groups(pack, batch_format="pyarrow")
+
+
+def curate_corpus_fuzzy(sf_dir: str, budget: int = PACK_BUDGET,
+                        range_size: int = 1024) -> rd.Dataset:
+    """``curate_corpus`` with the near-dup cluster drop wired in (fuzzy=True)
+    — the composition the round-3 review flagged as missing: verified
+    near-dup pairs resolved to components and consumed as a drop set, not
+    just reported."""
+    return curate_corpus(sf_dir, budget=budget, range_size=range_size,
+                         fuzzy=True)
 
 
 # ---------------------------------------------------------------------------

@@ -173,3 +173,113 @@ def test_candidate_flood_guard(seeded_dir):
             bands=VERIFY_BANDS, rows_per_band=VERIFY_ROWS,
             max_pair_rows=3,
         ).count()
+
+
+# ---- distributed connected components / fuzzy dedup -------------------------
+
+def _cc_oracle(edges):
+    """Driver-side union-find oracle for tests only."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find():
+    import ray.data as rd
+
+    from docodo_ray.dedup import connected_components
+
+    rng = np.random.default_rng(11)
+    # random sparse graph over 300 nodes: many small components
+    a = rng.integers(0, 300, 150).astype(np.int64)
+    b = rng.integers(0, 300, 150).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+        "jaccard_e6": pa.array(np.zeros(a.size, np.int64)),
+    }))
+    got = {int(r["doc_id"]): int(r["component"])
+           for r in connected_components(pairs).take_all()}
+    want = _cc_oracle(zip(a.tolist(), b.tolist()))
+    assert got == want
+
+
+def test_connected_components_long_chain_and_empty():
+    import ray.data as rd
+
+    from docodo_ray.dedup import _VERIFIED_SCHEMA, connected_components
+
+    # diameter-40 path graph: iteration count must not be the backstop
+    a = np.arange(1, 41, dtype=np.int64)
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array(a), "b": pa.array(a - 1),
+        "jaccard_e6": pa.array(np.zeros(40, np.int64))}))
+    t = connected_components(pairs).to_pandas()
+    assert set(t["component"]) == {0} and len(t) == 41
+
+    empty = rd.from_arrow(pa.Table.from_arrays(
+        [pa.array([], pa.int64())] * 3, schema=_VERIFIED_SCHEMA))
+    e = connected_components(empty)
+    # (ray to_pandas drops columns on empty datasets; check the schema)
+    assert e.schema().names == ["doc_id", "component"] and e.count() == 0
+
+
+def test_fuzzy_dedup_survivors_consumes_pairs(seeded_dir):
+    """Winners = min doc_id per pair component; everything unpaired kept."""
+    from docodo_ray.dedup import (
+        MINHASH_VERIFY_THRESHOLD,
+        fuzzy_components,
+        fuzzy_dedup_survivors,
+    )
+
+    comp = {int(r["doc_id"]): int(r["component"])
+            for r in fuzzy_components(seeded_dir).take_all()}
+    want_cc = _cc_oracle(brute_pairs(seeded_dir, MINHASH_VERIFY_THRESHOLD))
+    assert comp == want_cc
+
+    surv = sorted(r["doc_id"] for r in fuzzy_dedup_survivors(seeded_dir).take_all())
+    t = pq.read_table(f"{seeded_dir}/documents.parquet")
+    all_ids = set(t["doc_id"].to_pylist())
+    want = sorted(i for i in all_ids
+                  if i not in want_cc or want_cc[i] == i)
+    assert surv == want
+    # the seeded corpus has real dup clusters: survivors must be a strict subset
+    assert len(surv) < len(all_ids)
+
+
+def test_curate_fuzzy_drops_near_dup_losers(seeded_dir, tmp_path):
+    """curate_corpus_fuzzy = curate_corpus minus non-canonical near-dup
+    members, with the packing recomputed over the reduced survivor set."""
+    from docodo_ray.dedup import fuzzy_components
+    from docodo_ray.traindata import curate_corpus, curate_corpus_fuzzy
+
+    # curate needs a lang column; lang 'de' keeps all (sampling threshold 1.0)
+    t = pq.read_table(f"{seeded_dir}/documents.parquet")
+    t = t.append_column("lang", pa.array(["de"] * t.num_rows))
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    cur_dir = str(tmp_path)
+
+    base = curate_corpus(cur_dir).to_pandas()
+    fz = curate_corpus_fuzzy(cur_dir).to_pandas()
+    comp = {int(r["doc_id"]): int(r["component"])
+            for r in fuzzy_components(cur_dir).take_all()}
+    losers = {d for d, c in comp.items() if c != d}
+    assert set(fz.doc_id) == set(base.doc_id) - losers
+    # packing is a valid prefix layout over the fuzzy survivors
+    fz = fz.sort_values("doc_id").reset_index(drop=True)
+    prior = (fz.pack_id * 512 + fz.pack_offset).to_numpy()
+    ntok = fz.ntok.to_numpy()
+    assert prior[0] == 0
+    assert (np.diff(prior) == ntok[:-1]).all()
