@@ -8,10 +8,12 @@ counterpart for, expressed Ray-Data-first over the ``documents`` table:
 
 - ``decontaminate``: flag training documents sharing any n-token gram with
   an evaluation set (the GPT-3/Dolma n-gram-overlap decontamination rule).
-  The eval side is tiny by construction (benchmark suites are MBs against
-  TBs of training data), so its gram set is collected once on the driver
-  and broadcast via ``ray.put`` — the training side streams through a
-  ``map_batches`` membership probe, no shuffle at all.
+  Fully distributed gram-hash SEMI-JOIN (round-4 rework: the driver-side
+  eval-gram set grew linearly with the corpus under the doc_id%mod eval
+  split): fixed-width (gram_hash, doc_id) rows hash-partition by gram,
+  each partition matches train grams against eval grams with numpy
+  searchsorted, per-doc counts sum in a second coarse exchange. Nothing
+  gram-scale or corpus-scale ever reaches the driver.
 - ``pack_sequences``: assign each document its token offset in the
   concatenated training stream and the fixed-budget sequence (pack) it
   starts in. A global running sum is inherently sequential, so it is
@@ -80,35 +82,131 @@ def _doc_grams(text: str, n: int) -> set[str]:
     return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
 
 
-class _DeconStage:
-    """Per-batch membership probe against the broadcast eval-gram set.
+_DECON_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
 
-    The gram set is ``ray.put`` once and fetched once per worker process —
-    never re-shipped per batch. Grams are exact strings so the result is
-    oracle-identical; a 100-TB deployment would hash both sides to uint64
-    (collision odds ~n²/2⁶⁴) to shrink the broadcast, which changes none of
-    the plumbing here.
-    """
 
-    def __init__(self, grams_ref, n: int, eval_mod: int):
-        self.grams: frozenset[str] = (
-            ray.get(grams_ref) if isinstance(grams_ref, ray.ObjectRef) else grams_ref
-        )
-        self.n = n
-        self.eval_mod = eval_mod
+def _gram_hashes(text: str, n: int, cache: dict | None = None) -> np.ndarray:
+    """Sorted-unique 64-bit hashes of a doc's n-token grams: blake2b per
+    unique token (memoized across docs) then a position-sensitive splitmix
+    roll over each window. Injective w.h.p. on 64 bits (tokens contain no
+    spaces, so the token sequence determines the joined gram string) — set
+    operations over these equal set operations over the string grams; the
+    hashes never cross the oracle boundary."""
+    from docodo_ray.dedup import _elem_hashes
+    from docodo_ray.tokenizer import splitmix64
+
+    hs = _elem_hashes(tokenize_raw(text), cache)
+    m = hs.size - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.uint64)
+    acc = splitmix64(hs[:m] ^ _DECON_MIX)
+    for j in range(1, n):
+        acc = splitmix64(acc ^ (hs[j:j + m] + np.uint64(j) * _DECON_MIX))
+    return np.unique(acc)
+
+
+_GRAM_COARSE = 4096
+_GRAM_ROW = pa.schema(
+    [("gh", pa.int64()), ("doc_id", pa.int64()), ("gk", pa.int64())]
+)
+_HIT_ROW = pa.schema(
+    [("doc_id", pa.int64()), ("n_hits", pa.int64()), ("dk", pa.int64())]
+)
+
+
+def _coarse_i64(x: np.ndarray, n_parts: int = _GRAM_COARSE) -> np.ndarray:
+    from docodo_ray.tokenizer import splitmix64
+
+    return (splitmix64(x.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+
+
+class _GramRowStage:
+    """One streamed pass over the corpus emitting (gram_hash, doc_id) rows —
+    eval docs tagged doc_id = -1 — keyed by a coarse partition of the gram
+    hash. Token-hash memo is per-worker state (``__init__`` once)."""
+
+    def __init__(self, n: int, eval_mod: int):
+        self.n, self.eval_mod = n, eval_mod
+        self.cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, hits = [], []
+        ghs, dids = [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(),
                                 batch["text"].to_pylist()):
-            if doc_id % self.eval_mod == 0:
-                continue  # eval docs are not training candidates
-            k = len(_doc_grams(text, self.n) & self.grams)
-            if k:
-                ids.append(doc_id)
-                hits.append(k)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "n_hits": pa.array(hits, pa.int64())})
+            g = _gram_hashes(text, self.n, self.cache)
+            if not g.size:
+                continue
+            ghs.append(g)
+            dids.append(np.full(
+                g.size, -1 if doc_id % self.eval_mod == 0 else doc_id,
+                dtype=np.int64))
+        gh = (np.concatenate(ghs) if ghs else np.empty(0, np.uint64))
+        doc = (np.concatenate(dids) if dids else np.empty(0, np.int64))
+        return pa.Table.from_arrays(
+            [pa.array(gh.view(np.int64), pa.int64()),
+             pa.array(doc, pa.int64()),
+             pa.array(_coarse_i64(gh), pa.int64())], schema=_GRAM_ROW)
+
+
+def _decon_hits(docs: rd.Dataset, n: int, eval_mod: int) -> rd.Dataset:
+    """(doc_id, n_hits) for training docs sharing >=1 n-gram with the eval
+    split — a SHUFFLE-SIDE SEMI-JOIN on gram hash. Nothing gram- or
+    corpus-scale ever reaches the driver (the round-3 review's one genuine
+    scale-killer was the driver-side eval-gram set, which with the
+    eval split defined as doc_id % mod grows linearly with the corpus):
+
+      gram rows (24 B fixed width, one per distinct doc-gram) are
+      hash-partitioned by gram; each partition matches its train grams
+      against its eval grams with numpy searchsorted; per-doc partial hit
+      counts then sum in a second coarse exchange keyed by doc.
+    """
+
+    def match(group: pa.Table) -> pa.Table:
+        gh = group["gh"].to_numpy(zero_copy_only=False)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        ev = np.unique(gh[doc < 0])
+        tm = doc >= 0
+        tgh, tdoc = gh[tm], doc[tm]
+        if ev.size and tgh.size:
+            i = np.searchsorted(ev, tgh)
+            hit = (i < ev.size) & (ev[np.minimum(i, ev.size - 1)] == tgh)
+            tdoc = tdoc[hit]
+        else:
+            tdoc = tdoc[:0]
+        tdoc = np.sort(tdoc)
+        if tdoc.size:
+            starts = np.flatnonzero(
+                np.concatenate(([True], np.diff(tdoc) != 0)))
+            uniq = tdoc[starts]
+            cnt = np.diff(np.concatenate((starts, [tdoc.size])))
+        else:
+            uniq = cnt = np.empty(0, np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(uniq, pa.int64()), pa.array(cnt, pa.int64()),
+             pa.array(_coarse_i64(uniq), pa.int64())], schema=_HIT_ROW)
+
+    def total(group: pa.Table) -> pa.Table:
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        cnt = group["n_hits"].to_numpy(zero_copy_only=False)
+        if not doc.size:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64())})
+        order = np.argsort(doc, kind="stable")
+        doc, cnt = doc[order], cnt[order]
+        starts = np.flatnonzero(np.concatenate(([True], np.diff(doc) != 0)))
+        return pa.table({
+            "doc_id": pa.array(doc[starts], pa.int64()),
+            "n_hits": pa.array(np.add.reduceat(cnt, starts), pa.int64()),
+        })
+
+    match.__name__ = "match_grams"
+    total.__name__ = "total_hits"
+    rows = docs.map_batches(
+        _GramRowStage, fn_constructor_kwargs=dict(n=n, eval_mod=eval_mod),
+        batch_format="pyarrow", concurrency=(1, 8))
+    return rows.groupby("gk").map_groups(
+        match, batch_format="pyarrow"
+    ).groupby("dk").map_groups(total, batch_format="pyarrow")
 
 
 def decontaminate(sf_dir: str, n: int = DECON_NGRAM,
@@ -117,31 +215,10 @@ def decontaminate(sf_dir: str, n: int = DECON_NGRAM,
     eval doc, with the count of distinct shared grams.
 
     Eval split = ``doc_id % eval_mod == 0`` (a stand-in for a benchmark
-    manifest; any small keyed subset slots in). Phase 1 streams ONLY the
-    eval rows (predicate applied per batch before gram extraction) and
-    unions their grams on the driver — the eval side is small by
-    construction. Phase 2 is a stateless map over the full corpus.
-    """
-    docs = _docs(sf_dir, ("doc_id", "text"))
-
-    def eval_grams(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        mask = pa.array(ids % eval_mod == 0)
-        grams: set[str] = set()
-        for text in batch.filter(mask)["text"].to_pylist():
-            grams |= _doc_grams(text, n)
-        return pa.table({"g": pa.array(sorted(grams), pa.string())})
-
-    gset: set[str] = set()
-    for b in docs.map_batches(eval_grams, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
-        gset.update(b["g"].to_pylist())
-    ref = ray.put(frozenset(gset))
-
-    return docs.map_batches(
-        _DeconStage, fn_constructor_kwargs=dict(grams_ref=ref, n=n, eval_mod=eval_mod),
-        batch_format="pyarrow", concurrency=(1, 8),
-    )
+    manifest; any keyed subset slots in). Fully distributed gram-hash
+    semi-join — see ``_decon_hits``; no driver-side gram set, no broadcast
+    whose size grows with the corpus."""
+    return _decon_hits(_docs(sf_dir, ("doc_id", "text")), n, eval_mod)
 
 
 # ---------------------------------------------------------------------------
@@ -215,19 +292,16 @@ CURATE_MAX_DIGIT_PCT = 25  # digit-run tokens <= 25% of raw tokens
 class _CurateStatsStage:
     """One streamed pass over the corpus emitting the per-doc curation row
     (text is dropped at emit — only ~60-byte stat rows enter the dedup
-    shuffle): sha256, quality counters, whitespace token count, the
-    stratified-sample hash, and the broadcast eval-gram membership probe."""
+    shuffle): sha256, quality counters, whitespace token count, and the
+    stratified-sample hash. Contamination is NOT probed here — it arrives
+    as a flag join from the distributed gram semi-join (``_decon_hits``)."""
 
-    def __init__(self, grams_ref, n: int, eval_mod: int):
+    def __init__(self, eval_mod: int):
         import hashlib
 
         from docodo_ray.config import load_stopwords
 
         self._sha = hashlib.sha256
-        self.grams: frozenset[str] = (
-            ray.get(grams_ref) if isinstance(grams_ref, ray.ObjectRef) else grams_ref
-        )
-        self.n = n
         self.eval_mod = eval_mod
         self.stop = load_stopwords()
 
@@ -236,7 +310,7 @@ class _CurateStatsStage:
 
         digit_re = regex.compile(r"^[\p{N}]+$")
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        shas, n_raw, n_kept, n_digit, hit = [], [], [], [], []
+        shas, n_raw, n_kept, n_digit = [], [], [], []
         for text in batch["text"].to_pylist():
             shas.append(self._sha(text.encode("utf-8")).hexdigest())
             toks = tokenize_raw(text)
@@ -244,8 +318,6 @@ class _CurateStatsStage:
             n_kept.append(sum(1 for t in toks
                               if 3 <= len(t) <= 32 and t not in self.stop))
             n_digit.append(sum(1 for t in toks if digit_re.match(t)))
-            hit.append(any(" ".join(toks[i:i + self.n]) in self.grams
-                           for i in range(len(toks) - self.n + 1)))
         return pa.table({
             "doc_id": batch["doc_id"],
             "lang": batch["lang"],
@@ -257,7 +329,7 @@ class _CurateStatsStage:
             "n_digit": pa.array(n_digit, pa.int64()),
             "u16": pa.array(_u16(ids).astype(np.int64), pa.int64()),
             "is_eval": pa.array(ids % self.eval_mod == 0),
-            "decon_hit": pa.array(hit, pa.bool_()),
+            "decon_hit": pa.array(np.zeros(len(ids), bool)),
         })
 
 
@@ -292,25 +364,65 @@ def curate_corpus(sf_dir: str, budget: int = PACK_BUDGET,
     """
     docs = _docs(sf_dir, ("doc_id", "lang", "text"))
 
-    def eval_grams(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        grams: set[str] = set()
-        for text in batch.filter(pa.array(ids % DECON_EVAL_MOD == 0))["text"].to_pylist():
-            grams |= _doc_grams(text, DECON_NGRAM)
-        return pa.table({"g": pa.array(sorted(grams), pa.string())})
-
-    gset: set[str] = set()
-    for b in docs.map_batches(eval_grams, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
-        gset.update(b["g"].to_pylist())
-    ref = ray.put(frozenset(gset))
-
     stats = docs.map_batches(
         _CurateStatsStage,
-        fn_constructor_kwargs=dict(grams_ref=ref, n=DECON_NGRAM,
-                                   eval_mod=DECON_EVAL_MOD),
+        fn_constructor_kwargs=dict(eval_mod=DECON_EVAL_MOD),
         batch_format="pyarrow", concurrency=(1, 8),
     )
+
+    # contamination flag join: the distributed gram semi-join's hit rows
+    # (dup-scale) union the stat stream and flip decon_hit per doc inside a
+    # coarse-keyed map_groups. The flag must JOIN (not pre-filter): exact
+    # dedup picks its winner over the FULL corpus, so a contaminated doc
+    # still participates in winner selection and its twin is NOT promoted
+    # (matches the oracle's surv/dk semantics).
+    from docodo_ray.dedup import _coarse_mix
+
+    _STAT_NAMES = ["doc_id", "lang", "sha", "ntok", "n_raw", "n_kept",
+                   "n_digit", "u16", "is_eval", "decon_hit"]
+
+    def hit_markers(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(ids.size, np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": pa.array([""] * ids.size, pa.string()),
+            "sha": pa.array([""] * ids.size, pa.string()),
+            "ntok": pa.array(z), "n_raw": pa.array(z),
+            "n_kept": pa.array(z), "n_digit": pa.array(z),
+            "u16": pa.array(z),
+            "is_eval": pa.array(np.zeros(ids.size, bool)),
+            "decon_hit": pa.array(np.ones(ids.size, bool)),
+            "jk": pa.array(_coarse_mix(ids), pa.int64()),
+        })
+
+    def stat_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("jk", pa.array(_coarse_mix(ids), pa.int64()))
+
+    def join_decon(group: pa.Table) -> pa.Table:
+        is_marker = pc.equal(group["sha"], "").to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        hit_ids = np.unique(ids[is_marker])
+        out = group.filter(pa.array(~is_marker))
+        oid = out["doc_id"].to_numpy(zero_copy_only=False)
+        if hit_ids.size:
+            i = np.searchsorted(hit_ids, oid)
+            hit = (i < hit_ids.size) & (
+                hit_ids[np.minimum(i, hit_ids.size - 1)] == oid)
+        else:
+            hit = np.zeros(oid.size, bool)
+        out = out.set_column(out.schema.get_field_index("decon_hit"),
+                             "decon_hit", pa.array(hit))
+        return out.select(_STAT_NAMES)
+
+    hit_markers.__name__ = "hit_markers"
+    stat_rows.__name__ = "stat_rows"
+    join_decon.__name__ = "join_decon"
+    hits = _decon_hits(docs, DECON_NGRAM, DECON_EVAL_MOD).map_batches(
+        hit_markers, batch_format="pyarrow")
+    stats = stats.map_batches(stat_rows, batch_format="pyarrow").union(
+        hits).groupby("jk").map_groups(join_decon, batch_format="pyarrow")
 
     th = SAMPLE_THRESHOLDS
 
