@@ -303,6 +303,56 @@ SELECT doc_id,
 FROM toks
 """
 
+    # lang_id: the deterministic heuristic (textstats.classify_language) is
+    # pure string math — script-block majority over the first 4000 chars'
+    # alpha codepoints, then a closed-class-word vote with ties broken in
+    # sorted language order. Round-3 recorded this rows-only; it is fully
+    # SQL-expressible, so express it.
+    from docodo_ray.textstats import _LANG_LEX, _SCRIPTS
+
+    lex_rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_LANG_LEX) for w in sorted(_LANG_LEX[lang]))
+    script_cases = "\n".join(
+        f"    WHEN s.c_{lang} * 2 > s.n_alpha THEN '{lang}'"
+        for lang, _a, _b in _SCRIPTS)
+    script_counts = ",\n".join(
+        f"    count(*) FILTER (unicode(ch) BETWEEN {a} AND {b}) AS c_{lang}"
+        for lang, a, b in _SCRIPTS)
+    sql["lang_id"] = pro + f""",
+al AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(substr(text, 1, 4000), '[\\p{{L}}]')) AS ch
+  FROM documents
+),
+scr AS (
+  SELECT doc_id, count(*) AS n_alpha,
+{script_counts}
+  FROM al GROUP BY doc_id
+),
+lex(lang, w) AS (VALUES {lex_rows}),
+votes AS (
+  SELECT r.doc_id, x.lang, count(*) AS hits
+  FROM rawtok r JOIN lex x ON r.term = x.w
+  GROUP BY r.doc_id, x.lang
+),
+best AS (
+  SELECT doc_id, lang FROM votes
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY hits DESC, lang ASC) = 1
+)
+SELECT d.doc_id,
+  CASE
+    WHEN s.n_alpha IS NULL OR s.n_alpha = 0 THEN 'und'
+{script_cases}
+    WHEN b.lang IS NOT NULL THEN b.lang
+    ELSE 'und'
+  END AS pred_lang
+FROM documents d
+LEFT JOIN scr s USING (doc_id)
+LEFT JOIN best b USING (doc_id)
+"""
+
     sql["exact_dedup"] = """
 SELECT sha256(text) AS text_sha, min(doc_id) AS min_doc_id, count(*) AS n
 FROM documents GROUP BY sha256(text)

@@ -87,3 +87,51 @@ def test_language_classifier():
     assert c("素早い茶色のキツネが怠け者の犬を飛び越える") == "ja"  # kana beats shared Han
     assert c("敏捷的棕色狐狸跳过懒狗") == "zh"
     assert c("") == "und" and c("12345 67890") == "und"
+
+
+def test_lang_id_oracle_parity_multilingual(tmp_path):
+    """The lang_id SQL oracle (new in round 4: flips the last avoidable
+    rows-only cell) must replicate classify_language on NON-Latin scripts
+    and tie cases too — the driver corpus is Latin-only, so this fixture
+    is the adversarial half of the proof."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from docodo_ray.textstats import classify_language
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog and it was not there",
+        "Der schnelle braune Fuchs springt über den faulen Hund und ist weg",
+        "Быстрая коричневая лиса перепрыгивает через ленивую собаку",
+        "Η γρήγορη καφέ αλεπού πηδάει πάνω από το σκυλί",
+        "الثعلب البني السريع يقفز فوق الكلب الكسول",
+        "빠른 갈색 여우가 게으른 개를 뛰어넘는다",
+        "素早い茶色のキツネが怠け者の犬を飛び越える",
+        "敏捷的棕色狐狸跳过懒狗",
+        "",                       # empty -> und
+        "12345 67890 ---",        # no alpha -> und
+        "xyzzy plugh qwfp",       # alpha, zero lexicon hits -> und
+        "de het the and een van"  # tie material: nl vs en hit rates
+        " is dat was you",
+        "half latin половина кириллицы mixed so no script majority the and",
+        "я я я the the the",      # cyrillic minority, en lexicon wins
+    ]
+    ids = list(range(len(texts)))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"))
+
+    want = {i: classify_language(t) for i, t in zip(ids, texts)}
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    got_sql = dict(con.execute(entrymod.oracle_sql()["lang_id"]).fetchall())
+    assert got_sql == want
+
+    from docodo_ray.textstats import lang_id_table
+    got_ray = {r["doc_id"]: r["pred_lang"]
+               for r in lang_id_table(str(tmp_path)).take_all()}
+    assert got_ray == want
