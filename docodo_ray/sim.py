@@ -93,6 +93,38 @@ class BruteForceTopK:
         )
 
 
+def _topk_reduce(partial: rd.Dataset, k: int, qids: list[int]) -> pa.Table:
+    """Distributed second-stage fold of per-batch top-k partials (round-4
+    rework of the r3 'What's wrong' #3 item): a groupby(query_id) reduce
+    selects each query's final top-k ON the cluster, so the driver collects
+    exactly n_queries x k rows — not n_blocks x n_queries x k (at 100 TB of
+    embeddings, ~10^5 blocks, the old driver fold held ~10^8 tuples)."""
+
+    def per_query(group: pa.Table) -> pa.Table:
+        e6 = group["cos_e6"].to_numpy(zero_copy_only=False)
+        vi = group["vec_id"].to_numpy(zero_copy_only=False)
+        order = pa.array(np.lexsort((vi, -e6))[:k])
+        return group.take(order)
+
+    per_query.__name__ = "per_query_topk"
+    rows = partial.groupby("query_id").map_groups(
+        per_query, batch_format="pyarrow").take_all()
+    out = {qid: [] for qid in qids}
+    for r in rows:
+        out[r["query_id"]].append((r["cos_e6"], r["vec_id"]))
+    qo, vo, eo = [], [], []
+    for qid in qids:  # stable output order: queries-file order, then rank
+        best = sorted(out[qid], key=lambda x: (-x[0], x[1]))
+        qo.extend([qid] * len(best))
+        vo.extend(v for _, v in best)
+        eo.extend(e for e, _ in best)
+    return pa.table(
+        {"query_id": pa.array(qo, pa.int64()),
+         "vec_id": pa.array(vo, pa.int64()),
+         "cos_e6": pa.array(eo, pa.int64())}
+    )
+
+
 def embedding_topk(sf_dir: str, k: int = TOPK) -> pa.Table:
     """(query_id, vec_id, cos_e6): exact cosine top-k for each query vector,
     self excluded, ranked by (cos_e6 desc, vec_id asc)."""
@@ -105,21 +137,7 @@ def embedding_topk(sf_dir: str, k: int = TOPK) -> pa.Table:
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    rows = partial.take_all()
-    out = {qid: [] for qid in qids}
-    for r in rows:
-        out[r["query_id"]].append((r["cos_e6"], r["vec_id"]))
-    qo, vo, eo = [], [], []
-    for qid in qids:
-        best = sorted(out[qid], key=lambda x: (-x[0], x[1]))[:k]
-        qo.extend([qid] * len(best))
-        vo.extend(v for _, v in best)
-        eo.extend(e for e, _ in best)
-    return pa.table(
-        {"query_id": pa.array(qo, pa.int64()),
-         "vec_id": pa.array(vo, pa.int64()),
-         "cos_e6": pa.array(eo, pa.int64())}
-    )
+    return _topk_reduce(partial, k, qids)
 
 
 # ---- IVF (approximate, the scale path) -------------------------------------
@@ -346,23 +364,10 @@ def embedding_topk_ivf(
                  "cos_e6": pa.array(eo, pa.int64())}
             )
 
-    rows = rd.read_parquet(dirs).map_batches(
+    partial = rd.read_parquet(dirs).map_batches(
         IVFTopK, batch_format="pyarrow", concurrency=(1, 4)
-    ).take_all()
-    out = {qid: [] for qid in qids}
-    for r in rows:
-        out[r["query_id"]].append((r["cos_e6"], r["vec_id"]))
-    qo, vo, eo = [], [], []
-    for qid in qids:
-        best = sorted(out[qid], key=lambda x: (-x[0], x[1]))[:k]
-        qo.extend([qid] * len(best))
-        vo.extend(v for _, v in best)
-        eo.extend(e for e, _ in best)
-    return pa.table(
-        {"query_id": pa.array(qo, pa.int64()),
-         "vec_id": pa.array(vo, pa.int64()),
-         "cos_e6": pa.array(eo, pa.int64())}
     )
+    return _topk_reduce(partial, k, qids)
 
 
 # ---- embedding-cosine near-duplicate pairs ---------------------------------
