@@ -89,9 +89,38 @@ SELECT doc_id, sha256(text) AS sha256 FROM documents
     # text into HTML / BOM'd bytes / a real PDF and extracts it back with
     # the REAL kernel; hash equality vs plain sha256(text) proves the
     # extractor inverts the wrapping exactly.
-    for q in ("html_extract", "charset_roundtrip", "pdf_extract"):
+    for q in ("html_extract", "pdf_extract"):
         sql[q] = """
 SELECT doc_id, sha256(text) AS sha256 FROM documents
+"""
+
+    # charset_roundtrip plants deterministic Cyrillic/Western sentences in
+    # the legacy-codec slots (the corpus is Latin-only; the detector needs
+    # real non-Latin bytes to be exercised) — reproduce the slot plan here
+    from docodo_ray.pipelines import (
+        CHARSET_RU_POST,
+        CHARSET_RU_PRE,
+        CHARSET_SLOTS,
+        CHARSET_W_POST,
+        CHARSET_W_PRE,
+    )
+
+    def _q(x: str) -> str:  # SQL string-literal escape
+        return x.replace("'", "''")
+
+    n_slots = len(CHARSET_SLOTS)
+    cyr = [i for i, e in enumerate(CHARSET_SLOTS) if e in ("cp1251", "koi8_r", "cp866")]
+    wst = [i for i, e in enumerate(CHARSET_SLOTS) if e == "cp1252"]
+    sql["charset_roundtrip"] = f"""
+SELECT doc_id, sha256(
+  CASE
+    WHEN doc_id % {n_slots} IN ({", ".join(map(str, cyr))})
+      THEN '{_q(CHARSET_RU_PRE)}' || doc_id || '{_q(CHARSET_RU_POST)}'
+    WHEN doc_id % {n_slots} IN ({", ".join(map(str, wst))})
+      THEN '{_q(CHARSET_W_PRE)}' || doc_id || '{_q(CHARSET_W_POST)}'
+    ELSE text
+  END) AS sha256
+FROM documents
 """
 
     # BM25 query terms, normalized with the engine tokenizer

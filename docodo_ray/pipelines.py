@@ -154,20 +154,42 @@ def html_extract(sf_dir: str) -> rd.Dataset:
     )
 
 
+# charset_roundtrip slot plan, keyed by doc_id % 10. Slots 6-9 exercise the
+# statistical detector (DataSources.cs:357-379 Ude parity): the corpus text
+# is Latin-only, so those slots substitute deterministic Cyrillic / Western
+# sentences the oracle reproduces in SQL (oracle_sql.py builds the matching
+# CASE from these templates).
+CHARSET_SLOTS = ["utf-8", "utf-8-sig", "utf-16", "utf-32",
+                 "utf-16-le", "utf-16-be",            # BOM-less
+                 "cp1251", "koi8_r", "cp866", "cp1252"]
+CHARSET_RU_PRE = "русский документ номер "
+CHARSET_RU_POST = (": съешь ещё этих мягких французских булок, да выпей же "
+                   "чаю. Быстрая коричневая лиса прыгает через ленивую собаку.")
+CHARSET_W_PRE = "café über straße niño œuvre numéro "
+CHARSET_W_POST = " déjà garçon à côté de l'hôtel"
+
+
+def charset_slot_text(doc_id: int, text: str) -> str:
+    slot = CHARSET_SLOTS[doc_id % len(CHARSET_SLOTS)]
+    if slot in ("cp1251", "koi8_r", "cp866"):
+        return f"{CHARSET_RU_PRE}{doc_id}{CHARSET_RU_POST}"
+    if slot == "cp1252":
+        return f"{CHARSET_W_PRE}{doc_id}{CHARSET_W_POST}"
+    return text or ""
+
+
 def charset_roundtrip(sf_dir: str) -> rd.Dataset:
     import hashlib
 
     from docodo_ray.sources import DecodeTextStage
 
     ds = _documents(sf_dir, columns=["doc_id", "text"])
-    encs = ["utf-8", "utf-8-sig", "utf-16", "utf-32"]
 
     def wrap(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        payloads = [
-            (x or "").encode(encs[int(d) % len(encs)])
-            for d, x in zip(ids, t["text"].to_pylist())
-        ]
+        payloads = []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            enc = CHARSET_SLOTS[int(d) % len(CHARSET_SLOTS)]
+            payloads.append(charset_slot_text(int(d), x).encode(enc))
         return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
                          "media": pa.array(payloads, pa.binary())})
 

@@ -114,11 +114,78 @@ _BOMS: list[tuple[bytes, str]] = [
 ]
 
 
+_SNIFF_BYTES = 5000  # reference parity: Ude feeds the first 5000 bytes
+                     # (DataSources.cs:357-379)
+_CYRILLIC_CODECS = ("cp1251", "koi8-r", "cp866")
+
+
+def _sniff_utf16(head: bytes) -> str | None:
+    """BOM-less UTF-16 detector: in 2-byte units, Latin-script text puts
+    0x00 and Cyrillic text puts 0x04 in the high byte of nearly every unit;
+    a one-sided majority of those markers on even vs odd positions fixes
+    the byte order."""
+    n = len(head) // 2 * 2
+    if n < 8:
+        return None
+    even, odd = head[0:n:2], head[1:n:2]
+    units = n // 2
+    hi_e = (even.count(0) + even.count(4)) / units
+    hi_o = (odd.count(0) + odd.count(4)) / units
+    if hi_o > 0.3 and hi_e < 0.05:
+        return "utf-16-le"
+    if hi_e > 0.3 and hi_o < 0.05:
+        return "utf-16-be"
+    return None
+
+
+def _sniff_legacy(head: bytes) -> str | None:
+    """Statistical 8-bit codec detector (runs only after strict utf-8
+    fails). Two-stage, validated on fixture text:
+
+    1. density gate — Cyrillic text is solid runs of high bytes, Western
+       accented text has isolated high bytes between ASCII letters;
+    2. per-candidate score over the chars decoded FROM high bytes
+       (byte index == char index for single-byte codecs): lowercase letter
+       +2, uppercase +1, typographic punctuation +1, anything else -1.
+       Real text is mostly lowercase, and the Cyrillic codecs disagree
+       about which range is lowercase (cp1251 0xE0-0xFF, koi8-r 0xC0-0xDF,
+       cp866 split 0xA0-0xAF/0xE0-0xEF), so the true codec wins."""
+    hi = [i for i, b in enumerate(head) if b >= 0x80]
+    if not hi:
+        return None
+    pairs = sum(1 for i in hi if i + 1 < len(head) and head[i + 1] >= 0x80)
+    candidates = (_CYRILLIC_CODECS if pairs * 2 >= len(hi) else ("cp1252",))
+    best, best_score = None, 0
+    for enc in candidates:
+        try:
+            txt = head.decode(enc)
+        except (UnicodeDecodeError, LookupError):
+            continue
+        score = 0
+        for i in hi:
+            ch = txt[i]
+            if ch.isalpha():
+                score += 2 if ch.islower() else 1
+            elif ch in "«»—–…№":
+                score += 1
+            else:
+                score -= 1
+        if score > best_score:
+            best, best_score = enc, score
+    return best
+
+
 def guess_decode(payload: bytes) -> tuple[str, str]:
-    """(text, encoding): BOM sniff -> strict utf-8 -> latin-1 fallback.
-    Total function: every byte string decodes to SOMETHING (latin-1 is a
-    bijection on bytes), mirroring the reference's 'always produce text'
-    contract."""
+    """(text, encoding): BOM sniff -> BOM-less UTF-16 sniff -> strict
+    utf-8 -> statistical legacy-codec detection (cp1251 / koi8-r / cp866 /
+    cp1252 over the first 5 KB, reference parity with Ude's detector,
+    DataSources.cs:357-379) -> latin-1. Total function: every byte string
+    decodes to SOMETHING (latin-1 is a bijection on bytes), mirroring the
+    reference's 'always produce text' contract.
+
+    The UTF-16 sniff runs BEFORE the utf-8 attempt: BOM-less UTF-16 of
+    ASCII text is byte-valid utf-8 (NUL is a legal utf-8 byte) and would
+    otherwise decode to NUL-riddled garbage."""
     for bom, enc in _BOMS:
         if payload.startswith(bom):
             body = payload if enc == "utf-8-sig" else payload[len(bom):]
@@ -126,10 +193,24 @@ def guess_decode(payload: bytes) -> tuple[str, str]:
                 return body.decode(enc), enc
             except UnicodeDecodeError:
                 break
+    head = payload[:_SNIFF_BYTES]
+    u16 = _sniff_utf16(head)
+    if u16 is not None:
+        try:
+            return payload.decode(u16), u16
+        except UnicodeDecodeError:
+            pass
     try:
         return payload.decode("utf-8"), "utf-8"
     except UnicodeDecodeError:
-        return payload.decode("latin-1"), "latin-1"
+        pass
+    legacy = _sniff_legacy(head)
+    if legacy is not None:
+        try:
+            return payload.decode(legacy), legacy
+        except UnicodeDecodeError:
+            pass
+    return payload.decode("latin-1"), "latin-1"
 
 
 class DecodeTextStage:
