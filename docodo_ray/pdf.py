@@ -1,0 +1,848 @@
+"""Structured PDF object model: xref tables AND xref streams, object
+streams (ObjStm), Flate/ASCIIHex/ASCII85 filters with PNG/TIFF predictors,
+page-tree walking, and ToUnicode CMap decoding — the post-2006 PDF forms
+the round-3 regex sweep could not read (reference analog: PdfSharp-backed
+extraction, DocumentDataSource.cs:75-99).
+
+Everything here is implemented from the public PDF 1.7 spec (ISO 32000-1):
+object syntax §7.3, filters §7.4, cross-reference §7.5, object streams
+§7.5.7, text showing §9.4.3, ToUnicode CMaps §9.10.3. No third-party PDF
+library is used or consulted.
+
+The writer side (`make_pdf`) can emit the same modern forms, so the
+pdf_extract oracle round-trips compressed-xref / ObjStm / CMap documents.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+# ---- object model -----------------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class Name(str):
+    """A PDF /Name (distinct from strings so dict keys and operands keep
+    their type)."""
+
+
+class Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+    def __repr__(self):
+        return f"Ref({self.num})"
+
+
+class Stream:
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.dict = d
+        self.raw = raw
+
+
+class Keyword(bytes):
+    """Bare keyword/operator token (content-stream operators, true/false)."""
+
+
+class PdfError(ValueError):
+    pass
+
+
+class _Lexer:
+    """Tokenizer/parser for PDF object syntax (spec §7.3). Also used for
+    content streams, where bare operators come back as Keyword."""
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def skip_ws(self) -> None:
+        buf, n = self.buf, len(self.buf)
+        while self.pos < n:
+            c = buf[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # % comment to EOL
+                j = buf.find(b"\n", self.pos)
+                self.pos = n if j < 0 else j + 1
+            else:
+                return
+
+    def at_end(self) -> bool:
+        self.skip_ws()
+        return self.pos >= len(self.buf)
+
+    def parse(self):
+        self.skip_ws()
+        buf = self.buf
+        if self.pos >= len(buf):
+            raise PdfError("unexpected end of data")
+        c = buf[self.pos]
+        if buf.startswith(b"<<", self.pos):
+            return self._dict()
+        if c == 0x3C:  # <hex>
+            return self._hexstr()
+        if c == 0x28:  # (literal)
+            return self._litstr()
+        if c == 0x2F:  # /Name
+            return self._name()
+        if c == 0x5B:  # [array]
+            self.pos += 1
+            out = []
+            while True:
+                self.skip_ws()
+                if self.pos < len(buf) and buf[self.pos] == 0x5D:
+                    self.pos += 1
+                    return out
+                out.append(self.parse())
+        if c == 0x5D:
+            raise PdfError("unbalanced ]")
+        if c in b"+-.0123456789":
+            return self._number_or_ref()
+        return self._keyword()
+
+    def _keyword(self):
+        buf, start = self.buf, self.pos
+        while (self.pos < len(buf) and buf[self.pos] not in _WS
+               and buf[self.pos] not in _DELIM):
+            self.pos += 1
+        if self.pos == start:  # lone delimiter ({ } in content) — consume
+            self.pos += 1
+        kw = buf[start:self.pos]
+        if kw == b"true":
+            return True
+        if kw == b"false":
+            return False
+        if kw == b"null":
+            return None
+        return Keyword(kw)
+
+    def _number_or_ref(self):
+        buf, start = self.buf, self.pos
+        self.pos += 1
+        while self.pos < len(buf) and buf[self.pos] in b"+-.0123456789eE":
+            self.pos += 1
+        tok = buf[start:self.pos]
+        try:
+            if b"." in tok or b"e" in tok or b"E" in tok:
+                return float(tok)
+            num = int(tok)
+        except ValueError:
+            raise PdfError(f"bad number {tok!r}") from None
+        # int: maybe "num gen R"
+        save = self.pos
+        self.skip_ws()
+        m = re.match(rb"(\d+)\s+R(?![A-Za-z])", buf[self.pos:self.pos + 24])
+        if num >= 0 and m:
+            self.pos += m.end()
+            return Ref(num)
+        self.pos = save
+        return num
+
+    def _name(self) -> Name:
+        buf = self.buf
+        self.pos += 1
+        start = self.pos
+        while (self.pos < len(buf) and buf[self.pos] not in _WS
+               and buf[self.pos] not in _DELIM):
+            self.pos += 1
+        raw = buf[start:self.pos]
+        if b"#" in raw:
+            raw = re.sub(rb"#([0-9A-Fa-f]{2})",
+                         lambda m: bytes([int(m.group(1), 16)]), raw)
+        return Name(raw.decode("latin-1"))
+
+    def _hexstr(self) -> bytes:
+        buf = self.buf
+        end = buf.find(b">", self.pos + 1)
+        if end < 0:
+            raise PdfError("unterminated hex string")
+        hexs = re.sub(rb"[^0-9A-Fa-f]", b"", buf[self.pos + 1:end])
+        self.pos = end + 1
+        if len(hexs) % 2:
+            hexs += b"0"
+        return bytes.fromhex(hexs.decode("ascii"))
+
+    def _litstr(self) -> bytes:
+        buf = self.buf
+        out = bytearray()
+        depth = 1
+        i = self.pos + 1
+        n = len(buf)
+        while i < n:
+            c = buf[i]
+            if c == 0x5C:  # backslash
+                if i + 1 >= n:
+                    break
+                nxt = buf[i + 1]
+                if 0x30 <= nxt <= 0x37:  # octal
+                    j = i + 1
+                    while j < min(i + 4, n) and 0x30 <= buf[j] <= 0x37:
+                        j += 1
+                    out.append(int(buf[i + 1:j], 8) & 0xFF)
+                    i = j
+                    continue
+                mapped = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}
+                if nxt in mapped:
+                    out.append(mapped[nxt])
+                elif nxt in (0x0A, 0x0D):  # line continuation
+                    if nxt == 0x0D and i + 2 < n and buf[i + 2] == 0x0A:
+                        i += 1
+                else:
+                    out.append(nxt)
+                i += 2
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.pos = i + 1
+                    return bytes(out)
+            out.append(c)
+            i += 1
+        raise PdfError("unterminated literal string")
+
+    def _dict(self) -> dict:
+        self.pos += 2
+        out: dict = {}
+        buf = self.buf
+        while True:
+            self.skip_ws()
+            if buf.startswith(b">>", self.pos):
+                self.pos += 2
+                return out
+            key = self.parse()
+            if not isinstance(key, Name):
+                raise PdfError(f"dict key is not a name: {key!r}")
+            out[str(key)] = self.parse()
+
+
+# ---- filters ----------------------------------------------------------------
+
+def _png_predictor(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = columns * bpp
+    out = bytearray()
+    prev = bytes(rowlen)
+    pos = 0
+    while pos < len(data):
+        ft = data[pos]
+        row = bytearray(data[pos + 1:pos + 1 + rowlen])
+        pos += 1 + rowlen
+        if ft == 1:      # Sub
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:    # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:    # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:    # Paeth
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            raise PdfError(f"unknown PNG row filter {ft}")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def _apply_predictor(data: bytes, parms: dict) -> bytes:
+    pred = int(parms.get("Predictor", 1) or 1)
+    if pred <= 1:
+        return data
+    columns = int(parms.get("Columns", 1) or 1)
+    colors = int(parms.get("Colors", 1) or 1)
+    bpc = int(parms.get("BitsPerComponent", 8) or 8)
+    if pred == 2:  # TIFF horizontal differencing (8-bit only)
+        bpp = max(1, (colors * bpc) // 8)
+        row = columns * bpp
+        out = bytearray(data)
+        for r in range(0, len(out) - row + 1, row):
+            for i in range(r + bpp, r + row):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    return _png_predictor(data, columns, colors, bpc)
+
+
+def _a85decode(data: bytes) -> bytes:
+    import base64
+
+    body = re.sub(rb"\s", b"", data)
+    if body.endswith(b"~>"):
+        body = body[:-2]
+    return base64.a85decode(body)
+
+
+class Doc:
+    """Parsed PDF document: xref chain (classic tables, xref streams, and
+    hybrid /XRefStm), lazy object loading incl. ObjStm members."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.xref: dict[int, tuple] = {}   # num -> ("off", o) | ("stm", s, i)
+        self.trailer: dict = {}
+        self._cache: dict[int, object] = {}
+        self._load_xref_chain()
+
+    # -- xref -----------------------------------------------------------
+
+    def _load_xref_chain(self) -> None:
+        i = self.buf.rfind(b"startxref")
+        if i < 0:
+            raise PdfError("no startxref")
+        m = re.match(rb"startxref\s+(\d+)", self.buf[i:i + 64])
+        if not m:
+            raise PdfError("bad startxref")
+        todo = [int(m.group(1))]
+        seen: set[int] = set()
+        while todo:
+            off = todo.pop(0)
+            if off in seen or off <= 0 or off >= len(self.buf):
+                continue
+            seen.add(off)
+            lex = _Lexer(self.buf, off)
+            lex.skip_ws()
+            if self.buf.startswith(b"xref", lex.pos):
+                d = self._parse_xref_table(lex.pos + 4)
+            else:
+                d = self._parse_xref_stream(lex)
+            for k, v in d.items():
+                self.trailer.setdefault(k, v)
+            for key in ("XRefStm", "Prev"):
+                nxt = d.get(key)
+                if isinstance(nxt, (int, float)):
+                    todo.append(int(nxt))
+
+    def _parse_xref_table(self, pos: int) -> dict:
+        buf = self.buf
+        lex = _Lexer(buf, pos)
+        while True:
+            lex.skip_ws()
+            if buf.startswith(b"trailer", lex.pos):
+                lex.pos += len(b"trailer")
+                return lex.parse()
+            m = re.match(rb"(\d+)\s+(\d+)\s*", buf[lex.pos:lex.pos + 64])
+            if not m:
+                raise PdfError("malformed xref section header")
+            start, count = int(m.group(1)), int(m.group(2))
+            lex.pos += m.end()
+            for k in range(count):
+                e = buf[lex.pos:lex.pos + 20]
+                em = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])", e)
+                if not em:
+                    raise PdfError("malformed xref entry")
+                if em.group(3) == b"n":
+                    self.xref.setdefault(start + k, ("off", int(em.group(1))))
+                lex.pos += 20
+
+    def _parse_xref_stream(self, lex: _Lexer) -> dict:
+        obj = self._parse_indirect_at(lex)
+        if not isinstance(obj, Stream) or obj.dict.get("Type") != Name("XRef"):
+            raise PdfError("expected xref stream")
+        data = self.decode_stream(obj)
+        w = [int(x) for x in obj.dict["W"]]
+        size = int(self.deref(obj.dict["Size"]))
+        index = obj.dict.get("Index") or [0, size]
+        rowlen = sum(w)
+        pos = 0
+        for s in range(0, len(index), 2):
+            start, count = int(index[s]), int(index[s + 1])
+            for k in range(count):
+                row = data[pos:pos + rowlen]
+                pos += rowlen
+                if len(row) < rowlen:
+                    raise PdfError("truncated xref stream")
+                fields = []
+                fp = 0
+                for width in w:
+                    fields.append(int.from_bytes(row[fp:fp + width], "big")
+                                  if width else None)
+                    fp += width
+                t = fields[0] if w[0] else 1
+                num = start + k
+                if t == 1:
+                    self.xref.setdefault(num, ("off", fields[1]))
+                elif t == 2:
+                    self.xref.setdefault(num, ("stm", fields[1], fields[2]))
+        return obj.dict
+
+    # -- objects --------------------------------------------------------
+
+    def _parse_indirect_at(self, lex: _Lexer):
+        lex.skip_ws()
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", lex.buf[lex.pos:lex.pos + 64])
+        if not m:
+            raise PdfError("expected 'N G obj'")
+        lex.pos += m.end()
+        obj = lex.parse()
+        if isinstance(obj, dict):
+            lex.skip_ws()
+            if lex.buf.startswith(b"stream", lex.pos):
+                lex.pos += len(b"stream")
+                if lex.buf.startswith(b"\r\n", lex.pos):
+                    lex.pos += 2
+                elif lex.buf.startswith(b"\n", lex.pos):
+                    lex.pos += 1
+                length = self.deref(obj.get("Length"))
+                if isinstance(length, int) and 0 <= length <= len(lex.buf) - lex.pos:
+                    raw = lex.buf[lex.pos:lex.pos + length]
+                    tail = lex.buf[lex.pos + length:lex.pos + length + 20]
+                    if b"endstream" not in tail:  # bad /Length — rescan
+                        raw = None
+                else:
+                    raw = None
+                if raw is None:
+                    end = lex.buf.find(b"endstream", lex.pos)
+                    if end < 0:
+                        raise PdfError("unterminated stream")
+                    raw = lex.buf[lex.pos:end]
+                    if raw.endswith(b"\r\n"):
+                        raw = raw[:-2]
+                    elif raw.endswith((b"\n", b"\r")):
+                        raw = raw[:-1]
+                return Stream(obj, raw)
+        return obj
+
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        entry = self.xref.get(num)
+        obj = None
+        if entry is None:
+            obj = None
+        elif entry[0] == "off":
+            obj = self._parse_indirect_at(_Lexer(self.buf, entry[1]))
+        else:
+            _tag, stm_num, idx = entry
+            pairs, body, first = self._objstm(stm_num)
+            if idx < len(pairs):
+                obj = _Lexer(body, first + pairs[idx][1]).parse()
+        self._cache[num] = obj
+        return obj
+
+    def _objstm(self, num: int):
+        key = ("objstm", num)
+        if key in self._cache:
+            return self._cache[key]
+        stm = self.get(num)
+        if not isinstance(stm, Stream):
+            raise PdfError(f"object stream {num} missing")
+        body = self.decode_stream(stm)
+        n = int(self.deref(stm.dict["N"]))
+        first = int(self.deref(stm.dict["First"]))
+        head = _Lexer(body[:first])
+        pairs = []
+        for _ in range(n):
+            onum = head.parse()
+            ooff = head.parse()
+            pairs.append((int(onum), int(ooff)))
+        self._cache[key] = (pairs, body, first)
+        return self._cache[key]
+
+    def deref(self, x):
+        while isinstance(x, Ref):
+            x = self.get(x.num)
+        return x
+
+    # -- streams --------------------------------------------------------
+
+    def decode_stream(self, stm: Stream) -> bytes:
+        filters = self.deref(stm.dict.get("Filter"))
+        parms = self.deref(stm.dict.get("DecodeParms"))
+        if filters is None:
+            return stm.raw
+        if not isinstance(filters, list):
+            filters = [filters]
+            parms = [parms]
+        elif not isinstance(parms, list):
+            parms = [parms] * len(filters)
+        data = stm.raw
+        for f, p in zip(filters, parms):
+            f = str(self.deref(f))
+            p = self.deref(p) or {}
+            if f in ("FlateDecode", "Fl"):
+                data = zlib.decompress(data)
+                data = _apply_predictor(data, {k: self.deref(v)
+                                               for k, v in p.items()})
+            elif f in ("ASCIIHexDecode", "AHx"):
+                body = re.sub(rb"[^0-9A-Fa-f]", b"",
+                              data.split(b">", 1)[0])
+                if len(body) % 2:
+                    body += b"0"
+                data = bytes.fromhex(body.decode("ascii"))
+            elif f in ("ASCII85Decode", "A85"):
+                data = _a85decode(data)
+            else:
+                raise PdfError(f"unsupported filter {f}")
+        return data
+
+
+# ---- ToUnicode CMaps --------------------------------------------------------
+
+class CMap:
+    """code(int) -> str mapping with a fixed code byte width."""
+
+    __slots__ = ("width", "single", "ranges")
+
+    def __init__(self, width: int):
+        self.width = width
+        self.single: dict[int, str] = {}
+        self.ranges: list[tuple[int, int, object]] = []  # (lo, hi, base|list)
+
+    def lookup(self, code: int) -> str | None:
+        hit = self.single.get(code)
+        if hit is not None:
+            return hit
+        for lo, hi, dst in self.ranges:
+            if lo <= code <= hi:
+                if isinstance(dst, list):
+                    return dst[code - lo] if code - lo < len(dst) else None
+                # base string: increment its LAST code unit
+                if not dst:
+                    return None
+                return dst[:-1] + chr(ord(dst[-1]) + (code - lo))
+        return None
+
+    def decode(self, raw: bytes) -> str:
+        w = self.width
+        out = []
+        for i in range(0, len(raw) - w + 1, w):
+            code = int.from_bytes(raw[i:i + w], "big")
+            s = self.lookup(code)
+            out.append(s if s is not None else "�")
+        return "".join(out)
+
+
+def _utf16be_str(hexs: bytes) -> str:
+    b = bytes.fromhex(hexs.decode("ascii"))
+    try:
+        return b.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
+def parse_cmap(data: bytes) -> CMap:
+    width = 1
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", data, re.S)
+    if m:
+        t = re.search(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        if t:
+            width = max(1, len(t.group(1)) // 2)
+    cmap = CMap(width)
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            cmap.single[int(toks[i], 16)] = _utf16be_str(toks[i + 1])
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        lex = _Lexer(m.group(1))
+        while not lex.at_end():
+            lo = lex.parse()
+            hi = lex.parse()
+            dst = lex.parse()
+            if not (isinstance(lo, bytes) and isinstance(hi, bytes)):
+                break
+            lo_i = int.from_bytes(lo, "big")
+            hi_i = int.from_bytes(hi, "big")
+            if isinstance(dst, list):
+                vals = [_utf16be_str(x.hex().encode()) if isinstance(x, bytes)
+                        else "�" for x in dst]
+                cmap.ranges.append((lo_i, hi_i, vals))
+            elif isinstance(dst, bytes):
+                cmap.ranges.append((lo_i, hi_i, _utf16be_str(dst.hex().encode())))
+    return cmap
+
+
+# ---- text extraction --------------------------------------------------------
+
+def _content_text(data: bytes, fonts: dict[str, CMap | None]) -> list:
+    """Walk a content stream; return parts: str (CMap-decoded) or bytes
+    (no-CMap show operands, decoded by the caller as one run)."""
+    lex = _Lexer(data)
+    stack: list = []
+    cur: CMap | None = None
+    parts: list = []
+
+    def show(operand) -> None:
+        if not isinstance(operand, bytes):
+            return
+        if cur is not None:
+            parts.append(cur.decode(operand))
+        else:
+            parts.append(operand)
+
+    while True:
+        try:
+            if lex.at_end():
+                break
+            tok = lex.parse()
+        except PdfError:
+            break
+        if not isinstance(tok, Keyword):
+            stack.append(tok)
+            continue
+        op = bytes(tok)
+        if op == b"Tf" and len(stack) >= 2 and isinstance(stack[-2], Name):
+            cur = fonts.get(str(stack[-2]))
+        elif op in (b"Tj", b"'") and stack:
+            show(stack[-1])
+        elif op == b'"' and stack:
+            show(stack[-1])
+        elif op == b"TJ" and stack and isinstance(stack[-1], list):
+            for elem in stack[-1]:
+                show(elem)
+        elif op == b"BI":  # inline image: skip to EI
+            j = lex.buf.find(b"EI", lex.pos)
+            lex.pos = len(lex.buf) if j < 0 else j + 2
+        stack.clear()
+    return parts
+
+
+def _join_parts(parts: list) -> str:
+    """Adjacent byte parts decode as ONE utf-8 run (latin-1 fallback) so
+    multi-byte chars split across show operators survive."""
+    out: list[str] = []
+    pend = bytearray()
+
+    def flush() -> None:
+        if pend:
+            try:
+                out.append(pend.decode("utf-8"))
+            except UnicodeDecodeError:
+                out.append(pend.decode("latin-1"))
+            pend.clear()
+
+    for p in parts:
+        if isinstance(p, bytes):
+            pend += p
+        else:
+            flush()
+            out.append(p)
+    flush()
+    return "".join(out)
+
+
+def pdf_text_structured(payload: bytes) -> str:
+    """Extract shown text via the document object model: page tree ->
+    content streams -> text operators, with per-font ToUnicode decoding.
+    Raises PdfError/ValueError on files it cannot model (caller falls back
+    to the raw stream sweep)."""
+    doc = Doc(payload)
+    if "Encrypt" in doc.trailer:
+        raise ValueError("encrypted PDF unsupported")
+    root = doc.deref(doc.trailer.get("Root"))
+    if not isinstance(root, dict):
+        raise PdfError("no document catalog")
+    pages: list[dict] = []
+
+    def walk(node, depth=0) -> None:
+        node = doc.deref(node)
+        if not isinstance(node, dict) or depth > 64:
+            return
+        t = node.get("Type")
+        if t == Name("Pages") or (t is None and "Kids" in node):
+            for kid in doc.deref(node.get("Kids")) or []:
+                walk(kid, depth + 1)
+        elif t == Name("Page") or "Contents" in node:
+            pages.append(node)
+
+    walk(root.get("Pages"))
+    if not pages:
+        raise PdfError("no pages")
+    parts: list = []
+    for page in pages:
+        fonts: dict[str, CMap | None] = {}
+        res = doc.deref(page.get("Resources"))
+        if isinstance(res, dict):
+            fdict = doc.deref(res.get("Font"))
+            if isinstance(fdict, dict):
+                for fname, fref in fdict.items():
+                    font = doc.deref(fref)
+                    cmap = None
+                    if isinstance(font, dict):
+                        tu = doc.deref(font.get("ToUnicode"))
+                        if isinstance(tu, Stream):
+                            cmap = parse_cmap(doc.decode_stream(tu))
+                    fonts[str(fname)] = cmap
+        contents = doc.deref(page.get("Contents"))
+        streams = contents if isinstance(contents, list) else [contents]
+        blobs = []
+        for s in streams:
+            s = doc.deref(s)
+            if isinstance(s, Stream):
+                try:
+                    blobs.append(doc.decode_stream(s))
+                except (PdfError, zlib.error):
+                    continue
+        if blobs:
+            parts.extend(_content_text(b"\n".join(blobs), fonts))
+    return _join_parts(parts)
+
+
+# ---- writer (fixtures + a usable tiny PDF emitter) --------------------------
+
+def _ser(obj) -> bytes:
+    """Serialize a python object to PDF syntax."""
+    if isinstance(obj, Ref):
+        return f"{obj.num} 0 R".encode()
+    if isinstance(obj, Name):
+        return b"/" + str(obj).encode("latin-1")
+    if isinstance(obj, bool):
+        return b"true" if obj else b"false"
+    if obj is None:
+        return b"null"
+    if isinstance(obj, int):
+        return str(obj).encode()
+    if isinstance(obj, float):
+        return f"{obj:.6f}".encode()
+    if isinstance(obj, bytes):
+        return b"<" + obj.hex().encode() + b">"
+    if isinstance(obj, list):
+        return b"[ " + b" ".join(_ser(x) for x in obj) + b" ]"
+    if isinstance(obj, dict):
+        inner = b" ".join(b"/" + k.encode("latin-1") + b" " + _ser(v)
+                          for k, v in obj.items())
+        return b"<< " + inner + b" >>"
+    raise TypeError(type(obj))
+
+
+def _tounicode_cmap(chars: list[str]) -> bytes:
+    lines = [b"/CIDInit /ProcSet findresource begin",
+             b"12 dict begin", b"begincmap",
+             b"1 begincodespacerange", b"<0000> <FFFF>",
+             b"endcodespacerange"]
+    for s in range(0, len(chars), 100):
+        chunk = chars[s:s + 100]
+        lines.append(f"{len(chunk)} beginbfchar".encode())
+        for i, ch in enumerate(chunk):
+            dst = ch.encode("utf-16-be").hex().encode()
+            lines.append(b"<%04x> <%s>" % (s + i, dst))
+        lines.append(b"endbfchar")
+    lines += [b"endcmap", b"end", b"end"]
+    return b"\n".join(lines)
+
+
+def make_pdf_modern(text: str, *, objstm: bool = False,
+                    tounicode: bool = False, predictor: bool = False) -> bytes:
+    """Single-page PDF in the post-2006 forms: ALWAYS a cross-reference
+    STREAM (never a classic table); optionally the catalog/page objects
+    packed into an ObjStm, the text shown through a Type0 font with 2-byte
+    codes + a ToUnicode CMap, and the xref stream PNG-Up predicted."""
+    objs: dict[int, bytes] = {}          # regular objects: num -> body bytes
+    in_stm: list[tuple[int, bytes]] = []  # ObjStm members
+
+    if tounicode:
+        chars = sorted(set(text))
+        code_of = {c: i for i, c in enumerate(chars)}
+        codes = b"".join(code_of[c].to_bytes(2, "big") for c in text)
+        content = b"BT /F1 12 Tf 72 720 Td <" + codes.hex().encode() + b"> Tj ET"
+        font = {"Type": Name("Font"), "Subtype": Name("Type0"),
+                "BaseFont": Name("Synth"), "Encoding": Name("Identity-H"),
+                "ToUnicode": Ref(6)}
+        cmap = zlib.compress(_tounicode_cmap(chars))
+        objs[6] = _ser({"Filter": Name("FlateDecode"),
+                        "Length": len(cmap)}) + b"\nstream\n" + cmap + b"\nendstream"
+    else:
+        content = (b"BT /F1 12 Tf 72 720 Td <"
+                   + text.encode("utf-8").hex().encode() + b"> Tj ET")
+        font = {"Type": Name("Font"), "Subtype": Name("Type1"),
+                "BaseFont": Name("Helvetica")}
+
+    cz = zlib.compress(content)
+    objs[4] = (_ser({"Filter": Name("FlateDecode"), "Length": len(cz)})
+               + b"\nstream\n" + cz + b"\nendstream")
+
+    catalog = {"Type": Name("Catalog"), "Pages": Ref(2)}
+    pagetree = {"Type": Name("Pages"), "Kids": [Ref(3)], "Count": 1}
+    page = {"Type": Name("Page"), "Parent": Ref(2),
+            "MediaBox": [0, 0, 612, 792], "Contents": Ref(4),
+            "Resources": {"Font": {"F1": Ref(5)}}}
+    if objstm:
+        in_stm = [(1, _ser(catalog)), (2, _ser(pagetree)),
+                  (3, _ser(page)), (5, _ser(font))]
+    else:
+        objs[1], objs[2], objs[3], objs[5] = (
+            _ser(catalog), _ser(pagetree), _ser(page), _ser(font))
+
+    objstm_num, xref_num = 7, 8
+    if in_stm:
+        head = b" ".join(b"%d %d" % (n, sum(len(b) + 1 for _n, b in in_stm[:i]))
+                         for i, (n, _b) in enumerate(in_stm))
+        body = head + b"\n" + b"\n".join(b for _n, b in in_stm)
+        # recompute offsets relative to First (== len(head)+1)
+        first = len(head) + 1
+        offs, acc = [], 0
+        for _n, b in in_stm:
+            offs.append(acc)
+            acc += len(b) + 1
+        head = b" ".join(b"%d %d" % (n, o) for (n, _b), o in zip(in_stm, offs))
+        first = len(head) + 1
+        body = head + b"\n" + b"\n".join(b for _n, b in in_stm)
+        bz = zlib.compress(body)
+        objs[objstm_num] = (_ser({"Type": Name("ObjStm"), "N": len(in_stm),
+                                  "First": first, "Filter": Name("FlateDecode"),
+                                  "Length": len(bz)})
+                            + b"\nstream\n" + bz + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+
+    # xref STREAM: W [1 4 2]; entry per object 0..xref_num
+    size = xref_num + 1
+    rows = bytearray()
+    stm_idx = {n: i for i, (n, _b) in enumerate(in_stm)}
+    for num in range(size):
+        if num in stm_idx:
+            rows += (b"\x02" + objstm_num.to_bytes(4, "big")
+                     + stm_idx[num].to_bytes(2, "big"))
+        elif num in offsets or num == xref_num:
+            off = offsets.get(num, 0)  # xref stream's own offset patched below
+            rows += b"\x01" + off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+        else:  # absent object number (incl. 0): free entry
+            rows += b"\x00" + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")
+
+    xref_off = len(out)
+    # patch the xref stream's own offset into its row
+    row = bytearray(b"\x01" + xref_off.to_bytes(4, "big") + (0).to_bytes(2, "big"))
+    rows[xref_num * 7:(xref_num + 1) * 7] = row
+
+    xd: dict = {"Type": Name("XRef"), "Size": size, "W": [1, 4, 2],
+                "Root": Ref(1), "Filter": Name("FlateDecode")}
+    if predictor:
+        pred_rows = bytearray()
+        prev = bytes(7)
+        for r in range(0, len(rows), 7):
+            cur = rows[r:r + 7]
+            pred_rows += b"\x02" + bytes((cur[i] - prev[i]) & 0xFF
+                                         for i in range(7))
+            prev = cur
+        data = zlib.compress(bytes(pred_rows))
+        xd["DecodeParms"] = {"Predictor": 12, "Columns": 7}
+    else:
+        data = zlib.compress(bytes(rows))
+    xd["Length"] = len(data)
+    out += b"%d 0 obj\n" % xref_num + _ser(xd) + b"\nstream\n" + data
+    out += b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)

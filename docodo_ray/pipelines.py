@@ -208,13 +208,31 @@ def charset_roundtrip(sf_dir: str) -> rd.Dataset:
 def pdf_extract(sf_dir: str) -> rd.Dataset:
     import hashlib
 
+    from docodo_ray.pdf import make_pdf_modern
     from docodo_ray.sources import PdfExtractStage, make_pdf
 
     ds = _documents(sf_dir, columns=["doc_id", "text"])
 
+    # six wrapper slots exercising every generation of PDF the extractor
+    # claims: classic xref table (plain + Flate), xref STREAM, ObjStm,
+    # Type0 + ToUnicode CMap, and all-modern with a PNG-predicted xref
+    def _wrap_one(d: int, x: str) -> bytes:
+        slot = d % 6
+        if slot == 0:
+            return make_pdf(x, compress=False)
+        if slot == 1:
+            return make_pdf(x, compress=True)
+        if slot == 2:
+            return make_pdf_modern(x)
+        if slot == 3:
+            return make_pdf_modern(x, objstm=True)
+        if slot == 4:
+            return make_pdf_modern(x, tounicode=True)
+        return make_pdf_modern(x, objstm=True, tounicode=True, predictor=True)
+
     def wrap(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
-        payloads = [make_pdf(x or "", compress=bool(int(d) % 2))
+        payloads = [_wrap_one(int(d), x or "")
                     for d, x in zip(ids, t["text"].to_pylist())]
         return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
                          "media": pa.array(payloads, pa.binary())})

@@ -326,13 +326,25 @@ def _pdf_string_bytes(tok: bytes) -> bytes:
 
 
 def pdf_text(payload: bytes) -> str:
-    """Extract shown text from an uncompressed or Flate-compressed PDF:
-    inflate each stream object, find Tj/TJ/' text operators, decode their
-    () and <> string operands as utf-8 (latin-1 fallback). Raises
-    ValueError for encrypted documents; silently skips undecodable streams
-    (images etc.)."""
+    """Extract shown text from a PDF. Structured path first (full object
+    model: xref tables AND xref streams, ObjStm object streams, Flate/
+    AHx/A85 filters with predictors, page-tree walk, per-font ToUnicode
+    CMap decoding — docodo_ray.pdf, reference parity with PdfSharp-backed
+    extraction, DocumentDataSource.cs:75-99); the raw stream sweep below
+    remains as the salvage path for damaged files the model rejects.
+    Raises ValueError for encrypted documents."""
     if b"/Encrypt" in payload:
         raise ValueError("encrypted PDF unsupported")
+    from docodo_ray.pdf import PdfError, pdf_text_structured
+
+    try:
+        return pdf_text_structured(payload)
+    except PdfError:
+        pass  # unmodelable file -> salvage sweep below
+    except ValueError:
+        raise  # encrypted (detected inside the model)
+    except Exception:  # noqa: BLE001 — salvage sweep must be total
+        pass
     parts: list[bytes] = []
     for m in _STREAM_RE.finditer(payload):
         data = m.group(1)

@@ -1,0 +1,157 @@
+"""Structured PDF parser (docodo_ray.pdf): xref streams, ObjStm, ToUnicode
+CMaps, predictors, incremental updates — the post-2006 forms the round-3
+regex sweep could not read (reference: DocumentDataSource.cs:75-99)."""
+
+import zlib
+
+import pytest
+
+from docodo_ray.pdf import (
+    CMap,
+    Doc,
+    PdfError,
+    _Lexer,
+    make_pdf_modern,
+    parse_cmap,
+    pdf_text_structured,
+)
+from docodo_ray.sources import make_pdf, pdf_text
+
+TXT = "Hello, современный PDF — ObjStm & CMaps! Ünïcödé 12345."
+
+
+@pytest.mark.parametrize("kw", [
+    {}, {"objstm": True}, {"tounicode": True},
+    {"objstm": True, "tounicode": True},
+    {"objstm": True, "tounicode": True, "predictor": True},
+    {"predictor": True},
+])
+def test_modern_roundtrip(kw):
+    assert pdf_text_structured(make_pdf_modern(TXT, **kw)) == TXT
+    assert pdf_text(make_pdf_modern(TXT, **kw)) == TXT  # via the public entry
+
+
+def test_classic_through_structured_parser():
+    for compress in (False, True):
+        assert pdf_text_structured(make_pdf(TXT, compress=compress)) == TXT
+
+
+def test_lexer_object_syntax():
+    lex = _Lexer(
+        b"<< /A [1 2.5 (lit\\(eral\\) \\101) <48690A> /N#20x true null] "
+        b"/B 7 0 R /C -3 >>")
+    d = lex.parse()
+    assert d["A"][0] == 1 and d["A"][1] == 2.5
+    assert d["A"][2] == b"lit(eral) A"
+    assert d["A"][3] == b"Hi\n"
+    assert str(d["A"][4]) == "N x"        # #20 hex escape
+    assert d["A"][5] is True and d["A"][6] is None
+    assert d["B"].num == 7 and d["C"] == -3
+
+
+def test_nested_parens_and_line_continuation():
+    lex = _Lexer(b"(outer (inner) tail\\\nnext)")
+    assert lex.parse() == b"outer (inner) tailnext"
+
+
+def test_cmap_bfrange_base_and_array():
+    data = b"""
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+1 beginbfchar <0003> <0041> endbfchar
+2 beginbfrange
+<0010> <0012> <0061>
+<0020> <0021> [<0058> <0059>]
+endbfrange
+"""
+    cm = parse_cmap(data)
+    assert cm.width == 2
+    assert cm.lookup(3) == "A"
+    assert [cm.lookup(c) for c in (0x10, 0x11, 0x12)] == ["a", "b", "c"]
+    assert [cm.lookup(0x20), cm.lookup(0x21)] == ["X", "Y"]
+    raw = (3).to_bytes(2, "big") + (0x11).to_bytes(2, "big")
+    assert cm.decode(raw) == "Ab"
+
+
+def test_incremental_update_prev_chain():
+    """An appended update (new xref with /Prev to the original) must win
+    for the objects it redefines while older objects resolve through the
+    chain."""
+    base = make_pdf("original text", compress=False)
+    start_old = int(base.rsplit(b"startxref", 1)[1].split()[0])
+    new_content = b"BT /F1 12 Tf 72 720 Td <" + "updated text".encode().hex().encode() + b"> Tj ET"
+    upd = bytearray(base)
+    off4 = len(upd)
+    upd += (b"4 0 obj\n<< /Length " + str(len(new_content)).encode()
+            + b" >>\nstream\n" + new_content + b"\nendstream\nendobj\n")
+    xref = len(upd)
+    upd += (b"xref\n0 1\n0000000000 65535 f \n4 1\n"
+            + f"{off4:010d} 00000 n \n".encode())
+    upd += (b"trailer\n<< /Size 6 /Root 1 0 R /Prev "
+            + str(start_old).encode() + b" >>\nstartxref\n"
+            + str(xref).encode() + b"\n%%EOF\n")
+    assert pdf_text_structured(bytes(upd)) == "updated text"
+    assert pdf_text_structured(base) == "original text"
+
+
+def test_encrypted_raises_damaged_falls_back():
+    enc = make_pdf(TXT).replace(b"/Root", b"/Encrypt 9 0 R /Root")
+    with pytest.raises(ValueError, match="encrypted"):
+        pdf_text(enc)
+    # truncated startxref -> structured model fails -> regex sweep salvages
+    damaged = make_pdf("salvage me please", compress=True)
+    damaged = damaged[:damaged.rfind(b"startxref")]
+    assert pdf_text(damaged) == "salvage me please"
+
+
+def test_multipage_and_tj_array():
+    """Hand-built two-page document with TJ array show and kerning nums."""
+    c1 = b"BT /F1 10 Tf [ (first ) -120 (page. ) ] TJ ET"
+    c2 = b"BT /F1 10 Tf (second page.) Tj ET"
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> endobj\n",
+        b"4 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n",
+        b"5 0 obj << /Length " + str(len(c1)).encode() + b" >> stream\n"
+        + c1 + b"\nendstream endobj\n",
+        b"6 0 obj << /Length " + str(len(c2)).encode() + b" >> stream\n"
+        + c2 + b"\nendstream endobj\n",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for o in objs:
+        offs.append(len(out))
+        out += o
+    xref = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n0000000000 65535 f \n"
+    for o in offs:
+        out += f"{o:010d} 00000 n \n".encode()
+    out += (b"trailer << /Size " + str(len(objs) + 1).encode()
+            + b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode() + b"\n%%EOF")
+    assert pdf_text_structured(bytes(out)) == "first page. second page."
+
+
+def test_ascii_filters():
+    """AHx / A85 filter chain on a content stream."""
+    content = b"BT /F1 9 Tf (ascii filters work) Tj ET"
+    ahx = content.hex().encode() + b">"
+    body = (b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+            b"4 0 obj << /Filter /ASCIIHexDecode /Length "
+            + str(len(ahx)).encode() + b" >> stream\n" + ahx
+            + b"\nendstream endobj\n")
+    out = bytearray(b"%PDF-1.4\n")
+    # offsets of the four objects
+    offs, pos = [], len(out)
+    for line in body.split(b"endobj\n")[:-1]:
+        offs.append(pos)
+        pos += len(line) + len(b"endobj\n")
+    out += body
+    xref = len(out)
+    out += b"xref\n0 5\n0000000000 65535 f \n"
+    for o in offs:
+        out += f"{o:010d} 00000 n \n".encode()
+    out += (b"trailer << /Size 5 /Root 1 0 R >>\nstartxref\n"
+            + str(xref).encode() + b"\n%%EOF")
+    assert pdf_text_structured(bytes(out)) == "ascii filters work"
