@@ -1,0 +1,138 @@
+"""Byte-pair-encoding tokenization for corpus token budgeting: a tiny
+deterministic trainer (Sennrich et al. 2016, "Neural Machine Translation of
+Rare Words with Subword Units" — the published algorithm, implemented from
+the paper), a GPT-2-style apply loop, and a committed fixture-trained merges
+table (``data/bpe_merges.txt``) that the DuckDB oracle replays with a
+recursive CTE so real BPE counts stay hash-checked.
+
+Round-3 review item #7: `bpe_token_counts` used to report only the
+pre-tokenizer match count ("BPE-ish"); token-budget decisions (packing,
+sampling) want true merge-table counts.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import regex
+
+from docodo_ray.textstats import BPE_PATTERN
+
+_PRE_RE = regex.compile(BPE_PATTERN)
+MERGES_PATH = os.path.join(os.path.dirname(__file__), "data", "bpe_merges.txt")
+
+
+def pretokenize(text: str) -> list[str]:
+    return _PRE_RE.findall(text or "")
+
+
+def train_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
+    """Classic BPE training over pre-token frequencies: repeatedly merge the
+    most frequent adjacent symbol pair. Deterministic: ties break on the
+    lexicographically smallest pair, so the committed merges table is
+    reproducible from the fixture corpus."""
+    vocab: Counter = Counter()
+    for t in texts:
+        vocab.update(pretokenize(t))
+    words: dict[tuple[str, ...], int] = {
+        tuple(w): c for w, c in vocab.items() if len(w) >= 2
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        # tie-break: among max-count pairs pick the lexicographically smallest
+        top = max(pairs.values())
+        a, b = min(p for p, c in pairs.items() if c == top)
+        merges.append((a, b))
+        new_words: dict[tuple[str, ...], int] = {}
+        for syms, c in words.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if len(out) >= 2:
+                new_words[tuple(out)] = new_words.get(tuple(out), 0) + c
+        words = new_words
+        if not words:
+            break
+    return merges
+
+
+def save_merges(merges: list[tuple[str, str]], path: str = MERGES_PATH) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        for a, b in merges:
+            f.write(f"{a!r}\t{b!r}\n")  # repr: whitespace symbols survive
+
+
+def load_merges(path: str = MERGES_PATH) -> list[tuple[str, str]]:
+    import ast
+
+    out = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            a, b = line.rstrip("\n").split("\t")
+            out.append((ast.literal_eval(a), ast.literal_eval(b)))
+    return out
+
+
+def apply_bpe(word: str, ranks: dict[tuple[str, str], int]) -> tuple[str, ...]:
+    """Apply merges by rank, best pair first, each occurrence left-to-right
+    — the GPT-2 apply loop, provably equivalent to replaying the merge list
+    in training order (each step merges the lowest-rank pair present, and a
+    pair can only become present after every lower-rank merge that creates
+    its symbols has run)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                a, b = syms[i], syms[i + 1]
+        if best_rank is None:
+            break
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return tuple(syms)
+
+
+class BPECounter:
+    """Per-worker BPE state: rank table + a per-unique-pre-token memo (the
+    vocabulary is tiny next to the token stream, so counting is one dict
+    hit per pre-token after warmup)."""
+
+    def __init__(self, merges: list[tuple[str, str]] | None = None):
+        merges = load_merges() if merges is None else merges
+        self.ranks = {pair: i for i, pair in enumerate(merges)}
+        self.memo: dict[str, int] = {}
+
+    def count(self, text: str) -> int:
+        total = 0
+        memo = self.memo
+        for w in pretokenize(text):
+            n = memo.get(w)
+            if n is None:
+                n = memo[w] = len(apply_bpe(w, self.ranks))
+            total += n
+        return total

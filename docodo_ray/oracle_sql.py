@@ -536,14 +536,63 @@ sel AS (
 SELECT DISTINCT doc_id, p AS pos, mh AS fp FROM sel
 """
 
+    from docodo_ray.bpe import load_merges
     from docodo_ray.textstats import BPE_PATTERN
 
     bpe_sql = BPE_PATTERN.replace("'", "''")
+    # real BPE: replay the committed merges table with a recursive CTE over
+    # the DISTINCT pre-tokens — each round either applies the leftmost
+    # occurrence of the current merge (leftmost-repeated == left-to-right
+    # non-overlapping) or advances to the next merge; token count joins
+    # back per doc. NULLIF: duckdb list_position returns 0 when absent.
+    merges = load_merges()
+    mvals = ", ".join(
+        "({}, '{}', '{}')".format(i, a.replace("'", "''"), b.replace("'", "''"))
+        for i, (a, b) in enumerate(merges))
+    n_m = len(merges)
     sql["bpe_token_counts"] = f"""
-SELECT doc_id,
-  len(regexp_extract_all(text, '\\S+')) AS n_ws,
-  len(regexp_extract_all(text, '{bpe_sql}')) AS n_bpe
-FROM documents
+WITH RECURSIVE merges(mi, a, b) AS (VALUES {mvals}),
+pt AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{bpe_sql}')) AS w
+  FROM documents
+),
+words AS (SELECT DISTINCT w FROM pt WHERE length(w) >= 2),
+init AS (
+  SELECT w, list_transform(range(length(w)),
+                           i -> substr(w, CAST(i+1 AS INT), 1)) AS syms,
+         0 AS mi
+  FROM words
+),
+step(w, syms, mi) AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT w,
+    CASE WHEN p IS NULL THEN syms
+         ELSE list_concat(list_concat(syms[1:p-1], [syms[p] || syms[p+1]]),
+                          syms[p+2:]) END,
+    CASE WHEN p IS NULL THEN mi + 1 ELSE mi END
+  FROM (
+    SELECT s.w, s.syms, s.mi,
+      NULLIF(list_position(list_transform(range(len(s.syms)-1),
+        i -> s.syms[i+1] = m.a AND s.syms[i+2] = m.b), true), 0) AS p
+    FROM step s JOIN merges m ON m.mi = s.mi
+    WHERE s.mi < {n_m}
+  )
+),
+wc AS (
+  SELECT w, len(syms) AS n FROM step WHERE mi = {n_m}
+  UNION ALL
+  SELECT w, 1 FROM (SELECT DISTINCT w FROM pt WHERE length(w) < 2)
+),
+agg AS (
+  SELECT p.doc_id, CAST(SUM(c.n) AS BIGINT) AS n_bpe
+  FROM pt p JOIN wc c USING (w) GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+  len(regexp_extract_all(d.text, '\\S+')) AS n_ws,
+  len(regexp_extract_all(d.text, '{bpe_sql}')) AS n_pre,
+  CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS n_bpe
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
     s_gap = SESSION_GAP_MINUTES * 60 * 1_000_000

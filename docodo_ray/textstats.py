@@ -195,26 +195,31 @@ _WS_RE = regex.compile(r"\S+")
 
 
 class TokenCountStage:
-    """(doc_id, n_ws, n_bpe): whitespace token count + BPE-ish
-    pre-tokenizer match count per document — the corpus token-budget
-    estimator of a training-data pipeline. Patterns compiled once per
-    actor; counting is one findall per doc (regex engine does the work,
-    no per-char Python)."""
+    """(doc_id, n_ws, n_pre, n_bpe): whitespace token count, pre-tokenizer
+    match count, and REAL BPE token count per document (merge table loaded
+    once per worker, per-unique-pre-token memo — see docodo_ray.bpe; the
+    DuckDB oracle replays the same committed merges with a recursive CTE).
+    The corpus token-budget estimator of a training-data pipeline."""
 
     def __init__(self, content_col: str = "text", id_col: str = "doc_id"):
+        from docodo_ray.bpe import BPECounter
+
         self.content_col = content_col
         self.id_col = id_col
+        self.bpe = BPECounter()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        n_ws, n_bpe = [], []
+        n_ws, n_pre, n_bpe = [], [], []
         for text in batch[self.content_col].to_pylist():
             text = text or ""
             n_ws.append(len(_WS_RE.findall(text)))
-            n_bpe.append(len(_BPE_RE.findall(text)))
+            n_pre.append(len(_BPE_RE.findall(text)))
+            n_bpe.append(self.bpe.count(text))
         return pa.table(
             {"doc_id": pa.array(ids),
              "n_ws": pa.array(n_ws, pa.int64()),
+             "n_pre": pa.array(n_pre, pa.int64()),
              "n_bpe": pa.array(n_bpe, pa.int64())}
         )
 

@@ -19,8 +19,63 @@ def test_bpe_vs_ws_counts():
     })
     out = TokenCountStage()(t)
     assert out["n_ws"].to_pylist() == [3, 2, 0]
-    # don | 't | " stop" | "-" | "me" | " now" | "123"  -> 7
-    assert out["n_bpe"].to_pylist() == [7, 4, 0]
+    # don | 't | " stop" | "-" | "me" | " now" | "123"  -> 7 pre-tokens
+    assert out["n_pre"].to_pylist() == [7, 4, 0]
+    # real BPE: n_bpe == sum over pre-tokens of the merge-table token count,
+    # independently recomputed with the naive reference apply below
+    from docodo_ray.bpe import load_merges, pretokenize
+
+    merges = load_merges()
+
+    def ref_apply(word):  # replay merges IN TRAINING ORDER, LTR per merge
+        syms = list(word)
+        for a, b in merges:
+            out_, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out_.append(a + b)
+                    i += 2
+                else:
+                    out_.append(syms[i])
+                    i += 1
+            syms = out_
+        return syms
+
+    want = [sum(len(ref_apply(w)) for w in pretokenize(x))
+            for x in t["text"].to_pylist()]
+    assert out["n_bpe"].to_pylist() == want
+
+
+def test_bpe_apply_matches_reference_on_adversarial_strings():
+    """GPT-2-style best-rank-first apply == replaying the merge list in
+    training order (the naive reference), including overlap runs, merges
+    that feed later merges, and unicode."""
+    from docodo_ray.bpe import apply_bpe
+
+    merges = [("a", "a"), ("aa", "a"), ("b", "c"), ("a", "bc"),
+              ("л", "л"), ("x", "лл")]
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def ref_apply(word):
+        syms = list(word)
+        for a, b in merges:
+            out_, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out_.append(a + b)
+                    i += 2
+                else:
+                    out_.append(syms[i])
+                    i += 1
+            syms = out_
+        return tuple(syms)
+
+    cases = ["", "a", "aa", "aaa", "aaaa", "aaaaa", "aaaaaaa", "abc",
+             "aabc", "abcbc", "xлл", "ллл", "xллл", "bcbcbc", "aabcaa"]
+    for w in cases:
+        assert apply_bpe(w, ranks) == ref_apply(w), w
+    # canonical overlap semantics: left-to-right non-overlapping
+    assert apply_bpe("aaaaa", {("a", "a"): 0}) == ("aa", "aa", "a")
 
 
 def test_winnow_shared_run_guarantee():
