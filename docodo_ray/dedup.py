@@ -496,8 +496,12 @@ def verified_pairs(
 
     def jaccard(group: pa.Table) -> pa.Table:
         """One COARSE partition of pairs: exact Jaccard per pair from its
-        two blobs. The per-pair loop runs numpy set kernels only — the
-        Ray/Python group-dispatch overhead is per PARTITION, not per pair."""
+        two blobs, FULLY vectorized (round-4: the r3 per-pair Python loop
+        is gone) — one flat uint64 view over every blob in the partition,
+        one per-row dedup sort, one (pair, value) sort whose adjacent-equal
+        runs ARE the intersections. No per-pair Python at any scale."""
+        from docodo_ray.stages.postings import _binary_col_view
+
         a = group["a"].to_numpy(zero_copy_only=False)
         b = group["b"].to_numpy(zero_copy_only=False)
         order = np.lexsort((b, a))
@@ -505,24 +509,48 @@ def verified_pairs(
         blobs = group["sh"].combine_chunks().take(pa.array(order))
         starts = np.flatnonzero(
             np.concatenate(([True], (np.diff(a) != 0) | (np.diff(b) != 0))))
-        ends = np.concatenate((starts[1:], [a.size]))
-        oa, ob, oj = [], [], []
-        for s, e in zip(starts, ends):
-            if e - s != 2:  # a pair must carry exactly its two docs' blobs
-                continue
-            x = np.unique(np.frombuffer(blobs[s].as_py(), dtype=np.uint64))
-            y = np.unique(np.frombuffer(blobs[s + 1].as_py(), dtype=np.uint64))
-            inter = np.intersect1d(x, y, assume_unique=True).size
-            union = x.size + y.size - inter
-            j = (inter / union) if union else 1.0
-            if j < threshold:
-                continue
-            oa.append(a[s])
-            ob.append(b[s])
-            oj.append(int(np.floor(j * 1e6)))
+        counts = np.diff(np.concatenate((starts, [a.size])))
+        n_pairs = starts.size
+        # pair index of each ROW; only pairs carrying exactly their two
+        # docs' blobs are scored (others are cross-band artifacts)
+        pair_of_row = np.repeat(np.arange(n_pairs), counts)
+        valid = counts == 2
+
+        data, offs = _binary_col_view(blobs)
+        row_lens = (offs[1:] - offs[:-1]) // 8
+        vals = np.frombuffer(data[offs[0]:offs[-1]], dtype=np.uint64)
+        row_of = np.repeat(np.arange(len(blobs)), row_lens)
+        keep = valid[pair_of_row[row_of]]
+        vals, row_of = vals[keep], row_of[keep]
+
+        # per-row dedup (blobs are unique-sorted by construction; keep the
+        # defensive dedup of the old loop, vectorized)
+        o1 = np.lexsort((vals, row_of))
+        vals, row_of = vals[o1], row_of[o1]
+        first = np.concatenate(([True], (np.diff(row_of) != 0)
+                                | (np.diff(vals) != 0)))
+        vals, row_of = vals[first], row_of[first]
+        pair_of = pair_of_row[row_of]
+
+        # set sizes per pair and intersections via adjacent equality
+        n_total = np.zeros(n_pairs, np.int64)
+        np.add.at(n_total, pair_of, 1)
+        o2 = np.lexsort((vals, pair_of))
+        pv, vv = pair_of[o2], vals[o2]
+        dup = np.zeros(vv.size, bool)
+        if vv.size > 1:
+            dup[1:] = (np.diff(pv) == 0) & (vv[1:] == vv[:-1])
+        inter = np.zeros(n_pairs, np.int64)
+        np.add.at(inter, pv[dup], 1)
+
+        union = n_total - inter
+        j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        hit = valid & (j >= threshold)
         return pa.Table.from_arrays(
-            [pa.array(oa, pa.int64()), pa.array(ob, pa.int64()),
-             pa.array(oj, pa.int64())], schema=_VERIFIED_SCHEMA)
+            [pa.array(a[starts[hit]], pa.int64()),
+             pa.array(b[starts[hit]], pa.int64()),
+             pa.array(np.floor(j[hit] * 1e6).astype(np.int64), pa.int64())],
+            schema=_VERIFIED_SCHEMA)
 
     jaccard.__name__ = "jaccard"
     return merged.groupby("vck").map_groups(jaccard, batch_format="pyarrow")
