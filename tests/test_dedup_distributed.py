@@ -283,3 +283,18 @@ def test_curate_fuzzy_drops_near_dup_losers(seeded_dir, tmp_path):
     ntok = fz.ntok.to_numpy()
     assert prior[0] == 0
     assert (np.diff(prior) == ntok[:-1]).all()
+
+
+def test_connected_components_never_collects_on_driver():
+    """Scale guard (mirrors the decon semi-join test): the CC loop's only
+    driver-side values are the changed-count aggregate and the convergence
+    flag — no take_all/iter_batches/to_pandas on node- or edge-scale data."""
+    import inspect
+
+    from docodo_ray import dedup
+
+    for fn in (dedup.connected_components, dedup.fuzzy_dedup_survivors,
+               dedup.fuzzy_components):
+        src = inspect.getsource(fn)
+        for bad in ("take_all", "iter_batches", "to_pandas", "ray.put"):
+            assert bad not in src, (fn.__name__, bad)
