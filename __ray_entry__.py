@@ -68,8 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops (text analysis) ---
         "text_quality": textstats.quality_table,
         "doc_fingerprint": textstats.fingerprint_table,
-        "lang_id": textstats.lang_id_table,              # heuristic: rows-only
-        "bpe_token_counts": textstats.bpe_token_counts,  # ws + BPE-ish counts
+        "lang_id": textstats.lang_id_table,              # SQL-checked since r4
+        "bpe_token_counts": textstats.bpe_token_counts,  # ws + pre + REAL BPE
         "winnow_fingerprints": textstats.winnow_fingerprints,  # MOSS winnowing
         # --- training-data curation (decontamination / packing / mixing) ---
         "decontaminate": traindata.decontaminate,        # eval n-gram overlap
@@ -102,12 +102,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; the five non-SQL-expressible ops
-    (minhash_dedup's probabilistic 16x4 recall, the lang-id heuristic, the
-    approximate IVF top-k and IVF-blocked near-dup paths, stubbed media
-    codecs) are intentionally omitted -> the driver records the weaker
-    rows-only check for those. Each approximate path has an exact
-    oracle-checked sibling plus a measured-recall pytest."""
+    """DuckDB-equivalent SQL per query; the four non-SQL-expressible ops
+    (minhash_dedup's probabilistic 16x4 recall, the approximate IVF top-k
+    and IVF-blocked near-dup paths, stubbed media codecs) are intentionally
+    omitted -> the driver records the weaker rows-only check for those.
+    Each approximate path has an exact oracle-checked sibling plus a
+    measured-recall pytest. (lang_id became SQL-checked in round 4.)"""
     from docodo_ray.oracle_sql import oracle_sql as _sql
 
     return _sql()
