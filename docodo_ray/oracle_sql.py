@@ -382,6 +382,46 @@ LEFT JOIN scr s USING (doc_id)
 LEFT JOIN best b USING (doc_id)
 """
 
+    # Gopher-style repetition signals (Rae et al. 2021 Table A1): exact
+    # integer definitions shared with textstats.RepetitionStage
+    sql["repetition_stats"] = """
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM documents
+),
+lc AS (
+  SELECT doc_id, ln, count(*) AS k, length(ln) AS L
+  FROM lines GROUP BY doc_id, ln
+),
+la AS (
+  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_lines,
+         CAST(SUM(k - 1) AS BIGINT) AS n_dup_lines,
+         CAST(SUM(k * L) AS BIGINT) AS tot,
+         CAST(SUM((k - 1) * L) AS BIGINT) AS dup
+  FROM lc GROUP BY doc_id
+),
+tk AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t, length(text) AS tc
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, tc,
+         unnest(list_transform(range(len(t) - 1),
+                               i -> t[i+1] || ' ' || t[i+2])) AS g
+  FROM tk WHERE len(t) >= 2
+),
+gc AS (SELECT doc_id, g, tc, count(*) AS k FROM g2 GROUP BY doc_id, g, tc),
+gt AS (
+  SELECT doc_id, CAST(k * length(g) * 1000000 // tc AS BIGINT) AS top2
+  FROM gc
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY k DESC, g ASC) = 1
+)
+SELECT d.doc_id, la.n_lines, la.n_dup_lines,
+  CAST(CASE WHEN la.tot = 0 THEN 0 ELSE la.dup * 1000000 // la.tot END
+       AS BIGINT) AS dup_char_frac_e6,
+  CAST(COALESCE(gt.top2, 0) AS BIGINT) AS top2_frac_e6
+FROM documents d JOIN la USING (doc_id) LEFT JOIN gt USING (doc_id)
+"""
+
     sql["exact_dedup"] = """
 SELECT sha256(text) AS text_sha, min(doc_id) AS min_doc_id, count(*) AS n
 FROM documents GROUP BY sha256(text)

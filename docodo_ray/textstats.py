@@ -288,3 +288,64 @@ class WinnowStage:
 def winnow_fingerprints(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(WinnowStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---- repetition-quality signals (Gopher-style filters) ----------------------
+#
+# Rae et al. 2021 (Gopher, arXiv:2112.11446, Table A1) filter training docs
+# on repetition statistics: fraction of characters in duplicated lines and
+# in the most frequent word n-gram. These are the standard knobs a 100-TB
+# curation pipeline turns; definitions below are made exactly integer so
+# the DuckDB oracle hash-matches (e6 = floor of the fraction x 1e6 in pure
+# integer arithmetic).
+
+class RepetitionStage:
+    """(doc_id, n_lines, n_dup_lines, dup_char_frac_e6, top2_frac_e6):
+
+    - n_dup_lines: line occurrences beyond each line's first (count-1 sums)
+    - dup_char_frac_e6: chars in those excess duplicate lines / total line
+      chars
+    - top2_frac_e6: chars covered by the most frequent word 2-gram (count x
+      gram length) / total text chars; ties break on the lexicographically
+      smallest gram
+    """
+
+    def __init__(self, content_col: str = "text", id_col: str = "doc_id"):
+        self.content_col = content_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_lines, n_dup, dup_e6, top2_e6 = [], [], [], []
+        for text in batch[self.content_col].to_pylist():
+            text = text or ""
+            lines = text.split("\n")
+            cnt = Counter(lines)
+            total_chars = sum(len(ln) * k for ln, k in cnt.items())
+            dup_chars = sum(len(ln) * (k - 1) for ln, k in cnt.items())
+            n_lines.append(len(lines))
+            n_dup.append(sum(k - 1 for k in cnt.values()))
+            dup_e6.append((dup_chars * 1_000_000) // total_chars
+                          if total_chars else 0)
+            toks = text.split()
+            if len(toks) >= 2 and len(text) > 0:
+                g = Counter(zip(toks, toks[1:]))
+                best_k = max(g.values())
+                best = min(" ".join(p) for p, k in g.items() if k == best_k)
+                top2_e6.append((best_k * len(best) * 1_000_000) // len(text))
+            else:
+                top2_e6.append(0)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_dup_lines": pa.array(n_dup, pa.int64()),
+            "dup_char_frac_e6": pa.array(dup_e6, pa.int64()),
+            "top2_frac_e6": pa.array(top2_e6, pa.int64()),
+        })
+
+
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(RepetitionStage, batch_format="pyarrow", concurrency=(1, 4))

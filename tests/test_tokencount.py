@@ -106,3 +106,30 @@ def test_winnow_short_doc():
     out = WinnowStage()(t)
     # doc 1 has < K tokens -> no grams -> no fingerprints; doc 2 has 2 grams
     assert set(out["doc_id"].to_pylist()) == {2}
+
+
+def test_repetition_stats_planted():
+    """Gopher repetition signals on planted repeats: exact integer
+    definitions (duplicate-line chars and top-2-gram coverage)."""
+    from docodo_ray.textstats import RepetitionStage
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "aaa\nbbb\naaa\nccc",   # 'aaa' twice: 1 dup line, 3 dup chars of 12
+            "x y x y x y",          # top 2-gram 'x y' (count 3, len 3) / 11 chars
+            "",                     # degenerate
+        ]),
+    })
+    out = RepetitionStage()(t)
+    assert out["n_lines"].to_pylist() == [4, 1, 1]
+    assert out["n_dup_lines"].to_pylist() == [1, 0, 0]
+    assert out["dup_char_frac_e6"].to_pylist() == [3 * 1_000_000 // 12, 0, 0]
+    assert out["top2_frac_e6"].to_pylist()[1] == 3 * 3 * 1_000_000 // 11
+    assert out["top2_frac_e6"].to_pylist()[2] == 0
+    # tie on count -> lexicographically smallest 2-gram wins on both sides
+    t2 = pa.table({"doc_id": pa.array([9], pa.int64()),
+                   "text": pa.array(["b a b a"])})  # 'b a' x2? no: 'b a','a b','b a'
+    out2 = RepetitionStage()(t2)
+    # grams: (b,a) (a,b) (b,a) -> top is 'b a' count 2, len 3, text len 7
+    assert out2["top2_frac_e6"].to_pylist() == [2 * 3 * 1_000_000 // 7]
