@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract": pipelines.html_extract,          # M9 HTML extractor round-trip
         "charset_roundtrip": pipelines.charset_roundtrip,  # M8 charset decode
         "pdf_extract": pipelines.pdf_extract,            # M10/S3 PDF text extractor
+        "crawl_extract": pipelines.crawl_extract,        # S4 crawler (file:// fixture site)
         "bm25_topk": pipelines.bm25_topk,                # A8 replacement: BM25 top-k
         "bm25_batch_distributed": pipelines.bm25_batch_distributed,  # actor-pool batch eval
         "docodo_rank": pipelines.docodo_rank,            # A8 original: proximity ranker

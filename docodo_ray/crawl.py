@@ -1,0 +1,241 @@
+"""Ray-native web crawler: the reference's `WebDataSource` (SURVEY §2.1 S4)
+re-expressed as BFS rounds of Dataset exchanges.
+
+Reference parity (WebDataSource.cs):
+- URL admission = `TryAddUrl` (WebDataSource.cs:100-165): lowercase,
+  fragment-only links skipped, relative resolved against the base, URI
+  canonicalized, image extensions (.png/.svg/.jpg/.bmp/.gif) dropped,
+  SAME-HOST restriction, 1024-char cap, optional `indextypes` regex
+  filter, exact-URL dedup, MaxItems cap.
+- link discovery = `<a href>` plus `<meta http-equiv=refresh>`
+  (WebDataSource.cs:57-92), with the reference's `url=([...])` regex.
+- dedup is consumed AT INGEST (WebDataSource.cs:146-158) — here the
+  visited set is a Dataset and each round's candidate links anti-join it
+  through a union + coarse-groupby exchange (the fuzzy-dedup pattern);
+  NO driver-side URL set, so a 10^9-page frontier never OOMs the driver.
+
+Architecture per BFS round (frontier = the depth-d URL set):
+  frontier -> FetchStage actor pool (fetch, charset-decode, extract text +
+  links) -> link rows normalized map-side -> within-round dedup
+  (groupby.first) -> anti-join against visited (union + coarse groupby)
+  -> deterministic MaxItems cap (sort by url, limit) -> next frontier.
+Rounds = crawl depth; each round is a handful of exchanges over
+fixed-width URL rows. The sandbox has no external network, so tests drive
+a loopback HTTP fixture site and `file://` trees; the fetcher is
+injectable for real deployments.
+"""
+
+from __future__ import annotations
+
+import re
+import urllib.parse
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+IMAGE_EXTS = (".png", ".svg", ".jpg", ".bmp", ".gif")
+MAX_URL_LEN = 1024  # WebDataSource.cs:143
+_META_URL_RE = re.compile(r"url=([\w\.\\_\+\?\&/\-:]+)")  # .cs:66 (+/ :- for paths)
+
+_URL_ROW = pa.schema([("url", pa.string()), ("ck", pa.int64()),
+                      ("is_seen", pa.int64())])
+
+
+def normalize_url(url: str, base: str, host: str,
+                  indextypes: str | None = None) -> str | None:
+    """`TryAddUrl` admission parity (WebDataSource.cs:100-165). Returns the
+    canonical URL or None when the link must not be crawled."""
+    s = (url or "").strip().lower()
+    if not s or s[0] == "#":
+        return None
+    if "://" not in s and ":\\" not in s:
+        s = urllib.parse.urljoin(base, s)
+    try:
+        p = urllib.parse.urlsplit(s)
+    except ValueError:
+        return None
+    if p.scheme not in ("http", "https", "file"):
+        return None
+    path = p.path or "/"
+    s = urllib.parse.urlunsplit((p.scheme, p.netloc, path, p.query, ""))
+    ext = path[path.rfind("."):] if "." in path.rsplit("/", 1)[-1] else ""
+    if ext in IMAGE_EXTS:
+        return None
+    if (p.hostname or "") != host:
+        return None
+    if len(s) > MAX_URL_LEN:
+        return None
+    if indextypes and not re.search(indextypes, s):
+        return None
+    return s
+
+
+class _LinkExtractor:
+    """stdlib HTML walk collecting <a href> and meta-refresh targets."""
+
+    def __init__(self, html: str):
+        from html.parser import HTMLParser
+
+        links: list[str] = []
+
+        class P(HTMLParser):
+            def handle_starttag(self, tag, attrs):
+                d = dict(attrs)
+                if tag == "a" and d.get("href"):
+                    links.append(d["href"])
+                elif (tag == "meta"
+                      and d.get("http-equiv", "").lower() == "refresh"):
+                    m = _META_URL_RE.search(d.get("content", ""))
+                    if m:
+                        links.append(m.group(1))
+
+        try:
+            P(convert_charrefs=True).feed(html)
+        except Exception:
+            pass
+        self.links = links
+
+
+def default_fetcher(url: str) -> bytes | None:
+    """file:// and loopback/LAN http(s) via urllib; None on any error (the
+    reference swallows WebException the same way, WebDataSource.cs:183)."""
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return r.read()
+    except Exception:
+        return None
+
+
+class FetchStage:
+    """Actor-pool stage: URL batch -> (url, ok, text, links). Fetch +
+    charset decode + HTML text/link extraction, one worker state."""
+
+    def __init__(self, fetcher=None, base: str = "", host: str = "",
+                 indextypes: str | None = None):
+        self.fetcher = fetcher or default_fetcher
+        self.base, self.host, self.indextypes = base, host, indextypes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from docodo_ray.sources import guess_decode, html_to_text
+
+        urls = batch["url"].to_pylist()
+        ok, texts, links_col = [], [], []
+        for u in urls:
+            payload = self.fetcher(u)
+            if payload is None:
+                ok.append(False)
+                texts.append("")
+                links_col.append([])
+                continue
+            html, _enc = guess_decode(payload)
+            ext = _LinkExtractor(html)
+            norm = []
+            for raw in ext.links:
+                n = normalize_url(raw, u, self.host, self.indextypes)
+                if n is not None:
+                    norm.append(n)
+            ok.append(True)
+            texts.append(html_to_text(html))
+            links_col.append(sorted(set(norm)))
+        return pa.table({
+            "url": batch["url"],
+            "ok": pa.array(ok, pa.bool_()),
+            "text": pa.array(texts, pa.string()),
+            "links": pa.array(links_col, pa.list_(pa.string())),
+        })
+
+
+_CRAWL_COARSE = 1024
+
+
+def _url_rows(urls: rd.Dataset, seen: int) -> rd.Dataset:
+    import zlib
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        us = t["url"].to_pylist()
+        ck = [zlib.crc32(u.encode()) % _CRAWL_COARSE for u in us]
+        return pa.Table.from_arrays(
+            [pa.array(us, pa.string()), pa.array(ck, pa.int64()),
+             pa.array(np.full(len(us), seen, np.int64))], schema=_URL_ROW)
+
+    to_rows.__name__ = "to_rows"
+    return urls.map_batches(to_rows, batch_format="pyarrow")
+
+
+def crawl(seed: str, *, max_docs: int = 1_000_000, max_depth: int = 8,
+          fetcher=None, indextypes: str | None = None) -> rd.Dataset:
+    """BFS crawl from ``seed``; returns (url, depth, text) for every fetched
+    page. Same-host, exact-URL-deduped, MaxItems-capped (deterministic:
+    within a round, candidate URLs are admitted in sorted order)."""
+    if not seed.endswith("/") and "." not in seed.rsplit("/", 1)[-1]:
+        seed += "/"  # WebDataSource ctor parity
+    base = seed.lower()
+    host = urllib.parse.urlsplit(base).hostname or ""
+    start = normalize_url(seed, base, host, indextypes)
+    if start is None:
+        raise ValueError(f"seed {seed!r} fails its own admission rules")
+
+    def anti(group: pa.Table) -> pa.Table:
+        us = group["url"].to_pylist()
+        seen_flags = group["is_seen"].to_numpy(zero_copy_only=False)
+        seen_set = {u for u, f in zip(us, seen_flags) if f}
+        fresh = sorted({u for u, f in zip(us, seen_flags) if not f}
+                       - seen_set)
+        return pa.table({"url": pa.array(fresh, pa.string())})
+
+    anti.__name__ = "unseen_urls"
+
+    frontier = rd.from_items([{"url": start}])
+    visited = _url_rows(frontier, seen=1).materialize()
+    results: list[rd.Dataset] = []
+    crawled = 0
+    for depth in range(max_depth + 1):
+        n_front = frontier.count()
+        if n_front == 0 or crawled >= max_docs:
+            break
+        if crawled + n_front > max_docs:
+            frontier = frontier.sort("url").limit(max_docs - crawled)
+            n_front = max_docs - crawled
+        crawled += n_front
+        fetched = frontier.map_batches(
+            FetchStage, fn_constructor_kwargs=dict(
+                fetcher=fetcher, base=base, host=host, indextypes=indextypes),
+            batch_format="pyarrow", concurrency=(1, 4),
+        ).materialize()
+
+        def tag(t: pa.Table, d=depth) -> pa.Table:
+            keep = t.filter(t["ok"])
+            return pa.table({
+                "url": keep["url"],
+                "depth": pa.array(np.full(keep.num_rows, d, np.int64)),
+                "text": keep["text"],
+            })
+
+        tag.__name__ = "tag_depth"
+        results.append(fetched.map_batches(tag, batch_format="pyarrow"))
+
+        def links_of(t: pa.Table) -> pa.Table:
+            flat = pc.list_flatten(t["links"].combine_chunks())
+            return pa.table({"url": pc.unique(flat)})
+
+        links_of.__name__ = "links_of"
+        cand = fetched.map_batches(links_of, batch_format="pyarrow")
+        # anti-join candidates against visited: union + coarse groupby —
+        # never a driver-side URL set
+        frontier = _url_rows(cand, seen=0).union(visited).groupby(
+            "ck").map_groups(anti, batch_format="pyarrow").materialize()
+        visited = visited.union(_url_rows(frontier, seen=1)).materialize()
+
+    if not results:
+        return rd.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "depth": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string())}))
+    out = results[0]
+    for r in results[1:]:
+        out = out.union(r)
+    return out

@@ -683,3 +683,69 @@ def deleted_term_df(sf_dir: str) -> pa.Table:
     return pa.table(
         {"term": t["term"], "df": t["df"].cast(pa.int64()), "cf": t["cf"].cast(pa.int64())}
     )
+
+
+def crawl_extract(sf_dir: str) -> rd.Dataset:
+    """S4 crawler end-to-end, sandbox-shaped: render the documents table as
+    a file:// site (index page linking one HTML page per doc, plus
+    adversarial extras — duplicate links, an image link, an off-host link,
+    a fragment link), BFS-crawl it with the Ray-native crawler
+    (docodo_ray.crawl, WebDataSource.cs parity), and emit each crawled
+    doc's sha256(extracted text). Oracle: sha256(text) straight off the
+    table — the crawl + HTML extraction must round-trip every byte."""
+    import hashlib
+    import html as _html
+    import os
+
+    from docodo_ray.crawl import crawl
+
+    docs = _documents(sf_dir, columns=["doc_id", "text"])
+    # deterministic, idempotent site generation (lowercase paths: the
+    # reference admission rule lowercases URLs, WebDataSource.cs:102)
+    tag = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    site = f"/tmp/docodo_crawl_site_{tag}"
+    marker = os.path.join(site, ".done")
+
+    def write_pages(t: pa.Table) -> pa.Table:
+        ids = []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            page = (f"<html><head><title>d{d}</title></head><body>"
+                    f"<pre>{_html.escape(x or '')}</pre>"
+                    '<a href="index.html"></a>'
+                    '<a href="logo.png"></a></body></html>')
+            with open(os.path.join(site, f"doc-{int(d)}.html"), "w",
+                      encoding="utf-8") as f:
+                f.write(page)
+            ids.append(int(d))
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    if not os.path.exists(marker):
+        os.makedirs(site, exist_ok=True)
+        ids = [int(r["doc_id"]) for r in
+               docs.map_batches(write_pages, batch_format="pyarrow").take_all()]
+        links = "\n".join(
+            f'<a href="doc-{d}.html"></a><a href="doc-{d}.html"></a>'
+            for d in sorted(ids))
+        with open(os.path.join(site, "index.html"), "w", encoding="utf-8") as f:
+            f.write("<html><body>"
+                    '<a href="http://elsewhere.example/x.html"></a>'
+                    '<a href="#frag"></a>'
+                    f"{links}</body></html>")
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    pages = crawl(f"file://{site}/index.html", max_depth=2)
+
+    def sha_rows(t: pa.Table) -> pa.Table:
+        ids, shas = [], []
+        for u, x in zip(t["url"].to_pylist(), t["text"].to_pylist()):
+            name = u.rsplit("/", 1)[-1]
+            if not name.startswith("doc-"):
+                continue  # the index page itself
+            ids.append(int(name[4:-5]))
+            shas.append(hashlib.sha256((x or "").encode()).hexdigest())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "sha256": pa.array(shas, pa.string())})
+
+    sha_rows.__name__ = "sha_rows"
+    return pages.map_batches(sha_rows, batch_format="pyarrow")

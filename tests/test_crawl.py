@@ -1,0 +1,110 @@
+"""Ray-native crawler (SURVEY §2.1 S4, WebDataSource.cs parity). No
+external network: a loopback ThreadingHTTPServer serves the fixture site;
+file:// covers the filesystem fetcher path."""
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from docodo_ray.crawl import crawl, normalize_url
+
+SITE = {
+    "/": """<html><head>
+        <meta http-equiv="refresh" content="0; url=redirected.html">
+        </head><body>
+        <a href="a.html">A</a>
+        <a href="b.html">B</a>
+        <a href="a.html">dup link</a>
+        <a href="logo.png">image skipped</a>
+        <a href="http://elsewhere.example/x.html">off host</a>
+        <a href="#frag">fragment only</a>
+        root page text</body></html>""",
+    "/a.html": '<html><body><a href="c/d.html">D</a>alpha page</body></html>',
+    "/b.html": '<html><body><a href="/a.html">back to A</a>beta page</body></html>',
+    "/redirected.html": "<html><body>meta refresh target</body></html>",
+    "/c/d.html": '<html><body><a href="../b.html">rel up</a>deep page</body></html>',
+}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def do_GET(self):
+        body = SITE.get(self.path)
+        if body is None:
+            self.send_error(404)
+            return
+        data = body.encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture(scope="module")
+def site_url():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}/"
+    srv.shutdown()
+
+
+def test_crawl_loopback_site(site_url):
+    rows = crawl(site_url, max_depth=5).take_all()
+    by_url = {r["url"].replace(site_url, "/"): r for r in rows}
+    # every same-host page reached exactly once; image/off-host/fragment
+    # links never fetched
+    assert sorted(by_url) == ["/", "/a.html", "/b.html", "/c/d.html",
+                              "/redirected.html"]
+    assert by_url["/"]["depth"] == 0
+    assert by_url["/a.html"]["depth"] == 1
+    assert by_url["/redirected.html"]["depth"] == 1  # meta refresh followed
+    assert by_url["/c/d.html"]["depth"] == 2         # via a.html
+    assert "alpha page" in by_url["/a.html"]["text"]
+    assert "deep page" in by_url["/c/d.html"]["text"]
+
+
+def test_crawl_max_docs_cap_deterministic(site_url):
+    rows = crawl(site_url, max_depth=5, max_docs=3).take_all()
+    # cap admits the root plus the SORTED-first depth-1 candidates
+    urls = sorted(r["url"].replace(site_url, "/") for r in rows)
+    assert len(urls) == 3 and urls[0] == "/"
+    rows2 = crawl(site_url, max_depth=5, max_docs=3).take_all()
+    assert sorted(r["url"] for r in rows) == sorted(r["url"] for r in rows2)
+
+
+def test_crawl_indextypes_filter(site_url):
+    rows = crawl(site_url, max_depth=5, indextypes=r"(/|a\.html)$").take_all()
+    urls = sorted(r["url"].replace(site_url, "/") for r in rows)
+    assert urls == ["/", "/a.html"]
+
+
+def test_crawl_file_tree(tmp_path):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "index.html").write_text(
+        '<a href="p1.html"></a><a href="sub/p2.html"></a>root')
+    (tmp_path / "p1.html").write_text("page one")
+    (tmp_path / "sub" / "p2.html").write_text(
+        '<a href="../p1.html"></a>page two')
+    rows = crawl(f"file://{tmp_path}/index.html", max_depth=3).take_all()
+    texts = {r["text"].strip() for r in rows}
+    assert {"root", "page one", "page two"} <= texts
+    assert len(rows) == 3  # ../p1.html deduped against the visited set
+
+
+def test_normalize_url_admission_rules():
+    base, host = "http://h.example/dir/", "h.example"
+    n = lambda u: normalize_url(u, base, host)
+    assert n("page.html") == "http://h.example/dir/page.html"
+    assert n("#top") is None
+    assert n("") is None
+    assert n("logo.PNG") is None                      # lowercased first
+    assert n("http://other.example/x") is None        # same-host only
+    assert n("x.html?q=1#frag") == "http://h.example/dir/x.html?q=1"
+    assert n("x" * 2000 + ".html") is None            # 1024-char cap
+    assert n("javascript:void(0)") is None
+    assert normalize_url("a.html", base, host, indextypes=r"\.pdf$") is None
