@@ -99,6 +99,39 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_crawl(args) -> int:
+    """Crawl a seed URL into a parquet corpus (url, depth, text) and
+    optionally build an index over it — the reference CLI's
+    `-source:web,<url>[,indextypes]` (Program.cs:96-100) as a first-class
+    subcommand. file:// seeds work without any network."""
+    _ensure_ray()
+    import glob
+
+    from docodo_ray.crawl import crawl
+
+    t0 = time.perf_counter()
+    pages = crawl(args.seed, max_docs=args.max_docs, max_depth=args.max_depth,
+                  indextypes=args.indextypes)
+    # streaming parquet write to a DIRECTORY (never a driver-side collect:
+    # page text stays on the cluster; partitioned output is resumable)
+    pages.write_parquet(args.corpus)
+    files = sorted(glob.glob(os.path.join(args.corpus, "*.parquet")))
+    import pyarrow.parquet as pq
+
+    n_pages = sum(pq.read_metadata(f).num_rows for f in files)
+    out = {"corpus": args.corpus, "n_pages": n_pages,
+           "sec": round(time.perf_counter() - t0, 3)}
+    if args.index:
+        from docodo_ray.build import build_index
+
+        res = build_index(args.index, input_paths=files,
+                          content_col="text", id_col=None, key_cols=["url"],
+                          meta_cols=("url", "depth"))
+        out.update({"index": res.out_dir, "n_docs": res.n_docs})
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_update(args) -> int:
     _ensure_ray()
     from docodo_ray.build import update_index
@@ -345,6 +378,20 @@ def make_parser() -> argparse.ArgumentParser:
     b.add_argument("--no-positions", action="store_true")
     b.add_argument("--no-stopwords", action="store_true")
     b.set_defaults(fn=cmd_build)
+
+    cr = sub.add_parser("crawl", help="crawl a seed URL into a parquet "
+                        "corpus (url, depth, text); optionally index it")
+    cr.add_argument("seed", help="seed URL (http://, https:// or file://)")
+    cr.add_argument("-o", "--corpus", required=True,
+                    help="output parquet DIRECTORY (streaming write)")
+    cr.add_argument("--index", default=None,
+                    help="also build an index into this directory")
+    cr.add_argument("--max-docs", type=int, default=1_000_000)
+    cr.add_argument("--max-depth", type=int, default=8)
+    cr.add_argument("--indextypes", default=None,
+                    help="regex filter on admitted URLs (reference "
+                         "indextypes)")
+    cr.set_defaults(fn=cmd_crawl)
 
     u = sub.add_parser("update", help="incrementally add documents (LSM run)")
     u.add_argument("--input", nargs="+", required=True)

@@ -108,3 +108,40 @@ def test_normalize_url_admission_rules():
     assert n("x" * 2000 + ".html") is None            # 1024-char cap
     assert n("javascript:void(0)") is None
     assert normalize_url("a.html", base, host, indextypes=r"\.pdf$") is None
+
+
+def test_cli_crawl_file_site_and_index(tmp_path):
+    """`python -m docodo_ray crawl` writes a streaming parquet corpus and
+    optionally builds a searchable index over the crawl."""
+    import json
+    import subprocess
+    import sys
+
+    (tmp_path / "site").mkdir()
+    (tmp_path / "site" / "index.html").write_text(
+        '<a href="one.html"></a><a href="two.html"></a>root words here')
+    (tmp_path / "site" / "one.html").write_text(
+        "uniquewordalpha appears on page one")
+    (tmp_path / "site" / "two.html").write_text(
+        "uniquewordbeta appears on page two")
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    r = subprocess.run(
+        [sys.executable, "-m", "docodo_ray", "crawl",
+         f"file://{tmp_path}/site/index.html", "-o", corpus,
+         "--index", idx, "--max-depth", "2"],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "RAY_ADDRESS": ""},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["n_pages"] == 3 and out["n_docs"] == 3
+
+    from docodo_ray import IndexReader
+
+    reader = IndexReader(idx)
+    hits = reader.search("uniquewordalpha", k=5)
+    assert len(hits) == 1
+    meta = reader.doc_meta(columns=["doc_id", "url"])
+    url_of = dict(zip(meta["doc_id"].to_pylist(), meta["url"].to_pylist()))
+    assert url_of[hits[0][0]].endswith("one.html")
