@@ -271,7 +271,11 @@ def run_bench(num_cpus: int) -> dict:
 
 
 def run_subprocess(num_cpus: int, mode: str = "bench") -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus), GRAFT_BENCH_MODE=mode)
+    # child legs never re-wait for a window: the parent already did, and a
+    # per-leg wait would skew leg spacing (weather drift between legs is
+    # exactly what the interleaved order below compensates for)
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus), GRAFT_BENCH_MODE=mode,
+               GRAFT_BENCH_NO_WAIT="1")
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env, capture_output=True, text=True, check=True,
@@ -305,10 +309,16 @@ def main() -> None:
     wait_for_clean_window()
     if "--scaling" in sys.argv:
         lo, hi = SCALING_CPUS
-        best = {}
-        for ncpu in (lo, hi):
-            runs = [run_subprocess(ncpu, mode="scaling") for _ in range(SCALING_REPEATS)]
-            best[ncpu] = min(runs, key=lambda r: r["value"])
+        # INTERLEAVED leg order (lo,hi,hi,lo): on this VM the weather can
+        # shift between legs; a blocked order (lo,lo,hi,hi) converts any
+        # monotone drift straight into efficiency bias, the palindrome
+        # cancels it to first order (r3 recorded 0.656 and a nonsense 2.35
+        # from exactly such drift)
+        order = ([lo, hi] * SCALING_REPEATS)[:SCALING_REPEATS] +                 ([hi, lo] * SCALING_REPEATS)[:SCALING_REPEATS]
+        runs: dict[int, list] = {lo: [], hi: []}
+        for ncpu in order:
+            runs[ncpu].append(run_subprocess(ncpu, mode="scaling"))
+        best = {n: min(rs, key=lambda r: r["value"]) for n, rs in runs.items()}
         t_lo, t_hi = best[lo]["value"], best[hi]["value"]
         eff = (t_lo / t_hi) / (hi / lo)
         print(json.dumps({
