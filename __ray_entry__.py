@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_roundtrip": pipelines.charset_roundtrip,  # M8 charset decode
         "pdf_extract": pipelines.pdf_extract,            # M10/S3 PDF text extractor
         "crawl_extract": pipelines.crawl_extract,        # S4 crawler (file:// fixture site)
+        "xml_manifest_extract": pipelines.xml_manifest_extract,  # S5 manifest source
         "bm25_topk": pipelines.bm25_topk,                # A8 replacement: BM25 top-k
         "bm25_batch_distributed": pipelines.bm25_batch_distributed,  # actor-pool batch eval
         "docodo_rank": pipelines.docodo_rank,            # A8 original: proximity ranker

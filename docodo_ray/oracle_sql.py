@@ -89,7 +89,8 @@ SELECT doc_id, sha256(text) AS sha256 FROM documents
     # text into HTML / BOM'd bytes / a real PDF and extracts it back with
     # the REAL kernel; hash equality vs plain sha256(text) proves the
     # extractor inverts the wrapping exactly.
-    for q in ("html_extract", "pdf_extract", "crawl_extract"):
+    for q in ("html_extract", "pdf_extract", "crawl_extract",
+              "xml_manifest_extract"):
         sql[q] = """
 SELECT doc_id, sha256(text) AS sha256 FROM documents
 """

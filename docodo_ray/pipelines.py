@@ -749,3 +749,64 @@ def crawl_extract(sf_dir: str) -> rd.Dataset:
 
     sha_rows.__name__ = "sha_rows"
     return pages.map_batches(sha_rows, batch_format="pyarrow")
+
+
+def xml_manifest_extract(sf_dir: str) -> rd.Dataset:
+    """S5 XML manifest source end-to-end: write the documents table as a
+    Docodo-style manifest (<basepath> + <document> entries with metadata)
+    over per-doc .txt files, load it through read_xml_manifest's
+    distributed actor pool, and sha256 the loaded text. Oracle:
+    sha256(text) off the table — manifest parse + charset decode must
+    round-trip every byte."""
+    import hashlib
+    import os
+
+    from docodo_ray.sources import read_xml_manifest
+
+    docs = _documents(sf_dir, columns=["doc_id", "text"])
+    tag = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    root = f"/tmp/docodo_xmlsrc_{tag}"
+    files_dir = os.path.join(root, "files")
+    manifest = os.path.join(root, "manifest.xml")
+    marker = os.path.join(root, ".done")
+
+    def write_files(t: pa.Table) -> pa.Table:
+        ids = []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            with open(os.path.join(files_dir, f"d{int(d)}.txt"), "w",
+                      encoding="utf-8") as f:
+                f.write(x or "")
+            ids.append(int(d))
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    if not os.path.exists(marker):
+        os.makedirs(files_dir, exist_ok=True)
+        ids = sorted(int(r["doc_id"]) for r in
+                     docs.map_batches(write_files, batch_format="pyarrow")
+                         .take_all())
+        entries = "\n".join(
+            f"<document><docid>{d}</docid><file>d{d}.txt</file></document>"
+            for d in ids)
+        with open(manifest, "w", encoding="utf-8") as f:
+            f.write('<?xml version="1.0" encoding="UTF-8"?>\n<root>\n'
+                    "<basepath>files/</basepath>\n"
+                    "<document><title>skipped: no file field</title></document>\n"
+                    f"{entries}\n</root>\n")
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    loaded = read_xml_manifest(manifest)
+
+    def sha_rows(t: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        return pa.table({
+            "doc_id": pa.array([int(d) for d in t["docid"].to_pylist()],
+                               pa.int64()),
+            "sha256": pa.array(
+                [_h.sha256((x or "").encode()).hexdigest()
+                 for x in t["text"].to_pylist()], pa.string()),
+        })
+
+    sha_rows.__name__ = "sha_rows"
+    return loaded.map_batches(sha_rows, batch_format="pyarrow")

@@ -423,3 +423,103 @@ class PdfExtractStage:
         return pa.table(
             {"doc_id": batch[self.id_col], "text": pa.array(texts, pa.string())}
         )
+
+
+# ---- S5: XML manifest source -------------------------------------------------
+
+def parse_xml_manifest(xml_path: str) -> tuple[str, list[dict]]:
+    """Parse a Docodo XML manifest (XmlDataSource.cs:53-98 semantics):
+    <basepath> (absolute when it contains ':', else relative to the
+    manifest's directory) plus <document> entries of flat text fields.
+    Entries without a <file> field are skipped (the reference logs
+    'no file field' and drops them). Streaming iterparse: the manifest is
+    read element-by-element and cleared — a million-entry manifest never
+    materializes as a DOM."""
+    import os
+    import xml.etree.ElementTree as ET
+
+    base = os.path.dirname(xml_path)
+    base = base + os.sep if base else ""
+    docs: list[dict] = []
+    for _event, elem in ET.iterparse(xml_path, events=("end",)):
+        if elem.tag == "basepath":
+            v = (elem.text or "").strip()
+            if ":" in v:
+                base = v
+            else:
+                d = os.path.dirname(xml_path)
+                base = (d + os.sep if d else "") + v
+        elif elem.tag == "document":
+            doc = {child.tag: (child.text or "").strip() for child in elem}
+            if doc.get("file"):
+                docs.append(doc)
+            elem.clear()
+    return base, docs
+
+
+class ManifestLoadStage:
+    """Actor-pool stage: manifest rows (file + metadata) -> loaded text.
+    Extension dispatch mirrors DocumentsDataSource.FromFile / FromUrl
+    (XmlDataSource.cs:100-110): .pdf -> pdf_text, .html/.htm ->
+    html_to_text, anything else -> charset-sniffed text; file paths read
+    from shared storage, URLs fetched (injectable fetcher)."""
+
+    def __init__(self, base: str = "", fetcher=None):
+        self.base = base
+        if fetcher is None:
+            from docodo_ray.crawl import default_fetcher
+
+            fetcher = default_fetcher
+        self.fetcher = fetcher
+
+    def _load(self, f: str) -> str | None:
+        url = f if "://" in f else self.base + f
+        if "://" in url:
+            payload = self.fetcher(url)
+        else:
+            try:
+                with open(url, "rb") as fh:
+                    payload = fh.read()
+            except OSError:
+                payload = None
+        if payload is None:
+            return None
+        low = url.lower()
+        if low.endswith(".pdf"):
+            try:
+                return pdf_text(payload)
+            except ValueError:
+                return None
+        text, _enc = guess_decode(payload)
+        if low.endswith((".html", ".htm")):
+            return html_to_text(text)
+        return text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts, ok = [], []
+        for f in batch["file"].to_pylist():
+            t = self._load(f or "")
+            ok.append(t is not None)
+            texts.append(t or "")
+        out = batch.append_column("text", pa.array(texts, pa.string()))
+        return out.filter(pa.array(ok))
+
+
+def read_xml_manifest(xml_path: str, fetcher=None) -> "rd.Dataset":
+    """S5: Docodo XML manifest -> Dataset of (file, <metadata fields...>,
+    text). The manifest parse is a streaming scan (tiny next to the
+    corpus); document LOADING — the actual IO — runs distributed through
+    an actor pool. Unreadable/unparseable entries drop, matching the
+    reference's skip-and-log behavior."""
+    import ray.data as rd
+
+    base, docs = parse_xml_manifest(xml_path)
+    if not docs:
+        return rd.from_arrow(pa.table({"file": pa.array([], pa.string()),
+                                       "text": pa.array([], pa.string())}))
+    cols = sorted({k for d in docs for k in d})
+    rows = [{c: d.get(c, "") for c in cols} for d in docs]
+    return rd.from_items(rows).map_batches(
+        ManifestLoadStage, fn_constructor_kwargs=dict(base=base, fetcher=fetcher),
+        batch_format="pyarrow", concurrency=(1, 4),
+    )

@@ -120,3 +120,51 @@ def test_charset_detector_legacy_and_bomless():
         assert (t, e) == (rus, enc)
     # plain utf-8 Cyrillic must STAY utf-8 (detector only after utf-8 fails)
     assert guess_decode(rus.encode("utf-8")) == (rus, "utf-8")
+
+
+def test_xml_manifest_source(tmp_path):
+    """S5 XmlDataSource parity: <basepath> resolution, flat metadata
+    fields, required <file> (entries without it drop), extension dispatch
+    (.txt charset decode / .html extraction / .pdf parser), unreadable
+    files skipped."""
+    from docodo_ray.sources import make_pdf, read_xml_manifest
+
+    d = tmp_path / "корпус"
+    d.mkdir()
+    (d / "plain.txt").write_text("plain text file", encoding="utf-8")
+    (d / "ru.txt").write_bytes("русский текст в cp1251".encode("cp1251"))
+    (d / "page.html").write_text(
+        "<html><head><style>x{}</style></head><body><pre>html body</pre>"
+        "</body></html>")
+    (d / "doc.pdf").write_bytes(make_pdf("pdf body text"))
+    manifest = tmp_path / "manifest.xml"
+    manifest.write_text(f"""<?xml version="1.0" encoding="UTF-8"?>
+<root>
+<basepath>{d.name}/</basepath>
+<document><title>first</title><file>plain.txt</file><id>1</id></document>
+<document><title>ru</title><file>ru.txt</file><id>2</id></document>
+<document><title>html</title><file>page.html</file><id>3</id></document>
+<document><title>pdf</title><file>doc.pdf</file><id>4</id></document>
+<document><title>no file field</title><id>5</id></document>
+<document><title>gone</title><file>missing.txt</file><id>6</id></document>
+</root>""", encoding="utf-8")
+
+    rows = {r["id"]: r for r in read_xml_manifest(str(manifest)).take_all()}
+    assert sorted(rows) == ["1", "2", "3", "4"]  # 5 (no file) + 6 (missing) drop
+    assert rows["1"]["text"] == "plain text file"
+    assert rows["1"]["title"] == "first"
+    assert rows["2"]["text"] == "русский текст в cp1251"
+    assert rows["3"]["text"] == "html body"
+    assert rows["4"]["text"] == "pdf body text"
+
+
+def test_xml_manifest_default_basepath(tmp_path):
+    """No <basepath> -> files resolve relative to the manifest's own
+    directory (reference XmlDataSource ctor default)."""
+    from docodo_ray.sources import read_xml_manifest
+
+    (tmp_path / "abs.txt").write_text("manifest-dir base works")
+    m = tmp_path / "m.xml"
+    m.write_text("<root><document><file>abs.txt</file></document></root>")
+    rows = read_xml_manifest(str(m)).take_all()
+    assert rows[0]["text"] == "manifest-dir base works"
