@@ -523,3 +523,60 @@ def read_xml_manifest(xml_path: str, fetcher=None) -> "rd.Dataset":
         ManifestLoadStage, fn_constructor_kwargs=dict(base=base, fetcher=fetcher),
         batch_format="pyarrow", concurrency=(1, 4),
     )
+
+
+# ---- S2: text-files directory source -----------------------------------------
+
+def read_document_tree(
+    root: str, patterns: str = "*.txt;*.pdf;*.html;*.htm",
+    max_items: int | None = None, fetcher=None,
+) -> "rd.Dataset":
+    """S2 IndexTextFilesDataSource parity (DataSources.cs:235-300): walk a
+    directory tree for files matching the semicolon-separated glob list
+    and load each through the extension-dispatch loader (.pdf object-model
+    parser / .html extractor / charset-sniffed text) -> Dataset of
+    (file, text).
+
+    The WALK itself is distributed: the driver lists only the root's
+    first-level entries; each map task walks its own subtree and emits
+    matched paths, so a 10^12-file tree fans out across the cluster
+    instead of serializing through one os.walk. ``max_items`` caps
+    deterministically (global sort by path, then limit — the reference's
+    MaxItems counter is scan-order-dependent; ours is stable)."""
+    import fnmatch
+    import os
+
+    import ray.data as rd
+
+    pats = [p.strip() for p in patterns.split(";") if p.strip()]
+
+    def _match(name: str) -> bool:
+        return any(fnmatch.fnmatch(name.lower(), p.lower()) for p in pats)
+
+    tops = sorted(os.path.join(root, e) for e in os.listdir(root))
+    seeds = [{"path": t} for t in tops]
+    if not seeds:
+        return rd.from_arrow(pa.table({"file": pa.array([], pa.string()),
+                                       "text": pa.array([], pa.string())}))
+
+    def walk(batch: pa.Table) -> pa.Table:
+        out: list[str] = []
+        for p in batch["path"].to_pylist():
+            if os.path.isfile(p):
+                if _match(os.path.basename(p)):
+                    out.append(p)
+                continue
+            for dirpath, _dirs, files in os.walk(p):
+                out.extend(os.path.join(dirpath, f) for f in files
+                           if _match(f))
+        return pa.table({"file": pa.array(sorted(out), pa.string())})
+
+    walk.__name__ = "walk_subtree"
+    files = rd.from_items(seeds, override_num_blocks=len(seeds)).map_batches(
+        walk, batch_format="pyarrow")
+    if max_items is not None:
+        files = files.sort("file").limit(max_items)
+    return files.map_batches(
+        ManifestLoadStage, fn_constructor_kwargs=dict(base="", fetcher=fetcher),
+        batch_format="pyarrow", concurrency=(1, 4),
+    )

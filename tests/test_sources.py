@@ -168,3 +168,36 @@ def test_xml_manifest_default_basepath(tmp_path):
     m.write_text("<root><document><file>abs.txt</file></document></root>")
     rows = read_xml_manifest(str(m)).take_all()
     assert rows[0]["text"] == "manifest-dir base works"
+
+
+def test_document_tree_source(tmp_path):
+    """S2 text-files source: distributed subtree walk + glob patterns +
+    extension dispatch + deterministic max_items cap."""
+    from docodo_ray.sources import make_pdf, read_document_tree
+
+    (tmp_path / "a" / "deep").mkdir(parents=True)
+    (tmp_path / "b").mkdir()
+    (tmp_path / "a" / "one.txt").write_text("file one text")
+    (tmp_path / "a" / "deep" / "two.TXT").write_text("file two text")
+    (tmp_path / "b" / "three.pdf").write_bytes(make_pdf("pdf three text"))
+    (tmp_path / "b" / "four.html").write_text("<body><pre>html four</pre></body>")
+    (tmp_path / "b" / "skip.jpg").write_bytes(b"\xff\xd8not indexed")
+    (tmp_path / "top.txt").write_text("root-level file")
+
+    rows = {r["file"].rsplit("/", 1)[-1].lower(): r["text"]
+            for r in read_document_tree(str(tmp_path)).take_all()}
+    assert sorted(rows) == ["four.html", "one.txt", "three.pdf", "top.txt",
+                            "two.txt"]
+    assert rows["one.txt"] == "file one text"
+    assert rows["two.txt"] == "file two text"      # case-insensitive glob
+    assert rows["three.pdf"] == "pdf three text"
+    assert rows["four.html"] == "html four"
+
+    capped = read_document_tree(str(tmp_path), max_items=2).take_all()
+    capped2 = read_document_tree(str(tmp_path), max_items=2).take_all()
+    assert len(capped) == 2
+    assert sorted(r["file"] for r in capped) == sorted(r["file"] for r in capped2)
+
+    only_txt = read_document_tree(str(tmp_path), patterns="*.txt").take_all()
+    assert all(r["file"].lower().endswith(".txt") for r in only_txt)
+    assert len(only_txt) == 3
