@@ -38,9 +38,16 @@ BENCH_FILES = 32
 # held exactly proportional: tokenizer pool = cpus//2 (1 vs 4), merge
 # groups = cpus (2 vs 8). The corpus is heavier than the headline one so
 # per-stage fixed costs (actor spawn, driver, footers) are amortized.
-SCALING_ROWS = 100_000
+SCALING_ROWS = 40_000
 SCALING_AVG_TOKENS = 2000
 SCALING_CPUS = (2, 8)
+# 40k docs (~80M tokens): sized so the WHOLE interleaved 4-leg measurement
+# (2 lo + 2 hi) finishes in ~5 minutes of clean weather. The previous 100k
+# corpus put the 2-CPU leg alone at ~300 s clean / 780-860 s throttled —
+# longer than this VM's typical clean window, so every late-r4 draw was
+# contaminated (raw eff 1.65 and 1.28 with in-leg probe minima of 10).
+# Fixed costs stay amortized: a clean 8-CPU leg is ~35 s vs ~2-3 s of actor
+# spawn + driver overhead, <10% of the leg.
 SCALING_REPEATS = 2  # best-of-2 at BOTH levels: this box's run-to-run wall
 # noise is ±30-40%, and an asymmetric repeat count (hi-only) biases the
 # efficiency ratio; symmetric best-of keeps the estimator honest
@@ -122,6 +129,23 @@ def run_scaling_build(num_cpus: int) -> dict:
         tokenizer_concurrency=max(1, num_cpus // 2),
         merge_groups=num_cpus,
     )
+    # Sample the single-core probe DURING the leg (daemon thread, ~1s of
+    # work every 20s on a box with far more cores than the leg uses): an
+    # end-of-leg probe reads the weather AFTER the build and can miss a
+    # mid-leg throttle window entirely (r4's contaminated draw: 776 s leg,
+    # end-probe 17.2 — the throttling was over by the time it ran).
+    import threading
+
+    samples: list[float] = []
+    stop = threading.Event()
+
+    def _sampler() -> None:
+        while not stop.is_set():
+            samples.append(cpu_calibration()["pyloop_miter_per_s"])
+            stop.wait(20.0)
+
+    th = threading.Thread(target=_sampler, daemon=True)
+    th.start()
     t0 = time.perf_counter()
     res = build_index(
         out, input_paths=files, cfg=cfg,
@@ -129,13 +153,22 @@ def run_scaling_build(num_cpus: int) -> dict:
         meta_cols=("repo", "path", "lang"),
     )
     dt = time.perf_counter() - t0
+    stop.set()
+    th.join(timeout=5.0)
     ray.shutdown()
+    probes = samples or [cpu_calibration()["pyloop_miter_per_s"]]
     return {
         "metric": f"scaling index build ({SCALING_ROWS} docs)",
         "value": round(dt, 3), "unit": "sec", "num_cpus": num_cpus,
         "docs_per_sec": round(res.n_docs / dt, 1),
         "total_tokens": res.total_tokens, "queries": {}, "sf": "synthetic",
-        "cpu_calibration": cpu_calibration(),
+        "cpu_calibration": {
+            "pyloop_miter_per_s": round(
+                statistics.mean(probes), 1),
+            "pyloop_miter_per_s_min": round(min(probes), 1),
+            "pyloop_miter_per_s_max": round(max(probes), 1),
+            "n_samples": len(probes),
+        },
     }
 
 
@@ -321,11 +354,24 @@ def main() -> None:
         best = {n: min(rs, key=lambda r: r["value"]) for n, rs in runs.items()}
         t_lo, t_hi = best[lo]["value"], best[hi]["value"]
         eff = (t_lo / t_hi) / (hi / lo)
+        # Probe-normalized secondary estimator: each leg's wall is scaled by
+        # the mean IN-LEG single-core probe (wall x probe ~ work done in
+        # probe-iterations), so a throttle window that hits one leg but not
+        # the other cancels instead of polluting the ratio. Under uniform
+        # weather it equals the raw estimator; they diverge exactly when the
+        # measurement is contaminated (r4 saw a raw 1.648 from 2-CPU legs
+        # that ran inside a 2-3x throttle window).
+        def _probe(r: dict) -> float:
+            c = r.get("cpu_calibration") or {}
+            return float(c.get("pyloop_miter_per_s") or 0.0) or 1.0
+
+        eff_norm = ((t_lo * _probe(best[lo])) / (t_hi * _probe(best[hi]))) / (hi / lo)
         print(json.dumps({
             "metric": "index-build throughput scaling efficiency, fresh "
                       f"ray.init at num_cpus={lo} vs {hi} (N vs 4N), same "
                       f"input ({SCALING_ROWS} docs), best of {SCALING_REPEATS}",
             "value": round(eff, 3),
+            "value_probe_normalized": round(eff_norm, 3),
             "unit": "efficiency",
             "sec_lo": t_lo, "sec_hi": t_hi,
             "docs_per_sec_lo": best[lo]["docs_per_sec"],

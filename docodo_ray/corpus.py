@@ -168,6 +168,12 @@ def write_corpus(
     marker = os.path.join(out_dir, f".done-{n_rows}-{seed}-{n_files}-{avg_tokens}-{gen_tag}")
     if os.path.exists(marker) and all(os.path.exists(f) for f in files):
         return files
+    # regenerating with different params overwrites corpus-*.parquet in
+    # place: drop every other .done-* marker or a later call with the OLD
+    # params would see its stale marker + existing files and reuse wrong data
+    for stale in os.listdir(out_dir):
+        if stale.startswith(".done-"):
+            os.unlink(os.path.join(out_dir, stale))
     if fast:
         table = generate_corpus_fast(
             n_rows, seed=seed, avg_tokens=avg_tokens, vocab_size=vocab_size
