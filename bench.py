@@ -258,6 +258,20 @@ def run_bench(num_cpus: int) -> dict:
     timings["bm25_query_p50"] = round(statistics.median(lats), 4)
     timings["bm25_query_p99"] = round(lats[int(len(lats) * 0.99) - 1], 4)
 
+    # ---- top-k rank-identity rate (BASELINE.json metric) ----
+    # The optimized path (auto block-max WAND / vectorized MaxScore) vs the
+    # exhaustive reference scorer (wand=False -> _score_topk) over the same
+    # query set: both must produce identical (doc_id, score) sequences —
+    # the sandbox stand-in for "rank-identical top-k docIDs and BM25 scores
+    # versus the reference query set" (the skip-scorers are exact by design,
+    # equality-tested in tests/test_build_search.py; this records the rate
+    # as a driver-visible artifact).
+    rank_identical = sum(
+        reader.search(q, k=10) == reader.search(q, k=10, wand=False)
+        for q in QUERY_SET
+    )
+    rank_identity_rate = round(rank_identical / len(QUERY_SET), 4)
+
     # ---- driver-table pipelines at sf_dir ----
     from docodo_ray import dedup, pipelines, sim
 
@@ -295,6 +309,7 @@ def run_bench(num_cpus: int) -> dict:
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "docs_per_sec": round(docs_per_sec, 1),
+        "rank_identity_rate": rank_identity_rate,
         "corpus_mb": round(corpus_bytes / 1e6, 1),
         "n_docs": res.n_docs,
         "total_tokens": res.total_tokens,
