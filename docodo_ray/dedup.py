@@ -25,7 +25,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Min
 
 from docodo_ray.config import load_stopwords
-from docodo_ray.tokenizer import TokenizerSpec, splitmix64, tokenize
+from docodo_ray.tokenizer import TokenizerSpec, splitmix64, tokenize, tokenize_raw
 
 MINHASH_K = 64          # permutations; bands * rows_per_band must == K
 MINHASH_BANDS = 16      # default banding 16 x 4: ~Jaccard 0.6+ candidates
@@ -923,3 +923,165 @@ def fuzzy_dedup_survivors(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(docs_rows, batch_format="pyarrow").union(
         comps.map_batches(losers, batch_format="pyarrow")
     ).groupby("ck").map_groups(anti, batch_format="pyarrow")
+
+
+# ---- exact substring (duplicated-span) dedup --------------------------------
+# Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better": remove text SPANS duplicated across the corpus, not just whole
+# documents. The paper's suffix array is replaced by its distributed
+# k-token-gram equivalent: a k-gram occurring more than once anywhere in
+# the corpus marks every window containing it duplicated; per document the
+# duplicated windows merge into spans. Reference analog: Docodo's only
+# dedup is whole-URL exact (WebDataSource.cs:146-158) — this is the
+# span-level generalization a training corpus actually needs.
+#
+# Scale shape: the gram exchange is one fixed-width 32 B row per token
+# window (token-stream scale, embarrassingly hash-partitionable — the same
+# cost class as the index-build term shuffle); the hit exchange is
+# duplication-scale. Nothing corpus-scale touches the driver.
+
+SUBSTR_K = 8
+_SUB_MIX = np.uint64(0xBF58476D1CE4E5B9)
+
+_SUB_ROW = pa.schema([("gh", pa.int64()), ("doc_id", pa.int64()),
+                      ("seq", pa.int64()), ("gk", pa.int64())])
+# hit rows: seq >= 0, n_tokens == -1; per-doc header rows: seq == -1
+_SUB_HIT = pa.schema([("doc_id", pa.int64()), ("seq", pa.int64()),
+                      ("n_tokens", pa.int64()), ("dk", pa.int64())])
+
+
+class _PosGramStage:
+    """doc -> one row per k-token window: (gram_hash, doc_id, seq) keyed by
+    a coarse gram partition. Positional (NOT uniqued — every window is a
+    row): the rolling splitmix mix over memoized per-token blake2b hashes is
+    injective w.h.p. on 64 bits (tokens contain no spaces, so the token
+    sequence determines the joined gram string); hash equality stands in
+    for string equality and never crosses the oracle boundary."""
+
+    def __init__(self, k: int = SUBSTR_K):
+        self.k = k
+        self.cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = self.k
+        ghs, dids, seqs = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            hs = _elem_hashes(tokenize_raw(text or ""), self.cache)
+            m = hs.size - k + 1
+            if m <= 0:
+                continue
+            acc = splitmix64(hs[:m] ^ _SUB_MIX)
+            for j in range(1, k):
+                mixj = np.uint64((j * int(_SUB_MIX)) & 0xFFFFFFFFFFFFFFFF)
+                acc = splitmix64(acc ^ (hs[j:j + m] + mixj))
+            ghs.append(acc)
+            dids.append(np.full(m, doc_id, np.int64))
+            seqs.append(np.arange(m, dtype=np.int64))
+        gh = np.concatenate(ghs) if ghs else np.empty(0, np.uint64)
+        doc = np.concatenate(dids) if dids else np.empty(0, np.int64)
+        seq = np.concatenate(seqs) if seqs else np.empty(0, np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(gh.view(np.int64), pa.int64()),
+             pa.array(doc, pa.int64()), pa.array(seq, pa.int64()),
+             pa.array(_coarse_mix(gh.view(np.int64)), pa.int64())],
+            schema=_SUB_ROW)
+
+
+class _DocHeaderStage:
+    """doc -> one header row (doc_id, seq=-1, n_tokens) on the doc key."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = np.fromiter(
+            (len(tokenize_raw(t or "")) for t in batch["text"].to_pylist()),
+            dtype=np.int64, count=len(ids))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()),
+             pa.array(np.full(ids.size, -1, np.int64), pa.int64()),
+             pa.array(ntok, pa.int64()),
+             pa.array(_coarse_mix(ids), pa.int64())], schema=_SUB_HIT)
+
+
+def substring_dup_stats(sf_dir: str, k: int = SUBSTR_K) -> rd.Dataset:
+    """(doc_id, n_tokens, n_windows, n_dup_windows, dup_token_count): per
+    document, how much of it is covered by token spans duplicated elsewhere
+    in the corpus. dup_token_count = |union of the duplicated k-windows|
+    (sorted-window telescope: window i contributes min(next_seq - seq, k),
+    the last window contributes k — identical to interval merge).
+
+    Three exchanges: gram rows -> groupby(gram partition) marks windows
+    whose gram repeats (total occurrences > 1, same- or cross-document),
+    hit rows union header rows -> groupby(doc partition) merges spans.
+    DuckDB oracle: the same definition over string grams via window
+    functions (oracle_sql.py "substring_dup_stats")."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def gram_fn(batch: pa.Table) -> pa.Table:
+        return _memo_stage(_PosGramStage, k=k)(batch)
+
+    gram_fn.__name__ = "pos_grams"
+
+    def mark(group: pa.Table) -> pa.Table:
+        gh = group["gh"].to_numpy(zero_copy_only=False)
+        order = np.argsort(gh, kind="stable")
+        ghs = gh[order]
+        starts = np.flatnonzero(np.concatenate(([True], np.diff(ghs) != 0)))
+        runlen = np.diff(np.concatenate((starts, [ghs.size])))
+        sel = order[np.repeat(runlen > 1, runlen)]
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)[sel]
+        seq = group["seq"].to_numpy(zero_copy_only=False)[sel]
+        return pa.Table.from_arrays(
+            [pa.array(doc, pa.int64()), pa.array(seq, pa.int64()),
+             pa.array(np.full(doc.size, -1, np.int64), pa.int64()),
+             pa.array(_coarse_mix(doc), pa.int64())], schema=_SUB_HIT)
+
+    mark.__name__ = "mark_dup_windows"
+
+    def spans(group: pa.Table) -> pa.Table:
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        seq = group["seq"].to_numpy(zero_copy_only=False)
+        ntk = group["n_tokens"].to_numpy(zero_copy_only=False)
+        hm = seq >= 0
+        hdoc, hseq = doc[hm], seq[hm]
+        order = np.lexsort((hseq, hdoc))
+        d, s = hdoc[order], hseq[order]
+        if d.size:
+            nxt_same = np.concatenate((d[1:] == d[:-1], [False]))
+            gap = np.empty(d.size, np.int64)
+            gap[:-1] = s[1:] - s[:-1]
+            gap[-1] = k
+            contrib = np.where(nxt_same, np.minimum(gap, k), k)
+            starts = np.flatnonzero(
+                np.concatenate(([True], d[1:] != d[:-1])))
+            u_doc = d[starts]
+            cov = np.add.reduceat(contrib, starts)
+            cnt = np.diff(np.concatenate((starts, [d.size])))
+        else:
+            u_doc = cov = cnt = np.empty(0, np.int64)
+        hd_doc, hd_ntok = doc[~hm], ntk[~hm]
+        ho = np.argsort(hd_doc, kind="stable")
+        hd_doc, hd_ntok = hd_doc[ho], hd_ntok[ho]
+        out_dup = np.zeros(hd_doc.size, np.int64)
+        out_cov = np.zeros(hd_doc.size, np.int64)
+        if u_doc.size:
+            pos = np.searchsorted(hd_doc, u_doc)
+            out_dup[pos] = cnt
+            out_cov[pos] = cov
+        return pa.table({
+            "doc_id": pa.array(hd_doc, pa.int64()),
+            "n_tokens": pa.array(hd_ntok, pa.int64()),
+            "n_windows": pa.array(np.maximum(hd_ntok - (k - 1), 0), pa.int64()),
+            "n_dup_windows": pa.array(out_dup, pa.int64()),
+            "dup_token_count": pa.array(out_cov, pa.int64()),
+        })
+
+    spans.__name__ = "merge_dup_spans"
+
+    hits = (docs.map_batches(gram_fn, batch_format="pyarrow")
+            .groupby("gk").map_groups(mark, batch_format="pyarrow"))
+    headers = docs.map_batches(_DocHeaderStage, batch_format="pyarrow",
+                               concurrency=(1, 4))
+    return headers.union(hits).groupby("dk").map_groups(
+        spans, batch_format="pyarrow")

@@ -22,7 +22,7 @@ from docodo_ray.pipelines import (
     SUGGEST_PREFIX,
     TOP_TERMS_N,
 )
-from docodo_ray.dedup import MINHASH_VERIFY_THRESHOLD, NGRAM_THRESHOLD
+from docodo_ray.dedup import MINHASH_VERIFY_THRESHOLD, NGRAM_THRESHOLD, SUBSTR_K
 from docodo_ray.sim import QUERY_VEC_IDS, TOPK
 from docodo_ray.tokenizer import TokenizerSpec, tokenize
 
@@ -449,6 +449,43 @@ p AS (
 )
 SELECT a, b, CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_e6
 FROM p WHERE j >= {NGRAM_THRESHOLD}
+"""
+
+    # Lee-et-al exact-substring dedup: per doc, stats of the token spans
+    # whose k-grams occur more than once anywhere in the corpus. The SQL
+    # re-derives it over STRING grams (window string_agg); the Ray side's
+    # 64-bit positional gram hashes are injective w.h.p., so the results
+    # coincide. Coverage = sorted-window telescope (window i contributes
+    # min(next_seq - seq, k); the last window of a doc contributes k) ==
+    # length of the merged duplicated intervals.
+    sql["substring_dup_stats"] = pro + f""",
+grams AS (
+  SELECT doc_id, pos AS seq,
+         string_agg(term, ' ') OVER w AS gram,
+         count(*) OVER w AS wlen
+  FROM rawtok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {SUBSTR_K - 1} FOLLOWING)
+),
+gw AS (SELECT doc_id, seq, gram FROM grams WHERE wlen = {SUBSTR_K}),
+dup AS (SELECT gram FROM gw GROUP BY gram HAVING count(*) > 1),
+hits AS (SELECT doc_id, seq FROM gw WHERE gram IN (SELECT gram FROM dup)),
+cov AS (
+  SELECT doc_id, count(*) AS n_dup_windows,
+         CAST(sum(CASE WHEN nxt IS NULL THEN {SUBSTR_K}
+                       ELSE least(nxt - seq, {SUBSTR_K}) END) AS BIGINT)
+           AS dup_token_count
+  FROM (SELECT doc_id, seq,
+               lead(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS nxt
+        FROM hits)
+  GROUP BY doc_id
+),
+nt AS (SELECT doc_id, len(l) AS n_tokens FROM toks)
+SELECT nt.doc_id, nt.n_tokens,
+       greatest(nt.n_tokens - {SUBSTR_K - 1}, 0) AS n_windows,
+       COALESCE(cov.n_dup_windows, 0) AS n_dup_windows,
+       COALESCE(cov.dup_token_count, 0) AS dup_token_count
+FROM nt LEFT JOIN cov USING (doc_id)
 """
 
     # token-shingle all-pairs Jaccard CTEs, shared by the verified-pairs

@@ -298,3 +298,48 @@ def test_connected_components_never_collects_on_driver():
         src = inspect.getsource(fn)
         for bad in ("take_all", "iter_batches", "to_pandas", "ray.put"):
             assert bad not in src, (fn.__name__, bad)
+
+
+# ---- exact substring (duplicated-span) dedup --------------------------------
+
+def test_substring_dup_stats_planted_spans(tmp_path):
+    """Plant a shared 12-token span in docs 0/1, a doc-internal repeat in
+    doc 2, and a unique doc 3; check the merged-coverage math exactly."""
+    from docodo_ray.dedup import SUBSTR_K, substring_dup_stats
+
+    assert SUBSTR_K == 8  # the expectations below are written for k=8
+    span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    uniq = ("zebra yankee xray whiskey victor uniform tango sierra romeo "
+            "quebec papa oscar november mike")
+    docs = [
+        (0, f"intro one two three {span} outro four five six"),
+        (1, f"different opening words here {span} and a different tail"),
+        # doc-internal repeat: the same 9-token run twice
+        (2, "x1 y2 " + "one two three four five six seven eight nine " * 2 + "z3"),
+        (3, uniq),
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([t for _, t in docs])}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    got = {r["doc_id"]: r for r in
+           substring_dup_stats(str(tmp_path)).to_pandas().to_dict("records")}
+    assert len(got) == 4
+    # docs 0/1: the shared span has 12 tokens -> 5 dup windows (k=8),
+    # merged coverage = 12 tokens; surrounding context differs so no more.
+    for d in (0, 1):
+        assert got[d]["n_dup_windows"] == 5, got[d]
+        assert got[d]["dup_token_count"] == 12, got[d]
+        assert got[d]["n_windows"] == got[d]["n_tokens"] - 7
+    # doc 2: "x1" tokenizes to x,1 (letters/digits split), so tokens =
+    # 4 + 18 + 2 = 24. A window repeats shifted by 9 iff it fits in the
+    # first two positions of the repeated run -> 2 windows + their shifted
+    # copies = 4 dup windows; merged coverage is the whole 18-token run
+    # (telescope: 1 + 8 + 1 + 8).
+    assert got[2]["n_tokens"] == 24
+    assert got[2]["n_dup_windows"] == 4
+    assert got[2]["dup_token_count"] == 18
+    # doc 3: nothing duplicated
+    assert got[3]["n_dup_windows"] == 0
+    assert got[3]["dup_token_count"] == 0
+    assert got[3]["n_windows"] == got[3]["n_tokens"] - 7
