@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_components": dedup.fuzzy_components,      # distributed CC over pairs
         "fuzzy_dedup_survivors": dedup.fuzzy_dedup_survivors,  # cluster-winner dedup
         "substring_dup_stats": dedup.substring_dup_stats,  # Lee-et-al span dedup
+        "substring_dedup_clean": dedup.substring_dedup_clean,  # spans removed
         "embedding_near_dup": sim.embedding_near_dup,    # exact cosine pairs
         "embedding_near_dup_blocked": sim.embedding_near_dup_blocked,  # IVF-blocked scale path: rows-only
         # --- streaming windows over the events table ---

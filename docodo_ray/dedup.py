@@ -1085,3 +1085,91 @@ def substring_dup_stats(sf_dir: str, k: int = SUBSTR_K) -> rd.Dataset:
                                concurrency=(1, 4))
     return headers.union(hits).groupby("dk").map_groups(
         spans, batch_format="pyarrow")
+
+
+def substring_dedup_clean(sf_dir: str, k: int = SUBSTR_K) -> rd.Dataset:
+    """(doc_id, clean_text, n_tokens, n_removed): the corpus with every
+    duplicated k-token span REMOVED — Lee et al.'s actual output, on the
+    token-normalized text (kept tokens joined by single spaces; the char-
+    exact variant only needs the tokenizer's char offsets, but the token
+    form is what the independent SQL oracle can re-derive). Same two gram
+    exchanges as substring_dup_stats; the doc exchange carries each doc's
+    text once (corpus-scale rows move exactly once, as in any rewrite)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    clean_schema = pa.schema([("doc_id", pa.int64()), ("seq", pa.int64()),
+                              ("text", pa.string()), ("dk", pa.int64())])
+
+    def gram_fn(batch: pa.Table) -> pa.Table:
+        return _memo_stage(_PosGramStage, k=k)(batch)
+
+    gram_fn.__name__ = "pos_grams"
+
+    def mark(group: pa.Table) -> pa.Table:
+        gh = group["gh"].to_numpy(zero_copy_only=False)
+        order = np.argsort(gh, kind="stable")
+        ghs = gh[order]
+        starts = np.flatnonzero(np.concatenate(([True], np.diff(ghs) != 0)))
+        runlen = np.diff(np.concatenate((starts, [ghs.size])))
+        sel = order[np.repeat(runlen > 1, runlen)]
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)[sel]
+        seq = group["seq"].to_numpy(zero_copy_only=False)[sel]
+        return pa.Table.from_arrays(
+            [pa.array(doc, pa.int64()), pa.array(seq, pa.int64()),
+             pa.array([None] * doc.size, pa.string()),
+             pa.array(_coarse_mix(doc), pa.int64())], schema=clean_schema)
+
+    mark.__name__ = "mark_dup_windows"
+
+    def headers(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()),
+             pa.array(np.full(ids.size, -1, np.int64), pa.int64()),
+             batch["text"].cast(pa.string()),
+             pa.array(_coarse_mix(ids), pa.int64())], schema=clean_schema)
+
+    headers.__name__ = "doc_text_headers"
+
+    def rewrite(group: pa.Table) -> pa.Table:
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        seq = group["seq"].to_numpy(zero_copy_only=False)
+        txt = group["text"].to_pylist()
+        hm = seq >= 0
+        # per-doc sorted hit seqs
+        hits: dict[int, list[int]] = {}
+        for d, s in zip(doc[hm], seq[hm]):
+            hits.setdefault(int(d), []).append(int(s))
+        out_id, out_clean, out_ntok, out_rm = [], [], [], []
+        for d, t in zip(doc[~hm], (x for x, m in zip(txt, ~hm) if m)):
+            toks = tokenize_raw(t or "")
+            n = len(toks)
+            ss = hits.get(int(d))
+            if ss:
+                delta = np.zeros(n + 1, np.int64)
+                s_arr = np.asarray(ss, np.int64)
+                np.add.at(delta, s_arr, 1)
+                np.add.at(delta, np.minimum(s_arr + k, n), -1)
+                covered = np.cumsum(delta[:-1]) > 0
+                kept = [w for w, c in zip(toks, covered) if not c]
+                rm = int(covered.sum())
+            else:
+                kept, rm = toks, 0
+            out_id.append(int(d))
+            out_clean.append(" ".join(kept))
+            out_ntok.append(n)
+            out_rm.append(rm)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "clean_text": pa.array(out_clean, pa.string()),
+            "n_tokens": pa.array(out_ntok, pa.int64()),
+            "n_removed": pa.array(out_rm, pa.int64()),
+        })
+
+    rewrite.__name__ = "rewrite_without_spans"
+
+    hits = (docs.map_batches(gram_fn, batch_format="pyarrow")
+            .groupby("gk").map_groups(mark, batch_format="pyarrow"))
+    hdr = docs.map_batches(headers, batch_format="pyarrow")
+    return hdr.union(hits).groupby("dk").map_groups(
+        rewrite, batch_format="pyarrow")

@@ -458,7 +458,7 @@ FROM p WHERE j >= {NGRAM_THRESHOLD}
     # coincide. Coverage = sorted-window telescope (window i contributes
     # min(next_seq - seq, k); the last window of a doc contributes k) ==
     # length of the merged duplicated intervals.
-    sql["substring_dup_stats"] = pro + f""",
+    sub_ctes = f""",
 grams AS (
   SELECT doc_id, pos AS seq,
          string_agg(term, ' ') OVER w AS gram,
@@ -469,7 +469,9 @@ grams AS (
 ),
 gw AS (SELECT doc_id, seq, gram FROM grams WHERE wlen = {SUBSTR_K}),
 dup AS (SELECT gram FROM gw GROUP BY gram HAVING count(*) > 1),
-hits AS (SELECT doc_id, seq FROM gw WHERE gram IN (SELECT gram FROM dup)),
+hits AS (SELECT doc_id, seq FROM gw WHERE gram IN (SELECT gram FROM dup))"""
+
+    sql["substring_dup_stats"] = pro + sub_ctes + f""",
 cov AS (
   SELECT doc_id, count(*) AS n_dup_windows,
          CAST(sum(CASE WHEN nxt IS NULL THEN {SUBSTR_K}
@@ -486,6 +488,28 @@ SELECT nt.doc_id, nt.n_tokens,
        COALESCE(cov.n_dup_windows, 0) AS n_dup_windows,
        COALESCE(cov.dup_token_count, 0) AS dup_token_count
 FROM nt LEFT JOIN cov USING (doc_id)
+"""
+
+    # the cleaned corpus itself (Lee et al.'s output): every token covered
+    # by a duplicated k-window is dropped; the kept tokens re-join with
+    # single spaces (token-normalized text — what an independent engine can
+    # re-derive without the tokenizer's char offsets)
+    sql["substring_dedup_clean"] = pro + sub_ctes + f""",
+cover AS (
+  SELECT DISTINCT h.doc_id, r.pos
+  FROM hits h JOIN rawtok r
+    ON r.doc_id = h.doc_id AND r.pos BETWEEN h.seq AND h.seq + {SUBSTR_K - 1}
+),
+kept AS (
+  SELECT r.doc_id, string_agg(r.term, ' ' ORDER BY r.pos) AS clean_text,
+         count(*) AS n_kept
+  FROM rawtok r LEFT JOIN cover c ON c.doc_id = r.doc_id AND c.pos = r.pos
+  WHERE c.pos IS NULL GROUP BY r.doc_id
+),
+nt AS (SELECT doc_id, len(l) AS n_tokens FROM toks)
+SELECT nt.doc_id, COALESCE(kept.clean_text, '') AS clean_text,
+       nt.n_tokens, nt.n_tokens - COALESCE(kept.n_kept, 0) AS n_removed
+FROM nt LEFT JOIN kept USING (doc_id)
 """
 
     # token-shingle all-pairs Jaccard CTEs, shared by the verified-pairs
