@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup_clean": dedup.substring_dedup_clean,  # spans removed
         "embedding_near_dup": sim.embedding_near_dup,    # exact cosine pairs
         "embedding_near_dup_blocked": sim.embedding_near_dup_blocked,  # IVF-blocked scale path: rows-only
+        "semantic_components": sim.semantic_components,  # CC over cosine pairs
+        "semantic_dedup_survivors": sim.semantic_dedup_survivors,  # SemDeDup winners
         # --- streaming windows over the events table ---
         "tumbling_window": windows.tumbling_window,      # combiner + small groupby
         "hopping_window": windows.hopping_window,        # overlapping windows

@@ -881,13 +881,15 @@ def fuzzy_components(sf_dir: str) -> rd.Dataset:
     return connected_components(minhash_verified_pairs(sf_dir))
 
 
-def fuzzy_dedup_survivors(sf_dir: str) -> rd.Dataset:
-    """(doc_id,): the corpus after FUZZY dedup — drop every non-canonical
-    member of a near-dup cluster (winner = min doc_id per component), keep
-    everything else. The anti-join runs as a union + coarse-groupby
-    exchange (doc rows vs loser rows), never a driver-side set: at 100 TB
-    the loser set is dup-scale and stays on the cluster."""
-    comps = fuzzy_components(sf_dir)
+def survivors_from_components(comps: rd.Dataset, ids: rd.Dataset,
+                               id_col: str = "doc_id") -> rd.Dataset:
+    """(id_col,): drop every non-canonical member of a component (winner =
+    min id per component = the component label itself), keep everything
+    else. The anti-join runs as a union + coarse-groupby exchange (id rows
+    vs loser rows), never a driver-side set: at 100 TB the loser set is
+    dup-scale and stays on the cluster. `comps` must be
+    connected_components output (doc_id, component); `ids` is the full id
+    universe (one column named id_col)."""
 
     def losers(t: pa.Table) -> pa.Table:
         keep = pc.not_equal(t["doc_id"], t["component"])
@@ -901,14 +903,13 @@ def fuzzy_dedup_survivors(sf_dir: str) -> rd.Dataset:
     losers.__name__ = "losers"
 
     def docs_rows(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.Table.from_arrays(
-            [pa.array(ids, pa.int64()), pa.array(np.zeros(ids.size, np.int64)),
-             pa.array(np.zeros(ids.size, np.int64)),
-             pa.array(_coarse_mix(ids), pa.int64())], schema=_CC_ROW)
+            [pa.array(arr, pa.int64()), pa.array(np.zeros(arr.size, np.int64)),
+             pa.array(np.zeros(arr.size, np.int64)),
+             pa.array(_coarse_mix(arr), pa.int64())], schema=_CC_ROW)
 
     docs_rows.__name__ = "docs_rows"
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def anti(group: pa.Table) -> pa.Table:
         node = group["node"].to_numpy(zero_copy_only=False)
@@ -917,12 +918,22 @@ def fuzzy_dedup_survivors(sf_dir: str) -> rd.Dataset:
         keep_ids = node[dropped == 0]
         i = np.searchsorted(drop_ids, keep_ids)
         hit = (i < drop_ids.size) & (drop_ids[np.minimum(i, max(drop_ids.size - 1, 0))] == keep_ids) if drop_ids.size else np.zeros(keep_ids.size, bool)
-        return pa.table({"doc_id": pa.array(keep_ids[~hit], pa.int64())})
+        return pa.table({id_col: pa.array(keep_ids[~hit], pa.int64())})
 
     anti.__name__ = "anti"
-    return docs.map_batches(docs_rows, batch_format="pyarrow").union(
+    return ids.map_batches(docs_rows, batch_format="pyarrow").union(
         comps.map_batches(losers, batch_format="pyarrow")
     ).groupby("ck").map_groups(anti, batch_format="pyarrow")
+
+
+def fuzzy_dedup_survivors(sf_dir: str) -> rd.Dataset:
+    """(doc_id,): the corpus after FUZZY dedup — drop every non-canonical
+    member of a near-dup cluster (winner = min doc_id per component), keep
+    everything else (see survivors_from_components for the exchange
+    shape)."""
+    return survivors_from_components(
+        fuzzy_components(sf_dir),
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]))
 
 
 # ---- exact substring (duplicated-span) dedup --------------------------------

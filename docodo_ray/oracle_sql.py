@@ -782,8 +782,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 
     from docodo_ray.sim import NEARDUP_COS_E6
 
-    sql["embedding_near_dup"] = f"""
-WITH pairs AS (
+    emb_pair_cte = """pairs AS (
   SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
     list_sum(list_transform(range(len(a.embedding)),
       i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
@@ -792,9 +791,38 @@ WITH pairs AS (
       * sqrt(list_sum(list_transform(range(len(b.embedding)),
           i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))) ) AS cos
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-)
+)"""
+
+    sql["embedding_near_dup"] = f"""
+WITH {emb_pair_cte}
 SELECT vec_id_a, vec_id_b, CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_e6
 FROM pairs WHERE CAST(FLOOR(cos * 1000000) AS BIGINT) >= {NEARDUP_COS_E6}
+"""
+
+    # semantic dedup: recursive-CTE transitive closure over the SAME exact
+    # pair set (the embedding sibling of fuzzy_components /
+    # fuzzy_dedup_survivors)
+    sem_ctes = f"""WITH RECURSIVE {emb_pair_cte},
+vp AS (
+  SELECT vec_id_a AS a, vec_id_b AS b FROM pairs
+  WHERE CAST(FLOOR(cos * 1000000) AS BIGINT) >= {NEARDUP_COS_E6}
+),
+edges AS (SELECT a, b FROM vp UNION SELECT b AS a, a AS b FROM vp),
+reach AS (
+  SELECT a AS node, b AS m FROM edges
+  UNION
+  SELECT r.node, e.b AS m FROM reach r JOIN edges e ON e.a = r.m
+),
+comp AS (
+  SELECT node AS vec_id, LEAST(node, MIN(m)) AS component
+  FROM reach GROUP BY node
+)"""
+    sql["semantic_components"] = sem_ctes + """
+SELECT vec_id, component FROM comp
+"""
+    sql["semantic_dedup_survivors"] = sem_ctes + """
+SELECT e.vec_id FROM embeddings e LEFT JOIN comp c USING (vec_id)
+WHERE c.component IS NULL OR c.component = e.vec_id
 """
 
     from docodo_ray.pipelines import SNIPPET_TERM, SNIPPET_WINDOW

@@ -496,3 +496,49 @@ def embedding_near_dup_blocked(
     # a pair found in several shared lists collapses to one row
     return cand.groupby(["vec_id_a", "vec_id_b"]).map_groups(
         first_row, batch_format="pyarrow")
+
+
+# ---- semantic dedup (SemDeDup-style, exact pair graph) ----------------------
+
+def semantic_components(sf_dir: str,
+                        threshold_e6: int = NEARDUP_COS_E6) -> rd.Dataset:
+    """(vec_id, component): embedding-cosine near-dup cluster label (min
+    reachable vec_id) for every vector in a cos >= threshold pair —
+    SemDeDup's cluster-then-drop reduced to its exact form: the pair graph
+    comes from embedding_near_dup (exact, so the DuckDB all-pairs +
+    recursive-CTE oracle can certify the whole composition); at >10^6
+    vectors swap in embedding_near_dup_blocked for the pair stage, the
+    component/survivor exchanges are identical."""
+    from docodo_ray.dedup import connected_components
+
+    pairs = embedding_near_dup(sf_dir, threshold_e6)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["vec_id_a"], "b": t["vec_id_b"]})
+
+    rename.__name__ = "pairs_ab"
+    comps = connected_components(
+        pairs.map_batches(rename, batch_format="pyarrow"))
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": t["doc_id"], "component": t["component"]})
+
+    out.__name__ = "as_vec_ids"
+    return comps.map_batches(out, batch_format="pyarrow")
+
+
+def semantic_dedup_survivors(sf_dir: str,
+                             threshold_e6: int = NEARDUP_COS_E6) -> rd.Dataset:
+    """(vec_id,): the embedding set after semantic dedup — one canonical
+    member (min vec_id) per near-dup cluster, everything unclustered kept.
+    Same distributed anti-join as fuzzy_dedup_survivors."""
+    from docodo_ray.dedup import survivors_from_components
+
+    def back(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["vec_id"], "component": t["component"]})
+
+    back.__name__ = "as_doc_ids"
+    comps = semantic_components(sf_dir, threshold_e6).map_batches(
+        back, batch_format="pyarrow")
+    ids = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    return survivors_from_components(comps, ids, id_col="vec_id")
