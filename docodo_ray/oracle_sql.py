@@ -1071,6 +1071,41 @@ SELECT doc_id, n_email, n_awskey, n_hexsecret,
 FROM s3
 """
 
+    # DSIR importance weighting: integer per-term weights (floor of
+    # ln-likelihood-ratio * 1e6, add-one smoothing over the raw vocab) so
+    # the per-doc SUM is order-independent; the Ray side mirrors this
+    # division order double-for-double (traindata.importance_weights)
+    from docodo_ray.traindata import DSIR_TARGET_LANG
+
+    sql["importance_weights"] = pro + f""",
+tt AS (
+  SELECT f.term, count(*) AS cr,
+         CAST(sum(CASE WHEN d.lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ct
+  FROM filt f JOIN documents d USING (doc_id) GROUP BY f.term
+),
+tot AS (
+  SELECT (SELECT count(*) FROM filt) AS nr,
+         (SELECT count(*) FROM filt f JOIN documents d USING (doc_id)
+          WHERE d.lang = '{DSIR_TARGET_LANG}') AS nt,
+         (SELECT count(*) FROM tt) AS v
+),
+w AS (
+  SELECT term, CAST(FLOOR(1000000 * ln(
+           ((ct + 1.0) / (nt + v)) / ((cr + 1.0) / (nr + v))
+         )) AS BIGINT) AS w_e6
+  FROM tt CROSS JOIN tot
+),
+ds AS (
+  SELECT f.doc_id, count(*) AS n_tokens,
+         CAST(SUM(w.w_e6) AS BIGINT) AS importance_e6
+  FROM filt f JOIN w USING (term) GROUP BY f.doc_id
+)
+SELECT d.doc_id, COALESCE(ds.n_tokens, 0) AS n_tokens,
+       COALESCE(ds.importance_e6, 0) AS importance_e6
+FROM documents d LEFT JOIN ds USING (doc_id)
+"""
+
     sql["stratified_sample"] = f"""
 WITH u AS (
   SELECT doc_id, lang,

@@ -690,3 +690,170 @@ def redact_pii(sf_dir: str) -> rd.Dataset:
         .map_batches(aug, batch_format="pyarrow")
         .map_batches(RedactPIIStage(keep_text=False), batch_format="pyarrow")
     )
+
+
+# ---- DSIR-style importance weighting ----------------------------------------
+# Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling": score every raw document by the log-likelihood ratio of a
+# target distribution vs the raw distribution over hashed n-gram features
+# (here: the engine's filtered unigrams; the target split is the corpus'
+# own lang == DSIR_TARGET_LANG slice so the fixture needs no external
+# data). Per-term weights are INTEGERS (floor(ln(ratio)*1e6)) so the
+# per-document sum is order-independent — the same integer-e6 contract as
+# every other scored query. At 10^12-doc scale DSIR hashes features into a
+# fixed bucket count to bound the weight table; here the term space IS the
+# feature space and the weight join runs as the same term-hash-partitioned
+# exchange as decontamination, so nothing vocab-scale is broadcast or
+# driver-collected either way.
+
+DSIR_TARGET_LANG = "en"
+
+_DSIR_ROW = pa.schema([("tk", pa.int64()), ("doc_id", pa.int64()),
+                       ("tf", pa.int64()), ("tgt", pa.int64()),
+                       ("gk", pa.int64())])
+_DSIR_DOC = pa.schema([("doc_id", pa.int64()), ("contrib", pa.int64()),
+                       ("tf", pa.int64()), ("dk", pa.int64())])
+
+
+class _DocTermStage:
+    """doc -> one row per distinct filtered term: (term_hash, doc_id, tf,
+    is_target) keyed by a coarse term partition. Tokenizer spec + token-hash
+    memo are per-worker state."""
+
+    def __init__(self, target_lang: str):
+        from docodo_ray.config import load_stopwords
+        from docodo_ray.tokenizer import TokenizerSpec
+
+        self.spec = TokenizerSpec(3, 32, load_stopwords())
+        self.target_lang = target_lang
+        self.cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from docodo_ray.dedup import _elem_hashes
+        from docodo_ray.tokenizer import tokenize
+
+        tks, dids, tfs, tgts = [], [], [], []
+        for doc_id, text, lang in zip(batch["doc_id"].to_pylist(),
+                                      batch["text"].to_pylist(),
+                                      batch["lang"].to_pylist()):
+            terms, _ = tokenize(text or "", self.spec)
+            if not terms:
+                continue
+            uniq, cnt = np.unique(_elem_hashes(terms, self.cache),
+                                  return_counts=True)
+            tks.append(uniq)
+            dids.append(np.full(uniq.size, doc_id, np.int64))
+            tfs.append(cnt.astype(np.int64))
+            tgts.append(np.full(uniq.size,
+                                1 if lang == self.target_lang else 0,
+                                np.int64))
+        tk = np.concatenate(tks) if tks else np.empty(0, np.uint64)
+        return pa.Table.from_arrays(
+            [pa.array(tk.view(np.int64) if tk.dtype == np.uint64 else tk,
+                      pa.int64()),
+             pa.array(np.concatenate(dids) if dids else np.empty(0, np.int64),
+                      pa.int64()),
+             pa.array(np.concatenate(tfs) if tfs else np.empty(0, np.int64),
+                      pa.int64()),
+             pa.array(np.concatenate(tgts) if tgts else np.empty(0, np.int64),
+                      pa.int64()),
+             pa.array(_coarse_i64(tk), pa.int64())], schema=_DSIR_ROW)
+
+
+def importance_weights(sf_dir: str,
+                       target_lang: str = DSIR_TARGET_LANG) -> rd.Dataset:
+    """(doc_id, n_tokens, importance_e6): DSIR importance score per doc —
+    sum over the doc's token stream of floor(1e6 * ln(p_target(term) /
+    p_raw(term))) with add-one smoothing over the raw vocabulary.
+
+    Exchanges: doc-term rows (32 B fixed width) -> groupby(term partition)
+    computes per-term target/raw counts, turns them into integer weights
+    with the driver-known totals (3 scalars + one <=4096-row per-partition
+    table — the only driver collection), and joins them back to the
+    partition's own doc-term rows; a second doc-keyed exchange sums per
+    document. DuckDB oracle re-derives the identical integer weights from
+    string terms."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    rows = docs.map_batches(
+        _DocTermStage, fn_constructor_kwargs=dict(target_lang=target_lang),
+        batch_format="pyarrow", concurrency=(1, 8)).materialize()
+
+    def part_totals(g: pa.Table) -> pa.Table:
+        tf = g["tf"].to_numpy(zero_copy_only=False)
+        tgt = g["tgt"].to_numpy(zero_copy_only=False)
+        tk = g["tk"].to_numpy(zero_copy_only=False)
+        return pa.table({"sum_raw": pa.array([int(tf.sum())], pa.int64()),
+                         "sum_tgt": pa.array([int((tf * tgt).sum())], pa.int64()),
+                         "n_terms": pa.array([int(np.unique(tk).size)], pa.int64())})
+
+    part_totals.__name__ = "part_totals"
+    tot = rows.groupby("gk").map_groups(
+        part_totals, batch_format="pyarrow").to_pandas()
+    nr = int(tot["sum_raw"].sum())
+    nt = int(tot["sum_tgt"].sum())
+    v = int(tot["n_terms"].sum())
+
+    def score_part(g: pa.Table) -> pa.Table:
+        import math
+
+        tk = g["tk"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        tf = g["tf"].to_numpy(zero_copy_only=False)
+        tgt = g["tgt"].to_numpy(zero_copy_only=False)
+        if tk.size == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 4, schema=_DSIR_DOC)
+        order = np.argsort(tk, kind="stable")
+        tks, tfs, tgts, docs_ = tk[order], tf[order], tgt[order], doc[order]
+        starts = np.flatnonzero(np.concatenate(([True], np.diff(tks) != 0)))
+        runlen = np.diff(np.concatenate((starts, [tks.size])))
+        cr = np.add.reduceat(tfs, starts)
+        ct = np.add.reduceat(tfs * tgts, starts)
+        # scalar math.log mirrors the SQL's ln() double-for-double (libm on
+        # both sides); the division order matches the oracle text exactly
+        w_e6 = np.fromiter(
+            (math.floor(1e6 * math.log(((c_t + 1.0) / (nt + v))
+                                       / ((c_r + 1.0) / (nr + v))))
+             for c_t, c_r in zip(ct.tolist(), cr.tolist())),
+            dtype=np.int64, count=cr.size)
+        contrib = tfs * np.repeat(w_e6, runlen)
+        return pa.Table.from_arrays(
+            [pa.array(docs_, pa.int64()), pa.array(contrib, pa.int64()),
+             pa.array(tfs, pa.int64()),
+             pa.array(_coarse_i64(docs_.astype(np.uint64)), pa.int64())],
+            schema=_DSIR_DOC)
+
+    score_part.__name__ = "term_weights_join"
+
+    def headers(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(ids.size, np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(z, pa.int64()),
+             pa.array(z, pa.int64()),
+             pa.array(_coarse_i64(ids.astype(np.uint64)), pa.int64())],
+            schema=_DSIR_DOC)
+
+    headers.__name__ = "doc_headers"
+
+    def doc_sum(g: pa.Table) -> pa.Table:
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        contrib = g["contrib"].to_numpy(zero_copy_only=False)
+        tf = g["tf"].to_numpy(zero_copy_only=False)
+        order = np.argsort(doc, kind="stable")
+        d, c, t = doc[order], contrib[order], tf[order]
+        starts = np.flatnonzero(np.concatenate(([True], np.diff(d) != 0)))
+        return pa.table({
+            "doc_id": pa.array(d[starts], pa.int64()),
+            "n_tokens": pa.array(np.add.reduceat(t, starts), pa.int64()),
+            "importance_e6": pa.array(np.add.reduceat(c, starts), pa.int64()),
+        })
+
+    doc_sum.__name__ = "doc_sum"
+    scored = rows.groupby("gk").map_groups(score_part, batch_format="pyarrow")
+    hdr = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"]).map_batches(
+        headers, batch_format="pyarrow")
+    return hdr.union(scored).groupby("dk").map_groups(
+        doc_sum, batch_format="pyarrow")
