@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": pipelines.corpus_stats,          # A4 (N, total, avgdl)
         "term_df": pipelines.term_df,                    # A5 df/cf per term
         "top_terms": pipelines.top_terms,                # A6 histogram
+        "tfidf_topk": pipelines.tfidf_topk,              # per-doc keyword top-k
         "doc_token_stats": pipelines.doc_token_stats,    # doc-length table
         "doc_sha256": pipelines.doc_sha256,              # content invariant
         "html_extract": pipelines.html_extract,          # M9 HTML extractor round-trip

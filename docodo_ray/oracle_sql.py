@@ -75,6 +75,29 @@ SELECT term, df FROM (
 ) ORDER BY df DESC, term ASC LIMIT {TOP_TERMS_N}
 """
 
+    from docodo_ray.pipelines import TFIDF_TOPK_K
+
+    # per-doc keyword extraction: integer tf-idf (tf * floor(ln(N/df)*1e6)),
+    # ties by term — DuckDB `/` on integers is double division, mirroring
+    # the engine's math.log(n_docs / df)
+    sql["tfidf_topk"] = pro + f""",
+tfd AS (SELECT term, doc_id, count(*) AS tf FROM filt GROUP BY term, doc_id),
+dft AS (SELECT term, count(*) AS df FROM tfd GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+sc AS (
+  SELECT tfd.doc_id, tfd.term,
+         tfd.tf * CAST(FLOOR(1000000 * ln(n.n_docs / dft.df)) AS BIGINT)
+           AS tfidf_e6
+  FROM tfd JOIN dft USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf_e6, rank FROM (
+  SELECT doc_id, term, tfidf_e6,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_e6 DESC, term ASC) AS rank
+  FROM sc
+) WHERE rank <= {TFIDF_TOPK_K}
+"""
+
     sql["doc_token_stats"] = pro + """
 SELECT d.doc_id, COALESCE(f.c, 0) AS n_tokens
 FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM filt GROUP BY doc_id) f

@@ -810,3 +810,86 @@ def xml_manifest_extract(sf_dir: str) -> rd.Dataset:
 
     sha_rows.__name__ = "sha_rows"
     return loaded.map_batches(sha_rows, batch_format="pyarrow")
+
+
+TFIDF_TOPK_K = 3
+
+
+def tfidf_topk(sf_dir: str, k: int = TFIDF_TOPK_K) -> rd.Dataset:
+    """(doc_id, term, tfidf_e6, rank): per-document top-k keywords by
+    tf-idf — the classic keyword-extraction op (reference analog: the A6
+    histogram ranks terms corpus-wide; this ranks them per document).
+    Integer score contract: tfidf_e6 = tf * floor(ln(n_docs / df) * 1e6),
+    ties by term ascending, so ranking is order-independent and the DuckDB
+    oracle reproduces it bit-for-bit.
+
+    Exchanges: token rows -> groupby(term partition) computes df and scores
+    rows in place (df and the doc rows of a term share the partition — no
+    separate df table or broadcast) -> groupby(doc partition) takes each
+    doc's top k. n_docs is the one driver scalar."""
+    import math
+
+    from docodo_ray.dedup import _coarse_mix, _elem_hashes, _memo_stage
+
+    n_docs = _documents(sf_dir, columns=["doc_id"]).count()
+    rows = token_counts(sf_dir)
+
+    class _TermKeyStage:
+        def __init__(self):
+            self.cache: dict = {}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            h = _elem_hashes(t["term"].to_pylist(), self.cache)
+            return t.append_column(
+                "gk", pa.array(_coarse_mix(h.view(np.int64)), pa.int64()))
+
+    _TermKeyStage.__name__ = "_TermKeyStage"
+
+    def key_fn(t: pa.Table) -> pa.Table:
+        return _memo_stage(_TermKeyStage)(t)
+
+    key_fn.__name__ = "term_keys"
+
+    def score(group: pa.Table) -> pa.Table:
+        terms = np.asarray(group["term"].to_pylist(), dtype=str)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        tf = group["tf"].to_numpy(zero_copy_only=False)
+        if terms.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tfidf_e6": pa.array([], pa.int64()),
+                             "dk": pa.array([], pa.int64())})
+        uniq, inv, cnt = np.unique(terms, return_inverse=True,
+                                   return_counts=True)
+        # (term, doc) rows are unique, so the per-term row count IS df;
+        # ln on the same double division the SQL computes (n_docs / df)
+        w = np.fromiter((math.floor(1e6 * math.log(n_docs / int(c)))
+                         for c in cnt), dtype=np.int64, count=cnt.size)
+        score_e6 = tf.astype(np.int64) * w[inv]
+        return pa.table({"doc_id": pa.array(doc.astype(np.int64), pa.int64()),
+                         "term": pa.array(terms),
+                         "tfidf_e6": pa.array(score_e6, pa.int64()),
+                         "dk": pa.array(_coarse_mix(doc.astype(np.int64)),
+                                        pa.int64())})
+
+    score.__name__ = "score_tfidf"
+
+    def topk(group: pa.Table) -> pa.Table:
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        sc = group["tfidf_e6"].to_numpy(zero_copy_only=False)
+        terms = np.asarray(group["term"].to_pylist(), dtype=str)
+        order = np.lexsort((terms, -sc, doc))
+        d, s, t = doc[order], sc[order], terms[order]
+        starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+        rank = np.arange(d.size, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [d.size])))) + 1
+        keep = rank <= k
+        return pa.table({"doc_id": pa.array(d[keep], pa.int64()),
+                         "term": pa.array(t[keep]),
+                         "tfidf_e6": pa.array(s[keep], pa.int64()),
+                         "rank": pa.array(rank[keep], pa.int64())})
+
+    topk.__name__ = "per_doc_topk"
+    return rows.map_batches(key_fn, batch_format="pyarrow") \
+        .groupby("gk").map_groups(score, batch_format="pyarrow") \
+        .groupby("dk").map_groups(topk, batch_format="pyarrow")
