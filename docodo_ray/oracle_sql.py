@@ -1129,6 +1129,45 @@ SELECT d.doc_id, COALESCE(ds.n_tokens, 0) AS n_tokens,
 FROM documents d LEFT JOIN ds USING (doc_id)
 """
 
+    # CCNet-style bigram-LM scoring: add-one-smoothed target-split bigram
+    # model, integer per-bigram weights (floor(ln*1e6)), order-independent
+    # per-doc sums — mirrors traindata.lm_perplexity double-for-double
+    sql["lm_perplexity"] = pro + f""",
+seq AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS r
+  FROM filt
+),
+bg AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.r = a.r + 1
+),
+tbg AS (
+  SELECT w1, w2, count(*) AS c12
+  FROM bg JOIN documents d USING (doc_id)
+  WHERE d.lang = '{DSIR_TARGET_LANG}' GROUP BY w1, w2
+),
+tc1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM tbg GROUP BY w1),
+vv AS (SELECT greatest(count(*), 1) AS nv FROM tc1),
+rb AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM bg GROUP BY doc_id, w1, w2),
+sc AS (
+  SELECT rb.doc_id, rb.cnt,
+         rb.cnt * CAST(FLOOR(1000000 * ln(
+           (COALESCE(t.c12, 0) + 1.0) / (COALESCE(c.c1, 0) + vv.nv)
+         )) AS BIGINT) AS contrib
+  FROM rb LEFT JOIN tbg t USING (w1, w2) LEFT JOIN tc1 c USING (w1)
+  CROSS JOIN vv
+),
+lmd AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         CAST(sum(contrib) AS BIGINT) AS logprob_e6
+  FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(lmd.n_bigrams, 0) AS n_bigrams,
+       COALESCE(lmd.logprob_e6, 0) AS logprob_e6
+FROM documents d LEFT JOIN lmd USING (doc_id)
+"""
+
     sql["stratified_sample"] = f"""
 WITH u AS (
   SELECT doc_id, lang,

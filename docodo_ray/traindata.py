@@ -857,3 +857,197 @@ def importance_weights(sf_dir: str,
         headers, batch_format="pyarrow")
     return hdr.union(scored).groupby("dk").map_groups(
         doc_sum, batch_format="pyarrow")
+
+
+# ---- CCNet-style LM quality scoring ------------------------------------------
+# Wenzek et al. 2020 (CCNet): score every document by its perplexity under
+# a language model trained on a high-quality target corpus, and filter on
+# it. The LM here is an add-one-smoothed bigram model over the engine's
+# filtered terms, trained on the corpus' own lang == DSIR_TARGET_LANG
+# slice (no external data); KenLM's 5-gram Kneser-Ney is the production
+# drop-in, the exchange shape is identical. Integer contract: each bigram
+# weight is floor(ln((c12+1)/(c1+V)) * 1e6), the per-doc score is the SUM
+# of those integers — order-independent and bit-reproducible by the DuckDB
+# oracle. Partitioning: bigram rows key by hash(w1), so a bigram's count,
+# its history count c1 = Σ_w2 c(w1,w2), and every doc row that needs them
+# share one partition — no broadcast LM table, no driver-side counts
+# (only the <=4096-row per-partition V partials and 1 scalar).
+
+_LM_ROW = pa.schema([("h1", pa.int64()), ("h2", pa.int64()),
+                     ("doc_id", pa.int64()), ("cnt", pa.int64()),
+                     ("tgt", pa.int64()), ("gk", pa.int64())])
+
+
+class _DocBigramStage:
+    """doc -> one row per distinct bigram of consecutive kept terms:
+    (hash(w1), hash(w2), doc_id, cnt, is_target), keyed by hash(w1)."""
+
+    def __init__(self, target_lang: str):
+        from docodo_ray.config import load_stopwords
+        from docodo_ray.tokenizer import TokenizerSpec
+
+        self.spec = TokenizerSpec(3, 32, load_stopwords())
+        self.target_lang = target_lang
+        self.cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from docodo_ray.dedup import _elem_hashes
+        from docodo_ray.tokenizer import tokenize
+
+        h1s, h2s, dids, cnts, tgts = [], [], [], [], []
+        for doc_id, text, lang in zip(batch["doc_id"].to_pylist(),
+                                      batch["text"].to_pylist(),
+                                      batch["lang"].to_pylist()):
+            terms, _ = tokenize(text or "", self.spec)
+            if len(terms) < 2:
+                continue
+            hs = _elem_hashes(terms, self.cache).view(np.int64)
+            pairs = np.stack((hs[:-1], hs[1:]), axis=1)
+            uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+            h1s.append(uniq[:, 0])
+            h2s.append(uniq[:, 1])
+            dids.append(np.full(uniq.shape[0], doc_id, np.int64))
+            cnts.append(cnt.astype(np.int64))
+            tgts.append(np.full(uniq.shape[0],
+                                1 if lang == self.target_lang else 0,
+                                np.int64))
+        h1 = np.concatenate(h1s) if h1s else np.empty(0, np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(h1, pa.int64()),
+             pa.array(np.concatenate(h2s) if h2s else np.empty(0, np.int64),
+                      pa.int64()),
+             pa.array(np.concatenate(dids) if dids else np.empty(0, np.int64),
+                      pa.int64()),
+             pa.array(np.concatenate(cnts) if cnts else np.empty(0, np.int64),
+                      pa.int64()),
+             pa.array(np.concatenate(tgts) if tgts else np.empty(0, np.int64),
+                      pa.int64()),
+             pa.array(_coarse_i64(h1.view(np.uint64)), pa.int64())],
+            schema=_LM_ROW)
+
+
+def lm_perplexity(sf_dir: str,
+                  target_lang: str = DSIR_TARGET_LANG) -> rd.Dataset:
+    """(doc_id, n_bigrams, logprob_e6): per-document log-likelihood under
+    the target-split bigram LM (sum over bigram positions of
+    floor(1e6 * ln((c12+1)/(c1+V))); perplexity = exp(-logprob / 1e6 /
+    n_bigrams), derivable — the integer pair crosses the oracle boundary).
+    V = distinct target bigram histories (the model's vocab)."""
+    import math
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    rows = docs.map_batches(
+        _DocBigramStage, fn_constructor_kwargs=dict(target_lang=target_lang),
+        batch_format="pyarrow", concurrency=(1, 8)).materialize()
+
+    def part_vocab(g: pa.Table) -> pa.Table:
+        h1 = g["h1"].to_numpy(zero_copy_only=False)
+        tgt = g["tgt"].to_numpy(zero_copy_only=False)
+        return pa.table({"nv": pa.array(
+            [int(np.unique(h1[tgt == 1]).size)], pa.int64())})
+
+    part_vocab.__name__ = "part_vocab"
+    v = int(rows.groupby("gk").map_groups(
+        part_vocab, batch_format="pyarrow").to_pandas()["nv"].sum())
+    v = max(v, 1)
+
+    def score_part(g: pa.Table) -> pa.Table:
+        h1 = g["h1"].to_numpy(zero_copy_only=False)
+        h2 = g["h2"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        tgt = g["tgt"].to_numpy(zero_copy_only=False)
+        if h1.size == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 4, schema=_DSIR_DOC)
+        # target model counts inside this h1-partition
+        tm = tgt == 1
+        # c1 per h1 (sum of target bigram counts with that history)
+        th1 = h1[tm]
+        order1 = np.argsort(th1, kind="stable")
+        s1 = th1[order1]
+        c1v = cnt[tm][order1]
+        if s1.size:
+            st1 = np.flatnonzero(np.concatenate(([True], np.diff(s1) != 0)))
+            u1 = s1[st1]
+            c1 = np.add.reduceat(c1v, st1)
+        else:
+            u1 = c1 = np.empty(0, np.int64)
+        # c12 per (h1,h2) pair
+        tp = np.stack((h1[tm], h2[tm]), axis=1)
+        if tp.shape[0]:
+            up, upinv = np.unique(tp, axis=0, return_inverse=True)
+            c12 = np.zeros(up.shape[0], np.int64)
+            np.add.at(c12, upinv, cnt[tm])
+        else:
+            up = np.empty((0, 2), np.int64)
+            c12 = np.empty(0, np.int64)
+        # look up every doc row's (c12, c1), zeros when unseen in target
+        def _lookup_pairs(qa, qb):
+            if up.shape[0] == 0:
+                return np.zeros(qa.size, np.int64)
+            key = up[:, 0].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) \
+                ^ up[:, 1].astype(np.uint64)
+            qkey = qa.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) \
+                ^ qb.astype(np.uint64)
+            ko = np.argsort(key, kind="stable")
+            ks = key[ko]
+            i = np.searchsorted(ks, qkey)
+            ok = (i < ks.size) & (ks[np.minimum(i, ks.size - 1)] == qkey)
+            out = np.zeros(qa.size, np.int64)
+            out[ok] = c12[ko][np.minimum(i, ks.size - 1)][ok]
+            return out
+
+        row_c12 = _lookup_pairs(h1, h2)
+        if u1.size:
+            j = np.searchsorted(u1, h1)
+            ok1 = (j < u1.size) & (u1[np.minimum(j, u1.size - 1)] == h1)
+            row_c1 = np.zeros(h1.size, np.int64)
+            row_c1[ok1] = c1[np.minimum(j, u1.size - 1)][ok1]
+        else:
+            row_c1 = np.zeros(h1.size, np.int64)
+        w_e6 = np.fromiter(
+            (math.floor(1e6 * math.log((c_12 + 1.0) / (c_1 + v)))
+             for c_12, c_1 in zip(row_c12.tolist(), row_c1.tolist())),
+            dtype=np.int64, count=h1.size)
+        return pa.Table.from_arrays(
+            [pa.array(doc.astype(np.int64), pa.int64()),
+             pa.array(cnt * w_e6, pa.int64()),
+             pa.array(cnt, pa.int64()),
+             pa.array(_coarse_i64(doc.astype(np.uint64)), pa.int64())],
+            schema=_DSIR_DOC)
+
+    score_part.__name__ = "bigram_weights_join"
+
+    def headers(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(ids.size, np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(z, pa.int64()),
+             pa.array(z, pa.int64()),
+             pa.array(_coarse_i64(ids.astype(np.uint64)), pa.int64())],
+            schema=_DSIR_DOC)
+
+    headers.__name__ = "doc_headers"
+
+    def doc_sum(g: pa.Table) -> pa.Table:
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        contrib = g["contrib"].to_numpy(zero_copy_only=False)
+        tf = g["tf"].to_numpy(zero_copy_only=False)
+        order = np.argsort(doc, kind="stable")
+        d, c, t = doc[order], contrib[order], tf[order]
+        starts = np.flatnonzero(np.concatenate(([True], np.diff(d) != 0)))
+        return pa.table({
+            "doc_id": pa.array(d[starts], pa.int64()),
+            "n_bigrams": pa.array(np.add.reduceat(t, starts), pa.int64()),
+            "logprob_e6": pa.array(np.add.reduceat(c, starts), pa.int64()),
+        })
+
+    doc_sum.__name__ = "doc_sum"
+    scored = rows.groupby("gk").map_groups(score_part, batch_format="pyarrow")
+    hdr = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"]).map_batches(
+        headers, batch_format="pyarrow")
+    return hdr.union(scored).groupby("dk").map_groups(
+        doc_sum, batch_format="pyarrow")
