@@ -1,0 +1,123 @@
+"""Brute-force references for the data-selection scoring ops (DSIR
+importance weights, CCNet bigram-LM scores, per-doc tf-idf keywords) on a
+tiny planted corpus — independent of the driver testdata, so the semantics
+are pinned even if the synthetic tables change."""
+
+import math
+import os
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from docodo_ray.config import load_stopwords
+from docodo_ray.tokenizer import TokenizerSpec, tokenize
+
+SPEC = TokenizerSpec(3, 32, load_stopwords())
+
+DOCS = [
+    (0, "en", "alpha bravo charlie alpha bravo delta echo"),
+    (1, "en", "alpha bravo charlie foxtrot golf hotel"),
+    (2, "de", "alpha zulu yankee xray whiskey victor"),
+    (3, "de", "uniform tango sierra romeo quebec papa"),
+    (4, "en", ""),                       # empty doc -> all-zero rows
+    (5, "de", "go"),                     # below min token length -> zero
+]
+
+
+def _write(tmp_path):
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d for d, _, _ in DOCS], pa.int64()),
+                  "lang": pa.array([l for _, l, _ in DOCS]),
+                  "text": pa.array([t for _, _, t in DOCS])}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+def _kept(text):
+    return tokenize(text, SPEC)[0]
+
+
+def test_importance_weights_bruteforce(tmp_path):
+    from docodo_ray.traindata import importance_weights
+
+    sf = _write(tmp_path)
+    got = {r["doc_id"]: r for r in
+           importance_weights(sf).to_pandas().to_dict("records")}
+    # brute force
+    raw = Counter()
+    tgtc = Counter()
+    for _, lang, text in DOCS:
+        toks = _kept(text)
+        raw.update(toks)
+        if lang == "en":
+            tgtc.update(toks)
+    nr, nt, v = sum(raw.values()), sum(tgtc.values()), len(raw)
+    assert len(got) == len(DOCS)
+    for doc_id, lang, text in DOCS:
+        toks = _kept(text)
+        want = sum(
+            math.floor(1e6 * math.log(((tgtc[w] + 1.0) / (nt + v))
+                                      / ((raw[w] + 1.0) / (nr + v))))
+            for w in toks)
+        assert got[doc_id]["n_tokens"] == len(toks)
+        assert got[doc_id]["importance_e6"] == want, (doc_id, lang)
+    # the en docs should score higher than the de docs on average
+    en = [got[d]["importance_e6"] for d, l, t in DOCS if l == "en" and t]
+    de = [got[d]["importance_e6"] for d, l, t in DOCS if l == "de" and _kept(t)]
+    assert min(en) > max(de)
+
+
+def test_lm_perplexity_bruteforce(tmp_path):
+    from docodo_ray.traindata import lm_perplexity
+
+    sf = _write(tmp_path)
+    got = {r["doc_id"]: r for r in
+           lm_perplexity(sf).to_pandas().to_dict("records")}
+    c12 = Counter()
+    for _, lang, text in DOCS:
+        if lang != "en":
+            continue
+        toks = _kept(text)
+        c12.update(zip(toks, toks[1:]))
+    c1 = Counter()
+    for (w1, _), c in c12.items():
+        c1[w1] += c
+    v = max(len(c1), 1)
+    assert len(got) == len(DOCS)
+    for doc_id, _, text in DOCS:
+        toks = _kept(text)
+        bgs = list(zip(toks, toks[1:]))
+        want = sum(
+            math.floor(1e6 * math.log((c12[b] + 1.0) / (c1[b[0]] + v)))
+            for b in bgs)
+        assert got[doc_id]["n_bigrams"] == len(bgs)
+        assert got[doc_id]["logprob_e6"] == want, doc_id
+    # an in-distribution doc must out-score an out-of-vocabulary one
+    assert got[0]["logprob_e6"] / max(got[0]["n_bigrams"], 1) > \
+        got[3]["logprob_e6"] / max(got[3]["n_bigrams"], 1)
+
+
+def test_tfidf_topk_bruteforce(tmp_path):
+    from docodo_ray.pipelines import TFIDF_TOPK_K, tfidf_topk
+
+    sf = _write(tmp_path)
+    rows = tfidf_topk(sf).to_pandas().to_dict("records")
+    df = Counter()
+    per_doc = {}
+    for doc_id, _, text in DOCS:
+        tf = Counter(_kept(text))
+        per_doc[doc_id] = tf
+        df.update(tf.keys())
+    n = len(DOCS)
+    want = []
+    for doc_id, tf in per_doc.items():
+        scored = sorted(
+            ((w, c * math.floor(1e6 * math.log(n / df[w])))
+             for w, c in tf.items()),
+            key=lambda x: (-x[1], x[0]))
+        for rank, (w, s) in enumerate(scored[:TFIDF_TOPK_K], start=1):
+            want.append((doc_id, w, s, rank))
+    got = sorted((r["doc_id"], r["term"], r["tfidf_e6"], r["rank"])
+                 for r in rows)
+    assert got == sorted(want)
