@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": textstats.bpe_token_counts,  # ws + pre + REAL BPE
         "winnow_fingerprints": textstats.winnow_fingerprints,  # MOSS winnowing
         "repetition_stats": textstats.repetition_stats,  # Gopher repetition filters
+        "collocation_pmi": textstats.collocation_pmi,    # top-N PMI collocations
         # --- training-data curation (decontamination / packing / mixing) ---
         "decontaminate": traindata.decontaminate,        # eval n-gram overlap
         "pack_sequences": traindata.pack_sequences,      # distributed prefix scan

@@ -1168,6 +1168,34 @@ SELECT d.doc_id, COALESCE(lmd.n_bigrams, 0) AS n_bigrams,
 FROM documents d LEFT JOIN lmd USING (doc_id)
 """
 
+    from docodo_ray.textstats import PMI_MIN_COUNT, PMI_TOP_N
+
+    # PMI collocations: adjacent kept-term pairs, integer PMI contract
+    # floor(1e6 * ln((c12*T)/(c1*c2))) — products stay far under 2^53 so
+    # int->double conversion is exact on both sides
+    sql["collocation_pmi"] = pro + f""",
+seq2 AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS r
+  FROM filt
+),
+bg2 AS (
+  SELECT a.term AS w1, b.term AS w2
+  FROM seq2 a JOIN seq2 b ON b.doc_id = a.doc_id AND b.r = a.r + 1
+),
+cp AS (SELECT w1, w2, count(*) AS c12 FROM bg2 GROUP BY w1, w2),
+c1t AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cp GROUP BY w1),
+c2t AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM cp GROUP BY w2),
+tt2 AS (SELECT greatest(CAST(sum(c12) AS BIGINT), 1) AS t FROM cp)
+SELECT w1, w2, c12,
+       CAST(FLOOR(1000000 * ln(
+         CAST(cp.c12 * tt2.t AS DOUBLE) / CAST(c1t.c1 * c2t.c2 AS DOUBLE)
+       )) AS BIGINT) AS pmi_e6
+FROM cp JOIN c1t USING (w1) JOIN c2t USING (w2) CROSS JOIN tt2
+WHERE cp.c12 >= {PMI_MIN_COUNT}
+ORDER BY pmi_e6 DESC, w1 ASC, w2 ASC LIMIT {PMI_TOP_N}
+"""
+
     sql["stratified_sample"] = f"""
 WITH u AS (
   SELECT doc_id, lang,

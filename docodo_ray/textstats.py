@@ -349,3 +349,111 @@ class RepetitionStage:
 def repetition_stats(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(RepetitionStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---- PMI collocations --------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_N = 50
+
+
+def collocation_pmi(sf_dir: str, min_count: int = PMI_MIN_COUNT,
+                    top_n: int = PMI_TOP_N) -> rd.Dataset:
+    """(w1, w2, c12, pmi_e6): the corpus' top-N collocations — adjacent
+    kept-term pairs ranked by pointwise mutual information
+    floor(1e6 * ln((c12 * T) / (c1 * c2))), c12 >= min_count, ties by
+    (w1, w2). Church & Hanks 1990; the classic word-association miner.
+
+    Exchanges: per-doc bigram count rows -> groupby(pair partition) sums
+    c12 -> groupby(w1 partition) attaches c1 = Σ_w2 c12 in place ->
+    groupby(w2 partition) attaches c2 likewise and scores. T (total bigram
+    positions) is one driver scalar; the final sort+limit runs over the
+    min_count-filtered pair table (collocation-scale, tiny next to the
+    corpus)."""
+    import math
+
+    from docodo_ray.dedup import _coarse_mix, _elem_hashes, _memo_stage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    class _BigramStrStage:
+        def __init__(self):
+            self.spec = TokenizerSpec(3, 32, load_stopwords())
+            self.cache: dict = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            w1s, w2s, cnts = [], [], []
+            for text in batch["text"].to_pylist():
+                terms, _ = tokenize(text or "", self.spec)
+                if len(terms) < 2:
+                    continue
+                pairs: dict = {}
+                for a, b in zip(terms, terms[1:]):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + 1
+                for (a, b), c in pairs.items():
+                    w1s.append(a)
+                    w2s.append(b)
+                    cnts.append(c)
+            h = _elem_hashes([a + " " + b for a, b in zip(w1s, w2s)],
+                             self.cache)
+            return pa.table({
+                "w1": pa.array(w1s, pa.string()),
+                "w2": pa.array(w2s, pa.string()),
+                "cnt": pa.array(np.asarray(cnts, np.int64), pa.int64()),
+                "gk": pa.array(_coarse_mix(h.view(np.int64)), pa.int64()),
+            })
+
+    _BigramStrStage.__name__ = "_BigramStrStage"
+
+    def bigram_fn(t: pa.Table) -> pa.Table:
+        return _memo_stage(_BigramStrStage)(t)
+
+    bigram_fn.__name__ = "bigram_rows"
+    rows = docs.map_batches(bigram_fn, batch_format="pyarrow").materialize()
+    t_total = int(rows.sum("cnt") or 0)
+    t_total = max(t_total, 1)
+
+    def sum_c12(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.select(["w1", "w2", "cnt"]).to_pandas()
+        out = df.groupby(["w1", "w2"], as_index=False, sort=False)["cnt"].sum()
+        out = out.rename(columns={"cnt": "c12"})
+        k1 = _elem_hashes(out["w1"].tolist(), {}).view(np.int64)
+        out["k"] = _coarse_mix(k1)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    sum_c12.__name__ = "sum_c12"
+
+    def attach_c1(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.select(["w1", "w2", "c12"]).to_pandas()
+        df["c1"] = df.groupby("w1")["c12"].transform("sum")
+        k2 = _elem_hashes(df["w2"].tolist(), {}).view(np.int64)
+        df["k"] = _coarse_mix(k2)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    attach_c1.__name__ = "attach_c1"
+
+    def attach_c2_score(g: pa.Table) -> pa.Table:
+        df = g.select(["w1", "w2", "c12", "c1"]).to_pandas()
+        df["c2"] = df.groupby("w2")["c12"].transform("sum")
+        df = df[df["c12"] >= min_count]
+        if len(df):
+            df["pmi_e6"] = [
+                math.floor(1e6 * math.log((c12 * t_total) / (c1 * c2)))
+                for c12, c1, c2 in zip(df["c12"].tolist(), df["c1"].tolist(),
+                                       df["c2"].tolist())]
+        else:
+            df["pmi_e6"] = np.empty(0, np.int64)
+        out = df[["w1", "w2", "c12", "pmi_e6"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    attach_c2_score.__name__ = "attach_c2_score"
+    scored = rows.groupby("gk").map_groups(sum_c12, batch_format="pyarrow") \
+        .groupby("k").map_groups(attach_c1, batch_format="pyarrow") \
+        .groupby("k").map_groups(attach_c2_score, batch_format="pyarrow")
+    return scored.sort(["pmi_e6", "w1", "w2"],
+                       descending=[True, False, False]).limit(top_n)
