@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": windows.tumbling_window,      # combiner + small groupby
         "hopping_window": windows.hopping_window,        # overlapping windows
         "sessionize": windows.sessionize,                # per-key gap sessions
+        "asof_join": windows.asof_join,                  # per-user as-of match
         # --- similarity search ---
         "embedding_topk": sim.embedding_topk,
         "embedding_topk_ivf": sim.embedding_topk_ivf,    # approximate: rows-only

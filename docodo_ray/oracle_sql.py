@@ -593,6 +593,28 @@ SELECT d.doc_id FROM documents d LEFT JOIN comp c USING (doc_id)
 WHERE c.component IS NULL OR c.component = d.doc_id
 """
 
+    from docodo_ray.windows import ASOF_LEFT_TYPE, ASOF_RIGHT_TYPE
+
+    # distributed as-of join vs DuckDB's native ASOF JOIN; rights are
+    # deduplicated to max event_id per (user, ts) on both sides so tie
+    # resolution is contractual
+    sql["asof_join"] = f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type = '{ASOF_LEFT_TYPE}'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(max(event_id) AS BIGINT) AS click_event_id
+  FROM events WHERE event_type = '{ASOF_RIGHT_TYPE}'
+  GROUP BY user_id, epoch_us(ts)
+)
+SELECT p.event_id, p.user_id, p.ts_us,
+       c.click_event_id, c.ts_us AS click_ts_us,
+       p.ts_us - c.ts_us AS gap_us
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+"""
+
     from docodo_ray.windows import SESSION_GAP_MINUTES, WINDOW_MINUTES
 
     w_span = WINDOW_MINUTES * 60 * 1_000_000

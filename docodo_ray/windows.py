@@ -142,3 +142,87 @@ def hopping_window(sf_dir: str, minutes: int = WINDOW_MINUTES,
         .groupby(["window_us", "event_type"])
         .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
     )
+
+
+ASOF_LEFT_TYPE = "purchase"
+ASOF_RIGHT_TYPE = "click"
+
+
+def asof_join(sf_dir: str, left_type: str = ASOF_LEFT_TYPE,
+              right_type: str = ASOF_RIGHT_TYPE) -> rd.Dataset:
+    """(event_id, user_id, ts_us, click_event_id, click_ts_us, gap_us):
+    distributed AS-OF JOIN — for every `left_type` event, the same user's
+    most recent `right_type` event at or before it (inner join: lefts with
+    no prior right are dropped, matching DuckDB's ASOF JOIN default).
+    Right rows are deduplicated to max event_id per (user, ts) first so tie
+    resolution is part of the contract, not engine luck.
+
+    Partitioning assumption (the custom-operator contract): both sides
+    hash-partition by user_id, so every user's full timeline is co-located
+    in one group and the match is a per-user sorted searchsorted — ONE
+    all-to-all over (event_id, user_id, ts_us, side) rows; no broadcast,
+    no driver state. Skew bound = the busiest user's rows (same bound as
+    sessionize)."""
+    from docodo_ray.dedup import _coarse_mix
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == left_type) | (et == right_type)
+        t = t.filter(pa.array(keep))
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = (t["event_type"].to_numpy(zero_copy_only=False)
+                == left_type).astype(np.int64)  # 1 = left, 0 = right
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts_us": pa.array(us, pa.int64()),
+            "side": pa.array(side, pa.int64()),
+            "uk": pa.array(_coarse_mix(uid), pa.int64()),
+        })
+
+    rows.__name__ = "asof_rows"
+
+    def match(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        out = {"event_id": [], "user_id": [], "ts_us": [],
+               "click_event_id": [], "click_ts_us": [], "gap_us": []}
+        order = np.lexsort((ts, uid))
+        eid, uid, ts, side = eid[order], uid[order], ts[order], side[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], uid[1:] != uid[:-1])))
+        bounds = np.concatenate((starts, [uid.size]))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            l = side[s:e] == 1
+            lts, leid = ts[s:e][l], eid[s:e][l]
+            rm = ~l
+            rts, reid = ts[s:e][rm], eid[s:e][rm]
+            if not lts.size or not rts.size:
+                continue
+            # dedupe rights to max event_id per ts (rts sorted; within a
+            # tie the max event_id wins)
+            rstart = np.flatnonzero(
+                np.concatenate(([True], np.diff(rts) != 0)))
+            rts_u = rts[rstart]
+            reid_u = np.maximum.reduceat(reid, rstart)
+            i = np.searchsorted(rts_u, lts, side="right") - 1
+            ok = i >= 0
+            out["event_id"].append(leid[ok])
+            out["user_id"].append(np.full(int(ok.sum()), uid[s], np.int64))
+            out["ts_us"].append(lts[ok])
+            out["click_event_id"].append(reid_u[i[ok]])
+            out["click_ts_us"].append(rts_u[i[ok]])
+            out["gap_us"].append(lts[ok] - rts_u[i[ok]])
+        cat = {k: (np.concatenate(v) if v else np.empty(0, np.int64))
+               for k, v in out.items()}
+        return pa.table({k: pa.array(v.astype(np.int64), pa.int64())
+                         for k, v in cat.items()})
+
+    match.__name__ = "asof_match"
+    return ds.map_batches(rows, batch_format="pyarrow") \
+        .groupby("uk").map_groups(match, batch_format="pyarrow")
