@@ -59,7 +59,12 @@ class BuildResult:
 
 
 def _cfg_fingerprint(cfg: IndexConfig, input_desc: dict) -> str:
-    payload = json.dumps({"cfg": asdict(cfg), "input": input_desc}, sort_keys=True, default=str)
+    from docodo_ray.config import INDEX_FORMAT_VERSION
+
+    payload = json.dumps(
+        {"cfg": asdict(cfg), "input": input_desc, "fmt": INDEX_FORMAT_VERSION},
+        sort_keys=True, default=str,
+    )
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 

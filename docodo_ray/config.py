@@ -18,6 +18,19 @@ MAX_WORD_LENGTH = 32
 # tokenizer (tokens are letter/digit runs).
 DOC_LEN_TERM = "\x00doclen"
 
+# Pseudo-term marking documents that contain at least one token LONGER than
+# MAX_WORD_LENGTH (which the tokenizer drops from the index entirely).
+# regex/substring search needs this posting list to stay sound: a literal
+# factor can hide inside such a dropped token (think minified JS / base64
+# blobs in a source-code corpus), so factor-pruned candidate sets union it.
+LONG_TOK_TERM = "\x00longtok"
+
+# Folded into the build fingerprint (build._cfg_fingerprint): bump when the
+# on-disk index CONTENT changes for the same config+input, so resumable /
+# cached indexes rebuild instead of silently serving the old format.
+# 2 = LONG_TOK_TERM pseudo-postings added.
+INDEX_FORMAT_VERSION = 2
+
 _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 DEFAULT_STOPWORDS_PATH = os.path.join(_DATA_DIR, "stopwords.txt")
 

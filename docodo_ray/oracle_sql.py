@@ -333,6 +333,24 @@ FROM (SELECT DISTINCT term FROM filt)
 WHERE levenshtein(term, '{CLOSE_WORD}') <= {CLOSE_MAXDIST}
 """
 
+    # regex (grep) search: the engine answers index-first (required-factor
+    # pruning + RE2 verify, regexsearch.py); the oracle is a plain RE2 scan.
+    # DuckDB and pyarrow both embed RE2, so n_matches (non-overlapping
+    # global match count) agrees exactly.
+    from docodo_ray.pipelines import REGEX_QUERY_SET
+
+    rx_vals = ", ".join(
+        f"({pid}, '{pat.replace(chr(39), chr(39) * 2)}')"
+        for pid, pat in REGEX_QUERY_SET
+    )
+    sql["regex_search"] = f"""
+WITH pats(pattern_id, pat) AS (VALUES {rx_vals})
+SELECT p.pattern_id, d.doc_id,
+       CAST(len(regexp_extract_all(d.text, p.pat)) AS BIGINT) AS n_matches
+FROM documents d CROSS JOIN pats p
+WHERE len(regexp_extract_all(d.text, p.pat)) > 0
+"""
+
     sql["text_quality"] = f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS l FROM documents

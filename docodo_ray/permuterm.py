@@ -1,0 +1,231 @@
+"""Permuterm (rotated-term) dictionary sidecar.
+
+The classic wildcard-index trick (Garfield 1976; IIR §3.2.1): every
+dictionary term ``t`` is stored once per rotation ``t[i:] + SEP + t[:i]``,
+globally sorted. Substring-shaped dictionary questions then become RANGE
+scans instead of full-dictionary filters:
+
+- *suffix* run ``r`` (tokens ending with r)      -> rotations in
+  ``[r + SEP, r + SEP_NEXT)``
+- *contains* run ``r`` (tokens containing r)     -> rotations in
+  ``[r, prefix_upper_bound(r))`` (a superset that also covers prefix and
+  whole-token occurrences — exactly what candidate pruning wants)
+
+This is the documented scale path of ``regexsearch._piece_doc_ids`` and
+``IndexReader.like_words``: without it, a suffix/contains piece scans the
+whole term dictionary on the driver — fine at millions of terms, wrong at
+the billions a 10^12-file source-code corpus produces. The sidecar keeps
+those lookups at the same cost shape as prefix lookups: O(row groups that
+overlap the range), asserted via io_stats in tests.
+
+Build is a Ray pipeline over the index's term-stats sidecar parquet files
+(dictionary-scale, NOT corpus-scale): map_batches rotation expansion ->
+distributed sort on the rotation -> partitioned parquet, plus a meta.json
+recording per-file [min, max] so the driver prunes files without touching
+their footers, then row groups via footer statistics. The layout lives
+under the index directory keyed by a manifest fingerprint (generation +
+segment paths), so LSM updates / compaction invalidate it the same way
+they invalidate segment readers — a stale sidecar is never silently
+reused (pattern mirrors sim.py's IVF root, sim.py:159-178).
+
+Reference analog: Docodo's single suggestion/wildcard dictionary scan
+(Search.cs:158-167) — a linear walk the single-process engine could
+afford; here the same question is answered from a sorted rotation table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from bisect import bisect_left
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# \x01 sorts below every tokenizer character (letters/digits), so
+# [r+SEP, r+"\x02") isolates exact-suffix rotations without catching
+# rotations of longer runs that merely start with r.
+PM_SEP = "\x01"
+PM_SEP_NEXT = "\x02"
+_META = "meta.json"
+
+
+def _fingerprint(manifest: dict) -> str:
+    import hashlib
+
+    payload = json.dumps(
+        {
+            "segments": sorted(r["path"] for r in manifest.get("segments", [])),
+            "generation": manifest.get("generation", 0),
+            "tombstones": sorted(manifest.get("tombstones", [])),
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _rotate_batch(t: pa.Table) -> pa.Table:
+    """(term) -> (rot, term) rotation rows. Per-batch Python over the
+    DEDUPED term set — dictionary-scale work distributed across batches;
+    total output is O(total dictionary characters)."""
+    import pyarrow.compute as pc
+
+    terms = t["term"]
+    terms = terms.filter(pc.invert(pc.starts_with(terms, "\x00")))  # pseudo
+    uniq = sorted(set(terms.to_pylist()))
+    rots: list[str] = []
+    out_terms: list[str] = []
+    for term in uniq:
+        for i in range(len(term)):
+            rots.append(term[i:] + PM_SEP + term[:i])
+            out_terms.append(term)
+    return pa.table(
+        {"rot": pa.array(rots, pa.string()), "term": pa.array(out_terms, pa.string())}
+    )
+
+
+def build_permuterm(reader) -> str:
+    """Build (or reuse) the permuterm sidecar for ``reader``'s index
+    snapshot; returns its directory. Idempotent and atomic: built into a
+    tmp dir, renamed into place; a concurrent/previous build wins."""
+    import ray.data as rd
+
+    fp = _fingerprint(reader.manifest)
+    out = os.path.join(reader.dir, "permuterm", fp)
+    if os.path.exists(os.path.join(out, _META)):
+        return out
+    paths = sorted(
+        p for b in range(reader.cfg.n_buckets) for p in reader._term_stats_paths(b)
+    )
+    tmp = f"{out}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    if paths:
+        ds = rd.read_parquet(paths, columns=["term"])
+        ds = ds.map_batches(_rotate_batch, batch_format="pyarrow").sort("rot")
+        ds.write_parquet(tmp, row_group_size=4096)
+    files = []
+    for name in sorted(os.listdir(tmp)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(tmp, name)).metadata
+        mins: list[str] = []
+        maxs: list[str] = []
+        ok = True
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            st = None
+            for c in range(rg.num_columns):
+                if rg.column(c).path_in_schema == "rot":
+                    st = rg.column(c).statistics
+            if st is None or not st.has_min_max:
+                ok = False  # no stats -> file is never pruned (sound)
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if md.num_rows:
+            files.append(
+                {
+                    "path": name,
+                    "min": mins[0] if ok and mins else None,
+                    "max": maxs[-1] if ok and maxs else None,
+                    "rows": md.num_rows,
+                }
+            )
+    meta = {"fingerprint": fp, "files": files}
+    with open(os.path.join(tmp, _META), "w") as f:
+        json.dump(meta, f)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner
+    return out
+
+
+class Permuterm:
+    """Range reader over a built permuterm layout. File-level pruning from
+    meta.json [min, max]; row-group pruning from footer statistics (footers
+    cached per file, read once)."""
+
+    def __init__(self, pm_dir: str):
+        with open(os.path.join(pm_dir, _META)) as f:
+            meta = json.load(f)
+        self.dir = pm_dir
+        self.files = meta["files"]
+        self._handles: dict[str, tuple] = {}
+        self.io_stats = {"rows_read": 0, "row_groups_read": 0, "files_read": 0}
+        self.total_rows = sum(f["rows"] for f in self.files)
+
+    def _handle(self, name: str):
+        h = self._handles.get(name)
+        if h is None:
+            pf = pq.ParquetFile(os.path.join(self.dir, name))
+            mins, maxs = [], []
+            for g in range(pf.metadata.num_row_groups):
+                rg = pf.metadata.row_group(g)
+                st = None
+                for c in range(rg.num_columns):
+                    if rg.column(c).path_in_schema == "rot":
+                        st = rg.column(c).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = None, None
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            h = (pf, mins, maxs)
+            self._handles[name] = h
+        return h
+
+    def range_terms(self, lo: str, hi: str | None) -> list[str]:
+        """Sorted unique dictionary terms with a rotation in [lo, hi)."""
+        import pyarrow.compute as pc
+
+        out: set[str] = set()
+        for frec in self.files:
+            if frec["min"] is not None and hi is not None and frec["min"] >= hi:
+                continue
+            if frec["max"] is not None and frec["max"] < lo:
+                continue
+            pf, mins, maxs = self._handle(frec["path"])
+            if mins is None:
+                rgs = list(range(pf.metadata.num_row_groups))
+            else:
+                g = bisect_left(maxs, lo)
+                rgs = []
+                while g < len(mins) and (hi is None or mins[g] < hi):
+                    rgs.append(g)
+                    g += 1
+            if not rgs:
+                continue
+            self.io_stats["files_read"] += 1
+            self.io_stats["row_groups_read"] += len(rgs)
+            t = pf.read_row_groups(rgs, columns=["rot", "term"])
+            self.io_stats["rows_read"] += t.num_rows
+            m = pc.greater_equal(t["rot"], lo)
+            if hi is not None:
+                m = pc.and_(m, pc.less(t["rot"], hi))
+            out.update(t["term"].filter(m).to_pylist())
+        return sorted(out)
+
+    def suffix_terms(self, run: str) -> list[str]:
+        return self.range_terms(run + PM_SEP, run + PM_SEP_NEXT)
+
+    def contains_terms(self, run: str) -> list[str]:
+        from docodo_ray.search import prefix_upper_bound
+
+        return self.range_terms(run, prefix_upper_bound(run))
+
+
+_PM_CACHE: dict[str, Permuterm] = {}
+
+
+def get_permuterm(reader) -> Permuterm:
+    """Build-if-needed + process-cached handle for ``reader``'s snapshot."""
+    key = os.path.join(reader.dir, _fingerprint(reader.manifest))
+    pm = _PM_CACHE.get(key)
+    if pm is None:
+        pm = Permuterm(build_permuterm(reader))
+        _PM_CACHE[key] = pm
+    return pm

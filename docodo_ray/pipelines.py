@@ -53,6 +53,15 @@ TOP_TERMS_N = 20
 CLOSE_WORD, CLOSE_MAXDIST = "mergee", 2
 # words for the reference's original proximity ranker (Search.cs:99-111)
 DOCODO_RANK_WORDS = ("merge", "join", "table")
+# regex search query set (regexsearch.py): alternation, char class, and
+# multi-factor patterns — each exercises a different pruning shape. The
+# patterns are RE2-safe (verified against both pyarrow and DuckDB).
+REGEX_QUERY_SET: list[tuple[int, str]] = [
+    (1, "merge (join|batch)"),      # prefix factor + 2-way DNF
+    (2, "ta[bp]le scan"),           # char class gap; prunes on 'scan' prefix
+    (3, "(slow|fast) (scan|filter)"),  # 4-way DNF, exact interior factors
+    (4, r"[a-z]+usto[a-z]*mer\b"),  # contains + suffix pieces (permuterm path)
+]
 
 DOCS_CFG = IndexConfig(n_buckets=16, store_positions=True)
 
@@ -108,7 +117,7 @@ def token_counts(sf_dir: str) -> rd.Dataset:
     import pyarrow.compute as pc
 
     def clean(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.not_equal(t["term"], DOC_LEN_TERM))
+        t = t.filter(pc.invert(pc.starts_with(t["term"], "\x00")))  # pseudo-terms
         return pa.Table.from_arrays(
             [t["term"], t["doc_id"].cast(pa.int64()), t["tf"].cast(pa.int64())],
             names=["term", "doc_id", "tf"],
@@ -533,6 +542,96 @@ def levenshtein_close(sf_dir: str) -> pa.Table:
     order = pc.sort_indices(t, sort_keys=[("dist", "ascending"), ("term", "ascending")])
     t = t.take(order)
     return pa.table({"term": t["term"], "dist": t["dist"].cast(pa.int64())})
+
+
+class _RegexVerifyStage:
+    """Actor-pool verify stage for regex_search: the per-pattern candidate
+    doc_id sets are ray.put once and fetched per ACTOR (zero-copy from the
+    local object store), the RE2 regexes run vectorized per batch over only
+    the candidate rows."""
+
+    def __init__(self, cand_ref, query_set: list[tuple[int, str]]):
+        import ray
+
+        self.cands: dict[int, np.ndarray | None] = ray.get(cand_ref)
+        self.query_set = query_set
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["doc_id"].to_numpy()
+        pid_out: list[np.ndarray] = []
+        doc_out: list[np.ndarray] = []
+        n_out: list[np.ndarray] = []
+        for pid, pat in self.query_set:
+            c = self.cands[pid]
+            if c is None:
+                sub, sub_ids = t, ids
+            else:
+                sel = np.flatnonzero(np.isin(ids, c, assume_unique=False))
+                if sel.size == 0:
+                    continue
+                sub, sub_ids = t.take(pa.array(sel)), ids[sel]
+            cn = pc.count_substring_regex(sub["text"], pat) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            nz = np.flatnonzero(cn > 0)
+            if nz.size:
+                pid_out.append(np.full(nz.size, pid, dtype=np.int64))
+                doc_out.append(sub_ids[nz].astype(np.int64))
+                n_out.append(cn[nz])
+        if not pid_out:
+            return pa.table({"pattern_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n_matches": pa.array([], pa.int64())})
+        return pa.table({
+            "pattern_id": pa.array(np.concatenate(pid_out), pa.int64()),
+            "doc_id": pa.array(np.concatenate(doc_out), pa.int64()),
+            "n_matches": pa.array(np.concatenate(n_out), pa.int64()),
+        })
+
+
+def regex_search(sf_dir: str) -> rd.Dataset:
+    """(pattern_id, doc_id, n_matches): grep over the corpus, answered
+    index-first (regexsearch.py — required-factor extraction, dictionary
+    expansion, posting intersection) with distributed RE2 verification of
+    only the candidate docs. The parquet read itself is pruned to candidate
+    row groups via a doc_id isin filter; patterns that defeat pruning fall
+    back to a streamed full scan, never a driver-side one."""
+    import ray
+    import pyarrow.dataset as pads
+
+    from docodo_ray.permuterm import get_permuterm
+    from docodo_ray.regexsearch import regex_candidates
+
+    reader = get_index(sf_dir)
+    spec = _spec()
+    pm = get_permuterm(reader)  # suffix/contains pieces as range reads
+    cands: dict[int, np.ndarray | None] = {}
+    union: np.ndarray | None = None
+    full_scan = False
+    for pid, pat in REGEX_QUERY_SET:
+        c = regex_candidates(reader, pat, spec, pm=pm)
+        if c is None:
+            full_scan = True
+            cands[pid] = None
+        else:
+            c = c.astype(np.int64)
+            cands[pid] = c
+            union = c if union is None else np.union1d(union, c)
+    cand_ref = ray.put(cands)
+    path = os.path.join(sf_dir, "documents.parquet")
+    read_kwargs: dict = dict(columns=["doc_id", "text"])
+    if not full_scan:
+        read_kwargs["filter"] = pads.field("doc_id").isin(
+            pa.array(union if union is not None else [], pa.int64())
+        )
+    ds = rd.read_parquet(path, **read_kwargs)
+    return ds.map_batches(
+        _RegexVerifyStage,
+        fn_constructor_kwargs=dict(cand_ref=cand_ref, query_set=REGEX_QUERY_SET),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
 
 
 SNIPPET_TERM = "hash"

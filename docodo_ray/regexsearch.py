@@ -1,0 +1,325 @@
+"""Regex (grep-style) search answered from the inverted index.
+
+The word-level analogue of the trigram pruning in Google Code Search
+(R. Cox, "Regular Expression Matching with a Trigram Index", 2012) and
+Zoekt, re-expressed over docodo_ray's term postings — the operation a
+source-code corpus user reaches for first (the reference's wildcard /
+`~R` query surface, Search.cs:158-167, stops at single-term patterns;
+this generalizes it to full regexes while reusing the same dictionary
+and posting machinery).
+
+Two stages:
+
+1. PRUNE (:func:`regex_candidates`) — parse the pattern with Python's
+   ``re`` parser and extract its *required literal factors*: the literal
+   strings every match must contain, in DNF across alternations. Each
+   factor is split into tokenizer-class runs (letter runs / digit runs)
+   and each run becomes a *piece* with a boundary kind:
+
+   - ``exact``    — the run is a complete token of the document
+   - ``prefix``   — some token starts with the run
+   - ``suffix``   — some token ends with the run
+   - ``contains`` — some token contains the run
+
+   Pieces map to index terms (a range read of the term dictionary for
+   prefixes, a dictionary scan for suffix/contains), posting lists are
+   unioned per piece, intersected per alternative, unioned across
+   alternatives. Soundness notes baked into :func:`_piece_doc_ids`:
+
+   - runs shorter than MIN_WORD_LENGTH can match inside tokens the
+     length filter dropped -> the piece is unusable (no pruning by it);
+   - runs that a *stop word* could satisfy are unusable the same way
+     (stop-word tokens are not indexed);
+   - tokens longer than MAX_WORD_LENGTH are dropped wholesale (think
+     minified JS / base64 blobs), so every non-exact piece unions the
+     LONG_TOK_TERM pseudo-posting list the build writes for exactly
+     this purpose (config.LONG_TOK_TERM).
+
+   If any DNF alternative ends up with no usable piece the pattern is
+   unprunable and the caller falls back to a full scan.
+
+2. VERIFY (:func:`pipelines.regex_search`) — run the real RE2 regex
+   (``pyarrow.compute.count_substring_regex``, the same engine DuckDB
+   uses) over ONLY the candidate documents, distributed via map_batches
+   with the candidate doc_id set broadcast once (ray.put) and the
+   parquet read pruned by a doc_id-in-set row-group filter.
+
+At 10^12-file scale the verify stage touches only candidate row groups,
+and the permuterm sidecar (:mod:`docodo_ray.permuterm`) turns the
+suffix/contains dictionary scans into sorted-rotation RANGE reads —
+without it those pieces walk the whole term dictionary, fine at millions
+of terms, wrong at the billions a source-code corpus produces. Callers
+pass ``pm=get_permuterm(reader)`` to enable it (pipelines.regex_search
+does).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import numpy as np
+import pyarrow.compute as pc
+
+from docodo_ray.config import LONG_TOK_TERM
+from docodo_ray.search import IndexReader, prefix_upper_bound
+from docodo_ray.tokenizer import TOKEN_RE
+
+try:  # Python 3.12+ moved sre_parse under re._parser
+    from re import _constants as sre_c
+    from re import _parser as sre_parse
+except ImportError:  # pragma: no cover - 3.11 fallback
+    import sre_constants as sre_c
+    import sre_parse
+
+# DNF growth cap: alternation cross-products beyond this collapse to "no
+# information" (sound: fewer constraints = bigger candidate set).
+MAX_ALTERNATIVES = 16
+# A piece expanding to more dictionary terms than this prunes too little
+# to pay for its posting reads -> unusable.
+MAX_EXPANSION_TERMS = 512
+
+EXACT, PREFIX, SUFFIX, CONTAINS = "exact", "prefix", "suffix", "contains"
+
+_BOUND_AT = {
+    sre_c.AT_BOUNDARY, sre_c.AT_BEGINNING, sre_c.AT_BEGINNING_STRING,
+    sre_c.AT_END, sre_c.AT_END_STRING,
+}
+_REPEAT_OPS = {sre_c.MAX_REPEAT, sre_c.MIN_REPEAT}
+if hasattr(sre_c, "POSSESSIVE_REPEAT"):
+    _REPEAT_OPS.add(sre_c.POSSESSIVE_REPEAT)
+
+# element stream vocabulary: ("lit", ch) literal char, ("gap",) unknown
+# content, ("bound",) zero-width token-boundary assertion (\b, ^, $)
+_GAP = ("gap",)
+_BOUND = ("bound",)
+
+
+def _node_alts(op, av) -> list[list[tuple]]:
+    """Alternatives (element lists) for one parse-tree node. Any construct
+    we don't model yields a single-gap alternative — always sound, never
+    adds a constraint that isn't there."""
+    if op == sre_c.LITERAL:
+        return [[("lit", chr(av))]]
+    if op == sre_c.AT:
+        return [[_BOUND]] if av in _BOUND_AT else [[]]
+    if op == sre_c.SUBPATTERN:
+        return _seq_alts(av[3])
+    if op == sre_c.BRANCH:
+        out: list[list[tuple]] = []
+        for sub in av[1]:
+            out.extend(_seq_alts(sub))
+            if len(out) > MAX_ALTERNATIVES:
+                return [[_GAP]]
+        return out
+    if op in _REPEAT_OPS:
+        lo, hi, sub = av
+        if lo == 0:
+            return [[_GAP]]
+        inner = _seq_alts(sub)
+        if lo == 1 and hi == 1:
+            return inner
+        # >=1 occurrences: one copy's literals are required; adjacent
+        # copies make the edges unknowable -> pad with gaps
+        return [[_GAP] + a + [_GAP] for a in inner]
+    if op == sre_c.ASSERT:
+        # positive look-around: its literals must appear in the TEXT (not
+        # the match), which is all candidate pruning needs
+        return [[_GAP] + a + [_GAP] for a in _seq_alts(av[1])]
+    if op == sre_c.IN:
+        # small enumerable character class ([ln], [abc]) -> alternation of
+        # its literals, so surrounding factors stay connected (Cox §"char
+        # classes" does the same trigram expansion)
+        chars = _enumerate_class(av)
+        if chars is not None:
+            return [[("lit", c)] for c in chars]
+        return [[_GAP]]
+    # ANY / NOT_LITERAL / CATEGORY / GROUPREF / ASSERT_NOT / ...
+    return [[_GAP]]
+
+
+_MAX_CLASS_CHARS = 8
+
+
+def _enumerate_class(av) -> list[str] | None:
+    """Literal expansion of a character class if it is small and positive;
+    None when it can't be enumerated (negated, categories, big ranges)."""
+    chars: list[str] = []
+    for kind, arg in av:
+        if kind == sre_c.LITERAL:
+            chars.append(chr(arg))
+        elif kind == sre_c.RANGE:
+            lo, hi = arg
+            if hi - lo + 1 > _MAX_CLASS_CHARS:
+                return None
+            chars.extend(chr(c) for c in range(lo, hi + 1))
+        else:  # NEGATE, CATEGORY, ...
+            return None
+        if len(chars) > _MAX_CLASS_CHARS:
+            return None
+    return chars
+
+
+def _seq_alts(seq) -> list[list[tuple]]:
+    alts: list[list[tuple]] = [[]]
+    for op, av in seq:
+        node = _node_alts(op, av)
+        if len(node) == 1:
+            alts = [a + node[0] for a in alts]
+        else:
+            grown = [a + n for a in alts for n in node]
+            if len(grown) > MAX_ALTERNATIVES:
+                return [[_GAP]]
+            alts = grown
+    return alts
+
+
+def _is_word_char(ch: str) -> bool:
+    return TOKEN_RE.fullmatch(ch) is not None
+
+
+def _split_runs(buf: str) -> list[str]:
+    """Split a literal factor into tokenizer-class runs (maximal letter
+    runs / digit runs — the tokenizer never mixes classes in one token)."""
+    return TOKEN_RE.findall(buf)
+
+
+def _alt_pieces(elems: list[tuple]) -> list[tuple[str, str]]:
+    """Element stream -> required (run, kind) pieces for one alternative."""
+    pieces: list[tuple[str, str]] = []
+
+    def finalize(buf: str, lb: bool, rb: bool) -> None:
+        if not buf:
+            return
+        runs = _split_runs(buf)
+        if not runs:
+            return
+        for j, run in enumerate(runs):
+            left = lb if j == 0 else True      # class change bounds interiors
+            right = rb if j == len(runs) - 1 else True
+            if left and right:
+                kind = EXACT
+            elif left:
+                kind = PREFIX
+            elif right:
+                kind = SUFFIX
+            else:
+                kind = CONTAINS
+            pieces.append((run.lower(), kind))
+
+    buf, left_bound = "", False  # pattern start: match may begin mid-token
+    for el in elems:
+        if el[0] == "lit":
+            ch = el[1]
+            if _is_word_char(ch):
+                buf += ch
+            else:
+                finalize(buf, left_bound, True)
+                buf, left_bound = "", True
+        elif el[0] == "bound":
+            if buf:
+                finalize(buf, left_bound, True)
+                buf = ""
+            left_bound = True
+        else:  # gap
+            finalize(buf, left_bound, False)
+            buf, left_bound = "", False
+    finalize(buf, left_bound, False)  # pattern end: match may end mid-token
+    # dedupe, keep deterministic order
+    seen, out = set(), []
+    for p in pieces:
+        if p not in seen:
+            seen.add(p)
+            out.append(p)
+    return out
+
+
+def required_pieces(pattern: str) -> list[list[tuple[str, str]]] | None:
+    """DNF of required literal pieces: a doc can match only if, for SOME
+    alternative, it satisfies ALL of that alternative's pieces. None if
+    the pattern doesn't parse (caller falls back to a full scan)."""
+    try:
+        tree = sre_parse.parse(pattern)
+    except Exception:
+        return None
+    return [_alt_pieces(a) for a in _seq_alts(list(tree))]
+
+
+def _long_tok_docs(reader: IndexReader) -> np.ndarray:
+    p = reader.read_posting(LONG_TOK_TERM)
+    return p.doc_ids if p is not None else np.empty(0, dtype=np.uint64)
+
+
+def _piece_doc_ids(
+    reader: IndexReader, run: str, kind: str, spec, pm=None
+) -> np.ndarray | None:
+    """Sorted unique doc_ids that could satisfy one piece; None = the piece
+    cannot soundly prune (see module docstring). ``pm`` (a
+    :class:`docodo_ray.permuterm.Permuterm`) turns the suffix/contains
+    dictionary scans into sorted-rotation range reads — the scale path."""
+    if len(run) < spec.min_len:
+        return None  # a matching token could be under-length -> unindexed
+    stop = spec.stopwords or frozenset()
+    if len(run) > spec.max_len:
+        # every satisfying token exceeds MAX_WORD_LENGTH -> it was dropped;
+        # the LONG_TOK pseudo-postings are exactly those docs
+        return _long_tok_docs(reader)
+    if kind == EXACT:
+        if run in stop:
+            return None
+        p = reader.read_posting(run)
+        return p.doc_ids if p is not None else np.empty(0, dtype=np.uint64)
+    # a stop word satisfying the constraint would be an unindexed match
+    if kind == PREFIX and any(s.startswith(run) for s in stop):
+        return None
+    if kind == SUFFIX and any(s.endswith(run) for s in stop):
+        return None
+    if kind == CONTAINS and any(run in s for s in stop):
+        return None
+    if kind == PREFIX:
+        hi = prefix_upper_bound(run)
+        term_list = reader.term_stats_range(run, hi)["term"].to_pylist()
+    elif pm is not None:
+        # permuterm sidecar: suffix/contains become rotation range reads
+        term_list = pm.suffix_terms(run) if kind == SUFFIX else pm.contains_terms(run)
+    else:
+        terms = reader.term_dictionary(columns=("term",))["term"]
+        mask = (
+            pc.ends_with(terms, run) if kind == SUFFIX
+            else pc.match_substring(terms, run)
+        )
+        term_list = terms.filter(mask).to_pylist()
+    if len(term_list) > MAX_EXPANSION_TERMS:
+        return None  # unselective; cheaper to let other pieces prune
+    sets = [_long_tok_docs(reader)]  # non-exact: the dropped-token net
+    for t in term_list:
+        p = reader.read_posting(t)
+        if p is not None:
+            sets.append(p.doc_ids)
+    sets = [s for s in sets if s.size]
+    if not sets:
+        return np.empty(0, dtype=np.uint64)
+    return reduce(np.union1d, sets)
+
+
+def regex_candidates(
+    reader: IndexReader, pattern: str, spec, pm=None
+) -> np.ndarray | None:
+    """Sorted unique candidate doc_ids for ``pattern`` (a sound superset of
+    the matching docs), or None when the pattern can't be pruned (caller
+    scans everything). ``pm``: optional permuterm sidecar (scale path for
+    suffix/contains pieces)."""
+    dnf = required_pieces(pattern)
+    if dnf is None:
+        return None
+    alt_sets: list[np.ndarray] = []
+    for pieces in dnf:
+        piece_sets: list[np.ndarray] = []
+        for run, kind in pieces:
+            s = _piece_doc_ids(reader, run, kind, spec, pm=pm)
+            if s is not None:
+                piece_sets.append(s)
+        if not piece_sets:
+            return None  # one unconstrained alternative taints the union
+        piece_sets.sort(key=lambda s: s.size)
+        alt_sets.append(reduce(np.intersect1d, piece_sets))
+    return reduce(np.union1d, alt_sets)

@@ -471,7 +471,7 @@ class IndexReader:
         if not parts:
             return None
         t = pa.concat_tables(parts)
-        t = t.filter(pc.not_equal(t["term"], DOC_LEN_TERM))
+        t = t.filter(pc.invert(pc.starts_with(t["term"], "\x00")))  # pseudo-terms
         if len(parts) > 1:  # a term may appear in several runs: sum
             vcols = [c for c in cols if c != "term"]
             g = t.group_by("term").aggregate([(c, "sum") for c in vcols])
@@ -513,7 +513,7 @@ class IndexReader:
                 )
             else:
                 t = pq.read_table(paths, columns=["term", "df", "cf"])
-                t = t.filter(pc.not_equal(t["term"], DOC_LEN_TERM))
+                t = t.filter(pc.invert(pc.starts_with(t["term"], "\x00")))
                 t = t.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
                 self._term_dict = pa.table(
                     {"term": t["term"], "df": t["df_sum"], "cf": t["cf_sum"]}

@@ -25,7 +25,7 @@ from itertools import chain
 import pyarrow.compute as pc
 
 from docodo_ray import codec
-from docodo_ray.config import DOC_LEN_TERM, IndexConfig, load_stopwords
+from docodo_ray.config import DOC_LEN_TERM, LONG_TOK_TERM, IndexConfig, load_stopwords
 from docodo_ray.tokenizer import (
     TOKEN_RE,
     TokenizerSpec,
@@ -34,6 +34,8 @@ from docodo_ray.tokenizer import (
     splitmix64,
     term_bucket,
 )
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
 
 TOKEN_SCHEMA = pa.schema(
     [
@@ -107,9 +109,11 @@ class TokenizeStage:
         n_raw = np.fromiter((len(x) for x in toks), np.int64, count=n_docs)
         total_raw = int(n_raw.sum())
         if total_raw == 0:
-            return None, None, None
+            return None, None, None, _EMPTY_I64
         arr = pa.array(list(chain.from_iterable(toks)), pa.string())
         lens = pc.utf8_length(arr).to_numpy().astype(np.int64)
+        doc_idx_raw = np.repeat(np.arange(n_docs, dtype=np.int64), n_raw)
+        long_docs = np.unique(doc_idx_raw[lens > self.spec.max_len])
         keep = (lens >= self.spec.min_len) & (lens <= self.spec.max_len)
         if self._stop_arr is not None:
             keep &= ~pc.is_in(arr, value_set=self._stop_arr).to_numpy(
@@ -117,11 +121,11 @@ class TokenizeStage:
             )
         kept_idx = np.flatnonzero(keep)
         if kept_idx.size == 0:
-            return None, None, None
-        doc_idx_raw = np.repeat(np.arange(n_docs, dtype=np.int64), n_raw)
+            return None, None, None, long_docs
         starts_raw = np.concatenate(([0], np.cumsum(n_raw)[:-1]))
         pos_raw = np.arange(total_raw, dtype=np.int64) - np.repeat(starts_raw, n_raw)
-        return arr.take(pa.array(kept_idx)), doc_idx_raw[kept_idx], pos_raw[kept_idx]
+        return (arr.take(pa.array(kept_idx)), doc_idx_raw[kept_idx],
+                pos_raw[kept_idx], long_docs)
 
     def _flat_tokens_ascii(self, texts: list) -> tuple:
         """ASCII fast path: byte-level run detection over the whole batch —
@@ -135,7 +139,7 @@ class TokenizeStage:
         joined = "\x00".join((t.lower() if t else "") for t in texts)
         b = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
         if b.size == 0:
-            return None, None, None
+            return None, None, None, _EMPTY_I64
         doc_lens = np.fromiter(
             (len(t) if t else 0 for t in texts), np.int64, count=n_docs
         )
@@ -147,16 +151,17 @@ class TokenizeStage:
         nxt = np.concatenate((cls[1:], [0]))
         tok_starts = np.flatnonzero((cls != 0) & (cls != prev))
         if tok_starts.size == 0:
-            return None, None, None
+            return None, None, None, _EMPTY_I64
         tok_lens = np.flatnonzero((cls != 0) & (cls != nxt)) + 1 - tok_starts
         doc_of = np.searchsorted(doc_starts, tok_starts, side="right") - 1
+        long_docs = np.unique(doc_of[tok_lens > self.spec.max_len])
         n_raw = np.bincount(doc_of, minlength=n_docs)
         first_tok = np.concatenate(([0], np.cumsum(n_raw)[:-1]))
         pos_raw = np.arange(tok_starts.size, dtype=np.int64) - first_tok[doc_of]
         keep = (tok_lens >= self.spec.min_len) & (tok_lens <= self.spec.max_len)
         sel_starts, sel_lens = tok_starts[keep], tok_lens[keep]
         if sel_starts.size == 0:
-            return None, None, None
+            return None, None, None, long_docs
         ends = np.cumsum(sel_lens)
         shift = np.repeat(sel_starts - (ends - sel_lens), sel_lens)
         data = b[np.arange(int(ends[-1]), dtype=np.int64) + shift]
@@ -171,7 +176,7 @@ class TokenizeStage:
             if m.any():
                 k = np.flatnonzero(~m)
                 arr, doc_idx, pos = arr.take(pa.array(k)), doc_idx[k], pos[k]
-        return arr, doc_idx, pos
+        return arr, doc_idx, pos, long_docs
 
     def _call_vectorized(self, batch: pa.Table) -> pa.Table:
         """Batch-vectorized tokenize: the length/stopword filter,
@@ -185,12 +190,12 @@ class TokenizeStage:
         sbase = splitmix64(doc_ids)
         texts = batch[self.content_col].to_pylist()
         if all(t is None or t.isascii() for t in texts):
-            arr, doc_idx, pos = self._flat_tokens_ascii(texts)
+            arr, doc_idx, pos, long_docs = self._flat_tokens_ascii(texts)
         else:
-            arr, doc_idx, pos = self._flat_tokens_regex(texts)
+            arr, doc_idx, pos, long_docs = self._flat_tokens_regex(texts)
         if arr is None:
             dls = np.zeros(n_docs, dtype=np.int64)
-            return self._with_doclen_rows([], n_docs, doc_ids, dls, sbase)
+            return self._with_doclen_rows([], n_docs, doc_ids, dls, sbase, long_docs)
         dic = arr.dictionary_encode()
         codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         dls = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
@@ -237,14 +242,16 @@ class TokenizeStage:
             pa.array(dls[rd], pa.uint32()),
             pa.array(blobs, pa.binary()),
         ]
-        return self._with_doclen_rows(cols, n_docs, doc_ids, dls, sbase)
+        return self._with_doclen_rows(cols, n_docs, doc_ids, dls, sbase, long_docs)
 
     def _with_doclen_rows(
         self, token_cols: list, n_docs: int, doc_ids: np.ndarray,
-        dls: np.ndarray, sbase: np.ndarray,
+        dls: np.ndarray, sbase: np.ndarray, long_docs: np.ndarray | None = None,
     ) -> pa.Table:
         """Append the one-per-doc DOC_LEN pseudo-posting rows (tf = dl; the
-        corpus-stats / norm table rides the same shuffle)."""
+        corpus-stats / norm table rides the same shuffle), plus one LONG_TOK
+        pseudo-posting per doc that contained a dropped over-length token
+        (the soundness net for regex/substring factor pruning)."""
         s_dl = self.hot.get(DOC_LEN_TERM, 0)
         dl_salts = (
             (sbase % np.uint64(s_dl)).astype(np.int64)
@@ -263,11 +270,32 @@ class TokenizeStage:
                 pa.binary(),
             ),
         ]
-        dl_table = pa.Table.from_arrays(dl_cols, schema=TOKEN_SCHEMA)
-        if not token_cols:
-            return dl_table
-        tok_table = pa.Table.from_arrays(token_cols, schema=TOKEN_SCHEMA)
-        return pa.concat_tables([tok_table, dl_table])
+        parts = []
+        if token_cols:
+            parts.append(pa.Table.from_arrays(token_cols, schema=TOKEN_SCHEMA))
+        parts.append(pa.Table.from_arrays(dl_cols, schema=TOKEN_SCHEMA))
+        if long_docs is not None and long_docs.size:
+            n_long = int(long_docs.size)
+            s_lt = self.hot.get(LONG_TOK_TERM, 0)
+            lt_salts = (
+                (sbase[long_docs] % np.uint64(s_lt)).astype(np.int64)
+                if s_lt
+                else np.zeros(n_long, dtype=np.int64)
+            )
+            lt_cols = [
+                pa.array([LONG_TOK_TERM] * n_long, pa.string()),
+                pa.array(np.full(n_long, self._bucket(LONG_TOK_TERM)), pa.uint32()),
+                pa.array(lt_salts, pa.uint32()),
+                pa.array(doc_ids[long_docs], pa.uint64()),
+                pa.array(np.ones(n_long, dtype=np.uint32), pa.uint32()),
+                pa.array(dls[long_docs].astype(np.uint32), pa.uint32()),
+                pa.array(
+                    [b"\x00"] * n_long if self.store_positions else [b""] * n_long,
+                    pa.binary(),
+                ),
+            ]
+            parts.append(pa.Table.from_arrays(lt_cols, schema=TOKEN_SCHEMA))
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
     def _call_perdoc(self, batch: pa.Table) -> pa.Table:
         doc_ids = resolve_doc_ids(batch, self.id_col, self.key_cols)
@@ -312,6 +340,22 @@ class TokenizeStage:
             if self.store_positions:
                 pos_vals.append(np.array([0], dtype=np.uint64))
                 pos_counts.append(1)
+            # LONG_TOK pseudo-posting: doc had an over-MAX_WORD_LENGTH token
+            # that the length filter dropped (re-scan; this per-doc path only
+            # runs for vocab/stemmer configs, which are not the hot path)
+            if text and any(
+                len(t) > self.spec.max_len for t in TOKEN_RE.findall(text.lower())
+            ):
+                terms.append(LONG_TOK_TERM)
+                buckets.append(self._bucket(LONG_TOK_TERM))
+                s_t = hot.get(LONG_TOK_TERM)
+                salts.append(sbase % s_t if s_t else 0)
+                out_docs.append(did)
+                tfs.append(1)
+                dls.append(dl)
+                if self.store_positions:
+                    pos_vals.append(np.array([0], dtype=np.uint64))
+                    pos_counts.append(1)
 
         if self.store_positions and terms:
             flat = np.concatenate(pos_vals) if pos_vals else np.empty(0, dtype=np.uint64)

@@ -1,0 +1,96 @@
+"""Permuterm sidecar: rotation-range lookups agree with the brute
+dictionary filter, reads are range-pruned (io_stats ≪ total rotations),
+stale snapshots are invalidated, and regex candidate sets are identical
+with and without the sidecar."""
+
+import numpy as np
+import pyarrow.compute as pc
+import pytest
+
+from docodo_ray import IndexConfig, IndexReader, build_index
+from docodo_ray.config import load_stopwords
+from docodo_ray.permuterm import (
+    PM_SEP,
+    Permuterm,
+    _fingerprint,
+    build_permuterm,
+    get_permuterm,
+)
+from docodo_ray.regexsearch import regex_candidates
+from docodo_ray.tokenizer import TokenizerSpec
+
+
+@pytest.fixture(scope="module")
+def pm_index(tmp_path_factory, small_corpus_files):
+    out = str(tmp_path_factory.mktemp("pmidx") / "t1")
+    build_index(
+        out,
+        input_paths=small_corpus_files,
+        cfg=IndexConfig(n_buckets=8),
+        content_col="content",
+        key_cols=["repo", "path", "commit"],
+    )
+    return IndexReader(out)
+
+
+@pytest.fixture(scope="module")
+def pm(pm_index):
+    return Permuterm(build_permuterm(pm_index))
+
+
+def _dict_terms(reader) -> "pc.Expression":
+    return reader.term_dictionary(columns=("term",))["term"]
+
+
+def test_rotation_counts(pm, pm_index):
+    terms = _dict_terms(pm_index).to_pylist()
+    assert pm.total_rows == sum(len(t) for t in terms)
+
+
+@pytest.mark.parametrize("run", ["lic", "urn", "ass", "tic", "zzz"])
+def test_suffix_terms_match_brute_filter(pm, pm_index, run):
+    terms = _dict_terms(pm_index)
+    brute = sorted(terms.filter(pc.ends_with(terms, run)).to_pylist())
+    assert pm.suffix_terms(run) == brute
+
+
+@pytest.mark.parametrize("run", ["ubl", "tur", "las", "tat", "qqq"])
+def test_contains_terms_match_brute_filter(pm, pm_index, run):
+    terms = _dict_terms(pm_index)
+    brute = sorted(terms.filter(pc.match_substring(terms, run)).to_pylist())
+    assert pm.contains_terms(run) == brute
+
+
+def test_range_reads_are_pruned(pm):
+    pm.io_stats.update(rows_read=0, row_groups_read=0, files_read=0)
+    out = pm.suffix_terms("lic")
+    # a point-ish range must not read the whole rotation table
+    assert 0 < pm.io_stats["rows_read"] < pm.total_rows
+    assert "public" in out  # hot term -> non-empty
+
+
+def test_separator_isolates_exact_suffix(pm, pm_index):
+    # [run+SEP, run+"\x02") must not catch rotations of longer runs that
+    # merely START with run (e.g. 'lic' vs terms containing 'licX...')
+    for t in pm.suffix_terms("lic"):
+        assert t.endswith("lic")
+    assert PM_SEP < "0"  # sorts below every tokenizer character
+
+
+def test_regex_candidates_identical_with_sidecar(pm_index, pm):
+    spec = TokenizerSpec(3, 32, load_stopwords())
+    for pat in [r"\w*ublic\b", r"[a-z]+tati[a-z]+", r"stat[a-z]* void"]:
+        a = regex_candidates(pm_index, pat, spec)
+        b = regex_candidates(pm_index, pat, spec, pm=pm)
+        if a is None:
+            assert b is None
+        else:
+            assert np.array_equal(a, b)
+
+
+def test_build_is_idempotent_and_fingerprinted(pm_index):
+    d1 = build_permuterm(pm_index)
+    d2 = build_permuterm(pm_index)
+    assert d1 == d2
+    assert _fingerprint(pm_index.manifest) in d1
+    assert get_permuterm(pm_index).dir == d1

@@ -1,0 +1,145 @@
+"""Regex search: factor extraction, candidate soundness (superset of the
+true match set, verified against a brute-force RE2 scan), pruning
+effectiveness, and the LONG_TOK dropped-token net."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from docodo_ray import IndexConfig, IndexReader, build_index
+from docodo_ray.config import LONG_TOK_TERM, load_stopwords
+from docodo_ray.regexsearch import (
+    CONTAINS,
+    EXACT,
+    PREFIX,
+    SUFFIX,
+    _piece_doc_ids,
+    regex_candidates,
+    required_pieces,
+)
+from docodo_ray.tokenizer import TokenizerSpec
+
+
+@pytest.fixture(scope="module")
+def rx_index(tmp_path_factory, small_corpus_files):
+    out = str(tmp_path_factory.mktemp("rxidx") / "t1")
+    build_index(
+        out,
+        input_paths=small_corpus_files,
+        cfg=IndexConfig(n_buckets=8),
+        content_col="content",
+        key_cols=["repo", "path", "commit"],
+    )
+    return IndexReader(out)
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return TokenizerSpec(3, 32, load_stopwords())
+
+
+def _brute_match_docs(docs: dict[int, str], pattern: str) -> np.ndarray:
+    ids = np.array(sorted(docs), dtype=np.uint64)
+    texts = pa.array([docs[int(i)] for i in ids])
+    n = pc.count_substring_regex(texts, pattern).to_numpy(zero_copy_only=False)
+    return ids[n > 0]
+
+
+# ---- factor extraction ------------------------------------------------------
+
+def test_required_pieces_kinds():
+    # interior factor bounded by literal spaces on both sides -> EXACT;
+    # pattern-start edge -> token may extend left (SUFFIX), end -> PREFIX
+    assert required_pieces("x table y") == [
+        [("x", SUFFIX), ("table", EXACT), ("y", PREFIX)]
+    ]
+    # pattern edges are unbounded: left edge -> SUFFIX-of-token,
+    # right edge -> PREFIX-of-token
+    assert required_pieces("merge join") == [
+        [("merge", SUFFIX), ("join", PREFIX)]
+    ]
+    # \b bounds; letter/digit class change bounds interior runs
+    assert required_pieces(r"\btable\b") == [[("table", EXACT)]]
+    assert required_pieces("ab12cd") == [
+        [("ab", SUFFIX), ("12", EXACT), ("cd", PREFIX)]
+    ]
+
+
+def test_required_pieces_alternation_and_repeats():
+    assert required_pieces("a(bb|cc)d") == [
+        [("abbd", CONTAINS)], [("accd", CONTAINS)],
+    ]
+    # optional group contributes nothing; + keeps one required copy
+    assert required_pieces("scan(ner)?") == [[("scan", CONTAINS)]]
+    assert required_pieces("(scan)+") == [[("scan", CONTAINS)]]
+    # unparseable alternation explosion collapses soundly
+    dnf = required_pieces("(a|b)(c|d)(e|f)(g|h)(i|j)")
+    assert dnf == [[]] or all(isinstance(a, list) for a in dnf)
+
+
+def test_case_insensitive_factors_lowered():
+    assert required_pieces("MixedCase") == [[("mixedcase", CONTAINS)]]
+
+
+# ---- piece -> doc sets ------------------------------------------------------
+
+def test_stopword_and_short_pieces_unusable(rx_index, spec):
+    assert _piece_doc_ids(rx_index, "the", EXACT, spec) is None  # stop word
+    assert _piece_doc_ids(rx_index, "th", CONTAINS, spec) is None  # sub-min
+    # 'th' can also hide inside the stop word 'the' -> prefix unusable
+    assert _piece_doc_ids(rx_index, "the", PREFIX, spec) is None
+
+
+def test_long_run_maps_to_long_tok_postings(rx_index, spec):
+    s = _piece_doc_ids(rx_index, "a" * 33, EXACT, spec)
+    p = rx_index.read_posting(LONG_TOK_TERM)
+    assert p is not None and p.doc_ids.size > 0  # corpus plants 'a'*33
+    assert s is not None and np.array_equal(s, p.doc_ids)
+
+
+# ---- candidate soundness + pruning ------------------------------------------
+
+PATTERNS = [
+    "public static",            # hot exact-ish factors
+    "merge (join|batch)",       # DNF
+    r"\bclass\b",               # word-boundary exact
+    "aaaa",                     # only matches inside the dropped 'a'*33 token
+    "va[ln]ue",                 # char-class gap
+]
+
+
+@pytest.mark.parametrize("pattern", PATTERNS)
+def test_candidates_are_sound_superset(rx_index, spec, small_corpus_docs, pattern):
+    cand = regex_candidates(rx_index, pattern, spec)
+    truth = _brute_match_docs(small_corpus_docs, pattern)
+    assert cand is not None
+    missing = np.setdiff1d(truth, cand)
+    assert missing.size == 0, f"pruning dropped matching docs: {missing[:5]}"
+
+
+def test_candidates_actually_prune(rx_index, spec, small_corpus_docs):
+    n_docs = len(small_corpus_docs)
+    cand = regex_candidates(rx_index, "merge (join|batch)", spec)
+    assert cand is not None and 0 < cand.size < n_docs
+
+
+def test_long_token_net_catches_hidden_matches(rx_index, spec, small_corpus_docs):
+    # 'aaaa' appears ONLY inside the dropped 'a'*33 edge token — without the
+    # LONG_TOK pseudo-postings the candidate set would be empty and wrong
+    truth = _brute_match_docs(small_corpus_docs, "aaaa")
+    assert truth.size > 0, "fixture must contain the long edge token"
+    cand = regex_candidates(rx_index, "aaaa", spec)
+    assert cand is not None
+    assert np.setdiff1d(truth, cand).size == 0
+    lt = rx_index.read_posting(LONG_TOK_TERM)
+    assert np.setdiff1d(truth, lt.doc_ids).size == 0
+
+
+def test_unprunable_pattern_returns_none(rx_index, spec):
+    assert regex_candidates(rx_index, ".*", spec) is None
+    assert regex_candidates(rx_index, r"\d", spec) is None
+
+
+# ---- full pipeline vs oracle at sf0.001 is covered by
+# tests/test_driver_contract.py (auto-parametrized over queries()).
