@@ -297,6 +297,12 @@ def run_bench(num_cpus: int) -> dict:
     timings["curate_corpus"] = round(
         best_of(lambda: traindata.curate_corpus(sf_dir).count(),
                 name="curate_corpus"), 3)
+    # grep throughput: factor-pruned candidates + distributed RE2 verify
+    # (reuses the docs index built above; first draw also builds the
+    # permuterm sidecar, best-of reports the warm path)
+    timings["regex_search"] = round(
+        best_of(lambda: pipelines.regex_search(sf_dir).count(),
+                name="regex_search"), 3)
 
     ray.shutdown()
     return {
