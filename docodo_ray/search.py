@@ -163,6 +163,7 @@ class IndexReader:
         self._bucket_cache: dict[int, list[tuple]] = {}
         self._max_cached_buckets = max_cached_buckets
         self._term_dict = None
+        self._pm = None  # permuterm sidecar (enable_permuterm)
         self._seg_by_bucket: dict[int, list[str]] | None = None
         self._ts_by_bucket: dict[int, list[str]] | None = None
         # b -> [(ParquetFile, term mins, term maxs)] for term-stats sidecars
@@ -1211,16 +1212,34 @@ class IndexReader:
     def suggest(self, prefix: str, n: int = 10) -> list[str]:
         return self.suggest_table(prefix, n)["term"].to_pylist()
 
+    def enable_permuterm(self) -> None:
+        """Build/attach the permuterm rotation sidecar for this snapshot
+        (permuterm.py): leading-wildcard expansions then become sorted-
+        rotation range reads instead of full dictionary scans — the scale
+        path for a billion-term dictionary. Opt-in because the sidecar
+        build is itself a (dictionary-scale) Ray job."""
+        from docodo_ray.permuterm import get_permuterm
+
+        self._pm = get_permuterm(self)
+
     def like_words(self, pattern: str, cap: int = MAX_LIKE_WORDS) -> list[str]:
         """Wildcard expansion against the term dictionary, capped at 100
         (reference GetLikeWords, Search.cs:158-167). The literal prefix
         before the first wildcard prunes the read to its dictionary range;
-        a leading wildcard degrades to the streamed full scan."""
+        a leading wildcard uses the permuterm sidecar's longest-literal-run
+        range read when attached (enable_permuterm), else degrades to the
+        streamed full scan."""
+        import re as _re
+
         pat = pattern.lower()
         rx = wildcard_to_regex(pat)
         i = next((j for j, ch in enumerate(pat) if ch in ("?", "_")), len(pat))
+        run = max((r for r in _re.split(r"[?_]", pat) if r), key=len, default="")
         if i > 0:
             terms = self.term_stats_range(pat[:i], prefix_upper_bound(pat[:i]))["term"]
+        elif self._pm is not None and run:
+            # containing-terms superset, then the anchored regex exacts it
+            terms = pa.array(self._pm.contains_terms(run), pa.string())
         else:
             terms = self.term_dictionary(columns=("term",))["term"]
         m = pc.match_substring_regex(terms, rx)

@@ -88,6 +88,19 @@ def test_regex_candidates_identical_with_sidecar(pm_index, pm):
             assert np.array_equal(a, b)
 
 
+def test_like_words_leading_wildcard_uses_sidecar(pm_index):
+    brute = pm_index.like_words("?ublic")  # full-dictionary scan path
+    pm_index.enable_permuterm()
+    assert pm_index._pm is not None
+    got = pm_index.like_words("?ublic")
+    assert got == brute and "public" in got
+    # multi-wildcard, interior run: sidecar path == full-scan path
+    pm, pm_index._pm = pm_index._pm, None
+    brute2 = pm_index.like_words("?tati?")
+    pm_index._pm = pm
+    assert pm_index.like_words("?tati?") == brute2 and "static" in brute2
+
+
 def test_build_is_idempotent_and_fingerprinted(pm_index):
     d1 = build_permuterm(pm_index)
     d2 = build_permuterm(pm_index)
