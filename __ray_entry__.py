@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- inverted index + BM25 core (SURVEY §2.2/2.5/2.6, A1-A8) ---
         "token_counts": pipelines.token_counts,          # M1-M6 tokenize stage
+        "subtoken_counts": pipelines.subtoken_counts,    # camelCase code-search split
         "corpus_stats": pipelines.corpus_stats,          # A4 (N, total, avgdl)
         "term_df": pipelines.term_df,                    # A5 df/cf per term
         "top_terms": pipelines.top_terms,                # A6 histogram

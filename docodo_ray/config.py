@@ -112,6 +112,10 @@ class IndexConfig:
     # "simple" | "porter" | "russian" | "german" | "french" | "auto"
     # (auto = per-word script dispatch, Cyrillic -> russian else porter)
     stemmer: str = "simple"
+    # camelCase identifier subtoken splitting (code-search mode): index AND
+    # query tokenization split at lower/digit->upper boundaries, so
+    # "getFooBar" is findable as get/foo/bar (TokenizerSpec.split_camel)
+    split_camel: bool = False
 
 
 def resolve_n_buckets(cfg: "IndexConfig") -> "IndexConfig":
@@ -188,5 +192,5 @@ def tokenizer_spec(cfg: "IndexConfig"):
     return TokenizerSpec(
         cfg.min_word_length, cfg.max_word_length, stop,
         vocab=tuple(tuple(p) for p in cfg.vocab), use_stemmer=cfg.use_stemmer,
-        stemmer=cfg.stemmer,
+        stemmer=cfg.stemmer, split_camel=cfg.split_camel,
     )

@@ -58,6 +58,29 @@ def oracle_sql() -> dict[str, str]:
 SELECT term, doc_id, count(*) AS tf FROM filt GROUP BY term, doc_id
 """
 
+    # code-search tokenization: plant camel identifiers via the same literal
+    # replace the pipeline uses, split at lower/digit->upper boundaries with
+    # the identical RE2 pattern (tokenizer.CAMEL_RE), then tokenize as usual
+    from docodo_ray.pipelines import SUBTOKEN_MARK
+
+    sql["subtoken_counts"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(
+    lower(regexp_replace(replace(text, '{SUBTOKEN_MARK[0]}', '{SUBTOKEN_MARK[1]}'),
+                         '([a-z0-9])([A-Z])', '\\1 \\2', 'g')),
+    '{TOKEN_RE_SQL}') AS l
+  FROM documents
+),
+rawtok AS (
+  SELECT doc_id, unnest(l) AS term FROM toks
+),
+filt AS (
+  SELECT doc_id, term FROM rawtok
+  WHERE length(term) BETWEEN 3 AND 32 AND term NOT IN ({stop})
+)
+SELECT term, doc_id, count(*) AS tf FROM filt GROUP BY term, doc_id
+"""
+
     sql["corpus_stats"] = pro + """
 SELECT
   (SELECT count(*) FROM documents) AS n_docs,

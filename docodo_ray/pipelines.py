@@ -126,6 +126,45 @@ def token_counts(sf_dir: str) -> rd.Dataset:
     return tokens.map_batches(clean, batch_format="pyarrow")
 
 
+# literal marker injected to exercise the camelCase splitter on the (all-
+# lowercase) documents table — the same replace() runs in the SQL oracle
+SUBTOKEN_MARK = ("merge", "mergeJoinX")
+
+
+def subtoken_counts(sf_dir: str) -> rd.Dataset:
+    """(term, doc_id, tf) under code-search tokenization
+    (split_camel=True): camelCase identifiers index as their subtokens.
+    The documents table is lowercase, so a deterministic literal replace
+    plants camel identifiers first; the DuckDB oracle replays replace() +
+    the identical RE2 boundary split. Streaming map_batches, no shuffle."""
+    import pyarrow.compute as pc
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    cfg = IndexConfig(n_buckets=1, store_positions=False, split_camel=True)
+
+    def plant(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("text"), "text",
+            pc.replace_substring(t["text"], SUBTOKEN_MARK[0], SUBTOKEN_MARK[1]),
+        )
+
+    tokens = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        TokenizeStage,
+        fn_constructor_kwargs=dict(cfg=cfg, hot_terms={}, content_col="text", id_col="doc_id"),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.starts_with(t["term"], "\x00")))  # pseudo-terms
+        return pa.Table.from_arrays(
+            [t["term"], t["doc_id"].cast(pa.int64()), t["tf"].cast(pa.int64())],
+            names=["term", "doc_id", "tf"],
+        )
+
+    return tokens.map_batches(clean, batch_format="pyarrow")
+
+
 # ---- extractor round-trips (sources.py: M8/M9/M10 kernels) ------------------
 #
 # Each wraps documents.text into the format (HTML-escaped markup / BOM'd

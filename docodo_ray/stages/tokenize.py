@@ -188,7 +188,9 @@ class TokenizeStage:
         doc_ids = resolve_doc_ids(batch, self.id_col, self.key_cols)
         n_docs = doc_ids.size
         sbase = splitmix64(doc_ids)
-        texts = batch[self.content_col].to_pylist()
+        from docodo_ray.tokenizer import camel_split_column
+
+        texts = camel_split_column(batch[self.content_col], self.spec).to_pylist()
         if all(t is None or t.isascii() for t in texts):
             arr, doc_idx, pos, long_docs = self._flat_tokens_ascii(texts)
         else:
@@ -344,7 +346,8 @@ class TokenizeStage:
             # that the length filter dropped (re-scan; this per-doc path only
             # runs for vocab/stemmer configs, which are not the hot path)
             if text and any(
-                len(t) > self.spec.max_len for t in TOKEN_RE.findall(text.lower())
+                len(t) > self.spec.max_len
+                for t in TOKEN_RE.findall(self.spec.pre(text).lower())
             ):
                 terms.append(LONG_TOK_TERM)
                 buckets.append(self._bucket(LONG_TOK_TERM))

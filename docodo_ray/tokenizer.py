@@ -28,6 +28,9 @@ import numpy as np
 import regex
 
 TOKEN_RE = regex.compile(r"[\p{L}]+|[\p{N}]+")
+# camelCase subtoken boundary (TokenizerSpec.split_camel): ASCII classes
+# only, so the identical pattern runs in RE2 (pyarrow kernels, DuckDB)
+CAMEL_RE = regex.compile(r"([a-z0-9])([A-Z])")
 
 
 KNOWN_WORD_CHAR = "#"  # vocab word-group code namespace (reference Index.cs:111)
@@ -200,6 +203,18 @@ class TokenizerSpec:
     # Index.cs:158-181), or "auto" (per-word script dispatch: Cyrillic ->
     # russian, else porter — the multilingual-corpus mode)
     stemmer: str = "simple"
+    # identifier subtoken splitting for code search (Zoekt/Sourcegraph-style):
+    # a split is inserted at every ASCII lower/digit -> upper boundary BEFORE
+    # lowercasing, so camelCase identifiers index (and query) as their parts
+    # ("getFooBar" -> get foo bar; snake_case already splits at '_', which is
+    # no tokenizer character). ALL-CAPS acronym interiors have no such
+    # boundary ("HTMLParser" -> htmlparser) — the RE2-expressible subset of
+    # the splitter, shared verbatim with the DuckDB oracle.
+    split_camel: bool = False
+
+    def pre(self, text: str) -> str:
+        """Spec-dependent text pre-transform applied before tokenize_raw."""
+        return CAMEL_RE.sub(r"\1 \2", text) if self.split_camel else text
 
     def vocab_dict(self) -> dict[str, int]:
         return dict(self.vocab)
@@ -230,8 +245,21 @@ def tokenize_raw(text: str) -> list[str]:
     return TOKEN_RE.findall(text.lower())
 
 
+def camel_split_column(col, spec: TokenizerSpec):
+    """Vectorized TokenizerSpec.pre over an Arrow string column (the
+    batch-path sibling of the scalar pre): one RE2 kernel, no Python."""
+    if not spec.split_camel:
+        return col
+    import pyarrow.compute as pc
+
+    return pc.replace_substring_regex(
+        col, pattern=CAMEL_RE.pattern, replacement=r"\1 \2"
+    )
+
+
 def tokenize(text: str, spec: TokenizerSpec) -> tuple[list[str], list[int]]:
     """-> (kept_terms, positions) where positions index the raw stream."""
+    text = spec.pre(text)
     terms: list[str] = []
     positions: list[int] = []
     lo, hi, stop = spec.min_len, spec.max_len, spec.stopwords

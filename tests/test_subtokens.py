@@ -1,0 +1,62 @@
+"""camelCase identifier subtoken splitting (TokenizerSpec.split_camel):
+unit semantics, vectorized-vs-scalar parity, and an index whose queries
+find camel identifiers by their parts."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from docodo_ray import IndexConfig, IndexReader, build_index
+from docodo_ray.tokenizer import TokenizerSpec, camel_split_column, tokenize
+
+SPEC = TokenizerSpec(3, 32, frozenset(), split_camel=True)
+
+
+def test_split_semantics():
+    terms, pos = tokenize("getFooBar HTMLParser snake_case x2Fast", SPEC)
+    # raw stream: get foo bar htmlparser snake case x 2 fast
+    assert terms == ["get", "foo", "bar", "htmlparser", "snake", "case", "fast"]
+    assert pos == [0, 1, 2, 3, 4, 5, 8]
+    # off by default: unchanged behavior
+    off = TokenizerSpec(3, 32, frozenset())
+    assert tokenize("getFooBar", off)[0] == ["getfoobar"]
+
+
+def test_digit_boundaries_and_acronyms():
+    # '2'->'T' and '4'->'E' split; 'HTML2' -> html|2 and '64' drop (len<3)
+    assert tokenize("parseHTML2Text base64Encode", SPEC)[0] == [
+        "parse", "html", "text", "base", "encode",
+    ]
+
+
+def test_vectorized_column_matches_scalar():
+    texts = ["getFooBar", "HTMLParser", None, "aB" * 40, "x2Fast y9Z"]
+    col = pa.array(texts, pa.string())
+    out = camel_split_column(col, SPEC).to_pylist()
+    for raw, got in zip(texts, out):
+        assert got == (SPEC.pre(raw) if raw is not None else None)
+
+
+def test_index_finds_camel_parts(tmp_path):
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "content": pa.array([
+            "void getFooBar x",
+            "class QueryPlanner extends Base",
+            "plain lowercase words only",
+        ]),
+    })
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "idx")
+    build_index(out, input_paths=[src],
+                cfg=IndexConfig(n_buckets=4, split_camel=True),
+                content_col="content", id_col="doc_id")
+    r = IndexReader(out)
+    assert r.spec.split_camel  # manifest round-trip
+    assert [d for d, _ in r.search("foo", k=5)] == [1]
+    assert [d for d, _ in r.search("planner", k=5)] == [2]
+    # camel QUERY splits too: both parts must hit doc 2
+    assert [d for d, _ in r.search("queryPlanner", k=5)] == [2]
+    # unsplit identifier is NOT a term in this mode
+    assert r.search("getfoobar", k=5) == []
