@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts": pipelines.facet_counts,          # facet panel over meta cols
         "grouped_topk": pipelines.grouped_topk,          # diversified top-k per facet
         "regex_search": pipelines.regex_search,          # factor-pruned grep
+        "grep_lines": pipelines.grep_lines,              # grep with line numbers
         "wildcard_terms": pipelines.wildcard_terms,      # O6 GetLikeWords
         "suggest_prefix": pipelines.suggest_prefix,      # O4 suggestions
         "levenshtein_close": pipelines.levenshtein_close,  # M13 corrections

@@ -71,6 +71,7 @@ def _build_cfg(args) -> "object":
         use_stemmer=args.stemmer != "none",
         stemmer=args.stemmer if args.stemmer != "none" else "simple",
         vocab=vocab,
+        split_camel=getattr(args, "split_camel", False),
     )
 
 
@@ -377,6 +378,9 @@ def make_parser() -> argparse.ArgumentParser:
     b.add_argument("--vocab", default=None, help=".voc or TSV vocab file")
     b.add_argument("--no-positions", action="store_true")
     b.add_argument("--no-stopwords", action="store_true")
+    b.add_argument("--split-camel", action="store_true",
+                   help="code-search mode: index camelCase identifiers "
+                        "as their subtokens (queries split the same way)")
     b.set_defaults(fn=cmd_build)
 
     cr = sub.add_parser("crawl", help="crawl a seed URL into a parquet "

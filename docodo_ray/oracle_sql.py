@@ -374,6 +374,32 @@ FROM documents d CROSS JOIN pats p
 WHERE len(regexp_extract_all(d.text, p.pat)) > 0
 """
 
+    # grep with line numbers: plant newlines with the pipeline's literal
+    # replace, split, per-line RE2 counts (pipelines.grep_lines)
+    from docodo_ray.pipelines import GREP_LINE_MARK, GREP_QUERY_SET
+
+    gl_vals = ", ".join(
+        f"({pid}, '{pat.replace(chr(39), chr(39) * 2)}')"
+        for pid, pat in GREP_QUERY_SET
+    )
+    sql["grep_lines"] = f"""
+WITH pats(pattern_id, pat) AS (VALUES {gl_vals}),
+lined AS (
+  SELECT doc_id,
+         string_split(replace(text, '{GREP_LINE_MARK[0]}',
+                              '{GREP_LINE_MARK[0]}' || chr(10)), chr(10)) AS ls
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line, unnest(range(len(ls))) + 1 AS line_no
+  FROM lined
+)
+SELECT p.pattern_id, l.doc_id, CAST(l.line_no AS BIGINT) AS line_no,
+       CAST(len(regexp_extract_all(l.line, p.pat)) AS BIGINT) AS n_matches
+FROM lines l CROSS JOIN pats p
+WHERE len(regexp_extract_all(l.line, p.pat)) > 0
+"""
+
     sql["text_quality"] = f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS l FROM documents

@@ -673,6 +673,105 @@ def regex_search(sf_dir: str) -> rd.Dataset:
     )
 
 
+# grep_lines: documents are single-line token soup, so a deterministic
+# literal replace plants newlines first (same replace in the SQL oracle)
+GREP_LINE_MARK = ("window", "window\n")
+GREP_QUERY_SET: list[tuple[int, str]] = [
+    (1, "merge join"),
+    (2, "(data|key) (line|row)"),
+    (3, "slow (scan|sort)"),
+]
+
+
+class _GrepLinesStage:
+    """Per-line RE2 matching over candidate docs: plant newlines, split to
+    lines with one Arrow kernel, count matches per (line, pattern)."""
+
+    def __init__(self, cand_ref, query_set: list[tuple[int, str]]):
+        import ray
+
+        self.cands: dict[int, np.ndarray | None] = ray.get(cand_ref)
+        self.query_set = query_set
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["doc_id"].to_numpy()
+        planted = pc.replace_substring(
+            t["text"], GREP_LINE_MARK[0], GREP_LINE_MARK[1]
+        )
+        ls = pc.split_pattern(planted, pattern="\n")
+        lens = pc.list_value_length(ls).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(ls)
+        line_doc = np.repeat(np.arange(ids.size, dtype=np.int64), lens)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        line_no = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens) + 1
+        out = {k: [] for k in ("pattern_id", "doc_id", "line_no", "n_matches")}
+        for pid, pat in self.query_set:
+            c = self.cands[pid]
+            if c is None:
+                keep = np.arange(line_doc.size)
+            else:
+                keep = np.flatnonzero(np.isin(ids[line_doc], c))
+                if keep.size == 0:
+                    continue
+            cn = pc.count_substring_regex(flat.take(pa.array(keep)), pat) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            nz = np.flatnonzero(cn > 0)
+            if nz.size:
+                sel = keep[nz]
+                out["pattern_id"].append(np.full(nz.size, pid, dtype=np.int64))
+                out["doc_id"].append(ids[line_doc[sel]].astype(np.int64))
+                out["line_no"].append(line_no[sel])
+                out["n_matches"].append(cn[nz])
+        if not out["pattern_id"]:
+            return pa.table({k: pa.array([], pa.int64()) for k in out})
+        return pa.table({k: pa.array(np.concatenate(v), pa.int64())
+                         for k, v in out.items()})
+
+
+def grep_lines(sf_dir: str) -> rd.Dataset:
+    """(pattern_id, doc_id, line_no, n_matches): grep with line numbers —
+    the ripgrep-shaped output a source-code corpus user expects. Same
+    index-first candidate pruning as regex_search (newline planting never
+    changes the token stream, so posting-derived candidate sets stay
+    sound), then per-LINE distributed RE2 matching."""
+    import ray
+    import pyarrow.dataset as pads
+
+    from docodo_ray.permuterm import get_permuterm
+    from docodo_ray.regexsearch import regex_candidates
+
+    reader = get_index(sf_dir)
+    spec = _spec()
+    pm = get_permuterm(reader)
+    cands: dict[int, np.ndarray | None] = {}
+    union: np.ndarray | None = None
+    full_scan = False
+    for pid, pat in GREP_QUERY_SET:
+        c = regex_candidates(reader, pat, spec, pm=pm)
+        if c is None:
+            full_scan = True
+            cands[pid] = None
+        else:
+            c = c.astype(np.int64)
+            cands[pid] = c
+            union = c if union is None else np.union1d(union, c)
+    cand_ref = ray.put(cands)
+    read_kwargs: dict = dict(columns=["doc_id", "text"])
+    if not full_scan:
+        read_kwargs["filter"] = pads.field("doc_id").isin(
+            pa.array(union if union is not None else [], pa.int64())
+        )
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), **read_kwargs)
+    return ds.map_batches(
+        _GrepLinesStage,
+        fn_constructor_kwargs=dict(cand_ref=cand_ref, query_set=GREP_QUERY_SET),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
 SNIPPET_TERM = "hash"
 SNIPPET_WINDOW = 320  # reference MAX_FOUND_PAGE_TEXT, Index.cs:103
 

@@ -106,6 +106,9 @@ PATTERNS = [
     r"\bclass\b",               # word-boundary exact
     "aaaa",                     # only matches inside the dropped 'a'*33 token
     "va[ln]ue",                 # char-class gap
+    "(?i)PUBLIC STATIC",        # case-insensitive: pieces lower to index case
+    "MixedCaseToken",           # case-sensitive mixed literal, lowered piece
+    "(?i)mixedcasetoken",       # matches the camel token case-blind
 ]
 
 
