@@ -77,6 +77,13 @@ MAX_ALTERNATIVES = 16
 # A piece expanding to more dictionary terms than this prunes too little
 # to pay for its posting reads -> unusable.
 MAX_EXPANSION_TERMS = 512
+# A piece whose postings would exceed this many docs is unusable BEFORE its
+# posting lists are read (df comes from the term-stats sidecars, a
+# metadata-scale lookup): at 10^12-doc scale a hot-term candidate set is
+# itself corpus-scale, and a streamed verify scan is cheaper than shipping
+# it — the same reasoning as Cox's "too many trigram hits -> just grep".
+# The driver never holds more than this many candidate doc_ids per piece.
+MAX_CANDIDATE_DOCS = 5_000_000
 
 EXACT, PREFIX, SUFFIX, CONTAINS = "exact", "prefix", "suffix", "contains"
 
@@ -262,10 +269,15 @@ def _piece_doc_ids(
     if len(run) > spec.max_len:
         # every satisfying token exceeds MAX_WORD_LENGTH -> it was dropped;
         # the LONG_TOK pseudo-postings are exactly those docs
+        if reader.term_stats(LONG_TOK_TERM)[0] > MAX_CANDIDATE_DOCS:
+            return None  # blob-heavy corpus: the net itself is corpus-scale
         return _long_tok_docs(reader)
     if kind == EXACT:
         if run in stop:
             return None
+        df, _ = reader.term_stats(run)
+        if df > MAX_CANDIDATE_DOCS:
+            return None  # corpus-scale candidate set: scanning is cheaper
         p = reader.read_posting(run)
         return p.doc_ids if p is not None else np.empty(0, dtype=np.uint64)
     # a stop word satisfying the constraint would be an unindexed match
@@ -290,6 +302,13 @@ def _piece_doc_ids(
         term_list = terms.filter(mask).to_pylist()
     if len(term_list) > MAX_EXPANSION_TERMS:
         return None  # unselective; cheaper to let other pieces prune
+    # df budget check BEFORE any posting is read: term-stats lookups are
+    # metadata-scale, posting lists for hot terms are not
+    total_df = reader.term_stats(LONG_TOK_TERM)[0]
+    for t in term_list:
+        total_df += reader.term_stats(t)[0]
+        if total_df > MAX_CANDIDATE_DOCS:
+            return None
     sets = [_long_tok_docs(reader)]  # non-exact: the dropped-token net
     for t in term_list:
         p = reader.read_posting(t)

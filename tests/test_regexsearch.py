@@ -144,5 +144,18 @@ def test_unprunable_pattern_returns_none(rx_index, spec):
     assert regex_candidates(rx_index, r"\d", spec) is None
 
 
+def test_candidate_df_budget_gates_hot_pieces(rx_index, spec, monkeypatch):
+    # with a 1-doc budget every piece of a hot-term pattern is unusable ->
+    # the pattern degrades to a (sound) full scan, and no posting is read
+    import docodo_ray.regexsearch as rs
+
+    monkeypatch.setattr(rs, "MAX_CANDIDATE_DOCS", 1)
+    before = rx_index.io_stats["rows_read"]
+    assert _piece_doc_ids(rx_index, "public", EXACT, spec) is None
+    assert _piece_doc_ids(rx_index, "ublic", SUFFIX, spec) is None
+    assert regex_candidates(rx_index, "public static", spec) is None
+    assert rx_index.io_stats["rows_read"] == before  # stats-only lookups
+
+
 # ---- full pipeline vs oracle at sf0.001 is covered by
 # tests/test_driver_contract.py (auto-parametrized over queries()).
