@@ -583,6 +583,17 @@ def levenshtein_close(sf_dir: str) -> pa.Table:
     return pa.table({"term": t["term"], "dist": t["dist"].cast(pa.int64())})
 
 
+def _member_sorted(vals: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Membership of ``vals`` in an already-SORTED unique array — O(n log m)
+    per batch vs np.isin's re-sort of the (possibly millions-row) candidate
+    set on every batch."""
+    if sorted_set.size == 0:
+        return np.zeros(vals.size, dtype=bool)
+    idx = np.searchsorted(sorted_set, vals)
+    idx[idx == sorted_set.size] = 0
+    return sorted_set[idx] == vals
+
+
 class _RegexVerifyStage:
     """Actor-pool verify stage for regex_search: the per-pattern candidate
     doc_id sets are ray.put once and fetched per ACTOR (zero-copy from the
@@ -607,7 +618,7 @@ class _RegexVerifyStage:
             if c is None:
                 sub, sub_ids = t, ids
             else:
-                sel = np.flatnonzero(np.isin(ids, c, assume_unique=False))
+                sel = np.flatnonzero(_member_sorted(ids, c))
                 if sel.size == 0:
                     continue
                 sub, sub_ids = t.take(pa.array(sel)), ids[sel]
@@ -629,13 +640,16 @@ class _RegexVerifyStage:
         })
 
 
-def regex_search(sf_dir: str) -> rd.Dataset:
-    """(pattern_id, doc_id, n_matches): grep over the corpus, answered
-    index-first (regexsearch.py — required-factor extraction, dictionary
-    expansion, posting intersection) with distributed RE2 verification of
-    only the candidate docs. The parquet read itself is pruned to candidate
-    row groups via a doc_id isin filter; patterns that defeat pruning fall
-    back to a streamed full scan, never a driver-side one."""
+# above this many doc_ids the isin read filter costs more than it prunes
+# (the filter expression itself ships with every read task); the verify
+# stage still subsets per pattern
+READ_FILTER_MAX_IDS = 2_000_000
+
+
+def _regex_read_plan(sf_dir: str, query_set: list[tuple[int, str]]):
+    """Shared candidate prep for regex_search / grep_lines: per-pattern
+    candidate sets (ray.put once) + a doc_id-pruned read over the union
+    when the union is small enough to be a useful row-group filter."""
     import ray
     import pyarrow.dataset as pads
 
@@ -648,7 +662,7 @@ def regex_search(sf_dir: str) -> rd.Dataset:
     cands: dict[int, np.ndarray | None] = {}
     union: np.ndarray | None = None
     full_scan = False
-    for pid, pat in REGEX_QUERY_SET:
+    for pid, pat in query_set:
         c = regex_candidates(reader, pat, spec, pm=pm)
         if c is None:
             full_scan = True
@@ -658,13 +672,23 @@ def regex_search(sf_dir: str) -> rd.Dataset:
             cands[pid] = c
             union = c if union is None else np.union1d(union, c)
     cand_ref = ray.put(cands)
-    path = os.path.join(sf_dir, "documents.parquet")
     read_kwargs: dict = dict(columns=["doc_id", "text"])
-    if not full_scan:
+    if not full_scan and (union is None or union.size <= READ_FILTER_MAX_IDS):
         read_kwargs["filter"] = pads.field("doc_id").isin(
             pa.array(union if union is not None else [], pa.int64())
         )
-    ds = rd.read_parquet(path, **read_kwargs)
+    return cand_ref, read_kwargs
+
+
+def regex_search(sf_dir: str) -> rd.Dataset:
+    """(pattern_id, doc_id, n_matches): grep over the corpus, answered
+    index-first (regexsearch.py — required-factor extraction, dictionary
+    expansion, posting intersection) with distributed RE2 verification of
+    only the candidate docs. The parquet read itself is pruned to candidate
+    row groups via a doc_id isin filter; patterns that defeat pruning fall
+    back to a streamed full scan, never a driver-side one."""
+    cand_ref, read_kwargs = _regex_read_plan(sf_dir, REGEX_QUERY_SET)
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), **read_kwargs)
     return ds.map_batches(
         _RegexVerifyStage,
         fn_constructor_kwargs=dict(cand_ref=cand_ref, query_set=REGEX_QUERY_SET),
@@ -712,7 +736,7 @@ class _GrepLinesStage:
             if c is None:
                 keep = np.arange(line_doc.size)
             else:
-                keep = np.flatnonzero(np.isin(ids[line_doc], c))
+                keep = np.flatnonzero(_member_sorted(ids[line_doc], c))
                 if keep.size == 0:
                     continue
             cn = pc.count_substring_regex(flat.take(pa.array(keep)), pat) \
@@ -736,33 +760,7 @@ def grep_lines(sf_dir: str) -> rd.Dataset:
     index-first candidate pruning as regex_search (newline planting never
     changes the token stream, so posting-derived candidate sets stay
     sound), then per-LINE distributed RE2 matching."""
-    import ray
-    import pyarrow.dataset as pads
-
-    from docodo_ray.permuterm import get_permuterm
-    from docodo_ray.regexsearch import regex_candidates
-
-    reader = get_index(sf_dir)
-    spec = _spec()
-    pm = get_permuterm(reader)
-    cands: dict[int, np.ndarray | None] = {}
-    union: np.ndarray | None = None
-    full_scan = False
-    for pid, pat in GREP_QUERY_SET:
-        c = regex_candidates(reader, pat, spec, pm=pm)
-        if c is None:
-            full_scan = True
-            cands[pid] = None
-        else:
-            c = c.astype(np.int64)
-            cands[pid] = c
-            union = c if union is None else np.union1d(union, c)
-    cand_ref = ray.put(cands)
-    read_kwargs: dict = dict(columns=["doc_id", "text"])
-    if not full_scan:
-        read_kwargs["filter"] = pads.field("doc_id").isin(
-            pa.array(union if union is not None else [], pa.int64())
-        )
+    cand_ref, read_kwargs = _regex_read_plan(sf_dir, GREP_QUERY_SET)
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), **read_kwargs)
     return ds.map_batches(
         _GrepLinesStage,
