@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xml_manifest_extract": pipelines.xml_manifest_extract,  # S5 manifest source
         "bm25_topk": pipelines.bm25_topk,                # A8 replacement: BM25 top-k
         "bm25_batch_distributed": pipelines.bm25_batch_distributed,  # actor-pool batch eval
+        "more_like_this": pipelines.more_like_this,      # Lucene-style MLT (tfidf terms -> BM25)
         "docodo_rank": pipelines.docodo_rank,            # A8 original: proximity ranker
         "phrase_count": pipelines.phrase_count,          # D2 phrase adjacency
         "boolean_search": pipelines.boolean_search,      # M11 nested AND/OR tree

@@ -211,6 +211,61 @@ SELECT query_id, doc_id, score_e6 FROM (
 ) WHERE rn <= {BM25_K}
 """
 
+    # More-Like-This: per-seed tf*floor(ln(N/df)*1e6) term selection (the
+    # tfidf_topk weight), top MLT_TOP_TERMS per seed (ties by term asc),
+    # then the identical BM25 formula as bm25_topk over those terms with the
+    # seed excluded — both stages on integer ranking keys
+    from docodo_ray.pipelines import MLT_K, MLT_SEED_IDS, MLT_TOP_TERMS
+
+    seed_list = ", ".join(str(s) for s in MLT_SEED_IDS)
+    sql["more_like_this"] = pro + f""",
+tfd AS (SELECT doc_id, term, count(*) AS tf FROM filt GROUP BY doc_id, term),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM filt GROUP BY term),
+s AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM filt) AS total
+),
+seed_sc AS (
+  SELECT tfd.doc_id AS seed_doc_id, tfd.term,
+         tfd.tf * CAST(FLOOR(1000000 * ln(s.n_docs / dft.df)) AS BIGINT) AS w
+  FROM tfd JOIN dft USING (term) CROSS JOIN s
+  WHERE tfd.doc_id IN ({seed_list})
+),
+qt AS (
+  SELECT seed_doc_id, term FROM (
+    SELECT seed_doc_id, term,
+           ROW_NUMBER() OVER (PARTITION BY seed_doc_id
+                              ORDER BY w DESC, term ASC) AS rn
+    FROM seed_sc
+  ) WHERE rn <= {MLT_TOP_TERMS}
+),
+tft AS (
+  SELECT term, doc_id, count(*) AS tf FROM filt
+  WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id
+),
+dlt AS (SELECT doc_id, count(*) AS dl FROM filt GROUP BY doc_id),
+scored AS (
+  SELECT qt.seed_doc_id, tft.doc_id,
+    SUM(
+      ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+      * (tft.tf * (1.2 + 1)) / (tft.tf + 1.2 * (1 - 0.75 + 0.75 * dlt.dl / (s.total::DOUBLE / s.n_docs)))
+    ) AS score
+  FROM qt JOIN tft USING (term) JOIN dft USING (term)
+  JOIN dlt ON tft.doc_id = dlt.doc_id CROSS JOIN s
+  WHERE tft.doc_id != qt.seed_doc_id
+  GROUP BY qt.seed_doc_id, tft.doc_id
+)
+SELECT seed_doc_id, doc_id, score_e6 FROM (
+  SELECT seed_doc_id, doc_id,
+         CAST(FLOOR(score * 1000000) AS BIGINT) AS score_e6,
+         ROW_NUMBER() OVER (
+           PARTITION BY seed_doc_id
+           ORDER BY CAST(FLOOR(score * 1000000) AS BIGINT) DESC, doc_id ASC
+         ) AS rn
+  FROM scored
+) WHERE rn <= {MLT_K}
+"""
+
     # the reference's original proximity ranker (Search.cs:99-111,552-555):
     # merged match positions per doc; bonus = Σ 30 // max(5, gap) (C# integer
     # division); page rank = 1 + bonus + ln(n); doc rank = 1 + ln(page rank)

@@ -364,6 +364,75 @@ def bm25_topk(sf_dir: str) -> pa.Table:
     )
 
 
+MLT_SEED_IDS = (7, 42, 123, 321, 444)
+MLT_TOP_TERMS = 8
+MLT_K = 10
+
+
+def more_like_this(sf_dir: str) -> pa.Table:
+    """(seed_doc_id, doc_id, score_e6): Lucene-style More-Like-This. For
+    each seed document: re-analyze its text with the index tokenizer, weight
+    its distinct terms by tf * floor(ln(N/df)*1e6) (the tfidf_topk integer
+    weight, df from the index term dictionary), keep the MLT_TOP_TERMS best
+    (ties by term asc), then run the standard disjunctive BM25 over that
+    term set and return the top MLT_K excluding the seed itself.
+
+    Scale shape: per-seed cost is one row-group-pruned point read of the
+    seed text + cached-dictionary df lookups + <=MLT_TOP_TERMS posting
+    reads — pure query-time work, no corpus scan; a large seed set would go
+    through the distributed batch-query executor like bm25_batch_distributed.
+    (Reference analog: Docodo's close-words/LikeWords expansion is the only
+    related-content feature, Search.cs GetLikeWords; MLT is the standard
+    search-engine generalization.)"""
+    import math
+
+    import pyarrow.dataset as pads
+
+    from docodo_ray.search import score_query_e6
+
+    r = get_index(sf_dir)
+    spec = _spec()
+    dset = pads.dataset(os.path.join(sf_dir, "documents.parquet"))
+    seeds_t = dset.to_table(
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(list(MLT_SEED_IDS)),
+    )
+    texts = dict(zip(seeds_t["doc_id"].to_pylist(), seeds_t["text"].to_pylist()))
+    td = r.term_dictionary(("term", "df"))
+    df_map = dict(zip(td["term"].to_pylist(), td["df"].to_pylist()))
+    n_docs = r.n_docs
+    out_seed: list[int] = []
+    out_doc: list[int] = []
+    out_sc: list[int] = []
+    for seed in MLT_SEED_IDS:
+        toks = tokenize(texts.get(seed) or "", spec)[0]
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        scored = []
+        for t, f in tf.items():
+            df = df_map.get(t)
+            if not df:
+                continue
+            idf_e6 = math.floor(math.log(n_docs / df) * 1e6)
+            scored.append((-(f * idf_e6), t))
+        scored.sort()
+        terms = [t for _, t in scored[:MLT_TOP_TERMS]]
+        if not terms:
+            continue
+        docs, e6 = score_query_e6(r, " ".join(terms), MLT_K + 1)
+        keep = docs != seed
+        docs, e6 = docs[keep][:MLT_K], e6[keep][:MLT_K]
+        out_seed.extend([seed] * docs.size)
+        out_doc.extend(docs.tolist())
+        out_sc.extend(e6.tolist())
+    return pa.table(
+        {"seed_doc_id": pa.array(out_seed, pa.int64()),
+         "doc_id": pa.array(out_doc, pa.int64()),
+         "score_e6": pa.array(out_sc, pa.int64())}
+    )
+
+
 def bm25_batch_distributed(sf_dir: str) -> rd.Dataset:
     """The SAME query set answered by the distributed batch-query executor
     (actor pool of IndexReaders streaming a queries table,
