@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         pipelines,
         sim,
+        symbols,
         textstats,
         traindata,
         windows,
@@ -57,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": pipelines.bm25_topk,                # A8 replacement: BM25 top-k
         "bm25_batch_distributed": pipelines.bm25_batch_distributed,  # actor-pool batch eval
         "more_like_this": pipelines.more_like_this,      # Lucene-style MLT (tfidf terms -> BM25)
+        "symbol_defs": symbols.symbol_defs,              # ctags-style definition extraction
+        "symbol_search": symbols.symbol_search,          # Zoekt-style symbol-boosted ranking
         "docodo_rank": pipelines.docodo_rank,            # A8 original: proximity ranker
         "phrase_count": pipelines.phrase_count,          # D2 phrase adjacency
         "boolean_search": pipelines.boolean_search,      # M11 nested AND/OR tree

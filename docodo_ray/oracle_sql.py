@@ -455,6 +455,100 @@ FROM lines l CROSS JOIN pats p
 WHERE len(regexp_extract_all(l.line, p.pat)) > 0
 """
 
+    # symbol extraction + symbol-boosted search (symbols.py): replay the
+    # definition-line planting, split to lines, one regexp per kind, then
+    # BM25 (identical formula/terms as bm25_topk) + boost per def site
+    from docodo_ray.symbols import (
+        SYMBOL_BOOST_E6,
+        SYMBOL_K,
+        SYMBOL_PATTERNS,
+        SYMBOL_PLANTS,
+        SYMBOL_QUERY_SYMBOL,
+        SYMBOL_QUERY_TEXT,
+    )
+
+    planted_expr = "text"
+    for phrase, repl in SYMBOL_PLANTS:
+        # repl is "\n<line>\n" — rebuild with chr(10) so the SQL literal
+        # carries no raw newline
+        body = repl.strip("\n")
+        planted_expr = (
+            f"replace({planted_expr}, '{phrase}', "
+            f"chr(10) || '{body}' || chr(10))"
+        )
+    sym_branches = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, line_no, '{kind}' AS kind, "
+        f"regexp_extract(line, '{pat.replace('(?P<sym>', '(')}', 1) AS symbol "
+        f"FROM lines WHERE regexp_matches(line, '{pat.replace('(?P<sym>', '(')}')"
+        for kind, pat in SYMBOL_PATTERNS
+    )
+    _sym_pro = f"""
+WITH planted AS (
+  SELECT doc_id, {planted_expr} AS text FROM documents
+),
+lined AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line,
+         CAST(unnest(range(len(ls))) + 1 AS BIGINT) AS line_no
+  FROM lined
+),
+defs AS (
+{sym_branches}
+)"""
+    sql["symbol_defs"] = _sym_pro + """
+SELECT doc_id, line_no, kind, symbol FROM defs
+"""
+
+    sq_terms = sorted(set(tokenize(SYMBOL_QUERY_TEXT, spec)[0]))
+    sq_vals = ", ".join(f"('{t}')" for t in sq_terms)
+    sql["symbol_search"] = _sym_pro + f""",
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS l FROM documents
+),
+rawtok AS (SELECT doc_id, unnest(l) AS term FROM toks),
+filt AS (
+  SELECT doc_id, term FROM rawtok
+  WHERE length(term) BETWEEN 3 AND 32 AND term NOT IN ({stop})
+),
+qt(term) AS (VALUES {sq_vals}),
+s AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM filt) AS total
+),
+tft AS (
+  SELECT term, doc_id, count(*) AS tf FROM filt
+  WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id
+),
+dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM filt
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+dlt AS (SELECT doc_id, count(*) AS dl FROM filt GROUP BY doc_id),
+bm25 AS (
+  SELECT tft.doc_id,
+    CAST(FLOOR(SUM(
+      ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+      * (tft.tf * (1.2 + 1)) / (tft.tf + 1.2 * (1 - 0.75 + 0.75 * dlt.dl / (s.total::DOUBLE / s.n_docs)))
+    ) * 1000000) AS BIGINT) AS bm25_e6
+  FROM qt JOIN tft USING (term) JOIN dft USING (term)
+  JOIN dlt ON tft.doc_id = dlt.doc_id CROSS JOIN s
+  GROUP BY tft.doc_id
+),
+nd AS (
+  SELECT doc_id, count(*) AS n_defs FROM defs
+  WHERE symbol = '{SYMBOL_QUERY_SYMBOL}' GROUP BY doc_id
+)
+SELECT doc_id, score_e6 FROM (
+  SELECT b.doc_id,
+         b.bm25_e6 + {SYMBOL_BOOST_E6} * COALESCE(nd.n_defs, 0) AS score_e6,
+         ROW_NUMBER() OVER (
+           ORDER BY b.bm25_e6 + {SYMBOL_BOOST_E6} * COALESCE(nd.n_defs, 0) DESC,
+                    b.doc_id ASC
+         ) AS rn
+  FROM bm25 b LEFT JOIN nd USING (doc_id)
+) WHERE rn <= {SYMBOL_K}
+"""
+
     sql["text_quality"] = f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS l FROM documents

@@ -1,0 +1,92 @@
+"""Symbol (definition-site) extraction + symbol-boosted search."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from docodo_ray.symbols import (
+    SYMBOL_BOOST_E6,
+    _extract_batch,
+    extract_symbols,
+)
+
+
+CODE = """\
+import os
+
+def alpha(x):
+    return x
+
+class Beta:
+    def gamma(self, y):
+        pass
+
+func delta() {
+}
+
+fn epsilon() {
+}
+def alpha(z):
+"""
+
+
+def test_extract_batch_kinds_and_lines():
+    t = pa.table({"doc_id": pa.array([7], pa.int64()), "text": pa.array([CODE])})
+    out = _extract_batch(t)
+    rows = sorted(
+        zip(out["line_no"].to_pylist(), out["kind"].to_pylist(),
+            out["symbol"].to_pylist())
+    )
+    assert rows == [
+        (3, "def", "alpha"),
+        (6, "class", "Beta"),
+        (10, "func", "delta"),
+        (13, "fn", "epsilon"),
+        (15, "def", "alpha"),
+    ]
+    assert out["doc_id"].to_pylist() == [7] * 5
+
+
+def test_extract_batch_indented_def_not_matched():
+    # per-line anchored ^: methods (indented defs) are not top-level symbols
+    t = pa.table(
+        {"doc_id": pa.array([1], pa.int64()),
+         "text": pa.array(["    def hidden(self):\ndef visible(a):"])}
+    )
+    out = _extract_batch(t)
+    assert out["symbol"].to_pylist() == ["visible"]
+    assert out["line_no"].to_pylist() == [2]
+
+
+def test_extract_symbols_dataset_no_plant():
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([1, 2], pa.int64()),
+             "text": pa.array(["def one(a):", "no symbols here"])}
+        )
+    )
+    out = extract_symbols(ds, plant=False).to_arrow_refs()
+    import ray
+
+    t = pa.concat_tables([ray.get(r) for r in out])
+    assert t["symbol"].to_pylist() == ["one"]
+
+
+def test_symbol_search_boost_reorders(tmp_path):
+    """Docs DEFINING the queried symbol must outrank docs that merely
+    mention its subtokens, whenever both appear."""
+    from docodo_ray.symbols import symbol_search, SYMBOL_QUERY_SYMBOL
+
+    sf = "/root/testdata/sf0.001"
+    t = symbol_search(sf)
+    assert t.num_rows == 10
+    scores = np.array(t["score_e6"].to_pylist())
+    # ranked desc, ties by doc_id asc
+    assert all(
+        (scores[i] > scores[i + 1])
+        or (scores[i] == scores[i + 1]
+            and t["doc_id"][i].as_py() < t["doc_id"][i + 1].as_py())
+        for i in range(len(scores) - 1)
+    )
+    # boost is visible: top hit carries at least one definition-site boost
+    assert scores[0] >= SYMBOL_BOOST_E6
