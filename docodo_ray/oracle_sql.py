@@ -549,6 +549,49 @@ SELECT doc_id, score_e6 FROM (
 ) WHERE rn <= {SYMBOL_K}
 """
 
+    # C4-style line cleaning (traindata.c4_line_clean): replay the plant
+    # chain, doc-level poison rules, per-line keep rules, and kept-line
+    # reassembly
+    from docodo_ray.traindata import (
+        C4_MIN_KEPT_LINES,
+        C4_MIN_WORDS,
+        C4_PLANTS,
+        C4_TERMINAL_RE,
+    )
+
+    c4_expr = "text"
+    for phrase, repl in C4_PLANTS:
+        body = repl.strip("\n")
+        c4_expr = (
+            f"replace({c4_expr}, '{phrase}', "
+            f"chr(10) || '{body}' || chr(10))"
+        )
+    sql["c4_line_clean"] = f"""
+WITH planted AS (
+  SELECT doc_id, {c4_expr} AS text FROM documents
+),
+docok AS (
+  SELECT * FROM planted
+  WHERE NOT contains(text, 'lorem ipsum') AND NOT contains(text, '{{')
+),
+lined AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docok),
+lines AS (
+  SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, unnest(ls) AS line,
+         CAST(unnest(range(len(ls))) + 1 AS BIGINT) AS line_no
+  FROM lined
+),
+kept AS (
+  SELECT * FROM lines
+  WHERE regexp_matches(line, '{C4_TERMINAL_RE}')
+    AND len(regexp_extract_all(line, '[^ ]+')) >= {C4_MIN_WORDS}
+    AND NOT contains(line, 'javascript')
+)
+SELECT doc_id, any_value(n_lines) AS n_lines,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(line, chr(10) ORDER BY line_no) AS clean_text
+FROM kept GROUP BY doc_id HAVING count(*) >= {C4_MIN_KEPT_LINES}
+"""
+
     sql["text_quality"] = f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS l FROM documents

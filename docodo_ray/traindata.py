@@ -1051,3 +1051,100 @@ def lm_perplexity(sf_dir: str,
         headers, batch_format="pyarrow")
     return hdr.union(scored).groupby("dk").map_groups(
         doc_sum, batch_format="pyarrow")
+
+
+# ---- C4-style line cleaning --------------------------------------------------
+# The C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning", appendix: the public heuristics every web-scale
+# training corpus pipeline reimplements): keep only lines that end in a
+# terminal punctuation mark, contain >= 5 words, and do not mention
+# "javascript"; drop whole documents containing "lorem ipsum" or "{", or
+# with fewer than 3 surviving lines. Stateless streaming map_batches —
+# one pass over the text column, nothing corpus-scale anywhere.
+#
+# The driver corpus is single-line word soup, so (same trick as
+# symbols.py / grep_lines) a deterministic literal-replace chain plants
+# multi-line structure first; the DuckDB oracle replays the identical
+# replace chain, line split, and rule arithmetic, so the hash check pins
+# the rule semantics exactly.
+
+# Replace chain ORDER matters: multi-word poison phrases first so the
+# single-word plants cannot consume them. No replacement body contains a
+# later plant phrase.
+C4_PLANTS: tuple[tuple[str, str], ...] = (
+    ("slow sort", "\nlorem ipsum dolor sit amet\n"),
+    ("fast scan", "\nif (x) { y(); }\n"),
+    ("join", "\nthe quick brown fox jumps over the lazy dog.\n"),
+    ("scan", "\ndistributed pipelines should stream blocks with backpressure.\n"),
+    ("window", "\nplease enable javascript to view this content\n"),
+)
+C4_MIN_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def _c4_plant(t: pa.Table) -> pa.Table:
+    col = t["text"]
+    for phrase, repl in C4_PLANTS:
+        col = pc.replace_substring(col, phrase, repl)
+    return t.set_column(t.schema.get_field_index("text"), "text", col)
+
+
+def _c4_clean_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, n_lines, n_kept, clean_text) for surviving docs only.
+    Line predicates are Arrow kernels over the flattened line column; the
+    per-doc reassembly touches only kept lines of surviving docs."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    txt = t["text"]
+    bad_doc = pc.or_(
+        pc.match_substring(txt, "lorem ipsum"),
+        pc.match_substring(txt, "{"),
+    ).to_numpy(zero_copy_only=False)
+
+    ls = pc.split_pattern(txt, pattern="\n")
+    lens = pc.list_value_length(ls).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(ls)
+    line_doc = np.repeat(np.arange(ids.size, dtype=np.int64), lens)
+
+    keep = pc.and_(
+        pc.and_(
+            pc.match_substring_regex(flat, C4_TERMINAL_RE),
+            pc.greater_equal(
+                pc.count_substring_regex(flat, "[^ ]+"), C4_MIN_WORDS),
+        ),
+        pc.invert(pc.match_substring(flat, "javascript")),
+    ).to_numpy(zero_copy_only=False)
+
+    kept_per_doc = np.bincount(line_doc[keep], minlength=ids.size).astype(np.int64)
+    survive = (~bad_doc) & (kept_per_doc >= C4_MIN_KEPT_LINES)
+    if not survive.any():
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_lines": pa.array([], pa.int64()),
+            "n_kept": pa.array([], pa.int64()),
+            "clean_text": pa.array([], pa.string()),
+        })
+    # reassemble kept lines, in order, for surviving docs (result-scale)
+    take_mask = keep & survive[line_doc]
+    take_idx = np.flatnonzero(take_mask)
+    kept_lines = flat.take(pa.array(take_idx)).to_pylist()
+    kept_docs = line_doc[take_idx]
+    boundaries = np.flatnonzero(np.diff(kept_docs)) + 1
+    groups = np.split(kept_lines, boundaries) if kept_lines else []
+    sur_idx = np.flatnonzero(survive)
+    clean = ["\n".join(g) for g in groups]
+    return pa.table({
+        "doc_id": pa.array(ids[sur_idx], pa.int64()),
+        "n_lines": pa.array(lens[sur_idx], pa.int64()),
+        "n_kept": pa.array(kept_per_doc[sur_idx], pa.int64()),
+        "clean_text": pa.array(clean, pa.string()),
+    })
+
+
+def c4_line_clean(sf_dir: str) -> rd.Dataset:
+    """C4 line-cleaning over the (planted) documents table: surviving
+    (doc_id, n_lines, n_kept, clean_text) rows."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return (ds.map_batches(_c4_plant, batch_format="pyarrow")
+              .map_batches(_c4_clean_batch, batch_format="pyarrow"))
