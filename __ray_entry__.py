@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": pipelines.more_like_this,      # Lucene-style MLT (tfidf terms -> BM25)
         "symbol_defs": symbols.symbol_defs,              # ctags-style definition extraction
         "symbol_search": symbols.symbol_search,          # Zoekt-style symbol-boosted ranking
+        "symbol_refs": symbols.symbol_refs,              # find-references xref counts
         "docodo_rank": pipelines.docodo_rank,            # A8 original: proximity ranker
         "phrase_count": pipelines.phrase_count,          # D2 phrase adjacency
         "boolean_search": pipelines.boolean_search,      # M11 nested AND/OR tree

@@ -499,6 +499,56 @@ defs AS (
 SELECT doc_id, line_no, kind, symbol FROM defs
 """
 
+    # find-references (symbols.xref_counts): defs + call-site plants, then
+    # per defined symbol count def sites / def docs / mention-only docs.
+    # Mention tokenization: RE2 extract-all of [A-Za-z_][A-Za-z0-9_]* ==
+    # the engine's maximal-[A-Za-z0-9_]-run split with leading digits
+    # stripped (one match per run), case-sensitive.
+    from docodo_ray.symbols import REF_PLANTS
+
+    xref_expr = "text"
+    for phrase, repl in SYMBOL_PLANTS + REF_PLANTS:
+        body = repl.strip("\n")
+        xref_expr = (
+            f"replace({xref_expr}, '{phrase}', "
+            f"chr(10) || '{body}' || chr(10))"
+        )
+    sql["symbol_refs"] = f"""
+WITH planted AS (
+  SELECT doc_id, {xref_expr} AS text FROM documents
+),
+lined AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line,
+         CAST(unnest(range(len(ls))) + 1 AS BIGINT) AS line_no
+  FROM lined
+),
+defs AS (
+{sym_branches}
+),
+defagg AS (
+  SELECT symbol, CAST(count(*) AS BIGINT) AS n_def_sites,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_def_docs
+  FROM defs GROUP BY symbol
+),
+mention AS (
+  SELECT DISTINCT doc_id, tok AS symbol FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]*')) AS tok
+    FROM planted)
+),
+refs AS (
+  SELECT m.symbol, CAST(count(*) AS BIGINT) AS n_ref_docs
+  FROM mention m
+  LEFT JOIN (SELECT DISTINCT symbol, doc_id FROM defs) d
+    ON m.symbol = d.symbol AND m.doc_id = d.doc_id
+  WHERE d.symbol IS NULL GROUP BY m.symbol
+)
+SELECT da.symbol, da.n_def_sites, da.n_def_docs,
+       COALESCE(r.n_ref_docs, CAST(0 AS BIGINT)) AS n_ref_docs
+FROM defagg da LEFT JOIN refs r USING (symbol)
+"""
+
     sq_terms = sorted(set(tokenize(SYMBOL_QUERY_TEXT, spec)[0]))
     sq_vals = ", ".join(f"('{t}')" for t in sq_terms)
     sql["symbol_search"] = _sym_pro + f""",

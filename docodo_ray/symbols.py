@@ -128,6 +128,183 @@ def symbol_defs(sf_dir: str) -> rd.Dataset:
     return extract_symbols(ds)
 
 
+# ---- find-references (xref) -------------------------------------------------
+# The other half of a code-search symbol layer: for every DEFINED symbol,
+# how many docs define it and how many other docs merely reference it
+# (LSIF/Sourcegraph "find references", Zoekt's symbol vs content match
+# split). Both sides are corpus-scale at 10^12 files, so this runs as a
+# symbol-hash-partitioned exchange (the same coarse-key semi-join shape as
+# decontamination / DSIR): def rows and distinct per-doc mention rows are
+# unioned, grouped by a coarse hash of the symbol, and each partition
+# resolves its own symbols vectorized — nothing is broadcast or
+# driver-collected.
+#
+# Mention tokenization is identifier-shaped (maximal [A-Za-z0-9_]+ runs
+# with leading digits stripped == RE2 extract-all of
+# [A-Za-z_][A-Za-z0-9_]*, one match per run), case-sensitive — `HashTable`
+# the identifier, not `hash table` the phrase. The driver corpus is
+# single-line word soup, so call-site lines are planted deterministically
+# alongside the definition lines; the DuckDB oracle replays the identical
+# chain.
+
+REF_PLANTS: tuple[tuple[str, str], ...] = (
+    ("key order", "\nx = merge_join(left_rows, right_rows)\n"),
+    ("big data", "\nt = HashTable()\n"),
+    ("stream spark", "\nfastScan()\n"),
+    ("agg value", "\nslow_sort(records)\n"),
+)
+
+IDENT_SPLIT_RE = r"[^A-Za-z0-9_]+"
+_XREF_COARSE = 256
+
+_XREF_ROW = pa.schema([("symbol", pa.string()), ("doc_id", pa.int64()),
+                       ("def_sites", pa.int64()), ("is_def", pa.int64()),
+                       ("gk", pa.int64())])
+_XREF_OUT = pa.schema([("symbol", pa.string()), ("n_def_sites", pa.int64()),
+                       ("n_def_docs", pa.int64()), ("n_ref_docs", pa.int64())])
+
+# per-worker-process symbol-hash memo (vocabulary is tiny next to the
+# token stream)
+_GK_CACHE: dict = {}
+
+
+def _sym_gk(syms: list[str]) -> np.ndarray:
+    from docodo_ray.dedup import _elem_hashes
+    from docodo_ray.traindata import _coarse_i64
+
+    return _coarse_i64(_elem_hashes(syms, _GK_CACHE), _XREF_COARSE)
+
+
+def _plant_xref(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    col = t["text"]
+    for phrase, repl in SYMBOL_PLANTS + REF_PLANTS:
+        col = pc.replace_substring(col, phrase, repl)
+    return t.set_column(t.schema.get_field_index("text"), "text", col)
+
+
+def _xref_empty() -> pa.Table:
+    return pa.Table.from_arrays(
+        [pa.array([], pa.string())] + [pa.array([], pa.int64())] * 4,
+        schema=_XREF_ROW)
+
+
+def _def_rows(t: pa.Table) -> pa.Table:
+    """(symbol, doc_id, def_sites, is_def=1, gk): map-side combined
+    definition rows."""
+    d = _extract_batch(t)
+    if d.num_rows == 0:
+        return _xref_empty()
+    g = d.group_by(["symbol", "doc_id"]).aggregate([("kind", "count")])
+    syms = g["symbol"].to_pylist()
+    return pa.Table.from_arrays(
+        [g["symbol"].combine_chunks() if isinstance(g["symbol"], pa.ChunkedArray)
+         else g["symbol"],
+         g["doc_id"].cast(pa.int64()),
+         g["kind_count"].cast(pa.int64()),
+         pa.array(np.ones(len(syms), np.int64)),
+         pa.array(_sym_gk(syms), pa.int64())], schema=_XREF_ROW)
+
+
+def _mention_rows(t: pa.Table) -> pa.Table:
+    """(symbol, doc_id, 0, is_def=0, gk): one row per DISTINCT
+    identifier-shaped token per doc — Arrow split + numpy unique, no
+    per-row Python."""
+    import pyarrow.compute as pc
+
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = pc.split_pattern_regex(t["text"], pattern=IDENT_SPLIT_RE)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+    flat = pc.utf8_ltrim(pc.list_flatten(toks), characters="0123456789")
+    ok = pc.and_kleene(pc.is_valid(flat), pc.not_equal(flat, ""))
+    mask = ok.to_numpy(zero_copy_only=False).astype(bool)
+    doc_idx = np.repeat(np.arange(ids.size, dtype=np.int64), lens)
+    keep = np.flatnonzero(mask)
+    if keep.size == 0:
+        return _xref_empty()
+    arr = flat.to_numpy(zero_copy_only=False)
+    u, inv = np.unique(arr[keep], return_inverse=True)
+    key = doc_idx[keep] * np.int64(u.size) + inv
+    uk = np.unique(key)
+    m_doc = ids[uk // u.size]
+    m_sym_idx = uk % u.size
+    gk_u = _sym_gk(u.tolist())
+    return pa.Table.from_arrays(
+        [pa.array(u[m_sym_idx].tolist(), pa.string()),
+         pa.array(m_doc, pa.int64()),
+         pa.array(np.zeros(uk.size, np.int64)),
+         pa.array(np.zeros(uk.size, np.int64)),
+         pa.array(gk_u[m_sym_idx], pa.int64())], schema=_XREF_ROW)
+
+
+def _xref_part(g: pa.Table) -> pa.Table:
+    """Resolve one coarse symbol partition: per defined symbol, total def
+    sites, distinct defining docs, distinct referencing (mention-only)
+    docs. Pure numpy segment reductions."""
+    sym = g["symbol"].to_numpy(zero_copy_only=False)
+    doc = g["doc_id"].to_numpy(zero_copy_only=False)
+    dsn = g["def_sites"].to_numpy(zero_copy_only=False)
+    isd = g["is_def"].to_numpy(zero_copy_only=False)
+    if sym.size == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.string())] + [pa.array([], pa.int64())] * 3,
+            schema=_XREF_OUT)
+    u, code = np.unique(sym, return_inverse=True)
+    order = np.lexsort((doc, code))
+    code, doc, dsn, isd = code[order], doc[order], dsn[order], isd[order]
+    newpair = np.concatenate(
+        ([True], (np.diff(code) != 0) | (np.diff(doc) != 0)))
+    seg = np.cumsum(newpair) - 1
+    n_pairs = int(seg[-1]) + 1
+    p_code = code[newpair]
+    p_def_sites = np.bincount(seg, weights=dsn, minlength=n_pairs)
+    p_has_def = np.bincount(seg, weights=isd, minlength=n_pairs) > 0
+    p_has_mention = np.bincount(
+        seg, weights=1 - isd, minlength=n_pairs) > 0
+    news = np.concatenate(([True], np.diff(p_code) != 0))
+    sseg = np.cumsum(news) - 1
+    n_syms = int(sseg[-1]) + 1
+    n_def_sites = np.bincount(
+        sseg, weights=p_def_sites, minlength=n_syms).astype(np.int64)
+    n_def_docs = np.bincount(
+        sseg, weights=p_has_def, minlength=n_syms).astype(np.int64)
+    n_ref_docs = np.bincount(
+        sseg, weights=p_has_mention & ~p_has_def,
+        minlength=n_syms).astype(np.int64)
+    symu = u[p_code[news]]
+    defined = np.flatnonzero(n_def_docs > 0)
+    return pa.Table.from_arrays(
+        [pa.array(symu[defined].tolist(), pa.string()),
+         pa.array(n_def_sites[defined], pa.int64()),
+         pa.array(n_def_docs[defined], pa.int64()),
+         pa.array(n_ref_docs[defined], pa.int64())], schema=_XREF_OUT)
+
+
+def xref_counts(ds: rd.Dataset, plant: bool = True) -> rd.Dataset:
+    """(symbol, n_def_sites, n_def_docs, n_ref_docs) per defined symbol
+    over a (doc_id, text) Dataset — the distributed find-references
+    exchange."""
+    if plant:
+        ds = ds.map_batches(_plant_xref, batch_format="pyarrow")
+    defs = ds.map_batches(_def_rows, batch_format="pyarrow")
+    ments = ds.map_batches(_mention_rows, batch_format="pyarrow")
+    _xref_part.__name__ = "_xref_part"
+    return defs.union(ments).groupby("gk").map_groups(
+        _xref_part, batch_format="pyarrow")
+
+
+def symbol_refs(sf_dir: str) -> rd.Dataset:
+    """Find-references over the (planted) documents table: per defined
+    symbol, definition sites, defining docs, and docs that reference the
+    identifier without defining it."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return xref_counts(ds)
+
+
 def symbol_search(sf_dir: str) -> pa.Table:
     """(doc_id, score_e6): BM25 over SYMBOL_QUERY_TEXT's terms (from the
     real inverted index, full candidate set) plus SYMBOL_BOOST_E6 per

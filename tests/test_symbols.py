@@ -90,3 +90,30 @@ def test_symbol_search_boost_reorders(tmp_path):
     )
     # boost is visible: top hit carries at least one definition-site boost
     assert scores[0] >= SYMBOL_BOOST_E6
+
+
+def test_xref_counts_hand_computed():
+    """defs + mentions + exclusion on a hand-built corpus (plant=False):
+    doc 1 defines alpha and mentions it; docs 2,3 reference alpha; doc 3
+    also defines beta (leading-digit token 9alpha counts as 'alpha')."""
+    import ray
+    import ray.data as rd
+    from docodo_ray.symbols import xref_counts
+
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+             "text": pa.array([
+                 "def alpha(a):\nreturn alpha",      # defines + self-mention
+                 "x = alpha(1)",                      # reference
+                 "class beta:\n9alpha",               # defines beta, refs alpha
+                 "nothing relevant 123",              # neither
+             ])}
+        )
+    )
+    out = pa.concat_tables(
+        [ray.get(r) for r in xref_counts(ds, plant=False).to_arrow_refs()])
+    got = {s: (a, b, c) for s, a, b, c in zip(
+        out["symbol"].to_pylist(), out["n_def_sites"].to_pylist(),
+        out["n_def_docs"].to_pylist(), out["n_ref_docs"].to_pylist())}
+    assert got == {"alpha": (1, 1, 2), "beta": (1, 1, 0)}
