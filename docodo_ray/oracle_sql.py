@@ -599,6 +599,69 @@ SELECT doc_id, score_e6 FROM (
 ) WHERE rn <= {SYMBOL_K}
 """
 
+    # import-graph PageRank (codegraph.module_rank): replay the plant
+    # chain, lift import lines to weighted home->module edges, and unroll
+    # PR_ITERS damped integer supersteps — `//` is DuckDB integer
+    # division, matching the engine's int64 floor division exactly.
+    from docodo_ray.codegraph import (
+        IMPORT_PLANTS,
+        IMPORT_RE,
+        N_HOME,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_SCALE,
+    )
+
+    imp_expr = "text"
+    for phrase, repl in IMPORT_PLANTS:
+        body = repl.strip("\n")
+        imp_expr = (
+            f"replace({imp_expr}, '{phrase}', "
+            f"chr(10) || '{body}' || chr(10))"
+        )
+    pr_iter_ctes = ""
+    prev = "s0"
+    for k in range(1, PR_ITERS + 1):
+        pr_iter_ctes += f""",
+c{k} AS (
+  SELECT e.dst AS module,
+         CAST(sum((s.score * e.w * {PR_DAMP_NUM})
+                  // (o.ow * {PR_DAMP_DEN})) AS BIGINT) AS contrib
+  FROM edges e JOIN {prev} s ON s.module = e.src
+  JOIN outw o ON o.src = e.src GROUP BY e.dst
+),
+s{k} AS (
+  SELECT n.module,
+         (CAST({PR_SCALE} AS BIGINT) * {PR_DAMP_DEN - PR_DAMP_NUM})
+           // ({PR_DAMP_DEN} * nn.n) + COALESCE(c{k}.contrib, 0) AS score
+  FROM nodes n LEFT JOIN c{k} USING (module), nn
+)"""
+        prev = f"s{k}"
+    sql["module_rank"] = f"""
+WITH planted AS (
+  SELECT doc_id, {imp_expr} AS text FROM documents
+),
+lined AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+lines AS (SELECT doc_id, unnest(ls) AS line FROM lined),
+imp AS (
+  SELECT doc_id, regexp_extract(line, '{IMPORT_RE}', 1) AS dst
+  FROM lines WHERE regexp_matches(line, '{IMPORT_RE}')
+),
+edges AS (
+  SELECT 'mod' || CAST(doc_id % {N_HOME} AS VARCHAR) AS src, dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM imp GROUP BY 1, 2
+),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+nodes AS (SELECT src AS module FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+s0 AS (
+  SELECT module, CAST({PR_SCALE} AS BIGINT) // nn.n AS score FROM nodes, nn
+){pr_iter_ctes}
+SELECT module, CAST(score AS BIGINT) AS score_e6 FROM {prev}
+"""
+
     # C4-style line cleaning (traindata.c4_line_clean): replay the plant
     # chain, doc-level poison rules, per-line keep rules, and kept-line
     # reassembly

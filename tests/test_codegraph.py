@@ -1,0 +1,47 @@
+"""codegraph: integer PageRank over explicit edge sets (hand-computed)
+plus the planted end-to-end path (oracle parity is covered by
+test_driver_contract)."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from docodo_ray.codegraph import _pr_rows, pagerank
+
+
+def _scores(edges_tbl) -> dict[str, int]:
+    blocks = [ray.get(r)
+              for r in pagerank(rd.from_arrow(edges_tbl)).to_arrow_refs()]
+    out = pa.concat_tables([b for b in blocks if b.num_rows])
+    return dict(zip(out["module"].to_pylist(), out["score_e6"].to_pylist()))
+
+
+def test_pagerank_two_cycle_is_stationary():
+    """A<->B with equal weights: the uniform start is a fixed point of the
+    integer recurrence (base 75000 + floored damped pass-through 425000)."""
+    edges = _pr_rows(["A", "B"], dst=["B", "A"],
+                     w=np.array([1, 1], np.int64))
+    assert _scores(edges) == {"A": 500_000, "B": 500_000}
+
+
+def test_pagerank_chain_hand_computed():
+    """A->B only. init 500000 each; base (1e6*15)//200 = 75000.
+    s1: A=75000, B=75000+(500000*85)//100=500000.
+    s2: B=75000+(75000*85)//100=138750. s3: same (A stays at base)."""
+    edges = _pr_rows(["A"], dst=["B"], w=np.array([3], np.int64))
+    assert _scores(edges) == {"A": 75_000, "B": 138_750}
+
+
+def test_pagerank_weight_split():
+    """A->{B,C} with weights 3:1 — contributions split by integer weight
+    share; dst-only nodes receive base + share."""
+    edges = _pr_rows(["A", "A"], dst=["B", "C"],
+                     w=np.array([3, 1], np.int64))
+    got = _scores(edges)
+    # init 333333, base (1e6*15)//300 = 50000
+    # s1: A=50000; B=50000+(333333*3*85)//400=50000+212499=262499
+    #             C=50000+(333333*85)//400=50000+70833=120833
+    # s2+: contributions from A=50000: B=50000+(50000*3*85)//400=81875
+    #                                  C=50000+(50000*85)//400=60625
+    assert got == {"A": 50_000, "B": 81_875, "C": 60_625}
