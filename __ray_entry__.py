@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": windows.hopping_window,        # overlapping windows
         "sessionize": windows.sessionize,                # per-key gap sessions
         "asof_join": windows.asof_join,                  # per-user as-of match
+        "event_quantiles": windows.event_quantiles,      # exact multi-pass selection
         # --- similarity search ---
         "embedding_topk": sim.embedding_topk,
         "embedding_topk_ivf": sim.embedding_topk_ivf,    # approximate: rows-only

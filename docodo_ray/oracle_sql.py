@@ -965,6 +965,28 @@ SELECT d.doc_id FROM documents d LEFT JOIN comp c USING (doc_id)
 WHERE c.component IS NULL OR c.component = d.doc_id
 """
 
+    # exact per-type quantiles (windows.event_quantiles): k-th smallest by
+    # value with RATIONAL ranks k = (qn*n + qd-1) // qd — integer division
+    # on both sides, never float q*n
+    from docodo_ray.windows import EQ_NAMES, EQ_QUANTILES
+
+    q_cols = ",\n".join(
+        f"       CAST(FLOOR(max(CASE WHEN rn = ({qn}*n + {qd - 1}) // {qd} "
+        f"THEN value END) * 1000000) AS BIGINT) AS {name}"
+        for (qn, qd), name in zip(EQ_QUANTILES, EQ_NAMES)
+    )
+    sql["event_quantiles"] = f"""
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+{q_cols}
+FROM r GROUP BY event_type
+"""
+
     from docodo_ray.windows import ASOF_LEFT_TYPE, ASOF_RIGHT_TYPE
 
     # distributed as-of join vs DuckDB's native ASOF JOIN; rights are

@@ -226,3 +226,144 @@ def asof_join(sf_dir: str, left_type: str = ASOF_LEFT_TYPE,
     match.__name__ = "asof_match"
     return ds.map_batches(rows, batch_format="pyarrow") \
         .groupby("uk").map_groups(match, batch_format="pyarrow")
+
+
+# ---- exact distributed quantiles (multi-pass selection) ----------------------
+# Exact per-group order statistics over a column too large to sort: the
+# classic distributed selection algorithm (iterative histogram
+# refinement, a.k.a. multi-pass k-th smallest — Munro & Paterson 1980
+# lineage). Each pass is ONE streaming column-pruned scan that bins only
+# the values still inside each (group, quantile) bracket; the driver
+# holds brackets and bin counts — n_groups x n_quantiles x EQ_BINS
+# integers, metadata-scale — and narrows each bracket by ~EQ_BINS per
+# pass until at most EQ_FINAL_CAP candidates remain, which a final
+# filtered scan collects exactly. Nothing data-scale is sorted, shuffled,
+# or driver-collected; at 100 TB this is O(log_B(range)) ~ 3-4 scans.
+# Group cardinality (event_type) is assumed per-key-metadata scale, the
+# same assumption every per-group driver bracket table makes.
+#
+# Ranks are RATIONAL, never float: k = ceil(qn*n/qd) = (qn*n + qd-1)//qd,
+# because float 0.9*n rounds differently in Python doubles and DuckDB
+# decimals. The selected value is an exact element of the column, so
+# floor(v*1e6) is computed on the identical double on both sides.
+
+EQ_QUANTILES: tuple[tuple[int, int], ...] = ((1, 2), (9, 10), (99, 100))
+EQ_NAMES = ("p50_e6", "p90_e6", "p99_e6")
+EQ_BINS = 64
+EQ_FINAL_CAP = 65536
+EQ_MAX_PASSES = 64
+
+
+def event_quantiles(sf_dir: str, final_cap: int = EQ_FINAL_CAP) -> pa.Table:
+    """(event_type, p50_e6, p90_e6, p99_e6): exact k-th-smallest-by-value
+    quantiles of ``value`` per event type, k = ceil(q*n) (1-based).
+    ``final_cap`` bounds the candidate set the final pass may collect;
+    tests shrink it to force the refinement passes."""
+    ds = _events(sf_dir, columns=["event_type", "value"])
+
+    from ray.data.aggregate import Max, Min
+
+    stats = ds.groupby("event_type").aggregate(
+        Count(), Min("value"), Max("value")).take_all()
+    # state per (type, quantile): half-open bracket [lo, hi) holding the
+    # k-th smallest of the values inside it
+    states = []
+    for row in stats:
+        n = int(row["count()"])
+        vmin, vmax = float(row["min(value)"]), float(row["max(value)"])
+        for (qn, qd), name in zip(EQ_QUANTILES, EQ_NAMES):
+            if n == 0:
+                continue
+            states.append({
+                "etype": row["event_type"], "name": name,
+                "lo": vmin, "hi": float(np.nextafter(vmax, np.inf)),
+                "k": (qn * n + qd - 1) // qd, "n_in": n, "answer": None,
+            })
+
+    def _open(s) -> bool:
+        if s["answer"] is not None:
+            return False
+        if np.nextafter(s["lo"], np.inf) >= s["hi"]:
+            # no double other than lo fits in the bracket: all equal
+            s["answer"] = s["lo"]
+            return False
+        return s["n_in"] > final_cap
+
+    passes = 0
+    while any(_open(s) for s in states) and passes < EQ_MAX_PASSES:
+        passes += 1
+        spec = {i: (s["etype"], np.linspace(s["lo"], s["hi"], EQ_BINS + 1))
+                for i, s in enumerate(states) if _open(s)}
+
+        def hist_partial(t: pa.Table, spec=spec) -> pa.Table:
+            et = t["event_type"].to_numpy(zero_copy_only=False)
+            v = t["value"].to_numpy(zero_copy_only=False)
+            sid_l, bin_l, c_l = [], [], []
+            for sid, (etype, edges) in spec.items():
+                m = (et == etype) & (v >= edges[0]) & (v < edges[-1])
+                if not m.any():
+                    continue
+                b = np.clip(np.searchsorted(edges, v[m], side="right") - 1,
+                            0, EQ_BINS - 1)
+                c = np.bincount(b, minlength=EQ_BINS)
+                nz = np.flatnonzero(c)
+                sid_l.append(np.full(nz.size, sid, np.int64))
+                bin_l.append(nz.astype(np.int64))
+                c_l.append(c[nz].astype(np.int64))
+            e = np.empty(0, np.int64)
+            return pa.table({
+                "sid": pa.array(np.concatenate(sid_l) if sid_l else e),
+                "bin": pa.array(np.concatenate(bin_l) if bin_l else e),
+                "c": pa.array(np.concatenate(c_l) if c_l else e)})
+
+        hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
+                .groupby(["sid", "bin"]).aggregate(Sum("c")).take_all())
+        counts = {sid: np.zeros(EQ_BINS, np.int64) for sid in spec}
+        for row in hist:
+            counts[int(row["sid"])][int(row["bin"])] = int(row["sum(c)"])
+        for sid, (_, edges) in spec.items():
+            s = states[sid]
+            cum = np.cumsum(counts[sid])
+            b = int(np.searchsorted(cum, s["k"]))
+            s["k"] -= int(cum[b - 1]) if b else 0
+            s["lo"], s["hi"] = float(edges[b]), float(edges[b + 1])
+            s["n_in"] = int(counts[sid][b])
+
+    # final pass: collect the surviving candidates of every unresolved
+    # state (<= EQ_FINAL_CAP each) and pick the k-th exactly
+    fin = {i: (s["etype"], s["lo"], s["hi"])
+           for i, s in enumerate(states) if s["answer"] is None}
+    if fin:
+        def collect_partial(t: pa.Table, fin=fin) -> pa.Table:
+            et = t["event_type"].to_numpy(zero_copy_only=False)
+            v = t["value"].to_numpy(zero_copy_only=False)
+            sid_l, v_l = [], []
+            for sid, (etype, lo, hi) in fin.items():
+                m = (et == etype) & (v >= lo) & (v < hi)
+                if not m.any():
+                    continue
+                sid_l.append(np.full(int(m.sum()), sid, np.int64))
+                v_l.append(v[m])
+            return pa.table({
+                "sid": pa.array(np.concatenate(sid_l)
+                                if sid_l else np.empty(0, np.int64)),
+                "v": pa.array(np.concatenate(v_l)
+                              if v_l else np.empty(0, np.float64))})
+
+        got: dict[int, list] = {sid: [] for sid in fin}
+        for row in ds.map_batches(
+                collect_partial, batch_format="pyarrow").take_all():
+            got[int(row["sid"])].append(float(row["v"]))
+        for sid in fin:
+            vals = sorted(got[sid])
+            states[sid]["answer"] = vals[states[sid]["k"] - 1]
+
+    by_type: dict[str, dict[str, int]] = {}
+    for s in states:
+        by_type.setdefault(s["etype"], {})[s["name"]] = int(
+            np.floor(s["answer"] * 1_000_000.0))
+    types = sorted(by_type)
+    cols = {"event_type": pa.array(types, pa.string())}
+    for name in EQ_NAMES:
+        cols[name] = pa.array([by_type[t][name] for t in types], pa.int64())
+    return pa.table(cols)

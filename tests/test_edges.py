@@ -135,3 +135,28 @@ def test_lang_id_oracle_parity_multilingual(tmp_path):
     got_ray = {r["doc_id"]: r["pred_lang"]
                for r in lang_id_table(str(tmp_path)).take_all()}
     assert got_ray == want
+
+
+def test_event_quantiles_refinement_path_matches_naive():
+    """Force the histogram-refinement passes (final_cap far below the
+    group sizes) and compare every cell against a brute-force sort."""
+    import numpy as np
+    import duckdb
+
+    from docodo_ray.windows import EQ_NAMES, EQ_QUANTILES, event_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    t = event_quantiles(sf, final_cap=20)
+    got = {r["event_type"]: r for r in t.to_pylist()}
+
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT event_type, value FROM read_parquet('{sf}/events.parquet')"
+    ).fetchdf()
+    for etype, grp in df.groupby("event_type"):
+        vals = np.sort(grp["value"].to_numpy())
+        n = vals.size
+        for (qn, qd), name in zip(EQ_QUANTILES, EQ_NAMES):
+            k = (qn * n + qd - 1) // qd
+            want = int(np.floor(vals[k - 1] * 1_000_000.0))
+            assert got[etype][name] == want, (etype, name)
