@@ -13,13 +13,14 @@ Pipeline:
 - out-weight attachment: one coarse src-hash exchange; every edge of a
   src lands in the same partition, so the partition merges duplicate
   (src, dst) rows and stamps each edge with its src's total out-weight.
-- PageRank: ``PR_ITERS`` damped supersteps, each TWO coarse-hash
-  exchanges — (1) score rows union edge rows, grouped by src hash: each
-  partition looks up its srcs' scores locally and emits per-dst damped
-  contributions (partial-combined) plus one base row per node; (2) the
-  emitted rows, grouped by dst/module hash, sum into the next frontier.
-  All arithmetic is int64 (``(score * w * 85) // (ow * 100)``), so sums
-  are order-independent and the DuckDB oracle (loop-unrolled CTEs with
+- PageRank: ``PR_ITERS`` damped supersteps, each ONE coarse-hash
+  exchange — summing a module's incoming value partials (base +
+  contributions) and grouping its outgoing edges use the same key, so
+  both halves of a superstep share one sort: value rows union edge rows,
+  grouped by module hash, emit the next frontier's per-dst contribution
+  partials plus per-node base rows; a final exchange consolidates. All
+  arithmetic is int64 (``(score * w * 85) // (ow * 100)``), so sums are
+  order-independent and the DuckDB oracle (loop-unrolled CTEs with
   ``//``) hash-matches exactly.
 
 Scale shape: nothing is broadcast or driver-collected except the node
@@ -165,11 +166,15 @@ def _node_distinct(g: pa.Table) -> pa.Table:
 _node_distinct.__name__ = "_node_distinct"
 
 
-def _make_src_step(base: int):
-    def _src_step(g: pa.Table) -> pa.Table:
-        """One src-hash partition of (score rows ∪ edge rows): emit
-        per-dst damped contributions (partial-combined) + one base row
-        per node."""
+def _make_step(base: int):
+    def _pr_step(g: pa.Table) -> pa.Table:
+        """One FUSED superstep on a module-hash partition of (value rows ∪
+        edge rows). Value rows are the incoming partial sums (base +
+        contribution partials) of this partition's modules: summing them
+        per module yields the current scores — the same key the outgoing
+        contribution pass groups by, so the two halves share one
+        exchange. Emits per-dst damped contribution partials plus one
+        base row per node (the next frontier's inputs)."""
         import pyarrow.compute as pc
 
         mod = g["module"].to_numpy(zero_copy_only=False)
@@ -177,18 +182,16 @@ def _make_src_step(base: int):
             return _pr_rows([])
         is_edge = pc.is_valid(g["dst"]).to_numpy(zero_copy_only=False)
         val = g["val"].to_numpy(zero_copy_only=False)
-        smods = mod[~is_edge]
-        svals = val[~is_edge]
-        out = [_pr_rows(smods.tolist(),
-                        val=np.full(smods.size, base, np.int64))]
+        u, code = np.unique(mod[~is_edge], return_inverse=True)
+        svals = np.bincount(
+            code, weights=val[~is_edge], minlength=u.size).astype(np.int64)
+        out = [_pr_rows(u.tolist(), val=np.full(u.size, base, np.int64))]
         e = np.flatnonzero(is_edge)
         if e.size:
             w = g["w"].to_numpy(zero_copy_only=False)[e]
             ow = g["ow"].to_numpy(zero_copy_only=False)[e]
-            esrc = mod[e]
-            so = np.argsort(smods, kind="stable")
-            pos = np.searchsorted(smods[so], esrc)
-            sc = svals[so][pos]
+            pos = np.searchsorted(u, mod[e])
+            sc = svals[pos]
             contrib = (sc * w * PR_DAMP_NUM) // (ow * PR_DAMP_DEN)
             dsts = g["dst"].to_numpy(zero_copy_only=False)[e]
             ud, dcode = np.unique(dsts, return_inverse=True)
@@ -197,13 +200,12 @@ def _make_src_step(base: int):
             out.append(_pr_rows(ud.tolist(), val=csum))
         return pa.concat_tables(out)
 
-    _src_step.__name__ = "_src_step"
-    return _src_step
+    _pr_step.__name__ = "_pr_step"
+    return _pr_step
 
 
 def _sum_step(g: pa.Table) -> pa.Table:
-    """One module-hash partition of (base rows ∪ contribution rows): sum
-    into the next score frontier."""
+    """Final consolidation: sum value rows per module into scores."""
     mod = g["module"].to_numpy(zero_copy_only=False)
     if mod.size == 0:
         return _pr_rows([])
@@ -239,13 +241,18 @@ def pagerank(edges_raw: rd.Dataset, iters: int = PR_ITERS) -> rd.Dataset:
         return _pr_rows(t["module"].to_pylist(),
                         val=np.full(t.num_rows, init, np.int64))
 
-    scores = nodes.map_batches(_init, batch_format="pyarrow").materialize()
-    src_step = _make_src_step(base)
+    # the frontier chain is consumed exactly once at the end, so it stays
+    # a lazy DAG (no per-superstep barrier); only `edges` and `nodes` are
+    # consumed every superstep and are materialized above. Each superstep
+    # is ONE exchange: summing a module's incoming partials and grouping
+    # its outgoing edges use the same key, so they share the sort.
+    frontier = nodes.map_batches(_init, batch_format="pyarrow")
+    step = _make_step(base)
     for _ in range(iters):
-        mixed = scores.union(edges).groupby("gk").map_groups(
-            src_step, batch_format="pyarrow")
-        scores = mixed.groupby("gk").map_groups(
-            _sum_step, batch_format="pyarrow").materialize()
+        frontier = frontier.union(edges).groupby("gk").map_groups(
+            step, batch_format="pyarrow")
+    scores = frontier.groupby("gk").map_groups(
+        _sum_step, batch_format="pyarrow")
     return scores.map_batches(_project, batch_format="pyarrow")
 
 
