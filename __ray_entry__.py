@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": dedup.simhash_table,                  # md5-bit votes, SQL-checked
         "simhash_near_pairs": dedup.simhash_near_pairs,  # Hamming join, SQL-checked
         "ngram_jaccard": dedup.ngram_jaccard_pairs,      # char3 LSH + verify
+        "clone_pairs": dedup.clone_pairs,                # MOSS winnowing clones
         "fuzzy_components": dedup.fuzzy_components,      # distributed CC over pairs
         "fuzzy_dedup_survivors": dedup.fuzzy_dedup_survivors,  # cluster-winner dedup
         "substring_dup_stats": dedup.substring_dup_stats,  # Lee-et-al span dedup

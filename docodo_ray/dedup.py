@@ -1184,3 +1184,243 @@ def substring_dedup_clean(sf_dir: str, k: int = SUBSTR_K) -> rd.Dataset:
     hdr = docs.map_batches(headers, batch_format="pyarrow")
     return hdr.union(hits).groupby("dk").map_groups(
         rewrite, batch_format="pyarrow")
+
+
+# ---- MOSS-style code clone detection ------------------------------------------
+# Schleimer/Wilkerson/Aiken 2003 ("Winnowing: local algorithms for
+# document fingerprinting", the MOSS algorithm): docs sharing >=
+# CLONE_MIN_SHARED selected fingerprints are clone pairs, scored by
+# containment overlap n_shared / min(|fp_a|, |fp_b|). Fingerprints seen
+# in more than CLONE_MAX_DF docs are boilerplate and ignored (MOSS's
+# too-common rule) — which also bounds every per-fingerprint pair fanout
+# to C(CLONE_MAX_DF, 2), so no flood guard is needed.
+#
+# Exchanges (nothing driver-collected, nothing broadcast):
+#   fp-hash partition  -> df gate + pair partials (combined per partition)
+#   pair-hash partition -> n_shared sums + CLONE_MIN_SHARED gate
+#   doc_a-hash, doc_b-hash partitions -> attach per-doc fingerprint totals
+# Per-doc totals are computed map-side (WinnowStage batches hold whole
+# docs), so the totals table is fingerprint-free (doc_id, n_fp) rows.
+#
+# The driver corpus is word soup; a deterministic paragraph planted on the
+# rare marker token makes real clone clusters (the DuckDB oracle replays
+# the identical replace + winnow chain). Organic word-soup gram collisions
+# also surface — the MIN_SHARED gate keeps them honest on both sides.
+
+CLONE_PARAGRAPH = (
+    "quick crimson fox vaults across frozen ridge while silver rivers "
+    "carry maple leaves toward quiet harbor town under amber dusk light "
+    "distant engines hum beyond cedar forests and weary travelers trade "
+    "worn maps beside copper lanterns")
+CLONE_PLANTS: tuple[tuple[str, str], ...] = (("dup", CLONE_PARAGRAPH),)
+CLONE_MAX_DF = 64
+CLONE_MIN_SHARED = 2
+_CLONE_COARSE = 256
+
+_CL_FP = pa.schema([("fp", pa.string()), ("doc_id", pa.int64()),
+                    ("gk", pa.int64())])
+_CL_ROW = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                     ("c", pa.int64()), ("d", pa.int64()),
+                     ("gk", pa.int64())])
+_CL_OUT = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                     ("n_shared", pa.int64()), ("overlap_e6", pa.int64())])
+
+_CLONE_FP_CACHE: dict = {}
+
+
+def _clone_dockey(ids: np.ndarray) -> np.ndarray:
+    return (splitmix64(ids.astype(np.uint64))
+            % np.uint64(_CLONE_COARSE)).astype(np.int64)
+
+
+def _clone_pairkey(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = splitmix64(a.astype(np.uint64) + splitmix64(b.astype(np.uint64)))
+    return (x % np.uint64(_CLONE_COARSE)).astype(np.int64)
+
+
+def _cl_rows(a, b, c, d=None) -> pa.Table:
+    a = np.asarray(a, np.int64)
+    z = np.zeros(a.size, np.int64)
+    return pa.Table.from_arrays(
+        [pa.array(a), pa.array(np.asarray(b, np.int64)),
+         pa.array(np.asarray(c, np.int64)),
+         pa.array(np.asarray(d, np.int64) if d is not None else z),
+         pa.array(z)], schema=_CL_ROW)
+
+
+def _plant_clones(t: pa.Table) -> pa.Table:
+    col = t["text"]
+    for phrase, repl in CLONE_PLANTS:
+        col = pc.replace_substring(col, phrase, repl)
+    return t.set_column(t.schema.get_field_index("text"), "text", col)
+
+
+def _clone_fp_rows(t: pa.Table) -> pa.Table:
+    """Distinct (fp, doc_id) rows keyed by fp hash (WinnowStage emits one
+    row per selected POSITION; clone detection wants the fp set)."""
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    fp = t["fp"].to_numpy(zero_copy_only=False)
+    if doc.size == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())], schema=_CL_FP)
+    u, inv = np.unique(fp, return_inverse=True)
+    key = doc * np.int64(u.size) + inv
+    uk = np.unique(key)
+    # recover (doc, fp) from the combined key directly
+    d2 = (uk // u.size).astype(np.int64)
+    f2 = u[uk % u.size]
+    gh = _elem_hashes(f2.tolist(), _CLONE_FP_CACHE)
+    gk = (gh % np.uint64(_CLONE_COARSE)).astype(np.int64)
+    return pa.Table.from_arrays(
+        [pa.array(f2.tolist(), pa.string()), pa.array(d2, pa.int64()),
+         pa.array(gk, pa.int64())], schema=_CL_FP)
+
+
+def _clone_total_rows(t: pa.Table) -> pa.Table:
+    """(a=doc, b=-1, c=n_distinct_fps) rows keyed by doc hash — computed
+    map-side: Winnow batches hold whole docs."""
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    fp = t["fp"].to_numpy(zero_copy_only=False)
+    if doc.size == 0:
+        return _cl_rows([], [], [])
+    u, inv = np.unique(fp, return_inverse=True)
+    key = doc * np.int64(u.size) + inv
+    uk = np.unique(key)
+    d2 = (uk // u.size).astype(np.int64)
+    ud, n_fp = np.unique(d2, return_counts=True)
+    tbl = _cl_rows(ud, np.full(ud.size, -1, np.int64), n_fp.astype(np.int64))
+    return tbl.set_column(4, "gk", pa.array(_clone_dockey(ud), pa.int64()))
+
+
+def _clone_pairs_part(g: pa.Table) -> pa.Table:
+    """One fp-hash partition: df gate, per-fingerprint pair generation,
+    partition-local partial combine; output keyed by pair hash."""
+    fp = g["fp"].to_numpy(zero_copy_only=False)
+    doc = g["doc_id"].to_numpy(zero_copy_only=False)
+    if fp.size == 0:
+        return _cl_rows([], [], [])
+    u, code = np.unique(fp, return_inverse=True)
+    order = np.argsort(code, kind="stable")
+    code_s, doc_s = code[order], doc[order]
+    starts = np.flatnonzero(np.concatenate(([True], np.diff(code_s) != 0)))
+    ends = np.concatenate((starts[1:], [code_s.size]))
+    a_l, b_l = [], []
+    for s, e in zip(starts, ends):
+        df = e - s
+        if df < 2 or df > CLONE_MAX_DF:
+            continue
+        d = np.sort(doc_s[s:e])
+        ia, ib = np.triu_indices(df, 1)
+        a_l.append(d[ia])
+        b_l.append(d[ib])
+    if not a_l:
+        return _cl_rows([], [], [])
+    a = np.concatenate(a_l)
+    b = np.concatenate(b_l)
+    # partial combine per (a, b)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    new = np.concatenate(([True], (np.diff(a) != 0) | (np.diff(b) != 0)))
+    seg = np.cumsum(new) - 1
+    c = np.bincount(seg).astype(np.int64)
+    a, b = a[new], b[new]
+    tbl = _cl_rows(a, b, c)
+    return tbl.set_column(4, "gk", pa.array(_clone_pairkey(a, b), pa.int64()))
+
+
+_clone_pairs_part.__name__ = "_clone_pairs_part"
+
+
+def _clone_pairs_sum(g: pa.Table) -> pa.Table:
+    """One pair-hash partition: sum shared-fp counts, gate on
+    CLONE_MIN_SHARED; output keyed by doc_a hash."""
+    a = g["a"].to_numpy(zero_copy_only=False)
+    if a.size == 0:
+        return _cl_rows([], [], [])
+    b = g["b"].to_numpy(zero_copy_only=False)
+    c = g["c"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b, c = a[order], b[order], c[order]
+    new = np.concatenate(([True], (np.diff(a) != 0) | (np.diff(b) != 0)))
+    seg = np.cumsum(new) - 1
+    cs = np.bincount(seg, weights=c).astype(np.int64)
+    a, b = a[new], b[new]
+    keep = cs >= CLONE_MIN_SHARED
+    a, b, cs = a[keep], b[keep], cs[keep]
+    tbl = _cl_rows(a, b, cs)
+    return tbl.set_column(4, "gk", pa.array(_clone_dockey(a), pa.int64()))
+
+
+_clone_pairs_sum.__name__ = "_clone_pairs_sum"
+
+
+def _make_clone_join(side: str):
+    def _clone_join(g: pa.Table) -> pa.Table:
+        """Attach the per-doc fingerprint total for one pair side (totals
+        rows have b == -1 and live in the same doc-hash partition)."""
+        def _empty() -> pa.Table:
+            if side == "b":
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64())] * 4, schema=_CL_OUT)
+            return _cl_rows([], [], [])
+
+        a = g["a"].to_numpy(zero_copy_only=False)
+        if a.size == 0:
+            return _empty()
+        b = g["b"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        d = g["d"].to_numpy(zero_copy_only=False)
+        tot = b == -1
+        tdoc = a[tot]
+        tn = c[tot]
+        so = np.argsort(tdoc, kind="stable")
+        tdoc, tn = tdoc[so], tn[so]
+        p = np.flatnonzero(~tot)
+        if p.size == 0:
+            return _empty()
+        key = a[p] if side == "a" else b[p]
+        n = tn[np.searchsorted(tdoc, key)]
+        if side == "a":
+            # keep pair keyed by doc_b next
+            tbl = _cl_rows(a[p], b[p], c[p], n)
+            return tbl.set_column(
+                4, "gk", pa.array(_clone_dockey(b[p]), pa.int64()))
+        n_min = np.minimum(d[p], n)
+        return pa.Table.from_arrays(
+            [pa.array(a[p], pa.int64()), pa.array(b[p], pa.int64()),
+             pa.array(c[p], pa.int64()),
+             pa.array((c[p] * 1_000_000) // n_min, pa.int64())],
+            schema=_CL_OUT)
+
+    _clone_join.__name__ = f"_clone_join_{side}"
+    return _clone_join
+
+
+def clone_pairs(sf_dir: str) -> rd.Dataset:
+    """(doc_a, doc_b, n_shared, overlap_e6): MOSS winnowing clone pairs
+    over the (planted) documents table."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return clone_pairs_over(docs)
+
+
+def clone_pairs_over(docs: rd.Dataset, plant: bool = True) -> rd.Dataset:
+    """The MOSS clone-pair exchange over any (doc_id, text) Dataset."""
+    from docodo_ray.textstats import WinnowStage
+
+    if plant:
+        docs = docs.map_batches(_plant_clones, batch_format="pyarrow")
+    fps = docs.map_batches(WinnowStage, batch_format="pyarrow",
+                           concurrency=(1, 4)).materialize()
+    totals = fps.map_batches(
+        _clone_total_rows, batch_format="pyarrow").materialize()
+    pairs = (fps.map_batches(_clone_fp_rows, batch_format="pyarrow")
+             .groupby("gk").map_groups(_clone_pairs_part,
+                                       batch_format="pyarrow")
+             .groupby("gk").map_groups(_clone_pairs_sum,
+                                       batch_format="pyarrow"))
+    j1 = totals.union(pairs).groupby("gk").map_groups(
+        _make_clone_join("a"), batch_format="pyarrow")
+    return totals.union(j1).groupby("gk").map_groups(
+        _make_clone_join("b"), batch_format="pyarrow")

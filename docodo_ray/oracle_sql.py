@@ -1044,8 +1044,9 @@ FROM x GROUP BY 1, 2
 
     # winnowing (MOSS): rightmost-min gram hash per sliding window of W,
     # incl. ramp-up prefixes — mirrors WinnowStage exactly (fp compare is
-    # lexicographic on a fixed-width lowercase hex prefix)
-    sql["winnow_fingerprints"] = pro + f""",
+    # lexicographic on a fixed-width lowercase hex prefix). The CTE chain
+    # is shared with clone_pairs below (same chain over planted text).
+    win_ctes = f""",
 ord_t AS (
   SELECT doc_id, term,
          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS i
@@ -1073,8 +1074,55 @@ sel AS (
     ON g.doc_id = w.doc_id AND g.i BETWEEN w.e - {WINNOW_W - 1} AND w.e
    AND g.h = w.mh
   GROUP BY w.doc_id, w.e, w.mh
-)
+)"""
+    sql["winnow_fingerprints"] = pro + win_ctes + """
 SELECT DISTINCT doc_id, p AS pos, mh AS fp FROM sel
+"""
+
+    # MOSS clone pairs (dedup.clone_pairs): the same winnow chain over the
+    # clone-planted corpus, then df-gated shared-fingerprint pair counts
+    # and containment overlap — all-integer, `//` both sides
+    from docodo_ray.dedup import (
+        CLONE_MAX_DF,
+        CLONE_MIN_SHARED,
+        CLONE_PLANTS,
+    )
+
+    clone_expr = "text"
+    for phrase, repl in CLONE_PLANTS:
+        clone_expr = f"replace({clone_expr}, '{phrase}', '{repl}')"
+    clone_pro = f"""
+WITH planted AS (
+  SELECT doc_id, {clone_expr} AS text FROM documents
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS l FROM planted
+),
+rawtok AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos FROM toks
+),
+filt AS (
+  SELECT doc_id, term, pos FROM rawtok
+  WHERE length(term) BETWEEN 3 AND 32 AND term NOT IN ({stop})
+)"""
+    sql["clone_pairs"] = clone_pro + win_ctes + f""",
+fps AS (SELECT DISTINCT doc_id, mh AS fp FROM sel),
+good AS (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING count(*) BETWEEN 2 AND {CLONE_MAX_DF}
+),
+cpairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM fps x JOIN fps y USING (fp) JOIN good USING (fp)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {CLONE_MIN_SHARED}
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fps GROUP BY doc_id)
+SELECT doc_a, doc_b, n_shared,
+       (n_shared * 1000000) // least(ta.n_fp, tb.n_fp) AS overlap_e6
+FROM cpairs JOIN tot ta ON ta.doc_id = cpairs.doc_a
+JOIN tot tb ON tb.doc_id = cpairs.doc_b
 """
 
     from docodo_ray.bpe import load_merges

@@ -343,3 +343,32 @@ def test_substring_dup_stats_planted_spans(tmp_path):
     assert got[3]["n_dup_windows"] == 0
     assert got[3]["dup_token_count"] == 0
     assert got[3]["n_windows"] == got[3]["n_tokens"] - 7
+
+
+def test_clone_pairs_identical_docs_full_overlap():
+    """Two identical docs are one clone pair with containment 1.0; an
+    unrelated doc joins no pair."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from docodo_ray.dedup import clone_pairs_over
+
+    body = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu "
+            "anchor beacon copper dagger")
+    other = ("one unrelated stream of totally different vocabulary items "
+             "running along without any overlap whatsoever in token space "
+             "keeps winnowing fingerprints fully disjoint between corpora "
+             "forever and always")
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([body, body, other]),
+    }))
+    blocks = [ray.get(r)
+              for r in clone_pairs_over(ds, plant=False).to_arrow_refs()]
+    out = pa.concat_tables([b for b in blocks if b.num_rows])
+    rows = sorted(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist(),
+                      out["overlap_e6"].to_pylist()))
+    assert rows == [(1, 2, 1_000_000)]
