@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "symbol_search": symbols.symbol_search,          # Zoekt-style symbol-boosted ranking
         "symbol_refs": symbols.symbol_refs,              # find-references xref counts
         "module_rank": codegraph.module_rank,            # import-graph PageRank
+        "module_triangles": codegraph.module_triangles,  # wedge-join triangle counts
         "docodo_rank": pipelines.docodo_rank,            # A8 original: proximity ranker
         "phrase_count": pipelines.phrase_count,          # D2 phrase adjacency
         "boolean_search": pipelines.boolean_search,      # M11 nested AND/OR tree

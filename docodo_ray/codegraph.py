@@ -264,3 +264,211 @@ def module_rank(sf_dir: str) -> rd.Dataset:
     edges_raw = (docs.map_batches(_plant_imports, batch_format="pyarrow")
                  .map_batches(_edge_batch, batch_format="pyarrow"))
     return pagerank(edges_raw)
+
+
+# ---- triangle counting (degree-ordered wedge join) ----------------------------
+# Suri & Vassilvitskii 2011 ("Counting triangles and the curse of the
+# last reducer"): orient every undirected edge from its lower-ranked to
+# its higher-ranked endpoint, rank = (degree, name) — every node's
+# OUT-degree is then O(sqrt(m)), so per-node wedge generation stays
+# bounded even at hub nodes (the explicit skew handling; naive name
+# ordering lets one hub emit O(deg^2) wedges). A wedge (x, y) opened at u
+# closes iff (x, y) is itself an edge; the close test is one pair-hash
+# exchange joining wedge rows against edge rows. Output: triangles per
+# module (each triangle credits its three corners). Exchanges only —
+# nothing broadcast or driver-collected:
+#   pair-hash   distinct undirected edges
+#   node-hash   per-node degree; degree messages to each neighbor
+#   node-hash   orient + emit wedges from out-neighbor pairs
+#   pair-hash   wedge ∩ edge -> triangle corner partials
+#   node-hash   per-module sums
+# The triangle SET is orientation-independent, so the DuckDB oracle uses
+# the plain x<y<z three-way self-join.
+
+from docodo_ray.tokenizer import splitmix64
+
+_TRI_ROW = pa.schema([("a", pa.string()), ("b", pa.string()),
+                      ("c", pa.string()), ("deg", pa.int64()),
+                      ("kind", pa.int64()), ("gk", pa.int64())])
+_TRI_EDGE, _TRI_MSG, _TRI_WEDGE = 0, 1, 2
+
+
+def _tri_rows(a, b, c=None, deg=None, kind=0, gk=None) -> pa.Table:
+    a = list(a)
+    n = len(a)
+    z = np.zeros(n, np.int64)
+    return pa.Table.from_arrays(
+        [pa.array(a, pa.string()), pa.array(list(b), pa.string()),
+         pa.array(list(c) if c is not None else [""] * n, pa.string()),
+         pa.array(np.asarray(deg, np.int64) if deg is not None else z,
+                  pa.int64()),
+         pa.array(np.full(n, kind, np.int64), pa.int64()),
+         pa.array(np.asarray(gk, np.int64) if gk is not None else z,
+                  pa.int64())], schema=_TRI_ROW)
+
+
+def _tri_pair_gk(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    from docodo_ray.dedup import _elem_hashes
+
+    if a.size == 0:
+        return np.empty(0, np.int64)
+    ha = _elem_hashes(a.tolist(), _GK_CACHE)
+    hb = _elem_hashes(b.tolist(), _GK_CACHE)
+    return (splitmix64(ha + hb) % np.uint64(_PR_COARSE)).astype(np.int64)
+
+
+def _dedup_ab(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if a.size == 0:
+        return a, b
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    new = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+    return a[new], b[new]
+
+
+def _uedge_batch(t: pa.Table) -> pa.Table:
+    """Distinct undirected (min, max) module pairs from edge rows
+    (self-loops dropped), keyed by pair hash for global dedup."""
+    src = t["module"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    keep = src != dst
+    lo, hi = _dedup_ab(np.minimum(src[keep], dst[keep]),
+                       np.maximum(src[keep], dst[keep]))
+    return _tri_rows(lo, hi, kind=_TRI_EDGE, gk=_tri_pair_gk(lo, hi))
+
+
+def _uedge_distinct(g: pa.Table) -> pa.Table:
+    a, b = _dedup_ab(g["a"].to_numpy(zero_copy_only=False),
+                     g["b"].to_numpy(zero_copy_only=False))
+    return _tri_rows(a, b, kind=_TRI_EDGE, gk=_tri_pair_gk(a, b))
+
+
+_uedge_distinct.__name__ = "_uedge_distinct"
+
+
+def _adj_rows(t: pa.Table) -> pa.Table:
+    """Each undirected edge emitted once per endpoint, keyed by the
+    endpoint's hash — one exchange builds per-node adjacency."""
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    node = np.concatenate([a, b])
+    peer = np.concatenate([b, a])
+    return _tri_rows(node, peer, kind=_TRI_MSG,
+                     gk=np.asarray(_mod_gk(node.tolist()), np.int64))
+
+
+def _deg_msgs(g: pa.Table) -> pa.Table:
+    """One node-hash partition of adjacency rows: compute each local
+    node's degree and message it to every neighbor (keyed by neighbor)."""
+    node = g["a"].to_numpy(zero_copy_only=False)
+    peer = g["b"].to_numpy(zero_copy_only=False)
+    if node.size == 0:
+        return _tri_rows([], [])
+    u, code = np.unique(node, return_inverse=True)
+    deg = np.bincount(code, minlength=u.size).astype(np.int64)
+    # message (to=peer, about=node, deg_node)
+    return _tri_rows(peer, node, deg=deg[code], kind=_TRI_MSG,
+                     gk=np.asarray(_mod_gk(peer.tolist()), np.int64))
+
+
+_deg_msgs.__name__ = "_deg_msgs"
+
+
+def _wedges(g: pa.Table) -> pa.Table:
+    """One node-hash partition of degree messages (to=v, about=u, deg_u):
+    per node v, rank-orient and emit wedges over its out-neighbors."""
+    to = g["a"].to_numpy(zero_copy_only=False)
+    ab = g["b"].to_numpy(zero_copy_only=False)
+    dg = g["deg"].to_numpy(zero_copy_only=False)
+    if to.size == 0:
+        return _tri_rows([], [])
+    u, code = np.unique(to, return_inverse=True)
+    my_deg = np.bincount(code, minlength=u.size).astype(np.int64)
+    order = np.argsort(code, kind="stable")
+    code, ab, dg = code[order], ab[order], dg[order]
+    starts = np.flatnonzero(np.concatenate(([True], np.diff(code) != 0)))
+    ends = np.concatenate((starts[1:], [code.size]))
+    xs, ys, us = [], [], []
+    for s, e in zip(starts, ends):
+        v = u[code[s]]
+        dv = my_deg[code[s]]
+        peers, degs = ab[s:e], dg[s:e]
+        # out-neighbors: (deg, name) strictly greater than (dv, v)
+        out = peers[(degs > dv) | ((degs == dv) & (peers > v))]
+        if out.size < 2:
+            continue
+        out.sort()
+        ia, ib = np.triu_indices(out.size, 1)
+        xs.append(out[ia])
+        ys.append(out[ib])
+        us.append(np.full(ia.size, v, dtype=object))
+    if not xs:
+        return _tri_rows([], [])
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    return _tri_rows(x, y, c=np.concatenate(us), kind=_TRI_WEDGE,
+                     gk=_tri_pair_gk(x, y))
+
+
+_wedges.__name__ = "_wedges"
+
+
+def _close_wedges(g: pa.Table) -> pa.Table:
+    """One pair-hash partition of (edge rows ∪ wedge rows): a wedge whose
+    (x, y) pair is an edge is a triangle — emit per-corner count partials
+    keyed by module hash (reuses the _PR_ROW value-row layout)."""
+    kind = g["kind"].to_numpy(zero_copy_only=False)
+    a = g["a"].to_numpy(zero_copy_only=False)
+    b = g["b"].to_numpy(zero_copy_only=False)
+    is_e = kind == _TRI_EDGE
+    is_w = kind == _TRI_WEDGE
+    if not is_w.any() or not is_e.any():
+        return _pr_rows([])
+    allv, codes = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ca, cb = codes[: a.size], codes[a.size:]
+    key = ca.astype(np.int64) * np.int64(allv.size) + cb
+    ekey = np.sort(key[is_e])
+    wkey = key[is_w]
+    pos = np.searchsorted(ekey, wkey)
+    hit = (pos < ekey.size) & (ekey[np.minimum(pos, ekey.size - 1)] == wkey)
+    if not hit.any():
+        return _pr_rows([])
+    w_idx = np.flatnonzero(is_w)[hit]
+    corners = np.concatenate(
+        [a[w_idx], b[w_idx],
+         g["c"].to_numpy(zero_copy_only=False)[w_idx]])
+    um, cc = np.unique(corners, return_counts=True)
+    return _pr_rows(um.tolist(), val=cc.astype(np.int64))
+
+
+_close_wedges.__name__ = "_close_wedges"
+
+
+def _project_tri(t: pa.Table) -> pa.Table:
+    return pa.table({"module": t["module"],
+                     "n_triangles": t["val"].cast(pa.int64())})
+
+
+def triangle_counts(edges_raw: rd.Dataset) -> rd.Dataset:
+    """(module, n_triangles) over edge rows in the _PR_ROW layout."""
+    ue = (edges_raw.map_batches(_uedge_batch, batch_format="pyarrow")
+          .groupby("gk").map_groups(_uedge_distinct, batch_format="pyarrow")
+          .materialize())
+    msgs = (ue.map_batches(_adj_rows, batch_format="pyarrow")
+            .groupby("gk").map_groups(_deg_msgs, batch_format="pyarrow"))
+    wedges = msgs.groupby("gk").map_groups(_wedges, batch_format="pyarrow")
+    partials = wedges.union(ue).groupby("gk").map_groups(
+        _close_wedges, batch_format="pyarrow")
+    return partials.groupby("gk").map_groups(
+        _sum_step, batch_format="pyarrow").map_batches(
+        _project_tri, batch_format="pyarrow")
+
+
+def module_triangles(sf_dir: str) -> rd.Dataset:
+    """Triangle counts per module over the import graph of the (planted)
+    documents table."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    edges_raw = (docs.map_batches(_plant_imports, batch_format="pyarrow")
+                 .map_batches(_edge_batch, batch_format="pyarrow"))
+    return triangle_counts(edges_raw)

@@ -638,7 +638,7 @@ s{k} AS (
   FROM nodes n LEFT JOIN c{k} USING (module), nn
 )"""
         prev = f"s{k}"
-    sql["module_rank"] = f"""
+    graph_pro = f"""
 WITH planted AS (
   SELECT doc_id, {imp_expr} AS text FROM documents
 ),
@@ -652,7 +652,8 @@ edges AS (
   SELECT 'mod' || CAST(doc_id % {N_HOME} AS VARCHAR) AS src, dst,
          CAST(count(*) AS BIGINT) AS w
   FROM imp GROUP BY 1, 2
-),
+)"""
+    sql["module_rank"] = graph_pro + f""",
 outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
 nodes AS (SELECT src AS module FROM edges UNION SELECT dst FROM edges),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
@@ -660,6 +661,29 @@ s0 AS (
   SELECT module, CAST({PR_SCALE} AS BIGINT) // nn.n AS score FROM nodes, nn
 ){pr_iter_ctes}
 SELECT module, CAST(score AS BIGINT) AS score_e6 FROM {prev}
+"""
+
+    # triangle counting (codegraph.module_triangles): the engine's
+    # degree-ordered orientation changes only WHERE each triangle is
+    # found, not the triangle set, so the oracle is the canonical x<y<z
+    # three-way self-join over the same undirected edge set
+    sql["module_triangles"] = graph_pro + """,
+ue AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ue e1 JOIN ue e2 ON e2.a = e1.b
+  JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS module FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT module, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY module
 """
 
     # C4-style line cleaning (traindata.c4_line_clean): replay the plant

@@ -45,3 +45,45 @@ def test_pagerank_weight_split():
     # s2+: contributions from A=50000: B=50000+(50000*3*85)//400=81875
     #                                  C=50000+(50000*85)//400=60625
     assert got == {"A": 50_000, "B": 81_875, "C": 60_625}
+
+
+def _tri_counts(edges_tbl) -> dict[str, int]:
+    from docodo_ray.codegraph import triangle_counts
+
+    blocks = [ray.get(r)
+              for r in triangle_counts(rd.from_arrow(edges_tbl)).to_arrow_refs()]
+    nz = [b for b in blocks if b.num_rows]
+    if not nz:
+        return {}
+    out = pa.concat_tables(nz)
+    return dict(zip(out["module"].to_pylist(),
+                    out["n_triangles"].to_pylist()))
+
+
+def test_triangles_k4_and_isolated_edge():
+    """K4 has 4 triangles, 3 per corner; a pendant edge adds none; edge
+    direction/weights/self-loops must not matter."""
+    from docodo_ray.codegraph import _pr_rows
+    import numpy as np
+
+    nodes = ["A", "B", "C", "D"]
+    src, dst = [], []
+    for i in range(4):
+        for j in range(4):
+            if i != j:
+                src.append(nodes[i])
+                dst.append(nodes[j])  # both directions: dedup must collapse
+    src += ["D", "E", "E"]
+    dst += ["D", "F", "F"]            # self-loop + pendant edge (dup'd)
+    edges = _pr_rows(src, dst=dst, w=np.ones(len(src), np.int64))
+    got = _tri_counts(edges)
+    assert got == {"A": 3, "B": 3, "C": 3, "D": 3}
+
+
+def test_triangles_single():
+    from docodo_ray.codegraph import _pr_rows
+    import numpy as np
+
+    edges = _pr_rows(["A", "B", "A"], dst=["B", "C", "C"],
+                     w=np.ones(3, np.int64))
+    assert _tri_counts(edges) == {"A": 1, "B": 1, "C": 1}
