@@ -87,3 +87,73 @@ def test_triangles_single():
     edges = _pr_rows(["A", "B", "A"], dst=["B", "C", "C"],
                      w=np.ones(3, np.int64))
     assert _tri_counts(edges) == {"A": 1, "B": 1, "C": 1}
+
+
+# ---- property tests vs independent brute-force references --------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_NODES = list("ABCDEF")
+_EDGE = st.tuples(st.sampled_from(_NODES), st.sampled_from(_NODES),
+                  st.integers(min_value=1, max_value=3))
+_EDGES = st.lists(_EDGE, min_size=1, max_size=12)
+
+
+def _naive_pagerank(edge_list):
+    """Independent reimplementation of the integer recurrence."""
+    from docodo_ray.codegraph import (
+        PR_DAMP_DEN, PR_DAMP_NUM, PR_ITERS, PR_SCALE)
+
+    w = {}
+    for s, d, k in edge_list:
+        w[(s, d)] = w.get((s, d), 0) + k
+    nodes = sorted({s for s, _ in w} | {d for _, d in w})
+    n = len(nodes)
+    ow = {}
+    for (s, _), k in w.items():
+        ow[s] = ow.get(s, 0) + k
+    score = {m: PR_SCALE // n for m in nodes}
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
+    for _ in range(PR_ITERS):
+        nxt = {m: base for m in nodes}
+        for (s, d), k in w.items():
+            nxt[d] += (score[s] * k * PR_DAMP_NUM) // (ow[s] * PR_DAMP_DEN)
+        score = nxt
+    return score
+
+
+def _naive_triangles(edge_list):
+    from itertools import combinations
+
+    ue = {tuple(sorted((s, d))) for s, d, _ in edge_list if s != d}
+    nodes = sorted({x for e in ue for x in e})
+    out = {}
+    for t in combinations(nodes, 3):
+        if all(tuple(sorted(p)) in ue for p in combinations(t, 2)):
+            for m in t:
+                out[m] = out.get(m, 0) + 1
+    return out
+
+
+@given(_EDGES)
+@settings(max_examples=5, deadline=None)
+def test_pagerank_matches_naive(edge_list):
+    from docodo_ray.codegraph import _pr_rows
+
+    src = [s for s, _, _ in edge_list]
+    dst = [d for _, d, _ in edge_list]
+    w = np.array([k for _, _, k in edge_list], np.int64)
+    assert _scores(_pr_rows(src, dst=dst, w=w)) == _naive_pagerank(edge_list)
+
+
+@given(_EDGES)
+@settings(max_examples=5, deadline=None)
+def test_triangles_match_naive(edge_list):
+    from docodo_ray.codegraph import _pr_rows
+
+    src = [s for s, _, _ in edge_list]
+    dst = [d for _, d, _ in edge_list]
+    w = np.array([k for _, _, k in edge_list], np.int64)
+    assert _tri_counts(_pr_rows(src, dst=dst, w=w)) == \
+        _naive_triangles(edge_list)
