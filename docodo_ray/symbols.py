@@ -282,16 +282,21 @@ def _xref_part(g: pa.Table) -> pa.Table:
          pa.array(n_ref_docs[defined], pa.int64())], schema=_XREF_OUT)
 
 
+def _xref_rows(t: pa.Table) -> pa.Table:
+    """Def rows + mention rows from one pass over the batch (both sides
+    share the _XREF_ROW layout, so one corpus scan feeds the exchange)."""
+    return pa.concat_tables([_def_rows(t), _mention_rows(t)])
+
+
 def xref_counts(ds: rd.Dataset, plant: bool = True) -> rd.Dataset:
     """(symbol, n_def_sites, n_def_docs, n_ref_docs) per defined symbol
     over a (doc_id, text) Dataset — the distributed find-references
-    exchange."""
+    exchange (one corpus scan + one symbol-hash exchange)."""
     if plant:
         ds = ds.map_batches(_plant_xref, batch_format="pyarrow")
-    defs = ds.map_batches(_def_rows, batch_format="pyarrow")
-    ments = ds.map_batches(_mention_rows, batch_format="pyarrow")
+    rows = ds.map_batches(_xref_rows, batch_format="pyarrow")
     _xref_part.__name__ = "_xref_part"
-    return defs.union(ments).groupby("gk").map_groups(
+    return rows.groupby("gk").map_groups(
         _xref_part, batch_format="pyarrow")
 
 
