@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": windows.sessionize,                # per-key gap sessions
         "asof_join": windows.asof_join,                  # per-user as-of match
         "event_quantiles": windows.event_quantiles,      # exact multi-pass selection
+        "funnel_counts": windows.funnel_counts,          # greedy funnel analysis
         # --- similarity search ---
         "embedding_topk": sim.embedding_topk,
         "embedding_topk_ivf": sim.embedding_topk_ivf,    # approximate: rows-only

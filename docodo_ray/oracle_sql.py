@@ -1011,6 +1011,39 @@ SELECT event_type,
 FROM r GROUP BY event_type
 """
 
+    # funnel analysis (windows.funnel_counts): greedy-earliest chaining —
+    # t1 = min step-1 ts, t_k = min step-k ts strictly after t_{k-1}
+    # within the window; correlated min-subqueries replay it exactly
+    from docodo_ray.windows import FUNNEL_STEPS, FUNNEL_WINDOW_MINUTES
+
+    f_w = FUNNEL_WINDOW_MINUTES * 60 * 1_000_000
+    f_ctes = f"""
+WITH u1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+)"""
+    for k in range(2, len(FUNNEL_STEPS) + 1):
+        f_ctes += f""",
+u{k} AS (
+  SELECT p.user_id,
+         (SELECT min(epoch_us(e.ts)) FROM events e
+          WHERE e.user_id = p.user_id
+            AND e.event_type = '{FUNNEL_STEPS[k - 1]}'
+            AND epoch_us(e.ts) > p.t{k - 1}
+            AND epoch_us(e.ts) <= p.t{k - 1} + {f_w}) AS t{k}
+  FROM u{k - 1} p WHERE p.t{k - 1} IS NOT NULL
+)"""
+    f_rows = ",\n".join(
+        f"  ({k}, '{s}', (SELECT CAST(count(*) AS BIGINT) FROM u{k} "
+        f"WHERE t{k} IS NOT NULL))"
+        for k, s in enumerate(FUNNEL_STEPS, start=1)
+    )
+    sql["funnel_counts"] = f_ctes + f"""
+SELECT CAST(step AS BIGINT) AS step, step_type, n_users FROM (VALUES
+{f_rows}
+) AS t(step, step_type, n_users)
+"""
+
     from docodo_ray.windows import ASOF_LEFT_TYPE, ASOF_RIGHT_TYPE
 
     # distributed as-of join vs DuckDB's native ASOF JOIN; rights are

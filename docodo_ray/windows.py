@@ -367,3 +367,92 @@ def event_quantiles(sf_dir: str, final_cap: int = EQ_FINAL_CAP) -> pa.Table:
     for name in EQ_NAMES:
         cols[name] = pa.array([by_type[t][name] for t in types], pa.int64())
     return pa.table(cols)
+
+
+# ---- funnel analysis ----------------------------------------------------------
+# The product-analytics funnel (Amplitude/Mixpanel semantics, greedy
+# first-touch): per user, t1 = earliest step-1 event; t_k = earliest
+# step-k event strictly after t_{k-1} and within the conversion window.
+# Greedy-earliest is the contractual tie-break — deterministic on both
+# sides (the oracle replays it with correlated min-subqueries). One
+# user-hash exchange co-locates each user's timeline (same partitioning
+# assumption and skew bound as sessionize/asof_join); per-partition
+# partial step counts make the final aggregation K rows, not user-scale.
+
+FUNNEL_STEPS: tuple[str, ...] = ("view", "click", "purchase")
+FUNNEL_WINDOW_MINUTES = 2880
+
+
+def funnel_counts(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS,
+                  window_minutes: int = FUNNEL_WINDOW_MINUTES) -> rd.Dataset:
+    """(step, step_type, n_users): users reaching each funnel step under
+    greedy-earliest chaining with a per-step conversion window."""
+    from docodo_ray.dedup import _coarse_mix
+
+    w_us = np.int64(window_minutes * 60 * 1_000_000)
+    k_steps = len(steps)
+    ds = _events(sf_dir, columns=["ts", "user_id", "event_type"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        keep = np.isin(et, np.asarray(steps, dtype=object))
+        t = t.filter(pa.array(keep))
+        etf = t["event_type"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(etf, return_inverse=True) if etf.size else (
+            np.empty(0, object), np.empty(0, np.int64))
+        lut = np.array([steps.index(x) for x in u.tolist()], np.int64) \
+            if u.size else np.empty(0, np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "ts_us": t["ts"].cast(pa.int64()),
+            "step": pa.array(lut[inv] if etf.size else
+                             np.empty(0, np.int64), pa.int64()),
+            "uk": pa.array(_coarse_mix(uid), pa.int64()),
+        })
+
+    rows.__name__ = "funnel_rows"
+
+    def count_part(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        st = g["step"].to_numpy(zero_copy_only=False)
+        reached = np.zeros(k_steps, np.int64)
+        if uid.size:
+            order = np.lexsort((ts, uid))
+            uid, ts, st = uid[order], ts[order], st[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], uid[1:] != uid[:-1])))
+            bounds = np.concatenate((starts, [uid.size]))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                uts, ust = ts[s:e], st[s:e]
+                per = [uts[ust == k] for k in range(k_steps)]  # each sorted
+                if not per[0].size:
+                    continue
+                t = per[0][0]
+                reached[0] += 1
+                for k in range(1, k_steps):
+                    arr = per[k]
+                    i = np.searchsorted(arr, t, side="right")
+                    if i >= arr.size or arr[i] > t + w_us:
+                        break
+                    t = arr[i]
+                    reached[k] += 1
+        return pa.table({
+            "step": pa.array(np.arange(1, k_steps + 1, dtype=np.int64)),
+            "n": pa.array(reached, pa.int64())})
+
+    count_part.__name__ = "funnel_count_part"
+
+    def finish(t: pa.Table) -> pa.Table:
+        stp = t["step"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "step": pa.array(stp, pa.int64()),
+            "step_type": pa.array([steps[i - 1] for i in stp.tolist()],
+                                  pa.string()),
+            "n_users": t["n"].cast(pa.int64())})
+
+    return (ds.map_batches(rows, batch_format="pyarrow")
+            .groupby("uk").map_groups(count_part, batch_format="pyarrow")
+            .groupby("step").aggregate(Sum("n", alias_name="n"))
+            .map_batches(finish, batch_format="pyarrow"))
