@@ -160,3 +160,33 @@ def test_event_quantiles_refinement_path_matches_naive():
             k = (qn * n + qd - 1) // qd
             want = int(np.floor(vals[k - 1] * 1_000_000.0))
             assert got[etype][name] == want, (etype, name)
+
+
+def test_funnel_greedy_semantics(tmp_path):
+    """Greedy-earliest chaining is contractual: u4's first view starts the
+    clock, so the click 51h later does NOT convert even though chaining
+    from the second view would."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docodo_ray.windows import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    H = dt.timedelta(hours=1)
+    rows = [
+        (1, "view", t0), (1, "click", t0 + H), (1, "purchase", t0 + 3 * H),
+        (2, "view", t0), (2, "click", t0 + 49 * H),
+        (3, "click", t0),
+        (4, "view", t0), (4, "view", t0 + 50 * H), (4, "click", t0 + 51 * H),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = funnel_counts(str(tmp_path)).to_pandas()
+    got = dict(zip(out["step"], out["n_users"]))
+    assert got == {1: 3, 2: 1, 3: 1}
