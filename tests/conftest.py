@@ -26,6 +26,21 @@ def ray_session():
     ray.shutdown()
 
 
+@pytest.fixture(autouse=True)
+def _reap_cyclic_dataset_executors():
+    """Abandoned Ray Data streaming executors (e.g. a Dataset whose
+    schema() ran a limit-1 execution over an actor pool) sit in reference
+    CYCLES, so their pool actors — each holding 1 CPU — survive until a
+    gen-2 GC. With the 4-CPU test session, four such pending cycles
+    deadlock the next actor-pool execution (observed: full-suite hang with
+    3 TokenizeStage + 1 DecodeTextStage leaked MapWorkers and CPU: 0
+    available). Collecting after every test reaps them immediately."""
+    yield
+    import gc
+
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def small_corpus_files(tmp_path_factory):
     """t1 smoke corpus: 200 rows, 4 files (FIXTURES.md sizes)."""
