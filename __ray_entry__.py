@@ -28,6 +28,22 @@ def entry() -> Any:
     return pipelines.bm25_topk("/root/testdata/sf0.001")
 
 
+def _reaping(fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    """Collect cyclic garbage before each query: an abandoned Ray Data
+    streaming executor (e.g. a prior query's Dataset whose schema() ran a
+    limit-1 execution over an actor pool) sits in a reference cycle and
+    its pool actor holds 1 CPU until a gen-2 GC — enough pending cycles
+    deadlock a small driver session running many queries sequentially."""
+    def wrapped(sf_dir: str) -> Any:
+        import gc
+
+        gc.collect()
+        return fn(sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from docodo_ray import (
         codegraph,
@@ -41,7 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         windows,
     )
 
-    return {
+    q = {
         # --- inverted index + BM25 core (SURVEY §2.2/2.5/2.6, A1-A8) ---
         "token_counts": pipelines.token_counts,          # M1-M6 tokenize stage
         "subtoken_counts": pipelines.subtoken_counts,    # camelCase code-search split
@@ -126,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (stubbed decode kernel): rows-only ---
         "media_features": multimodal.media_features,
     }
+    return {name: _reaping(fn) for name, fn in q.items()}
 
 
 def oracle_sql() -> dict[str, str]:
