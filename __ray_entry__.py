@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": windows.asof_join,                  # per-user as-of match
         "event_quantiles": windows.event_quantiles,      # exact multi-pass selection
         "funnel_counts": windows.funnel_counts,          # greedy funnel analysis
+        "retention_cohorts": windows.retention_cohorts,  # weekly cohort retention
         # --- similarity search ---
         "embedding_topk": sim.embedding_topk,
         "embedding_topk_ivf": sim.embedding_topk_ivf,    # approximate: rows-only

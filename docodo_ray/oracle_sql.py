@@ -1044,6 +1044,23 @@ SELECT CAST(step AS BIGINT) AS step, step_type, n_users FROM (VALUES
 ) AS t(step, step_type, n_users)
 """
 
+    # cohort retention (windows.retention_cohorts): cohort = week of the
+    # user's first event; integer week arithmetic both sides
+    from docodo_ray.windows import RETENTION_WEEK_US
+
+    sql["retention_cohorts"] = f"""
+WITH wk AS (
+  SELECT user_id, epoch_us(ts) // {RETENTION_WEEK_US} AS w FROM events
+),
+firstw AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, w FROM wk)
+SELECT CAST(f.cw * {RETENTION_WEEK_US} AS BIGINT) AS cohort_us,
+       CAST(a.w - f.cw AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act a JOIN firstw f USING (user_id)
+GROUP BY 1, 2
+"""
+
     from docodo_ray.windows import ASOF_LEFT_TYPE, ASOF_RIGHT_TYPE
 
     # distributed as-of join vs DuckDB's native ASOF JOIN; rights are

@@ -456,3 +456,75 @@ def funnel_counts(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS,
             .groupby("uk").map_groups(count_part, batch_format="pyarrow")
             .groupby("step").aggregate(Sum("n", alias_name="n"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+# ---- cohort retention ----------------------------------------------------------
+# The classic product-analytics retention matrix: a user's cohort is the
+# week of their first event; cell (cohort, offset) counts users from that
+# cohort active (>= 1 event) offset weeks later. One user-hash exchange
+# co-locates each user's distinct activity weeks (map-side deduped); the
+# partition computes per-user cohort + offsets vectorized and emits
+# (cohort, offset) count partials, so the final aggregation moves
+# cohorts x offsets rows — calendar-scale, never user- or event-scale.
+
+RETENTION_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """(cohort_us, week_offset, n_users): weekly cohort retention counts
+    over the events table."""
+    from docodo_ray.dedup import _coarse_mix
+
+    wk = np.int64(RETENTION_WEEK_US)
+    ds = _events(sf_dir, columns=["ts", "user_id"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // wk
+        key = uid * np.int64(1 << 20) + w      # weeks since 1970 < 2^20
+        uk = np.unique(key)
+        uid2 = (uk >> 20).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid2, pa.int64()),
+            "w": pa.array((uk & ((1 << 20) - 1)).astype(np.int64), pa.int64()),
+            "uk": pa.array(_coarse_mix(uid2), pa.int64())})
+
+    rows.__name__ = "retention_rows"
+
+    def cohort_part(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        w = g["w"].to_numpy(zero_copy_only=False)
+        if uid.size == 0:
+            return pa.table({"cohort_w": pa.array([], pa.int64()),
+                             "week_offset": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        order = np.lexsort((w, uid))
+        uid, w = uid[order], w[order]
+        # rows may repeat (user, w) across map batches: dedup
+        new = np.concatenate(([True], (uid[1:] != uid[:-1]) | (w[1:] != w[:-1])))
+        uid, w = uid[new], w[new]
+        starts = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+        seg = np.cumsum(np.concatenate(([True], uid[1:] != uid[:-1]))) - 1
+        cw = w[starts][seg]                    # per-row cohort week (min = first)
+        off = w - cw
+        key = cw * np.int64(1 << 20) + off
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "cohort_w": pa.array((uk >> 20).astype(np.int64), pa.int64()),
+            "week_offset": pa.array((uk & ((1 << 20) - 1)).astype(np.int64),
+                                    pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    cohort_part.__name__ = "cohort_part"
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_us": pc.multiply(t["cohort_w"].cast(pa.int64()), wk),
+            "week_offset": t["week_offset"].cast(pa.int64()),
+            "n_users": t["n"].cast(pa.int64())})
+
+    return (ds.map_batches(rows, batch_format="pyarrow")
+            .groupby("uk").map_groups(cohort_part, batch_format="pyarrow")
+            .groupby(["cohort_w", "week_offset"])
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(finish, batch_format="pyarrow"))

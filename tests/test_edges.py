@@ -190,3 +190,35 @@ def test_funnel_greedy_semantics(tmp_path):
     out = funnel_counts(str(tmp_path)).to_pandas()
     got = dict(zip(out["step"], out["n_users"]))
     assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_retention_cohorts_crafted(tmp_path):
+    """Two cohorts with churn: u1,u2 start week 0 (u2 churns after w1);
+    u3 starts week 1 and skips week 2 but returns week 3 (offset 2)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docodo_ray.windows import RETENTION_WEEK_US, retention_cohorts
+
+    W = dt.timedelta(microseconds=RETENTION_WEEK_US)
+    t0 = dt.datetime(2024, 1, 4)  # mid-week; floor must not care
+    rows = [
+        (1, t0), (1, t0 + W), (1, t0 + 2 * W),
+        (2, t0), (2, t0 + W + dt.timedelta(hours=5)),
+        (3, t0 + W), (3, t0 + 3 * W),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = retention_cohorts(str(tmp_path)).to_pandas()
+    got = {(int(r.cohort_us // RETENTION_WEEK_US), int(r.week_offset)):
+           int(r.n_users) for r in out.itertuples()}
+    w0 = int((t0 - dt.datetime(1970, 1, 1)) / W)
+    assert got == {
+        (w0, 0): 2, (w0, 1): 2, (w0, 2): 1,          # cohort week0: u1,u2
+        (w0 + 1, 0): 1, (w0 + 1, 2): 1,              # cohort week1: u3
+    }
