@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": pipelines.bm25_topk,                # A8 replacement: BM25 top-k
         "bm25_batch_distributed": pipelines.bm25_batch_distributed,  # actor-pool batch eval
         "more_like_this": pipelines.more_like_this,      # Lucene-style MLT (tfidf terms -> BM25)
+        "hybrid_rrf": pipelines.hybrid_rrf,              # BM25 + dense cosine, RRF fusion
         "symbol_defs": symbols.symbol_defs,              # ctags-style definition extraction
         "symbol_search": symbols.symbol_search,          # Zoekt-style symbol-boosted ranking
         "symbol_refs": symbols.symbol_refs,              # find-references xref counts

@@ -686,6 +686,77 @@ SELECT module, CAST(count(*) AS BIGINT) AS n_triangles
 FROM corners GROUP BY module
 """
 
+    # hybrid retrieval (pipelines.hybrid_rrf): BM25 top-POOL + cosine
+    # top-POOL fused by integer reciprocal-rank scores
+    from docodo_ray.pipelines import (
+        HYBRID_K,
+        HYBRID_POOL,
+        HYBRID_QUERY_TEXT,
+        HYBRID_QVEC,
+        RRF_C,
+    )
+
+    hq_terms = sorted(set(tokenize(HYBRID_QUERY_TEXT, spec)[0]))
+    hq_vals = ", ".join(f"('{t}')" for t in hq_terms)
+    sql["hybrid_rrf"] = pro + f""",
+qt(term) AS (VALUES {hq_vals}),
+s AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM filt) AS total
+),
+tft AS (
+  SELECT term, doc_id, count(*) AS tf FROM filt
+  WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id
+),
+dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM filt
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+dlt AS (SELECT doc_id, count(*) AS dl FROM filt GROUP BY doc_id),
+bm25 AS (
+  SELECT tft.doc_id,
+    CAST(FLOOR(SUM(
+      ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+      * (tft.tf * (1.2 + 1)) / (tft.tf + 1.2 * (1 - 0.75 + 0.75 * dlt.dl / (s.total::DOUBLE / s.n_docs)))
+    ) * 1000000) AS BIGINT) AS bm25_e6
+  FROM qt JOIN tft USING (term) JOIN dft USING (term)
+  JOIN dlt ON tft.doc_id = dlt.doc_id CROSS JOIN s
+  GROUP BY tft.doc_id
+),
+bmtop AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_e6 DESC, doc_id ASC) AS r
+  FROM bm25 QUALIFY r <= {HYBRID_POOL}
+),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {HYBRID_QVEC}),
+cosd AS (
+  SELECT e.vec_id AS doc_id,
+    CAST(FLOOR((
+      list_sum(list_transform(range(len(e.embedding)),
+        i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qv.qe[i+1] AS DOUBLE)))
+      / ( sqrt(list_sum(list_transform(range(len(e.embedding)),
+            i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))
+        * sqrt(list_sum(list_transform(range(len(qv.qe)),
+            i -> CAST(qv.qe[i+1] AS DOUBLE) * CAST(qv.qe[i+1] AS DOUBLE)))) )
+    ) * 1000000) AS BIGINT) AS cos_e6
+  FROM embeddings e, qv WHERE e.vec_id != {HYBRID_QVEC}
+),
+costop AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_e6 DESC, doc_id ASC) AS r
+  FROM cosd QUALIFY r <= {HYBRID_POOL}
+),
+fused AS (
+  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         COALESCE(1000000 // ({RRF_C} + b.r), 0)
+       + COALESCE(1000000 // ({RRF_C} + c.r), 0) AS rrf_e6
+  FROM bmtop b FULL OUTER JOIN costop c ON b.doc_id = c.doc_id
+)
+SELECT doc_id, rrf_e6 FROM (
+  SELECT doc_id, CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+         ROW_NUMBER() OVER (ORDER BY rrf_e6 DESC, doc_id ASC) AS rn
+  FROM fused
+) WHERE rn <= {HYBRID_K}
+"""
+
     # C4-style line cleaning (traindata.c4_line_clean): replay the plant
     # chain, doc-level poison rules, per-line keep rules, and kept-line
     # reassembly

@@ -1197,3 +1197,60 @@ def tfidf_topk(sf_dir: str, k: int = TFIDF_TOPK_K) -> rd.Dataset:
     return rows.map_batches(key_fn, batch_format="pyarrow") \
         .groupby("gk").map_groups(score, batch_format="pyarrow") \
         .groupby("dk").map_groups(topk, batch_format="pyarrow")
+
+
+# ---- hybrid retrieval: BM25 + embedding cosine, RRF fusion -------------------
+# The standard modern hybrid-search shape (Cormack/Clarke/Buettcher 2009
+# reciprocal-rank fusion): take the lexical BM25 top-POOL and the dense
+# cosine top-POOL, fuse by sum of floor(1e6 / (C + rank)) — rank-based,
+# so no score normalization is needed, and all-integer so the DuckDB
+# oracle hash-matches. vec_id == doc_id in the fixture corpus (the
+# embeddings table is the documents' embedding column). Both candidate
+# pools are top-POOL only (the standard fusion contract), so the fusion
+# itself is metadata-scale; the BM25 side is the pruned index read path,
+# the cosine side the distributed brute-force top-k with its second-stage
+# reduce.
+
+HYBRID_QUERY_TEXT = "merge join"
+HYBRID_QVEC = 0          # query vector: embedding of vec_id 0 (self excluded)
+HYBRID_POOL = 100
+HYBRID_K = 20
+RRF_C = 60
+
+
+def hybrid_rrf(sf_dir: str) -> pa.Table:
+    """(doc_id, rrf_e6): top HYBRID_K docs by reciprocal-rank fusion of
+    the BM25 and embedding-cosine rankings."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    from docodo_ray.search import score_query_e6
+    from docodo_ray.sim import BruteForceTopK, _embedding_matrix, _topk_reduce
+
+    r = get_index(sf_dir)
+    bm_docs, _ = score_query_e6(r, HYBRID_QUERY_TEXT, HYBRID_POOL)
+
+    qt = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", HYBRID_QVEC)])
+    qmat = _embedding_matrix(qt["embedding"])
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    partial = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs=dict(queries_ref=ray.put(qmat),
+                                   query_ids=[HYBRID_QVEC], k=HYBRID_POOL),
+        batch_format="pyarrow", concurrency=(1, 4))
+    top = _topk_reduce(partial, HYBRID_POOL, [HYBRID_QVEC])
+    ce6 = top["cos_e6"].to_numpy(zero_copy_only=False)
+    cv = top["vec_id"].to_numpy(zero_copy_only=False)
+    cos_docs = cv[np.lexsort((cv, -ce6))[:HYBRID_POOL]]
+
+    fused: dict[int, int] = {}
+    for pool in (bm_docs, cos_docs):
+        for rank, d in enumerate(pool.tolist(), start=1):
+            fused[int(d)] = fused.get(int(d), 0) + 1_000_000 // (RRF_C + rank)
+    items = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:HYBRID_K]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in items], pa.int64()),
+        "rrf_e6": pa.array([s for _, s in items], pa.int64())})
