@@ -481,13 +481,18 @@ def retention_cohorts(sf_dir: str) -> rd.Dataset:
     def rows(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         w = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // wk
-        key = uid * np.int64(1 << 20) + w      # weeks since 1970 < 2^20
-        uk = np.unique(key)
-        uid2 = (uk >> 20).astype(np.int64)
+        # distinct (user, week) via lexsort — no packed key, so arbitrary
+        # int64 user ids can't overflow
+        if uid.size:
+            order = np.lexsort((w, uid))
+            uid, w = uid[order], w[order]
+            new = np.concatenate(
+                ([True], (uid[1:] != uid[:-1]) | (w[1:] != w[:-1])))
+            uid, w = uid[new], w[new]
         return pa.table({
-            "user_id": pa.array(uid2, pa.int64()),
-            "w": pa.array((uk & ((1 << 20) - 1)).astype(np.int64), pa.int64()),
-            "uk": pa.array(_coarse_mix(uid2), pa.int64())})
+            "user_id": pa.array(uid, pa.int64()),
+            "w": pa.array(w.astype(np.int64), pa.int64()),
+            "uk": pa.array(_coarse_mix(uid), pa.int64())})
 
     rows.__name__ = "retention_rows"
 
