@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_quantiles": windows.event_quantiles,      # exact multi-pass selection
         "funnel_counts": windows.funnel_counts,          # greedy funnel analysis
         "retention_cohorts": windows.retention_cohorts,  # weekly cohort retention
+        "distinct_users": windows.distinct_users,        # exact COUNT(DISTINCT) exchange
+        "distinct_users_hll": windows.distinct_users_hll,  # mergeable sketch: rows-only
         # --- similarity search ---
         "embedding_topk": sim.embedding_topk,
         "embedding_topk_ivf": sim.embedding_topk_ivf,    # approximate: rows-only

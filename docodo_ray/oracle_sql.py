@@ -1115,6 +1115,13 @@ SELECT CAST(step AS BIGINT) AS step, step_type, n_users FROM (VALUES
 ) AS t(step, step_type, n_users)
 """
 
+    # exact distinct users per type (windows.distinct_users) — the
+    # SQL-checked sibling of the HLL sketch (rows-only by design)
+    sql["distinct_users"] = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
     # cohort retention (windows.retention_cohorts): cohort = week of the
     # user's first event; integer week arithmetic both sides
     from docodo_ray.windows import RETENTION_WEEK_US

@@ -533,3 +533,102 @@ def retention_cohorts(sf_dir: str) -> rd.Dataset:
             .groupby(["cohort_w", "week_offset"])
             .aggregate(Sum("n", alias_name="n"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+# ---- distinct counting: exact + mergeable HyperLogLog sketch ------------------
+# The two standard shapes for COUNT(DISTINCT) at scale: the exact path is
+# a distinct-exchange (map-side dedup, then groupby over (type, user)
+# fixed-width rows); the one-pass path is a MERGEABLE sketch — HLL
+# (Flajolet et al. 2007) with 2^HLL_P registers per group, per-batch
+# partials merged by elementwise max, so the all-to-all moves
+# n_groups x 2^p BYTES regardless of cardinality. The sketch hash is the
+# engine's own splitmix64 — deterministic, so the estimate is identical
+# at any parallelism; accuracy (~1.04/sqrt(2^p)) is asserted against the
+# exact sibling in tests rather than SQL-checked (DuckDB's
+# approx_count_distinct uses a different hash by design).
+
+HLL_P = 12
+
+
+def distinct_users(sf_dir: str) -> rd.Dataset:
+    """(event_type, n_users): exact distinct users per event type — the
+    SQL-checked sibling of distinct_users_hll."""
+    ds = _events(sf_dir, columns=["event_type", "user_id"])
+
+    def dedup(t: pa.Table) -> pa.Table:
+        g = pa.table({"event_type": t["event_type"],
+                      "user_id": t["user_id"].cast(pa.int64())}
+                     ).group_by(["event_type", "user_id"]).aggregate([])
+        return g
+
+    dedup.__name__ = "distinct_partial"
+
+    def count_group(g: pa.Table) -> pa.Table:
+        uid = np.unique(g["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "event_type": pa.array([g["event_type"][0].as_py()], pa.string()),
+            "n_users": pa.array([int(uid.size)], pa.int64())})
+
+    count_group.__name__ = "distinct_count"
+    return (ds.map_batches(dedup, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(count_group, batch_format="pyarrow"))
+
+
+def distinct_users_hll(sf_dir: str, p: int = HLL_P) -> pa.Table:
+    """(event_type, n_users_est): one-pass HyperLogLog estimate of
+    distinct users per event type — per-batch register partials merged by
+    max; n_groups x 2^p bytes cross the wire, never user-scale rows."""
+    from docodo_ray.tokenizer import splitmix64
+
+    m = 1 << p
+    ds = _events(sf_dir, columns=["event_type", "user_id"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        h = splitmix64(
+            t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        reg_idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+        # rank = leading zeros of the remaining 64-p bits + 1
+        rank = np.zeros(h.size, np.int64)
+        cur = rest.copy()
+        for _ in range(64 - p + 1):
+            top = (cur >> np.uint64(63)).astype(bool)
+            rank[~top] += 1
+            cur = cur << np.uint64(1)
+            if top.all():
+                break
+        rank += 1
+        types, code = np.unique(et, return_inverse=True)
+        regs = np.zeros((types.size, m), np.int64)
+        np.maximum.at(regs, (code, reg_idx), rank)
+        return pa.table({
+            "event_type": pa.array(types.tolist(), pa.string()),
+            "regs": pa.array(list(regs), pa.list_(pa.int64()))})
+
+    sketch.__name__ = "hll_sketch"
+
+    def merge(g: pa.Table) -> pa.Table:
+        regs = np.stack([np.asarray(r, np.int64)
+                         for r in g["regs"].to_pylist()]).max(axis=0)
+        z = float((2.0 ** -regs.astype(np.float64)).sum())
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / z
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)          # small-range correction
+        return pa.table({
+            "event_type": pa.array([g["event_type"][0].as_py()], pa.string()),
+            "n_users_est": pa.array([int(est)], pa.int64())})
+
+    merge.__name__ = "hll_merge"
+    out = (ds.map_batches(sketch, batch_format="pyarrow")
+           .groupby("event_type").map_groups(merge, batch_format="pyarrow"))
+    blocks = out.to_arrow_refs()
+    import ray as _ray
+
+    tables = [b for b in map(_ray.get, blocks) if b.num_rows]
+    return pa.concat_tables(tables) if tables else pa.table(
+        {"event_type": pa.array([], pa.string()),
+         "n_users_est": pa.array([], pa.int64())})

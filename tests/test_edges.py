@@ -222,3 +222,20 @@ def test_retention_cohorts_crafted(tmp_path):
         (w0, 0): 2, (w0, 1): 2, (w0, 2): 1,          # cohort week0: u1,u2
         (w0 + 1, 0): 1, (w0 + 1, 2): 1,              # cohort week1: u3
     }
+
+
+def test_hll_accuracy_vs_exact():
+    """The deterministic HLL estimate must sit within the standard-error
+    band of the exact distinct counts (2^12 registers -> ~1.6% sigma; we
+    allow 5%), at both fixture scales."""
+    from docodo_ray.windows import distinct_users, distinct_users_hll
+
+    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        exact = {r["event_type"]: r["n_users"]
+                 for r in distinct_users(sf).take_all()}
+        est = dict(zip(
+            distinct_users_hll(sf)["event_type"].to_pylist(),
+            distinct_users_hll(sf)["n_users_est"].to_pylist()))
+        assert set(est) == set(exact)
+        for t, n in exact.items():
+            assert abs(est[t] - n) <= max(2, 0.05 * n), (sf, t, n, est[t])
