@@ -140,8 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": windows.retention_cohorts,  # weekly cohort retention
         "distinct_users": windows.distinct_users,        # exact COUNT(DISTINCT) exchange
         "distinct_users_hll": windows.distinct_users_hll,  # mergeable sketch: rows-only
-        # --- similarity search ---
+        # --- similarity search / clustering ---
         "embedding_topk": sim.embedding_topk,
+        "kmeans_clusters": sim.kmeans_clusters,  # distributed Lloyd's, int64 contract
         "embedding_topk_ivf": sim.embedding_topk_ivf,    # approximate: rows-only
         # --- multimodal plumbing (stubbed decode kernel): rows-only ---
         "media_features": multimodal.media_features,

@@ -1379,6 +1379,58 @@ SELECT query_id, vec_id, cos_e6 FROM (
 ) WHERE rn <= {TOPK}
 """
 
+    # k-means (sim.kmeans_clusters): unroll KMEANS_ITERS Lloyd supersteps
+    # as CTEs over the int64-quantized vectors — exact integer distances,
+    # floor-mean centroid updates (FLOOR(SUM::DOUBLE/COUNT) is the true
+    # floor for |sum| < 2^53; DuckDB's `//` truncates on negatives so it
+    # is NOT used), ties to the lowest cluster id, empty clusters keep
+    # their previous centroid via the LEFT JOIN + COALESCE frame.
+    from docodo_ray.sim import KMEANS_ITERS, KMEANS_K, KMEANS_SCALE
+
+    km_ctes = ""
+    prev_cent = "cent0"
+    for it in range(1, KMEANS_ITERS + 1):
+        km_ctes += f""",
+kd{it} AS (
+  SELECT v.vec_id, c.cid, SUM((v.q - c.c) * (v.q - c.c)) AS dist
+  FROM qvec v JOIN {prev_cent} c ON v.dim = c.dim
+  GROUP BY v.vec_id, c.cid
+),
+ka{it} AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM kd{it}) WHERE rn = 1
+)"""
+        if it < KMEANS_ITERS:
+            km_ctes += f""",
+cent{it} AS (
+  SELECT p.cid, p.dim, COALESCE(u.c, p.c) AS c
+  FROM {prev_cent} p LEFT JOIN (
+    SELECT a.cid, v.dim,
+           CAST(FLOOR(CAST(SUM(v.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+    FROM ka{it} a JOIN qvec v USING (vec_id) GROUP BY a.cid, v.dim) u
+  ON p.cid = u.cid AND p.dim = u.dim
+)"""
+            prev_cent = f"cent{it}"
+    sql["kmeans_clusters"] = f"""
+WITH qvec AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}.0)
+              AS BIGINT) AS q
+  FROM embeddings
+),
+initids AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}
+),
+cent0 AS (
+  SELECT i.cid, v.dim, v.q AS c FROM initids i JOIN qvec v USING (vec_id)
+){km_ctes}
+SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS sq_dist
+FROM ka{KMEANS_ITERS}
+"""
+
     from docodo_ray.dedup import SIMHASH_MAX_HAMMING
 
     # SimHash: bit i of md5-prefix-64(term) drives a +tf/-tf vote; the

@@ -542,3 +542,147 @@ def semantic_dedup_survivors(sf_dir: str,
         back, batch_format="pyarrow")
     ids = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
     return survivors_from_components(comps, ids, id_col="vec_id")
+
+
+# ---- distributed k-means clustering (SemDeDup/DSIR-style corpus partition) --
+#
+# Lloyd's algorithm as repeated streamed passes over the embeddings table:
+# each pass broadcasts the (k x d) centroid matrix once (ray.put), a
+# map_batches stage assigns every vector to its nearest centroid on
+# zero-copy Arrow buffers and emits per-batch per-cluster partial sums
+# (k rows per batch, not n), a groupby("cluster") reduce folds the partials
+# ON the cluster, and the driver holds only the k x d centroid update.
+# Nothing is materialized: each iteration re-reads the Parquet (at 100 TB
+# that is k passes of streamed column-pruned scans, the textbook layout).
+#
+# Exactness contract: embeddings are quantized once per pass as
+# q = floor(float64(x) * 1e6) int64; distances are exact int64 sums of
+# squares; centroid updates are exact int64 floor means (numpy
+# floor_divide == the oracle's FLOOR(SUM::DOUBLE / COUNT) for any count
+# with |sum| < 2^53 — DuckDB's `//` truncates toward zero on negatives so
+# it is NOT used here); ties pick the lowest cluster id on both sides.
+# The DuckDB oracle unrolls the same supersteps as CTEs (like module_rank).
+# Reference analog: Docodo has no clustering; this is the SemDeDup /
+# data-mixing prerequisite the brief's training-data suite calls for.
+
+KMEANS_K = 8
+KMEANS_ITERS = 4  # assignment passes; ITERS-1 centroid updates
+KMEANS_SCALE = 1_000_000
+
+
+def _quantize_e6(col) -> np.ndarray:
+    """list<float> column -> (n, d) int64 floor(x * 1e6), matching the
+    oracle's CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) bit-wise
+    (float32 -> float64 is exact; IEEE double multiply + floor are
+    deterministic on both engines)."""
+    return np.floor(_embedding_matrix(col) * float(KMEANS_SCALE)).astype(np.int64)
+
+
+def _nearest_centroid(q: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact int64 argmin over centroids; ties -> lowest cluster id
+    (np.argmin first occurrence == the oracle's ORDER BY dist, cid)."""
+    n = q.shape[0]
+    dists = np.empty((n, cents.shape[0]), np.int64)
+    for j in range(cents.shape[0]):
+        diff = q - cents[j]
+        dists[:, j] = np.einsum("ij,ij->i", diff, diff)
+    asg = np.argmin(dists, axis=1)
+    return asg, dists[np.arange(n), asg]
+
+
+class _KMeansPartial:
+    """Per-batch assignment + per-cluster partial (n, sum-vector) rows;
+    state = the broadcast centroid matrix, fetched once per actor/task."""
+
+    def __init__(self, cents_ref):
+        self.cents = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = _quantize_e6(batch["embedding"])
+        asg, _ = _nearest_centroid(q, self.cents)
+        cs, ns, sums = [], [], []
+        for j in np.unique(asg):
+            m = asg == j
+            cs.append(int(j))
+            ns.append(int(m.sum()))
+            sums.append(q[m].sum(axis=0).tolist())
+        return pa.table({
+            "cluster": pa.array(cs, pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+            "sums": pa.array(sums, pa.list_(pa.int64())),
+        })
+
+
+class _KMeansAssign:
+    """Final pass: (vec_id, cluster, sq_dist) per vector."""
+
+    def __init__(self, cents_ref):
+        self.cents = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = _quantize_e6(batch["embedding"])
+        asg, d = _nearest_centroid(q, self.cents)
+        return pa.table({
+            "vec_id": pa.array(vec_ids),
+            "cluster": pa.array(asg.astype(np.int64)),
+            "sq_dist": pa.array(d),
+        })
+
+
+def _kmeans_init(sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic init: the quantized vectors of the k smallest vec_ids,
+    cluster id in vec_id order. Distributed bottom-k: each batch emits its
+    own k smallest (k rows), the driver folds n_blocks x k tiny rows."""
+
+    def bottom_k(batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = _quantize_e6(batch["embedding"])
+        order = np.argsort(vec_ids, kind="stable")[:k]
+        return pa.table({
+            "vec_id": pa.array(vec_ids[order]),
+            "qvec": pa.array(q[order].tolist(), pa.list_(pa.int64())),
+        })
+
+    bottom_k.__name__ = "kmeans_init_bottom_k"
+    rows = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+            .map_batches(bottom_k, batch_format="pyarrow").take_all())
+    rows.sort(key=lambda r: r["vec_id"])
+    if len(rows) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(rows)}")
+    return np.asarray([r["qvec"] for r in rows[:k]], dtype=np.int64)
+
+
+def kmeans_clusters(sf_dir: str, k: int = KMEANS_K,
+                    iters: int = KMEANS_ITERS) -> rd.Dataset:
+    """(vec_id, cluster, sq_dist): Lloyd's k-means over the quantized
+    embedding table — `iters` assignment passes with `iters - 1` exact
+    integer centroid updates between them; init = the k smallest vec_ids'
+    vectors. sq_dist is the exact int64 squared distance to the winning
+    centroid in e6 units. Empty clusters keep their previous centroid."""
+    path = f"{sf_dir}/embeddings.parquet"
+    cents = _kmeans_init(sf_dir, k)
+    for _ in range(iters - 1):
+        ref = ray.put(cents)
+        partials = (rd.read_parquet(path, columns=["embedding"])
+                    .map_batches(_KMeansPartial(ref), batch_format="pyarrow"))
+
+        def fold(group: pa.Table) -> pa.Table:
+            sums = np.asarray(group["sums"].to_pylist(), dtype=np.int64)
+            return pa.table({
+                "cluster": group["cluster"][:1],
+                "n": pa.array([int(group["n"].to_numpy().sum())], pa.int64()),
+                "sums": pa.array([sums.sum(axis=0).tolist()], pa.list_(pa.int64())),
+            })
+
+        fold.__name__ = "kmeans_fold"
+        rows = (partials.groupby("cluster")
+                .map_groups(fold, batch_format="pyarrow").take_all())
+        cents = cents.copy()
+        for r in rows:
+            cents[r["cluster"]] = np.floor_divide(
+                np.asarray(r["sums"], dtype=np.int64), int(r["n"]))
+    ref = ray.put(cents)
+    return (rd.read_parquet(path, columns=["vec_id", "embedding"])
+            .map_batches(_KMeansAssign(ref), batch_format="pyarrow"))

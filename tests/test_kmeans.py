@@ -1,0 +1,61 @@
+"""Distributed Lloyd's k-means (sim.kmeans_clusters): behavioral checks on
+crafted separable blobs plus determinism on the real table. (SQL parity at
+sf0.001 is covered automatically by test_driver_contract.py.)"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from docodo_ray.sim import kmeans_clusters
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def blob_dir(tmp_path_factory):
+    """Two well-separated 8-dim blobs, 30 vectors each; vec_ids interleave
+    the blobs so the first-k init starts with one centroid in each."""
+    rng = np.random.default_rng(7)
+    a = rng.normal(0.0, 0.05, (30, 8)) + 5.0
+    b = rng.normal(0.0, 0.05, (30, 8)) - 5.0
+    vecs, blob = [], []
+    for i in range(30):
+        vecs.append(a[i])
+        blob.append(0)
+        vecs.append(b[i])
+        blob.append(1)
+    t = pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([v.astype(np.float32).tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(blob, pa.int32()),
+    })
+    d = tmp_path_factory.mktemp("kmeans_blobs")
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    return str(d), blob
+
+
+def test_two_blobs_recovered_exactly(ray_session, blob_dir):
+    d, blob = blob_dir
+    out = kmeans_clusters(d, k=2, iters=3).to_pandas().sort_values("vec_id")
+    asg = out["cluster"].to_numpy()
+    # cluster labels must be constant within each blob and differ across
+    want0 = asg[np.array(blob) == 0]
+    want1 = asg[np.array(blob) == 1]
+    assert len(set(want0.tolist())) == 1
+    assert len(set(want1.tolist())) == 1
+    assert want0[0] != want1[0]
+    # distances to own centroid are tiny vs the blob separation (~10 apart,
+    # e6 quantized -> sq_dist ~ (1e7)^2 * 8 if misassigned)
+    assert out["sq_dist"].max() < (1_000_000 ** 2)
+
+
+def test_kmeans_deterministic_and_total(ray_session):
+    n = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    r1 = kmeans_clusters(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    r2 = kmeans_clusters(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(r1) == n  # every vector assigned exactly once
+    assert r1["vec_id"].is_unique
+    assert r1.equals(r2)  # bit-identical across runs
+    assert r1["cluster"].nunique() > 1  # real data actually spreads
