@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         multimodal,
         pipelines,
+        relational,
         sim,
         symbols,
         textstats,
@@ -130,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_blocked": sim.embedding_near_dup_blocked,  # IVF-blocked scale path: rows-only
         "semantic_components": sim.semantic_components,  # CC over cosine pairs
         "semantic_dedup_survivors": sim.semantic_dedup_survivors,  # SemDeDup winners
+        # --- relational layer over the TPC-H tables ---
+        "nation_revenue": relational.nation_revenue,  # 2 hash exchanges + broadcast dim
         # --- streaming windows over the events table ---
         "tumbling_window": windows.tumbling_window,      # combiner + small groupby
         "hopping_window": windows.hopping_window,        # overlapping windows

@@ -1356,6 +1356,26 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM s GROUP BY user_id, session_id
 """
 
+    # relational layer (relational.nation_revenue): TPC-H Q5 shape; the
+    # engine's two hash exchanges + broadcast dim must equal the plain
+    # 4-way join. Revenue e4 fixed point via the same left-associative
+    # IEEE double chain (price * (1 - disc) * 10000.0) then FLOOR.
+    from docodo_ray.relational import NR_FROM, NR_TO
+
+    sql["nation_revenue"] = f"""
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000.0)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '{NR_FROM}'
+  AND o.o_orderdate <  TIMESTAMP '{NR_TO}'
+GROUP BY n.n_name
+"""
+
     qvec = ", ".join(str(v) for v in QUERY_VEC_IDS)
     sql["embedding_topk"] = f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN ({qvec})),

@@ -1,0 +1,55 @@
+"""Relational layer (relational.nation_revenue): crafted-table semantics —
+date-window filter, inner-join drops, cross-batch partial-sum folding.
+(SQL parity at sf0.001 is covered by test_driver_contract.py.)"""
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from docodo_ray.relational import NR_FROM, NR_TO, nation_revenue
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def star_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("star")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["ALPHA", "BETA"], pa.string()),
+    }), str(d / "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 11, 12], pa.int64()),
+        "c_nationkey": pa.array([0, 1, 1], pa.int64()),  # 12: no orders
+    }), str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([100, 101, 102, 103], pa.int64()),
+        "o_custkey": pa.array([10, 10, 11, 11], pa.int64()),
+        # 101 is outside the window; 103 inside but has no lineitems
+        "o_orderdate": pa.array([_ts(NR_FROM), _ts(NR_TO),
+                                 _ts("1996-06-01"), _ts("1996-07-01")],
+                                pa.timestamp("us")),
+    }), str(d / "orders.parquet"))
+    pq.write_table(pa.table({
+        # order 100: two lineitems (fold across rows); 101: excluded by its
+        # order date even though lineitems exist
+        "l_orderkey": pa.array([100, 100, 101, 102], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 999.0, 10.0], pa.float64()),
+        "l_discount": pa.array([0.1, 0.0, 0.0, 0.5], pa.float64()),
+    }), str(d / "lineitem.parquet"))
+    return str(d)
+
+
+def test_nation_revenue_semantics(ray_session, star_dir):
+    out = nation_revenue(star_dir).to_pandas().set_index("nation")
+    # ALPHA: order 100 only -> floor(100*0.9*1e4) + floor(50*1.0*1e4)
+    assert out.loc["ALPHA", "revenue_e4"] == 900_000 + 500_000
+    assert out.loc["ALPHA", "n_orders"] == 1
+    # BETA: order 102 only (103 has no lineitems, customer 12 no orders)
+    assert out.loc["BETA", "revenue_e4"] == 50_000
+    assert out.loc["BETA", "n_orders"] == 1
+    assert len(out) == 2
