@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "importance_weights": traindata.importance_weights,  # DSIR log-ratio scores
         "lm_perplexity": traindata.lm_perplexity,        # CCNet bigram-LM scores
         "c4_line_clean": traindata.c4_line_clean,        # C4 line-level cleaning
+        "line_dedup_clean": traindata.line_dedup_clean,  # global cross-doc line dedup
         "curate_corpus": traindata.curate_corpus,        # the full composition
         "curate_corpus_fuzzy": traindata.curate_corpus_fuzzy,  # + near-dup cluster drop
         "pii_redact": traindata.redact_pii,              # email/IP/key redaction

@@ -1356,6 +1356,39 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM s GROUP BY user_id, session_id
 """
 
+    # global line dedup (traindata.line_dedup_clean): replay the plant
+    # chain, split to (doc_id, line_no, line), keep rn=1 per distinct
+    # participating line ordered by (doc_id, line_no); short lines always
+    # survive. string_agg skips the NULLed losers.
+    from docodo_ray.traindata import LD_MIN_CHARS, LD_PLANTS
+
+    ld_expr = "text"
+    for phrase, repl in LD_PLANTS:
+        lit = "' || chr(10) || '".join(
+            p.replace("'", "''") for p in repl.split("\n"))
+        ld_expr = f"replace({ld_expr}, '{phrase}', '{lit}')"
+    sql["line_dedup_clean"] = f"""
+WITH planted AS (SELECT doc_id, {ld_expr} AS text FROM documents),
+lined AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+lines AS (
+  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS line_no, unnest(ls) AS line
+  FROM lined
+),
+marked AS (
+  SELECT doc_id, line_no, line,
+    CASE WHEN LENGTH(line) >= {LD_MIN_CHARS}
+         THEN ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no)
+         ELSE 1 END AS rn
+  FROM lines
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN line END,
+                           chr(10) ORDER BY line_no), '') AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_removed
+FROM marked GROUP BY doc_id
+"""
+
     # relational layer (relational.nation_revenue): TPC-H Q5 shape; the
     # engine's two hash exchanges + broadcast dim must equal the plain
     # 4-way join. Revenue e4 fixed point via the same left-associative

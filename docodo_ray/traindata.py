@@ -1148,3 +1148,169 @@ def c4_line_clean(sf_dir: str) -> rd.Dataset:
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return (ds.map_batches(_c4_plant, batch_format="pyarrow")
               .map_batches(_c4_clean_batch, batch_format="pyarrow"))
+
+
+# ---- global exact line dedup (RefinedWeb/CCNet-style cross-doc line rule) ---
+#
+# C4 cleans lines by local rules (c4_line_clean); RefinedWeb / CCNet
+# additionally drop every repeated occurrence of a line that appears
+# anywhere else in the corpus (boilerplate headers, nav bars, footers).
+# That is a GLOBAL exchange: only lines long enough to participate
+# (>= LD_MIN_CHARS chars) are lifted into (line, doc_id, line_no) rows
+# keyed by a coarse 64-bit line-hash — short lines never leave their
+# batch — the winner per distinct line is the smallest (doc_id, line_no),
+# and loser coordinates flow through a second doc-keyed exchange that
+# rewrites each document once (text moves exactly once, as in
+# substring_dedup_clean). Hash collisions cannot corrupt results: groups
+# are sub-segmented by the actual line string (vectorized adjacent-
+# equality check, Python fallback only for a real 64-bit collision).
+#
+# The driver corpus is single-line word soup, so a deterministic
+# newline-block is planted on a frequent marker word and the DuckDB
+# oracle replays the identical replace chain (the clone_pairs pattern).
+
+LD_MIN_CHARS = 30
+LD_BLOCK = (
+    "\nthis boilerplate navigation header repeats on every page verbatim\n"
+    "ok\n"
+    "subscribe to the weekly newsletter for updates and exclusive offers\n")
+LD_PLANTS: tuple[tuple[str, str], ...] = (("window", LD_BLOCK),)
+
+_LD_ROW = pa.schema([("doc_id", pa.int64()), ("seq", pa.int64()),
+                     ("text", pa.string()), ("dk", pa.int64())])
+
+
+def _plant_line_blocks(t: pa.Table) -> pa.Table:
+    col = t["text"]
+    for phrase, repl in LD_PLANTS:
+        col = pc.replace_substring(col, phrase, repl)
+    return t.set_column(t.schema.get_field_index("text"), "text", col)
+
+
+def _ld_line_hash(lines: list[str]) -> np.ndarray:
+    import hashlib
+
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8],
+                        "little") & 0x7FFFFFFFFFFFFFFF for s in lines),
+        np.int64, count=len(lines))
+
+
+def line_dedup_clean(sf_dir: str,
+                     min_chars: int = LD_MIN_CHARS) -> rd.Dataset:
+    """(doc_id, clean_text, n_lines, n_removed): the corpus with every
+    non-first occurrence of a globally duplicated line removed. A line
+    participates iff len(line) >= min_chars; the kept occurrence is the
+    smallest (doc_id, line_no). clean_text joins surviving lines with \\n."""
+    from docodo_ray.dedup import _coarse_mix
+
+    docs = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+            .map_batches(_plant_line_blocks, batch_format="pyarrow"))
+
+    cand_schema = pa.schema([("lh", pa.int64()), ("line", pa.string()),
+                             ("doc_id", pa.int64()), ("line_no", pa.int64()),
+                             ("lk", pa.int64())])
+
+    def candidates(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ls = pc.split_pattern(t["text"].cast(pa.string()), pattern="\n")
+        lens = pc.list_value_length(ls).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(ls)
+        line_doc = np.repeat(ids, lens)
+        offs = np.repeat(np.cumsum(lens) - lens, lens)
+        line_no = np.arange(line_doc.size, dtype=np.int64) - offs + 1
+        part = (pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+                >= min_chars)
+        idx = np.flatnonzero(part)
+        lines_py = flat.take(pa.array(idx)).to_pylist()
+        lh = _ld_line_hash(lines_py)
+        return pa.Table.from_arrays(
+            [pa.array(lh), pa.array(lines_py, pa.string()),
+             pa.array(line_doc[idx]), pa.array(line_no[idx]),
+             pa.array(_coarse_mix(lh), pa.int64())], schema=cand_schema)
+
+    candidates.__name__ = "line_candidates"
+
+    def mark_losers(g: pa.Table) -> pa.Table:
+        lh = g["lh"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        seq = g["line_no"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, doc, lh))
+        lh, doc, seq = lh[order], doc[order], seq[order]
+        lines = g["line"].take(pa.array(order))
+        starts = np.flatnonzero(np.concatenate(([True], lh[1:] != lh[:-1])))
+        runlen = np.diff(np.append(starts, lh.size))
+        # vectorized collision probe: within-run adjacent string equality
+        if lh.size > 1:
+            adj_eq = pc.equal(lines.slice(1), lines.slice(0, lh.size - 1))
+            adj_eq = adj_eq.to_numpy(zero_copy_only=False)
+            run_of = np.repeat(np.arange(starts.size), runlen)
+            same_run = run_of[1:] == run_of[:-1]
+            clean_run = np.ones(starts.size, bool)
+            np.logical_and.at(clean_run, run_of[1:][same_run],
+                              adj_eq[same_run])
+        else:
+            clean_run = np.ones(starts.size, bool)
+        loser = np.zeros(lh.size, bool)
+        first_in_run = np.zeros(lh.size, bool)
+        first_in_run[starts] = True
+        ok_rows = np.repeat(clean_run, runlen)
+        loser[ok_rows & ~first_in_run] = True
+        # rare true-collision runs: exact per-string winner in Python
+        for r in np.flatnonzero(~clean_run):
+            s, e = starts[r], starts[r] + runlen[r]
+            best: dict[str, int] = {}
+            seg = lines.slice(s, e - s).to_pylist()
+            for i, sline in enumerate(seg):
+                if sline not in best:
+                    best[sline] = i  # rows already (doc, seq)-sorted
+                else:
+                    loser[s + i] = True
+        sel = np.flatnonzero(loser)
+        return pa.Table.from_arrays(
+            [pa.array(doc[sel]), pa.array(seq[sel]),
+             pa.array([None] * sel.size, pa.string()),
+             pa.array(_coarse_mix(doc[sel]), pa.int64())], schema=_LD_ROW)
+
+    mark_losers.__name__ = "mark_loser_lines"
+    losers = (docs.map_batches(candidates, batch_format="pyarrow")
+              .groupby("lk").map_groups(mark_losers, batch_format="pyarrow"))
+
+    def headers(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ids), pa.array(np.full(ids.size, -1, np.int64)),
+             t["text"].cast(pa.string()),
+             pa.array(_coarse_mix(ids), pa.int64())], schema=_LD_ROW)
+
+    headers.__name__ = "line_doc_headers"
+
+    def rewrite(g: pa.Table) -> pa.Table:
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        seq = g["seq"].to_numpy(zero_copy_only=False)
+        txt = g["text"].to_pylist()
+        hm = seq >= 0
+        drop: dict[int, set] = {}
+        for d, s in zip(doc[hm], seq[hm]):
+            drop.setdefault(int(d), set()).add(int(s))
+        out_id, out_clean, out_nl, out_rm = [], [], [], []
+        for d, t in zip(doc[~hm], (x for x, m in zip(txt, ~hm) if m)):
+            lines = (t or "").split("\n")
+            dd = drop.get(int(d), ())
+            kept = [ln for i, ln in enumerate(lines, 1) if i not in dd]
+            out_id.append(int(d))
+            out_clean.append("\n".join(kept))
+            out_nl.append(len(lines))
+            out_rm.append(len(lines) - len(kept))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "clean_text": pa.array(out_clean, pa.string()),
+            "n_lines": pa.array(out_nl, pa.int64()),
+            "n_removed": pa.array(out_rm, pa.int64()),
+        })
+
+    rewrite.__name__ = "rewrite_without_dup_lines"
+    heads = docs.map_batches(headers, batch_format="pyarrow")
+    return (losers.union(heads).groupby("dk")
+            .map_groups(rewrite, batch_format="pyarrow"))

@@ -1,0 +1,44 @@
+"""Global line dedup (traindata.line_dedup_clean): crafted-corpus semantics
+— first-(doc_id, line_no) winner, short lines exempt, within-doc repeats.
+(SQL parity at sf0.001 is covered by test_driver_contract.py.)"""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from docodo_ray.traindata import line_dedup_clean
+
+LONG_A = "this exact boilerplate line appears in several documents"
+LONG_B = "another very long line that is unique to its one document"
+SHORT = "ok"
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("linedup")
+    texts = {
+        1: f"{LONG_A}\n{SHORT}\n{LONG_B}",
+        2: f"{SHORT}\n{LONG_A}",           # loses LONG_A to doc 1
+        3: f"{LONG_A}\n{LONG_A}",          # loses both copies to doc 1
+        4: SHORT,                          # short everywhere: untouched
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+    }), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_line_dedup_semantics(ray_session, corpus_dir, monkeypatch):
+    # neutralize the plant so the crafted lines are the whole corpus
+    monkeypatch.setattr("docodo_ray.traindata.LD_PLANTS", ())
+    out = (line_dedup_clean(corpus_dir).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[1, "clean_text"] == f"{LONG_A}\n{SHORT}\n{LONG_B}"
+    assert out.loc[1, "n_removed"] == 0
+    assert out.loc[2, "clean_text"] == SHORT
+    assert out.loc[2, "n_removed"] == 1
+    assert out.loc[3, "clean_text"] == ""      # both copies lost
+    assert out.loc[3, "n_removed"] == 2
+    assert out.loc[4, "clean_text"] == SHORT   # short lines never dedup
+    assert (out["n_lines"] == [3, 2, 2, 1]).all()
