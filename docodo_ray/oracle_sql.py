@@ -1409,6 +1409,20 @@ WHERE o.o_orderdate >= TIMESTAMP '{NR_FROM}'
 GROUP BY n.n_name
 """
 
+    # TPC-H Q4 shape (relational.order_priority_counts): EXISTS semi-join
+    from docodo_ray.relational import OPC_FROM, OPC_MIN_QTY, OPC_TO
+
+    sql["order_priority_counts"] = f"""
+SELECT o.o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{OPC_FROM}'
+  AND o.o_orderdate <  TIMESTAMP '{OPC_TO}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_quantity > {OPC_MIN_QTY})
+GROUP BY o.o_orderpriority
+"""
+
     qvec = ", ".join(str(v) for v in QUERY_VEC_IDS)
     sql["embedding_topk"] = f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN ({qvec})),

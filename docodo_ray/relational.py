@@ -215,3 +215,93 @@ def nation_revenue(sf_dir: str) -> rd.Dataset:
     return (nat_partials.groupby("nationkey")
             .map_groups(fold_nation, batch_format="pyarrow")
             .map_batches(name_nations, batch_format="pyarrow"))
+
+
+# ---- TPC-H-Q4-style distributed semi-join --------------------------------
+
+OPC_FROM = "1996-01-01"
+OPC_TO = "1996-07-01"
+OPC_MIN_QTY = 45.0
+
+
+def order_priority_counts(sf_dir: str) -> rd.Dataset:
+    """(priority, n_orders): orders placed in [OPC_FROM, OPC_TO) that have
+    at least one lineitem with l_quantity > OPC_MIN_QTY, counted per
+    o_orderpriority — TPC-H Q4 shape. The EXISTS is ONE hash exchange:
+    the lineitem side is deduplicated to distinct qualifying orderkeys
+    inside each batch before the shuffle (semi-joins never need the
+    probe side's multiplicity), so the exchange moves ~one row per
+    (orderkey, batch); priorities fold to <=5 partial rows per group
+    before the final 5-row rollup."""
+    lo, hi = _epoch_us(OPC_FROM), _epoch_us(OPC_TO)
+    schema = pa.schema([("key", pa.int64()), ("side", pa.int64()),
+                        ("prio", pa.string()), ("ck", pa.int64())])
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (us >= lo) & (us < hi)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        prio = t["o_orderpriority"].filter(pa.array(m))
+        return pa.Table.from_arrays(
+            [pa.array(ok), pa.array(np.zeros(ok.size, np.int64)),
+             prio.combine_chunks() if isinstance(prio, pa.ChunkedArray) else prio,
+             pa.array(_coarse_mix(ok), pa.int64())], schema=schema)
+
+    order_rows.__name__ = "q4_order_rows"
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = np.unique(ok[qty > OPC_MIN_QTY])  # batch-local semi-join dedup
+        return pa.Table.from_arrays(
+            [pa.array(ok), pa.array(np.ones(ok.size, np.int64)),
+             pa.array([""] * ok.size, pa.string()),
+             pa.array(_coarse_mix(ok), pa.int64())], schema=schema)
+
+    line_rows.__name__ = "q4_line_witness_rows"
+
+    def fold(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        key, side = key[order], side[order]
+        prio = g["prio"].take(pa.array(order))
+        starts = _segments(key)
+        counts: dict[str, int] = {}
+        if starts.size:
+            runlen = np.diff(np.append(starts, key.size))
+            has_order = side[starts] == 0
+            has_witness = runlen > 1  # order row + >=1 distinct witness
+            hit = np.flatnonzero(has_order & has_witness)
+            for i in hit:
+                counts[prio[starts[i]].as_py()] = counts.get(
+                    prio[starts[i]].as_py(), 0) + 1
+        return pa.table({
+            "priority": pa.array(list(counts), pa.string()),
+            "n_orders": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    fold.__name__ = "q4_semi_fold"
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    ).map_batches(order_rows, batch_format="pyarrow")
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(line_rows, batch_format="pyarrow")
+    partials = orders.union(line).groupby("ck").map_groups(
+        fold, batch_format="pyarrow")
+
+    def total(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"priority": pa.array([], pa.string()),
+                             "n_orders": pa.array([], pa.int64())})
+        return pa.table({
+            "priority": g["priority"][:1],
+            "n_orders": pa.array(
+                [int(g["n_orders"].to_numpy().sum())], pa.int64()),
+        })
+
+    total.__name__ = "q4_total"
+    return partials.groupby("priority").map_groups(
+        total, batch_format="pyarrow")

@@ -44,6 +44,29 @@ def star_dir(tmp_path_factory):
     return str(d)
 
 
+def test_order_priority_semi_join(ray_session, tmp_path):
+    from docodo_ray.relational import OPC_FROM, order_priority_counts
+
+    d = tmp_path
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "5-LOW"],
+                                    pa.string()),
+        "o_orderdate": pa.array([_ts(OPC_FROM)] * 3, pa.timestamp("us")),
+    }), str(d / "orders.parquet"))
+    pq.write_table(pa.table({
+        # order 1: TWO qualifying lineitems -> still counted once;
+        # order 2: none qualify; order 3: one qualifies
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_quantity": pa.array([50.0, 46.0, 10.0, 50.0], pa.float64()),
+    }), str(d / "lineitem.parquet"))
+    out = (order_priority_counts(str(d)).to_pandas()
+           .set_index("priority").sort_index())
+    assert out.loc["1-URGENT", "n_orders"] == 1
+    assert out.loc["5-LOW", "n_orders"] == 1
+    assert len(out) == 2
+
+
 def test_nation_revenue_semantics(ray_session, star_dir):
     out = nation_revenue(star_dir).to_pandas().set_index("nation")
     # ALPHA: order 100 only -> floor(100*0.9*1e4) + floor(50*1.0*1e4)
