@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": traindata.decontaminate,        # eval n-gram overlap
         "pack_sequences": traindata.pack_sequences,      # distributed prefix scan
         "stratified_sample": traindata.stratified_sample,  # hash-deterministic mixing
+        "weighted_sample": traindata.weighted_sample,    # priority sampling top-K
         "importance_weights": traindata.importance_weights,  # DSIR log-ratio scores
         "lm_perplexity": traindata.lm_perplexity,        # CCNet bigram-LM scores
         "c4_line_clean": traindata.c4_line_clean,        # C4 line-level cleaning

@@ -1931,6 +1931,25 @@ WHERE cp.c12 >= {PMI_MIN_COUNT}
 ORDER BY pmi_e6 DESC, w1 ASC, w2 ASC LIMIT {PMI_TOP_N}
 """
 
+    # priority sampling (traindata.weighted_sample): identical float64
+    # division on exact integer inputs -> rank-identical ordering
+    from docodo_ray.traindata import WS_K
+
+    sql["weighted_sample"] = f"""
+SELECT rank, doc_id, n_chars, u32 FROM (
+  SELECT doc_id, n_chars, u32,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(n_chars AS DOUBLE) / CAST(u32 + 1 AS DOUBLE) DESC,
+                    doc_id ASC) AS rank
+  FROM (
+    SELECT doc_id, n_chars,
+           CAST(((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                 % 4294967296) AS BIGINT) AS u32
+    FROM documents WHERE n_chars >= 1
+  )
+) WHERE rank <= {WS_K}
+"""
+
     sql["stratified_sample"] = f"""
 WITH u AS (
   SELECT doc_id, lang,

@@ -1314,3 +1314,59 @@ def line_dedup_clean(sf_dir: str,
     heads = docs.map_batches(headers, batch_format="pyarrow")
     return (losers.union(heads).groupby("dk")
             .map_groups(rewrite, batch_format="pyarrow"))
+
+
+# ---- weighted priority sampling (Duffield-Lund-Thorup) ----------------------
+#
+# Deterministic weighted sample-without-replacement of the corpus, weights
+# = n_chars: each doc gets priority w / u with u the Knuth multiplicative
+# 32-bit hash of doc_id (+1, never zero); the sample is the global top-K
+# by (priority desc, doc_id) — priority sampling's inclusion rule. No RNG,
+# no shuffle: each batch emits its own top-K partial, a single tiny
+# reduce folds n_blocks x K rows. Both engines compute the identical
+# float64 division (exact uint32/weight inputs), so ordering — including
+# any rounding-induced ties, broken by doc_id — is bit-reproducible and
+# the SQL oracle checks rank-identically.
+
+WS_K = 50
+
+
+def _u32(ids: np.ndarray) -> np.ndarray:
+    x = ids.astype(np.uint64) % _MOD32
+    return (x * _HASH_A) % _MOD32
+
+
+def weighted_sample(sf_dir: str, k: int = WS_K) -> pa.Table:
+    """(rank, doc_id, n_chars, u32): the K documents with the largest
+    n_chars / (u32 + 1) priority — a length-weighted deterministic sample."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = w >= 1
+        ids, w = ids[m], w[m]
+        u32 = _u32(ids).astype(np.int64)
+        pri = w.astype(np.float64) / (u32 + 1).astype(np.float64)
+        order = np.lexsort((ids, -pri))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[order]),
+            "n_chars": pa.array(w[order]),
+            "u32": pa.array(u32[order]),
+        })
+
+    partial.__name__ = "priority_sample_partial"
+
+    rows = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "n_chars"])
+            .map_batches(partial, batch_format="pyarrow").take_all())
+    ids = np.array([r["doc_id"] for r in rows], np.int64)
+    w = np.array([r["n_chars"] for r in rows], np.int64)
+    u32 = np.array([r["u32"] for r in rows], np.int64)
+    pri = w.astype(np.float64) / (u32 + 1).astype(np.float64)
+    order = np.lexsort((ids, -pri))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int64)),
+        "doc_id": pa.array(ids[order]),
+        "n_chars": pa.array(w[order]),
+        "u32": pa.array(u32[order]),
+    })

@@ -188,3 +188,21 @@ def test_decon_hits_counts_distinct_shared_grams(tmp_path):
     want = {1: len(traindata._doc_grams(f"prefix {run} {run}", 5)
                    & traindata._doc_grams(f"{run} tail words", 5))}
     assert got == want
+
+
+def test_weighted_sample_prefers_heavy_docs(ray_session):
+    """Priority sampling: deterministic, and length-weighting must pull the
+    sample's mean n_chars above the corpus mean."""
+    import pyarrow.parquet as pq
+
+    from docodo_ray.traindata import weighted_sample
+
+    sf = "/root/testdata/sf0.001"
+    s1 = weighted_sample(sf).to_pandas()
+    s2 = weighted_sample(sf).to_pandas()
+    assert s1.equals(s2)
+    assert list(s1["rank"]) == list(range(1, len(s1) + 1))
+    corpus_mean = pq.read_table(
+        f"{sf}/documents.parquet", columns=["n_chars"]
+    )["n_chars"].to_pandas().mean()
+    assert s1["n_chars"].mean() > corpus_mean
