@@ -1423,6 +1423,18 @@ WHERE o.o_orderdate >= TIMESTAMP '{OPC_FROM}'
 GROUP BY o.o_orderpriority
 """
 
+    # CDC compaction (relational.latest_orders): latest version per key
+    sql["latest_orders"] = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       epoch_us(o_orderdate) AS orderdate_us
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_custkey
+    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
     qvec = ", ".join(str(v) for v in QUERY_VEC_IDS)
     sql["embedding_topk"] = f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN ({qvec})),

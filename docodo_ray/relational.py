@@ -305,3 +305,50 @@ def order_priority_counts(sf_dir: str) -> rd.Dataset:
     total.__name__ = "q4_total"
     return partials.groupby("priority").map_groups(
         total, batch_format="pyarrow")
+
+
+# ---- CDC-style latest-record-per-key compaction ---------------------------
+
+def latest_orders(sf_dir: str) -> rd.Dataset:
+    """(custkey, orderkey, orderdate_us): each customer's most recent order
+    (ties broken by larger orderkey) — the change-data-capture compaction
+    primitive ("keep the latest version per key"). Argmax is ASSOCIATIVE,
+    so each batch first reduces to one candidate row per custkey (map-side
+    combiner); the single hash exchange then moves ~one row per
+    (custkey, batch) instead of one per order, and the per-group fold
+    re-applies the same comparator. At 10^12 rows this is the difference
+    between shuffling the table and shuffling ~uniques x blocks."""
+
+    def _argmax_rows(ck, ok, us):
+        order = np.lexsort((ok, us, ck))
+        ck, ok, us = ck[order], ok[order], us[order]
+        # last row of each custkey run is the (date, orderkey) max
+        last = np.append(_segments(ck)[1:] - 1, ck.size - 1) if ck.size \
+            else np.empty(0, np.int64)
+        return pa.table({
+            "custkey": pa.array(ck[last], pa.int64()),
+            "orderkey": pa.array(ok[last], pa.int64()),
+            "orderdate_us": pa.array(us[last], pa.int64()),
+            "ck": pa.array(_coarse_mix(ck[last]), pa.int64()),
+        })
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _argmax_rows(
+            t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+
+    partial.__name__ = "latest_order_partial"
+
+    def fold(g: pa.Table) -> pa.Table:
+        out = _argmax_rows(
+            g["custkey"].to_numpy(zero_copy_only=False),
+            g["orderkey"].to_numpy(zero_copy_only=False),
+            g["orderdate_us"].to_numpy(zero_copy_only=False))
+        return out.drop_columns(["ck"])
+
+    fold.__name__ = "latest_order_fold"
+    return (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey", "o_orderdate"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("ck").map_groups(fold, batch_format="pyarrow"))

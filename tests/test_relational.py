@@ -76,3 +76,21 @@ def test_nation_revenue_semantics(ray_session, star_dir):
     assert out.loc["BETA", "revenue_e4"] == 50_000
     assert out.loc["BETA", "n_orders"] == 1
     assert len(out) == 2
+
+
+def test_latest_orders_tie_and_combiner(ray_session, tmp_path):
+    from docodo_ray.relational import latest_orders
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([7, 7, 7, 8], pa.int64()),
+        # orders 2 and 3 tie on date -> larger orderkey (3) wins
+        "o_orderdate": pa.array([_ts("1996-01-01"), _ts("1996-05-01"),
+                                 _ts("1996-05-01"), _ts("1995-01-01")],
+                                pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    out = (latest_orders(str(tmp_path)).to_pandas()
+           .set_index("custkey").sort_index())
+    assert out.loc[7, "orderkey"] == 3
+    assert out.loc[8, "orderkey"] == 4
+    assert len(out) == 2
