@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "symbol_refs": symbols.symbol_refs,              # find-references xref counts
         "module_rank": codegraph.module_rank,            # import-graph PageRank
         "module_triangles": codegraph.module_triangles,  # wedge-join triangle counts
+        "module_scc": codegraph.module_scc,              # circular-import SCCs (Orzan coloring)
         "docodo_rank": pipelines.docodo_rank,            # A8 original: proximity ranker
         "phrase_count": pipelines.phrase_count,          # D2 phrase adjacency
         "boolean_search": pipelines.boolean_search,      # M11 nested AND/OR tree

@@ -472,3 +472,418 @@ def module_triangles(sf_dir: str) -> rd.Dataset:
     edges_raw = (docs.map_batches(_plant_imports, batch_format="pyarrow")
                  .map_batches(_edge_batch, batch_format="pyarrow"))
     return triangle_counts(edges_raw)
+
+
+# ---- strongly connected components (circular-import detection) --------------
+# Orzan-style coloring, fully distributed (no driver-side graph, like
+# connected_components in dedup.py but DIRECTED):
+#
+#   repeat until every node is settled:
+#     1. color(u) <- min module name that REACHES u (min-label propagation
+#        FORWARD along edges, iterated to fixpoint);
+#     2. canreach(u) <- whether u reaches its color root c = color(u)
+#        (boolean propagation BACKWARD along edges; paths between members
+#        of an SCC never leave the SCC, and every intermediate node on a
+#        u ->* c path provably shares color c, so the propagation is
+#        restricted to same-color edges — the standard coloring argument);
+#     3. settle scc(u) = color(u) for every u with canreach(u) — exactly
+#        the set {u : u <-> c}, whose minimum member is c — then drop
+#        settled nodes and their incident edges and recurse.
+#
+# Every step is a coarse-hash groupby exchange over (node, val, kind)
+# string rows with vectorized per-partition sort/searchsorted kernels;
+# labels are module-name strings so MIN agrees with the SQL oracle's
+# binary-collation MIN(varchar) (numpy <U comparisons == code-point
+# order == DuckDB default collation for this ASCII namespace). Rounds:
+# inner fixpoints converge in graph-diameter iterations; each outer
+# round settles at least every current color root, so outer rounds are
+# bounded by the longest root-chain (tiny for import graphs; backstop
+# fails loudly). Output equals scc(u) = min({u} ∪ {v : u ->* v ->* u}).
+
+def _scc_dbg(msg: str) -> None:
+    if os.environ.get("DOCODO_SCC_DEBUG"):
+        import sys
+
+        print(f"[scc] {msg}", file=sys.stderr, flush=True)
+
+
+_SCC_ROW = pa.schema([("node", pa.string()), ("val", pa.string()),
+                      ("kind", pa.int64()), ("gk", pa.int64())])
+_SCC_LBL = pa.schema([("node", pa.string()), ("color", pa.string()),
+                      ("changed", pa.int64())])
+
+
+def _scc_rows(node, val, kind: int, key=None) -> pa.Table:
+    node = list(node)
+    k = _mod_gk(list(key) if key is not None else node)
+    return pa.Table.from_arrays(
+        [pa.array(node, pa.string()), pa.array(list(val), pa.string()),
+         pa.array(np.full(len(node), kind, np.int64)),
+         pa.array(k, pa.int64())], schema=_SCC_ROW)
+
+
+def _scc_str(col) -> np.ndarray:
+    return np.asarray(col.to_pylist(), dtype=str)
+
+
+def _lbl_to_rows(t: pa.Table) -> pa.Table:
+    return _scc_rows(_scc_str(t["node"]), _scc_str(t["color"]), 1)
+
+
+_lbl_to_rows.__name__ = "_lbl_to_rows"
+
+
+
+def _scc_bound(ds: rd.Dataset, cap: int = 16) -> rd.Dataset:
+    """Union + sort grow the block count additively every iteration (Ray
+    sort emits one output block per input block), which compounds across
+    fixpoint iterations into thousands of near-empty blocks and quadratic
+    task-submission cost. Re-pack after each materialize; node/edge row
+    volume itself never grows."""
+    if ds.num_blocks() > cap:
+        ds = ds.repartition(cap).materialize()
+    return ds
+
+
+def _scc_fixpoint(edge_rows: rd.Dataset, labels: rd.Dataset, op: str,
+                  max_iters: int = 64) -> rd.Dataset:
+    """Iterate label propagation to convergence. edge_rows are
+    (node=key endpoint, val=message target) kind=0 rows keyed by gk(node);
+    per iteration each edge sends op-combined label(node) to target.
+    op='min' (string min) or 'or' (labels are '0'/'1', max)."""
+
+    def send(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        node = _scc_str(g["node"])
+        val = _scc_str(g["val"])
+        is_lbl = kind == 1
+        ln, lv = node[is_lbl], val[is_lbl]
+        order = np.argsort(ln, kind="stable")
+        ln, lv = ln[order], lv[order]
+        src, dst = node[~is_lbl], val[~is_lbl]
+        if src.size:
+            i = np.searchsorted(ln, src)
+            i = np.minimum(i, max(ln.size - 1, 0))
+            if not (ln.size and np.all(ln[i] == src)):
+                raise AssertionError("scc: edge endpoint missing its label")
+            msg_v = lv[i]
+            if op == "or":  # only positive flags need to travel
+                m = msg_v == "1"
+                dst, msg_v = dst[m], msg_v[m]
+        else:
+            msg_v = lv[:0]
+        out = pa.concat_tables([
+            _scc_rows(dst, msg_v, 0),
+            _scc_rows(ln, lv, 1),
+        ])
+        return out
+
+    send.__name__ = f"scc_send_{op}"
+
+    def reduce(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        node = _scc_str(g["node"])
+        val = _scc_str(g["val"])
+        if op == "min":
+            order = np.lexsort((val, node))
+        else:  # '1' sorts after '0': take last per run, i.e. sort and flip
+            order = np.lexsort((val, node))
+        node, val, kind = node[order], val[order], kind[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], node[1:] != node[:-1])))
+        ends = np.append(starts[1:], node.size) - 1
+        uniq = node[starts]
+        new = val[starts] if op == "min" else val[ends]
+        # old label per node (exactly one kind=1 row per node)
+        is_old = kind == 1
+        old = np.full(uniq.size, "", dtype=val.dtype)
+        oi = np.searchsorted(uniq, node[is_old])
+        old[oi] = val[is_old]
+        changed = (new != old).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(uniq.tolist(), pa.string()),
+             pa.array(new.tolist(), pa.string()),
+             pa.array(changed)], schema=_SCC_LBL)
+
+    reduce.__name__ = f"scc_reduce_{op}"
+
+    import gc
+
+    for _ in range(max_iters):
+        gc.collect()  # reap cycle-leaked executors (see conftest note)
+        msgs = edge_rows.union(
+            labels.map_batches(_lbl_to_rows, batch_format="pyarrow"))
+        labels = (msgs.groupby("gk").map_groups(send, batch_format="pyarrow")
+                  .groupby("gk").map_groups(reduce, batch_format="pyarrow")
+                  .materialize())
+        labels = _scc_bound(labels)
+        if not labels.sum("changed"):
+            return labels
+    raise RuntimeError("scc fixpoint did not converge (raise max_iters)")
+
+
+def _scc_join_lbl(edge_rows: rd.Dataset, labels: rd.Dataset,
+                  keep) -> rd.Dataset:
+    """Annotate each (node, val) edge row with label(node), keep rows per
+    `keep(val_arr, lbl_arr)` mask, re-emit keyed by the OTHER endpoint
+    (node=val, val=node's label piggybacked as needed)."""
+
+    def join(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        node = _scc_str(g["node"])
+        val = _scc_str(g["val"])
+        is_lbl = kind == 1
+        ln, lv = node[is_lbl], val[is_lbl]
+        order = np.argsort(ln, kind="stable")
+        ln, lv = ln[order], lv[order]
+        src, dst = node[~is_lbl], val[~is_lbl]
+        if src.size == 0:
+            return _scc_rows([], [], 0)
+        i = np.searchsorted(ln, src)
+        i = np.minimum(i, max(ln.size - 1, 0))
+        if not (ln.size and np.all(ln[i] == src)):
+            raise AssertionError("scc: edge endpoint missing its label")
+        m = keep(src, dst, lv[i])
+        # swap: next exchange keys on the other endpoint; piggyback
+        # label(node) in a composite "label|node" val when requested
+        return _scc_rows(dst[m], [f"{a}\x00{b}" for a, b in
+                                  zip(lv[i][m], src[m])], 0)
+
+    join.__name__ = "scc_join_lbl"
+    msgs = edge_rows.union(
+        labels.map_batches(_lbl_to_rows, batch_format="pyarrow"))
+    return msgs.groupby("gk").map_groups(join, batch_format="pyarrow")
+
+
+def strongly_connected_components(edges_raw: rd.Dataset,
+                                  max_outer: int = 32) -> rd.Dataset:
+    """(module, scc) for every node of the directed edge set (_PR_ROW
+    rows: module=src, dst=dst): scc = min module name mutually reachable
+    (including the node itself)."""
+    import pyarrow.compute as pc
+
+    def edge_fwd(t: pa.Table) -> pa.Table:  # keyed by src, msg to dst
+        m = pc.is_valid(t["dst"]).to_numpy(zero_copy_only=False)
+        src = _scc_str(t["module"].filter(pa.array(m)))
+        dst = _scc_str(t["dst"].filter(pa.array(m)))
+        return _scc_rows(src, dst, 0)
+
+    edge_fwd.__name__ = "scc_edge_fwd"
+
+    edges = edges_raw.map_batches(edge_fwd, batch_format="pyarrow") \
+        .materialize()
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        node = _scc_str(t["node"])
+        val = _scc_str(t["val"])
+        both = np.concatenate((node, val))
+        u = np.unique(both)
+        return _scc_rows(u, u, 1)
+
+    node_rows.__name__ = "scc_node_rows"
+
+    def node_distinct(g: pa.Table) -> pa.Table:
+        u = np.unique(_scc_str(g["node"]))
+        return pa.Table.from_arrays(
+            [pa.array(u.tolist(), pa.string()),
+             pa.array(u.tolist(), pa.string()),
+             pa.array(np.zeros(u.size, np.int64))], schema=_SCC_LBL)
+
+    node_distinct.__name__ = "scc_node_distinct"
+    colors = (edges.map_batches(node_rows, batch_format="pyarrow")
+              .groupby("gk").map_groups(node_distinct, batch_format="pyarrow")
+              .materialize())
+    settled_parts: list[rd.Dataset] = []
+    for _ in range(max_outer):
+        if colors.count() == 0:
+            break
+        # 1. forward min-label coloring
+        _scc_dbg(f"outer round: nodes={colors.count()} edge_rows={edges.count()}")
+        colors = _scc_fixpoint(edges, colors, "min")
+        _scc_dbg("colors fixed")
+
+        # 2. same-color reversed edges: annotate src color (keyed by src),
+        #    then compare against dst color (keyed by dst)
+        half = _scc_join_lbl(edges, colors, lambda s, d, l: np.ones(
+            s.size, bool))  # rows: node=dst, val="csrc\x00src"
+
+        def unpack_check(g: pa.Table, _colors_unused=None) -> pa.Table:
+            kind = g["kind"].to_numpy(zero_copy_only=False)
+            node = _scc_str(g["node"])
+            val = _scc_str(g["val"])
+            is_lbl = kind == 1
+            ln, lv = node[is_lbl], val[is_lbl]
+            order = np.argsort(ln, kind="stable")
+            ln, lv = ln[order], lv[order]
+            dstn, comp = node[~is_lbl], val[~is_lbl]
+            if dstn.size == 0:
+                return _scc_rows([], [], 0)
+            i = np.searchsorted(ln, dstn)
+            i = np.minimum(i, max(ln.size - 1, 0))
+            if not (ln.size and np.all(ln[i] == dstn)):
+                raise AssertionError("scc: dst missing its color")
+            csrc = np.asarray([c.split("\x00")[0] for c in comp], dtype=str)
+            srcs = np.asarray([c.split("\x00")[1] for c in comp], dtype=str)
+            m = csrc == lv[i]
+            # reversed edge rows for flag propagation: keyed by dst,
+            # message target = src
+            return _scc_rows(dstn[m], srcs[m], 0)
+
+        unpack_check.__name__ = "scc_same_color_rev"
+        _scc_dbg("annotating same-color reversed edges")
+        rev_c = (half.union(
+            colors.map_batches(_lbl_to_rows, batch_format="pyarrow"))
+            .groupby("gk").map_groups(unpack_check, batch_format="pyarrow")
+            .materialize())
+        rev_c = _scc_bound(rev_c)
+
+        # 3. canreach-root flags backward within class
+        def init_flags(t: pa.Table) -> pa.Table:
+            node = _scc_str(t["node"])
+            col = _scc_str(t["color"])
+            f = np.where(node == col, "1", "0")
+            return pa.Table.from_arrays(
+                [pa.array(node.tolist(), pa.string()),
+                 pa.array(f.tolist(), pa.string()),
+                 pa.array(np.zeros(node.size, np.int64))], schema=_SCC_LBL)
+
+        init_flags.__name__ = "scc_init_flags"
+        flags = _scc_bound(colors.map_batches(
+            init_flags, batch_format="pyarrow").materialize())
+        _scc_dbg(f"rev_c rows={rev_c.count()}")
+        flags = _scc_fixpoint(rev_c, flags, "or")
+        _scc_dbg("flags fixed")
+
+        # 4. settle flagged nodes; keep the rest
+        def settle(g: pa.Table) -> pa.Table:
+            kind = g["kind"].to_numpy(zero_copy_only=False)
+            node = _scc_str(g["node"])
+            val = _scc_str(g["val"])
+            is_c = kind == 1  # colors
+            cn, cv = node[is_c], val[is_c]
+            order = np.argsort(cn, kind="stable")
+            cn, cv = cn[order], cv[order]
+            fn, fv = node[~is_c], val[~is_c]
+            i = np.searchsorted(cn, fn)
+            i = np.minimum(i, max(cn.size - 1, 0))
+            if not (cn.size and np.all(cn[i] == fn)):
+                raise AssertionError("scc: flag node missing its color")
+            done = fv == "1"
+            return pa.Table.from_arrays(
+                [pa.array(fn.tolist(), pa.string()),
+                 pa.array(cv[i].tolist(), pa.string()),
+                 pa.array(done.astype(np.int64))], schema=_SCC_LBL)
+
+        settle.__name__ = "scc_settle"
+
+        def flag_to_rows(t: pa.Table) -> pa.Table:
+            return _scc_rows(_scc_str(t["node"]), _scc_str(t["color"]), 0)
+
+        flag_to_rows.__name__ = "scc_flag_rows"
+        joined = (flags.map_batches(flag_to_rows, batch_format="pyarrow")
+                  .union(colors.map_batches(_lbl_to_rows,
+                                            batch_format="pyarrow"))
+                  .groupby("gk").map_groups(settle, batch_format="pyarrow")
+                  .materialize())
+
+        def split_done(want: int):
+            def f(t: pa.Table) -> pa.Table:
+                keep = pc.equal(t["changed"], want)
+                return t.filter(keep)
+
+            f.__name__ = f"scc_split_{want}"
+            return f
+
+        _scc_dbg("settling")
+        settled = joined.map_batches(
+            split_done(1), batch_format="pyarrow").materialize()
+        settled_parts.append(settled)
+        remaining = joined.map_batches(
+            split_done(0), batch_format="pyarrow").materialize()
+
+        # 5. shrink: keep edges whose BOTH endpoints remain (settled SCCs
+        #    are closed under internal paths, so dropping them is safe)
+        def alive_lbl(t: pa.Table) -> pa.Table:
+            node = _scc_str(t["node"])
+            return pa.Table.from_arrays(
+                [pa.array(node.tolist(), pa.string()),
+                 pa.array(["1"] * node.size, pa.string()),
+                 pa.array(np.zeros(node.size, np.int64))], schema=_SCC_LBL)
+
+        alive_lbl.__name__ = "scc_alive_lbl"
+
+        def dead_lbl(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [t["node"], pa.array(["0"] * t.num_rows, pa.string()),
+                 pa.array(np.zeros(t.num_rows, np.int64))], schema=_SCC_LBL)
+
+        dead_lbl.__name__ = "scc_dead_lbl"
+        alive = remaining.map_batches(alive_lbl, batch_format="pyarrow") \
+            .union(settled.map_batches(dead_lbl, batch_format="pyarrow"))
+        half2 = _scc_join_lbl(edges, alive,
+                              lambda s, d, l: l == "1")
+        # half2 rows: node=dst, val="1\x00src" for edges with live src
+
+        def keep_dst_alive(g: pa.Table) -> pa.Table:
+            kind = g["kind"].to_numpy(zero_copy_only=False)
+            node = _scc_str(g["node"])
+            val = _scc_str(g["val"])
+            is_lbl = kind == 1
+            ln, lv = node[is_lbl], val[is_lbl]
+            order = np.argsort(ln, kind="stable")
+            ln, lv = ln[order], lv[order]
+            dstn, comp = node[~is_lbl], val[~is_lbl]
+            if dstn.size == 0:
+                return _scc_rows([], [], 0)
+            i = np.searchsorted(ln, dstn)
+            i = np.minimum(i, max(ln.size - 1, 0))
+            if not (ln.size and np.all(ln[i] == dstn)):
+                raise AssertionError("scc: dst missing liveness")
+            m = lv[i] == "1"
+            srcs = np.asarray([c.split("\x00")[1] for c in comp], dtype=str)
+            # forward edge rows again: keyed by src, message to dst
+            return _scc_rows(srcs[m], dstn[m], 0)
+
+        keep_dst_alive.__name__ = "scc_keep_dst_alive"
+        _scc_dbg("shrinking edges")
+        edges = (half2.union(alive.map_batches(_lbl_to_rows,
+                                               batch_format="pyarrow"))
+                 .groupby("gk").map_groups(keep_dst_alive,
+                                           batch_format="pyarrow")
+                 .materialize())
+        edges = _scc_bound(edges)
+
+        def reinit(t: pa.Table) -> pa.Table:
+            node = _scc_str(t["node"])
+            return pa.Table.from_arrays(
+                [pa.array(node.tolist(), pa.string()),
+                 pa.array(node.tolist(), pa.string()),
+                 pa.array(np.zeros(node.size, np.int64))], schema=_SCC_LBL)
+
+        reinit.__name__ = "scc_reinit"
+        colors = _scc_bound(remaining.map_batches(
+            reinit, batch_format="pyarrow").materialize())
+        _scc_dbg(f"round done: settled={settled.count()} remaining={colors.count()}")
+    else:
+        raise RuntimeError("scc did not settle within max_outer rounds")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"module": t["node"], "scc": t["color"]})
+
+    project.__name__ = "scc_project"
+    out = settled_parts[0]
+    for p in settled_parts[1:]:
+        out = out.union(p)
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def module_scc(sf_dir: str) -> rd.Dataset:
+    """(module, scc) over the import graph of the (planted) documents
+    table: scc = min module name in the node's strongly connected
+    component — multi-member groups are exactly the circular-import
+    clusters a code-graph tool reports."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    edges_raw = (docs.map_batches(_plant_imports, batch_format="pyarrow")
+                 .map_batches(_edge_batch, batch_format="pyarrow"))
+    return strongly_connected_components(edges_raw)

@@ -686,6 +686,30 @@ SELECT module, CAST(count(*) AS BIGINT) AS n_triangles
 FROM corners GROUP BY module
 """
 
+    # strongly connected components (codegraph.module_scc): the engine's
+    # Orzan-style distributed coloring settles scc(u) = min module name
+    # mutually reachable from u (incl. u); the oracle computes the same
+    # from the transitive closure — reach via recursive CTE, then
+    # min over {u} ∪ {v : u->*v and v->*u}. Node namespace is ASCII, so
+    # numpy '<U' order == DuckDB binary-collation MIN(varchar).
+    sql["module_scc"] = graph_pro.replace(
+        "WITH planted", "WITH RECURSIVE planted", 1) + """,
+nodes AS (SELECT src AS module FROM edges UNION SELECT dst FROM edges),
+de AS (SELECT DISTINCT src, dst FROM edges),
+reach(src, dst) AS (
+  SELECT src, dst FROM de
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN de e ON e.src = r.dst
+),
+mutual AS (
+  SELECT r1.src AS module, r1.dst AS v
+  FROM reach r1 JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src
+)
+SELECT n.module, LEAST(n.module, COALESCE(MIN(m.v), n.module)) AS scc
+FROM nodes n LEFT JOIN mutual m ON m.module = n.module
+GROUP BY n.module
+"""
+
     # hybrid retrieval (pipelines.hybrid_rrf): BM25 top-POOL + cosine
     # top-POOL fused by integer reciprocal-rank scores
     from docodo_ray.pipelines import (

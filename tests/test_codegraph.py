@@ -157,3 +157,65 @@ def test_triangles_match_naive(edge_list):
     w = np.array([k for _, _, k in edge_list], np.int64)
     assert _tri_counts(_pr_rows(src, dst=dst, w=w)) == \
         _naive_triangles(edge_list)
+
+
+# ---- strongly connected components -------------------------------------------
+
+def _scc_map(edges_tbl) -> dict[str, str]:
+    from docodo_ray.codegraph import strongly_connected_components
+
+    blocks = [ray.get(r) for r in
+              strongly_connected_components(
+                  rd.from_arrow(edges_tbl)).to_arrow_refs()]
+    nz = [b for b in blocks if b.num_rows]
+    out = pa.concat_tables(nz)
+    return dict(zip(out["module"].to_pylist(), out["scc"].to_pylist()))
+
+
+def _naive_scc(edge_list) -> dict[str, str]:
+    """Independent reference: boolean transitive closure, then
+    scc(u) = min({u} | {v : u->*v and v->*u})."""
+    nodes = sorted({s for s, _ in edge_list} | {d for _, d in edge_list})
+    idx = {m: i for i, m in enumerate(nodes)}
+    n = len(nodes)
+    reach = np.zeros((n, n), bool)
+    for s, d in edge_list:
+        reach[idx[s], idx[d]] = True
+    for k in range(n):  # Floyd-Warshall closure
+        reach |= np.outer(reach[:, k], reach[k, :])
+    out = {}
+    for u in nodes:
+        i = idx[u]
+        mutual = [nodes[j] for j in range(n) if reach[i, j] and reach[j, i]]
+        out[u] = min([u] + mutual)
+    return out
+
+
+def test_scc_crafted_multi_round():
+    """2-cycle, 3-cycle, pendant chain into the 2-cycle, self-loop and a
+    root chain that forces a second outer settling round (g -> a where
+    color(g)=a is unreachable back from g until a's SCC settles)."""
+    edge_list = [("a", "b"), ("b", "a"),            # 2-cycle, root a
+                 ("c", "d"), ("d", "e"), ("e", "c"),  # 3-cycle, root c
+                 ("f", "a"), ("g", "a"),            # sources into the cycle
+                 ("a", "h"),                        # sink off the cycle
+                 ("i", "i")]                        # self-loop
+    src = [s for s, _ in edge_list]
+    dst = [d for _, d in edge_list]
+    edges = _pr_rows(src, dst=dst, w=np.ones(len(src), np.int64))
+    assert _scc_map(edges) == _naive_scc(edge_list)
+
+
+def test_scc_nested_cycles_match_naive():
+    """Two overlapping cycles merge into one SCC; a bridge node between
+    two SCCs stays a singleton."""
+    edge_list = [("a", "b"), ("b", "c"), ("c", "a"),   # cycle abc
+                 ("b", "d"), ("d", "a"),               # overlapping cycle abd
+                 ("c", "x"), ("x", "e"),               # bridge x
+                 ("e", "f"), ("f", "e")]               # downstream 2-cycle
+    src = [s for s, _ in edge_list]
+    dst = [d for _, d in edge_list]
+    edges = _pr_rows(src, dst=dst, w=np.ones(len(src), np.int64))
+    got = _scc_map(edges)
+    assert got == _naive_scc(edge_list)
+    assert got["d"] == "a" and got["x"] == "x" and got["f"] == "e"
