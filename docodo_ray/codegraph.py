@@ -534,12 +534,24 @@ _lbl_to_rows.__name__ = "_lbl_to_rows"
 
 
 
-def _scc_bound(ds: rd.Dataset, cap: int = 16) -> rd.Dataset:
+_SCC_BLOCK_ROWS = 65536   # target rows per block between iterations
+
+
+def _scc_cap(rows: int) -> int:
+    """Block count sized to row volume: exchange/task overhead dominates
+    tiny iterations, so small frontiers run in 2 blocks; huge frontiers
+    scale out (cap 256 ≈ 16M rows in flight — raise for bigger graphs)."""
+    return int(max(2, min(256, rows // _SCC_BLOCK_ROWS + 2)))
+
+
+def _scc_bound(ds: rd.Dataset, cap: int | None = None) -> rd.Dataset:
     """Union + sort grow the block count additively every iteration (Ray
     sort emits one output block per input block), which compounds across
     fixpoint iterations into thousands of near-empty blocks and quadratic
     task-submission cost. Re-pack after each materialize; node/edge row
     volume itself never grows."""
+    if cap is None:
+        cap = _scc_cap(ds.count())
     if ds.num_blocks() > cap:
         ds = ds.repartition(cap).materialize()
     return ds
@@ -609,14 +621,18 @@ def _scc_fixpoint(edge_rows: rd.Dataset, labels: rd.Dataset, op: str,
 
     import gc
 
+    # frontier row volume is constant across iterations (labels = node
+    # set, edge rows fixed), so size the between-iteration block count
+    # once and fold the re-pack into the same execution as the exchange
+    cap = _scc_cap(edge_rows.count() + labels.count())
     for _ in range(max_iters):
         gc.collect()  # reap cycle-leaked executors (see conftest note)
         msgs = edge_rows.union(
             labels.map_batches(_lbl_to_rows, batch_format="pyarrow"))
         labels = (msgs.groupby("gk").map_groups(send, batch_format="pyarrow")
                   .groupby("gk").map_groups(reduce, batch_format="pyarrow")
+                  .repartition(cap)
                   .materialize())
-        labels = _scc_bound(labels)
         if not labels.sum("changed"):
             return labels
     raise RuntimeError("scc fixpoint did not converge (raise max_iters)")
@@ -670,8 +686,8 @@ def strongly_connected_components(edges_raw: rd.Dataset,
 
     edge_fwd.__name__ = "scc_edge_fwd"
 
-    edges = edges_raw.map_batches(edge_fwd, batch_format="pyarrow") \
-        .materialize()
+    edges = _scc_bound(edges_raw.map_batches(edge_fwd, batch_format="pyarrow")
+                       .materialize())
 
     def node_rows(t: pa.Table) -> pa.Table:
         node = _scc_str(t["node"])
