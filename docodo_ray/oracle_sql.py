@@ -1447,6 +1447,42 @@ WHERE o.o_orderdate >= TIMESTAMP '{OPC_FROM}'
 GROUP BY o.o_orderpriority
 """
 
+    # TPC-H Q1 shape (relational.pricing_summary): map-side full aggregate
+    # then a 6-row exchange; per-row terms share the oracle's exact
+    # left-associative floor(IEEE-double * scale) chains, avgs are int64
+    # floor division
+    from docodo_ray.relational import PS_CUTOFF
+
+    sql["pricing_summary"] = f"""
+WITH f AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(floor(l_quantity * 100.0) AS BIGINT) AS q,
+    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS p,
+    CAST(floor(l_discount * 10000.0) AS BIGINT) AS d,
+    CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0)
+         AS BIGINT) AS dp,
+    CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+               * 10000.0) AS BIGINT) AS ch
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{PS_CUTOFF}'
+), a AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum(q) AS BIGINT) AS sum_qty_e2,
+         CAST(sum(p) AS BIGINT) AS sum_base_e2,
+         CAST(sum(dp) AS BIGINT) AS sum_disc_price_e4,
+         CAST(sum(ch) AS BIGINT) AS sum_charge_e4,
+         CAST(sum(d) AS BIGINT) AS sd,
+         CAST(count(*) AS BIGINT) AS count_order
+  FROM f GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, sum_qty_e2, sum_base_e2,
+       sum_disc_price_e4, sum_charge_e4,
+       sum_qty_e2 // count_order AS avg_qty_e2,
+       sum_base_e2 // count_order AS avg_price_e2,
+       sd // count_order AS avg_disc_e4,
+       count_order
+FROM a
+"""
+
     # CDC compaction (relational.latest_orders): latest version per key
     sql["latest_orders"] = """
 SELECT o_custkey AS custkey, o_orderkey AS orderkey,

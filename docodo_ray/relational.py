@@ -352,3 +352,82 @@ def latest_orders(sf_dir: str) -> rd.Dataset:
                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
             .map_batches(partial, batch_format="pyarrow")
             .groupby("ck").map_groups(fold, batch_format="pyarrow"))
+
+
+# ---- TPC-H-Q1-style pricing summary ----------------------------------------
+
+PS_CUTOFF = "2000-06-01"
+
+
+def pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1 shape: per (l_returnflag, l_linestatus) sums/avgs/count
+    over lineitem shipped before PS_CUTOFF. The full aggregate is computed
+    map-side per batch (6 groups), so the exchange moves <= 6 rows per
+    batch regardless of table size — the canonical combiner-then-tiny-
+    groupby shape. Exactness contract (same as nation_revenue): per-row
+    terms are floor(<left-associative IEEE double chain> * scale) in
+    float64, identical to the DuckDB oracle's floor(...) chain, then all
+    sums/averages are int64 (avg = sum // count)."""
+    cutoff = _epoch_us(PS_CUTOFF)
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = us < cutoff
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)[m]
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
+        tax = t["l_tax"].to_numpy(zero_copy_only=False)[m]
+        flag = np.asarray(t["l_returnflag"].to_pylist(), dtype=str)[m]
+        status = np.asarray(t["l_linestatus"].to_pylist(), dtype=str)[m]
+        q = np.floor(qty * 100.0).astype(np.int64)
+        p = np.floor(price * 100.0).astype(np.int64)
+        d = np.floor(disc * 10000.0).astype(np.int64)
+        dp = np.floor(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        ch = np.floor(price * (1.0 - disc) * (1.0 + tax) * 10000.0) \
+            .astype(np.int64)
+        k = np.char.add(np.char.add(flag, "|"), status)
+        uk, inv = np.unique(k, return_inverse=True)
+        def s(x):
+            return np.bincount(inv, weights=x, minlength=uk.size) \
+                .astype(np.int64)
+        return pa.table({
+            "k": pa.array(uk.tolist(), pa.string()),
+            "sum_qty_e2": pa.array(s(q), pa.int64()),
+            "sum_base_e2": pa.array(s(p), pa.int64()),
+            "sum_disc_price_e4": pa.array(s(dp), pa.int64()),
+            "sum_charge_e4": pa.array(s(ch), pa.int64()),
+            "sd": pa.array(s(d), pa.int64()),
+            "count_order": pa.array(
+                np.bincount(inv, minlength=uk.size).astype(np.int64)),
+        })
+
+    partial.__name__ = "q1_partial"
+
+    def total(g: pa.Table) -> pa.Table:
+        k = g["k"][0].as_py()
+        flag, status = k.split("|")
+        sums = {c: int(g[c].to_numpy().sum())
+                for c in ("sum_qty_e2", "sum_base_e2", "sum_disc_price_e4",
+                          "sum_charge_e4", "sd", "count_order")}
+        n = sums["count_order"]
+        return pa.table({
+            "l_returnflag": pa.array([flag], pa.string()),
+            "l_linestatus": pa.array([status], pa.string()),
+            "sum_qty_e2": pa.array([sums["sum_qty_e2"]], pa.int64()),
+            "sum_base_e2": pa.array([sums["sum_base_e2"]], pa.int64()),
+            "sum_disc_price_e4": pa.array(
+                [sums["sum_disc_price_e4"]], pa.int64()),
+            "sum_charge_e4": pa.array([sums["sum_charge_e4"]], pa.int64()),
+            "avg_qty_e2": pa.array([sums["sum_qty_e2"] // n], pa.int64()),
+            "avg_price_e2": pa.array([sums["sum_base_e2"] // n], pa.int64()),
+            "avg_disc_e4": pa.array([sums["sd"] // n], pa.int64()),
+            "count_order": pa.array([n], pa.int64()),
+        })
+
+    total.__name__ = "q1_total"
+    return (rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k").map_groups(total, batch_format="pyarrow"))
