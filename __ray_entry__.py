@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": windows.tumbling_window,      # combiner + small groupby
         "hopping_window": windows.hopping_window,        # overlapping windows
         "sessionize": windows.sessionize,                # per-key gap sessions
+        "running_totals": windows.running_totals,        # SUM/ROW_NUMBER OVER (PARTITION BY)
         "asof_join": windows.asof_join,                  # per-user as-of match
         "event_quantiles": windows.event_quantiles,      # exact multi-pass selection
         "funnel_counts": windows.funnel_counts,          # greedy funnel analysis

@@ -1380,6 +1380,18 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM s GROUP BY user_id, session_id
 """
 
+    # analytic window functions (windows.running_totals): event_id is
+    # unique, so the ORDER BY (ts, event_id) is total and the default
+    # RANGE frame equals ROWS — the engine's segment cumsum
+    sql["running_totals"] = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w
+            AS BIGINT) AS running_cents,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS row_no
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
     # global line dedup (traindata.line_dedup_clean): replay the plant
     # chain, split to (doc_id, line_no, line), keep rn=1 per distinct
     # participating line ordered by (doc_id, line_no); short lines always

@@ -632,3 +632,60 @@ def distinct_users_hll(sf_dir: str, p: int = HLL_P) -> pa.Table:
     return pa.concat_tables(tables) if tables else pa.table(
         {"event_type": pa.array([], pa.string()),
          "n_users_est": pa.array([], pa.int64())})
+
+
+# ---- analytic window functions: per-key running totals -----------------------
+
+def running_totals(sf_dir: str) -> rd.Dataset:
+    """(event_id, user_id, ts_us, running_cents, row_no): SQL analytic
+    window functions SUM(...) OVER (PARTITION BY user ORDER BY ts) and
+    ROW_NUMBER() in one distributed pass. Events are co-located by a
+    coarse multiplicative hash of user_id (one group serves ~users/256
+    keys, amortizing dispatch), then ONE lexsort per group drives both
+    functions as vectorized segment ops: cumsum minus per-segment base,
+    arange minus segment start. A user's history must fit in one group —
+    the standard window-function partitioning assumption (hot users bound
+    the group size, not the corpus)."""
+    from docodo_ray.dedup import _coarse_mix
+
+    def lift(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": pa.array(uid, pa.int64()),
+            "ts_us": t["ts"].cast(pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "uk": pa.array(_coarse_mix(uid), pa.int64()),
+        })
+
+    lift.__name__ = "rt_lift"
+
+    def scan(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["ts_us"].to_numpy(zero_copy_only=False)
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        eid, uid, us, c = eid[order], uid[order], us[order], c[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], uid[1:] != uid[:-1])))
+        counts = np.diff(np.append(starts, uid.size))
+        total = np.cumsum(c)
+        base = np.repeat(total[starts] - c[starts], counts)
+        row_no = np.arange(uid.size, dtype=np.int64) \
+            - np.repeat(starts, counts) + 1
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts_us": pa.array(us, pa.int64()),
+            "running_cents": pa.array(total - base, pa.int64()),
+            "row_no": pa.array(row_no, pa.int64()),
+        })
+
+    scan.__name__ = "rt_scan"
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+    return (ds.map_batches(lift, batch_format="pyarrow")
+            .groupby("uk").map_groups(scan, batch_format="pyarrow"))
