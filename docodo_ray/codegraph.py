@@ -671,11 +671,9 @@ def _scc_join_lbl(edge_rows: rd.Dataset, labels: rd.Dataset,
     return msgs.groupby("gk").map_groups(join, batch_format="pyarrow")
 
 
-def strongly_connected_components(edges_raw: rd.Dataset,
-                                  max_outer: int = 32) -> rd.Dataset:
-    """(module, scc) for every node of the directed edge set (_PR_ROW
-    rows: module=src, dst=dst): scc = min module name mutually reachable
-    (including the node itself)."""
+def _scc_edge_rows(edges_raw: rd.Dataset) -> rd.Dataset:
+    """_PR_ROW edge set (module=src, dst) -> bounded, materialized
+    (node=src, val=dst) kind=0 message rows keyed by gk(src)."""
     import pyarrow.compute as pc
 
     def edge_fwd(t: pa.Table) -> pa.Table:  # keyed by src, msg to dst
@@ -685,9 +683,13 @@ def strongly_connected_components(edges_raw: rd.Dataset,
         return _scc_rows(src, dst, 0)
 
     edge_fwd.__name__ = "scc_edge_fwd"
+    return _scc_bound(edges_raw.map_batches(edge_fwd, batch_format="pyarrow")
+                      .materialize())
 
-    edges = _scc_bound(edges_raw.map_batches(edge_fwd, batch_format="pyarrow")
-                       .materialize())
+
+def _scc_self_labels(edges: rd.Dataset) -> rd.Dataset:
+    """Distinct node set of the edge rows as _SCC_LBL labels initialized
+    to the node's own name (one exchange)."""
 
     def node_rows(t: pa.Table) -> pa.Table:
         node = _scc_str(t["node"])
@@ -706,9 +708,20 @@ def strongly_connected_components(edges_raw: rd.Dataset,
              pa.array(np.zeros(u.size, np.int64))], schema=_SCC_LBL)
 
     node_distinct.__name__ = "scc_node_distinct"
-    colors = (edges.map_batches(node_rows, batch_format="pyarrow")
-              .groupby("gk").map_groups(node_distinct, batch_format="pyarrow")
-              .materialize())
+    return (edges.map_batches(node_rows, batch_format="pyarrow")
+            .groupby("gk").map_groups(node_distinct, batch_format="pyarrow")
+            .materialize())
+
+
+def strongly_connected_components(edges_raw: rd.Dataset,
+                                  max_outer: int = 32) -> rd.Dataset:
+    """(module, scc) for every node of the directed edge set (_PR_ROW
+    rows: module=src, dst=dst): scc = min module name mutually reachable
+    (including the node itself)."""
+    import pyarrow.compute as pc
+
+    edges = _scc_edge_rows(edges_raw)
+    colors = _scc_self_labels(edges)
     settled_parts: list[rd.Dataset] = []
     for _ in range(max_outer):
         if colors.count() == 0:
@@ -903,3 +916,53 @@ def module_scc(sf_dir: str) -> rd.Dataset:
     edges_raw = (docs.map_batches(_plant_imports, batch_format="pyarrow")
                  .map_batches(_edge_batch, batch_format="pyarrow"))
     return strongly_connected_components(edges_raw)
+
+
+# ---- reachability / dead-code detection --------------------------------------
+
+DEAD_CODE_ROOTS: tuple[str, ...] = ("mod1", "mod42")
+
+
+def module_reachability(edges_raw: rd.Dataset,
+                        roots: tuple[str, ...]) -> rd.Dataset:
+    """(module, reachable) over the directed edge set: reachable=1 iff the
+    module is a root or transitively imported by one (forward closure
+    from the root set). One boolean-flag fixpoint — the same distributed
+    'or' propagation the SCC pass uses, no driver-side graph."""
+    edges = _scc_edge_rows(edges_raw)
+    rootset = frozenset(roots)
+
+    def init_flags(t: pa.Table) -> pa.Table:
+        node = _scc_str(t["node"])
+        f = np.where(np.isin(node, list(rootset)), "1", "0")
+        return pa.Table.from_arrays(
+            [pa.array(node.tolist(), pa.string()),
+             pa.array(f.tolist(), pa.string()),
+             pa.array(np.zeros(node.size, np.int64))], schema=_SCC_LBL)
+
+    init_flags.__name__ = "reach_init"
+    flags = _scc_bound(
+        _scc_self_labels(edges).map_batches(init_flags,
+                                            batch_format="pyarrow")
+        .materialize())
+    flags = _scc_fixpoint(edges, flags, "or")
+
+    def project(t: pa.Table) -> pa.Table:
+        f = _scc_str(t["color"])
+        return pa.table({"module": t["node"],
+                         "reachable": pa.array(
+                             (f == "1").astype(np.int64))})
+
+    project.__name__ = "reach_project"
+    return flags.map_batches(project, batch_format="pyarrow")
+
+
+def dead_code_modules(sf_dir: str) -> rd.Dataset:
+    """(module, reachable) over the planted import graph with
+    DEAD_CODE_ROOTS as the entry points — reachable=0 rows are the
+    dead-code candidates a code-graph tool reports."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    edges_raw = (docs.map_batches(_plant_imports, batch_format="pyarrow")
+                 .map_batches(_edge_batch, batch_format="pyarrow"))
+    return module_reachability(edges_raw, DEAD_CODE_ROOTS)

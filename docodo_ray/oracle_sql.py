@@ -694,7 +694,8 @@ FROM corners GROUP BY module
     # numpy '<U' order == DuckDB binary-collation MIN(varchar).
     sql["module_scc"] = graph_pro.replace(
         "WITH planted", "WITH RECURSIVE planted", 1) + """,
-nodes AS (SELECT src AS module FROM edges UNION SELECT dst FROM edges),
+nodes AS (SELECT DISTINCT module FROM (
+  SELECT src AS module FROM edges UNION ALL SELECT dst FROM edges)),
 de AS (SELECT DISTINCT src, dst FROM edges),
 reach(src, dst) AS (
   SELECT src, dst FROM de
@@ -708,6 +709,29 @@ mutual AS (
 SELECT n.module, LEAST(n.module, COALESCE(MIN(m.v), n.module)) AS scc
 FROM nodes n LEFT JOIN mutual m ON m.module = n.module
 GROUP BY n.module
+"""
+
+    # dead-code reachability (codegraph.dead_code_modules): forward
+    # closure from the root set, LEFT JOIN marks the unreached
+    from docodo_ray.codegraph import DEAD_CODE_ROOTS
+
+    dc_roots = ", ".join(f"'{r}'" for r in DEAD_CODE_ROOTS)
+    # NB: under WITH RECURSIVE, DuckDB 1.0 does NOT dedup a plain UNION in
+    # a non-recursive CTE — make the distinct explicit
+    sql["dead_code_modules"] = graph_pro.replace(
+        "WITH planted", "WITH RECURSIVE planted", 1) + f""",
+nodes AS (SELECT DISTINCT module FROM (
+  SELECT src AS module FROM edges UNION ALL SELECT dst FROM edges)),
+de AS (SELECT DISTINCT src, dst FROM edges),
+reach(node) AS (
+  SELECT module FROM nodes WHERE module IN ({dc_roots})
+  UNION
+  SELECT e.dst FROM reach r JOIN de e ON e.src = r.node
+)
+SELECT n.module,
+       CAST(CASE WHEN r.node IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS reachable
+FROM nodes n LEFT JOIN reach r ON r.node = n.module
 """
 
     # hybrid retrieval (pipelines.hybrid_rrf): BM25 top-POOL + cosine
