@@ -512,6 +512,12 @@ _SCC_ROW = pa.schema([("node", pa.string()), ("val", pa.string()),
 _SCC_LBL = pa.schema([("node", pa.string()), ("color", pa.string()),
                       ("changed", pa.int64())])
 
+# topo levels ride the same string-label fixpoint as zero-padded ints
+# (fixed width => lexicographic max == numeric max); 6 digits bounds the
+# longest dependency chain at 999999
+_LVL_W = 6
+_LVL0 = "1".zfill(_LVL_W)
+
 
 def _scc_rows(node, val, kind: int, key=None) -> pa.Table:
     node = list(node)
@@ -562,7 +568,8 @@ def _scc_fixpoint(edge_rows: rd.Dataset, labels: rd.Dataset, op: str,
     """Iterate label propagation to convergence. edge_rows are
     (node=key endpoint, val=message target) kind=0 rows keyed by gk(node);
     per iteration each edge sends op-combined label(node) to target.
-    op='min' (string min) or 'or' (labels are '0'/'1', max)."""
+    op='min' (string min), 'or' (labels '0'/'1', max), or 'lvl'
+    (zero-padded int levels, message = level+1, max — longest path)."""
 
     def send(g: pa.Table) -> pa.Table:
         kind = g["kind"].to_numpy(zero_copy_only=False)
@@ -582,6 +589,9 @@ def _scc_fixpoint(edge_rows: rd.Dataset, labels: rd.Dataset, op: str,
             if op == "or":  # only positive flags need to travel
                 m = msg_v == "1"
                 dst, msg_v = dst[m], msg_v[m]
+            elif op == "lvl":  # message = sender's level + 1
+                msg_v = np.char.zfill(
+                    (msg_v.astype(np.int64) + 1).astype(str), _LVL_W)
         else:
             msg_v = lv[:0]
         out = pa.concat_tables([
@@ -966,3 +976,129 @@ def dead_code_modules(sf_dir: str) -> rd.Dataset:
     edges_raw = (docs.map_batches(_plant_imports, batch_format="pyarrow")
                  .map_batches(_edge_batch, batch_format="pyarrow"))
     return module_reachability(edges_raw, DEAD_CODE_ROOTS)
+
+
+# ---- build order: longest-path levels of the condensation DAG ----------------
+
+def _lbl_ds(ds: rd.Dataset, node_col: str, val_col: str) -> rd.Dataset:
+    """Project a two-column dataset into _SCC_LBL label rows."""
+
+    def f(t: pa.Table) -> pa.Table:
+        node = _scc_str(t[node_col])
+        return pa.Table.from_arrays(
+            [pa.array(node.tolist(), pa.string()),
+             pa.array(_scc_str(t[val_col]).tolist(), pa.string()),
+             pa.array(np.zeros(node.size, np.int64))], schema=_SCC_LBL)
+
+    f.__name__ = f"lbl_{node_col}_{val_col}"
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def condensation_levels(edges_raw: rd.Dataset) -> rd.Dataset:
+    """(module, scc, level) for a directed _PR_ROW edge set: circular
+    clusters condensed to their SCC, then level(scc) = longest dependency
+    chain ending at it (1 = no prerequisites; everything at level L can
+    build once L-1 is done). Fully distributed composition: SCC coloring,
+    two label joins lifting edges into the condensation DAG, a max-level
+    fixpoint (the same exchange kernel as the SCC pass with +1 message
+    increments on zero-padded level strings), and one final join of
+    members to their component's level."""
+    edges = _scc_edge_rows(edges_raw)
+    comps = strongly_connected_components(edges_raw).materialize()
+    comps_lbl = _scc_bound(_lbl_ds(comps, "module", "scc").materialize())
+
+    # condensed edges: scc(src) -> scc(dst), self-edges dropped
+    half = _scc_join_lbl(edges, comps_lbl, lambda s, d, l: np.ones(
+        s.size, bool))  # rows: node=dst, val="scc_src\x00src"
+
+    def to_cond(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        node = _scc_str(g["node"])
+        val = _scc_str(g["val"])
+        is_lbl = kind == 1
+        ln, lv = node[is_lbl], val[is_lbl]
+        order = np.argsort(ln, kind="stable")
+        ln, lv = ln[order], lv[order]
+        dstn, comp = node[~is_lbl], val[~is_lbl]
+        if dstn.size == 0:
+            return _scc_rows([], [], 0)
+        i = np.searchsorted(ln, dstn)
+        i = np.minimum(i, max(ln.size - 1, 0))
+        if not (ln.size and np.all(ln[i] == dstn)):
+            raise AssertionError("build_order: dst missing its scc")
+        scc_src = np.asarray([c.split("\x00")[0] for c in comp], dtype=str)
+        scc_dst = lv[i]
+        m = scc_src != scc_dst
+        return _scc_rows(scc_src[m], scc_dst[m], 0)
+
+    to_cond.__name__ = "cond_edges"
+    cedges = _scc_bound(
+        half.union(comps_lbl.map_batches(_lbl_to_rows,
+                                         batch_format="pyarrow"))
+        .groupby("gk").map_groups(to_cond, batch_format="pyarrow")
+        .materialize())
+
+    # level fixpoint over all condensation nodes (incl. edgeless sccs)
+    def scc_nodes(t: pa.Table) -> pa.Table:
+        u = np.unique(_scc_str(t["color"]))
+        return _scc_rows(u, u, 1)
+
+    scc_nodes.__name__ = "cond_nodes"
+
+    def init_levels(g: pa.Table) -> pa.Table:
+        u = np.unique(_scc_str(g["node"]))
+        return pa.Table.from_arrays(
+            [pa.array(u.tolist(), pa.string()),
+             pa.array([_LVL0] * u.size, pa.string()),
+             pa.array(np.zeros(u.size, np.int64))], schema=_SCC_LBL)
+
+    init_levels.__name__ = "init_levels"
+    levels = (comps_lbl.map_batches(scc_nodes, batch_format="pyarrow")
+              .groupby("gk").map_groups(init_levels, batch_format="pyarrow")
+              .materialize())
+    levels = _scc_fixpoint(cedges, levels, "lvl")
+
+    # members pick up their component's level: one exchange keyed by scc
+    def member_rows(t: pa.Table) -> pa.Table:
+        scc = _scc_str(t["color"])
+        return _scc_rows(scc, _scc_str(t["node"]), 0)
+
+    member_rows.__name__ = "member_rows"
+
+    def emit(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        node = _scc_str(g["node"])
+        val = _scc_str(g["val"])
+        is_lbl = kind == 1
+        ln, lv = node[is_lbl], val[is_lbl]
+        order = np.argsort(ln, kind="stable")
+        ln, lv = ln[order], lv[order]
+        scc, mod = node[~is_lbl], val[~is_lbl]
+        if scc.size == 0:
+            return pa.table({"module": pa.array([], pa.string()),
+                             "scc": pa.array([], pa.string()),
+                             "level": pa.array([], pa.int64())})
+        i = np.searchsorted(ln, scc)
+        i = np.minimum(i, max(ln.size - 1, 0))
+        if not (ln.size and np.all(ln[i] == scc)):
+            raise AssertionError("build_order: scc missing its level")
+        return pa.table({
+            "module": pa.array(mod.tolist(), pa.string()),
+            "scc": pa.array(scc.tolist(), pa.string()),
+            "level": pa.array(lv[i].astype(np.int64)),
+        })
+
+    emit.__name__ = "emit_levels"
+    return (comps_lbl.map_batches(member_rows, batch_format="pyarrow")
+            .union(levels.map_batches(_lbl_to_rows, batch_format="pyarrow"))
+            .groupby("gk").map_groups(emit, batch_format="pyarrow"))
+
+
+def build_order(sf_dir: str) -> rd.Dataset:
+    """(module, scc, level): parallel build waves over the planted import
+    graph — see condensation_levels."""
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    edges_raw = (docs.map_batches(_plant_imports, batch_format="pyarrow")
+                 .map_batches(_edge_batch, batch_format="pyarrow"))
+    return condensation_levels(edges_raw)

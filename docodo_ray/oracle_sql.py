@@ -711,6 +711,47 @@ FROM nodes n LEFT JOIN mutual m ON m.module = n.module
 GROUP BY n.module
 """
 
+    # build order (codegraph.build_order): condensation DAG topo levels —
+    # comps from the same closure as module_scc, condensed edges, then
+    # level = max walk length (longest dependency chain; the walk CTE
+    # enumerates (node, len) states, bounded by n^2 on a DAG)
+    sql["build_order"] = graph_pro.replace(
+        "WITH planted", "WITH RECURSIVE planted", 1) + """,
+nodes AS (SELECT DISTINCT module FROM (
+  SELECT src AS module FROM edges UNION ALL SELECT dst FROM edges)),
+de AS (SELECT DISTINCT src, dst FROM edges),
+reach(src, dst) AS (
+  SELECT src, dst FROM de
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN de e ON e.src = r.dst
+),
+mutual AS (
+  SELECT r1.src AS module, r1.dst AS v
+  FROM reach r1 JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src
+),
+comps AS (
+  SELECT n.module, LEAST(n.module, COALESCE(MIN(m.v), n.module)) AS scc
+  FROM nodes n LEFT JOIN mutual m ON m.module = n.module
+  GROUP BY n.module
+),
+cedges AS (
+  SELECT DISTINCT s1.scc AS src, s2.scc AS dst
+  FROM de e JOIN comps s1 ON s1.module = e.src
+            JOIN comps s2 ON s2.module = e.dst
+  WHERE s1.scc <> s2.scc
+),
+cnodes AS (SELECT DISTINCT scc FROM comps),
+walk(node, l) AS (
+  SELECT scc, CAST(1 AS BIGINT) FROM cnodes
+  UNION
+  SELECT e.dst, w.l + 1 FROM walk w JOIN cedges e ON e.src = w.node
+),
+lvl AS (SELECT node, CAST(max(l) AS BIGINT) AS level FROM walk
+        GROUP BY node)
+SELECT c.module, c.scc, l.level
+FROM comps c JOIN lvl l ON l.node = c.scc
+"""
+
     # dead-code reachability (codegraph.dead_code_modules): forward
     # closure from the root set, LEFT JOIN marks the unreached
     from docodo_ray.codegraph import DEAD_CODE_ROOTS

@@ -219,3 +219,38 @@ def test_scc_nested_cycles_match_naive():
     got = _scc_map(edges)
     assert got == _naive_scc(edge_list)
     assert got["d"] == "a" and got["x"] == "x" and got["f"] == "e"
+
+
+def _naive_levels(edge_list) -> dict[str, tuple[str, int]]:
+    """Reference: condense via _naive_scc, then longest-path levels by
+    n rounds of relaxation over the condensation DAG."""
+    scc = _naive_scc(edge_list)
+    cedges = {(scc[s], scc[d]) for s, d in edge_list if scc[s] != scc[d]}
+    comps = sorted(set(scc.values()))
+    lvl = {c: 1 for c in comps}
+    for _ in range(len(comps)):
+        for s, d in cedges:
+            lvl[d] = max(lvl[d], lvl[s] + 1)
+    return {m: (scc[m], lvl[scc[m]]) for m in scc}
+
+
+def test_build_order_levels_crafted():
+    """Diamond with an embedded 2-cycle: the cycle condenses to one
+    component and the longest chain (not the shortest) sets each level."""
+    from docodo_ray.codegraph import condensation_levels
+
+    edge_list = [("f", "a"), ("a", "b"), ("b", "c"), ("c", "b"),
+                 ("c", "d"), ("a", "d"), ("e", "e")]
+    src = [s for s, _ in edge_list]
+    dst = [d for _, d in edge_list]
+    edges = _pr_rows(src, dst=dst, w=np.ones(len(src), np.int64))
+    blocks = [ray.get(r) for r in
+              condensation_levels(rd.from_arrow(edges)).to_arrow_refs()]
+    out = pa.concat_tables([b for b in blocks if b.num_rows])
+    got = {m: (s, l) for m, s, l in zip(out["module"].to_pylist(),
+                                        out["scc"].to_pylist(),
+                                        out["level"].to_pylist())}
+    want = _naive_levels(edge_list)
+    assert got == want
+    assert got["d"] == ("d", 4) and got["c"] == ("b", 3) \
+        and got["e"] == ("e", 1)
