@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": windows.hopping_window,        # overlapping windows
         "sessionize": windows.sessionize,                # per-key gap sessions
         "running_totals": windows.running_totals,        # SUM/ROW_NUMBER OVER (PARTITION BY)
+        "range_join_counts": windows.range_join_counts,  # banded same-user range join
         "asof_join": windows.asof_join,                  # per-user as-of match
         "event_quantiles": windows.event_quantiles,      # exact multi-pass selection
         "funnel_counts": windows.funnel_counts,          # greedy funnel analysis

@@ -1445,6 +1445,32 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM s GROUP BY user_id, session_id
 """
 
+    # banded range join (windows.range_join_counts): LEFT JOIN with a
+    # half-open same-user band, grouped back to one row per left event
+    from docodo_ray.windows import (
+        RJ_BAND_MINUTES,
+        RJ_LEFT_TYPE,
+        RJ_RIGHT_TYPE,
+    )
+
+    rj_band = RJ_BAND_MINUTES * 60 * 1_000_000
+    sql["range_join_counts"] = f"""
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = '{RJ_LEFT_TYPE}'
+), r AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events WHERE event_type = '{RJ_RIGHT_TYPE}'
+)
+SELECT l.event_id, l.user_id, l.us AS ts_us,
+       CAST(count(r.us) AS BIGINT) AS n_right,
+       CAST(COALESCE(sum(r.c), 0) AS BIGINT) AS sum_cents
+FROM l LEFT JOIN r ON r.user_id = l.user_id
+  AND r.us >= l.us AND r.us < l.us + {rj_band}
+GROUP BY 1, 2, 3
+"""
+
     # analytic window functions (windows.running_totals): event_id is
     # unique, so the ORDER BY (ts, event_id) is total and the default
     # RANGE frame equals ROWS — the engine's segment cumsum

@@ -689,3 +689,112 @@ def running_totals(sf_dir: str) -> rd.Dataset:
     ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
     return (ds.map_batches(lift, batch_format="pyarrow")
             .groupby("uk").map_groups(scan, batch_format="pyarrow"))
+
+
+# ---- banded range join --------------------------------------------------------
+
+RJ_LEFT_TYPE = "view"
+RJ_RIGHT_TYPE = "purchase"
+RJ_BAND_MINUTES = 24 * 60
+
+
+def range_join_counts(sf_dir: str, left_type: str = RJ_LEFT_TYPE,
+                      right_type: str = RJ_RIGHT_TYPE,
+                      band_minutes: int = RJ_BAND_MINUTES) -> rd.Dataset:
+    """(event_id, user_id, ts_us, n_right, sum_cents): banded range join —
+    for every left_type event, count/sum same-user right_type events with
+    ts in [left.ts, left.ts + band). Completes the as-of/range/window join
+    triple: both sides are co-located by ONE coarse user-hash exchange,
+    then each group resolves all its users' bands with two searchsorted
+    probes against the per-user-sorted right side and a prefix-sum
+    difference — no per-pair work, no expansion of the join product."""
+    from docodo_ray.dedup import _coarse_mix
+
+    band_us = np.int64(band_minutes) * 60 * 1_000_000
+
+    def lift(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_pylist(), dtype=str)
+        keep = (et == left_type) | (et == right_type)
+        uid = t["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)[keep]
+        return pa.table({
+            "event_id": pa.array(
+                t["event_id"].to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts_us": pa.array(
+                t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "is_left": pa.array((et[keep] == left_type).astype(np.int64)),
+            "uk": pa.array(_coarse_mix(uid), pa.int64()),
+        })
+
+    lift.__name__ = "rj_lift"
+
+    def probe(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["ts_us"].to_numpy(zero_copy_only=False)
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        il = g["is_left"].to_numpy(zero_copy_only=False).astype(bool)
+        order = np.lexsort((us, uid))
+        eid, uid, us, c, il = (eid[order], uid[order], us[order],
+                               c[order], il[order])
+        n_l = int(il.sum())
+        ru, rus, rc = uid[~il], us[~il], c[~il]
+        lu, lus = uid[il], us[il]
+        if n_l == 0 or ru.size == 0:
+            return pa.table({
+                "event_id": pa.array(eid[il], pa.int64()),
+                "user_id": pa.array(lu, pa.int64()),
+                "ts_us": pa.array(lus, pa.int64()),
+                "n_right": pa.array(np.zeros(n_l, np.int64)),
+                "sum_cents": pa.array(np.zeros(n_l, np.int64)),
+            })
+        # rights are (user, ts)-sorted with a cents prefix sum; every
+        # user band resolves with TWO global searchsorted probes after
+        # shifting each user segment's times into a disjoint range
+        # (norm = (ts - min) + seg_index * span) — no per-user loop
+        cum = np.concatenate(([0], np.cumsum(rc)))
+        seg_lo = np.searchsorted(ru, lu, side="left")
+        seg_hi = np.searchsorted(ru, lu, side="right")
+        rstarts = np.flatnonzero(
+            np.concatenate(([True], ru[1:] != ru[:-1])))
+        n_seg = rstarts.size
+        sidx_r = np.cumsum(
+            np.concatenate(([0], (ru[1:] != ru[:-1]).astype(np.int64))))
+        t0 = min(int(rus.min()), int(lus.min()))
+        span = max(int(rus.max()), int(lus.max()) + int(band_us)) - t0 + 2
+        if span * (n_seg + 1) >= 2 ** 62:
+            raise RuntimeError(
+                "range_join: ts-range x users-per-group overflows the "
+                "segment-offset encoding; raise the coarse partition "
+                "count so groups hold fewer users")
+        norm_r = (rus - t0) + sidx_r * span
+        ru_u = ru[rstarts]
+        sidx_l = np.clip(np.searchsorted(ru_u, lu), 0, n_seg - 1)
+        base = sidx_l * span
+        lo = np.searchsorted(norm_r, (lus - t0) + base, side="left")
+        hi = np.searchsorted(norm_r, (lus - t0 + band_us) + base,
+                             side="left")
+        # lefts whose user has no rights probed a neighbor segment:
+        # clamping to the (empty) [seg_lo, seg_hi) slice zeroes them
+        lo = np.clip(lo, seg_lo, seg_hi)
+        hi = np.clip(hi, seg_lo, seg_hi)
+        return pa.table({
+            "event_id": pa.array(eid[il], pa.int64()),
+            "user_id": pa.array(lu, pa.int64()),
+            "ts_us": pa.array(lus, pa.int64()),
+            "n_right": pa.array(hi - lo, pa.int64()),
+            "sum_cents": pa.array(cum[hi] - cum[lo], pa.int64()),
+        })
+
+    probe.__name__ = "rj_probe"
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+    return (ds.map_batches(lift, batch_format="pyarrow")
+            .groupby("uk").map_groups(probe, batch_format="pyarrow"))

@@ -239,3 +239,42 @@ def test_hll_accuracy_vs_exact():
         assert set(est) == set(exact)
         for t, n in exact.items():
             assert abs(est[t] - n) <= max(2, 0.05 * n), (sf, t, n, est[t])
+
+
+def test_range_join_band_semantics(tmp_path):
+    """Half-open band [ts, ts+band): a right AT the left's ts counts, one
+    exactly at ts+band does not; lefts whose user has no rights emit a
+    zero row (LEFT JOIN semantics); same-ts left/right interleaving and a
+    rights-only user must not disturb neighboring probes."""
+    import datetime as dt
+
+    import pyarrow.parquet as _pq
+
+    from docodo_ray.windows import range_join_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    M = dt.timedelta(minutes=1)
+    band = 60  # minutes
+    rows = [  # (event_id, user, type, ts, value)
+        (1, 1, "view", t0, 0.0),
+        (2, 1, "purchase", t0, 1.00),            # at ts: counts
+        (3, 1, "purchase", t0 + 59 * M, 2.00),   # inside
+        (4, 1, "purchase", t0 + band * M, 4.00),  # at ts+band: excluded
+        (5, 2, "view", t0, 0.0),                 # user with no purchases
+        (6, 3, "purchase", t0, 8.00),            # rights-only user
+        (7, 4, "view", t0 + 10 * M, 0.0),
+        (8, 4, "purchase", t0 + 9 * M, 16.00),   # before left: excluded
+        (9, 4, "purchase", t0 + 69 * M, 32.00),  # inside (ts+59)
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+    _pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = range_join_counts(str(tmp_path), band_minutes=band).to_pandas()
+    got = {int(r.event_id): (int(r.n_right), int(r.sum_cents))
+           for r in out.itertuples()}
+    assert got == {1: (2, 300), 5: (0, 0), 7: (1, 3200)}
