@@ -140,7 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": relational.nation_revenue,  # 2 hash exchanges + broadcast dim
         "order_priority_counts": relational.order_priority_counts,  # EXISTS semi-join
         "latest_orders": relational.latest_orders,
-        "pricing_summary": relational.pricing_summary,   # TPC-H Q1 rollup    # CDC latest-per-key compaction
+        "pricing_summary": relational.pricing_summary,   # TPC-H Q1 rollup
+        "customers_no_orders": relational.customers_no_orders,  # Q22-style anti-join    # CDC latest-per-key compaction
         # --- streaming windows over the events table ---
         "tumbling_window": windows.tumbling_window,      # combiner + small groupby
         "hopping_window": windows.hopping_window,        # overlapping windows

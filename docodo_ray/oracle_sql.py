@@ -1586,6 +1586,24 @@ SELECT l_returnflag, l_linestatus, sum_qty_e2, sum_base_e2,
 FROM a
 """
 
+    # TPC-H Q22 shape (relational.customers_no_orders): distributed
+    # NOT-EXISTS anti-join, per-nation rollup
+    from docodo_ray.relational import CNO_FROM, CNO_MIN_BAL, CNO_TO
+
+    sql["customers_no_orders"] = f"""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+         AS sum_acctbal_cents
+FROM customer c
+WHERE c_acctbal > {CNO_MIN_BAL}
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{CNO_FROM}'
+                    AND o.o_orderdate <  TIMESTAMP '{CNO_TO}')
+GROUP BY 1
+"""
+
     # CDC compaction (relational.latest_orders): latest version per key
     sql["latest_orders"] = """
 SELECT o_custkey AS custkey, o_orderkey AS orderkey,

@@ -431,3 +431,95 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
                  "l_returnflag", "l_linestatus", "l_shipdate"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("k").map_groups(total, batch_format="pyarrow"))
+
+
+# ---- TPC-H-Q22-style anti-join ----------------------------------------------
+
+CNO_MIN_BAL = 3000.0
+CNO_FROM = "1996-01-01"
+CNO_TO = "1996-07-01"
+_CNO_ENC = 1_000_000_000  # payload = nationkey * ENC + acctbal_cents
+
+
+def customers_no_orders(sf_dir: str) -> rd.Dataset:
+    """(nationkey, n_customers, sum_acctbal_cents): well-funded customers
+    (acctbal > CNO_MIN_BAL) with no order in [CNO_FROM, CNO_TO), rolled up
+    per nation — the distributed ANTI-join (NOT EXISTS) pattern. Both sides
+    share one custkey-hash exchange: customer rows carry their payload
+    (nationkey and cents packed into one int64 — cents < 1e9), order rows
+    are deduped to distinct custkeys map-side so the probe side moves
+    ~uniques x blocks; a custkey segment with no probe row emits its
+    customer. The per-nation rollup is a second, 25-row exchange."""
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        m = bal > CNO_MIN_BAL
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)[m]
+        nat = t["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[m]
+        cents = np.floor(bal[m] * 100.0).astype(np.int64)
+        return _pair_rows(ck, np.zeros(ck.size, np.int64),
+                          nat * _CNO_ENC + cents)
+
+    cust_rows.__name__ = "cno_cust_rows"
+
+    lo, hi = _epoch_us(CNO_FROM), _epoch_us(CNO_TO)
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (us >= lo) & (us < hi)
+        ck = np.unique(t["o_custkey"].to_numpy(zero_copy_only=False)[m])
+        return _pair_rows(ck, np.ones(ck.size, np.int64),
+                          np.zeros(ck.size, np.int64))
+
+    order_rows.__name__ = "cno_order_rows"
+
+    def anti(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        key, side, a = key[order], side[order], a[order]
+        starts = _segments(key)
+        if starts.size == 0:
+            return pa.table({"nationkey": pa.array([], pa.int64()),
+                             "n_customers": pa.array([], pa.int64()),
+                             "sum_acctbal_cents": pa.array([], pa.int64())})
+        counts = np.diff(np.append(starts, key.size))
+        has_order = np.repeat(
+            np.bincount(np.repeat(np.arange(starts.size), counts),
+                        weights=side, minlength=starts.size) > 0, counts)
+        m = (side == 0) & ~has_order
+        nat, cents = a[m] // _CNO_ENC, a[m] % _CNO_ENC
+        un, inv = np.unique(nat, return_inverse=True)
+        return pa.table({
+            "nationkey": pa.array(un, pa.int64()),
+            "n_customers": pa.array(
+                np.bincount(inv, minlength=un.size).astype(np.int64)),
+            "sum_acctbal_cents": pa.array(
+                np.bincount(inv, weights=cents,
+                            minlength=un.size).astype(np.int64)),
+        })
+
+    anti.__name__ = "cno_anti"
+
+    def total(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "nationkey": g["nationkey"][:1],
+            "n_customers": pa.array(
+                [int(g["n_customers"].to_numpy().sum())], pa.int64()),
+            "sum_acctbal_cents": pa.array(
+                [int(g["sum_acctbal_cents"].to_numpy().sum())], pa.int64()),
+        })
+
+    total.__name__ = "cno_total"
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"]) \
+        .map_batches(cust_rows, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(order_rows, batch_format="pyarrow")
+    return (cust.union(orders)
+            .groupby("ck").map_groups(anti, batch_format="pyarrow")
+            .groupby("nationkey").map_groups(total, batch_format="pyarrow"))
