@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": relational.nation_revenue,  # 2 hash exchanges + broadcast dim
         "order_priority_counts": relational.order_priority_counts,  # EXISTS semi-join
         "latest_orders": relational.latest_orders,
+        "corpus_diff": pipelines.corpus_diff,            # snapshot diff (CDC changes)
         "pricing_summary": relational.pricing_summary,   # TPC-H Q1 rollup
         "customers_no_orders": relational.customers_no_orders,  # Q22-style anti-join    # CDC latest-per-key compaction
         # --- streaming windows over the events table ---

@@ -1586,6 +1586,31 @@ SELECT l_returnflag, l_linestatus, sum_qty_e2, sum_base_e2,
 FROM a
 """
 
+    # snapshot diff (pipelines.corpus_diff): replay the v2 derivation,
+    # FULL OUTER JOIN classification; the engine compares sha256 rows,
+    # the oracle compares the texts themselves — identical verdicts
+    from docodo_ray.pipelines import DIFF_ADDED_OFFSET
+
+    sql["corpus_diff"] = f"""
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + {DIFF_ADDED_OFFSET}, 'new ' || text
+  FROM documents WHERE doc_id % 11 = 0
+),
+j AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.doc_id IS NULL THEN 'added'
+              WHEN a.text <> b.text THEN 'changed'
+              ELSE 'same' END AS change
+  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+)
+SELECT doc_id, change FROM j WHERE change <> 'same'
+"""
+
     # TPC-H Q22 shape (relational.customers_no_orders): distributed
     # NOT-EXISTS anti-join, per-nation rollup
     from docodo_ray.relational import CNO_FROM, CNO_MIN_BAL, CNO_TO

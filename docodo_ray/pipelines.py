@@ -1254,3 +1254,88 @@ def hybrid_rrf(sf_dir: str) -> pa.Table:
     return pa.table({
         "doc_id": pa.array([d for d, _ in items], pa.int64()),
         "rrf_e6": pa.array([s for _, s in items], pa.int64())})
+
+
+# ---- snapshot diff between two corpus versions --------------------------------
+
+DIFF_ADDED_OFFSET = 1_000_000_000
+
+
+def corpus_diff(sf_dir: str) -> rd.Dataset:
+    """(doc_id, change): CDC-style diff of two corpus snapshots —
+    'removed' (in v1 only), 'added' (in v2 only), 'changed' (both, text
+    differs); unchanged docs are dropped. v2 is derived deterministically
+    from the documents table (doc_id%7==0 deleted, doc_id%5==0 edited,
+    doc_id%11==0 spawns a new doc at doc_id+1e9) and the oracle replays
+    the same derivation with a FULL OUTER JOIN. Both sides stream their
+    content down to (doc_id, side, sha256) rows, so the exchange moves
+    ~96 bytes/doc however large the documents are — the way you diff two
+    100-TB table versions without moving either."""
+    import hashlib
+
+    from docodo_ray.dedup import _coarse_mix
+
+    def _sha_rows(ids: np.ndarray, texts: list, side: int) -> pa.Table:
+        sha = [hashlib.sha256(s.encode()).hexdigest() for s in texts]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "side": pa.array(np.full(ids.size, side, np.int64)),
+            "sha": pa.array(sha, pa.string()),
+            "ck": pa.array(_coarse_mix(ids), pa.int64()),
+        })
+
+    def v1_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _sha_rows(ids, t["text"].to_pylist(), 0)
+
+    v1_rows.__name__ = "diff_v1"
+
+    def v2_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        keep = ids % 7 != 0
+        kept = [s + " v2" if i % 5 == 0 else s
+                for i, s in zip(ids[keep].tolist(),
+                                [texts[j] for j in np.flatnonzero(keep)])]
+        new_m = ids % 11 == 0
+        new_ids = ids[new_m] + DIFF_ADDED_OFFSET
+        new_texts = ["new " + texts[j] for j in np.flatnonzero(new_m)]
+        return pa.concat_tables([
+            _sha_rows(ids[keep], kept, 1),
+            _sha_rows(new_ids, new_texts, 1),
+        ])
+
+    v2_rows.__name__ = "diff_v2"
+
+    def classify(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        sha = np.asarray(g["sha"].to_pylist(), dtype=str)
+        order = np.lexsort((side, ids))
+        ids, side, sha = ids[order], side[order], sha[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ids[1:] != ids[:-1])))
+        counts = np.diff(np.append(starts, ids.size))
+        single = counts == 1
+        out_ids, out_chg = [], []
+        s1 = starts[single]
+        out_ids.append(ids[s1])
+        out_chg.append(np.where(side[s1] == 0, "removed", "added"))
+        s2 = starts[~single]
+        if s2.size:
+            m = sha[s2] != sha[s2 + 1]
+            out_ids.append(ids[s2][m])
+            out_chg.append(np.full(int(m.sum()), "changed", dtype=object))
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+            "change": pa.array(
+                np.concatenate(out_chg).tolist(), pa.string()),
+        })
+
+    classify.__name__ = "diff_classify"
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    v1 = docs.map_batches(v1_rows, batch_format="pyarrow")
+    v2 = docs.map_batches(v2_rows, batch_format="pyarrow")
+    return v1.union(v2).groupby("ck").map_groups(
+        classify, batch_format="pyarrow")
