@@ -190,38 +190,54 @@ def asof_join(sf_dir: str, left_type: str = ASOF_LEFT_TYPE,
         uid = g["user_id"].to_numpy(zero_copy_only=False)
         ts = g["ts_us"].to_numpy(zero_copy_only=False)
         side = g["side"].to_numpy(zero_copy_only=False)
-        out = {"event_id": [], "user_id": [], "ts_us": [],
-               "click_event_id": [], "click_ts_us": [], "gap_us": []}
         order = np.lexsort((ts, uid))
         eid, uid, ts, side = eid[order], uid[order], ts[order], side[order]
-        starts = np.flatnonzero(
-            np.concatenate(([True], uid[1:] != uid[:-1])))
-        bounds = np.concatenate((starts, [uid.size]))
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            l = side[s:e] == 1
-            lts, leid = ts[s:e][l], eid[s:e][l]
-            rm = ~l
-            rts, reid = ts[s:e][rm], eid[s:e][rm]
-            if not lts.size or not rts.size:
-                continue
-            # dedupe rights to max event_id per ts (rts sorted; within a
-            # tie the max event_id wins)
-            rstart = np.flatnonzero(
-                np.concatenate(([True], np.diff(rts) != 0)))
-            rts_u = rts[rstart]
-            reid_u = np.maximum.reduceat(reid, rstart)
-            i = np.searchsorted(rts_u, lts, side="right") - 1
-            ok = i >= 0
-            out["event_id"].append(leid[ok])
-            out["user_id"].append(np.full(int(ok.sum()), uid[s], np.int64))
-            out["ts_us"].append(lts[ok])
-            out["click_event_id"].append(reid_u[i[ok]])
-            out["click_ts_us"].append(rts_u[i[ok]])
-            out["gap_us"].append(lts[ok] - rts_u[i[ok]])
-        cat = {k: (np.concatenate(v) if v else np.empty(0, np.int64))
-               for k, v in out.items()}
-        return pa.table({k: pa.array(v.astype(np.int64), pa.int64())
-                         for k, v in cat.items()})
+        il = side == 1
+        lu, lts, leid = uid[il], ts[il], eid[il]
+        ru, rts, reid = uid[~il], ts[~il], eid[~il]
+        cols = ("event_id", "user_id", "ts_us",
+                "click_event_id", "click_ts_us", "gap_us")
+        if lu.size == 0 or ru.size == 0:
+            return pa.table({k: pa.array([], pa.int64()) for k in cols})
+        # dedupe rights to max event_id per (user, ts): rights are
+        # (user, ts)-sorted, so ties form runs
+        rstart = np.flatnonzero(np.concatenate(
+            ([True], (ru[1:] != ru[:-1]) | (rts[1:] != rts[:-1]))))
+        ru, rts = ru[rstart], rts[rstart]
+        reid = np.maximum.reduceat(eid[~il], rstart)
+        # per-user as-of probe with NO per-user loop: shift each user
+        # segment's times into a disjoint range, then one global
+        # searchsorted finds the last right at or before each left
+        seg_lo = np.searchsorted(ru, lu, side="left")
+        sidx_r = np.cumsum(np.concatenate(
+            ([0], (ru[1:] != ru[:-1]).astype(np.int64))))
+        n_seg = int(sidx_r[-1]) + 1
+        t0 = min(int(rts.min()), int(lts.min()))
+        span = max(int(rts.max()), int(lts.max())) - t0 + 2
+        if span * (n_seg + 1) >= 2 ** 62:
+            raise RuntimeError(
+                "asof_join: ts-range x users-per-group overflows the "
+                "segment-offset encoding; raise the coarse partition "
+                "count so groups hold fewer users")
+        norm_r = (rts - t0) + sidx_r * span
+        ru_u = ru[np.flatnonzero(np.concatenate(
+            ([True], ru[1:] != ru[:-1])))]
+        sidx_l = np.clip(np.searchsorted(ru_u, lu), 0, n_seg - 1)
+        i = np.searchsorted(norm_r, (lts - t0) + sidx_l * span,
+                            side="right") - 1
+        # inner join: a left is matched only if its probe landed inside
+        # its own user's segment (drops users with no prior right)
+        ok = (i >= seg_lo) & (i >= 0)
+        ok &= ru[np.clip(i, 0, ru.size - 1)] == lu
+        i = i[ok]
+        return pa.table({
+            "event_id": pa.array(leid[ok], pa.int64()),
+            "user_id": pa.array(lu[ok], pa.int64()),
+            "ts_us": pa.array(lts[ok], pa.int64()),
+            "click_event_id": pa.array(reid[i], pa.int64()),
+            "click_ts_us": pa.array(rts[i], pa.int64()),
+            "gap_us": pa.array(lts[ok] - rts[i], pa.int64()),
+        })
 
     match.__name__ = "asof_match"
     return ds.map_batches(rows, batch_format="pyarrow") \
