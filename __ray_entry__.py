@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id_table,              # SQL-checked since r4
         "bpe_token_counts": textstats.bpe_token_counts,  # ws + pre + REAL BPE
         "winnow_fingerprints": textstats.winnow_fingerprints,  # MOSS winnowing
+        "top_terms_sketch": textstats.top_terms_sketch,  # Misra-Gries heavy hitters (exact sibling: top_terms)
         "repetition_stats": textstats.repetition_stats,  # Gopher repetition filters
         "collocation_pmi": textstats.collocation_pmi,    # top-N PMI collocations
         # --- training-data curation (decontamination / packing / mixing) ---

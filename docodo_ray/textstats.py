@@ -457,3 +457,99 @@ def collocation_pmi(sf_dir: str, min_count: int = PMI_MIN_COUNT,
         .groupby("k").map_groups(attach_c2_score, batch_format="pyarrow")
     return scored.sort(["pmi_e6", "w1", "w2"],
                        descending=[True, False, False]).limit(top_n)
+
+
+# ---- bounded-memory heavy hitters (Misra-Gries, mergeable) --------------------
+# Misra & Gries 1982; merge rule per Agarwal et al., "Mergeable
+# Summaries" (PODS 2012): sum counters, subtract the (K+1)-th largest,
+# drop non-positives — the total undercount of any term is bounded by
+# the sum of subtracted offsets, tracked exactly here and reported as
+# err_bound. The at-scale counterpart of exact top_terms: each batch
+# ships at most MG_K counter rows however large its vocabulary.
+
+MG_K = 1024
+MG_TOP_N = 20
+_MG_ERR_TERM = "\x00mg_err"
+
+
+def _mg_truncate(terms: np.ndarray, cnt: np.ndarray,
+                 k: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Keep at most k counters: subtract the (k+1)-th largest count from
+    all and drop non-positives. Returns (terms, counts, err_added)."""
+    if terms.size <= k:
+        return terms, cnt, 0
+    off = int(np.partition(cnt, terms.size - k - 1)[terms.size - k - 1])
+    cnt = cnt - off
+    m = cnt > 0
+    return terms[m], cnt[m], off
+
+
+def top_terms_sketch(sf_dir: str, k: int = MG_K,
+                     top_n: int = MG_TOP_N) -> pa.Table:
+    """(term, est_count, err_bound): approximate corpus-wide top terms
+    from per-batch Misra-Gries summaries. est_count <= true count <=
+    est_count + err_bound for every term (the classic MG undercount
+    guarantee; err_bound = the exact sum of subtracted offsets). One
+    term-hash exchange moves <= MG_K rows per batch; each partition
+    emits only its local top_n candidates, so the driver folds
+    n_partitions x top_n + 1 rows — metadata-scale at any corpus size."""
+    import ray as _ray
+
+    from docodo_ray.dedup import _elem_hashes
+    from docodo_ray.pipelines import token_counts
+    from docodo_ray.traindata import _coarse_i64
+
+    def summarize(t: pa.Table) -> pa.Table:
+        terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(terms, return_inverse=True)
+        cnt = np.bincount(inv, weights=tf, minlength=u.size) \
+            .astype(np.int64)
+        u, cnt, err = _mg_truncate(u, cnt, k)
+        out_t = np.append(u, _MG_ERR_TERM)
+        out_c = np.append(cnt, np.int64(err))
+        gk = _coarse_i64(_elem_hashes(out_t.tolist(), {}), 64)
+        return pa.table({
+            "term": pa.array(out_t.tolist(), pa.string()),
+            "cnt": pa.array(out_c, pa.int64()),
+            "gk": pa.array(gk, pa.int64()),
+        })
+
+    summarize.__name__ = "mg_summarize"
+
+    def fold(g: pa.Table) -> pa.Table:
+        terms = np.asarray(g["term"].to_pylist(), dtype=object)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(terms, return_inverse=True)
+        tot = np.bincount(inv, weights=cnt, minlength=u.size) \
+            .astype(np.int64)
+        is_err = u == _MG_ERR_TERM
+        err_rows_t, err_rows_c = u[is_err], tot[is_err]
+        u, tot = u[~is_err], tot[~is_err]
+        if u.size > top_n:  # local candidates only — top_n by est
+            keep = np.argsort(-tot, kind="stable")[:top_n]
+            u, tot = u[keep], tot[keep]
+        return pa.table({
+            "term": pa.array(
+                np.append(u, err_rows_t).tolist(), pa.string()),
+            "cnt": pa.array(np.append(tot, err_rows_c), pa.int64()),
+        })
+
+    fold.__name__ = "mg_fold"
+    parts = (token_counts(sf_dir)
+             .map_batches(summarize, batch_format="pyarrow")
+             .groupby("gk").map_groups(fold, batch_format="pyarrow"))
+    blocks = [b for b in map(_ray.get, parts.to_arrow_refs())
+              if b.num_rows]
+    cat = pa.concat_tables(blocks)
+    terms = np.asarray(cat["term"].to_pylist(), dtype=object)
+    cnt = cat["cnt"].to_numpy(zero_copy_only=False)
+    is_err = terms == _MG_ERR_TERM
+    err = int(cnt[is_err].sum())
+    terms, cnt = terms[~is_err], cnt[~is_err]
+    order = np.lexsort((terms, -cnt))[:top_n]
+    return pa.table({
+        "term": pa.array(terms[order].tolist(), pa.string()),
+        "est_count": pa.array(cnt[order], pa.int64()),
+        "err_bound": pa.array(np.full(order.size, err, np.int64)),
+    })

@@ -278,3 +278,24 @@ def test_range_join_band_semantics(tmp_path):
     got = {int(r.event_id): (int(r.n_right), int(r.sum_cents))
            for r in out.itertuples()}
     assert got == {1: (2, 300), 5: (0, 0), 7: (1, 3200)}
+
+
+def test_mg_sketch_bounds_and_recall():
+    """Misra-Gries guarantee on the real sf0.001 corpus: est <= true <=
+    est + err_bound for every reported term, and the sketch's top list
+    contains every term whose true count exceeds true(top_n-th) +
+    err_bound (the only terms the bound promises to surface)."""
+    from docodo_ray.pipelines import token_counts
+    from docodo_ray.textstats import top_terms_sketch
+
+    sf = "/root/testdata/sf0.001"
+    tc = token_counts(sf).to_pandas()
+    true = tc.groupby("term")["tf"].sum()
+    sk = top_terms_sketch(sf, k=256, top_n=20).to_pandas()
+    err = int(sk.err_bound.iloc[0])
+    for r in sk.itertuples():
+        t = true.get(r.term, 0)
+        assert r.est_count <= t <= r.est_count + err, (r.term, t, r)
+    floor = int(true.sort_values(ascending=False).iloc[19]) + err
+    must_have = set(true[true > floor].index)
+    assert must_have <= set(sk.term), (must_have - set(sk.term), err)
