@@ -1445,6 +1445,24 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM s GROUP BY user_id, session_id
 """
 
+    # LAG window function (windows.purchase_gaps): inner (IS NOT NULL)
+    from docodo_ray.windows import PG_EVENT_TYPE
+
+    sql["purchase_gaps"] = f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = '{PG_EVENT_TYPE}'
+), l AS (
+  SELECT event_id, user_id, us,
+         lag(us) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id) AS prev_us
+  FROM p
+)
+SELECT event_id, user_id, us AS ts_us, prev_us AS prev_ts_us,
+       us - prev_us AS gap_us
+FROM l WHERE prev_us IS NOT NULL
+"""
+
     # banded range join (windows.range_join_counts): LEFT JOIN with a
     # half-open same-user band, grouped back to one row per left event
     from docodo_ray.windows import (

@@ -814,3 +814,58 @@ def range_join_counts(sf_dir: str, left_type: str = RJ_LEFT_TYPE,
                                   "event_type", "value"])
     return (ds.map_batches(lift, batch_format="pyarrow")
             .groupby("uk").map_groups(probe, batch_format="pyarrow"))
+
+
+# ---- LAG window function: inter-purchase gaps ---------------------------------
+
+PG_EVENT_TYPE = "purchase"
+
+
+def purchase_gaps(sf_dir: str, event_type: str = PG_EVENT_TYPE) -> rd.Dataset:
+    """(event_id, user_id, ts_us, prev_ts_us, gap_us): LAG(ts) OVER
+    (PARTITION BY user ORDER BY ts, event_id) — each purchase paired with
+    the same user's previous purchase (first purchases drop, matching the
+    LAG IS NOT NULL oracle). Same one-exchange segment-scan shape as
+    running_totals; prev is a shift within each user segment."""
+    from docodo_ray.dedup import _coarse_mix
+
+    def lift(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_pylist(), dtype=str)
+        keep = et == event_type
+        uid = t["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        return pa.table({
+            "event_id": pa.array(
+                t["event_id"].to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts_us": pa.array(
+                t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            "uk": pa.array(_coarse_mix(uid), pa.int64()),
+        })
+
+    lift.__name__ = "pg_lift"
+
+    def scan(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        eid, uid, us = eid[order], uid[order], us[order]
+        prev = np.empty_like(us)
+        prev[1:] = us[:-1]
+        is_first = np.concatenate(([True], uid[1:] != uid[:-1]))
+        m = ~is_first
+        return pa.table({
+            "event_id": pa.array(eid[m], pa.int64()),
+            "user_id": pa.array(uid[m], pa.int64()),
+            "ts_us": pa.array(us[m], pa.int64()),
+            "prev_ts_us": pa.array(prev[m], pa.int64()),
+            "gap_us": pa.array(us[m] - prev[m], pa.int64()),
+        })
+
+    scan.__name__ = "pg_scan"
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
+    return (ds.map_batches(lift, batch_format="pyarrow")
+            .groupby("uk").map_groups(scan, batch_format="pyarrow"))
