@@ -869,3 +869,140 @@ def purchase_gaps(sf_dir: str, event_type: str = PG_EVENT_TYPE) -> rd.Dataset:
     ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
     return (ds.map_batches(lift, batch_format="pyarrow")
             .groupby("uk").map_groups(scan, batch_format="pyarrow"))
+
+
+# ---- mergeable quantile sketch (deterministic MRL collapse) -------------------
+# Munro & Paterson 1980 / Manku-Rajagopalan-Lindsay 1998 lineage: a
+# summary is a sorted weighted value list capped at QS_CAP entries;
+# collapsing re-buckets the cumulative weight into QS_CAP equal spans
+# and keeps each span's center value. Every step is integer and
+# deterministic (no random sampling), so reruns agree. Rank error after
+# L collapse levels <= L * W / QS_CAP (W = total weight seen) — the
+# approximate sibling of the exact event_quantiles selection.
+
+QS_CAP = 2048
+_QS_MERGE_FAN = 64
+
+
+def _mrl_sparsify(v: np.ndarray, w: np.ndarray,
+                  cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Collapse a sorted weighted summary to <= cap entries."""
+    if v.size <= cap:
+        return v, w
+    total = int(w.sum())
+    cum = np.cumsum(w)
+    b = ((np.arange(cap + 1, dtype=np.int64) * total) // cap)
+    centers = (b[:-1] + b[1:] + 1) // 2
+    idx = np.clip(np.searchsorted(cum, centers, side="left"), 0, v.size - 1)
+    out_w = np.diff(b)
+    keep = out_w > 0
+    return v[idx][keep], out_w[keep]
+
+
+def event_quantiles_sketch(sf_dir: str, cap: int = QS_CAP) -> pa.Table:
+    """(event_type, p50_e6, p90_e6, p99_e6): approximate per-type value
+    quantiles from mergeable deterministic summaries — per-batch sketch,
+    an intermediate fan-in merge level, and a final per-type merge, so
+    no stage ever holds more than _QS_MERGE_FAN x cap weighted values
+    however many batches the corpus has. Approximate sibling of the
+    exact (SQL-checked) event_quantiles; accuracy is pytest-asserted
+    against brute-force ranks."""
+    import ray as _ray
+
+    from docodo_ray.dedup import _elem_hashes
+    from docodo_ray.traindata import _coarse_i64
+
+    def summarize(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        v = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 1e6).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, et))
+        et, v = et[order], v[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], et[1:] != et[:-1])))
+        bounds = np.append(starts, et.size)
+        mk = int(eid.min()) % _QS_MERGE_FAN if eid.size else 0
+        out_t, out_v, out_w = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):  # per TYPE (few types)
+            sv, sw = _mrl_sparsify(v[s:e], np.ones(e - s, np.int64), cap)
+            out_t.append(np.repeat(et[s], sv.size))
+            out_v.append(sv)
+            out_w.append(sw)
+        ts = np.concatenate(out_t) if out_t else np.empty(0, object)
+        key = [f"{x}|{mk}" for x in ts.tolist()]
+        return pa.table({
+            "event_type": pa.array(ts.tolist(), pa.string()),
+            "v_e6": pa.array(np.concatenate(out_v) if out_t
+                             else np.empty(0, np.int64), pa.int64()),
+            "w": pa.array(np.concatenate(out_w) if out_t
+                          else np.empty(0, np.int64), pa.int64()),
+            "gk": pa.array(_coarse_i64(_elem_hashes(key, {}), 256),
+                           pa.int64()),
+        })
+
+    summarize.__name__ = "qs_summarize"
+
+    def merge(keep_key: bool):
+        def f(g: pa.Table) -> pa.Table:
+            et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+            v = g["v_e6"].to_numpy(zero_copy_only=False)
+            w = g["w"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((v, et))
+            et, v, w = et[order], v[order], w[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], et[1:] != et[:-1])))
+            bounds = np.append(starts, et.size)
+            out_t, out_v, out_w = [], [], []
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                sv, sw = _mrl_sparsify(v[s:e], w[s:e], cap)
+                out_t.append(np.repeat(et[s], sv.size))
+                out_v.append(sv)
+                out_w.append(sw)
+            ts = np.concatenate(out_t) if out_t else np.empty(0, object)
+            key = ts.tolist() if keep_key else []
+            return pa.table({
+                "event_type": pa.array(ts.tolist(), pa.string()),
+                "v_e6": pa.array(np.concatenate(out_v) if out_t
+                                 else np.empty(0, np.int64), pa.int64()),
+                "w": pa.array(np.concatenate(out_w) if out_t
+                              else np.empty(0, np.int64), pa.int64()),
+                "gk": pa.array(_coarse_i64(_elem_hashes(key, {}), 256)
+                               if keep_key else
+                               np.zeros(len(ts), np.int64), pa.int64()),
+            })
+
+        f.__name__ = f"qs_merge_{int(keep_key)}"
+        return f
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+    final = (ds.map_batches(summarize, batch_format="pyarrow")
+             .groupby("gk").map_groups(merge(True), batch_format="pyarrow")
+             .groupby("event_type")
+             .map_groups(merge(False), batch_format="pyarrow"))
+    blocks = [b for b in map(_ray.get, final.to_arrow_refs()) if b.num_rows]
+    cat = pa.concat_tables(blocks)
+    et = np.asarray(cat["event_type"].to_pylist(), dtype=object)
+    v = cat["v_e6"].to_numpy(zero_copy_only=False)
+    w = cat["w"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, et))
+    et, v, w = et[order], v[order], w[order]
+    starts = np.flatnonzero(np.concatenate(([True], et[1:] != et[:-1])))
+    bounds = np.append(starts, et.size)
+    rows = {"event_type": [], "p50_e6": [], "p90_e6": [], "p99_e6": []}
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        cum = np.cumsum(w[s:e])
+        total = int(cum[-1])
+        rows["event_type"].append(et[s])
+        for (qn, qd), col in zip(EQ_QUANTILES,
+                                 ("p50_e6", "p90_e6", "p99_e6")):
+            k = (qn * total + qd - 1) // qd
+            rows[col].append(int(
+                v[s:e][min(np.searchsorted(cum, k, side="left"),
+                           e - s - 1)]))
+    return pa.table({
+        "event_type": pa.array(rows["event_type"], pa.string()),
+        "p50_e6": pa.array(rows["p50_e6"], pa.int64()),
+        "p90_e6": pa.array(rows["p90_e6"], pa.int64()),
+        "p99_e6": pa.array(rows["p99_e6"], pa.int64()),
+    })

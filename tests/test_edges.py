@@ -299,3 +299,34 @@ def test_mg_sketch_bounds_and_recall():
     floor = int(true.sort_values(ascending=False).iloc[19]) + err
     must_have = set(true[true > floor].index)
     assert must_have <= set(sk.term), (must_have - set(sk.term), err)
+
+
+def test_quantile_sketch_rank_error_bound():
+    """MRL sketch vs brute force on the real sf0.001 events: with cap=32
+    (forcing collapses at every level) each reported quantile's true rank
+    must sit within 3*n/cap of its target rank — the L-level collapse
+    bound with L=3 (batch, fan-in, final)."""
+    import duckdb as _dd
+    import numpy as np
+
+    from docodo_ray.windows import EQ_QUANTILES, event_quantiles_sketch
+
+    sf = "/root/testdata/sf0.001"
+    cap = 32
+    sk = event_quantiles_sketch(sf, cap=cap).to_pandas()
+    assert len(sk) == 5
+    vals = _dd.sql(
+        f"SELECT event_type, CAST(floor(value*1e6) AS BIGINT) v "
+        f"FROM read_parquet('{sf}/events.parquet')").fetchdf()
+    for r in sk.itertuples():
+        v = np.sort(vals[vals.event_type == r.event_type].v.to_numpy())
+        n = v.size
+        for (qn, qd), col in zip(EQ_QUANTILES,
+                                 ("p50_e6", "p90_e6", "p99_e6")):
+            k = (qn * n + qd - 1) // qd
+            got = getattr(r, col)
+            lo = np.searchsorted(v, got, side="left") + 1
+            hi = np.searchsorted(v, got, side="right")
+            err = 3 * n / cap
+            assert lo - err <= k <= hi + err, \
+                (r.event_type, col, k, lo, hi, err)
