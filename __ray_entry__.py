@@ -143,7 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_orders": relational.latest_orders,
         "corpus_diff": pipelines.corpus_diff,            # snapshot diff (CDC changes)
         "pricing_summary": relational.pricing_summary,   # TPC-H Q1 rollup
-        "customers_no_orders": relational.customers_no_orders,  # Q22-style anti-join    # CDC latest-per-key compaction
+        "customers_no_orders": relational.customers_no_orders,  # Q22-style anti-join
+        "orders_rollup": relational.orders_rollup,       # GROUP BY ROLLUP levels    # CDC latest-per-key compaction
         # --- streaming windows over the events table ---
         "tumbling_window": windows.tumbling_window,      # combiner + small groupby
         "hopping_window": windows.hopping_window,        # overlapping windows

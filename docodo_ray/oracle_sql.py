@@ -1647,6 +1647,21 @@ WHERE c_acctbal > {CNO_MIN_BAL}
 GROUP BY 1
 """
 
+    # GROUP BY ROLLUP (relational.orders_rollup): explicit ALL sentinels
+    # so the hash can't trip on NULL encodings
+    sql["orders_rollup"] = """
+WITH o AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         o_orderpriority AS pri,
+         CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT COALESCE(yr, -1) AS year, COALESCE(pri, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM o GROUP BY ROLLUP(yr, pri)
+"""
+
     # CDC compaction (relational.latest_orders): latest version per key
     sql["latest_orders"] = """
 SELECT o_custkey AS custkey, o_orderkey AS orderkey,

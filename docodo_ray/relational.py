@@ -523,3 +523,97 @@ def customers_no_orders(sf_dir: str) -> rd.Dataset:
     return (cust.union(orders)
             .groupby("ck").map_groups(anti, batch_format="pyarrow")
             .groupby("nationkey").map_groups(total, batch_format="pyarrow"))
+
+
+# ---- GROUP BY ROLLUP ----------------------------------------------------------
+
+def orders_rollup(sf_dir: str) -> rd.Dataset:
+    """(year, priority, n_orders, sum_cents): order counts/revenue GROUP
+    BY ROLLUP(year, priority) — (year, priority), (year, ALL) and
+    (ALL, ALL) levels in one result. The classic rollup optimization:
+    only the FINEST level ever aggregates the table (map-side combine +
+    one exchange); the coarser levels re-aggregate the finest result,
+    which is groups-scale, not table-scale. ALL sentinels: year=-1,
+    priority='ALL' (explicit, so the oracle hash can't trip on NULL
+    encodings)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        year = 1970 + us.astype("datetime64[us]").astype(
+            "datetime64[Y]").astype(np.int64)
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        pri = np.asarray(t["o_orderpriority"].to_pylist(), dtype=object)
+        up, pcode = np.unique(pri, return_inverse=True)
+        key = year * np.int64(up.size) + pcode
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "year": pa.array((uk // up.size).astype(np.int64), pa.int64()),
+            "priority": pa.array(up[uk % up.size].tolist(), pa.string()),
+            "n_orders": pa.array(
+                np.bincount(inv, minlength=uk.size).astype(np.int64)),
+            "sum_cents": pa.array(
+                np.bincount(inv, weights=cents,
+                            minlength=uk.size).astype(np.int64)),
+            "gk": pa.array(uk % 64, pa.int64()),
+        })
+
+    partial.__name__ = "rollup_partial"
+
+    def fold(g: pa.Table) -> pa.Table:
+        year = g["year"].to_numpy(zero_copy_only=False)
+        pri = np.asarray(g["priority"].to_pylist(), dtype=object)
+        n = g["n_orders"].to_numpy(zero_copy_only=False)
+        c = g["sum_cents"].to_numpy(zero_copy_only=False)
+        up, pcode = np.unique(pri, return_inverse=True)
+        key = year * np.int64(up.size) + pcode
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "year": pa.array((uk // up.size).astype(np.int64), pa.int64()),
+            "priority": pa.array(up[uk % up.size].tolist(), pa.string()),
+            "n_orders": pa.array(
+                np.bincount(inv, weights=n,
+                            minlength=uk.size).astype(np.int64)),
+            "sum_cents": pa.array(
+                np.bincount(inv, weights=c,
+                            minlength=uk.size).astype(np.int64)),
+        })
+
+    fold.__name__ = "rollup_fold"
+
+    def widen(t: pa.Table) -> pa.Table:
+        """Derive the (year, ALL) and (ALL, ALL) levels from the finest
+        rows of this (single, groups-scale) block."""
+        year = t["year"].to_numpy(zero_copy_only=False)
+        n = t["n_orders"].to_numpy(zero_copy_only=False)
+        c = t["sum_cents"].to_numpy(zero_copy_only=False)
+        uy, inv = np.unique(year, return_inverse=True)
+        rows = {
+            "year": np.concatenate((year, uy, [-1])),
+            "priority": np.concatenate((
+                np.asarray(t["priority"].to_pylist(), dtype=object),
+                np.full(uy.size + 1, "ALL", dtype=object))),
+            "n_orders": np.concatenate((
+                n, np.bincount(inv, weights=n).astype(np.int64),
+                [int(n.sum())])),
+            "sum_cents": np.concatenate((
+                c, np.bincount(inv, weights=c).astype(np.int64),
+                [int(c.sum())])),
+        }
+        return pa.table({
+            "year": pa.array(rows["year"].astype(np.int64), pa.int64()),
+            "priority": pa.array(rows["priority"].tolist(), pa.string()),
+            "n_orders": pa.array(
+                rows["n_orders"].astype(np.int64), pa.int64()),
+            "sum_cents": pa.array(
+                rows["sum_cents"].astype(np.int64), pa.int64()),
+        })
+
+    widen.__name__ = "rollup_widen"
+    finest = (rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("gk").map_groups(fold, batch_format="pyarrow"))
+    return finest.repartition(1).map_batches(widen, batch_format="pyarrow")
