@@ -1445,6 +1445,18 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM s GROUP BY user_id, session_id
 """
 
+    # PIVOT (windows.user_event_pivot): FILTER aggregates per type
+    from docodo_ray.windows import PIVOT_TYPES
+
+    pivot_cols = ",\n       ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in PIVOT_TYPES)
+    sql["user_event_pivot"] = f"""
+SELECT user_id,
+       {pivot_cols}
+FROM events GROUP BY user_id
+"""
+
     # LAG window function (windows.purchase_gaps): inner (IS NOT NULL)
     from docodo_ray.windows import PG_EVENT_TYPE
 

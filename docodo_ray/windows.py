@@ -1006,3 +1006,49 @@ def event_quantiles_sketch(sf_dir: str, cap: int = QS_CAP) -> pa.Table:
         "p90_e6": pa.array(rows["p90_e6"], pa.int64()),
         "p99_e6": pa.array(rows["p99_e6"], pa.int64()),
     })
+
+
+# ---- PIVOT: per-user event-type count matrix ----------------------------------
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(sf_dir: str) -> rd.Dataset:
+    """(user_id, n_click, n_error, n_purchase, n_signup, n_view): the
+    events stream PIVOTed to one wide row per user. The pivot happens
+    map-side (each batch emits one partial wide row per user it saw), so
+    the exchange moves users x blocks wide rows and the fold is a
+    column-wise sum per user segment — types never shuffle as rows."""
+    from docodo_ray.dedup import _coarse_mix
+
+    cols = [f"n_{t}" for t in PIVOT_TYPES]
+
+    def lift(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        uu, uinv = np.unique(uid, return_inverse=True)
+        out = {"user_id": pa.array(uu, pa.int64())}
+        for ty, col in zip(PIVOT_TYPES, cols):
+            out[col] = pa.array(
+                np.bincount(uinv, weights=(et == ty).astype(np.int64),
+                            minlength=uu.size).astype(np.int64))
+        out["uk"] = pa.array(_coarse_mix(uu), pa.int64())
+        return pa.table(out)
+
+    lift.__name__ = "pivot_lift"
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        uu, uinv = np.unique(uid, return_inverse=True)
+        out = {"user_id": pa.array(uu, pa.int64())}
+        for col in cols:
+            out[col] = pa.array(
+                np.bincount(uinv,
+                            weights=g[col].to_numpy(zero_copy_only=False),
+                            minlength=uu.size).astype(np.int64))
+        return pa.table(out)
+
+    fold.__name__ = "pivot_fold"
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    return (ds.map_batches(lift, batch_format="pyarrow")
+            .groupby("uk").map_groups(fold, batch_format="pyarrow"))
