@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_gaps": windows.purchase_gaps,          # LAG OVER (PARTITION BY)
         "event_quantiles_sketch": windows.event_quantiles_sketch,  # MRL sketch (exact sibling: event_quantiles)
         "user_event_pivot": windows.user_event_pivot,    # PIVOT to wide per-user counts
+        "event_value_ntiles": windows.event_value_ntiles,  # NTILE via sort + block-offset ranks
         "asof_join": windows.asof_join,                  # per-user as-of match
         "event_quantiles": windows.event_quantiles,      # exact multi-pass selection
         "funnel_counts": windows.funnel_counts,          # greedy funnel analysis

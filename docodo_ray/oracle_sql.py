@@ -1445,6 +1445,17 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM s GROUP BY user_id, session_id
 """
 
+    # NTILE (windows.event_value_ntiles): exact quartile assignment
+    from docodo_ray.windows import NTILE_N
+
+    sql["event_value_ntiles"] = f"""
+SELECT event_id, event_type,
+       CAST(NTILE({NTILE_N}) OVER (
+         PARTITION BY event_type ORDER BY value, event_id) AS BIGINT)
+         AS tile
+FROM events
+"""
+
     # PIVOT (windows.user_event_pivot): FILTER aggregates per type
     from docodo_ray.windows import PIVOT_TYPES
 

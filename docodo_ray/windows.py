@@ -1052,3 +1052,67 @@ def user_event_pivot(sf_dir: str) -> rd.Dataset:
     ds = _events(sf_dir, columns=["user_id", "event_type"])
     return (ds.map_batches(lift, batch_format="pyarrow")
             .groupby("uk").map_groups(fold, batch_format="pyarrow"))
+
+
+# ---- NTILE via distributed sort + block-offset ranks --------------------------
+
+NTILE_N = 4
+
+
+def event_value_ntiles(sf_dir: str, n_tiles: int = NTILE_N) -> rd.Dataset:
+    """(event_id, event_type, tile): exact NTILE(n) OVER (PARTITION BY
+    event_type ORDER BY value, event_id) — global per-type quartile
+    assignment. Pattern: ONE distributed sort on (type, value, event_id),
+    then per-block (type, count) partials come back to the driver
+    (metadata-scale: blocks x types integers), which turns them into
+    per-block starting ranks; a second pass over the SAME sorted blocks
+    assigns tiles from rank arithmetic. The rows themselves never leave
+    the cluster a second time — this is the standard way to attach global
+    order statistics to a sorted Dataset without a window shuffle."""
+    import ray as _ray
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"]) \
+        .sort(["event_type", "value", "event_id"]).materialize()
+    refs = ds.to_arrow_refs()
+
+    @_ray.remote
+    def block_counts(t: pa.Table):
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        u, c = np.unique(et, return_counts=True)
+        return list(zip(u.tolist(), c.tolist()))
+
+    per_block = _ray.get([block_counts.remote(r) for r in refs])
+    totals: dict[str, int] = {}
+    starts: list[dict[str, int]] = []
+    for pb in per_block:
+        starts.append({ty: totals.get(ty, 0) for ty, _ in pb})
+        for ty, c in pb:
+            totals[ty] = totals.get(ty, 0) + c
+
+    @_ray.remote
+    def assign(t: pa.Table, start: dict, tot: dict):
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        tile = np.empty(et.size, np.int64)
+        # blocks are sorted, so each type is one contiguous run
+        starts_i = np.flatnonzero(
+            np.concatenate(([True], et[1:] != et[:-1])))
+        bounds = np.append(starts_i, et.size)
+        for s, e in zip(bounds[:-1], bounds[1:]):  # few types per block
+            ty = et[s]
+            n = tot[ty]
+            r = start.get(ty, 0) + np.arange(e - s, dtype=np.int64)
+            big, small = n // n_tiles + 1, n // n_tiles
+            n_big = n % n_tiles
+            cut = n_big * big
+            tile[s:e] = np.where(
+                r < cut, r // big,
+                n_big + (r - cut) // max(small, 1)) + 1
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "event_type": pa.array(et.tolist(), pa.string()),
+            "tile": pa.array(tile, pa.int64()),
+        })
+
+    out = [assign.remote(r, starts[i], totals) for i, r in enumerate(refs)]
+    return rd.from_arrow_refs(out)
