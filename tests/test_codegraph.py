@@ -254,3 +254,17 @@ def test_build_order_levels_crafted():
     assert got == want
     assert got["d"] == ("d", 4) and got["c"] == ("b", 3) \
         and got["e"] == ("e", 1)
+
+
+_DEDGES = st.lists(st.tuples(st.sampled_from(_NODES),
+                             st.sampled_from(_NODES)),
+                   min_size=1, max_size=10)
+
+
+@given(_DEDGES)
+@settings(max_examples=3, deadline=None)
+def test_scc_matches_naive(edge_list):
+    src = [s for s, _ in edge_list]
+    dst = [d for _, d in edge_list]
+    edges = _pr_rows(src, dst=dst, w=np.ones(len(src), np.int64))
+    assert _scc_map(edges) == _naive_scc(edge_list)
