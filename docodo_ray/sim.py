@@ -509,16 +509,21 @@ def semantic_components(sf_dir: str,
     recursive-CTE oracle can certify the whole composition); at >10^6
     vectors swap in embedding_near_dup_blocked for the pair stage, the
     component/survivor exchanges are identical."""
-    from docodo_ray.dedup import connected_components
+    from docodo_ray.dedup import connected_components, memo_components
 
-    pairs = embedding_near_dup(sf_dir, threshold_e6)
+    def build() -> rd.Dataset:
+        pairs = embedding_near_dup(sf_dir, threshold_e6)
 
-    def rename(t: pa.Table) -> pa.Table:
-        return pa.table({"a": t["vec_id_a"], "b": t["vec_id_b"]})
+        def rename(t: pa.Table) -> pa.Table:
+            return pa.table({"a": t["vec_id_a"], "b": t["vec_id_b"]})
 
-    rename.__name__ = "pairs_ab"
-    comps = connected_components(
-        pairs.map_batches(rename, batch_format="pyarrow"))
+        rename.__name__ = "pairs_ab"
+        return connected_components(
+            pairs.map_batches(rename, batch_format="pyarrow"))
+
+    # memoized per Ray session: semantic_dedup_survivors reuses the labels
+    comps = memo_components(
+        f"semantic:{os.path.abspath(sf_dir)}:{threshold_e6}", build)
 
     def out(t: pa.Table) -> pa.Table:
         return pa.table({"vec_id": t["doc_id"], "component": t["component"]})
