@@ -916,16 +916,29 @@ def strongly_connected_components(edges_raw: rd.Dataset,
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def _import_edges(sf_dir: str) -> rd.Dataset:
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return (docs.map_batches(_plant_imports, batch_format="pyarrow")
+            .map_batches(_edge_batch, batch_format="pyarrow"))
+
+
+def _scc_of(sf_dir: str) -> rd.Dataset:
+    """SCC labeling of the planted import graph, materialized once per
+    (sf_dir, Ray session) — module_scc and build_order share it."""
+    from docodo_ray.dedup import memo_components
+
+    return memo_components(
+        f"scc:{os.path.abspath(sf_dir)}",
+        lambda: strongly_connected_components(_import_edges(sf_dir)))
+
+
 def module_scc(sf_dir: str) -> rd.Dataset:
     """(module, scc) over the import graph of the (planted) documents
     table: scc = min module name in the node's strongly connected
     component — multi-member groups are exactly the circular-import
     clusters a code-graph tool reports."""
-    docs = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    edges_raw = (docs.map_batches(_plant_imports, batch_format="pyarrow")
-                 .map_batches(_edge_batch, batch_format="pyarrow"))
-    return strongly_connected_components(edges_raw)
+    return _scc_of(sf_dir)
 
 
 # ---- reachability / dead-code detection --------------------------------------
@@ -971,11 +984,7 @@ def dead_code_modules(sf_dir: str) -> rd.Dataset:
     """(module, reachable) over the planted import graph with
     DEAD_CODE_ROOTS as the entry points — reachable=0 rows are the
     dead-code candidates a code-graph tool reports."""
-    docs = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    edges_raw = (docs.map_batches(_plant_imports, batch_format="pyarrow")
-                 .map_batches(_edge_batch, batch_format="pyarrow"))
-    return module_reachability(edges_raw, DEAD_CODE_ROOTS)
+    return module_reachability(_import_edges(sf_dir), DEAD_CODE_ROOTS)
 
 
 # ---- build order: longest-path levels of the condensation DAG ----------------
@@ -994,17 +1003,20 @@ def _lbl_ds(ds: rd.Dataset, node_col: str, val_col: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def condensation_levels(edges_raw: rd.Dataset) -> rd.Dataset:
+def condensation_levels(edges_raw: rd.Dataset,
+                        comps: rd.Dataset | None = None) -> rd.Dataset:
     """(module, scc, level) for a directed _PR_ROW edge set: circular
     clusters condensed to their SCC, then level(scc) = longest dependency
     chain ending at it (1 = no prerequisites; everything at level L can
-    build once L-1 is done). Fully distributed composition: SCC coloring,
-    two label joins lifting edges into the condensation DAG, a max-level
-    fixpoint (the same exchange kernel as the SCC pass with +1 message
-    increments on zero-padded level strings), and one final join of
-    members to their component's level."""
+    build once L-1 is done). Fully distributed composition: SCC coloring
+    (pass a precomputed ``comps`` labeling to reuse one), two label joins
+    lifting edges into the condensation DAG, a max-level fixpoint (the
+    same exchange kernel as the SCC pass with +1 message increments on
+    zero-padded level strings), and one final join of members to their
+    component's level."""
     edges = _scc_edge_rows(edges_raw)
-    comps = strongly_connected_components(edges_raw).materialize()
+    if comps is None:
+        comps = strongly_connected_components(edges_raw).materialize()
     comps_lbl = _scc_bound(_lbl_ds(comps, "module", "scc").materialize())
 
     # condensed edges: scc(src) -> scc(dst), self-edges dropped
@@ -1096,9 +1108,6 @@ def condensation_levels(edges_raw: rd.Dataset) -> rd.Dataset:
 
 def build_order(sf_dir: str) -> rd.Dataset:
     """(module, scc, level): parallel build waves over the planted import
-    graph — see condensation_levels."""
-    docs = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    edges_raw = (docs.map_batches(_plant_imports, batch_format="pyarrow")
-                 .map_batches(_edge_batch, batch_format="pyarrow"))
-    return condensation_levels(edges_raw)
+    graph — see condensation_levels. Reuses the session-memoized SCC
+    labeling (module_scc computes the identical one)."""
+    return condensation_levels(_import_edges(sf_dir), comps=_scc_of(sf_dir))
