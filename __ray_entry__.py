@@ -145,11 +145,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.pricing_summary,   # TPC-H Q1 rollup
         "customers_no_orders": relational.customers_no_orders,  # Q22-style anti-join
         "orders_rollup": relational.orders_rollup,       # GROUP BY ROLLUP levels    # CDC latest-per-key compaction
+        "order_ranks": relational.order_ranks,           # RANK + DENSE_RANK per customer
+        "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
+        "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join
+        "small_qty_revenue": relational.small_qty_revenue,  # Q17 correlated per-part avg
         # --- streaming windows over the events table ---
         "tumbling_window": windows.tumbling_window,      # combiner + small groupby
         "hopping_window": windows.hopping_window,        # overlapping windows
         "sessionize": windows.sessionize,                # per-key gap sessions
         "running_totals": windows.running_totals,        # SUM/ROW_NUMBER OVER (PARTITION BY)
+        "moving_window": windows.moving_window,          # ROWS-frame sliding SUM/COUNT
         "range_join_counts": windows.range_join_counts,  # banded same-user range join
         "purchase_gaps": windows.purchase_gaps,          # LAG OVER (PARTITION BY)
         "event_quantiles_sketch": windows.event_quantiles_sketch,  # MRL sketch (exact sibling: event_quantiles)

@@ -2235,4 +2235,106 @@ SELECT doc_id, lang, u16 FROM u
 WHERE u16 < CASE lang {_cases} ELSE 65536 END
 """
 
+    # sliding ROWS-frame window (windows.moving_window): event_id unique
+    # -> total order; the frame is exactly the engine's prefix-sum diff
+    from docodo_ray.windows import MW_PRECEDING
+
+    sql["moving_window"] = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id, ts_us,
+       CAST(SUM(cents) OVER w AS BIGINT) AS win_sum_cents,
+       CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN {MW_PRECEDING} PRECEDING AND CURRENT ROW)
+"""
+
+    # RANK / DENSE_RANK (relational.order_ranks): ties share ranks, so no
+    # tiebreaker is needed for determinism
+    sql["order_ranks"] = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+           AS totalprice_cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, totalprice_cents,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY totalprice_cents DESC)
+"""
+
+    # TPC-H Q3 shape (relational.q3_top_orders): top-K unshipped revenue,
+    # ties broken by orderkey — deterministic LIMIT
+    from docodo_ray.relational import Q3_DATE, Q3_SEGMENT, Q3_TOPK
+
+    sql["q3_top_orders"] = f"""
+WITH r AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0)
+                       AS BIGINT)) AS BIGINT) AS revenue_e4
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = '{Q3_SEGMENT}'
+    AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+    AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+  GROUP BY 1
+)
+SELECT r.o_orderkey, epoch_us(o.o_orderdate) AS o_orderdate_us,
+       r.revenue_e4
+FROM r JOIN orders o ON r.o_orderkey = o.o_orderkey
+ORDER BY r.revenue_e4 DESC, r.o_orderkey ASC LIMIT {Q3_TOPK}
+"""
+
+    # TPC-H Q18 shape (relational.large_order_customers): HAVING over the
+    # per-order quantity sum, then dimension attachment; no LIMIT -> every
+    # qualifying row crosses, hash is order-insensitive
+    from docodo_ray.relational import Q18_MIN_QTY_C
+
+    sql["large_order_customers"] = f"""
+WITH q AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sum_qty_c
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+         >= {Q18_MIN_QTY_C}
+)
+SELECT c_name, o_custkey, o.o_orderkey,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+         AS totalprice_cents,
+       q.sum_qty_c
+FROM q
+JOIN orders o ON q.o_orderkey = o.o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+    # TPC-H Q17 shape (relational.small_qty_revenue): the correlated
+    # per-part average as exact integer arithmetic (5*qc*cnt < sum_c)
+    from docodo_ray.relational import Q17_BRAND
+
+    sql["small_qty_revenue"] = f"""
+WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = '{Q17_BRAND}'),
+li AS (
+  SELECT l_partkey,
+         CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qc,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS pcents
+  FROM lineitem JOIN pk ON l_partkey = p_partkey
+),
+ag AS (SELECT l_partkey, CAST(SUM(qc) AS BIGINT) AS s,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM li GROUP BY 1)
+SELECT CAST(COALESCE(SUM(li.pcents), 0) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM li JOIN ag USING (l_partkey)
+WHERE 5 * li.qc * ag.n < ag.s
+"""
+
     return sql

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -617,3 +618,391 @@ def orders_rollup(sf_dir: str) -> rd.Dataset:
         .map_batches(partial, batch_format="pyarrow")
         .groupby("gk").map_groups(fold, batch_format="pyarrow"))
     return finest.repartition(1).map_batches(widen, batch_format="pyarrow")
+
+
+# ---- RANK / DENSE_RANK window functions -----------------------------------
+
+def order_ranks(sf_dir: str) -> rd.Dataset:
+    """(o_orderkey, o_custkey, totalprice_cents, rnk, drnk): RANK() and
+    DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY totalprice_cents
+    DESC) — the tie-aware ranking pair that running_totals' ROW_NUMBER
+    doesn't cover. One coarse custkey-hash exchange co-locates each
+    customer's orders, then ONE lexsort per group drives both ranks as
+    vectorized run/segment arithmetic: rnk = run_start - segment_start + 1,
+    drnk = runs-seen-within-segment. Tie order never matters (equal cents
+    share a rank), so the result is deterministic without a tiebreaker."""
+
+    def lift(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": pa.array(ck, pa.int64()),
+            "totalprice_cents": pa.array(cents, pa.int64()),
+            "uk": pa.array(_coarse_mix(ck), pa.int64()),
+        })
+
+    lift.__name__ = "rank_lift"
+
+    def scan(g: pa.Table) -> pa.Table:
+        ok = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        cu = g["o_custkey"].to_numpy(zero_copy_only=False)
+        c = g["totalprice_cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -c, cu))
+        ok, cu, c = ok[order], cu[order], c[order]
+        new_seg = np.concatenate(([True], cu[1:] != cu[:-1]))
+        new_run = new_seg | np.concatenate(([True], c[1:] != c[:-1]))
+        seg_starts = np.flatnonzero(new_seg)
+        seg_counts = np.diff(np.append(seg_starts, cu.size))
+        seg_start_pos = np.repeat(seg_starts, seg_counts)
+        run_starts = np.flatnonzero(new_run)
+        run_counts = np.diff(np.append(run_starts, cu.size))
+        run_start_pos = np.repeat(run_starts, run_counts)
+        runs_seen = np.cumsum(new_run)  # 1-based run ordinal, global
+        return pa.table({
+            "o_orderkey": pa.array(ok, pa.int64()),
+            "o_custkey": pa.array(cu, pa.int64()),
+            "totalprice_cents": pa.array(c, pa.int64()),
+            "rnk": pa.array(run_start_pos - seg_start_pos + 1, pa.int64()),
+            "drnk": pa.array(
+                runs_seen - runs_seen[seg_start_pos] + 1, pa.int64()),
+        })
+
+    scan.__name__ = "rank_scan"
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return (ds.map_batches(lift, batch_format="pyarrow")
+            .groupby("uk").map_groups(scan, batch_format="pyarrow"))
+
+
+# ---- TPC-H-Q3-style top-k revenue join ------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1996-07-01"
+Q3_TOPK = 10
+
+
+def q3_top_orders(sf_dir: str) -> pa.Table:
+    """(o_orderkey, o_orderdate_us, revenue_e4): TPC-H Q3 shape — the top
+    ``Q3_TOPK`` unshipped orders by revenue for one market segment
+    (o_orderdate < D, l_shipdate > D, c_mktsegment = S), ties broken by
+    orderkey. Two big x big hash exchanges (customer semi-join on custkey,
+    then lineitem revenue fold on orderkey) reusing nation_revenue's
+    lifted-row machinery; the top-k is selected per coarse group FIRST
+    (<= K rows per group cross the final barrier), then folded exactly in a
+    single groups-scale block; orderdates for the K winners come from a
+    pushdown point read — never a third shuffle."""
+    lo = _epoch_us(Q3_DATE)
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = us < lo
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        return _pair_rows(ck, np.ones(ck.size, np.int64), ok)
+
+    order_rows.__name__ = "q3_orders_probe"
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["c_mktsegment"], Q3_SEGMENT).to_numpy(
+            zero_copy_only=False)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        return _pair_rows(ck, np.zeros(ck.size, np.int64),
+                          np.ones(ck.size, np.int64))
+
+    cust_rows.__name__ = "q3_cust_build"
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_rows, batch_format="pyarrow")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(cust_rows, batch_format="pyarrow")
+    # surviving orders come out re-keyed by orderkey (side=0 build rows)
+    live_orders = orders.union(cust).groupby("ck").map_groups(
+        _hash_join_unique_right, batch_format="pyarrow")
+
+    def line_partials(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = sd > lo
+        ok = t["l_orderkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[m]
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
+        rev = np.floor(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        ok, rev = ok[order], rev[order]
+        starts = _segments(ok)
+        sums = (np.add.reduceat(rev, starts) if starts.size
+                else np.empty(0, np.int64))
+        return _pair_rows(ok[starts], np.ones(starts.size, np.int64), sums)
+
+    line_partials.__name__ = "q3_line_partials"
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(line_partials, batch_format="pyarrow")
+
+    def group_topk(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        key, side, a = key[order], side[order], a[order]
+        starts = _segments(key)
+        out_k = np.empty(0, np.int64)
+        out_r = np.empty(0, np.int64)
+        if starts.size:
+            counts = np.diff(np.append(starts, key.size))
+            has_build = side[starts] == 0
+            seg_idx = np.repeat(np.arange(starts.size), counts)
+            rows = (side == 1) & np.repeat(has_build, counts)
+            if rows.any():
+                uniq, inv = np.unique(seg_idx[rows], return_inverse=True)
+                rev = np.zeros(uniq.size, np.int64)
+                np.add.at(rev, inv, a[rows])
+                okey = key[starts[uniq]]
+                top = np.lexsort((okey, -rev))[:Q3_TOPK]
+                out_k, out_r = okey[top], rev[top]
+        return pa.table({"o_orderkey": pa.array(out_k, pa.int64()),
+                         "revenue_e4": pa.array(out_r, pa.int64())})
+
+    group_topk.__name__ = "q3_group_topk"
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        rev = t["revenue_e4"].to_numpy(zero_copy_only=False)
+        top = np.lexsort((ok, -rev))[:Q3_TOPK]
+        return pa.table({"o_orderkey": pa.array(ok[top], pa.int64()),
+                         "revenue_e4": pa.array(rev[top], pa.int64())})
+
+    final_topk.__name__ = "q3_final_topk"
+    winners = (line.union(live_orders).groupby("ck")
+               .map_groups(group_topk, batch_format="pyarrow")
+               .repartition(1)
+               .map_batches(final_topk, batch_format="pyarrow")
+               .take_all())
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    keys = [int(r["o_orderkey"]) for r in winners]
+    dates = {}
+    if keys:
+        dt = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate"],
+            filters=pads.field("o_orderkey").isin(keys))
+        dates = dict(zip(
+            dt["o_orderkey"].to_pylist(),
+            dt["o_orderdate"].cast(pa.int64()).to_pylist()))
+    return pa.table({
+        "o_orderkey": pa.array(keys, pa.int64()),
+        "o_orderdate_us": pa.array(
+            [dates[k] for k in keys], pa.int64()),
+        "revenue_e4": pa.array(
+            [int(r["revenue_e4"]) for r in winners], pa.int64()),
+    })
+
+
+# ---- TPC-H-Q18-style HAVING semi-join -------------------------------------
+
+Q18_MIN_QTY_C = 200 * 100  # SUM(l_quantity) >= 200, in qty-cents
+
+
+def large_order_customers(sf_dir: str) -> pa.Table:
+    """(c_name, o_custkey, o_orderkey, o_orderdate_us, totalprice_cents,
+    sum_qty_c): TPC-H Q18 shape — customers whose order totals at least
+    200 units of quantity. The aggregate-then-broadcast plan: lineitem
+    quantities fold map-side per orderkey, one SMALL exchange applies the
+    HAVING (output is qualifying-orders-scale — Q18's selectivity contract),
+    and the two dimension attachments (orders row, customer name) are
+    broadcast-membership scans, never shuffles: the qualifying key sets are
+    ray.put once and probed inside map_batches."""
+
+    def qty_partials(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qc = np.floor(
+            t["l_quantity"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        ok, qc = ok[order], qc[order]
+        starts = _segments(ok)
+        sums = (np.add.reduceat(qc, starts) if starts.size
+                else np.empty(0, np.int64))
+        return pa.table({
+            "o_orderkey": pa.array(ok[starts], pa.int64()),
+            "sum_qty_c": pa.array(sums, pa.int64()),
+            "ck": pa.array(_coarse_mix(ok[starts]), pa.int64()),
+        })
+
+    qty_partials.__name__ = "q18_qty_partials"
+
+    def having(g: pa.Table) -> pa.Table:
+        ok = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        s = g["sum_qty_c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="stable")
+        ok, s = ok[order], s[order]
+        starts = _segments(ok)
+        tot = (np.add.reduceat(s, starts) if starts.size
+               else np.empty(0, np.int64))
+        m = tot >= Q18_MIN_QTY_C
+        return pa.table({
+            "o_orderkey": pa.array(ok[starts][m], pa.int64()),
+            "sum_qty_c": pa.array(tot[m], pa.int64()),
+        })
+
+    having.__name__ = "q18_having"
+    qual = (rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+        .map_batches(qty_partials, batch_format="pyarrow")
+        .groupby("ck").map_groups(having, batch_format="pyarrow")
+        .take_all())  # qualifying-orders-scale by the HAVING contract
+    qty_by_ok = {int(r["o_orderkey"]): int(r["sum_qty_c"]) for r in qual}
+    ok_ref = ray.put(frozenset(qty_by_ok))
+
+    def order_hits(t: pa.Table) -> pa.Table:
+        keep = ray.get(ok_ref)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        m = np.fromiter((int(k) in keep for k in ok), bool, ok.size)
+        t = t.filter(pa.array(m))
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_orderdate_us": t["o_orderdate"].cast(pa.int64()),
+            "totalprice_cents": pa.array(cents, pa.int64()),
+        })
+
+    order_hits.__name__ = "q18_order_hits"
+    hits = (rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(order_hits, batch_format="pyarrow").take_all())
+    cust_ref = ray.put(frozenset(int(r["o_custkey"]) for r in hits))
+
+    def cust_hits(t: pa.Table) -> pa.Table:
+        keep = ray.get(cust_ref)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        m = np.fromiter((int(k) in keep for k in ck), bool, ck.size)
+        return t.filter(pa.array(m))
+
+    cust_hits.__name__ = "q18_cust_hits"
+    names = {}
+    for r in (rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+            .map_batches(cust_hits, batch_format="pyarrow").take_all()):
+        names[int(r["c_custkey"])] = r["c_name"]
+    hits.sort(key=lambda r: (-int(r["totalprice_cents"]),
+                             int(r["o_orderkey"])))
+    return pa.table({
+        "c_name": pa.array(
+            [names[int(r["o_custkey"])] for r in hits], pa.string()),
+        "o_custkey": pa.array(
+            [int(r["o_custkey"]) for r in hits], pa.int64()),
+        "o_orderkey": pa.array(
+            [int(r["o_orderkey"]) for r in hits], pa.int64()),
+        "o_orderdate_us": pa.array(
+            [int(r["o_orderdate_us"]) for r in hits], pa.int64()),
+        "totalprice_cents": pa.array(
+            [int(r["totalprice_cents"]) for r in hits], pa.int64()),
+        "sum_qty_c": pa.array(
+            [qty_by_ok[int(r["o_orderkey"])] for r in hits], pa.int64()),
+    })
+
+
+# ---- TPC-H-Q17-style correlated per-key average ---------------------------
+
+Q17_BRAND = "Brand#23"
+
+
+def small_qty_revenue(sf_dir: str) -> pa.Table:
+    """(revenue_cents, n_items) single row: total extendedprice of
+    lineitems whose quantity is below 20% of their part's average
+    quantity, for one brand's parts — TPC-H Q17's correlated-subquery
+    shape. ONE hash exchange on partkey co-locates the brand's part
+    markers (build) with every lineitem row (probe); inside each group the
+    per-part average and the 0.2-threshold filter evaluate together, in
+    exact integer arithmetic (qty_c < 0.2 * sum_c/cnt <=> 5*qty_c*cnt <
+    sum_c), emitting one partial row per group. Nothing part-scale is ever
+    broadcast or collected — the driver folds group-count rows."""
+
+    def part_rows(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["p_brand"], Q17_BRAND).to_numpy(zero_copy_only=False)
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        z = np.zeros(pk.size, np.int64)
+        return pa.table({
+            "key": pa.array(pk, pa.int64()),
+            "side": pa.array(z, pa.int64()),
+            "a": pa.array(z, pa.int64()),
+            "b": pa.array(z, pa.int64()),
+            "ck": pa.array(_coarse_mix(pk), pa.int64()),
+        })
+
+    part_rows.__name__ = "q17_part_build"
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qc = np.floor(
+            t["l_quantity"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        pcents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "key": pa.array(pk, pa.int64()),
+            "side": pa.array(np.ones(pk.size, np.int64), pa.int64()),
+            "a": pa.array(qc, pa.int64()),
+            "b": pa.array(pcents, pa.int64()),
+            "ck": pa.array(_coarse_mix(pk), pa.int64()),
+        })
+
+    line_rows.__name__ = "q17_line_probe"
+
+    def fold(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        qc = g["a"].to_numpy(zero_copy_only=False)
+        pcents = g["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        key, side, qc, pcents = (key[order], side[order],
+                                 qc[order], pcents[order])
+        starts = _segments(key)
+        rev = n = 0
+        if starts.size:
+            counts = np.diff(np.append(starts, key.size))
+            has_build = side[starts] == 0
+            probe = (side == 1) & np.repeat(has_build, counts)
+            if probe.any():
+                seg_idx = np.repeat(np.arange(starts.size), counts)[probe]
+                qcp, pcp = qc[probe], pcents[probe]
+                uniq, inv = np.unique(seg_idx, return_inverse=True)
+                sum_c = np.zeros(uniq.size, np.int64)
+                np.add.at(sum_c, inv, qcp)
+                cnt = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+                m = 5 * qcp * cnt[inv] < sum_c[inv]
+                rev, n = int(pcp[m].sum()), int(m.sum())
+        return pa.table({"revenue_cents": pa.array([rev], pa.int64()),
+                         "n_items": pa.array([n], pa.int64())})
+
+    fold.__name__ = "q17_fold"
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(part_rows, batch_format="pyarrow")
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(line_rows, batch_format="pyarrow")
+    partials = (line.union(part).groupby("ck")
+                .map_groups(fold, batch_format="pyarrow").take_all())
+    return pa.table({
+        "revenue_cents": pa.array(
+            [sum(int(r["revenue_cents"]) for r in partials)], pa.int64()),
+        "n_items": pa.array(
+            [sum(int(r["n_items"]) for r in partials)], pa.int64()),
+    })

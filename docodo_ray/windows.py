@@ -707,6 +707,67 @@ def running_totals(sf_dir: str) -> rd.Dataset:
             .groupby("uk").map_groups(scan, batch_format="pyarrow"))
 
 
+MW_PRECEDING = 3  # ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+
+
+def moving_window(sf_dir: str, preceding: int = MW_PRECEDING) -> rd.Dataset:
+    """(event_id, user_id, ts_us, win_sum_cents, win_n): sliding ROWS-frame
+    window aggregate — SUM(cents) and COUNT(*) OVER (PARTITION BY user
+    ORDER BY ts, event_id ROWS BETWEEN ``preceding`` PRECEDING AND CURRENT
+    ROW) — the moving-average building block the fixed-frame family needs
+    beyond running_totals' unbounded frame. Same distribution shape as
+    running_totals (one coarse user-hash exchange; the reference has no
+    window functions, SURVEY §2.9): within each group ONE lexsort drives a
+    vectorized prefix-sum difference — win_sum[i] = csum[i] - csum[lo-1]
+    with lo = max(segment_start, i - preceding) — so the frame costs O(n),
+    never O(n * frame). A user's history must fit in one group (the
+    standard window-partitioning assumption)."""
+    from docodo_ray.dedup import _coarse_mix
+
+    def lift(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": pa.array(uid, pa.int64()),
+            "ts_us": t["ts"].cast(pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "uk": pa.array(_coarse_mix(uid), pa.int64()),
+        })
+
+    lift.__name__ = "mw_lift"
+
+    def scan(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["ts_us"].to_numpy(zero_copy_only=False)
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        eid, uid, us, c = eid[order], uid[order], us[order], c[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], uid[1:] != uid[:-1])))
+        counts = np.diff(np.append(starts, uid.size))
+        idx = np.arange(uid.size, dtype=np.int64)
+        seg_start = np.repeat(starts, counts)
+        lo = np.maximum(seg_start, idx - preceding)
+        csum = np.cumsum(c)
+        win_sum = csum - np.where(lo > 0, csum[np.maximum(lo - 1, 0)], 0)
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts_us": pa.array(us, pa.int64()),
+            "win_sum_cents": pa.array(win_sum, pa.int64()),
+            "win_n": pa.array(idx - lo + 1, pa.int64()),
+        })
+
+    scan.__name__ = "mw_scan"
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+    return (ds.map_batches(lift, batch_format="pyarrow")
+            .groupby("uk").map_groups(scan, batch_format="pyarrow"))
+
+
 # ---- banded range join --------------------------------------------------------
 
 RJ_LEFT_TYPE = "view"
