@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "symbol_defs": symbols.symbol_defs,              # ctags-style definition extraction
         "symbol_search": symbols.symbol_search,          # Zoekt-style symbol-boosted ranking
         "symbol_refs": symbols.symbol_refs,              # find-references xref counts
+        "secret_scan": symbols.secret_scan,              # token-scanning (AKIA/ghp_/PEM)
         "module_rank": codegraph.module_rank,            # import-graph PageRank
         "module_triangles": codegraph.module_triangles,  # wedge-join triangle counts
         "module_scc": codegraph.module_scc,              # circular-import SCCs (Orzan coloring)
