@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "module_triangles": codegraph.module_triangles,  # wedge-join triangle counts
         "module_scc": codegraph.module_scc,              # circular-import SCCs (Orzan coloring)
         "dead_code_modules": codegraph.dead_code_modules,  # root-set reachability
+        "module_import_depth": codegraph.module_import_depth,  # BFS shortest-path depth
         "build_order": codegraph.build_order,            # condensation-DAG topo levels
         "docodo_rank": pipelines.docodo_rank,            # A8 original: proximity ranker
         "phrase_count": pipelines.phrase_count,          # D2 phrase adjacency

@@ -517,6 +517,7 @@ _SCC_LBL = pa.schema([("node", pa.string()), ("color", pa.string()),
 # longest dependency chain at 999999
 _LVL_W = 6
 _LVL0 = "1".zfill(_LVL_W)
+_DIST_UNREACH = "9" * _LVL_W  # sorts after any real zero-padded distance
 
 
 def _scc_rows(node, val, kind: int, key=None) -> pa.Table:
@@ -568,8 +569,11 @@ def _scc_fixpoint(edge_rows: rd.Dataset, labels: rd.Dataset, op: str,
     """Iterate label propagation to convergence. edge_rows are
     (node=key endpoint, val=message target) kind=0 rows keyed by gk(node);
     per iteration each edge sends op-combined label(node) to target.
-    op='min' (string min), 'or' (labels '0'/'1', max), or 'lvl'
-    (zero-padded int levels, message = level+1, max — longest path)."""
+    op='min' (string min), 'or' (labels '0'/'1', max), 'lvl'
+    (zero-padded int levels, message = level+1, max — longest path), or
+    'dist' (zero-padded int distances with _DIST_UNREACH sentinel,
+    message = distance+1 from reached senders only, min — BFS shortest
+    path from the initially-zero label set)."""
 
     def send(g: pa.Table) -> pa.Table:
         kind = g["kind"].to_numpy(zero_copy_only=False)
@@ -592,6 +596,11 @@ def _scc_fixpoint(edge_rows: rd.Dataset, labels: rd.Dataset, op: str,
             elif op == "lvl":  # message = sender's level + 1
                 msg_v = np.char.zfill(
                     (msg_v.astype(np.int64) + 1).astype(str), _LVL_W)
+            elif op == "dist":  # only reached senders emit, msg = d + 1
+                m = msg_v != _DIST_UNREACH
+                dst, msg_v = dst[m], msg_v[m]
+                msg_v = np.char.zfill(
+                    (msg_v.astype(np.int64) + 1).astype(str), _LVL_W)
         else:
             msg_v = lv[:0]
         out = pa.concat_tables([
@@ -606,16 +615,15 @@ def _scc_fixpoint(edge_rows: rd.Dataset, labels: rd.Dataset, op: str,
         kind = g["kind"].to_numpy(zero_copy_only=False)
         node = _scc_str(g["node"])
         val = _scc_str(g["val"])
-        if op == "min":
-            order = np.lexsort((val, node))
-        else:  # '1' sorts after '0': take last per run, i.e. sort and flip
-            order = np.lexsort((val, node))
+        order = np.lexsort((val, node))
         node, val, kind = node[order], val[order], kind[order]
         starts = np.flatnonzero(
             np.concatenate(([True], node[1:] != node[:-1])))
         ends = np.append(starts[1:], node.size) - 1
         uniq = node[starts]
-        new = val[starts] if op == "min" else val[ends]
+        # min-combining ops take the first of each run, max-combining the
+        # last (zero-padding makes string order == numeric order)
+        new = val[starts] if op in ("min", "dist") else val[ends]
         # old label per node (exactly one kind=1 row per node)
         is_old = kind == 1
         old = np.full(uniq.size, "", dtype=val.dtype)
@@ -985,6 +993,52 @@ def dead_code_modules(sf_dir: str) -> rd.Dataset:
     DEAD_CODE_ROOTS as the entry points — reachable=0 rows are the
     dead-code candidates a code-graph tool reports."""
     return module_reachability(_import_edges(sf_dir), DEAD_CODE_ROOTS)
+
+
+def module_distances(edges_raw: rd.Dataset,
+                     roots: tuple[str, ...]) -> rd.Dataset:
+    """(module, depth) over the directed edge set: depth = minimum number
+    of import hops from the root set (BFS shortest path), -1 if
+    unreachable. The 'dist' fixpoint: roots start at 0, everything else at
+    the unreached sentinel; each superstep is one exchange where reached
+    nodes offer distance+1 to their import targets and every node keeps
+    its MIN — converges in diameter supersteps, no driver-side graph."""
+    edges = _scc_edge_rows(edges_raw)
+    rootset = frozenset(roots)
+    zero = "0".zfill(_LVL_W)
+
+    def init_dist(t: pa.Table) -> pa.Table:
+        node = _scc_str(t["node"])
+        d = np.where(np.isin(node, list(rootset)), zero, _DIST_UNREACH)
+        return pa.Table.from_arrays(
+            [pa.array(node.tolist(), pa.string()),
+             pa.array(d.tolist(), pa.string()),
+             pa.array(np.zeros(node.size, np.int64))], schema=_SCC_LBL)
+
+    init_dist.__name__ = "dist_init"
+    labels = _scc_bound(
+        _scc_self_labels(edges).map_batches(init_dist,
+                                            batch_format="pyarrow")
+        .materialize())
+    labels = _scc_fixpoint(edges, labels, "dist")
+
+    def project(t: pa.Table) -> pa.Table:
+        v = _scc_str(t["color"])
+        depth = np.where(v == _DIST_UNREACH, -1,
+                         v.astype(np.int64)).astype(np.int64)
+        return pa.table({"module": t["node"],
+                         "depth": pa.array(depth, pa.int64())})
+
+    project.__name__ = "dist_project"
+    return labels.map_batches(project, batch_format="pyarrow")
+
+
+def module_import_depth(sf_dir: str) -> rd.Dataset:
+    """(module, depth) over the planted import graph: BFS shortest-path
+    depth from DEAD_CODE_ROOTS (-1 = unreachable) — the 'how far from an
+    entry point is this module' metric that complements dead_code_modules'
+    boolean reachability."""
+    return module_distances(_import_edges(sf_dir), DEAD_CODE_ROOTS)
 
 
 # ---- build order: longest-path levels of the condensation DAG ----------------

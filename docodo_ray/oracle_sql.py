@@ -775,6 +775,25 @@ SELECT n.module,
 FROM nodes n LEFT JOIN reach r ON r.node = n.module
 """
 
+    # import depth (codegraph.module_import_depth): BFS min distance from
+    # the root set; the walk is bounded by node count so cycles terminate
+    sql["module_import_depth"] = graph_pro.replace(
+        "WITH planted", "WITH RECURSIVE planted", 1) + f""",
+nodes AS (SELECT DISTINCT module FROM (
+  SELECT src AS module FROM edges UNION ALL SELECT dst FROM edges)),
+de AS (SELECT DISTINCT src, dst FROM edges),
+walk(node, d) AS (
+  SELECT module, CAST(0 AS BIGINT) FROM nodes WHERE module IN ({dc_roots})
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN de e ON e.src = w.node
+  WHERE w.d < (SELECT count(*) FROM nodes)
+)
+SELECT n.module,
+       CAST(COALESCE(MIN(w.d), -1) AS BIGINT) AS depth
+FROM nodes n LEFT JOIN walk w ON w.node = n.module
+GROUP BY n.module
+"""
+
     # hybrid retrieval (pipelines.hybrid_rrf): BM25 top-POOL + cosine
     # top-POOL fused by integer reciprocal-rank scores
     from docodo_ray.pipelines import (

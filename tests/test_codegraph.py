@@ -268,3 +268,24 @@ def test_scc_matches_naive(edge_list):
     dst = [d for _, d in edge_list]
     edges = _pr_rows(src, dst=dst, w=np.ones(len(src), np.int64))
     assert _scc_map(edges) == _naive_scc(edge_list)
+
+
+def test_import_depth_crafted_bfs():
+    """BFS min-distance: diamond (both a->b->d and a->c->d give d depth 2,
+    plus a long way round a->e->f->d that must NOT win), a cycle reachable
+    at depth 1 (its far member at 2), and an unreachable island (-1)."""
+    from docodo_ray.codegraph import module_distances
+
+    edge_list = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+                 ("a", "e"), ("e", "f"), ("f", "d"),     # longer path to d
+                 ("b", "g"), ("g", "h"), ("h", "g"),     # cycle g<->h
+                 ("x", "y")]                             # island
+    src = [s for s, _ in edge_list]
+    dst = [d for _, d in edge_list]
+    edges = _pr_rows(src, dst=dst, w=np.ones(len(src), np.int64))
+    blocks = [ray.get(r) for r in module_distances(
+        rd.from_arrow(edges), roots=("a",)).to_arrow_refs()]
+    out = pa.concat_tables([b for b in blocks if b.num_rows])
+    got = dict(zip(out["module"].to_pylist(), out["depth"].to_pylist()))
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 1, "f": 2,
+                   "g": 2, "h": 3, "x": -1, "y": -1}
