@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
         "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join
         "small_qty_revenue": relational.small_qty_revenue,  # Q17 correlated per-part avg
+        "urgent_order_revenue": relational.urgent_order_revenue,  # Bloom-pruned semi-join
         # --- streaming windows over the events table ---
         "tumbling_window": windows.tumbling_window,      # combiner + small groupby
         "hopping_window": windows.hopping_window,        # overlapping windows

@@ -2362,6 +2362,19 @@ JOIN orders o ON q.o_orderkey = o.o_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
 
+    # Bloom-pruned semi-join (relational.urgent_order_revenue): the filter
+    # only prunes shuffle volume — the answer is the plain semi-join
+    from docodo_ray.relational import BLOOM_PRIORITY
+
+    sql["urgent_order_revenue"] = f"""
+SELECT CAST(COALESCE(SUM(CAST(floor(
+         l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)), 0)
+       AS BIGINT) AS revenue_e4,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '{BLOOM_PRIORITY}'
+"""
+
     # TPC-H Q17 shape (relational.small_qty_revenue): the correlated
     # per-part average as exact integer arithmetic (5*qc*cnt < sum_c)
     from docodo_ray.relational import Q17_BRAND

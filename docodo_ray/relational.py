@@ -1006,3 +1006,128 @@ def small_qty_revenue(sf_dir: str) -> pa.Table:
         "n_items": pa.array(
             [sum(int(r["n_items"]) for r in partials)], pa.int64()),
     })
+
+
+# ---- Bloom-filter-pruned semi-join -----------------------------------------
+
+BLOOM_PRIORITY = "1-URGENT"
+_BLOOM_BITS = 1 << 20          # 128 KiB of filter per broadcast
+_BLOOM_K = 4
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(n, _BLOOM_K) bit positions via double hashing h1 + i*h2."""
+    from docodo_ray.tokenizer import splitmix64
+
+    k = keys.astype(np.uint64)
+    h1 = splitmix64(k)
+    h2 = splitmix64(k ^ np.uint64(0xA076_1D64_78BD_642F)) | np.uint64(1)
+    i = np.arange(_BLOOM_K, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            & np.uint64(_BLOOM_BITS - 1))
+
+
+def _bloom_words(keys: np.ndarray) -> np.ndarray:
+    """uint64 word array with the _BLOOM_K bits of each key set."""
+    words = np.zeros(_BLOOM_BITS // 64, np.uint64)
+    pos = _bloom_positions(keys).ravel()
+    np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (pos & np.uint64(63)))
+    return words
+
+
+def _bloom_member(words: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    pos = _bloom_positions(keys)
+    hit = (words[(pos >> np.uint64(6)).astype(np.int64)]
+           >> (pos & np.uint64(63))) & np.uint64(1)
+    return hit.all(axis=1)
+
+
+def urgent_order_revenue(sf_dir: str) -> pa.Table:
+    """(revenue_e4, n_orders) single row: lineitem revenue of orders with
+    o_orderpriority = BLOOM_PRIORITY — a semi-join whose probe-side shuffle
+    is pruned by a broadcast Bloom filter. The at-scale pattern: the
+    build-side keys fold into a fixed 128 KiB bit array (per-batch partial
+    filters OR together — batch-count x 128 KiB to the driver, independent
+    of key count), the filter is ray.put once, and only lineitem rows that
+    PASS it enter the exchange; the exchange itself re-verifies against
+    the true build rows, so Bloom false positives change shuffle volume,
+    never the answer. No false negatives by construction."""
+    pri_rows = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+
+    def order_filter_part(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["o_orderpriority"], BLOOM_PRIORITY).to_numpy(
+            zero_copy_only=False)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)[m]
+        return pa.table({"bloom": pa.array(
+            [_bloom_words(ok).tobytes()], pa.binary())})
+
+    order_filter_part.__name__ = "bloom_partials"
+    words = np.zeros(_BLOOM_BITS // 64, np.uint64)
+    for r in pri_rows.map_batches(
+            order_filter_part, batch_format="pyarrow").take_all():
+        words |= np.frombuffer(r["bloom"], np.uint64)
+    bloom_ref = ray.put(words)
+
+    def line_candidates(t: pa.Table) -> pa.Table:
+        w = ray.get(bloom_ref)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _bloom_member(w, ok)
+        ok = ok[m]
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
+        rev = np.floor(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        ok, rev = ok[order], rev[order]
+        starts = _segments(ok)
+        sums = (np.add.reduceat(rev, starts) if starts.size
+                else np.empty(0, np.int64))
+        return _pair_rows(ok[starts], np.ones(starts.size, np.int64), sums)
+
+    line_candidates.__name__ = "bloom_line_candidates"
+
+    def order_build(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["o_orderpriority"], BLOOM_PRIORITY).to_numpy(
+            zero_copy_only=False)
+        ok = t["o_orderkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[m]
+        return _pair_rows(ok, np.zeros(ok.size, np.int64),
+                          np.ones(ok.size, np.int64))
+
+    order_build.__name__ = "bloom_order_build"
+
+    def verify_fold(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        key, side, a = key[order], side[order], a[order]
+        starts = _segments(key)
+        rev = n = 0
+        if starts.size:
+            counts = np.diff(np.append(starts, key.size))
+            has_build = side[starts] == 0
+            probe = (side == 1) & np.repeat(has_build, counts)
+            if probe.any():
+                rev = int(a[probe].sum())
+                seg_idx = np.repeat(np.arange(starts.size), counts)[probe]
+                n = int(np.unique(seg_idx).size)
+        return pa.table({"revenue_e4": pa.array([rev], pa.int64()),
+                         "n_orders": pa.array([n], pa.int64())})
+
+    verify_fold.__name__ = "bloom_verify_fold"
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_candidates, batch_format="pyarrow")
+    build = pri_rows.map_batches(order_build, batch_format="pyarrow")
+    partials = (line.union(build).groupby("ck")
+                .map_groups(verify_fold, batch_format="pyarrow").take_all())
+    return pa.table({
+        "revenue_e4": pa.array(
+            [sum(int(r["revenue_e4"]) for r in partials)], pa.int64()),
+        "n_orders": pa.array(
+            [sum(int(r["n_orders"]) for r in partials)], pa.int64()),
+    })

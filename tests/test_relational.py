@@ -4,6 +4,7 @@ date-window filter, inner-join drops, cross-batch partial-sum folding.
 
 import datetime as dt
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -94,3 +95,16 @@ def test_latest_orders_tie_and_combiner(ray_session, tmp_path):
     assert out.loc[7, "orderkey"] == 3
     assert out.loc[8, "orderkey"] == 4
     assert len(out) == 2
+
+
+def test_bloom_filter_no_false_negatives_and_sane_fp_rate():
+    from docodo_ray.relational import _bloom_member, _bloom_words
+
+    rng = np.random.default_rng(7)
+    members = rng.choice(10_000_000, size=50_000, replace=False)
+    words = _bloom_words(members)
+    assert _bloom_member(words, members).all()  # never a false negative
+    probe = np.arange(10_000_001, 10_100_001)   # disjoint from members
+    fp = _bloom_member(words, probe).mean()
+    # 50k keys, 4 hashes, 2^20 bits -> theoretical fp ~ (1-e^-0.19)^4 ~ 9e-4
+    assert fp < 0.01
