@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join
         "small_qty_revenue": relational.small_qty_revenue,  # Q17 correlated per-part avg
         "urgent_order_revenue": relational.urgent_order_revenue,  # Bloom-pruned semi-join
+        "brand_supplier_counts": relational.brand_supplier_counts,  # Q16 grouped COUNT(DISTINCT)
         # --- streaming windows over the events table ---
         "tumbling_window": windows.tumbling_window,      # combiner + small groupby
         "hopping_window": windows.hopping_window,        # overlapping windows

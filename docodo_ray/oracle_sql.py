@@ -2362,6 +2362,13 @@ JOIN orders o ON q.o_orderkey = o.o_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
 
+    # grouped COUNT(DISTINCT) (relational.brand_supplier_counts)
+    sql["brand_supplier_counts"] = """
+SELECT p_brand, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
     # Bloom-pruned semi-join (relational.urgent_order_revenue): the filter
     # only prunes shuffle volume — the answer is the plain semi-join
     from docodo_ray.relational import BLOOM_PRIORITY

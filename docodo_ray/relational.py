@@ -1131,3 +1131,73 @@ def urgent_order_revenue(sf_dir: str) -> pa.Table:
         "n_orders": pa.array(
             [sum(int(r["n_orders"]) for r in partials)], pa.int64()),
     })
+
+
+# ---- grouped COUNT(DISTINCT) ------------------------------------------------
+
+def brand_supplier_counts(sf_dir: str) -> rd.Dataset:
+    """(p_brand, supplier_cnt): COUNT(DISTINCT l_suppkey) per part brand
+    over the lineitem x part join — TPC-H Q16's grouped-distinct shape.
+    Two exchanges, each moving pre-shrunk rows: (1) lineitem (partkey,
+    suppkey) pairs, deduped map-side per batch, join the brand via the
+    shared lifted-row hash join on partkey; (2) the joined (suppkey,
+    brand) pairs co-locate by suppkey, dedup exactly per group, and emit
+    per-brand partial counts — the final groupby folds brands-scale rows.
+    COUNT(DISTINCT) never materializes globally: distinctness is resolved
+    inside the partition that owns the key."""
+
+    def part_rows(t: pa.Table) -> pa.Table:
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        brand_n = np.fromiter(
+            (int(b.rsplit("#", 1)[1]) for b in t["p_brand"].to_pylist()),
+            np.int64, count=pk.size)
+        return _pair_rows(pk, np.zeros(pk.size, np.int64), brand_n)
+
+    part_rows.__name__ = "q16_part_build"
+
+    def line_pairs(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # map-side dedup of (partkey, suppkey): suppkey < 2^20 in the
+        # packed key (TPC-H suppkey cardinality; assert to fail loudly)
+        if sk.size and int(sk.max()) >= (1 << 20):
+            raise ValueError("suppkey exceeds pack width; widen the pack")
+        packed = np.unique((pk << 20) | sk)
+        return _pair_rows(packed >> 20, np.ones(packed.size, np.int64),
+                          packed & ((1 << 20) - 1))
+
+    line_pairs.__name__ = "q16_line_pairs"
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(part_rows, batch_format="pyarrow")
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(line_pairs, batch_format="pyarrow")
+    # exchange 1 output: rows keyed by suppkey, a = brand_n
+    supp_brand = line.union(part).groupby("ck").map_groups(
+        _hash_join_unique_right, batch_format="pyarrow")
+
+    def distinct_partial(g: pa.Table) -> pa.Table:
+        sk = g["key"].to_numpy(zero_copy_only=False)
+        bn = g["a"].to_numpy(zero_copy_only=False)
+        pairs = np.unique((sk << 8) | bn)  # brand_n < 2^8
+        brands, cnt = np.unique(pairs & 0xFF, return_counts=True)
+        return pa.table({
+            "brand_n": pa.array(brands.astype(np.int64), pa.int64()),
+            "supplier_cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    distinct_partial.__name__ = "q16_distinct_partial"
+
+    def fold(g: pa.Table) -> pa.Table:
+        bn = g["brand_n"][0].as_py()
+        return pa.table({
+            "p_brand": pa.array([f"Brand#{bn}"], pa.string()),
+            "supplier_cnt": pa.array(
+                [int(g["supplier_cnt"].to_numpy().sum())], pa.int64()),
+        })
+
+    fold.__name__ = "q16_fold"
+    return (supp_brand.groupby("ck")
+            .map_groups(distinct_partial, batch_format="pyarrow")
+            .groupby("brand_n").map_groups(fold, batch_format="pyarrow"))
