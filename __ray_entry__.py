@@ -153,12 +153,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": relational.small_qty_revenue,  # Q17 correlated per-part avg
         "urgent_order_revenue": relational.urgent_order_revenue,  # Bloom-pruned semi-join
         "brand_supplier_counts": relational.brand_supplier_counts,  # Q16 grouped COUNT(DISTINCT)
+        "order_counts_per_customer": relational.order_counts_per_customer,  # LEFT OUTER zero-fill
         # --- streaming windows over the events table ---
         "tumbling_window": windows.tumbling_window,      # combiner + small groupby
         "hopping_window": windows.hopping_window,        # overlapping windows
         "sessionize": windows.sessionize,                # per-key gap sessions
         "running_totals": windows.running_totals,        # SUM/ROW_NUMBER OVER (PARTITION BY)
         "moving_window": windows.moving_window,          # ROWS-frame sliding SUM/COUNT
+        "props_k_stats": windows.props_k_stats,          # JSON $.k extraction + rollup
         "range_join_counts": windows.range_join_counts,  # banded same-user range join
         "purchase_gaps": windows.purchase_gaps,          # LAG OVER (PARTITION BY)
         "event_quantiles_sketch": windows.event_quantiles_sketch,  # MRL sketch (exact sibling: event_quantiles)

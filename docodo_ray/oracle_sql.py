@@ -2362,6 +2362,33 @@ JOIN orders o ON q.o_orderkey = o.o_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
 
+    # LEFT OUTER join with zero-fill (relational.order_counts_per_customer)
+    sql["order_counts_per_customer"] = """
+SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+    # semi-structured extraction (windows.props_k_stats): RE2 extract of
+    # the $.k integer from the JSON props payload, both sides
+    from docodo_ray.windows import PROPS_KEY_RE
+
+    sql["props_k_stats"] = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(NULLIF(regexp_extract(props, '{PROPS_KEY_RE}', 1), '')
+              AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM e WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
     # grouped COUNT(DISTINCT) (relational.brand_supplier_counts)
     sql["brand_supplier_counts"] = """
 SELECT p_brand, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt

@@ -1201,3 +1201,62 @@ def brand_supplier_counts(sf_dir: str) -> rd.Dataset:
     return (supp_brand.groupby("ck")
             .map_groups(distinct_partial, batch_format="pyarrow")
             .groupby("brand_n").map_groups(fold, batch_format="pyarrow"))
+
+
+# ---- LEFT OUTER join with zero-fill ----------------------------------------
+
+def order_counts_per_customer(sf_dir: str) -> rd.Dataset:
+    """(c_custkey, n_orders): order count per customer INCLUDING customers
+    with none — the LEFT OUTER member of the join-type inventory (inner:
+    nation_revenue, semi: order_priority_counts, anti: customers_no_orders,
+    bloom-semi: urgent_order_revenue). One exchange of map-side-partial
+    counts unioned with the customer key set; unmatched build keys emit the
+    NULL-fill (0) row instead of dropping."""
+
+    def order_partials(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(ck, return_counts=True)
+        return _pair_rows(uniq, np.ones(uniq.size, np.int64),
+                          cnt.astype(np.int64))
+
+    order_partials.__name__ = "loj_order_partials"
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _pair_rows(ck, np.zeros(ck.size, np.int64),
+                          np.zeros(ck.size, np.int64))
+
+    cust_rows.__name__ = "loj_cust_build"
+
+    def fold(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        key, side, a = key[order], side[order], a[order]
+        starts = _segments(key)
+        if starts.size == 0:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        counts = np.diff(np.append(starts, key.size))
+        has_build = side[starts] == 0
+        seg_idx = np.repeat(np.arange(starts.size), counts)
+        n = np.zeros(starts.size, np.int64)
+        probe = side == 1
+        np.add.at(n, seg_idx[probe], a[probe])
+        # LEFT OUTER: every build key emits, zero-filled when unmatched;
+        # probe rows with no build key (impossible under FK integrity) drop
+        return pa.table({
+            "c_custkey": pa.array(key[starts][has_build], pa.int64()),
+            "n_orders": pa.array(n[has_build], pa.int64()),
+        })
+
+    fold.__name__ = "loj_fold"
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(order_partials, batch_format="pyarrow")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(cust_rows, batch_format="pyarrow")
+    return orders.union(cust).groupby("ck").map_groups(
+        fold, batch_format="pyarrow")

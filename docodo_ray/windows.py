@@ -1177,3 +1177,60 @@ def event_value_ntiles(sf_dir: str, n_tiles: int = NTILE_N) -> rd.Dataset:
 
     out = [assign.remote(r, starts[i], totals) for i, r in enumerate(refs)]
     return rd.from_arrow_refs(out)
+
+
+# ---- semi-structured property extraction --------------------------------------
+
+PROPS_KEY_RE = r'"k": (?P<k>\d+)'  # named group: pyarrow extract_regex requires it; DuckDB group 1
+
+
+def props_k_stats(sf_dir: str) -> rd.Dataset:
+    """(event_type, n_with_k, sum_k, min_k, max_k): extract the integer
+    property ``k`` from the JSON ``props`` column and aggregate per event
+    type — the semi-structured-column shape (JSONPath $.k on a flat
+    payload). Extraction is one vectorized RE2 kernel per batch
+    (pyarrow.compute.extract_regex), aggregates combine map-side, and the
+    exchange moves types-scale rows only."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], pattern=PROPS_KEY_RE)
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        valid = pc.is_valid(k).to_numpy(zero_copy_only=False)
+        kv = k.to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)[valid]
+        kv = kv[valid].astype(np.int64)
+        ut, inv = np.unique(et, return_inverse=True)
+        sums = np.zeros(ut.size, np.int64)
+        np.add.at(sums, inv, kv)
+        mins = np.full(ut.size, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, inv, kv)
+        maxs = np.full(ut.size, np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(maxs, inv, kv)
+        return pa.table({
+            "event_type": pa.array(ut.tolist(), pa.string()),
+            "n_with_k": pa.array(
+                np.bincount(inv, minlength=ut.size).astype(np.int64)),
+            "sum_k": pa.array(sums, pa.int64()),
+            "min_k": pa.array(mins, pa.int64()),
+            "max_k": pa.array(maxs, pa.int64()),
+        })
+
+    partial.__name__ = "props_partial"
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": g["event_type"][:1],
+            "n_with_k": pa.array(
+                [int(g["n_with_k"].to_numpy().sum())], pa.int64()),
+            "sum_k": pa.array(
+                [int(g["sum_k"].to_numpy().sum())], pa.int64()),
+            "min_k": pa.array(
+                [int(g["min_k"].to_numpy().min())], pa.int64()),
+            "max_k": pa.array(
+                [int(g["max_k"].to_numpy().max())], pa.int64()),
+        })
+
+    fold.__name__ = "props_fold"
+    ds = _events(sf_dir, columns=["event_type", "props"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type").map_groups(fold, batch_format="pyarrow"))
