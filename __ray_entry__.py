@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": relational.customers_no_orders,  # Q22-style anti-join
         "orders_rollup": relational.orders_rollup,       # GROUP BY ROLLUP levels    # CDC latest-per-key compaction
         "order_ranks": relational.order_ranks,           # RANK + DENSE_RANK per customer
+        "orders_cube": relational.orders_cube,           # GROUP BY CUBE grouping sets
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
         "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join
         "small_qty_revenue": relational.small_qty_revenue,  # Q17 correlated per-part avg

@@ -1704,6 +1704,20 @@ SELECT COALESCE(yr, -1) AS year, COALESCE(pri, 'ALL') AS priority,
 FROM o GROUP BY ROLLUP(yr, pri)
 """
 
+    # GROUP BY CUBE (relational.orders_cube): all four grouping sets
+    sql["orders_cube"] = """
+WITH o AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         o_orderpriority AS pri,
+         CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT COALESCE(yr, -1) AS year, COALESCE(pri, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM o GROUP BY CUBE(yr, pri)
+"""
+
     # CDC compaction (relational.latest_orders): latest version per key
     sql["latest_orders"] = """
 SELECT o_custkey AS custkey, o_orderkey AS orderkey,

@@ -528,15 +528,11 @@ def customers_no_orders(sf_dir: str) -> rd.Dataset:
 
 # ---- GROUP BY ROLLUP ----------------------------------------------------------
 
-def orders_rollup(sf_dir: str) -> rd.Dataset:
-    """(year, priority, n_orders, sum_cents): order counts/revenue GROUP
-    BY ROLLUP(year, priority) — (year, priority), (year, ALL) and
-    (ALL, ALL) levels in one result. The classic rollup optimization:
-    only the FINEST level ever aggregates the table (map-side combine +
-    one exchange); the coarser levels re-aggregate the finest result,
-    which is groups-scale, not table-scale. ALL sentinels: year=-1,
-    priority='ALL' (explicit, so the oracle hash can't trip on NULL
-    encodings)."""
+def _year_pri_finest(sf_dir: str) -> rd.Dataset:
+    """(year, priority, n_orders, sum_cents) at the FINEST grouping level:
+    map-side combine + one exchange — shared by orders_rollup and
+    orders_cube, whose coarser levels re-aggregate this groups-scale
+    result, never the table."""
 
     def partial(t: pa.Table) -> pa.Table:
         us = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -582,6 +578,20 @@ def orders_rollup(sf_dir: str) -> rd.Dataset:
         })
 
     fold.__name__ = "rollup_fold"
+    return (rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("gk").map_groups(fold, batch_format="pyarrow"))
+
+
+def orders_rollup(sf_dir: str) -> rd.Dataset:
+    """(year, priority, n_orders, sum_cents): order counts/revenue GROUP
+    BY ROLLUP(year, priority) — (year, priority), (year, ALL) and
+    (ALL, ALL) levels in one result. ALL sentinels: year=-1,
+    priority='ALL' (explicit, so the oracle hash can't trip on NULL
+    encodings). Coarser levels derive from _year_pri_finest's
+    groups-scale output."""
 
     def widen(t: pa.Table) -> pa.Table:
         """Derive the (year, ALL) and (ALL, ALL) levels from the finest
@@ -612,12 +622,8 @@ def orders_rollup(sf_dir: str) -> rd.Dataset:
         })
 
     widen.__name__ = "rollup_widen"
-    finest = (rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("gk").map_groups(fold, batch_format="pyarrow"))
-    return finest.repartition(1).map_batches(widen, batch_format="pyarrow")
+    return _year_pri_finest(sf_dir).repartition(1).map_batches(
+        widen, batch_format="pyarrow")
 
 
 # ---- RANK / DENSE_RANK window functions -----------------------------------
@@ -1260,3 +1266,40 @@ def order_counts_per_customer(sf_dir: str) -> rd.Dataset:
     ).map_batches(cust_rows, batch_format="pyarrow")
     return orders.union(cust).groupby("ck").map_groups(
         fold, batch_format="pyarrow")
+
+
+def orders_cube(sf_dir: str) -> rd.Dataset:
+    """(year, priority, n_orders, sum_cents): GROUP BY CUBE(year,
+    priority) — all four grouping sets: (year, priority), (year, ALL),
+    (ALL, priority), (ALL, ALL). Same plan shape as orders_rollup: only
+    the finest level aggregates the table; the three coarser sets derive
+    from that groups-scale result in one block."""
+
+    def widen(t: pa.Table) -> pa.Table:
+        year = t["year"].to_numpy(zero_copy_only=False)
+        pri = np.asarray(t["priority"].to_pylist(), dtype=object)
+        n = t["n_orders"].to_numpy(zero_copy_only=False)
+        c = t["sum_cents"].to_numpy(zero_copy_only=False)
+        uy, yinv = np.unique(year, return_inverse=True)
+        up, pinv = np.unique(pri, return_inverse=True)
+        out_year = np.concatenate((
+            year, uy, np.full(up.size, -1, np.int64), [-1]))
+        out_pri = np.concatenate((
+            pri, np.full(uy.size, "ALL", dtype=object), up,
+            np.asarray(["ALL"], dtype=object)))
+        out_n = np.concatenate((
+            n, np.bincount(yinv, weights=n).astype(np.int64),
+            np.bincount(pinv, weights=n).astype(np.int64), [int(n.sum())]))
+        out_c = np.concatenate((
+            c, np.bincount(yinv, weights=c).astype(np.int64),
+            np.bincount(pinv, weights=c).astype(np.int64), [int(c.sum())]))
+        return pa.table({
+            "year": pa.array(out_year.astype(np.int64), pa.int64()),
+            "priority": pa.array(out_pri.tolist(), pa.string()),
+            "n_orders": pa.array(out_n.astype(np.int64), pa.int64()),
+            "sum_cents": pa.array(out_c.astype(np.int64), pa.int64()),
+        })
+
+    widen.__name__ = "cube_widen"
+    return _year_pri_finest(sf_dir).repartition(1).map_batches(
+        widen, batch_format="pyarrow")
