@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": traindata.pack_sequences,      # distributed prefix scan
         "stratified_sample": traindata.stratified_sample,  # hash-deterministic mixing
         "weighted_sample": traindata.weighted_sample,    # priority sampling top-K
+        "lang_sample": traindata.lang_sample,            # fixed-k per-stratum sample
+        "incremental_lang_counts": traindata.incremental_lang_counts,  # IVM from the CDC delta
         "importance_weights": traindata.importance_weights,  # DSIR log-ratio scores
         "lm_perplexity": traindata.lm_perplexity,        # CCNet bigram-LM scores
         "c4_line_clean": traindata.c4_line_clean,        # C4 line-level cleaning
@@ -162,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": windows.running_totals,        # SUM/ROW_NUMBER OVER (PARTITION BY)
         "moving_window": windows.moving_window,          # ROWS-frame sliding SUM/COUNT
         "props_k_stats": windows.props_k_stats,          # JSON $.k extraction + rollup
+        "event_transitions": windows.event_transitions,  # clickstream transition matrix
         "range_join_counts": windows.range_join_counts,  # banded same-user range join
         "purchase_gaps": windows.purchase_gaps,          # LAG OVER (PARTITION BY)
         "event_quantiles_sketch": windows.event_quantiles_sketch,  # MRL sketch (exact sibling: event_quantiles)

@@ -2376,6 +2376,52 @@ JOIN orders o ON q.o_orderkey = o.o_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
 
+    # event-type transitions (windows.event_transitions): LEAD over the
+    # per-user timeline, pairs grouped
+    sql["event_transitions"] = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1, 2
+"""
+
+    # fixed-k per-stratum sample (traindata.lang_sample): same Knuth u32
+    # as weighted_sample, smallest-first per language
+    from docodo_ray.traindata import LS_K
+
+    sql["lang_sample"] = f"""
+WITH u AS (
+  SELECT doc_id, lang,
+         CAST(((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+               % 4294967296) AS BIGINT) AS u32
+  FROM documents
+), r AS (
+  SELECT lang, doc_id, u32,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY u32, doc_id) AS rank
+  FROM u
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, u32
+FROM r WHERE rank <= {LS_K}
+"""
+
+    # IVM (traindata.incremental_lang_counts): the oracle recomputes the
+    # v2 view directly — identity of maintained and recomputed IS the check
+    sql["incremental_lang_counts"] = """
+WITH v2 AS (
+  SELECT lang FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT lang FROM documents WHERE doc_id % 11 = 0
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM v2 GROUP BY lang
+"""
+
     # LEFT OUTER join with zero-fill (relational.order_counts_per_customer)
     sql["order_counts_per_customer"] = """
 SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders

@@ -1370,3 +1370,97 @@ def weighted_sample(sf_dir: str, k: int = WS_K) -> pa.Table:
         "n_chars": pa.array(w[order]),
         "u32": pa.array(u32[order]),
     })
+
+
+# ---- fixed-k per-stratum sampling ---------------------------------------------
+
+LS_K = 20
+
+
+def lang_sample(sf_dir: str, k: int = LS_K) -> rd.Dataset:
+    """(lang, rank, doc_id, u32): the k documents with the SMALLEST
+    deterministic hash per language — the fixed-size-per-stratum
+    complement of stratified_sample's rate-based thresholds (rates give
+    binomial-sized strata; evaluation sets and per-language probes want
+    exactly k). Per-batch partial top-k per stratum bounds the exchange to
+    batches x strata x k rows; the per-stratum final selection is one
+    groups-scale sort. Deterministic across layouts (hash order, doc_id
+    tiebreak), and nested: k' < k is a strict prefix."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u32 = _u32(ids).astype(np.int64)
+        lang = np.asarray(t["lang"].to_pylist(), dtype=object)
+        order = np.lexsort((ids, u32, lang))
+        ids, u32, lang = ids[order], u32[order], lang[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], lang[1:] != lang[:-1])))
+        counts = np.diff(np.append(starts, lang.size))
+        pos = np.arange(lang.size) - np.repeat(starts, counts)
+        m = pos < k
+        return pa.table({
+            "lang": pa.array(lang[m].tolist(), pa.string()),
+            "doc_id": pa.array(ids[m], pa.int64()),
+            "u32": pa.array(u32[m], pa.int64()),
+        })
+
+    partial.__name__ = "ls_partial"
+
+    def final(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        u32 = g["u32"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, u32))[:k]
+        return pa.table({
+            "lang": g["lang"][:1].to_pylist() * order.size,
+            "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int64)),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "u32": pa.array(u32[order], pa.int64()),
+        })
+
+    final.__name__ = "ls_final"
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").map_groups(final, batch_format="pyarrow"))
+
+
+# ---- incremental view maintenance over the CDC stream --------------------------
+
+def incremental_lang_counts(sf_dir: str) -> rd.Dataset:
+    """(lang, n_docs): per-language document counts of corpus v2 (the
+    corpus_diff snapshot), maintained INCREMENTALLY — v1's aggregate plus
+    the CDC delta (-1 per removed doc, +1 per added doc; text edits don't
+    move counts) rather than re-aggregating v2. The IVM pattern: both the
+    base aggregate and the delta combine map-side, so the exchange moves
+    langs-scale rows for any corpus size, and a 100-TB v2 never streams
+    again after its delta is known. Oracle: direct GROUP BY over the v2
+    replay — identity of maintained and recomputed views IS the check."""
+
+    def delta_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = np.asarray(t["lang"].to_pylist(), dtype=object)
+        d = np.ones(ids.size, np.int64)  # v1 baseline contribution
+        d += (ids % 11 == 0)             # spawned new doc inherits lang
+        d -= (ids % 7 == 0)              # removed in v2
+        ul, inv = np.unique(lang, return_inverse=True)
+        sums = np.zeros(ul.size, np.int64)
+        np.add.at(sums, inv, d)
+        return pa.table({
+            "lang": pa.array(ul.tolist(), pa.string()),
+            "n_docs": pa.array(sums, pa.int64()),
+        })
+
+    delta_partial.__name__ = "ivm_partial"
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": g["lang"][:1],
+            "n_docs": pa.array(
+                [int(g["n_docs"].to_numpy().sum())], pa.int64()),
+        })
+
+    fold.__name__ = "ivm_fold"
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return (ds.map_batches(delta_partial, batch_format="pyarrow")
+            .groupby("lang").map_groups(fold, batch_format="pyarrow"))

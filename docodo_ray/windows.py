@@ -1234,3 +1234,66 @@ def props_k_stats(sf_dir: str) -> rd.Dataset:
     ds = _events(sf_dir, columns=["event_type", "props"])
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("event_type").map_groups(fold, batch_format="pyarrow"))
+
+
+# ---- event-type transition counts ----------------------------------------------
+
+def event_transitions(sf_dir: str) -> rd.Dataset:
+    """(from_type, to_type, n): counts of consecutive event-type pairs per
+    user timeline (the Markov-chain / clickstream-transition matrix).
+    One coarse user-hash exchange co-locates each user's events; inside a
+    group one lexsort + an adjacent-rows mask builds every transition
+    vectorized, pairs pre-count per group, and the final exchange moves
+    types^2-scale rows only."""
+    from docodo_ray.dedup import _coarse_mix
+
+    def lift(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": pa.array(uid, pa.int64()),
+            "ts_us": t["ts"].cast(pa.int64()),
+            "event_type": t["event_type"],
+            "uk": pa.array(_coarse_mix(uid), pa.int64()),
+        })
+
+    lift.__name__ = "trans_lift"
+
+    def pairs(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["ts_us"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, us, uid))
+        uid, et = uid[order], et[order]
+        adj = uid[:-1] == uid[1:]
+        frm, to = et[:-1][adj], et[1:][adj]
+        if frm.size == 0:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uf, fi = np.unique(frm, return_inverse=True)
+        ut, ti = np.unique(to, return_inverse=True)
+        key = fi.astype(np.int64) * np.int64(ut.size) + ti
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "from_type": pa.array(uf[uk // ut.size].tolist(), pa.string()),
+            "to_type": pa.array(ut[uk % ut.size].tolist(), pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    pairs.__name__ = "trans_pairs"
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "from_type": g["from_type"][:1],
+            "to_type": g["to_type"][:1],
+            "n": pa.array([int(g["n"].to_numpy().sum())], pa.int64()),
+        })
+
+    fold.__name__ = "trans_fold"
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
+    return (ds.map_batches(lift, batch_format="pyarrow")
+            .groupby("uk").map_groups(pairs, batch_format="pyarrow")
+            .groupby(["from_type", "to_type"])
+            .map_groups(fold, batch_format="pyarrow"))
