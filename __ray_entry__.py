@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_terms": pipelines.wildcard_terms,      # O6 GetLikeWords
         "suggest_prefix": pipelines.suggest_prefix,      # O4 suggestions
         "levenshtein_close": pipelines.levenshtein_close,  # M13 corrections
+        "spell_correct": pipelines.spell_correct,        # did-you-mean top-1 per query
         "snippets": pipelines.snippets,                  # M14/O7 found-page text
         "incremental_term_df": pipelines.incremental_term_df,  # LSM update path
         "deleted_term_df": pipelines.deleted_term_df,    # LSM delete + compaction

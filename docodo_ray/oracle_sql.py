@@ -411,6 +411,27 @@ FROM (SELECT DISTINCT term FROM filt)
 WHERE levenshtein(term, '{CLOSE_WORD}') <= {CLOSE_MAXDIST}
 """
 
+    # spell correction (pipelines.spell_correct): top-1 candidate per
+    # misspelled query by (levenshtein asc, cf desc, term asc)
+    from docodo_ray.pipelines import SPELL_MAXDIST, SPELL_QUERY_WORDS
+
+    spell_vals = ", ".join(f"('{w}')" for w in SPELL_QUERY_WORDS)
+    sql["spell_correct"] = pro + f""",
+cf_t AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM filt
+         GROUP BY term),
+qw(query) AS (VALUES {spell_vals}),
+cand AS (
+  SELECT qw.query, cf_t.term,
+         CAST(levenshtein(cf_t.term, qw.query) AS BIGINT) AS dist, cf_t.cf,
+         ROW_NUMBER() OVER (
+           PARTITION BY qw.query
+           ORDER BY levenshtein(cf_t.term, qw.query) ASC, cf_t.cf DESC,
+                    cf_t.term ASC) AS rn
+  FROM qw JOIN cf_t ON levenshtein(cf_t.term, qw.query) <= {SPELL_MAXDIST}
+)
+SELECT query, term, dist, cf FROM cand WHERE rn = 1
+"""
+
     # regex (grep) search: the engine answers index-first (required-factor
     # pruning + RE2 verify, regexsearch.py); the oracle is a plain RE2 scan.
     # DuckDB and pyarrow both embed RE2, so n_matches (non-overlapping

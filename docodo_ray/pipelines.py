@@ -1339,3 +1339,39 @@ def corpus_diff(sf_dir: str) -> rd.Dataset:
     v2 = docs.map_batches(v2_rows, batch_format="pyarrow")
     return v1.union(v2).groupby("ck").map_groups(
         classify, batch_format="pyarrow")
+
+
+SPELL_QUERY_WORDS: tuple[str, ...] = ("tabel", "windoww", "mrege", "hsah")
+SPELL_MAXDIST = 2
+
+
+def spell_correct(sf_dir: str) -> pa.Table:
+    """(query, term, dist, cf): best "did you mean" correction per
+    misspelled query word — the index's length-banded close-terms stream
+    (same machinery as levenshtein_close) ranked by (edit distance asc,
+    collection frequency desc, term asc), top-1 per query. Candidate sets
+    are dozens of terms, so the per-candidate cf lookups are point reads
+    of the term-stats sidecars; queries with no candidate within
+    SPELL_MAXDIST emit no row (matching the SQL inner top-1)."""
+    r = get_index(sf_dir)
+    q_l, t_l, d_l, c_l = [], [], [], []
+    for w in SPELL_QUERY_WORDS:
+        cand = r.close_terms(w, SPELL_MAXDIST)
+        if cand.num_rows == 0:
+            continue
+        terms = cand["term"].to_pylist()
+        dist = cand["dist"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cf = np.fromiter((r.term_stats(t)[1] for t in terms), np.int64,
+                         count=len(terms))
+        best = min(range(len(terms)),
+                   key=lambda i: (int(dist[i]), -int(cf[i]), terms[i]))
+        q_l.append(w)
+        t_l.append(terms[best])
+        d_l.append(int(dist[best]))
+        c_l.append(int(cf[best]))
+    return pa.table({
+        "query": pa.array(q_l, pa.string()),
+        "term": pa.array(t_l, pa.string()),
+        "dist": pa.array(d_l, pa.int64()),
+        "cf": pa.array(c_l, pa.int64()),
+    })
