@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_window": windows.moving_window,          # ROWS-frame sliding SUM/COUNT
         "props_k_stats": windows.props_k_stats,          # JSON $.k extraction + rollup
         "event_transitions": windows.event_transitions,  # clickstream transition matrix
+        "session_paths": windows.session_paths,          # top-N session path mining
         "range_join_counts": windows.range_join_counts,  # banded same-user range join
         "purchase_gaps": windows.purchase_gaps,          # LAG OVER (PARTITION BY)
         "event_quantiles_sketch": windows.event_quantiles_sketch,  # MRL sketch (exact sibling: event_quantiles)

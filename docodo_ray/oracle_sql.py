@@ -1485,6 +1485,34 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM s GROUP BY user_id, session_id
 """
 
+    # session path mining (windows.session_paths): sessionize with a
+    # (us, event_id) total order, ordered string_agg, top-n by (n, path)
+    from docodo_ray.windows import SP_TOP_N
+
+    sql["session_paths"] = f"""
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+o AS (
+  SELECT user_id, event_id, event_type, us,
+    CASE WHEN lag(us) OVER w IS NULL
+              OR us - lag(us) OVER w > {s_gap} THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT user_id, event_id, event_type, us,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+p AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY us, event_id) AS path
+  FROM s GROUP BY user_id, sid
+),
+c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path)
+SELECT path, n FROM c ORDER BY n DESC, path ASC LIMIT {SP_TOP_N}
+"""
+
     # NTILE (windows.event_value_ntiles): exact quartile assignment
     from docodo_ray.windows import NTILE_N
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
@@ -1297,3 +1298,89 @@ def event_transitions(sf_dir: str) -> rd.Dataset:
             .groupby("uk").map_groups(pairs, batch_format="pyarrow")
             .groupby(["from_type", "to_type"])
             .map_groups(fold, batch_format="pyarrow"))
+
+
+# ---- session path mining --------------------------------------------------------
+
+SP_TOP_N = 20
+
+
+def session_paths(sf_dir: str, gap_minutes: int = SESSION_GAP_MINUTES,
+                  top_n: int = SP_TOP_N) -> pa.Table:
+    """(path, n): the top_n most common session paths — the ordered
+    event-type sequence of each gap-session joined with '>' (clickstream
+    path mining). Sessions form exactly as in sessionize (co-located by a
+    coarse user hash, vectorized gap breaks); the per-session join is the
+    Arrow list kernel pc.binary_join over ListArray offsets (no per-session
+    Python), path counts combine per group, and the global top-n folds
+    per-block partial top-ns — paths-scale rows never sort globally."""
+    from docodo_ray.dedup import _coarse_mix
+
+    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
+
+    def lift(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": pa.array(uid, pa.int64()),
+            "ts_us": t["ts"].cast(pa.int64()),
+            "event_type": t["event_type"],
+            "uk": pa.array(_coarse_mix(uid), pa.int64()),
+        })
+
+    lift.__name__ = "sp_lift"
+
+    def paths(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, us = uid[order], us[order]
+        et = g["event_type"].combine_chunks().take(
+            pa.array(order, pa.int64()))
+        brk = np.concatenate((
+            [True], (uid[1:] != uid[:-1]) | (np.diff(us) > gap_us)))
+        starts = np.flatnonzero(brk)
+        offsets = np.append(starts, uid.size).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), et)
+        joined = pc.binary_join(lists, ">")
+        uniq, cnt = np.unique(
+            np.asarray(joined.to_pylist(), dtype=object), return_counts=True)
+        return pa.table({
+            "path": pa.array(uniq.tolist(), pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    paths.__name__ = "sp_paths"
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "path": g["path"][:1],
+            "n": pa.array([int(g["n"].to_numpy().sum())], pa.int64()),
+        })
+
+    fold.__name__ = "sp_fold"
+
+    def local_top(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        p = np.asarray(t["path"].to_pylist(), dtype=object)
+        keep = np.lexsort((p, -n))[:top_n]
+        return pa.table({
+            "path": pa.array(p[keep].tolist(), pa.string()),
+            "n": pa.array(n[keep], pa.int64()),
+        })
+
+    local_top.__name__ = "sp_local_top"
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
+    counts = (ds.map_batches(lift, batch_format="pyarrow")
+              .groupby("uk").map_groups(paths, batch_format="pyarrow")
+              .groupby("path").map_groups(fold, batch_format="pyarrow")
+              .map_batches(local_top, batch_format="pyarrow")
+              .repartition(1)
+              .map_batches(local_top, batch_format="pyarrow"))
+    t = pa.concat_tables(
+        [b for b in (ray.get(r) for r in counts.to_arrow_refs())
+         if b.num_rows])
+    order = np.lexsort((np.asarray(t["path"].to_pylist(), dtype=object),
+                        -t["n"].to_numpy(zero_copy_only=False)))[:top_n]
+    return t.take(pa.array(order, pa.int64()))
