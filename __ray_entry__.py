@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract": pipelines.pdf_extract,            # M10/S3 PDF text extractor
         "crawl_extract": pipelines.crawl_extract,        # S4 crawler (file:// fixture site)
         "xml_manifest_extract": pipelines.xml_manifest_extract,  # S5 manifest source
+        "jsonl_roundtrip": pipelines.jsonl_roundtrip,    # JSONL source round-trip
+        "csv_roundtrip": pipelines.csv_roundtrip,        # CSV source round-trip
         "bm25_topk": pipelines.bm25_topk,                # A8 replacement: BM25 top-k
         "bm25_batch_distributed": pipelines.bm25_batch_distributed,  # actor-pool batch eval
         "more_like_this": pipelines.more_like_this,      # Lucene-style MLT (tfidf terms -> BM25)

@@ -136,7 +136,7 @@ SELECT doc_id, sha256(text) AS sha256 FROM documents
     # the REAL kernel; hash equality vs plain sha256(text) proves the
     # extractor inverts the wrapping exactly.
     for q in ("html_extract", "pdf_extract", "crawl_extract",
-              "xml_manifest_extract"):
+              "xml_manifest_extract", "jsonl_roundtrip", "csv_roundtrip"):
         sql[q] = """
 SELECT doc_id, sha256(text) AS sha256 FROM documents
 """

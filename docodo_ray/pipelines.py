@@ -1375,3 +1375,112 @@ def spell_correct(sf_dir: str) -> pa.Table:
         "dist": pa.array(d_l, pa.int64()),
         "cf": pa.array(c_l, pa.int64()),
     })
+
+
+def _roundtrip_fixture_dir(sf_dir: str, kind: str) -> tuple[str, str]:
+    import hashlib
+    import os
+
+    tag = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    root = f"/tmp/docodo_{kind}src_{tag}"
+    return root, os.path.join(root, ".done")
+
+
+def jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
+    """(doc_id, sha256): JSONL source end-to-end — the documents table is
+    spilled once to sharded .jsonl files, loaded back through Ray Data's
+    distributed JSON reader, and content-hashed. Same oracle scheme as the
+    other source round-trips: sha256(text) off the table proves the
+    serialize -> read_json path inverts every byte (embedded newlines,
+    quotes, unicode escapes)."""
+    import json
+    import os
+
+    docs = _documents(sf_dir, columns=["doc_id", "text"])
+    root, marker = _roundtrip_fixture_dir(sf_dir, "jsonl")
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        if ids:
+            shard = os.path.join(root, f"part-{min(ids)}.jsonl")
+            with open(shard, "w", encoding="utf-8") as f:
+                for d, x in zip(ids, t["text"].to_pylist()):
+                    f.write(json.dumps(
+                        {"doc_id": int(d), "text": x or ""}) + "\n")
+        return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
+    write_shard.__name__ = "jsonl_write_shard"
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        docs.map_batches(write_shard, batch_format="pyarrow").take_all()
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    loaded = rd.read_json(
+        [os.path.join(root, p) for p in sorted(os.listdir(root))
+         if p.endswith(".jsonl")])
+
+    def sha_rows(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "sha256": pa.array(
+                [hashlib.sha256((x or "").encode()).hexdigest()
+                 for x in t["text"].to_pylist()], pa.string()),
+        })
+
+    sha_rows.__name__ = "jsonl_sha"
+    return loaded.map_batches(sha_rows, batch_format="pyarrow")
+
+
+def csv_roundtrip(sf_dir: str) -> rd.Dataset:
+    """(doc_id, sha256): CSV source end-to-end — sharded RFC-4180 .csv
+    spill (quoted fields, doubled quotes, embedded newlines), loaded back
+    through Ray Data's distributed Arrow CSV reader, content-hashed.
+    Oracle: sha256(text) off the table."""
+    import csv
+    import os
+
+    docs = _documents(sf_dir, columns=["doc_id", "text"])
+    root, marker = _roundtrip_fixture_dir(sf_dir, "csv")
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        if ids:
+            shard = os.path.join(root, f"part-{min(ids)}.csv")
+            with open(shard, "w", encoding="utf-8", newline="") as f:
+                w = csv.writer(f, quoting=csv.QUOTE_ALL)
+                w.writerow(["doc_id", "text"])
+                for d, x in zip(ids, t["text"].to_pylist()):
+                    w.writerow([int(d), x or ""])
+        return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
+    write_shard.__name__ = "csv_write_shard"
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        docs.map_batches(write_shard, batch_format="pyarrow").take_all()
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    from pyarrow import csv as pacsv
+
+    loaded = rd.read_csv(
+        [os.path.join(root, p) for p in sorted(os.listdir(root))
+         if p.endswith(".csv")],
+        convert_options=pacsv.ConvertOptions(
+            column_types={"doc_id": pa.int64(), "text": pa.string()}),
+        parse_options=pacsv.ParseOptions(newlines_in_values=True))
+
+    def sha_rows(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "sha256": pa.array(
+                [hashlib.sha256((x or "").encode()).hexdigest()
+                 for x in t["text"].to_pylist()], pa.string()),
+        })
+
+    sha_rows.__name__ = "csv_sha"
+    return loaded.map_batches(sha_rows, batch_format="pyarrow")

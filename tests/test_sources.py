@@ -3,6 +3,7 @@ M8, M9, M10 — reference DataSources.cs / DocumentsDataSource.cs), all real
 stdlib implementations with exact-value assertions."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from docodo_ray.sources import (
@@ -201,3 +202,29 @@ def test_document_tree_source(tmp_path):
     only_txt = read_document_tree(str(tmp_path), patterns="*.txt").take_all()
     assert all(r["file"].lower().endswith(".txt") for r in only_txt)
     assert len(only_txt) == 3
+
+
+def test_jsonl_csv_roundtrip_adversarial(tmp_path, ray_session):
+    """Embedded newlines, quotes, commas, unicode and empty strings must
+    survive the JSONL and CSV spill -> distributed read paths byte-exact
+    (the driver corpus is word soup; this covers the nasty cases)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from docodo_ray.pipelines import csv_roundtrip, jsonl_roundtrip
+
+    texts = ['a,b\n"c"\nd', '', 'ünïcødé — 你好\r\nline2', '"""', "x'y\\z",
+             "trailing\n", ",,,", 'quote " and, comma']
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    want = {i: hashlib.sha256(t.encode()).hexdigest()
+            for i, t in enumerate(texts)}
+    for fn in (jsonl_roundtrip, csv_roundtrip):
+        out = fn(str(d))
+        got = {int(r["doc_id"]): r["sha256"] for r in out.take_all()}
+        assert got == want, fn.__name__
