@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": relational.customers_no_orders,  # Q22-style anti-join
         "orders_rollup": relational.orders_rollup,       # GROUP BY ROLLUP levels    # CDC latest-per-key compaction
         "order_ranks": relational.order_ranks,           # RANK + DENSE_RANK per customer
+        "order_rank_fractions": relational.order_rank_fractions,  # PERCENT_RANK/CUME_DIST exact
+        "region_revenue": relational.region_revenue,     # snowflake region rollup
         "orders_cube": relational.orders_cube,           # GROUP BY CUBE grouping sets
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
         "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join
@@ -168,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_window": windows.moving_window,          # ROWS-frame sliding SUM/COUNT
         "props_k_stats": windows.props_k_stats,          # JSON $.k extraction + rollup
         "event_transitions": windows.event_transitions,  # clickstream transition matrix
+        "value_moments": windows.value_moments,          # exact mean/variance sufficient stats
         "session_paths": windows.session_paths,          # top-N session path mining
         "range_join_counts": windows.range_join_counts,  # banded same-user range join
         "purchase_gaps": windows.purchase_gaps,          # LAG OVER (PARTITION BY)

@@ -2425,6 +2425,57 @@ JOIN orders o ON q.o_orderkey = o.o_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
 
+    # PERCENT_RANK / CUME_DIST as exact fractions
+    # (relational.order_rank_fractions): both sides emit num/den integers
+    sql["order_rank_fractions"] = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+           AS totalprice_cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, totalprice_cents,
+       CAST(RANK() OVER w - 1 AS BIGINT) AS pr_num,
+       CAST(GREATEST(COUNT(*) OVER p - 1, 1) AS BIGINT) AS pr_den,
+       CAST(COUNT(*) OVER p - (RANK() OVER wa - 1) AS BIGINT) AS cd_num,
+       CAST(COUNT(*) OVER p AS BIGINT) AS cd_den
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY totalprice_cents DESC),
+       wa AS (PARTITION BY o_custkey ORDER BY totalprice_cents ASC),
+       p AS (PARTITION BY o_custkey)
+"""
+
+    # snowflake rollup (relational.region_revenue): nation_revenue one
+    # dimension level up
+    sql["region_revenue"] = f"""
+SELECT r_name AS region,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '{NR_FROM}'
+  AND o_orderdate < TIMESTAMP '{NR_TO}'
+GROUP BY r_name
+"""
+
+    # moments (windows.value_moments): exact integer sufficient stats;
+    # DuckDB SUM(BIGINT) is HUGEINT, cast back
+    sql["value_moments"] = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(cents * cents) AS BIGINT) AS sum_sq_cents
+FROM e GROUP BY event_type
+"""
+
     # event-type transitions (windows.event_transitions): LEAD over the
     # per-user timeline, pairs grouped
     sql["event_transitions"] = """

@@ -1303,3 +1303,106 @@ def orders_cube(sf_dir: str) -> rd.Dataset:
     widen.__name__ = "cube_widen"
     return _year_pri_finest(sf_dir).repartition(1).map_batches(
         widen, batch_format="pyarrow")
+
+
+def order_rank_fractions(sf_dir: str) -> rd.Dataset:
+    """(o_orderkey, o_custkey, totalprice_cents, pr_num, pr_den, cd_num,
+    cd_den): PERCENT_RANK and CUME_DIST per customer over totalprice DESC,
+    as EXACT integer fractions — pr = (rank-1)/(n-1), cd = peers_through/n
+    — so the oracle hash can never trip on double rounding (the engine and
+    SQL both emit numerator and denominator; single-row partitions emit
+    pr 0/1). Same one-exchange segment-scan shape as order_ranks."""
+
+    def lift(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": pa.array(ck, pa.int64()),
+            "totalprice_cents": pa.array(cents, pa.int64()),
+            "uk": pa.array(_coarse_mix(ck), pa.int64()),
+        })
+
+    lift.__name__ = "rf_lift"
+
+    def scan(g: pa.Table) -> pa.Table:
+        ok = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        cu = g["o_custkey"].to_numpy(zero_copy_only=False)
+        c = g["totalprice_cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -c, cu))
+        ok, cu, c = ok[order], cu[order], c[order]
+        new_seg = np.concatenate(([True], cu[1:] != cu[:-1]))
+        new_run = new_seg | np.concatenate(([True], c[1:] != c[:-1]))
+        seg_starts = np.flatnonzero(new_seg)
+        seg_counts = np.diff(np.append(seg_starts, cu.size))
+        seg_start_pos = np.repeat(seg_starts, seg_counts)
+        n = np.repeat(seg_counts, seg_counts)
+        run_starts = np.flatnonzero(new_run)
+        run_counts = np.diff(np.append(run_starts, cu.size))
+        run_start_pos = np.repeat(run_starts, run_counts)
+        # last row index of each run, repeated over the run (peers through)
+        run_end_pos = np.repeat(run_starts + run_counts - 1, run_counts)
+        rnk = run_start_pos - seg_start_pos + 1
+        peers_through = run_end_pos - seg_start_pos + 1
+        return pa.table({
+            "o_orderkey": pa.array(ok, pa.int64()),
+            "o_custkey": pa.array(cu, pa.int64()),
+            "totalprice_cents": pa.array(c, pa.int64()),
+            "pr_num": pa.array(rnk - 1, pa.int64()),
+            "pr_den": pa.array(np.maximum(n - 1, 1), pa.int64()),
+            "cd_num": pa.array(peers_through, pa.int64()),
+            "cd_den": pa.array(n, pa.int64()),
+        })
+
+    scan.__name__ = "rf_scan"
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return (ds.map_batches(lift, batch_format="pyarrow")
+            .groupby("uk").map_groups(scan, batch_format="pyarrow"))
+
+
+def region_revenue(sf_dir: str) -> rd.Dataset:
+    """(region, revenue_e4, n_orders): nation_revenue rolled up one more
+    dimension level — the snowflake region -> nation chain. The per-nation
+    aggregate is already groups-scale, so the region attachment is a pure
+    broadcast map (region x nation both ray.put once) plus a 5-row fold;
+    nothing new streams."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_name", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    rname = dict(zip(reg["r_regionkey"].to_pylist(),
+                     reg["r_name"].to_pylist()))
+    nat2reg = {n: rname[rk] for n, rk in zip(
+        nat["n_name"].to_pylist(), nat["n_regionkey"].to_pylist())}
+    ref = ray.put(nat2reg)
+
+    def to_region(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        return pa.table({
+            "region": pa.array(
+                [m[x] for x in t["nation"].to_pylist()], pa.string()),
+            "revenue_e4": t["revenue_e4"],
+            "n_orders": t["n_orders"],
+        })
+
+    to_region.__name__ = "to_region"
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "region": g["region"][:1],
+            "revenue_e4": pa.array(
+                [int(g["revenue_e4"].to_numpy().sum())], pa.int64()),
+            "n_orders": pa.array(
+                [int(g["n_orders"].to_numpy().sum())], pa.int64()),
+        })
+
+    fold.__name__ = "region_fold"
+    return (nation_revenue(sf_dir)
+            .map_batches(to_region, batch_format="pyarrow")
+            .groupby("region").map_groups(fold, batch_format="pyarrow"))

@@ -1384,3 +1384,49 @@ def session_paths(sf_dir: str, gap_minutes: int = SESSION_GAP_MINUTES,
     order = np.lexsort((np.asarray(t["path"].to_pylist(), dtype=object),
                         -t["n"].to_numpy(zero_copy_only=False)))[:top_n]
     return t.take(pa.array(order, pa.int64()))
+
+
+# ---- moments (sufficient statistics) --------------------------------------------
+
+def value_moments(sf_dir: str) -> rd.Dataset:
+    """(event_type, n, sum_cents, sum_sq_cents): the exact sufficient
+    statistics for mean/variance/stddev per event type, as integers (cents
+    and cents^2). Map-side combine then a types-scale exchange — the
+    classic one-pass parallel-moments shape. int64 bounds: cents^2 <= 1e10
+    per row, so a single partition stays exact up to ~9e8 rows; beyond
+    that shard the partial columns (or lift to 128-bit) before summing —
+    the oracle's HUGEINT does this implicitly."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        ut, inv = np.unique(et, return_inverse=True)
+        s = np.zeros(ut.size, np.int64)
+        np.add.at(s, inv, cents)
+        s2 = np.zeros(ut.size, np.int64)
+        np.add.at(s2, inv, cents * cents)
+        return pa.table({
+            "event_type": pa.array(ut.tolist(), pa.string()),
+            "n": pa.array(np.bincount(inv, minlength=ut.size).astype(np.int64)),
+            "sum_cents": pa.array(s, pa.int64()),
+            "sum_sq_cents": pa.array(s2, pa.int64()),
+        })
+
+    partial.__name__ = "moments_partial"
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": g["event_type"][:1],
+            "n": pa.array([int(g["n"].to_numpy().sum())], pa.int64()),
+            "sum_cents": pa.array(
+                [int(g["sum_cents"].to_numpy().sum())], pa.int64()),
+            "sum_sq_cents": pa.array(
+                [int(g["sum_sq_cents"].to_numpy().sum())], pa.int64()),
+        })
+
+    fold.__name__ = "moments_fold"
+    ds = _events(sf_dir, columns=["event_type", "value"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type").map_groups(fold, batch_format="pyarrow"))
