@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_ranks": relational.order_ranks,           # RANK + DENSE_RANK per customer
         "order_rank_fractions": relational.order_rank_fractions,  # PERCENT_RANK/CUME_DIST exact
         "region_revenue": relational.region_revenue,     # snowflake region rollup
+        "above_avg_orders": relational.above_avg_orders,  # correlated scalar subquery
         "orders_cube": relational.orders_cube,           # GROUP BY CUBE grouping sets
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
         "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join
@@ -171,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_stats": windows.props_k_stats,          # JSON $.k extraction + rollup
         "event_transitions": windows.event_transitions,  # clickstream transition matrix
         "value_moments": windows.value_moments,          # exact mean/variance sufficient stats
+        "view_no_purchase_users": windows.view_no_purchase_users,  # EXCEPT set difference
         "session_paths": windows.session_paths,          # top-N session path mining
         "range_join_counts": windows.range_join_counts,  # banded same-user range join
         "purchase_gaps": windows.purchase_gaps,          # LAG OVER (PARTITION BY)
@@ -186,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search / clustering ---
         "embedding_topk": sim.embedding_topk,
         "kmeans_clusters": sim.kmeans_clusters,  # distributed Lloyd's, int64 contract
+        "embedding_norm_sq": sim.embedding_norm_sq,      # list-column integer kernel
         "embedding_topk_ivf": sim.embedding_topk_ivf,    # approximate: rows-only
         # --- multimodal plumbing (stubbed decode kernel): rows-only ---
         "media_features": multimodal.media_features,

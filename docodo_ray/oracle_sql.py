@@ -2425,6 +2425,55 @@ JOIN orders o ON q.o_orderkey = o.o_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
 
+    # EXCEPT / set difference (windows.view_no_purchase_users)
+    from docodo_ray.windows import VNP_HAS, VNP_NOT
+
+    sql["view_no_purchase_users"] = f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         event_type
+  FROM events WHERE event_type IN ('{VNP_HAS}', '{VNP_NOT}')
+), h AS (
+  SELECT user_id, hr,
+         CAST(SUM(CASE WHEN event_type = '{VNP_HAS}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_views,
+         SUM(CASE WHEN event_type = '{VNP_NOT}' THEN 1 ELSE 0 END) AS n_p
+  FROM e GROUP BY user_id, hr
+)
+SELECT user_id, hr, n_views FROM h WHERE n_views > 0 AND n_p = 0
+"""
+
+    # correlated scalar subquery (relational.above_avg_orders):
+    # cents * n > sum_cents is the exact integer form of price > AVG(price)
+    sql["above_avg_orders"] = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), s AS (
+  SELECT o_custkey, cents,
+         CAST(COUNT(*) OVER p AS BIGINT) AS n,
+         CAST(SUM(cents) OVER p AS BIGINT) AS sc
+  FROM o WINDOW p AS (PARTITION BY o_custkey)
+)
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN cents * n > sc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above
+FROM s GROUP BY o_custkey
+"""
+
+    # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
+    # quantization then exact integer squared-norm, both sides
+    sql["embedding_norm_sq"] = """
+SELECT vec_id,
+       CAST(list_sum(list_transform(embedding,
+         x -> CAST(floor(x * 1000.0) AS BIGINT)
+              * CAST(floor(x * 1000.0) AS BIGINT))) AS BIGINT)
+         AS norm_sq_e3
+FROM embeddings
+"""
+
     # PERCENT_RANK / CUME_DIST as exact fractions
     # (relational.order_rank_fractions): both sides emit num/den integers
     sql["order_rank_fractions"] = """

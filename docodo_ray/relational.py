@@ -1406,3 +1406,51 @@ def region_revenue(sf_dir: str) -> rd.Dataset:
     return (nation_revenue(sf_dir)
             .map_batches(to_region, batch_format="pyarrow")
             .groupby("region").map_groups(fold, batch_format="pyarrow"))
+
+
+def above_avg_orders(sf_dir: str) -> rd.Dataset:
+    """(o_custkey, n_orders, n_above): per customer, how many of their
+    orders exceed their own average totalprice — the correlated-scalar-
+    subquery shape (WHERE price > AVG(...) per key), resolved exactly in
+    one exchange: the per-customer segment computes sum and count, and the
+    comparison cents * n > sum_cents is exact integer arithmetic (no
+    division, no doubles)."""
+
+    def lift(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "o_custkey": pa.array(ck, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "uk": pa.array(_coarse_mix(ck), pa.int64()),
+        })
+
+    lift.__name__ = "aao_lift"
+
+    def scan(g: pa.Table) -> pa.Table:
+        cu = g["o_custkey"].to_numpy(zero_copy_only=False)
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cu, kind="stable")
+        cu, c = cu[order], c[order]
+        starts = _segments(cu)
+        counts = np.diff(np.append(starts, cu.size))
+        sums = np.add.reduceat(c, starts) if starts.size else np.empty(0, np.int64)
+        n_rep = np.repeat(counts, counts)
+        s_rep = np.repeat(sums, counts)
+        above = (c * n_rep > s_rep).astype(np.int64)
+        seg_idx = np.repeat(np.arange(starts.size), counts)
+        n_above = np.zeros(starts.size, np.int64)
+        np.add.at(n_above, seg_idx, above)
+        return pa.table({
+            "o_custkey": pa.array(cu[starts], pa.int64()),
+            "n_orders": pa.array(counts.astype(np.int64), pa.int64()),
+            "n_above": pa.array(n_above, pa.int64()),
+        })
+
+    scan.__name__ = "aao_scan"
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    return (ds.map_batches(lift, batch_format="pyarrow")
+            .groupby("uk").map_groups(scan, batch_format="pyarrow"))

@@ -691,3 +691,33 @@ def kmeans_clusters(sf_dir: str, k: int = KMEANS_K,
     ref = ray.put(cents)
     return (rd.read_parquet(path, columns=["vec_id", "embedding"])
             .map_batches(_KMeansAssign(ref), batch_format="pyarrow"))
+
+
+def embedding_norm_sq(sf_dir: str) -> rd.Dataset:
+    """(vec_id, norm_sq_e3): exact integer squared L2 norm of each
+    embedding after per-element floor(x*1000) quantization — the
+    list-column kernel shape: the Arrow list column is consumed as its
+    flat values buffer + offsets (np.add.reduceat over the flattened
+    squares), zero per-row Python, zero list materialization."""
+
+    def norms(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        q = np.floor(flat * 1000.0).astype(np.int64)
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        sq = q * q
+        sums = np.add.reduceat(sq, offsets[:-1]) if len(arr) else np.empty(0, np.int64)
+        # guard: zero-length lists would corrupt reduceat segments
+        lens = np.diff(offsets)
+        if (lens == 0).any():
+            raise ValueError("empty embedding list")
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "norm_sq_e3": pa.array(sums, pa.int64()),
+        })
+
+    norms.__name__ = "norm_sq"
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return ds.map_batches(norms, batch_format="pyarrow")

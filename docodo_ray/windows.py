@@ -1430,3 +1430,65 @@ def value_moments(sf_dir: str) -> rd.Dataset:
     ds = _events(sf_dir, columns=["event_type", "value"])
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("event_type").map_groups(fold, batch_format="pyarrow"))
+
+
+# ---- set ops over user activity ----------------------------------------------
+
+VNP_HAS, VNP_NOT = "view", "purchase"
+
+
+def view_no_purchase_users(sf_dir: str) -> rd.Dataset:
+    """(user_id, hr, n_views): per-user hour windows holding at least one
+    VNP_HAS event and zero VNP_NOT events — the EXCEPT / set-difference
+    member of the set-op inventory at (user, hour) granularity (user-level
+    sets are degenerate on this corpus: every user emits every type). One
+    exchange of per-batch (user, hr, n_has, n_not) partials co-located by
+    user; the group fold applies the difference exactly."""
+    from docodo_ray.dedup import _coarse_mix
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hr = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+              // 3_600_000_000)
+        m = (et == VNP_HAS) | (et == VNP_NOT)
+        uid, hr, et = uid[m], hr[m], et[m]
+        key = np.stack([uid, hr], axis=1)
+        uu, inv = np.unique(key, axis=0, return_inverse=True)
+        nh = np.zeros(len(uu), np.int64)
+        np.add.at(nh, inv, (et == VNP_HAS).astype(np.int64))
+        nn = np.zeros(len(uu), np.int64)
+        np.add.at(nn, inv, (et == VNP_NOT).astype(np.int64))
+        return pa.table({
+            "user_id": pa.array(uu[:, 0], pa.int64()),
+            "hr": pa.array(uu[:, 1], pa.int64()),
+            "n_has": pa.array(nh, pa.int64()),
+            "n_not": pa.array(nn, pa.int64()),
+            "uk": pa.array(_coarse_mix(uu[:, 0]), pa.int64()),
+        })
+
+    partial.__name__ = "vnp_partial"
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        hr = g["hr"].to_numpy(zero_copy_only=False)
+        nh = g["n_has"].to_numpy(zero_copy_only=False)
+        nn = g["n_not"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((hr, uid))
+        uid, hr, nh, nn = uid[order], hr[order], nh[order], nn[order]
+        new = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (hr[1:] != hr[:-1])))
+        starts = np.flatnonzero(new)
+        th = np.add.reduceat(nh, starts)
+        tn = np.add.reduceat(nn, starts)
+        m = (th > 0) & (tn == 0)
+        return pa.table({
+            "user_id": pa.array(uid[starts][m], pa.int64()),
+            "hr": pa.array(hr[starts][m], pa.int64()),
+            "n_views": pa.array(th[m], pa.int64()),
+        })
+
+    fold.__name__ = "vnp_fold"
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_type"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("uk").map_groups(fold, batch_format="pyarrow"))
