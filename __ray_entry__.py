@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rank_fractions": relational.order_rank_fractions,  # PERCENT_RANK/CUME_DIST exact
         "region_revenue": relational.region_revenue,     # snowflake region rollup
         "above_avg_orders": relational.above_avg_orders,  # correlated scalar subquery
+        "cheapest_supplier": relational.cheapest_supplier,  # Q2 fraction argmin
+        "nation_trade_matrix": relational.nation_trade_matrix,  # Q7 trade matrix
         "orders_cube": relational.orders_cube,           # GROUP BY CUBE grouping sets
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
         "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join
@@ -173,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": windows.event_transitions,  # clickstream transition matrix
         "value_moments": windows.value_moments,          # exact mean/variance sufficient stats
         "view_no_purchase_users": windows.view_no_purchase_users,  # EXCEPT set difference
+        "division_days": windows.division_days,          # relational division
         "session_paths": windows.session_paths,          # top-N session path mining
         "range_join_counts": windows.range_join_counts,  # banded same-user range join
         "purchase_gaps": windows.purchase_gaps,          # LAG OVER (PARTITION BY)

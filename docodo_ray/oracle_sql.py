@@ -2463,6 +2463,59 @@ SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
 FROM s GROUP BY o_custkey
 """
 
+    # relational division (windows.division_days): user-days covering the
+    # whole observed event-type universe
+    sql["division_days"] = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d, event_type
+  FROM events
+)
+SELECT user_id, d, CAST(count(*) AS BIGINT) AS n_events
+FROM e GROUP BY user_id, d
+HAVING count(DISTINCT event_type) =
+       (SELECT count(DISTINCT event_type) FROM events)
+"""
+
+    # TPC-H Q2 min-cost-supplier shape (relational.cheapest_supplier):
+    # the oracle resolves the fractional argmin by exact cross-
+    # multiplication (NOT EXISTS a strictly cheaper offer), then breaks
+    # ties to the smallest suppkey; the e4 unit price is an integer
+    # floor-division so every min-fraction row yields the same value
+    sql["cheapest_supplier"] = """
+WITH u AS (
+  SELECT l_partkey AS p, CAST(l_suppkey AS BIGINT) AS s,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem
+), m AS (
+  SELECT * FROM u u1 WHERE NOT EXISTS (
+    SELECT 1 FROM u u2 WHERE u2.p = u1.p AND u2.c * u1.q < u1.c * u2.q)
+), n AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS n_offers FROM u GROUP BY p
+)
+SELECT m.p AS l_partkey, CAST(min(m.s) AS BIGINT) AS best_suppkey,
+       CAST(min(m.c * 10000 // m.q) AS BIGINT) AS unit_price_e4,
+       CAST(min(n.n_offers) AS BIGINT) AS n_offers
+FROM m JOIN n ON m.p = n.p GROUP BY m.p
+"""
+
+    # TPC-H Q7 trade-volume matrix (relational.nation_trade_matrix)
+    sql["nation_trade_matrix"] = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '{NR_FROM}'
+  AND l_shipdate <  TIMESTAMP '{NR_TO}'
+GROUP BY 1, 2
+"""
+
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides
     sql["embedding_norm_sq"] = """

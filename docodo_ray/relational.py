@@ -1454,3 +1454,213 @@ def above_avg_orders(sf_dir: str) -> rd.Dataset:
                          columns=["o_custkey", "o_totalprice"])
     return (ds.map_batches(lift, batch_format="pyarrow")
             .groupby("uk").map_groups(scan, batch_format="pyarrow"))
+
+
+def cheapest_supplier(sf_dir: str) -> rd.Dataset:
+    """(l_partkey, best_suppkey, unit_price_e4, n_offers): per part, the
+    supplier quoting the minimal unit price (extendedprice/quantity) across
+    all lineitem offers — the TPC-H Q2 min-cost-supplier shape
+    (Docodo.NET has no relational layer; net-new per the brief). Argmin
+    over a FRACTION is associative, so each batch pre-reduces to one
+    winner row per part and the exchange moves ~n_parts rows per batch.
+
+    Exactness: the comparator c/q is evaluated in float64, which is a
+    PROVABLY exact order embedding here — distinct fractions with
+    c <= 1.05e7 cents and 1 <= q <= 50 differ by at least 1/(50*50) =
+    4e-4, while float64 rounding error is < 2^-52 * 1.05e7 ~ 2.4e-9.
+    The oracle cross-multiplies (no floats) and must agree. Ties break to
+    the smallest suppkey; equal fractions floor to the same e4 price."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        f = c / q
+        order = np.lexsort((s, f, pk))
+        pk, s, q, c = pk[order], s[order], q[order], c[order]
+        starts = _segments(pk)
+        counts = np.diff(np.append(starts, pk.size))
+        return pa.table({
+            "pk": pa.array(pk[starts], pa.int64()),
+            "s": pa.array(s[starts], pa.int64()),
+            "q": pa.array(q[starts], pa.int64()),
+            "c": pa.array(c[starts], pa.int64()),
+            "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            "ck": pa.array(_coarse_mix(pk[starts]), pa.int64()),
+        })
+
+    partial.__name__ = "cheapest_partial"
+
+    def fold(g: pa.Table) -> pa.Table:
+        pk = g["pk"].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False)
+        q = g["q"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        f = c / q
+        order = np.lexsort((s, f, pk))
+        pk, s, q, c, cnt = pk[order], s[order], q[order], c[order], cnt[order]
+        starts = _segments(pk)
+        n_offers = (np.add.reduceat(cnt, starts) if starts.size
+                    else np.empty(0, np.int64))
+        return pa.table({
+            "l_partkey": pa.array(pk[starts], pa.int64()),
+            "best_suppkey": pa.array(s[starts], pa.int64()),
+            "unit_price_e4": pa.array(c[starts] * 10000 // q[starts],
+                                      pa.int64()),
+            "n_offers": pa.array(n_offers, pa.int64()),
+        })
+
+    fold.__name__ = "cheapest_fold"
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("ck").map_groups(fold, batch_format="pyarrow"))
+
+
+def nation_trade_matrix(sf_dir: str) -> rd.Dataset:
+    """(supp_nation, cust_nation, revenue_e4, n_items): shipped revenue per
+    (supplier nation x customer nation) pair for ship dates in
+    [NR_FROM, NR_TO) — the TPC-H Q7 two-dimension trade-volume shape.
+    Plan: supplier->nation is a broadcast lookup folded into the lineitem
+    scan (100-10k rows, never shuffled); orders x customer is one hash
+    exchange producing orderkey->cust_nation; the second exchange
+    co-locates lineitem revenue partials (pre-summed per (orderkey,
+    supp_nation) inside each batch) with that build side; the final
+    rollup is <= 625 pair rows with nation names mapped from a broadcast
+    dict. Revenue uses the same floor(price*(1-disc)*1e4) float64 chain
+    DuckDB evaluates, so SUMs hash-match exactly."""
+    import pyarrow.parquet as pq
+
+    lo, hi = _epoch_us(NR_FROM), _epoch_us(NR_TO)
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _pair_rows(ck, np.ones(ck.size, np.int64), ok)
+
+    order_rows.__name__ = "tm_orders_probe"
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _pair_rows(ck, np.zeros(ck.size, np.int64), nk)
+
+    cust_rows.__name__ = "tm_cust_build"
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_rows, batch_format="pyarrow")
+    order_nat = orders.union(cust).groupby("ck").map_groups(
+        _hash_join_unique_right, batch_format="pyarrow")
+
+    def widen(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        return t.append_column("b", z).append_column("n", z)
+
+    widen.__name__ = "tm_widen_build"
+    order_nat = order_nat.map_batches(widen, batch_format="pyarrow")
+
+    sup_t = pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    sk = sup_t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = sup_t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lut = np.full(int(sk.max()) + 1, -1, np.int64)
+    lut[sk] = sn
+    lut_ref = ray.put(lut)
+
+    def line_partials(t: pa.Table) -> pa.Table:
+        snat_lut = ray.get(lut_ref)
+        us = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (us >= lo) & (us < hi)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        sup = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
+        rev = np.floor(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        snat = snat_lut[sup]
+        key = ok * 64 + snat  # nationkey < 64
+        order = np.argsort(key, kind="stable")
+        key, ok, snat, rev = key[order], ok[order], snat[order], rev[order]
+        starts = _segments(key)
+        counts = np.diff(np.append(starts, key.size))
+        sums = (np.add.reduceat(rev, starts) if starts.size
+                else np.empty(0, np.int64))
+        return pa.table({
+            "key": pa.array(ok[starts], pa.int64()),
+            "side": pa.array(np.ones(starts.size, np.int64), pa.int64()),
+            "a": pa.array(snat[starts], pa.int64()),
+            "ck": pa.array(_coarse_mix(ok[starts]), pa.int64()),
+            "b": pa.array(sums, pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    line_partials.__name__ = "tm_line_partials"
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(line_partials, batch_format="pyarrow")
+
+    def per_order(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        key, side, a, b, n = (key[order], side[order], a[order],
+                              b[order], n[order])
+        starts = _segments(key)
+        counts = np.diff(np.append(starts, key.size))
+        cnat = np.where(side[starts] == 0, a[starts], -1)
+        cnat_rep = np.repeat(cnat, counts)
+        m = (side == 1) & (cnat_rep >= 0)
+        pair = a[m] * 64 + cnat_rep[m]
+        up, inv = np.unique(pair, return_inverse=True)
+        rev = np.zeros(up.size, np.int64)
+        np.add.at(rev, inv, b[m])
+        cnt = np.zeros(up.size, np.int64)
+        np.add.at(cnt, inv, n[m])
+        return pa.table({
+            "pair": pa.array(up, pa.int64()),
+            "revenue_e4": pa.array(rev, pa.int64()),
+            "n_items": pa.array(cnt, pa.int64()),
+        })
+
+    per_order.__name__ = "tm_per_order_fold"
+    pair_partials = line.union(order_nat).groupby("ck").map_groups(
+        per_order, batch_format="pyarrow")
+
+    nat_t = pq.read_table(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    names = dict(zip(nat_t["n_nationkey"].to_pylist(),
+                     nat_t["n_name"].to_pylist()))
+    names_ref = ray.put(names)
+
+    def fold_pair(g: pa.Table) -> pa.Table:
+        nm = ray.get(names_ref)
+        if g.num_rows == 0:
+            return pa.table({"supp_nation": pa.array([], pa.string()),
+                             "cust_nation": pa.array([], pa.string()),
+                             "revenue_e4": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64())})
+        p = int(g["pair"][0].as_py())
+        return pa.table({
+            "supp_nation": pa.array([nm[p // 64]], pa.string()),
+            "cust_nation": pa.array([nm[p % 64]], pa.string()),
+            "revenue_e4": pa.array(
+                [int(g["revenue_e4"].to_numpy().sum())], pa.int64()),
+            "n_items": pa.array(
+                [int(g["n_items"].to_numpy().sum())], pa.int64()),
+        })
+
+    fold_pair.__name__ = "tm_fold_pair"
+    return pair_partials.groupby("pair").map_groups(
+        fold_pair, batch_format="pyarrow")

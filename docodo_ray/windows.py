@@ -1492,3 +1492,74 @@ def view_no_purchase_users(sf_dir: str) -> rd.Dataset:
     ds = _events(sf_dir, columns=["user_id", "ts", "event_type"])
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("uk").map_groups(fold, batch_format="pyarrow"))
+
+
+def division_days(sf_dir: str) -> rd.Dataset:
+    """(user_id, d, n_events): per-user UTC days on which the user emitted
+    EVERY event type observed anywhere in the corpus — relational DIVISION
+    (the one classic algebra operator joins/semis/antis don't cover).
+    The divisor (the distinct-type universe) is a tiny distinct aggregate
+    (|types| rows); the dividend pass emits per-batch distinct
+    (user, day, type-hash) rows plus count partials co-located by user,
+    and the group fold counts distinct hashes per (user, day) against the
+    divisor cardinality. Type identity crosses the exchange as a stable
+    62-bit crc32-Knuth-mix of the utf-8 string, not the Python object."""
+    import zlib
+
+    from docodo_ray.dedup import _coarse_mix
+
+    def _th(types) -> np.ndarray:
+        return np.array(
+            [zlib.crc32(s.encode()) * 2654435761 % (1 << 62) for s in types],
+            dtype=np.int64)
+
+    n_types = (_events(sf_dir, columns=["event_type"])
+               .unique("event_type"))
+    n_div = len(n_types)
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // 86_400_000_000)
+        th = _th(t["event_type"].to_pylist())
+        key = np.stack([uid, d, th], axis=1)
+        uu, inv = np.unique(key, axis=0, return_inverse=True)
+        cnt = np.zeros(len(uu), np.int64)
+        np.add.at(cnt, inv, 1)
+        return pa.table({
+            "user_id": pa.array(uu[:, 0], pa.int64()),
+            "d": pa.array(uu[:, 1], pa.int64()),
+            "th": pa.array(uu[:, 2], pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "uk": pa.array(_coarse_mix(uu[:, 0]), pa.int64()),
+        })
+
+    partial.__name__ = "div_partial"
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        d = g["d"].to_numpy(zero_copy_only=False)
+        th = g["th"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((th, d, uid))
+        uid, d, th, cnt = uid[order], d[order], th[order], cnt[order]
+        day_new = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (d[1:] != d[:-1])))
+        day_starts = np.flatnonzero(day_new)
+        # distinct types per (user, day): count type-boundaries within runs
+        ty_new = day_new | np.concatenate(([True], th[1:] != th[:-1]))
+        seg = np.cumsum(day_new) - 1
+        n_ty = np.zeros(day_starts.size, np.int64)
+        np.add.at(n_ty, seg, ty_new.astype(np.int64))
+        n_ev = np.add.reduceat(cnt, day_starts)
+        m = n_ty == n_div
+        return pa.table({
+            "user_id": pa.array(uid[day_starts][m], pa.int64()),
+            "d": pa.array(d[day_starts][m], pa.int64()),
+            "n_events": pa.array(n_ev[m], pa.int64()),
+        })
+
+    fold.__name__ = "div_fold"
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_type"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("uk").map_groups(fold, batch_format="pyarrow"))
