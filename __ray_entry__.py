@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_avg_orders": relational.above_avg_orders,  # correlated scalar subquery
         "cheapest_supplier": relational.cheapest_supplier,  # Q2 fraction argmin
         "nation_trade_matrix": relational.nation_trade_matrix,  # Q7 trade matrix
+        "table_profile": relational.table_profile,       # Deequ-style profiling
         "orders_cube": relational.orders_cube,           # GROUP BY CUBE grouping sets
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
         "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join
@@ -176,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_moments": windows.value_moments,          # exact mean/variance sufficient stats
         "view_no_purchase_users": windows.view_no_purchase_users,  # EXCEPT set difference
         "division_days": windows.division_days,          # relational division
+        "dense_hour_counts": windows.dense_hour_counts,  # gap-fill time scaffold
         "session_paths": windows.session_paths,          # top-N session path mining
         "range_join_counts": windows.range_join_counts,  # banded same-user range join
         "purchase_gaps": windows.purchase_gaps,          # LAG OVER (PARTITION BY)
@@ -192,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk": sim.embedding_topk,
         "kmeans_clusters": sim.kmeans_clusters,  # distributed Lloyd's, int64 contract
         "embedding_norm_sq": sim.embedding_norm_sq,      # list-column integer kernel
+        "embedding_gram_matrix": sim.embedding_gram_matrix,  # X^T X sufficient stats
         "embedding_topk_ivf": sim.embedding_topk_ivf,    # approximate: rows-only
         # --- multimodal plumbing (stubbed decode kernel): rows-only ---
         "media_features": multimodal.media_features,

@@ -2516,6 +2516,55 @@ WHERE l_shipdate >= TIMESTAMP '{NR_FROM}'
 GROUP BY 1, 2
 """
 
+    # distributed Gram matrix (sim.embedding_gram_matrix): the oracle
+    # unnests the list column twice and joins on vec_id with i <= j
+    sql["embedding_gram_matrix"] = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(x * 1000.0) AS BIGINT)) AS l
+  FROM embeddings
+), e AS (
+  SELECT vec_id, unnest(l) AS v,
+         CAST(unnest(range(len(l))) AS BIGINT) AS i
+  FROM q
+)
+SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS sum_q
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+    # time scaffold / gap fill (windows.dense_hour_counts)
+    sql["dense_hour_counts"] = """
+WITH b AS (
+  SELECT CAST(floor(epoch(min(ts)) / 3600) AS BIGINT) AS lo,
+         CAST(floor(epoch(max(ts)) / 3600) AS BIGINT) AS hi
+  FROM events
+), s AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM b),
+                                            (SELECT hi FROM b))) AS h) g
+), c AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT s.event_type, s.h AS hr,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+FROM s LEFT JOIN c ON s.event_type = c.event_type AND s.h = c.h
+"""
+
+    # data profiling (relational.table_profile)
+    from docodo_ray.relational import PROFILE_COLS, PROFILE_TABLE
+
+    sql["table_profile"] = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM {PROFILE_TABLE}"""
+        for c, _ in PROFILE_COLS)
+
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides
     sql["embedding_norm_sq"] = """

@@ -1664,3 +1664,123 @@ def nation_trade_matrix(sf_dir: str) -> rd.Dataset:
     fold_pair.__name__ = "tm_fold_pair"
     return pair_partials.groupby("pair").map_groups(
         fold_pair, batch_format="pyarrow")
+
+
+PROFILE_TABLE = "orders"
+PROFILE_COLS = (
+    ("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"),
+    ("o_totalprice", "float"), ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+def table_profile(sf_dir: str) -> rd.Dataset:
+    """(col, n_rows, n_nulls, n_distinct): Deequ-style data profiling of
+    the orders table in ONE streamed pass. Each batch emits, per column,
+    a tiny meta row (row/null partial counts) plus its batch-local
+    DISTINCT value identities; identities are hash-partitioned so equal
+    values of a column always co-locate, the first fold counts unique
+    identities per column inside its partition and the second fold sums
+    <=n_cols x n_groups tiny rows. Exchange volume is the sum of
+    batch-local distinct counts, never raw rows. Value identity is
+    exact for numerics (the int64 payload / bit pattern itself, -0.0
+    normalized) and 2x64-bit seeded-ahash for strings (collision odds
+    ~n^2/2^128 — immaterial at any corpus size; the identity never
+    crosses into oracle-visible values)."""
+    import polars as pl
+
+    names = [c for c, _ in PROFILE_COLS]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols, h1s, h2s, nr, nn, meta = [], [], [], [], [], []
+        for ci, (name, kind) in enumerate(PROFILE_COLS):
+            col = t[name]
+            n_null = col.null_count
+            valid = col.drop_null()
+            if kind == "int":
+                v = valid.to_numpy(zero_copy_only=False).astype(np.int64)
+                h1, h2 = v, np.zeros(v.size, np.int64)
+            elif kind == "ts":
+                v = valid.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                h1, h2 = v, np.zeros(v.size, np.int64)
+            elif kind == "float":
+                f = valid.to_numpy(zero_copy_only=False) + 0.0  # -0.0 -> +0.0
+                h1, h2 = f.view(np.int64), np.zeros(f.size, np.int64)
+            else:
+                s = pl.from_arrow(valid.combine_chunks())
+                h1 = s.hash(seed=11).to_numpy().view(np.int64)
+                h2 = s.hash(seed=97).to_numpy().view(np.int64)
+            pair = np.stack([h1, h2], axis=1)
+            u = np.unique(pair, axis=0)
+            cols.append(np.full(len(u), ci, np.int64))
+            h1s.append(u[:, 0]); h2s.append(u[:, 1])
+            nr.append(np.zeros(len(u), np.int64))
+            nn.append(np.zeros(len(u), np.int64))
+            meta.append(np.zeros(len(u), np.int64))
+            # one meta row carrying the batch's row/null partials
+            cols.append(np.array([ci], np.int64))
+            h1s.append(np.array([0], np.int64))
+            h2s.append(np.array([0], np.int64))
+            nr.append(np.array([t.num_rows], np.int64))
+            nn.append(np.array([n_null], np.int64))
+            meta.append(np.array([1], np.int64))
+        col_a = np.concatenate(cols); h1_a = np.concatenate(h1s)
+        mk = np.concatenate(meta)
+        # meta rows scatter by column id; distinct rows partition by value
+        key = np.where(mk == 1, col_a, h1_a * 31 + col_a)
+        return pa.table({
+            "col": pa.array(col_a, pa.int64()),
+            "h1": pa.array(h1_a, pa.int64()),
+            "h2": pa.array(np.concatenate(h2s), pa.int64()),
+            "nr": pa.array(np.concatenate(nr), pa.int64()),
+            "nn": pa.array(np.concatenate(nn), pa.int64()),
+            "meta": pa.array(mk, pa.int64()),
+            "ck": pa.array(_coarse_mix(key), pa.int64()),
+        })
+
+    partial.__name__ = "profile_partial"
+
+    def fold1(g: pa.Table) -> pa.Table:
+        col = g["col"].to_numpy(zero_copy_only=False)
+        h1 = g["h1"].to_numpy(zero_copy_only=False)
+        h2 = g["h2"].to_numpy(zero_copy_only=False)
+        nr = g["nr"].to_numpy(zero_copy_only=False)
+        nn = g["nn"].to_numpy(zero_copy_only=False)
+        mk = g["meta"].to_numpy(zero_copy_only=False)
+        out_c, out_nd, out_nr, out_nn = [], [], [], []
+        d = mk == 0
+        if d.any():
+            trip = np.stack([col[d], h1[d], h2[d]], axis=1)
+            u = np.unique(trip, axis=0)
+            uc, cnt = np.unique(u[:, 0], return_counts=True)
+            out_c.extend(uc.tolist()); out_nd.extend(cnt.tolist())
+            out_nr.extend([0] * uc.size); out_nn.extend([0] * uc.size)
+        if (~d).any():
+            uc = np.unique(col[~d])
+            for c in uc:
+                m = (~d) & (col == c)
+                out_c.append(int(c)); out_nd.append(0)
+                out_nr.append(int(nr[m].sum())); out_nn.append(int(nn[m].sum()))
+        return pa.table({
+            "col": pa.array(out_c, pa.int64()),
+            "nd": pa.array(out_nd, pa.int64()),
+            "nr": pa.array(out_nr, pa.int64()),
+            "nn": pa.array(out_nn, pa.int64()),
+        })
+
+    fold1.__name__ = "profile_fold1"
+
+    def fold2(g: pa.Table) -> pa.Table:
+        ci = int(g["col"][0].as_py())
+        return pa.table({
+            "col": pa.array([names[ci]], pa.string()),
+            "n_rows": pa.array([int(g["nr"].to_numpy().sum())], pa.int64()),
+            "n_nulls": pa.array([int(g["nn"].to_numpy().sum())], pa.int64()),
+            "n_distinct": pa.array([int(g["nd"].to_numpy().sum())], pa.int64()),
+        })
+
+    fold2.__name__ = "profile_fold2"
+    ds = rd.read_parquet(f"{sf_dir}/{PROFILE_TABLE}.parquet", columns=names)
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("ck").map_groups(fold1, batch_format="pyarrow")
+            .groupby("col").map_groups(fold2, batch_format="pyarrow"))

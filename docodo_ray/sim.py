@@ -721,3 +721,49 @@ def embedding_norm_sq(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return ds.map_batches(norms, batch_format="pyarrow")
+
+
+def embedding_gram_matrix(sf_dir: str) -> rd.Dataset:
+    """(i, j, sum_q): exact upper-triangle Gram matrix X^T X over the
+    embedding table after per-element floor(x*1000) int quantization —
+    the distributed sufficient statistic behind PCA / covariance /
+    whitening. Each batch contributes one 64x64 int64 matmul (vectorized,
+    no per-row work) and emits dim*(dim+1)/2 partial rows; the exchange
+    therefore moves O(n_batches * dim^2) tiny rows regardless of corpus
+    size, and the final fold is a dim^2-row groupby sum. Overflow bound:
+    |q| <= ~1e3 so each product is <= 1e6 and int64 holds > 9e12 rows."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offsets)
+        if lens.size == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "sum_q": pa.array([], pa.int64())})
+        if not (lens == lens[0]).all():
+            raise ValueError("ragged embedding lists")
+        dim = int(lens[0])
+        q = np.floor(flat * 1000.0).astype(np.int64).reshape(-1, dim)
+        g = q.T @ q
+        iu, ju = np.triu_indices(dim)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64), pa.int64()),
+            "j": pa.array(ju.astype(np.int64), pa.int64()),
+            "sum_q": pa.array(g[iu, ju], pa.int64()),
+        })
+
+    partials.__name__ = "gram_partials"
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "i": g["i"][:1], "j": g["j"][:1],
+            "sum_q": pa.array([int(g["sum_q"].to_numpy().sum())], pa.int64()),
+        })
+
+    fold.__name__ = "gram_fold"
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["i", "j"]).map_groups(fold, batch_format="pyarrow"))

@@ -1563,3 +1563,81 @@ def division_days(sf_dir: str) -> rd.Dataset:
     ds = _events(sf_dir, columns=["user_id", "ts", "event_type"])
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("uk").map_groups(fold, batch_format="pyarrow"))
+
+
+def dense_hour_counts(sf_dir: str) -> rd.Dataset:
+    """(event_type, hr, n_events): per-type event counts for EVERY hour in
+    [min_hr, max_hr] — zero-filled gap filling / time scaffolding, the
+    missing-row problem aggregation alone cannot express. The observed
+    counts are one (type, hr) exchange of per-batch partials; the scaffold
+    is span x n_types rows — bounded by CALENDAR TIME and the type
+    vocabulary, not by corpus size, so materializing it as its own tiny
+    dataset and summing it into the same exchange is scale-safe (a decade
+    of hours x 100 types is ~8.8M rows)."""
+    from docodo_ray.dedup import _coarse_mix
+
+    _HR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        hr = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _HR
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        # exact string identity via local np.unique codes — no seeded or
+        # collision-prone hashing anywhere in the keying
+        u, code = np.unique(et, return_inverse=True)
+        order = np.lexsort((code, hr))
+        hr_s, code_s = hr[order], code[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (hr_s[1:] != hr_s[:-1]) | (code_s[1:] != code_s[:-1]))))
+        counts = np.diff(np.append(starts, hr_s.size))
+        return pa.table({
+            "event_type": pa.array(u[code_s[starts]], pa.string()),
+            "hr": pa.array(hr_s[starts], pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+            "gk": pa.array(_coarse_mix(hr_s[starts]), pa.int64()),
+        })
+
+    partial.__name__ = "dhc_partial"
+    ds = _events(sf_dir, columns=["ts", "event_type"])
+    counts = ds.map_batches(partial, batch_format="pyarrow")
+
+    # tiny metadata aggregates: hour bounds + the type vocabulary
+    lohi = ds.map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([int(t["ts"].cast(pa.int64())
+                                .to_numpy(zero_copy_only=False).min()) // _HR],
+                           pa.int64()),
+            "hi": pa.array([int(t["ts"].cast(pa.int64())
+                                .to_numpy(zero_copy_only=False).max()) // _HR],
+                           pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    lo, hi = int(lohi["lo"].min()), int(lohi["hi"].max())
+    types = sorted(ds.unique("event_type"))
+
+    hours = np.arange(lo, hi + 1, dtype=np.int64)
+    zero = pa.table({
+        "event_type": pa.array(np.repeat(types, hours.size), pa.string()),
+        "hr": pa.array(np.tile(hours, len(types)), pa.int64()),
+        "n": pa.array(np.zeros(hours.size * len(types), np.int64), pa.int64()),
+        "gk": pa.array(_coarse_mix(np.tile(hours, len(types))), pa.int64()),
+    })
+    scaffold = rd.from_arrow(zero)
+
+    def fold(g: pa.Table) -> pa.Table:
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        hr = g["hr"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        u, code = np.unique(et, return_inverse=True)
+        order = np.lexsort((code, hr))
+        hr, code, n = hr[order], code[order], n[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (hr[1:] != hr[:-1]) | (code[1:] != code[:-1]))))
+        sums = np.add.reduceat(n, starts)
+        return pa.table({
+            "event_type": pa.array(u[code[starts]], pa.string()),
+            "hr": pa.array(hr[starts], pa.int64()),
+            "n_events": pa.array(sums, pa.int64()),
+        })
+
+    fold.__name__ = "dhc_fold"
+    return (counts.union(scaffold)
+            .groupby("gk").map_groups(fold, batch_format="pyarrow"))
