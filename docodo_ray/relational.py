@@ -1674,7 +1674,8 @@ PROFILE_COLS = (
 )
 
 
-def table_profile(sf_dir: str) -> rd.Dataset:
+def table_profile(sf_dir: str, table: str = PROFILE_TABLE,
+                  cols=PROFILE_COLS) -> rd.Dataset:
     """(col, n_rows, n_nulls, n_distinct): Deequ-style data profiling of
     the orders table in ONE streamed pass. Each batch emits, per column,
     a tiny meta row (row/null partial counts) plus its batch-local
@@ -1689,11 +1690,11 @@ def table_profile(sf_dir: str) -> rd.Dataset:
     crosses into oracle-visible values)."""
     import polars as pl
 
-    names = [c for c, _ in PROFILE_COLS]
+    names = [c for c, _ in cols]
 
     def partial(t: pa.Table) -> pa.Table:
-        cols, h1s, h2s, nr, nn, meta = [], [], [], [], [], []
-        for ci, (name, kind) in enumerate(PROFILE_COLS):
+        acc_c, h1s, h2s, nr, nn, meta = [], [], [], [], [], []
+        for ci, (name, kind) in enumerate(cols):
             col = t[name]
             n_null = col.null_count
             valid = col.drop_null()
@@ -1712,19 +1713,19 @@ def table_profile(sf_dir: str) -> rd.Dataset:
                 h2 = s.hash(seed=97).to_numpy().view(np.int64)
             pair = np.stack([h1, h2], axis=1)
             u = np.unique(pair, axis=0)
-            cols.append(np.full(len(u), ci, np.int64))
+            acc_c.append(np.full(len(u), ci, np.int64))
             h1s.append(u[:, 0]); h2s.append(u[:, 1])
             nr.append(np.zeros(len(u), np.int64))
             nn.append(np.zeros(len(u), np.int64))
             meta.append(np.zeros(len(u), np.int64))
             # one meta row carrying the batch's row/null partials
-            cols.append(np.array([ci], np.int64))
+            acc_c.append(np.array([ci], np.int64))
             h1s.append(np.array([0], np.int64))
             h2s.append(np.array([0], np.int64))
             nr.append(np.array([t.num_rows], np.int64))
             nn.append(np.array([n_null], np.int64))
             meta.append(np.array([1], np.int64))
-        col_a = np.concatenate(cols); h1_a = np.concatenate(h1s)
+        col_a = np.concatenate(acc_c); h1_a = np.concatenate(h1s)
         mk = np.concatenate(meta)
         # meta rows scatter by column id; distinct rows partition by value
         key = np.where(mk == 1, col_a, h1_a * 31 + col_a)
@@ -1780,7 +1781,7 @@ def table_profile(sf_dir: str) -> rd.Dataset:
         })
 
     fold2.__name__ = "profile_fold2"
-    ds = rd.read_parquet(f"{sf_dir}/{PROFILE_TABLE}.parquet", columns=names)
+    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=names)
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("ck").map_groups(fold1, batch_format="pyarrow")
             .groupby("col").map_groups(fold2, batch_format="pyarrow"))

@@ -330,3 +330,61 @@ def test_quantile_sketch_rank_error_bound():
             err = 3 * n / cap
             assert lo - err <= k <= hi + err, \
                 (r.event_type, col, k, lo, hi, err)
+
+
+def test_dense_hour_counts_zero_fills_gaps(tmp_path):
+    """Hours with no events appear with n_events=0 for EVERY observed
+    type; the scaffold spans [min_hr, max_hr] inclusive."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docodo_ray.windows import dense_hour_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    H = dt.timedelta(hours=1)
+    rows = [("a", t0), ("a", t0), ("b", t0 + 3 * H)]  # hours 1..2 empty
+    tbl = pa.table({
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = dense_hour_counts(str(tmp_path)).to_pandas()
+    assert len(out) == 8  # 2 types x 4 hours
+    base = out["hr"].min()
+    got = {(r.event_type, r.hr - base): r.n_events
+           for r in out.itertuples()}
+    assert got[("a", 0)] == 2 and got[("b", 3)] == 1
+    assert got[("a", 1)] == got[("a", 2)] == got[("a", 3)] == 0
+    assert got[("b", 0)] == got[("b", 1)] == got[("b", 2)] == 0
+
+
+def test_division_days_requires_full_type_universe(tmp_path):
+    """A user-day covering only a subset of the OBSERVED type universe is
+    excluded; coverage on different days doesn't count."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docodo_ray.windows import division_days
+
+    d0 = dt.datetime(2024, 1, 1)
+    d1 = dt.datetime(2024, 1, 2)
+    rows = [
+        (1, "x", d0), (1, "y", d0), (1, "x", d0),  # day 0: both types -> in
+        (1, "x", d1),                              # day 1: only x -> out
+        (2, "y", d0),                              # day 0: only y -> out
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = division_days(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.user_id, r.n_events) == (1, 3)

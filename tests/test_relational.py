@@ -108,3 +108,47 @@ def test_bloom_filter_no_false_negatives_and_sane_fp_rate():
     fp = _bloom_member(words, probe).mean()
     # 50k keys, 4 hashes, 2^20 bits -> theoretical fp ~ (1-e^-0.19)^4 ~ 9e-4
     assert fp < 0.01
+
+
+def test_cheapest_supplier_tiebreak_and_fractions(ray_session, tmp_path):
+    """Equal fractions in different representations (100c/2q == 50c/1q)
+    must tie and break to the smallest suppkey; a strictly cheaper offer
+    with a LARGER price but much larger quantity must win."""
+    from docodo_ray.relational import cheapest_supplier
+
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "l_suppkey": pa.array([9, 3, 7, 5, 4], pa.int64()),
+        # part 1: 1.00/2 == 0.50/1 tie (supp 3 vs 9) beats 0.60/1
+        # part 2: 40.00/50 = 0.80 beats 0.90/1
+        "l_quantity": pa.array([2.0, 1.0, 1.0, 50.0, 1.0], pa.float64()),
+        "l_extendedprice": pa.array([1.0, 0.5, 0.6, 40.0, 0.9],
+                                    pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    got = (cheapest_supplier(str(tmp_path)).to_pandas()
+           .sort_values("l_partkey").reset_index(drop=True))
+    assert got["l_partkey"].tolist() == [1, 2]
+    assert got["best_suppkey"].tolist() == [3, 5]  # tie -> min suppkey
+    # e4 of the unit price IN CENTS: 50c/1 -> 500000; 4000c/50 -> 800000
+    assert got["unit_price_e4"].tolist() == [500000, 800000]
+    assert got["n_offers"].tolist() == [3, 2]
+
+
+def test_table_profile_nulls_and_cross_batch_distinct(ray_session, tmp_path):
+    """Nulls are counted, not hashed; duplicate values across row groups
+    (hence across read batches) dedup to one distinct identity."""
+    import ray.data as rd
+
+    from docodo_ray.relational import table_profile
+
+    t = pa.table({
+        "a": pa.array([1, 1, None, 2, 2, None], pa.int64()),
+        "b": pa.array(["x", "y", "x", None, "y", "x"], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=2)
+    got = (table_profile(str(tmp_path), table="t",
+                         cols=(("a", "int"), ("b", "str")))
+           .to_pandas().sort_values("col").reset_index(drop=True))
+    assert got["n_rows"].tolist() == [6, 6]
+    assert got["n_nulls"].tolist() == [2, 1]
+    assert got["n_distinct"].tolist() == [2, 2]
