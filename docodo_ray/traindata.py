@@ -253,7 +253,12 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
             "rng": pc.cast(pc.divide(ids, range_size), pa.int64()),
         })
 
-    nt = docs.map_batches(counts, batch_format="pyarrow")
+    # materialize BEFORE the two consumers below: the per-range sums
+    # aggregate and the final per-range pack would otherwise each execute
+    # the whole upstream lineage (two full corpus reads + token counts).
+    # nt is 24 B/doc metadata — object-store-safe at any corpus size, and
+    # holding it is strictly cheaper than re-reading the text once.
+    nt = docs.map_batches(counts, batch_format="pyarrow").materialize()
 
     sums = {r["rng"]: r["ntok_sum"]
             for r in nt.groupby("rng")
@@ -499,7 +504,11 @@ def curate_corpus(sf_dir: str, budget: int = PACK_BUDGET,
 
     # distributed prefix scan over the survivors (same shape as
     # pack_sequences): per-range partial sums -> tiny driver exclusive scan
-    # -> per-range seeded cumsum
+    # -> per-range seeded cumsum. Materialize first: surv is ~30 B/doc
+    # stat rows, and BOTH the sums aggregate and the final pack consume
+    # it — without this the entire curation lineage (corpus read, gram
+    # semi-join, dedup exchange) executes twice end to end.
+    surv = surv.materialize()
     sums = {r["rng"]: r["ntok_sum"]
             for r in surv.groupby("rng")
                         .aggregate(Sum("ntok", alias_name="ntok_sum"))
