@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pipelines,
         relational,
         sim,
+        sqlfront,
         symbols,
         textstats,
         traindata,
@@ -159,6 +160,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheapest_supplier": relational.cheapest_supplier,  # Q2 fraction argmin
         "nation_trade_matrix": relational.nation_trade_matrix,  # Q7 trade matrix
         "table_profile": relational.table_profile,       # Deequ-style profiling
+        # --- restricted SQL frontend compiled onto Ray Data (oracle = the
+        # same SQL string, so the construct set is structurally checked) ---
+        "sql_orders_groupby": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_GROUPBY),
+        "sql_events_filter": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_FILTER),
+        "sql_global_agg": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_GLOBAL),
         "orders_cube": relational.orders_cube,           # GROUP BY CUBE grouping sets
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
         "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join

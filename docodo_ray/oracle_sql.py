@@ -2565,6 +2565,15 @@ FROM s LEFT JOIN c ON s.event_type = c.event_type AND s.h = c.h
 FROM {PROFILE_TABLE}"""
         for c, _ in PROFILE_COLS)
 
+    # restricted SQL frontend (sqlfront.run_sql): the oracle IS the exact
+    # statement the engine parses and executes — structural self-check of
+    # the whole supported construct set
+    from docodo_ray.sqlfront import DEMO_FILTER, DEMO_GLOBAL, DEMO_GROUPBY
+
+    sql["sql_orders_groupby"] = DEMO_GROUPBY
+    sql["sql_events_filter"] = DEMO_FILTER
+    sql["sql_global_agg"] = DEMO_GLOBAL
+
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides
     sql["embedding_norm_sq"] = """

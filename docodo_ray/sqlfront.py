@@ -1,0 +1,402 @@
+"""A restricted SQL frontend compiled onto Ray Data.
+
+``run_sql(sf_dir, sql)`` parses a single-table ``SELECT`` and executes it
+as a Ray Data pipeline — the thin end of a pushdown query engine:
+
+- the WHERE clause compiles to a ``pyarrow.dataset`` expression handed to
+  ``read_parquet(filter=...)``, so predicates prune at the SCAN (row-group
+  stats + late materialization), not in Python after the read;
+- the projection compiles to ``read_parquet(columns=[...])`` — only
+  referenced columns leave storage;
+- GROUP BY aggregates run as per-batch vectorized partials co-located by
+  a coarse key hash, then a per-group fold (the same exchange discipline
+  as every other operator in this repo);
+- a global aggregate (no GROUP BY) folds per-batch partials in a single
+  tiny reduction.
+
+Grammar (deliberately small, errors are loud)::
+
+    SELECT item (, item)*  FROM table
+      [WHERE disjunction]  [GROUP BY col (, col)*]
+    item  := col | COUNT(*) AS name
+           | (SUM|MIN|MAX)(col) AS name          -- int64 columns only
+    pred  := col (=|!=|<>|<|<=|>|>=) literal
+           | col IN (lit, ...) | NOT pred | (disjunction)
+    literal := 123 | 1.5 | 'text'
+
+The correctness contract is structural: the SAME string this module
+executes is handed verbatim to DuckDB as the oracle, so every supported
+construct is hash-checked end to end. Aggregates are restricted to
+integer columns (exact int64 arithmetic both sides); comparisons may use
+float literals (binary-exact constants only appear in the shipped
+queries).
+
+Reference analog: Docodo.NET exposes no query language beyond its search
+grammar (Search.cs); a SQL surface over the same tables is net-new
+capability per the brief ("same query capabilities" at the engine tier).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import ray.data as rd
+
+from docodo_ray.dedup import _coarse_mix
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?)|(?P<str>'(?:[^']|'')*')"
+    r"|(?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\*)"
+    r"|(?P<word>[A-Za-z_][A-Za-z_0-9]*))")
+
+_KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
+             "not", "in", "count", "sum", "min", "max", "cast", "bigint"}
+
+
+class SqlError(ValueError):
+    pass
+
+
+def _tokenize(sql: str) -> list[tuple[str, object]]:
+    out, i = [], 0
+    while i < len(sql):
+        m = _TOKEN_RE.match(sql, i)
+        if not m or m.end() == i:
+            if sql[i:].strip():
+                raise SqlError(f"unrecognized SQL at: {sql[i:i+20]!r}")
+            break
+        i = m.end()
+        if m.group("num") is not None:
+            s = m.group("num")
+            out.append(("num", float(s) if "." in s else int(s)))
+        elif m.group("str") is not None:
+            out.append(("str", m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("op") is not None:
+            out.append(("op", m.group("op")))
+        else:
+            w = m.group("word")
+            out.append(("kw", w.lower()) if w.lower() in _KEYWORDS
+                       else ("ident", w))
+    out.append(("end", None))
+    return out
+
+
+class _Parser:
+    def __init__(self, sql: str):
+        self.toks = _tokenize(sql)
+        self.pos = 0
+
+    def peek(self):
+        return self.toks[self.pos]
+
+    def next(self):
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def expect(self, kind, val=None):
+        k, v = self.next()
+        if k != kind or (val is not None and v != val):
+            raise SqlError(f"expected {val or kind}, got {v!r}")
+        return v
+
+    # --- select list ------------------------------------------------------
+    def parse(self) -> dict:
+        self.expect("kw", "select")
+        items = [self._item()]
+        while self.peek() == ("op", ","):
+            self.next()
+            items.append(self._item())
+        self.expect("kw", "from")
+        table = self.expect("ident")
+        where = None
+        if self.peek() == ("kw", "where"):
+            self.next()
+            where = self._or()
+        group = []
+        if self.peek() == ("kw", "group"):
+            self.next()
+            self.expect("kw", "by")
+            group.append(self.expect("ident"))
+            while self.peek() == ("op", ","):
+                self.next()
+                group.append(self.expect("ident"))
+        if self.peek()[0] != "end":
+            raise SqlError(f"trailing tokens at {self.peek()!r}")
+        return {"items": items, "table": table, "where": where,
+                "group": group}
+
+    def _item(self):
+        k, v = self.peek()
+        if k == "kw" and v == "cast":
+            # CAST(agg AS BIGINT) AS name — a no-op for the engine (all
+            # aggregates are int64 already) that pins the ORACLE side to
+            # BIGINT (DuckDB SUM(BIGINT) would otherwise widen to HUGEINT
+            # and flip the driver's type-sensitive value hash)
+            self.next()
+            self.expect("op", "(")
+            inner = self._agg_call()
+            self.expect("kw", "as")
+            self.expect("kw", "bigint")
+            self.expect("op", ")")
+            self.expect("kw", "as")
+            name = self.expect("ident")
+            return ("agg", inner[0], inner[1], name)
+        if k == "kw" and v in ("count", "sum", "min", "max"):
+            fn, col = self._agg_call()
+            self.expect("kw", "as")
+            name = self.expect("ident")
+            return ("agg", fn, col, name)
+        if k == "ident":
+            self.next()
+            return ("col", v)
+        raise SqlError(f"bad select item at {v!r}")
+
+    def _agg_call(self):
+        k, v = self.next()
+        if k != "kw" or v not in ("count", "sum", "min", "max"):
+            raise SqlError(f"expected aggregate, got {v!r}")
+        self.expect("op", "(")
+        if v == "count":
+            self.expect("op", "*")
+            col = None
+        else:
+            col = self.expect("ident")
+        self.expect("op", ")")
+        return (v, col)
+
+    # --- boolean expression ----------------------------------------------
+    def _or(self):
+        node = self._and()
+        while self.peek() == ("kw", "or"):
+            self.next()
+            node = ("or", node, self._and())
+        return node
+
+    def _and(self):
+        node = self._not()
+        while self.peek() == ("kw", "and"):
+            self.next()
+            node = ("and", node, self._not())
+        return node
+
+    def _not(self):
+        if self.peek() == ("kw", "not"):
+            self.next()
+            return ("not", self._not())
+        return self._primary()
+
+    def _primary(self):
+        k, v = self.peek()
+        if (k, v) == ("op", "("):
+            self.next()
+            node = self._or()
+            self.expect("op", ")")
+            return node
+        col = self.expect("ident")
+        k, v = self.next()
+        if (k, v) == ("kw", "in"):
+            self.expect("op", "(")
+            lits = [self._literal()]
+            while self.peek() == ("op", ","):
+                self.next()
+                lits.append(self._literal())
+            self.expect("op", ")")
+            return ("in", col, lits)
+        if k == "op" and v in ("=", "!=", "<>", "<", "<=", ">", ">="):
+            return ("cmp", v, col, self._literal())
+        raise SqlError(f"bad predicate after {col!r}: {v!r}")
+
+    def _literal(self):
+        k, v = self.next()
+        if k not in ("num", "str"):
+            raise SqlError(f"expected literal, got {v!r}")
+        return v
+
+
+def _pred_cols(node, acc: set):
+    if node is None:
+        return acc
+    tag = node[0]
+    if tag in ("and", "or"):
+        _pred_cols(node[1], acc)
+        _pred_cols(node[2], acc)
+    elif tag == "not":
+        _pred_cols(node[1], acc)
+    elif tag == "cmp":
+        acc.add(node[2])
+    elif tag == "in":
+        acc.add(node[1])
+    return acc
+
+
+def _to_pads(node):
+    """Compile the WHERE tree to a pyarrow.dataset expression (pushed into
+    the parquet scan: row-group stats pruning + late materialization)."""
+    tag = node[0]
+    if tag == "and":
+        return _to_pads(node[1]) & _to_pads(node[2])
+    if tag == "or":
+        return _to_pads(node[1]) | _to_pads(node[2])
+    if tag == "not":
+        return ~_to_pads(node[1])
+    if tag == "in":
+        return pads.field(node[1]).isin(node[2])
+    _, op, col, lit = node
+    f = pads.field(col)
+    return {"=": f == lit, "!=": f != lit, "<>": f != lit, "<": f < lit,
+            "<=": f <= lit, ">": f > lit, ">=": f >= lit}[op]
+
+
+def run_sql(sf_dir: str, sql: str) -> rd.Dataset:
+    q = _Parser(sql).parse()
+    aggs = [i for i in q["items"] if i[0] == "agg"]
+    plain = [i[1] for i in q["items"] if i[0] == "col"]
+    group = q["group"]
+    if group and sorted(plain) != sorted(group):
+        raise SqlError("non-aggregate select items must match GROUP BY")
+    if not group and aggs and plain:
+        raise SqlError("mixing bare columns with aggregates needs GROUP BY")
+
+    need = set(plain) | set(group) | {a[2] for a in aggs if a[2]}
+    cols = sorted(need) or [None]
+    read_kw = {}
+    if q["where"] is not None:
+        read_kw["filter"] = _to_pads(q["where"])
+    # Ray 2.49: read_parquet(partitioning=None, columns=...) trips an
+    # UnboundLocalError — pass columns only (default partitioning is fine
+    # for flat files)
+    if cols != [None]:
+        read_kw["columns"] = cols
+    else:
+        # COUNT(*) with no referenced columns still needs one physical
+        # column to materialize row counts
+        import pyarrow.parquet as pq
+        first = pq.read_schema(f"{sf_dir}/{q['table']}.parquet").names[0]
+        read_kw["columns"] = [first]
+    ds = rd.read_parquet(f"{sf_dir}/{q['table']}.parquet", **read_kw)
+
+    if not aggs:  # pure filter + projection
+        def project(t: pa.Table) -> pa.Table:
+            return t.select(plain)
+
+        project.__name__ = "sql_project"
+        return ds.map_batches(project, batch_format="pyarrow")
+
+    sum_cols = [a for a in aggs if a[1] == "sum"]
+    min_cols = [a for a in aggs if a[1] == "min"]
+    max_cols = [a for a in aggs if a[1] == "max"]
+    cnt_cols = [a for a in aggs if a[1] == "count"]
+
+    def _check_int(t: pa.Table):
+        for _, fn, col, _n in sum_cols + min_cols + max_cols:
+            if not pa.types.is_integer(t.schema.field(col).type):
+                raise SqlError(
+                    f"{fn}({col}): only integer columns are supported "
+                    f"(got {t.schema.field(col).type})")
+
+    import zlib
+
+    def _group_key(t: pa.Table, n: int):
+        """(unique keys as tuples, inverse) over the GROUP BY columns.
+        Single-key batches take the vectorized np.unique path."""
+        if len(group) == 1:
+            k = np.asarray(t[group[0]].to_pylist(), dtype=object)
+            u1, inv = np.unique(k, return_inverse=True)
+            return np.array([(v,) for v in u1] + [()], dtype=object)[:-1], inv
+        keys = [np.asarray(t[g].to_pylist(), dtype=object) for g in group]
+        packed = np.empty(n, dtype=object)
+        for i in range(n):
+            packed[i] = tuple(k[i] for k in keys)
+        return np.unique(packed, return_inverse=True)
+
+    def _key_cols(t: pa.Table, u) -> dict:
+        # preserve each group column's Arrow type even for empty batches
+        return {g: pa.array([v[gi] for v in u],
+                            type=t.schema.field(g).type)
+                for gi, g in enumerate(group)}
+
+    def _stable_gk(u) -> np.ndarray:
+        # crc32 of the tuple repr: deterministic across worker processes
+        # (Python's hash() is seed-randomized per process and would split
+        # one key across groups)
+        return np.array([zlib.crc32(repr(v).encode()) for v in u],
+                        dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        _check_int(t)
+        n = t.num_rows
+        if group:
+            u, inv = _group_key(t, n)
+        else:
+            u = np.array([()], dtype=object)
+            inv = np.zeros(n, np.int64)
+        out = {}
+        out.update(_key_cols(t, u))
+        for _, _f, col, name in cnt_cols:
+            c = np.zeros(len(u), np.int64)
+            np.add.at(c, inv, 1)
+            out[name] = pa.array(c, pa.int64())
+        for _, _f, col, name in sum_cols:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            s = np.zeros(len(u), np.int64)
+            np.add.at(s, inv, v)
+            out[name] = pa.array(s, pa.int64())
+        for bunch, init, ufunc in ((min_cols, np.iinfo(np.int64).max,
+                                    np.minimum),
+                                   (max_cols, np.iinfo(np.int64).min,
+                                    np.maximum)):
+            for _, _f, col, name in bunch:
+                v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+                m = np.full(len(u), init, np.int64)
+                ufunc.at(m, inv, v)
+                out[name] = pa.array(m, pa.int64())
+        kh = _stable_gk(u) if group else np.zeros(1, np.int64)
+        out["_gk"] = pa.array(_coarse_mix(kh), pa.int64())
+        return pa.table(out)
+
+    partial.__name__ = "sql_partial"
+
+    def fold(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if group:
+            u, inv = _group_key(g, n)
+        else:
+            u = np.array([()], dtype=object)
+            inv = np.zeros(n, np.int64)
+        out = {}
+        out.update(_key_cols(g, u))
+        for _, fn, _c, name in aggs:
+            v = g[name].to_numpy(zero_copy_only=False)
+            r = np.zeros(len(u), np.int64)
+            if fn in ("count", "sum"):
+                np.add.at(r, inv, v)
+            elif fn == "min":
+                r[:] = np.iinfo(np.int64).max
+                np.minimum.at(r, inv, v)
+            else:
+                r[:] = np.iinfo(np.int64).min
+                np.maximum.at(r, inv, v)
+            out[name] = pa.array(r, pa.int64())
+        return pa.table(out)
+
+    fold.__name__ = "sql_fold"
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("_gk").map_groups(fold, batch_format="pyarrow")
+
+
+# shipped demo statements — each doubles as its own DuckDB oracle
+DEMO_GROUPBY = (
+    "SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders, "
+    "min(o_orderkey) AS min_key, max(o_custkey) AS max_cust "
+    "FROM orders WHERE o_custkey > 100 AND NOT o_orderstatus = 'O' "
+    "GROUP BY o_orderpriority, o_orderstatus")
+DEMO_FILTER = (
+    "SELECT event_id, user_id FROM events "
+    "WHERE event_type IN ('view', 'click') AND user_id <= 5")
+DEMO_GLOBAL = (
+    "SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS s "
+    "FROM lineitem WHERE l_quantity >= 25")

@@ -1,0 +1,72 @@
+"""SQL frontend: parser errors, operator semantics, pushdown wiring.
+(Hash parity of the three shipped statements is covered by
+test_driver_contract.py — their oracles are the statements themselves.)"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from docodo_ray.sqlfront import SqlError, _Parser, run_sql
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_parser_shapes():
+    q = _Parser("SELECT a, count(*) AS n FROM t WHERE x = 1 AND NOT "
+                "(y < 2 OR z IN ('a', 'b')) GROUP BY a").parse()
+    assert q["table"] == "t" and q["group"] == ["a"]
+    assert q["items"][1] == ("agg", "count", None, "n")
+    tag = q["where"]
+    assert tag[0] == "and" and tag[2][0] == "not"
+
+
+@pytest.mark.parametrize("bad", [
+    "SELECT FROM t",
+    "SELECT a FROM t WHERE",
+    "SELECT a FROM t GROUP BY",
+    "SELECT sum(a) FROM t",              # missing AS
+    "SELECT a, sum(b) AS s FROM t",      # bare col without GROUP BY
+    "SELECT a FROM t WHERE a LIKE 'x'",  # unsupported op
+    "SELECT a FROM t; DROP TABLE t",     # trailing garbage
+])
+def test_parser_rejects(bad):
+    with pytest.raises(SqlError):
+        q = _Parser(bad).parse()
+        # semantic checks happen in run_sql for the GROUP BY rules
+        run_sql(SF, bad)
+
+
+def test_sum_on_non_integer_column_is_loud(ray_session):
+    with pytest.raises(Exception, match="integer columns"):
+        run_sql(SF, "SELECT sum(o_totalprice) AS s FROM orders").count()
+
+
+def test_groupby_cross_batch_and_quoting(ray_session, tmp_path):
+    """Keys split across row groups (hence batches) must fold to one row;
+    '' escaping in string literals works."""
+    t = pa.table({
+        "k": pa.array(["a'b", "a'b", "c", "c", "c", "d"], pa.string()),
+        "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=2)
+    out = run_sql(str(tmp_path),
+                  "SELECT k, sum(v) AS s, count(*) AS n FROM t "
+                  "WHERE NOT k = 'd' GROUP BY k").to_pandas()
+    got = {r.k: (r.s, r.n) for r in out.itertuples()}
+    assert got == {"a'b": (3, 2), "c": (12, 3)}
+    out2 = run_sql(str(tmp_path),
+                   "SELECT k, v FROM t WHERE k = 'a''b'").to_pandas()
+    assert sorted(out2["v"].tolist()) == [1, 2]
+
+
+def test_filter_pushdown_reaches_scan(ray_session, tmp_path):
+    """The WHERE tree becomes a pads expression on the read: a row group
+    whose stats exclude the predicate is never materialized (observable:
+    min/max pruning keeps bytes read below the full column)."""
+    t = pa.table({"a": pa.array(np.arange(100_000), pa.int64()),
+                  "b": pa.array(np.arange(100_000) * 2, pa.int64())})
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=5_000)
+    ds = run_sql(str(tmp_path), "SELECT a, b FROM t WHERE a < 100")
+    out = ds.to_pandas()
+    assert len(out) == 100 and out["b"].max() == 198
