@@ -2568,11 +2568,13 @@ FROM {PROFILE_TABLE}"""
     # restricted SQL frontend (sqlfront.run_sql): the oracle IS the exact
     # statement the engine parses and executes — structural self-check of
     # the whole supported construct set
-    from docodo_ray.sqlfront import DEMO_FILTER, DEMO_GLOBAL, DEMO_GROUPBY
+    from docodo_ray.sqlfront import (DEMO_FILTER, DEMO_GLOBAL, DEMO_GROUPBY,
+                                     DEMO_TOPK)
 
     sql["sql_orders_groupby"] = DEMO_GROUPBY
     sql["sql_events_filter"] = DEMO_FILTER
     sql["sql_global_agg"] = DEMO_GLOBAL
+    sql["sql_topk_having"] = DEMO_TOPK
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

@@ -18,11 +18,20 @@ Grammar (deliberately small, errors are loud)::
 
     SELECT item (, item)*  FROM table
       [WHERE disjunction]  [GROUP BY col (, col)*]
+      [HAVING disjunction over aliases]
+      [ORDER BY col [ASC|DESC] (, ...)*]  [LIMIT k]
     item  := col | COUNT(*) AS name
            | (SUM|MIN|MAX)(col) AS name          -- int64 columns only
+           | CAST(agg AS BIGINT) AS name         -- pins DuckDB SUM width
     pred  := col (=|!=|<>|<|<=|>|>=) literal
            | col IN (lit, ...) | NOT pred | (disjunction)
     literal := 123 | 1.5 | 'text'
+
+    LIMIT demands an ORDER BY (and a hash-stable result demands a TOTAL
+    order — include a unique column in the sort key). HAVING evaluates
+    vectorized over the folded aggregate rows; ORDER BY + LIMIT compile
+    to a distributed ``Dataset.sort`` + ``limit`` (top-k never collects
+    more than k rows to the driver).
 
 The correctness contract is structural: the SAME string this module
 executes is handed verbatim to DuckDB as the oracle, so every supported
@@ -53,7 +62,8 @@ _TOKEN_RE = re.compile(
     r"|(?P<word>[A-Za-z_][A-Za-z_0-9]*))")
 
 _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
-             "not", "in", "count", "sum", "min", "max", "cast", "bigint"}
+             "not", "in", "count", "sum", "min", "max", "cast", "bigint",
+             "having", "order", "limit", "asc", "desc"}
 
 
 class SqlError(ValueError):
@@ -124,10 +134,37 @@ class _Parser:
             while self.peek() == ("op", ","):
                 self.next()
                 group.append(self.expect("ident"))
+        having = None
+        if self.peek() == ("kw", "having"):
+            self.next()
+            having = self._or()
+        order = []
+        if self.peek() == ("kw", "order"):
+            self.next()
+            self.expect("kw", "by")
+            order.append(self._order_item())
+            while self.peek() == ("op", ","):
+                self.next()
+                order.append(self._order_item())
+        limit = None
+        if self.peek() == ("kw", "limit"):
+            self.next()
+            k, v = self.next()
+            if k != "num" or not isinstance(v, int):
+                raise SqlError(f"LIMIT needs an integer, got {v!r}")
+            limit = v
         if self.peek()[0] != "end":
             raise SqlError(f"trailing tokens at {self.peek()!r}")
         return {"items": items, "table": table, "where": where,
-                "group": group}
+                "group": group, "having": having, "order": order,
+                "limit": limit}
+
+    def _order_item(self):
+        col = self.expect("ident")
+        desc = False
+        if self.peek() in (("kw", "asc"), ("kw", "desc")):
+            desc = self.next()[1] == "desc"
+        return (col, desc)
 
     def _item(self):
         k, v = self.peek()
@@ -251,11 +288,54 @@ def _to_pads(node):
             "<=": f <= lit, ">": f > lit, ">=": f >= lit}[op]
 
 
+def _eval_pred(node, t: pa.Table) -> np.ndarray:
+    """Evaluate a predicate tree over an in-flight Arrow table (HAVING —
+    the scan-pushdown path handles WHERE)."""
+    tag = node[0]
+    if tag == "and":
+        return _eval_pred(node[1], t) & _eval_pred(node[2], t)
+    if tag == "or":
+        return _eval_pred(node[1], t) | _eval_pred(node[2], t)
+    if tag == "not":
+        return ~_eval_pred(node[1], t)
+
+    def colv(c):
+        if pa.types.is_string(t.schema.field(c).type):
+            return np.asarray(t[c].to_pylist(), dtype=object)
+        return t[c].to_numpy(zero_copy_only=False)
+
+    if tag == "in":
+        v = colv(node[1])
+        hit = np.zeros(len(v), bool)
+        for lit in node[2]:
+            hit |= v == lit
+        return hit
+    _, op, col, lit = node
+    v = colv(col)
+    import operator as _op
+    return {"=": _op.eq, "!=": _op.ne, "<>": _op.ne, "<": _op.lt,
+            "<=": _op.le, ">": _op.gt, ">=": _op.ge}[op](v, lit)
+
+
+def _order_limit(ds: rd.Dataset, q: dict) -> rd.Dataset:
+    if q["limit"] is not None and not q["order"]:
+        raise SqlError("LIMIT without ORDER BY is nondeterministic — "
+                       "add a total ORDER BY")
+    if q["order"]:
+        ds = ds.sort(key=[c for c, _ in q["order"]],
+                     descending=[d for _, d in q["order"]])
+    if q["limit"] is not None:
+        ds = ds.limit(q["limit"])
+    return ds
+
+
 def run_sql(sf_dir: str, sql: str) -> rd.Dataset:
     q = _Parser(sql).parse()
     aggs = [i for i in q["items"] if i[0] == "agg"]
     plain = [i[1] for i in q["items"] if i[0] == "col"]
     group = q["group"]
+    if q["having"] is not None and not aggs:
+        raise SqlError("HAVING requires aggregates")
     if group and sorted(plain) != sorted(group):
         raise SqlError("non-aggregate select items must match GROUP BY")
     if not group and aggs and plain:
@@ -284,7 +364,8 @@ def run_sql(sf_dir: str, sql: str) -> rd.Dataset:
             return t.select(plain)
 
         project.__name__ = "sql_project"
-        return ds.map_batches(project, batch_format="pyarrow")
+        return _order_limit(ds.map_batches(project, batch_format="pyarrow"),
+                            q)
 
     sum_cols = [a for a in aggs if a[1] == "sum"]
     min_cols = [a for a in aggs if a[1] == "min"]
@@ -385,7 +466,16 @@ def run_sql(sf_dir: str, sql: str) -> rd.Dataset:
 
     fold.__name__ = "sql_fold"
     ds = ds.map_batches(partial, batch_format="pyarrow")
-    return ds.groupby("_gk").map_groups(fold, batch_format="pyarrow")
+    ds = ds.groupby("_gk").map_groups(fold, batch_format="pyarrow")
+    if q["having"] is not None:
+        having = q["having"]
+
+        def have(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(_eval_pred(having, t)))
+
+        have.__name__ = "sql_having"
+        ds = ds.map_batches(have, batch_format="pyarrow")
+    return _order_limit(ds, q)
 
 
 # shipped demo statements — each doubles as its own DuckDB oracle
@@ -400,3 +490,7 @@ DEMO_FILTER = (
 DEMO_GLOBAL = (
     "SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS s "
     "FROM lineitem WHERE l_quantity >= 25")
+DEMO_TOPK = (
+    "SELECT user_id, count(*) AS n FROM events "
+    "WHERE event_type = 'click' GROUP BY user_id "
+    "HAVING n >= 5 ORDER BY n DESC, user_id ASC LIMIT 10")

@@ -70,3 +70,21 @@ def test_filter_pushdown_reaches_scan(ray_session, tmp_path):
     ds = run_sql(str(tmp_path), "SELECT a, b FROM t WHERE a < 100")
     out = ds.to_pandas()
     assert len(out) == 100 and out["b"].max() == 198
+
+
+def test_having_order_limit(ray_session, tmp_path):
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b", "c"], pa.string()),
+        "v": pa.array([5, 1, 2, 9, 9, 100], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=2)
+    out = run_sql(str(tmp_path),
+                  "SELECT k, sum(v) AS s FROM t GROUP BY k "
+                  "HAVING s > 7 ORDER BY s DESC, k ASC LIMIT 2").to_pandas()
+    assert out["k"].tolist() == ["c", "b"]
+    assert out["s"].tolist() == [100, 18]
+
+
+def test_limit_without_order_is_rejected(ray_session):
+    with pytest.raises(SqlError, match="nondeterministic"):
+        run_sql(SF, "SELECT user_id FROM events LIMIT 5")
