@@ -357,9 +357,35 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Run a restricted-SQL statement over the parquet tables in
+    --data-dir as a distributed Ray Data pipeline (sqlfront grammar)."""
+    _ensure_ray()
+    from docodo_ray.sqlfront import run_sql
+
+    ds = run_sql(args.data_dir, args.statement)
+    t = ds.to_pandas() if args.limit_rows is None else (
+        ds.limit(args.limit_rows).to_pandas())
+    if args.csv:
+        print(t.to_csv(index=False), end="")
+    else:
+        print(t.to_string(index=False))
+    return 0
+
+
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="docodo_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    sq = sub.add_parser("sql", help="run a restricted SQL SELECT over "
+                        "parquet tables as a Ray Data pipeline")
+    sq.add_argument("statement")
+    sq.add_argument("--data-dir", required=True,
+                    help="directory holding <table>.parquet files")
+    sq.add_argument("--csv", action="store_true", help="CSV output")
+    sq.add_argument("--limit-rows", type=int, default=None,
+                    help="cap printed rows (display only)")
+    sq.set_defaults(fn=cmd_sql)
 
     b = sub.add_parser("build", help="build an index (Ray job driver)")
     b.add_argument("--input", nargs="+", required=True,

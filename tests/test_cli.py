@@ -228,3 +228,27 @@ def test_fsck_detects_corruption(tmp_path, small_corpus_files, capsys):
     assert cli.main(["fsck", out]) == 0
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["ok"] and any("legacy" in n for n in rep["notes"])
+
+
+def test_sql_subcommand(ray_session, capsys):
+    rc = cli.main([
+        "sql",
+        "SELECT o_orderstatus, count(*) AS n FROM orders "
+        "GROUP BY o_orderstatus",
+        "--data-dir", "/root/testdata/sf0.001", "--csv",
+    ])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "o_orderstatus,n"
+    got = dict(line.split(",") for line in lines[1:])
+    assert set(got) == {"F", "P", "O"}
+    assert sum(int(v) for v in got.values()) == 1500
+
+
+def test_sql_subcommand_rejects_bad_sql(ray_session):
+    from docodo_ray.sqlfront import SqlError
+
+    import pytest as _pytest
+    with _pytest.raises(SqlError):
+        cli.main(["sql", "SELECT FROM orders",
+                  "--data-dir", "/root/testdata/sf0.001"])
