@@ -17,6 +17,9 @@ as a Ray Data pipeline — the thin end of a pushdown query engine:
 Grammar (deliberately small, errors are loud)::
 
     SELECT item (, item)*  FROM table
+      [JOIN table2 ON t1.col = t2.col]           -- INNER equi-join,
+                                                 -- integer keys, columns
+                                                 -- qualified table.col
       [WHERE disjunction]  [GROUP BY col (, col)*]
       [HAVING disjunction over aliases]
       [ORDER BY col [ASC|DESC] (, ...)*]  [LIMIT k]
@@ -58,12 +61,12 @@ from docodo_ray.dedup import _coarse_mix
 
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?)|(?P<str>'(?:[^']|'')*')"
-    r"|(?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\*)"
+    r"|(?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\*|\.)"
     r"|(?P<word>[A-Za-z_][A-Za-z_0-9]*))")
 
 _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
              "not", "in", "count", "sum", "min", "max", "cast", "bigint",
-             "having", "order", "limit", "asc", "desc"}
+             "having", "order", "limit", "asc", "desc", "join", "on"}
 
 
 class SqlError(ValueError):
@@ -122,6 +125,15 @@ class _Parser:
             items.append(self._item())
         self.expect("kw", "from")
         table = self.expect("ident")
+        join = None
+        if self.peek() == ("kw", "join"):
+            self.next()
+            t2 = self.expect("ident")
+            self.expect("kw", "on")
+            lk = self._qual_ident()
+            self.expect("op", "=")
+            rk = self._qual_ident()
+            join = {"table": t2, "on": (lk, rk)}
         where = None
         if self.peek() == ("kw", "where"):
             self.next()
@@ -130,10 +142,10 @@ class _Parser:
         if self.peek() == ("kw", "group"):
             self.next()
             self.expect("kw", "by")
-            group.append(self.expect("ident"))
+            group.append(self._qual_ident())
             while self.peek() == ("op", ","):
                 self.next()
-                group.append(self.expect("ident"))
+                group.append(self._qual_ident())
         having = None
         if self.peek() == ("kw", "having"):
             self.next()
@@ -155,9 +167,16 @@ class _Parser:
             limit = v
         if self.peek()[0] != "end":
             raise SqlError(f"trailing tokens at {self.peek()!r}")
-        return {"items": items, "table": table, "where": where,
-                "group": group, "having": having, "order": order,
-                "limit": limit}
+        return {"items": items, "table": table, "join": join,
+                "where": where, "group": group, "having": having,
+                "order": order, "limit": limit}
+
+    def _qual_ident(self) -> str:
+        name = self.expect("ident")
+        if self.peek() == ("op", "."):
+            self.next()
+            name = f"{name}.{self.expect('ident')}"
+        return name
 
     def _order_item(self):
         col = self.expect("ident")
@@ -188,8 +207,7 @@ class _Parser:
             name = self.expect("ident")
             return ("agg", fn, col, name)
         if k == "ident":
-            self.next()
-            return ("col", v)
+            return ("col", self._qual_ident())
         raise SqlError(f"bad select item at {v!r}")
 
     def _agg_call(self):
@@ -201,7 +219,7 @@ class _Parser:
             self.expect("op", "*")
             col = None
         else:
-            col = self.expect("ident")
+            col = self._qual_ident()
         self.expect("op", ")")
         return (v, col)
 
@@ -233,7 +251,7 @@ class _Parser:
             node = self._or()
             self.expect("op", ")")
             return node
-        col = self.expect("ident")
+        col = self._qual_ident()
         k, v = self.next()
         if (k, v) == ("kw", "in"):
             self.expect("op", "(")
@@ -329,6 +347,157 @@ def _order_limit(ds: rd.Dataset, q: dict) -> rd.Dataset:
     return ds
 
 
+def _flatten_and(node, out: list):
+    if node[0] == "and":
+        _flatten_and(node[1], out)
+        _flatten_and(node[2], out)
+    else:
+        out.append(node)
+    return out
+
+
+def _strip(name: str) -> str:
+    return name.split(".", 1)[1] if "." in name else name
+
+
+def _table_of(name: str, t1: str, t2: str) -> str:
+    if "." not in name:
+        raise SqlError(f"JOIN queries need qualified columns: {name!r}")
+    tab = name.split(".", 1)[0]
+    if tab not in (t1, t2):
+        raise SqlError(f"unknown table {tab!r} in {name!r}")
+    return tab
+
+
+def _join_rows(sf_dir: str, q: dict, need: set) -> rd.Dataset:
+    """INNER equi-join of q['table'] x q['join']['table'] as ONE hash
+    exchange: each side is lifted into a shared output schema (the other
+    side's columns ride as nulls), co-located by a coarse hash of the
+    integer join key, and the per-group fold emits the full MxN product
+    per key with vectorized repeat/tile index math — no per-row Python.
+    Single-table WHERE conjuncts push into each side's parquet scan."""
+    import pyarrow.parquet as pq
+
+    t1, t2 = q["table"], q["join"]["table"]
+    lk, rk = q["join"]["on"]
+    if _table_of(lk, t1, t2) == t2:
+        lk, rk = rk, lk
+    if _table_of(lk, t1, t2) != t1 or _table_of(rk, t1, t2) != t2:
+        raise SqlError("ON must join the two FROM tables")
+
+    # split WHERE into per-table scan filters
+    filters = {t1: [], t2: []}
+    if q["where"] is not None:
+        for conj in _flatten_and(q["where"], []):
+            tabs = {_table_of(c, t1, t2) for c in _pred_cols(conj, set())}
+            if len(tabs) != 1:
+                raise SqlError(
+                    "JOIN WHERE conjuncts must each reference one table")
+            filters[tabs.pop()].append(conj)
+
+    need = set(need) | {lk, rk}
+    out_cols: dict[str, str] = {}  # unqualified -> table
+    # the two key columns are equal-valued in every joined row: when their
+    # base names collide (ON l.k = r.k) the LEFT side owns the output
+    out_cols[_strip(lk)] = t1
+    if _strip(rk) != _strip(lk):
+        out_cols[_strip(rk)] = t2
+    for c in need - {lk, rk}:
+        tab = _table_of(c, t1, t2)
+        base = _strip(c)
+        if base in out_cols and out_cols[base] != tab:
+            raise SqlError(f"ambiguous output column {base!r}")
+        out_cols[base] = tab
+    schemas = {t: pq.read_schema(f"{sf_dir}/{t}.parquet") for t in (t1, t2)}
+    types = {}
+    for base, tab in out_cols.items():
+        if base not in schemas[tab].names:
+            raise SqlError(f"{tab}.{base}: no such column")
+        types[base] = schemas[tab].field(base).type
+    order_cols = sorted(out_cols)
+    key_by_table = {t1: _strip(lk), t2: _strip(rk)}
+
+    def _lift(tab: str, side: int):
+        kcol = key_by_table[tab]
+        mine = [b for b in order_cols if out_cols[b] == tab]
+
+        def lift(t: pa.Table) -> pa.Table:
+            if not pa.types.is_integer(t.schema.field(kcol).type):
+                raise SqlError(f"join key {kcol!r} must be an integer "
+                               f"column (got {t.schema.field(kcol).type})")
+            jk = t[kcol].to_numpy(zero_copy_only=False).astype(np.int64)
+            arrs, names = [], []
+            for b in order_cols:
+                names.append(b)
+                arrs.append(t[b].combine_chunks() if b in mine
+                            else pa.nulls(t.num_rows, types[b]))
+            names += ["_jk", "_s", "_ck"]
+            arrs += [pa.array(jk, pa.int64()),
+                     pa.array(np.full(t.num_rows, side, np.int64)),
+                     pa.array(_coarse_mix(jk), pa.int64())]
+            return pa.table(dict(zip(names, arrs)))
+
+        lift.__name__ = f"sql_lift_{tab}"
+        read_kw = {"columns": sorted({*mine, kcol})}
+        preds = filters[tab]
+        if preds:
+            node = preds[0]
+            for p in preds[1:]:
+                node = ("and", node, p)
+            read_kw["filter"] = _to_pads(_strip_tree(node))
+        return rd.read_parquet(f"{sf_dir}/{tab}.parquet", **read_kw
+                               ).map_batches(lift, batch_format="pyarrow")
+
+    def fold(g: pa.Table) -> pa.Table:
+        jk = g["_jk"].to_numpy(zero_copy_only=False)
+        s = g["_s"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, jk))
+        jk_s, s_s = jk[order], s[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], jk_s[1:] != jk_s[:-1])))
+        counts = np.diff(np.append(starts, jk_s.size))
+        a = np.add.reduceat((s_s == 0).astype(np.int64), starts)
+        b = counts - a
+        valid = (a > 0) & (b > 0)
+        key_id = np.repeat(np.arange(starts.size), counts)
+        vrow = valid[key_id]
+        rows0 = order[(s_s == 0) & vrow]
+        rows1 = order[(s_s == 1) & vrow]
+        a_v, b_v = a[valid], b[valid]
+        if a_v.size == 0:
+            left = right = np.empty(0, np.int64)
+        else:
+            left = np.repeat(rows0, np.repeat(b_v, a_v))
+            total = a_v * b_v
+            off = np.concatenate(([0], np.cumsum(total)[:-1]))
+            base1 = np.concatenate(([0], np.cumsum(b_v)[:-1]))
+            r = np.arange(int(total.sum())) - np.repeat(off, total)
+            right = rows1[np.repeat(base1, total)
+                          + r % np.repeat(b_v, total)]
+        out = {}
+        for base in order_cols:
+            src = left if out_cols[base] == t1 else right
+            out[base] = g[base].combine_chunks().take(
+                pa.array(src, pa.int64()))
+        return pa.table(out)
+
+    fold.__name__ = "sql_join_fold"
+    return (_lift(t1, 0).union(_lift(t2, 1))
+            .groupby("_ck").map_groups(fold, batch_format="pyarrow"))
+
+
+def _strip_tree(node):
+    """Unqualify column refs in a predicate tree (per-table scan push)."""
+    tag = node[0]
+    if tag in ("and", "or"):
+        return (tag, _strip_tree(node[1]), _strip_tree(node[2]))
+    if tag == "not":
+        return (tag, _strip_tree(node[1]))
+    if tag == "in":
+        return (tag, _strip(node[1]), node[2])
+    return (tag, node[1], _strip(node[2]), node[3])
+
+
 def run_sql(sf_dir: str, sql: str) -> rd.Dataset:
     q = _Parser(sql).parse()
     aggs = [i for i in q["items"] if i[0] == "agg"]
@@ -340,6 +509,20 @@ def run_sql(sf_dir: str, sql: str) -> rd.Dataset:
         raise SqlError("non-aggregate select items must match GROUP BY")
     if not group and aggs and plain:
         raise SqlError("mixing bare columns with aggregates needs GROUP BY")
+
+    if q["join"] is not None:
+        need = (set(plain) | set(group) | {a[2] for a in aggs if a[2]}
+                | (_pred_cols(q["where"], set()) if q["where"] else set()))
+        joined = _join_rows(sf_dir, q, need - set())
+        # downstream (aggregates / projection / HAVING / ORDER) sees the
+        # joined rows under unqualified names
+        plain = [_strip(c) for c in plain]
+        group = [_strip(c) for c in group]
+        aggs = [(k, f, _strip(c) if c else None, n) for k, f, c, n in aggs]
+        q = dict(q, where=None, group=group,
+                 items=[("col", c) for c in plain]
+                 + [("agg", f, c, n) for _k, f, c, n in aggs])
+        return _run_over(joined, q, aggs, plain, group)
 
     need = set(plain) | set(group) | {a[2] for a in aggs if a[2]}
     cols = sorted(need) or [None]
@@ -358,7 +541,12 @@ def run_sql(sf_dir: str, sql: str) -> rd.Dataset:
         first = pq.read_schema(f"{sf_dir}/{q['table']}.parquet").names[0]
         read_kw["columns"] = [first]
     ds = rd.read_parquet(f"{sf_dir}/{q['table']}.parquet", **read_kw)
+    return _run_over(ds, q, aggs, plain, group)
 
+
+def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group) -> rd.Dataset:
+    """Projection / grouped-aggregate / HAVING / ORDER-LIMIT tail shared by
+    the single-table and JOIN paths (input: a Dataset of plain rows)."""
     if not aggs:  # pure filter + projection
         def project(t: pa.Table) -> pa.Table:
             return t.select(plain)
@@ -494,3 +682,10 @@ DEMO_TOPK = (
     "SELECT user_id, count(*) AS n FROM events "
     "WHERE event_type = 'click' GROUP BY user_id "
     "HAVING n >= 5 ORDER BY n DESC, user_id ASC LIMIT 10")
+DEMO_JOIN = (
+    "SELECT customer.c_nationkey, count(*) AS n, "
+    "CAST(sum(orders.o_orderkey) AS BIGINT) AS s "
+    "FROM orders JOIN customer "
+    "ON orders.o_custkey = customer.c_custkey "
+    "GROUP BY customer.c_nationkey "
+    "HAVING n > 10 ORDER BY n DESC, c_nationkey ASC LIMIT 5")

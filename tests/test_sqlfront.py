@@ -88,3 +88,41 @@ def test_having_order_limit(ray_session, tmp_path):
 def test_limit_without_order_is_rejected(ray_session):
     with pytest.raises(SqlError, match="nondeterministic"):
         run_sql(SF, "SELECT user_id FROM events LIMIT 5")
+
+
+def test_join_mxn_product_and_filter_split(ray_session, tmp_path):
+    """Duplicate keys on BOTH sides yield the full MxN product; per-table
+    WHERE conjuncts push to each scan; keys with one side only drop."""
+    pq.write_table(pa.table({
+        "k": pa.array([1, 1, 2, 3], pa.int64()),
+        "lv": pa.array([10, 11, 20, 30], pa.int64()),
+    }), str(tmp_path / "l.parquet"))
+    pq.write_table(pa.table({
+        "k": pa.array([1, 1, 1, 2, 4], pa.int64()),
+        "rv": pa.array([7, 8, 9, 70, 40], pa.int64()),
+    }), str(tmp_path / "r.parquet"))
+    out = run_sql(str(tmp_path),
+                  "SELECT l.lv, r.rv FROM l JOIN r ON l.k = r.k "
+                  "WHERE l.lv <= 20 AND NOT r.rv = 9").to_pandas()
+    got = sorted(map(tuple, out[["lv", "rv"]].values.tolist()))
+    assert got == [(10, 7), (10, 8), (11, 7), (11, 8), (20, 70)]
+
+
+def test_join_rejects_cross_table_conjunct_and_ambiguity(ray_session,
+                                                         tmp_path):
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64()),
+                             "v": pa.array([1], pa.int64())}),
+                   str(tmp_path / "l.parquet"))
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64()),
+                             "v": pa.array([2], pa.int64())}),
+                   str(tmp_path / "r.parquet"))
+    with pytest.raises(SqlError, match="one table"):
+        run_sql(str(tmp_path),
+                "SELECT l.v FROM l JOIN r ON l.k = r.k "
+                "WHERE l.v = 1 OR r.v = 2").count()
+    with pytest.raises(SqlError, match="ambiguous"):
+        run_sql(str(tmp_path),
+                "SELECT l.v, r.v FROM l JOIN r ON l.k = r.k").count()
+    with pytest.raises(SqlError, match="qualified"):
+        run_sql(str(tmp_path),
+                "SELECT v FROM l JOIN r ON l.k = r.k").count()
