@@ -59,6 +59,12 @@ import ray.data as rd
 
 from docodo_ray.dedup import _coarse_mix
 
+# JOIN planner: a side whose parquet footer reports at most this many rows
+# is broadcast (ray.put once, probed inside every big-side map task)
+# instead of hash-exchanged. ~200k rows x ~100 B ~ 20 MB in the object
+# store — read once per node, zero shuffle of the big side.
+SQL_BROADCAST_ROWS = 200_000
+
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?)|(?P<str>'(?:[^']|'')*')"
     r"|(?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\*|\.)"
@@ -370,11 +376,16 @@ def _table_of(name: str, t1: str, t2: str) -> str:
 
 
 def _join_rows(sf_dir: str, q: dict, need: set) -> rd.Dataset:
-    """INNER equi-join of q['table'] x q['join']['table'] as ONE hash
-    exchange: each side is lifted into a shared output schema (the other
-    side's columns ride as nulls), co-located by a coarse hash of the
-    integer join key, and the per-group fold emits the full MxN product
-    per key with vectorized repeat/tile index math — no per-row Python.
+    """INNER equi-join of q['table'] x q['join']['table'].
+
+    Planner: if either side's parquet footer reports <= SQL_BROADCAST_ROWS
+    rows, that side is read once, key-sorted, ray.put, and PROBED inside
+    every big-side map task (searchsorted ranges -> vectorized MxN gather)
+    — the big side never shuffles. Otherwise both sides are lifted into a
+    shared output schema (the other side's columns ride as nulls),
+    co-located by a coarse hash of the integer join key in ONE exchange,
+    and the per-group fold emits the full MxN product per key with
+    vectorized repeat/tile index math — no per-row Python either way.
     Single-table WHERE conjuncts push into each side's parquet scan."""
     import pyarrow.parquet as pq
 
@@ -417,6 +428,63 @@ def _join_rows(sf_dir: str, q: dict, need: set) -> rd.Dataset:
     order_cols = sorted(out_cols)
     key_by_table = {t1: _strip(lk), t2: _strip(rk)}
 
+    def _side_filter(tab: str):
+        preds = filters[tab]
+        if not preds:
+            return None
+        node = preds[0]
+        for p in preds[1:]:
+            node = ("and", node, p)
+        return _to_pads(_strip_tree(node))
+
+    # --- planner: broadcast the small side instead of shuffling both -----
+    nrows = {t: pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata.num_rows
+             for t in (t1, t2)}
+    if min(nrows.values()) <= SQL_BROADCAST_ROWS:
+        import ray
+
+        small = t1 if nrows[t1] <= nrows[t2] else t2
+        big = t2 if small == t1 else t1
+        skey, bkey = key_by_table[small], key_by_table[big]
+        small_mine = [b for b in order_cols if out_cols[b] == small]
+        stbl = pads.dataset(f"{sf_dir}/{small}.parquet").to_table(
+            columns=sorted({*small_mine, skey}),
+            filter=_side_filter(small))
+        if not pa.types.is_integer(stbl.schema.field(skey).type):
+            raise SqlError(f"join key {skey!r} must be an integer column")
+        ks = stbl[skey].to_numpy(zero_copy_only=False).astype(np.int64)
+        srt = np.argsort(ks, kind="stable")
+        stbl, ks = stbl.take(pa.array(srt, pa.int64())), ks[srt]
+        ref = ray.put((ks, stbl))
+
+        def probe(t: pa.Table) -> pa.Table:
+            if not pa.types.is_integer(t.schema.field(bkey).type):
+                raise SqlError(f"join key {bkey!r} must be an integer "
+                               f"column")
+            ks_s, s_tbl = ray.get(ref)
+            kb = t[bkey].to_numpy(zero_copy_only=False).astype(np.int64)
+            lo = np.searchsorted(ks_s, kb, "left")
+            cnt = np.searchsorted(ks_s, kb, "right") - lo
+            big_idx = np.repeat(np.arange(kb.size), cnt)
+            off = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            r = np.arange(int(cnt.sum())) - np.repeat(off, cnt)
+            small_idx = np.repeat(lo, cnt) + r
+            bi = pa.array(big_idx, pa.int64())
+            si = pa.array(small_idx, pa.int64())
+            return pa.table({
+                b: (t[b].combine_chunks().take(bi) if out_cols[b] == big
+                    else s_tbl[b].combine_chunks().take(si))
+                for b in order_cols})
+
+        probe.__name__ = f"sql_bcast_probe_{big}"
+        read_kw = {"columns": sorted(
+            {b for b in order_cols if out_cols[b] == big} | {bkey})}
+        bf = _side_filter(big)
+        if bf is not None:
+            read_kw["filter"] = bf
+        return rd.read_parquet(f"{sf_dir}/{big}.parquet", **read_kw
+                               ).map_batches(probe, batch_format="pyarrow")
+
     def _lift(tab: str, side: int):
         kcol = key_by_table[tab]
         mine = [b for b in order_cols if out_cols[b] == tab]
@@ -439,12 +507,9 @@ def _join_rows(sf_dir: str, q: dict, need: set) -> rd.Dataset:
 
         lift.__name__ = f"sql_lift_{tab}"
         read_kw = {"columns": sorted({*mine, kcol})}
-        preds = filters[tab]
-        if preds:
-            node = preds[0]
-            for p in preds[1:]:
-                node = ("and", node, p)
-            read_kw["filter"] = _to_pads(_strip_tree(node))
+        flt = _side_filter(tab)
+        if flt is not None:
+            read_kw["filter"] = flt
         return rd.read_parquet(f"{sf_dir}/{tab}.parquet", **read_kw
                                ).map_batches(lift, batch_format="pyarrow")
 

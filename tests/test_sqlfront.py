@@ -126,3 +126,29 @@ def test_join_rejects_cross_table_conjunct_and_ambiguity(ray_session,
     with pytest.raises(SqlError, match="qualified"):
         run_sql(str(tmp_path),
                 "SELECT v FROM l JOIN r ON l.k = r.k").count()
+
+
+def test_join_broadcast_and_exchange_paths_agree(ray_session, tmp_path,
+                                                 monkeypatch):
+    """The planner's two join strategies must be result-identical; tiny
+    tables take the broadcast path by default, monkeypatching the
+    threshold to 0 forces the hash exchange."""
+    import docodo_ray.sqlfront as sf
+
+    pq.write_table(pa.table({
+        "k": pa.array([1, 1, 2, 3, 5], pa.int64()),
+        "lv": pa.array([10, 11, 20, 30, 50], pa.int64()),
+    }), str(tmp_path / "l.parquet"))
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2, 2, 4], pa.int64()),
+        "rv": pa.array([7, 70, 71, 40], pa.int64()),
+    }), str(tmp_path / "r.parquet"))
+    stmt = ("SELECT l.k, l.lv, r.rv FROM l JOIN r ON l.k = r.k "
+            "WHERE r.rv < 71")
+    bcast = run_sql(str(tmp_path), stmt).to_pandas()
+    monkeypatch.setattr(sf, "SQL_BROADCAST_ROWS", 0)
+    exch = run_sql(str(tmp_path), stmt).to_pandas()
+    key = ["k", "lv", "rv"]
+    a = sorted(map(tuple, bcast[key].values.tolist()))
+    b = sorted(map(tuple, exch[key].values.tolist()))
+    assert a == b == [(1, 10, 7), (1, 11, 7), (2, 20, 70)]
