@@ -364,6 +364,12 @@ def cmd_sql(args) -> int:
     from docodo_ray.sqlfront import run_sql
 
     ds = run_sql(args.data_dir, args.statement)
+    if args.out:
+        # stream straight to partitioned parquet — results never collect
+        # on the driver
+        ds.write_parquet(args.out)
+        print(f"wrote {args.out}")
+        return 0
     t = ds.to_pandas() if args.limit_rows is None else (
         ds.limit(args.limit_rows).to_pandas())
     if args.csv:
@@ -383,6 +389,9 @@ def make_parser() -> argparse.ArgumentParser:
     sq.add_argument("--data-dir", required=True,
                     help="directory holding <table>.parquet files")
     sq.add_argument("--csv", action="store_true", help="CSV output")
+    sq.add_argument("--out", default=None,
+                    help="write the result as partitioned parquet to this "
+                    "directory instead of printing")
     sq.add_argument("--limit-rows", type=int, default=None,
                     help="cap printed rows (display only)")
     sq.set_defaults(fn=cmd_sql)

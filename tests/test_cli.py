@@ -252,3 +252,18 @@ def test_sql_subcommand_rejects_bad_sql(ray_session):
     with _pytest.raises(SqlError):
         cli.main(["sql", "SELECT FROM orders",
                   "--data-dir", "/root/testdata/sf0.001"])
+
+
+def test_sql_parquet_sink(ray_session, tmp_path, capsys):
+    out = str(tmp_path / "res")
+    rc = cli.main([
+        "sql",
+        "SELECT o_orderstatus, count(*) AS n FROM orders "
+        "GROUP BY o_orderstatus",
+        "--data-dir", "/root/testdata/sf0.001", "--out", out,
+    ])
+    assert rc == 0
+    import pyarrow.dataset as pads
+    t = pads.dataset(out).to_table().to_pandas()
+    assert sorted(t["o_orderstatus"]) == ["F", "O", "P"]
+    assert int(t["n"].sum()) == 1500
