@@ -152,3 +152,29 @@ def test_join_broadcast_and_exchange_paths_agree(ray_session, tmp_path,
     a = sorted(map(tuple, bcast[key].values.tolist()))
     b = sorted(map(tuple, exch[key].values.tolist()))
     assert a == b == [(1, 10, 7), (1, 11, 7), (2, 20, 70)]
+
+
+def test_parser_fuzz_never_crashes():
+    """Random token soup either parses or raises SqlError — no other
+    exception type escapes the parser."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tokens = st.sampled_from([
+        "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
+        "LIMIT", "JOIN", "ON", "AND", "OR", "NOT", "IN", "AS", "ASC",
+        "DESC", "count", "sum", "min", "max", "CAST", "BIGINT", "(", ")",
+        ",", "*", ".", "=", "<", ">", "<=", ">=", "!=", "<>", "tbl",
+        "col", "x", "'s'", "''", "1", "2.5", "9999999999",
+    ])
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(tokens, min_size=0, max_size=12))
+    def run(parts):
+        sql = " ".join(parts)
+        try:
+            _Parser(sql).parse()
+        except SqlError:
+            pass
+
+    run()
