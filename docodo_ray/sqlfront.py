@@ -72,7 +72,8 @@ _TOKEN_RE = re.compile(
 
 _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
              "not", "in", "count", "sum", "min", "max", "cast", "bigint",
-             "having", "order", "limit", "asc", "desc", "join", "on"}
+             "having", "order", "limit", "asc", "desc", "join", "on",
+             "distinct"}
 
 
 class SqlError(ValueError):
@@ -222,6 +223,11 @@ class _Parser:
             raise SqlError(f"expected aggregate, got {v!r}")
         self.expect("op", "(")
         if v == "count":
+            if self.peek() == ("kw", "distinct"):
+                self.next()
+                col = self._qual_ident()
+                self.expect("op", ")")
+                return ("countd", col)
             self.expect("op", "*")
             col = None
         else:
@@ -624,9 +630,14 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group) -> rd.Dataset:
     min_cols = [a for a in aggs if a[1] == "min"]
     max_cols = [a for a in aggs if a[1] == "max"]
     cnt_cols = [a for a in aggs if a[1] == "count"]
+    cd_cols = [a for a in aggs if a[1] == "countd"]
+    # per-agg identity for rows that do not carry that aggregate, and the
+    # exchange-2 merge ufunc (count/sum/countd partials ADD; min/max fold)
+    _IDENT = {"count": 0, "sum": 0, "countd": 0,
+              "min": np.iinfo(np.int64).max, "max": np.iinfo(np.int64).min}
 
     def _check_int(t: pa.Table):
-        for _, fn, col, _n in sum_cols + min_cols + max_cols:
+        for _, fn, col, _n in sum_cols + min_cols + max_cols + cd_cols:
             if not pa.types.is_integer(t.schema.field(col).type):
                 raise SqlError(
                     f"{fn}({col}): only integer columns are supported "
@@ -637,6 +648,8 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group) -> rd.Dataset:
     def _group_key(t: pa.Table, n: int):
         """(unique keys as tuples, inverse) over the GROUP BY columns.
         Single-key batches take the vectorized np.unique path."""
+        if not group:
+            return np.array([()], dtype=object), np.zeros(n, np.int64)
         if len(group) == 1:
             k = np.asarray(t[group[0]].to_pylist(), dtype=object)
             u1, inv = np.unique(k, return_inverse=True)
@@ -660,16 +673,30 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group) -> rd.Dataset:
         return np.array([zlib.crc32(repr(v).encode()) for v in u],
                         dtype=np.int64)
 
+    def _fold_rows(t: pa.Table, emit_key: bool) -> dict:
+        """Fold partial agg rows per group key -> column dict."""
+        u, inv = _group_key(t, t.num_rows)
+        out = _key_cols(t, u)
+        for _, fn, _c, name in aggs:
+            v = t[name].to_numpy(zero_copy_only=False)
+            r = np.full(len(u), _IDENT[fn], np.int64)
+            if fn in ("count", "sum", "countd"):
+                r[:] = 0
+                np.add.at(r, inv, v)
+            elif fn == "min":
+                np.minimum.at(r, inv, v)
+            else:
+                np.maximum.at(r, inv, v)
+            out[name] = pa.array(r, pa.int64())
+        if emit_key:
+            out["_gk"] = pa.array(_coarse_mix(_stable_gk(u)), pa.int64())
+        return out
+
     def partial(t: pa.Table) -> pa.Table:
         _check_int(t)
         n = t.num_rows
-        if group:
-            u, inv = _group_key(t, n)
-        else:
-            u = np.array([()], dtype=object)
-            inv = np.zeros(n, np.int64)
-        out = {}
-        out.update(_key_cols(t, u))
+        u, inv = _group_key(t, n)
+        out = _key_cols(t, u)
         for _, _f, col, name in cnt_cols:
             c = np.zeros(len(u), np.int64)
             np.add.at(c, inv, 1)
@@ -688,37 +715,92 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group) -> rd.Dataset:
                 m = np.full(len(u), init, np.int64)
                 ufunc.at(m, inv, v)
                 out[name] = pa.array(m, pa.int64())
-        kh = _stable_gk(u) if group else np.zeros(1, np.int64)
+        for _, _f, col, name in cd_cols:
+            out[name] = pa.array(np.zeros(len(u), np.int64), pa.int64())
+        kh = _stable_gk(u)
         out["_gk"] = pa.array(_coarse_mix(kh), pa.int64())
-        return pa.table(out)
+        if not cd_cols:
+            return pa.table(out)
+        # distinct-value carrier rows: one per batch-local (group, col,
+        # value) triple, partitioned by a hash of the WHOLE triple so
+        # identical values co-locate and dedup globally in exchange 1
+        out["_dval"] = pa.array(np.zeros(len(u), np.int64), pa.int64())
+        out["_dcol"] = pa.array(np.full(len(u), -1, np.int64), pa.int64())
+        reg = pa.table(out)
+        tables = [reg]
+        for ci, (_, _f, col, name) in enumerate(cd_cols):
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pair = np.stack([inv, v], axis=1)
+            up = np.unique(pair, axis=0) if n else np.empty((0, 2), np.int64)
+            gi, dv = up[:, 0], up[:, 1]
+            cd = _key_cols(t, u[gi] if len(gi) else u[:0])
+            for _k2, fn2, _c2, name2 in aggs:
+                cd[name2] = pa.array(
+                    np.full(len(gi), _IDENT[fn2], np.int64), pa.int64())
+            mix = ((kh[gi].astype(np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15))
+                   ^ dv.astype(np.uint64)
+                   ^ np.uint64(ci)).view(np.int64)
+            cd["_gk"] = pa.array(_coarse_mix(mix), pa.int64())
+            cd["_dval"] = pa.array(dv, pa.int64())
+            cd["_dcol"] = pa.array(np.full(len(gi), ci, np.int64),
+                                   pa.int64())
+            tables.append(pa.table(
+                {nm: cd[nm] for nm in reg.column_names}))
+        return pa.concat_tables(tables)
 
     partial.__name__ = "sql_partial"
 
+    def fold1(g: pa.Table) -> pa.Table:
+        """Exchange-1 fold (countd plans only): completes the regular
+        aggregates per group AND turns co-located distinct-value carriers
+        into per-(group, col) distinct counts; both re-keyed by group."""
+        dc = g["_dcol"].to_numpy(zero_copy_only=False)
+        regm = dc < 0
+        regt = g.filter(pa.array(regm))
+        out = _fold_rows(regt.drop_columns(["_gk", "_dval", "_dcol"]),
+                         emit_key=True) if regt.num_rows else None
+        tables = []
+        if out is not None:
+            tables.append(pa.table(out))
+        cdt = g.filter(pa.array(~regm))
+        if cdt.num_rows:
+            n2 = cdt.num_rows
+            u2, inv2 = _group_key(cdt, n2)
+            dc2 = cdt["_dcol"].to_numpy(zero_copy_only=False)
+            dv2 = cdt["_dval"].to_numpy(zero_copy_only=False)
+            trip = np.empty(n2, dtype=object)
+            for i in range(n2):
+                trip[i] = (int(inv2[i]), int(dc2[i]), int(dv2[i]))
+            ut = np.unique(trip)
+            from collections import Counter
+            counts = Counter((tr[0], tr[1]) for tr in ut)
+            gidx = [gk for gk, _ in counts]
+            cd = _key_cols(cdt, u2[gidx] if gidx else u2[:0])
+            for _k2, fn2, _c2, name2 in aggs:
+                cd[name2] = pa.array(
+                    np.full(len(gidx), _IDENT[fn2], np.int64), pa.int64())
+            for ci, (_, _f, _c, name) in enumerate(cd_cols):
+                cd[name] = pa.array(
+                    np.array([counts[(gk, c2)] if c2 == ci else 0
+                              for (gk, c2) in counts], np.int64)
+                    if gidx else np.zeros(0, np.int64), pa.int64())
+            cd["_gk"] = pa.array(
+                _coarse_mix(_stable_gk(u2[gidx] if gidx else u2[:0])),
+                pa.int64())
+            first = tables[0].column_names if tables else list(cd)
+            tables.append(pa.table({nm: cd[nm] for nm in first}))
+        return pa.concat_tables(tables)
+
+    fold1.__name__ = "sql_fold1"
+
     def fold(g: pa.Table) -> pa.Table:
-        n = g.num_rows
-        if group:
-            u, inv = _group_key(g, n)
-        else:
-            u = np.array([()], dtype=object)
-            inv = np.zeros(n, np.int64)
-        out = {}
-        out.update(_key_cols(g, u))
-        for _, fn, _c, name in aggs:
-            v = g[name].to_numpy(zero_copy_only=False)
-            r = np.zeros(len(u), np.int64)
-            if fn in ("count", "sum"):
-                np.add.at(r, inv, v)
-            elif fn == "min":
-                r[:] = np.iinfo(np.int64).max
-                np.minimum.at(r, inv, v)
-            else:
-                r[:] = np.iinfo(np.int64).min
-                np.maximum.at(r, inv, v)
-            out[name] = pa.array(r, pa.int64())
-        return pa.table(out)
+        return pa.table(_fold_rows(g, emit_key=False))
 
     fold.__name__ = "sql_fold"
     ds = ds.map_batches(partial, batch_format="pyarrow")
+    if cd_cols:
+        ds = ds.groupby("_gk").map_groups(fold1, batch_format="pyarrow")
     ds = ds.groupby("_gk").map_groups(fold, batch_format="pyarrow")
     if q["having"] is not None:
         having = q["having"]
@@ -754,3 +836,6 @@ DEMO_JOIN = (
     "ON orders.o_custkey = customer.c_custkey "
     "GROUP BY customer.c_nationkey "
     "HAVING n > 10 ORDER BY n DESC, c_nationkey ASC LIMIT 5")
+DEMO_COUNTD = (
+    "SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, "
+    "count(*) AS n_items FROM lineitem GROUP BY l_suppkey")

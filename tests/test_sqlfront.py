@@ -178,3 +178,18 @@ def test_parser_fuzz_never_crashes():
             pass
 
     run()
+
+
+def test_count_distinct_cross_batch(ray_session, tmp_path):
+    """The same (group, value) pair recurring in different row groups
+    must count once; mixed with other aggregates in one statement."""
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b", "b"], pa.string()),
+        "v": pa.array([1, 1, 2, 7, 7, 7], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=2)
+    out = run_sql(str(tmp_path),
+                  "SELECT k, count(DISTINCT v) AS d, count(*) AS n, "
+                  "max(v) AS m FROM t GROUP BY k").to_pandas()
+    got = {r.k: (r.d, r.n, r.m) for r in out.itertuples()}
+    assert got == {"a": (2, 3, 2), "b": (1, 3, 7)}
