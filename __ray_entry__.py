@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dead_code_modules": codegraph.dead_code_modules,  # root-set reachability
         "module_import_depth": codegraph.module_import_depth,  # BFS shortest-path depth
         "build_order": codegraph.build_order,            # condensation-DAG topo levels
+        "module_kcore": codegraph.module_kcore,          # k-core iterative peeling
         "docodo_rank": pipelines.docodo_rank,            # A8 original: proximity ranker
         "phrase_count": pipelines.phrase_count,          # D2 phrase adjacency
         "boolean_search": pipelines.boolean_search,      # M11 nested AND/OR tree

@@ -1165,3 +1165,109 @@ def build_order(sf_dir: str) -> rd.Dataset:
     graph — see condensation_levels. Reuses the session-memoized SCC
     labeling (module_scc computes the identical one)."""
     return condensation_levels(_import_edges(sf_dir), comps=_scc_of(sf_dir))
+
+
+# ---- k-core decomposition: iterative peeling ---------------------------------
+
+KCORE_K = 3
+KCORE_MAX_ROUNDS = 24
+
+_KC = pa.schema([("u", pa.string()), ("v", pa.string()),
+                 ("tag", pa.int64()), ("gk", pa.int64())])
+
+
+def _kc_rows(u, v=None, tag=0) -> pa.Table:
+    n = len(u)
+    return pa.Table.from_arrays(
+        [pa.array(list(u), pa.string()),
+         pa.array(list(v) if v is not None else [""] * n, pa.string()),
+         pa.array(np.full(n, tag, np.int64), pa.int64()),
+         pa.array(np.asarray(_mod_gk(list(u)), np.int64), pa.int64())],
+        schema=_KC)
+
+
+def _kc_sym(t: pa.Table) -> pa.Table:
+    """Distinct undirected (a, b) edge rows -> both directions, each
+    keyed by its first endpoint's hash."""
+    a = np.asarray(t["a"].to_pylist(), dtype=object)
+    b = np.asarray(t["b"].to_pylist(), dtype=object)
+    return _kc_rows(np.concatenate([a, b]), np.concatenate([b, a]), tag=0)
+
+
+_kc_sym.__name__ = "_kc_sym"
+
+
+def _kc_alive(k: int):
+    def alive(g: pa.Table) -> pa.Table:
+        tag = g["tag"].to_numpy(zero_copy_only=False)
+        u = np.asarray(g["u"].to_pylist(), dtype=object)[tag == 0]
+        uu, cnt = np.unique(u, return_counts=True)
+        return _kc_rows(uu[cnt >= k], tag=1)
+
+    alive.__name__ = "kc_alive"
+    return alive
+
+
+def _kc_keep(g: pa.Table) -> pa.Table:
+    """Keep edge rows whose key endpoint is in this group's alive set;
+    emit them FLIPPED (keyed by the peer) so two passes filter both
+    endpoints against the same alive snapshot."""
+    tag = g["tag"].to_numpy(zero_copy_only=False)
+    u = np.asarray(g["u"].to_pylist(), dtype=object)
+    v = np.asarray(g["v"].to_pylist(), dtype=object)
+    ok = np.isin(u, u[tag == 1]) & (tag == 0)
+    return _kc_rows(v[ok], u[ok], tag=0)
+
+
+_kc_keep.__name__ = "_kc_keep"
+
+
+def kcore_members(edges_raw: rd.Dataset, k: int = KCORE_K,
+                  max_rounds: int = KCORE_MAX_ROUNDS) -> rd.Dataset:
+    """(module, core_degree) for the k-core of the undirected edge set:
+    the maximal subgraph in which every node keeps degree >= k.
+
+    Iterative peeling, fully distributed: each round is THREE coarse-hash
+    exchanges — degree count -> alive-node rows, then two alive+edge
+    union folds that drop edges whose u / v endpoint died (both judged
+    against the SAME pre-round alive snapshot, the textbook peel step).
+    The driver sees one edge-count scalar per round; rounds stop at the
+    edge-set fixpoint. Raises if max_rounds doesn't converge — the
+    loop-unrolled SQL oracle replays exactly max_rounds peel steps, so
+    convergence inside that budget is part of the operator's contract."""
+    ue = (edges_raw.map_batches(_uedge_batch, batch_format="pyarrow")
+          .groupby("gk").map_groups(_uedge_distinct, batch_format="pyarrow"))
+    sym = ue.map_batches(_kc_sym, batch_format="pyarrow").materialize()
+    m = sym.count()
+    for _r in range(max_rounds):
+        alive = sym.groupby("gk").map_groups(
+            _kc_alive(k), batch_format="pyarrow")
+        half = alive.union(sym).groupby("gk").map_groups(
+            _kc_keep, batch_format="pyarrow")
+        sym = (alive.union(half).groupby("gk").map_groups(
+            _kc_keep, batch_format="pyarrow").materialize())
+        m2 = sym.count()
+        if m2 == m:
+            break
+        m = m2
+    else:
+        raise RuntimeError(
+            f"k-core peeling did not converge in {max_rounds} rounds")
+
+    def deg(g: pa.Table) -> pa.Table:
+        tag = g["tag"].to_numpy(zero_copy_only=False)
+        u = np.asarray(g["u"].to_pylist(), dtype=object)[tag == 0]
+        uu, cnt = np.unique(u, return_counts=True)
+        return pa.table({
+            "module": pa.array(uu.tolist(), pa.string()),
+            "core_degree": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    deg.__name__ = "kc_degrees"
+    return sym.groupby("gk").map_groups(deg, batch_format="pyarrow")
+
+
+def module_kcore(sf_dir: str, k: int = KCORE_K) -> rd.Dataset:
+    """k-core of the planted import graph (undirected): the densely
+    interconnected module cluster a refactoring tool would flag."""
+    return kcore_members(_import_edges(sf_dir), k)

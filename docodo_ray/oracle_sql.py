@@ -684,6 +684,40 @@ s0 AS (
 SELECT module, CAST(score AS BIGINT) AS score_e6 FROM {prev}
 """
 
+    # k-core (codegraph.module_kcore): loop-unrolled peeling — alive_i =
+    # nodes whose degree within the alive_{i-1}-induced subgraph is >= K;
+    # the engine raises unless it converges within KCORE_MAX_ROUNDS, so
+    # replaying exactly that many peel steps is exact (extra rounds past
+    # the fixpoint are no-ops)
+    from docodo_ray.codegraph import KCORE_K, KCORE_MAX_ROUNDS
+
+    kc_rounds = []
+    prev_alive = "alive0"
+    for i in range(1, KCORE_MAX_ROUNDS + 1):
+        kc_rounds.append(f""",
+alive{i} AS MATERIALIZED (
+  SELECT s.su AS module FROM sym s
+  JOIN {prev_alive} x ON s.su = x.module
+  JOIN {prev_alive} y ON s.sv = y.module
+  GROUP BY s.su HAVING count(*) >= {KCORE_K}
+)""")
+        prev_alive = f"alive{i}"
+    sql["module_kcore"] = graph_pro + f""",
+ue0 AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+sym AS MATERIALIZED (
+  SELECT a AS su, b AS sv FROM ue0 UNION ALL SELECT b, a FROM ue0),
+alive0 AS MATERIALIZED (
+  SELECT DISTINCT su AS module FROM sym){"".join(kc_rounds)}
+SELECT s.su AS module, CAST(count(*) AS BIGINT) AS core_degree
+FROM sym s
+JOIN {prev_alive} x ON s.su = x.module
+JOIN {prev_alive} y ON s.sv = y.module
+GROUP BY s.su
+"""
+
     # triangle counting (codegraph.module_triangles): the engine's
     # degree-ordered orientation changes only WHERE each triangle is
     # found, not the triangle set, so the oracle is the canonical x<y<z

@@ -289,3 +289,35 @@ def test_import_depth_crafted_bfs():
     got = dict(zip(out["module"].to_pylist(), out["depth"].to_pylist()))
     assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 1, "f": 2,
                    "g": 2, "h": 3, "x": -1, "y": -1}
+
+
+def test_kcore_peels_tail_and_keeps_clique(ray_session):
+    """K4 + a chain hanging off it: the chain (and the pendant that
+    briefly had degree 2) peels away over MULTIPLE rounds; the 3-core is
+    exactly the K4 with degree 3 everywhere. Direction/self-loops must
+    not matter."""
+    import numpy as np
+    import ray.data as rd
+
+    from docodo_ray.codegraph import _pr_rows, kcore_members
+
+    nodes = ["A", "B", "C", "D"]
+    src, dst = [], []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            src.append(nodes[i])
+            dst.append(nodes[j])
+    # chain D-E-F-G: E has degree 2 until F peels, so convergence needs
+    # cascading rounds; self-loop on A must be ignored
+    src += ["D", "E", "F", "A"]
+    dst += ["E", "F", "G", "A"]
+    edges = _pr_rows(src, dst=dst, w=np.ones(len(src), np.int64))
+    got = {r["module"]: r["core_degree"]
+           for r in kcore_members(rd.from_arrow(edges), k=3).take_all()}
+    assert got == {"A": 3, "B": 3, "C": 3, "D": 3}
+    got2 = {r["module"]: r["core_degree"]
+            for r in kcore_members(rd.from_arrow(edges), k=2).take_all()}
+    # 2-core: the chain's open end G (deg 1) and then F peel; E keeps...
+    # E ends with only D? E-D and E-F edges -> F dies (F-G gone, F-E deg1)
+    # -> E left with deg 1 -> dies too. 2-core = K4.
+    assert got2 == {"A": 3, "B": 3, "C": 3, "D": 3}
