@@ -361,8 +361,11 @@ def cmd_sql(args) -> int:
     """Run a restricted-SQL statement over the parquet tables in
     --data-dir as a distributed Ray Data pipeline (sqlfront grammar)."""
     _ensure_ray()
-    from docodo_ray.sqlfront import run_sql
+    from docodo_ray.sqlfront import explain_sql, run_sql
 
+    if args.explain:
+        print(explain_sql(args.data_dir, args.statement))
+        return 0
     ds = run_sql(args.data_dir, args.statement)
     if args.out:
         # stream straight to partitioned parquet — results never collect
@@ -389,6 +392,9 @@ def make_parser() -> argparse.ArgumentParser:
     sq.add_argument("--data-dir", required=True,
                     help="directory holding <table>.parquet files")
     sq.add_argument("--csv", action="store_true", help="CSV output")
+    sq.add_argument("--explain", action="store_true",
+                    help="print the plan (pushdowns, join strategy, "
+                    "exchanges) instead of executing")
     sq.add_argument("--out", default=None,
                     help="write the result as partitioned parquet to this "
                     "directory instead of printing")

@@ -381,7 +381,8 @@ def _table_of(name: str, t1: str, t2: str) -> str:
     return tab
 
 
-def _join_rows(sf_dir: str, q: dict, need: set) -> rd.Dataset:
+def _join_rows(sf_dir: str, q: dict, need: set,
+               plan: list | None = None) -> rd.Dataset:
     """INNER equi-join of q['table'] x q['join']['table'].
 
     Planner: if either side's parquet footer reports <= SQL_BROADCAST_ROWS
@@ -444,6 +445,7 @@ def _join_rows(sf_dir: str, q: dict, need: set) -> rd.Dataset:
         return _to_pads(_strip_tree(node))
 
     # --- planner: broadcast the small side instead of shuffling both -----
+    plan = plan if plan is not None else []
     nrows = {t: pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata.num_rows
              for t in (t1, t2)}
     if min(nrows.values()) <= SQL_BROADCAST_ROWS:
@@ -488,6 +490,11 @@ def _join_rows(sf_dir: str, q: dict, need: set) -> rd.Dataset:
         bf = _side_filter(big)
         if bf is not None:
             read_kw["filter"] = bf
+        plan.append(
+            f"join strategy=BROADCAST small={small} ({nrows[small]} rows "
+            f"<= {SQL_BROADCAST_ROWS}) probe={big}; scan {big}: "
+            f"columns={read_kw['columns']}"
+            + (" pushdown=[yes]" if "filter" in read_kw else ""))
         return rd.read_parquet(f"{sf_dir}/{big}.parquet", **read_kw
                                ).map_batches(probe, batch_format="pyarrow")
 
@@ -553,6 +560,10 @@ def _join_rows(sf_dir: str, q: dict, need: set) -> rd.Dataset:
         return pa.table(out)
 
     fold.__name__ = "sql_join_fold"
+    plan.append(
+        f"join strategy=HASH-EXCHANGE {t1} ({nrows[t1]} rows) x {t2} "
+        f"({nrows[t2]} rows) key={_strip(lk)}: 1 all-to-all on "
+        f"coarse(jk), per-group MxN fold")
     return (_lift(t1, 0).union(_lift(t2, 1))
             .groupby("_ck").map_groups(fold, batch_format="pyarrow"))
 
@@ -569,7 +580,18 @@ def _strip_tree(node):
     return (tag, node[1], _strip(node[2]), node[3])
 
 
-def run_sql(sf_dir: str, sql: str) -> rd.Dataset:
+def explain_sql(sf_dir: str, sql: str) -> str:
+    """Plan description (no data execution beyond footer/metadata reads
+    and, for a broadcast join, the small-side load): which predicates
+    pushed into which scan, the join strategy chosen, and the exchange
+    structure. The CLI exposes this as `sql --explain`."""
+    plan: list[str] = []
+    run_sql(sf_dir, sql, _plan=plan)
+    return "\n".join(plan)
+
+
+def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
+    plan = _plan if _plan is not None else []
     q = _Parser(sql).parse()
     aggs = [i for i in q["items"] if i[0] == "agg"]
     plain = [i[1] for i in q["items"] if i[0] == "col"]
@@ -584,7 +606,7 @@ def run_sql(sf_dir: str, sql: str) -> rd.Dataset:
     if q["join"] is not None:
         need = (set(plain) | set(group) | {a[2] for a in aggs if a[2]}
                 | (_pred_cols(q["where"], set()) if q["where"] else set()))
-        joined = _join_rows(sf_dir, q, need - set())
+        joined = _join_rows(sf_dir, q, need - set(), plan)
         # downstream (aggregates / projection / HAVING / ORDER) sees the
         # joined rows under unqualified names
         plain = [_strip(c) for c in plain]
@@ -593,7 +615,7 @@ def run_sql(sf_dir: str, sql: str) -> rd.Dataset:
         q = dict(q, where=None, group=group,
                  items=[("col", c) for c in plain]
                  + [("agg", f, c, n) for _k, f, c, n in aggs])
-        return _run_over(joined, q, aggs, plain, group)
+        return _run_over(joined, q, aggs, plain, group, plan)
 
     need = set(plain) | set(group) | {a[2] for a in aggs if a[2]}
     cols = sorted(need) or [None]
@@ -612,13 +634,20 @@ def run_sql(sf_dir: str, sql: str) -> rd.Dataset:
         first = pq.read_schema(f"{sf_dir}/{q['table']}.parquet").names[0]
         read_kw["columns"] = [first]
     ds = rd.read_parquet(f"{sf_dir}/{q['table']}.parquet", **read_kw)
-    return _run_over(ds, q, aggs, plain, group)
+    plan.append(f"scan {q['table']}: columns={read_kw['columns']}"
+                + (f" pushdown=[{read_kw['filter']}]"
+                   if "filter" in read_kw else " (no filter)"))
+    return _run_over(ds, q, aggs, plain, group, plan)
 
 
-def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group) -> rd.Dataset:
+def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
+              plan: list | None = None) -> rd.Dataset:
     """Projection / grouped-aggregate / HAVING / ORDER-LIMIT tail shared by
     the single-table and JOIN paths (input: a Dataset of plain rows)."""
+    plan = plan if plan is not None else []
     if not aggs:  # pure filter + projection
+        plan.append(f"project {plain} (streamed, no exchange)")
+
         def project(t: pa.Table) -> pa.Table:
             return t.select(plain)
 
@@ -798,6 +827,11 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group) -> rd.Dataset:
         return pa.table(_fold_rows(g, emit_key=False))
 
     fold.__name__ = "sql_fold"
+    plan.append(
+        f"aggregate group_by={group or 'GLOBAL'} "
+        f"aggs={[(a[1], a[2]) for a in aggs]}: map-side partials + "
+        + ("2 exchanges (distinct-carrier dedup, group merge)"
+           if cd_cols else "1 exchange (group fold)"))
     ds = ds.map_batches(partial, batch_format="pyarrow")
     if cd_cols:
         ds = ds.groupby("_gk").map_groups(fold1, batch_format="pyarrow")
@@ -810,6 +844,11 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group) -> rd.Dataset:
 
         have.__name__ = "sql_having"
         ds = ds.map_batches(have, batch_format="pyarrow")
+        plan.append("having: vectorized filter over folded rows")
+    if q["order"]:
+        plan.append(f"order_by={q['order']}"
+                    + (f" limit={q['limit']} (distributed top-k)"
+                       if q["limit"] is not None else " (distributed sort)"))
     return _order_limit(ds, q)
 
 

@@ -193,3 +193,23 @@ def test_count_distinct_cross_batch(ray_session, tmp_path):
                   "max(v) AS m FROM t GROUP BY k").to_pandas()
     got = {r.k: (r.d, r.n, r.m) for r in out.itertuples()}
     assert got == {"a": (2, 3, 2), "b": (1, 3, 7)}
+
+
+def test_explain_reports_planner_choices(ray_session, tmp_path,
+                                         monkeypatch):
+    import docodo_ray.sqlfront as sf
+    from docodo_ray.sqlfront import explain_sql
+
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64()),
+                             "lv": pa.array([1, 2], pa.int64())}),
+                   str(tmp_path / "l.parquet"))
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64()),
+                             "rv": pa.array([9], pa.int64())}),
+                   str(tmp_path / "r.parquet"))
+    stmt = "SELECT l.lv, r.rv FROM l JOIN r ON l.k = r.k"
+    assert "strategy=BROADCAST" in explain_sql(str(tmp_path), stmt)
+    monkeypatch.setattr(sf, "SQL_BROADCAST_ROWS", 0)
+    assert "strategy=HASH-EXCHANGE" in explain_sql(str(tmp_path), stmt)
+    plain = explain_sql(
+        str(tmp_path), "SELECT lv FROM l WHERE k = 1")
+    assert "pushdown" in plain and "no exchange" in plain
