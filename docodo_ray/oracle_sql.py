@@ -2603,7 +2603,8 @@ FROM {PROFILE_TABLE}"""
     # statement the engine parses and executes — structural self-check of
     # the whole supported construct set
     from docodo_ray.sqlfront import (DEMO_FILTER, DEMO_GLOBAL, DEMO_GROUPBY,
-                                     DEMO_COUNTD, DEMO_JOIN, DEMO_TOPK)
+                                     DEMO_COUNTD, DEMO_INSUB, DEMO_JOIN,
+                                     DEMO_TOPK)
 
     sql["sql_orders_groupby"] = DEMO_GROUPBY
     sql["sql_events_filter"] = DEMO_FILTER
@@ -2611,6 +2612,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_topk_having"] = DEMO_TOPK
     sql["sql_join_agg"] = DEMO_JOIN
     sql["sql_count_distinct"] = DEMO_COUNTD
+    sql["sql_in_subquery"] = DEMO_INSUB
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

@@ -124,7 +124,7 @@ class _Parser:
         return v
 
     # --- select list ------------------------------------------------------
-    def parse(self) -> dict:
+    def parse(self, stop_at_paren: bool = False) -> dict:
         self.expect("kw", "select")
         items = [self._item()]
         while self.peek() == ("op", ","):
@@ -172,7 +172,10 @@ class _Parser:
             if k != "num" or not isinstance(v, int):
                 raise SqlError(f"LIMIT needs an integer, got {v!r}")
             limit = v
-        if self.peek()[0] != "end":
+        if stop_at_paren:
+            if self.peek() != ("op", ")"):
+                raise SqlError(f"bad subquery end at {self.peek()!r}")
+        elif self.peek()[0] != "end":
             raise SqlError(f"trailing tokens at {self.peek()!r}")
         return {"items": items, "table": table, "join": join,
                 "where": where, "group": group, "having": having,
@@ -267,6 +270,10 @@ class _Parser:
         k, v = self.next()
         if (k, v) == ("kw", "in"):
             self.expect("op", "(")
+            if self.peek() == ("kw", "select"):
+                sub = self.parse(stop_at_paren=True)
+                self.expect("op", ")")
+                return ("insub", col, sub)
             lits = [self._literal()]
             while self.peek() == ("op", ","):
                 self.next()
@@ -295,7 +302,7 @@ def _pred_cols(node, acc: set):
         _pred_cols(node[1], acc)
     elif tag == "cmp":
         acc.add(node[2])
-    elif tag == "in":
+    elif tag in ("in", "insub"):
         acc.add(node[1])
     return acc
 
@@ -580,6 +587,39 @@ def _strip_tree(node):
     return (tag, node[1], _strip(node[2]), node[3])
 
 
+def _resolve_subqueries(sf_dir: str, node, plan: list):
+    """Rewrite ('insub', col, subquery) -> ('in', col, values): the
+    inner single-column SELECT runs as its own pushdown pipeline and its
+    result set broadcasts into the outer scan's filter — a broadcast
+    semi-join. Bounded: more than SQL_BROADCAST_ROWS distinct values is a
+    loud error (rewrite as a JOIN)."""
+    if node is None:
+        return None
+    tag = node[0]
+    if tag in ("and", "or"):
+        return (tag, _resolve_subqueries(sf_dir, node[1], plan),
+                _resolve_subqueries(sf_dir, node[2], plan))
+    if tag == "not":
+        return (tag, _resolve_subqueries(sf_dir, node[1], plan))
+    if tag != "insub":
+        return node
+    col, sub = node[1], node[2]
+    sub_plan: list = []
+    ds = _run_parsed(sf_dir, sub, sub_plan)
+    vals = ds.to_pandas()
+    if vals.shape[1] != 1:
+        raise SqlError("IN (SELECT ...) needs a single-column subquery")
+    if len(vals) > SQL_BROADCAST_ROWS:
+        raise SqlError(
+            f"IN subquery returned {len(vals)} rows > broadcast cap "
+            f"{SQL_BROADCAST_ROWS} — rewrite as a JOIN")
+    lits = sorted(set(vals.iloc[:, 0].tolist()))
+    plan.append(f"semi-join: {col} IN subquery ({len(lits)} distinct "
+                f"values broadcast into the scan filter); inner plan: "
+                + " | ".join(sub_plan))
+    return ("in", col, lits)
+
+
 def explain_sql(sf_dir: str, sql: str) -> str:
     """Plan description (no data execution beyond footer/metadata reads
     and, for a broadcast join, the small-side load): which predicates
@@ -593,6 +633,11 @@ def explain_sql(sf_dir: str, sql: str) -> str:
 def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
     plan = _plan if _plan is not None else []
     q = _Parser(sql).parse()
+    return _run_parsed(sf_dir, q, plan)
+
+
+def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
+    q = dict(q, where=_resolve_subqueries(sf_dir, q["where"], plan))
     aggs = [i for i in q["items"] if i[0] == "agg"]
     plain = [i[1] for i in q["items"] if i[0] == "col"]
     group = q["group"]
@@ -878,3 +923,6 @@ DEMO_JOIN = (
 DEMO_COUNTD = (
     "SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, "
     "count(*) AS n_items FROM lineitem GROUP BY l_suppkey")
+DEMO_INSUB = (
+    "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
+    "(SELECT c_custkey FROM customer WHERE c_nationkey < 5)")

@@ -213,3 +213,23 @@ def test_explain_reports_planner_choices(ray_session, tmp_path,
     plain = explain_sql(
         str(tmp_path), "SELECT lv FROM l WHERE k = 1")
     assert "pushdown" in plain and "no exchange" in plain
+
+
+def test_in_subquery_semi_join(ray_session, tmp_path):
+    pq.write_table(pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                             "v": pa.array([10, 20, 30, 40], pa.int64())}),
+                   str(tmp_path / "l.parquet"))
+    pq.write_table(pa.table({"k": pa.array([2, 4, 9], pa.int64())}),
+                   str(tmp_path / "r.parquet"))
+    out = run_sql(str(tmp_path),
+                  "SELECT v FROM l WHERE k IN (SELECT k FROM r)"
+                  ).to_pandas()
+    assert sorted(out["v"].tolist()) == [20, 40]
+    # NOT IN: negation of the broadcast set
+    out2 = run_sql(str(tmp_path),
+                   "SELECT v FROM l WHERE NOT k IN (SELECT k FROM r)"
+                   ).to_pandas()
+    assert sorted(out2["v"].tolist()) == [10, 30]
+    with pytest.raises(SqlError, match="single-column"):
+        run_sql(str(tmp_path),
+                "SELECT v FROM l WHERE k IN (SELECT k, v FROM l)").count()
