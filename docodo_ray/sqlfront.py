@@ -24,10 +24,17 @@ Grammar (deliberately small, errors are loud)::
       [HAVING disjunction over aliases]
       [ORDER BY col [ASC|DESC] (, ...)*]  [LIMIT k]
     item  := col | COUNT(*) AS name
+           | COUNT(DISTINCT col) AS name         -- int64 columns only
            | (SUM|MIN|MAX)(col) AS name          -- int64 columns only
            | CAST(agg AS BIGINT) AS name         -- pins DuckDB SUM width
     pred  := col (=|!=|<>|<|<=|>|>=) literal
            | col IN (lit, ...) | NOT pred | (disjunction)
+           | col IN (SELECT ...)                 -- broadcast semi-join,
+                                                 -- capped result set
+
+    ``explain_sql`` (CLI ``sql --explain``) prints the chosen plan:
+    per-scan pushdowns, broadcast-vs-exchange join strategy, exchange
+    count per aggregate, semi-join broadcasts.
     literal := 123 | 1.5 | 'text'
 
     LIMIT demands an ORDER BY (and a hash-stable result demands a TOTAL
