@@ -80,7 +80,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
              "not", "in", "count", "sum", "min", "max", "cast", "bigint",
              "having", "order", "limit", "asc", "desc", "join", "on",
-             "distinct"}
+             "distinct", "between", "union", "all"}
 
 
 class SqlError(ValueError):
@@ -131,7 +131,8 @@ class _Parser:
         return v
 
     # --- select list ------------------------------------------------------
-    def parse(self, stop_at_paren: bool = False) -> dict:
+    def parse(self, stop_at_paren: bool = False,
+              stop_at_union: bool = False) -> dict:
         self.expect("kw", "select")
         items = [self._item()]
         while self.peek() == ("op", ","):
@@ -182,6 +183,9 @@ class _Parser:
         if stop_at_paren:
             if self.peek() != ("op", ")"):
                 raise SqlError(f"bad subquery end at {self.peek()!r}")
+        elif stop_at_union:
+            if self.peek()[0] != "end" and self.peek() != ("kw", "union"):
+                raise SqlError(f"trailing tokens at {self.peek()!r}")
         elif self.peek()[0] != "end":
             raise SqlError(f"trailing tokens at {self.peek()!r}")
         return {"items": items, "table": table, "join": join,
@@ -287,6 +291,11 @@ class _Parser:
                 lits.append(self._literal())
             self.expect("op", ")")
             return ("in", col, lits)
+        if (k, v) == ("kw", "between"):
+            lo = self._literal()
+            self.expect("kw", "and")
+            hi = self._literal()
+            return ("and", ("cmp", ">=", col, lo), ("cmp", "<=", col, hi))
         if k == "op" and v in ("=", "!=", "<>", "<", "<=", ">", ">="):
             return ("cmp", v, col, self._literal())
         raise SqlError(f"bad predicate after {col!r}: {v!r}")
@@ -639,8 +648,34 @@ def explain_sql(sf_dir: str, sql: str) -> str:
 
 def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
     plan = _plan if _plan is not None else []
-    q = _Parser(sql).parse()
-    return _run_parsed(sf_dir, q, plan)
+    parser = _Parser(sql)
+    q = parser.parse(stop_at_union=True)
+    branches = [q]
+    while parser.peek() == ("kw", "union"):
+        parser.next()
+        parser.expect("kw", "all")
+        branches.append(parser.parse(stop_at_union=True))
+    if parser.peek()[0] != "end":
+        raise SqlError(f"trailing tokens at {parser.peek()!r}")
+    if len(branches) == 1:
+        return _run_parsed(sf_dir, q, plan)
+    # UNION ALL: each branch plans independently; Ray union concatenates
+    # streams (no exchange). Branch output names must agree.
+    names = [tuple(i[3] if i[0] == "agg" else _strip(i[1])
+                   for i in b["items"]) for b in branches]
+    if len(set(names)) != 1:
+        raise SqlError(f"UNION ALL branches select different columns: "
+                       f"{names}")
+    for b in branches:
+        if b["order"] or b["limit"] is not None:
+            raise SqlError("ORDER BY / LIMIT inside a UNION ALL branch "
+                           "is unsupported")
+    plan.append(f"union_all: {len(branches)} branches concatenated "
+                "(streamed, no exchange)")
+    out = _run_parsed(sf_dir, branches[0], plan)
+    for b in branches[1:]:
+        out = out.union(_run_parsed(sf_dir, b, plan))
+    return out
 
 
 def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
@@ -933,3 +968,9 @@ DEMO_COUNTD = (
 DEMO_INSUB = (
     "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
     "(SELECT c_custkey FROM customer WHERE c_nationkey < 5)")
+DEMO_UNION = (
+    "SELECT user_id, count(*) AS n FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id "
+    "UNION ALL "
+    "SELECT user_id, count(*) AS n FROM events "
+    "WHERE event_type = 'click' GROUP BY user_id")

@@ -233,3 +233,19 @@ def test_in_subquery_semi_join(ray_session, tmp_path):
     with pytest.raises(SqlError, match="single-column"):
         run_sql(str(tmp_path),
                 "SELECT v FROM l WHERE k IN (SELECT k, v FROM l)").count()
+
+
+def test_between_and_union_all(ray_session, tmp_path):
+    pq.write_table(pa.table({"k": pa.array([1, 5, 9], pa.int64()),
+                             "v": pa.array([10, 50, 90], pa.int64())}),
+                   str(tmp_path / "t.parquet"))
+    out = run_sql(str(tmp_path),
+                  "SELECT v FROM t WHERE k BETWEEN 2 AND 8").to_pandas()
+    assert out["v"].tolist() == [50]
+    u = run_sql(str(tmp_path),
+                "SELECT v FROM t WHERE k = 1 "
+                "UNION ALL SELECT v FROM t WHERE k = 9").to_pandas()
+    assert sorted(u["v"].tolist()) == [10, 90]
+    with pytest.raises(SqlError, match="different columns"):
+        run_sql(str(tmp_path),
+                "SELECT v FROM t UNION ALL SELECT k FROM t").count()
