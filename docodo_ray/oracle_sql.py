@@ -2604,7 +2604,7 @@ FROM {PROFILE_TABLE}"""
     # the whole supported construct set
     from docodo_ray.sqlfront import (DEMO_FILTER, DEMO_GLOBAL, DEMO_GROUPBY,
                                      DEMO_COUNTD, DEMO_INSUB, DEMO_JOIN,
-                                     DEMO_TOPK, DEMO_UNION)
+                                     DEMO_LEFTJOIN, DEMO_TOPK, DEMO_UNION)
 
     sql["sql_orders_groupby"] = DEMO_GROUPBY
     sql["sql_events_filter"] = DEMO_FILTER
@@ -2614,6 +2614,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_count_distinct"] = DEMO_COUNTD
     sql["sql_in_subquery"] = DEMO_INSUB
     sql["sql_union_all"] = DEMO_UNION
+    sql["sql_left_join"] = DEMO_LEFTJOIN
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

@@ -17,25 +17,28 @@ as a Ray Data pipeline — the thin end of a pushdown query engine:
 Grammar (deliberately small, errors are loud)::
 
     SELECT item (, item)*  FROM table
-      [JOIN table2 ON t1.col = t2.col]           -- INNER equi-join,
-                                                 -- integer keys, columns
+      [[LEFT [OUTER]] JOIN table2 ON t1.col = t2.col]
+                                                 -- equi-join, integer
+                                                 -- keys, columns
                                                  -- qualified table.col
       [WHERE disjunction]  [GROUP BY col (, col)*]
       [HAVING disjunction over aliases]
       [ORDER BY col [ASC|DESC] (, ...)*]  [LIMIT k]
+      [UNION ALL select]*
     item  := col | COUNT(*) AS name
            | COUNT(DISTINCT col) AS name         -- int64 columns only
            | (SUM|MIN|MAX)(col) AS name          -- int64 columns only
            | CAST(agg AS BIGINT) AS name         -- pins DuckDB SUM width
     pred  := col (=|!=|<>|<|<=|>|>=) literal
            | col IN (lit, ...) | NOT pred | (disjunction)
+           | col BETWEEN lit AND lit
            | col IN (SELECT ...)                 -- broadcast semi-join,
                                                  -- capped result set
+    literal := 123 | 1.5 | 'text'
 
     ``explain_sql`` (CLI ``sql --explain``) prints the chosen plan:
     per-scan pushdowns, broadcast-vs-exchange join strategy, exchange
     count per aggregate, semi-join broadcasts.
-    literal := 123 | 1.5 | 'text'
 
     LIMIT demands an ORDER BY (and a hash-stable result demands a TOTAL
     order — include a unique column in the sort key). HAVING evaluates
@@ -80,7 +83,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
              "not", "in", "count", "sum", "min", "max", "cast", "bigint",
              "having", "order", "limit", "asc", "desc", "join", "on",
-             "distinct", "between", "union", "all"}
+             "distinct", "between", "union", "all", "left", "outer"}
 
 
 class SqlError(ValueError):
@@ -141,6 +144,12 @@ class _Parser:
         self.expect("kw", "from")
         table = self.expect("ident")
         join = None
+        kind = "inner"
+        if self.peek() == ("kw", "left"):
+            self.next()
+            if self.peek() == ("kw", "outer"):
+                self.next()
+            kind = "left"
         if self.peek() == ("kw", "join"):
             self.next()
             t2 = self.expect("ident")
@@ -148,7 +157,9 @@ class _Parser:
             lk = self._qual_ident()
             self.expect("op", "=")
             rk = self._qual_ident()
-            join = {"table": t2, "on": (lk, rk)}
+            join = {"table": t2, "on": (lk, rk), "kind": kind}
+        elif kind == "left":
+            raise SqlError("LEFT without JOIN")
         where = None
         if self.peek() == ("kw", "where"):
             self.next()
@@ -420,6 +431,7 @@ def _join_rows(sf_dir: str, q: dict, need: set,
     import pyarrow.parquet as pq
 
     t1, t2 = q["table"], q["join"]["table"]
+    kind = q["join"].get("kind", "inner")
     lk, rk = q["join"]["on"]
     if _table_of(lk, t1, t2) == t2:
         lk, rk = rk, lk
@@ -434,7 +446,15 @@ def _join_rows(sf_dir: str, q: dict, need: set,
             if len(tabs) != 1:
                 raise SqlError(
                     "JOIN WHERE conjuncts must each reference one table")
-            filters[tabs.pop()].append(conj)
+            tab = tabs.pop()
+            if kind == "left" and tab == t2:
+                # pushing a right-side WHERE into the scan would be
+                # ON-clause semantics; SQL WHERE filters AFTER the join
+                # and kills the NULL rows — refuse rather than diverge
+                raise SqlError(
+                    "WHERE on the right side of a LEFT JOIN is "
+                    "unsupported (it differs from pushing into the scan)")
+            filters[tab].append(conj)
 
     need = set(need) | {lk, rk}
     out_cols: dict[str, str] = {}  # unqualified -> table
@@ -471,11 +491,16 @@ def _join_rows(sf_dir: str, q: dict, need: set,
     plan = plan if plan is not None else []
     nrows = {t: pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata.num_rows
              for t in (t1, t2)}
-    if min(nrows.values()) <= SQL_BROADCAST_ROWS:
+    bcast_ok = (nrows[t2] <= SQL_BROADCAST_ROWS if kind == "left"
+                else min(nrows.values()) <= SQL_BROADCAST_ROWS)
+    if bcast_ok:
         import ray
 
-        small = t1 if nrows[t1] <= nrows[t2] else t2
-        big = t2 if small == t1 else t1
+        if kind == "left":
+            small, big = t2, t1  # unmatched LEFT rows must stream through
+        else:
+            small = t1 if nrows[t1] <= nrows[t2] else t2
+            big = t2 if small == t1 else t1
         skey, bkey = key_by_table[small], key_by_table[big]
         small_mine = [b for b in order_cols if out_cols[b] == small]
         stbl = pads.dataset(f"{sf_dir}/{small}.parquet").to_table(
@@ -502,10 +527,21 @@ def _join_rows(sf_dir: str, q: dict, need: set,
             small_idx = np.repeat(lo, cnt) + r
             bi = pa.array(big_idx, pa.int64())
             si = pa.array(small_idx, pa.int64())
-            return pa.table({
+            out = pa.table({
                 b: (t[b].combine_chunks().take(bi) if out_cols[b] == big
                     else s_tbl[b].combine_chunks().take(si))
                 for b in order_cols})
+            if kind == "left":
+                lone = np.flatnonzero(cnt == 0)
+                if lone.size:
+                    li = pa.array(lone, pa.int64())
+                    lonely = pa.table({
+                        b: (t[b].combine_chunks().take(li)
+                            if out_cols[b] == big
+                            else pa.nulls(lone.size, types[b]))
+                        for b in order_cols})
+                    out = pa.concat_tables([out, lonely])
+            return out
 
         probe.__name__ = f"sql_bcast_probe_{big}"
         read_kw = {"columns": sorted(
@@ -577,10 +613,22 @@ def _join_rows(sf_dir: str, q: dict, need: set,
                           + r % np.repeat(b_v, total)]
         out = {}
         for base in order_cols:
-            src = left if out_cols[base] == t1 else right
+            idx = left if out_cols[base] == t1 else right
             out[base] = g[base].combine_chunks().take(
-                pa.array(src, pa.int64()))
-        return pa.table(out)
+                pa.array(idx, pa.int64()))
+        res = pa.table(out)
+        if kind == "left":
+            lonely = (a > 0) & (b == 0)
+            l0 = order[(s_s == 0) & lonely[key_id]]
+            if l0.size:
+                li = pa.array(l0, pa.int64())
+                lt = pa.table({
+                    base: (g[base].combine_chunks().take(li)
+                           if out_cols[base] == t1
+                           else pa.nulls(l0.size, types[base]))
+                    for base in order_cols})
+                res = pa.concat_tables([res, lt])
+        return res
 
     fold.__name__ = "sql_join_fold"
     plan.append(
@@ -691,6 +739,13 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
         raise SqlError("mixing bare columns with aggregates needs GROUP BY")
 
     if q["join"] is not None:
+        if q["join"].get("kind") == "left":
+            for _k, _f, c, _n in aggs:
+                if c and _table_of(c, q["table"],
+                                   q["join"]["table"]) == q["join"]["table"]:
+                    raise SqlError(
+                        "aggregating a nullable right-side column of a "
+                        "LEFT JOIN is unsupported (COUNT(*) is fine)")
         need = (set(plain) | set(group) | {a[2] for a in aggs if a[2]}
                 | (_pred_cols(q["where"], set()) if q["where"] else set()))
         joined = _join_rows(sf_dir, q, need - set(), plan)
@@ -974,3 +1029,7 @@ DEMO_UNION = (
     "UNION ALL "
     "SELECT user_id, count(*) AS n FROM events "
     "WHERE event_type = 'click' GROUP BY user_id")
+DEMO_LEFTJOIN = (
+    "SELECT nation.n_nationkey, count(*) AS n FROM nation "
+    "LEFT JOIN supplier ON nation.n_nationkey = supplier.s_nationkey "
+    "GROUP BY nation.n_nationkey")

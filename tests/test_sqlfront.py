@@ -3,6 +3,7 @@
 test_driver_contract.py — their oracles are the statements themselves.)"""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -249,3 +250,30 @@ def test_between_and_union_all(ray_session, tmp_path):
     with pytest.raises(SqlError, match="different columns"):
         run_sql(str(tmp_path),
                 "SELECT v FROM t UNION ALL SELECT k FROM t").count()
+
+
+def test_left_join_both_paths(ray_session, tmp_path, monkeypatch):
+    """Unmatched left rows survive with NULL right columns in BOTH the
+    broadcast and exchange plans; WHERE on the right side and aggregates
+    over nullable right columns are rejected loudly."""
+    import docodo_ray.sqlfront as sf
+
+    pq.write_table(pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                             "lv": pa.array([10, 20, 30], pa.int64())}),
+                   str(tmp_path / "l.parquet"))
+    pq.write_table(pa.table({"k": pa.array([1, 1], pa.int64()),
+                             "rv": pa.array([7, 8], pa.int64())}),
+                   str(tmp_path / "r.parquet"))
+    stmt = ("SELECT l.lv, r.rv FROM l LEFT JOIN r ON l.k = r.k")
+    for cap in (200_000, 0):
+        monkeypatch.setattr(sf, "SQL_BROADCAST_ROWS", cap)
+        out = run_sql(str(tmp_path), stmt).to_pandas()
+        got = sorted((int(r.lv), None if pd.isna(r.rv) else int(r.rv))
+                     for r in out.itertuples())
+        assert got == [(10, 7), (10, 8), (20, None), (30, None)]
+    with pytest.raises(SqlError, match="right side of a LEFT JOIN"):
+        run_sql(str(tmp_path), stmt + " WHERE r.rv = 7").count()
+    with pytest.raises(SqlError, match="nullable right-side"):
+        run_sql(str(tmp_path),
+                "SELECT l.k, sum(r.rv) AS s FROM l LEFT JOIN r "
+                "ON l.k = r.k GROUP BY l.k").count()
