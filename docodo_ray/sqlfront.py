@@ -821,10 +821,25 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
         Single-key batches take the vectorized np.unique path."""
         if not group:
             return np.array([()], dtype=object), np.zeros(n, np.int64)
+
+        def _tuples(rows: list) -> np.ndarray:
+            out = np.empty(len(rows), dtype=object)
+            for i, r in enumerate(rows):
+                out[i] = r
+            return out
+
+        all_int = all(pa.types.is_integer(t.schema.field(g).type)
+                      for g in group)
+        if all_int:
+            # fully vectorized: only the UNIQUE keys become Python tuples
+            mat = np.stack([t[g].to_numpy(zero_copy_only=False)
+                            .astype(np.int64) for g in group], axis=1)
+            um, inv = np.unique(mat, axis=0, return_inverse=True)
+            return _tuples([tuple(r) for r in um.tolist()]), inv
         if len(group) == 1:
             k = np.asarray(t[group[0]].to_pylist(), dtype=object)
             u1, inv = np.unique(k, return_inverse=True)
-            return np.array([(v,) for v in u1] + [()], dtype=object)[:-1], inv
+            return _tuples([(v,) for v in u1]), inv
         keys = [np.asarray(t[g].to_pylist(), dtype=object) for g in group]
         packed = np.empty(n, dtype=object)
         for i in range(n):
