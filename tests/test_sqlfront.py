@@ -165,6 +165,7 @@ def test_parser_fuzz_never_crashes():
         "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
         "LIMIT", "JOIN", "ON", "AND", "OR", "NOT", "IN", "AS", "ASC",
         "DESC", "count", "sum", "min", "max", "CAST", "BIGINT", "(", ")",
+        "DISTINCT", "BETWEEN", "UNION", "ALL", "LEFT", "OUTER",
         ",", "*", ".", "=", "<", ">", "<=", ">=", "!=", "<>", "tbl",
         "col", "x", "'s'", "''", "1", "2.5", "9999999999",
     ])
