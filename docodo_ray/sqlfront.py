@@ -40,6 +40,10 @@ Grammar (deliberately small, errors are loud)::
     per-scan pushdowns, broadcast-vs-exchange join strategy, exchange
     count per aggregate, semi-join broadcasts.
 
+    Known quirk: a query with ZERO result rows round-trips through
+    ``Dataset.to_pandas`` without column names (Ray drops the schema of
+    empty datasets) — the schema is still on the Dataset itself.
+
     LIMIT demands an ORDER BY (and a hash-stable result demands a TOTAL
     order — include a unique column in the sort key). HAVING evaluates
     vectorized over the folded aggregate rows; ORDER BY + LIMIT compile
@@ -76,7 +80,7 @@ from docodo_ray.dedup import _coarse_mix
 SQL_BROADCAST_ROWS = 200_000
 
 _TOKEN_RE = re.compile(
-    r"\s*(?:(?P<num>\d+(?:\.\d+)?)|(?P<str>'(?:[^']|'')*')"
+    r"\s*(?:(?P<num>-?\d+(?:\.\d+)?)|(?P<str>'(?:[^']|'')*')"
     r"|(?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\*|\.)"
     r"|(?P<word>[A-Za-z_][A-Za-z_0-9]*))")
 
