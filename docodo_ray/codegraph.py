@@ -1173,53 +1173,63 @@ KCORE_K = 3
 KCORE_MAX_ROUNDS = 24
 
 _KC = pa.schema([("u", pa.string()), ("v", pa.string()),
-                 ("tag", pa.int64()), ("gk", pa.int64())])
+                 ("ok", pa.int64()), ("gk", pa.int64())])
 
 
-def _kc_rows(u, v=None, tag=0) -> pa.Table:
+def _kc_rows(u, v, ok=None) -> pa.Table:
     n = len(u)
     return pa.Table.from_arrays(
         [pa.array(list(u), pa.string()),
-         pa.array(list(v) if v is not None else [""] * n, pa.string()),
-         pa.array(np.full(n, tag, np.int64), pa.int64()),
+         pa.array(list(v), pa.string()),
+         pa.array(ok if ok is not None else np.ones(n, np.int64),
+                  pa.int64()),
          pa.array(np.asarray(_mod_gk(list(u)), np.int64), pa.int64())],
         schema=_KC)
 
 
 def _kc_sym(t: pa.Table) -> pa.Table:
-    """Distinct undirected (a, b) edge rows -> both directions, each
+    """Distinct undirected (a, b) edge rows -> both orientations, each
     keyed by its first endpoint's hash."""
     a = np.asarray(t["a"].to_pylist(), dtype=object)
     b = np.asarray(t["b"].to_pylist(), dtype=object)
-    return _kc_rows(np.concatenate([a, b]), np.concatenate([b, a]), tag=0)
+    return _kc_rows(np.concatenate([a, b]), np.concatenate([b, a]))
 
 
 _kc_sym.__name__ = "_kc_sym"
 
 
-def _kc_alive(k: int):
-    def alive(g: pa.Table) -> pa.Table:
-        tag = g["tag"].to_numpy(zero_copy_only=False)
-        u = np.asarray(g["u"].to_pylist(), dtype=object)[tag == 0]
-        uu, cnt = np.unique(u, return_counts=True)
-        return _kc_rows(uu[cnt >= k], tag=1)
+def _kc_half1(k: int):
+    """Group = all edges incident to each key node (symmetric layout):
+    the node's PRE-round degree is the group's per-node row count, so
+    aliveness is local. Every edge is forwarded (keyed by its OTHER
+    endpoint) carrying this endpoint's aliveness tag."""
+    def half1(g: pa.Table) -> pa.Table:
+        u = np.asarray(g["u"].to_pylist(), dtype=object)
+        v = np.asarray(g["v"].to_pylist(), dtype=object)
+        uu, inv, cnt = np.unique(u, return_inverse=True,
+                                 return_counts=True)
+        alive = (cnt >= k).astype(np.int64)[inv]
+        return _kc_rows(v, u, ok=alive)
 
-    alive.__name__ = "kc_alive"
-    return alive
-
-
-def _kc_keep(g: pa.Table) -> pa.Table:
-    """Keep edge rows whose key endpoint is in this group's alive set;
-    emit them FLIPPED (keyed by the peer) so two passes filter both
-    endpoints against the same alive snapshot."""
-    tag = g["tag"].to_numpy(zero_copy_only=False)
-    u = np.asarray(g["u"].to_pylist(), dtype=object)
-    v = np.asarray(g["v"].to_pylist(), dtype=object)
-    ok = np.isin(u, u[tag == 1]) & (tag == 0)
-    return _kc_rows(v[ok], u[ok], tag=0)
+    half1.__name__ = "kc_half1"
+    return half1
 
 
-_kc_keep.__name__ = "_kc_keep"
+def _kc_half2(k: int):
+    """Same local-degree trick on the other endpoint: keep an edge iff
+    BOTH endpoints were alive at the round start, restoring the
+    symmetric (u, v) layout for the next round."""
+    def half2(g: pa.Table) -> pa.Table:
+        u = np.asarray(g["u"].to_pylist(), dtype=object)
+        v = np.asarray(g["v"].to_pylist(), dtype=object)
+        ok = g["ok"].to_numpy(zero_copy_only=False)
+        uu, inv, cnt = np.unique(u, return_inverse=True,
+                                 return_counts=True)
+        keep = ((cnt >= k).astype(bool)[inv]) & (ok == 1)
+        return _kc_rows(u[keep], v[keep])
+
+    half2.__name__ = "kc_half2"
+    return half2
 
 
 def kcore_members(edges_raw: rd.Dataset, k: int = KCORE_K,
@@ -1227,25 +1237,26 @@ def kcore_members(edges_raw: rd.Dataset, k: int = KCORE_K,
     """(module, core_degree) for the k-core of the undirected edge set:
     the maximal subgraph in which every node keeps degree >= k.
 
-    Iterative peeling, fully distributed: each round is THREE coarse-hash
-    exchanges — degree count -> alive-node rows, then two alive+edge
-    union folds that drop edges whose u / v endpoint died (both judged
-    against the SAME pre-round alive snapshot, the textbook peel step).
-    The driver sees one edge-count scalar per round; rounds stop at the
-    edge-set fixpoint. Raises if max_rounds doesn't converge — the
-    loop-unrolled SQL oracle replays exactly max_rounds peel steps, so
-    convergence inside that budget is part of the operator's contract."""
+    Synchronous iterative peeling, fully distributed, TWO coarse-hash
+    exchanges per round: the symmetric edge layout makes each node's
+    pre-round degree local to its group, so the first exchange tags every
+    edge with its u-endpoint's aliveness while re-keying it to v, and the
+    second drops edges whose v endpoint died or whose tag is dead —
+    exactly the textbook synchronous peel step, with no separate
+    alive-set exchange and no union. The driver sees one edge-count
+    scalar per round; rounds stop at the edge-set fixpoint. Raises if
+    max_rounds doesn't converge — the loop-unrolled SQL oracle replays
+    exactly max_rounds synchronous peel steps, so convergence inside
+    that budget is part of the operator's contract."""
     ue = (edges_raw.map_batches(_uedge_batch, batch_format="pyarrow")
           .groupby("gk").map_groups(_uedge_distinct, batch_format="pyarrow"))
     sym = ue.map_batches(_kc_sym, batch_format="pyarrow").materialize()
     m = sym.count()
     for _r in range(max_rounds):
-        alive = sym.groupby("gk").map_groups(
-            _kc_alive(k), batch_format="pyarrow")
-        half = alive.union(sym).groupby("gk").map_groups(
-            _kc_keep, batch_format="pyarrow")
-        sym = (alive.union(half).groupby("gk").map_groups(
-            _kc_keep, batch_format="pyarrow").materialize())
+        sym = (sym.groupby("gk").map_groups(
+            _kc_half1(k), batch_format="pyarrow")
+            .groupby("gk").map_groups(
+            _kc_half2(k), batch_format="pyarrow").materialize())
         m2 = sym.count()
         if m2 == m:
             break
@@ -1255,8 +1266,7 @@ def kcore_members(edges_raw: rd.Dataset, k: int = KCORE_K,
             f"k-core peeling did not converge in {max_rounds} rounds")
 
     def deg(g: pa.Table) -> pa.Table:
-        tag = g["tag"].to_numpy(zero_copy_only=False)
-        u = np.asarray(g["u"].to_pylist(), dtype=object)[tag == 0]
+        u = np.asarray(g["u"].to_pylist(), dtype=object)
         uu, cnt = np.unique(u, return_counts=True)
         return pa.table({
             "module": pa.array(uu.tolist(), pa.string()),
