@@ -349,3 +349,56 @@ def test_differential_random_statements_vs_duckdb(ray_session, tmp_path):
                     else x for x in want[c]], (s, got, want)
 
     run()
+
+
+def test_differential_random_joins_vs_duckdb(ray_session, tmp_path):
+    """Random two-table inner/left joins (duplicate keys both sides,
+    orphans both sides) must agree with DuckDB under both planner paths."""
+    import duckdb
+
+    import docodo_ray.sqlfront as sf
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    idx = [0]
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        lk=st.lists(st.integers(0, 4), min_size=0, max_size=8),
+        rk=st.lists(st.integers(0, 4), min_size=0, max_size=8),
+        kind=st.sampled_from(["JOIN", "LEFT JOIN"]),
+        cap=st.sampled_from([200_000, 0]),
+    )
+    def run(lk, rk, kind, cap):
+        idx[0] += 1
+        d = tmp_path / f"j{idx[0]}"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "k": pa.array(lk, pa.int64()),
+            "lv": pa.array(list(range(len(lk))), pa.int64())}),
+            str(d / "l.parquet"), row_group_size=3)
+        pq.write_table(pa.table({
+            "k": pa.array(rk, pa.int64()),
+            "rv": pa.array(list(range(len(rk))), pa.int64())}),
+            str(d / "r.parquet"), row_group_size=3)
+        s = (f"SELECT l.lv, r.rv FROM l {kind} r ON l.k = r.k")
+        old = sf.SQL_BROADCAST_ROWS
+        try:
+            sf.SQL_BROADCAST_ROWS = cap
+            got = run_sql(str(d), s).to_pandas()
+        finally:
+            sf.SQL_BROADCAST_ROWS = old
+        con = duckdb.connect()
+        for t in ("l", "r"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{d}/{t}.parquet')")
+        want = con.execute(s).fetch_df()
+        def canon(df):
+            return sorted(
+                (None if pd.isna(a) else int(a),
+                 None if pd.isna(b) else int(b))
+                for a, b in df[["lv", "rv"]].values.tolist()) \
+                if len(df) else []
+        assert canon(got) == canon(want), (s, cap, got, want)
+
+    run()
