@@ -147,6 +147,7 @@ class _Parser:
             items.append(self._item())
         self.expect("kw", "from")
         table = self.expect("ident")
+        alias = self._opt_alias()
         join = None
         kind = "inner"
         if self.peek() == ("kw", "left"):
@@ -157,11 +158,13 @@ class _Parser:
         if self.peek() == ("kw", "join"):
             self.next()
             t2 = self.expect("ident")
+            alias2 = self._opt_alias()
             self.expect("kw", "on")
             lk = self._qual_ident()
             self.expect("op", "=")
             rk = self._qual_ident()
-            join = {"table": t2, "on": (lk, rk), "kind": kind}
+            join = {"table": t2, "on": (lk, rk), "kind": kind,
+                    "alias": alias2}
         elif kind == "left":
             raise SqlError("LEFT without JOIN")
         where = None
@@ -203,9 +206,17 @@ class _Parser:
                 raise SqlError(f"trailing tokens at {self.peek()!r}")
         elif self.peek()[0] != "end":
             raise SqlError(f"trailing tokens at {self.peek()!r}")
-        return {"items": items, "table": table, "join": join,
-                "where": where, "group": group, "having": having,
-                "order": order, "limit": limit}
+        return {"items": items, "table": table, "alias": alias,
+                "join": join, "where": where, "group": group,
+                "having": having, "order": order, "limit": limit}
+
+    def _opt_alias(self):
+        if self.peek() == ("kw", "as"):
+            self.next()
+            return self.expect("ident")
+        if self.peek()[0] == "ident":
+            return self.next()[1]
+        return None
 
     def _qual_ident(self) -> str:
         name = self.expect("ident")
@@ -730,7 +741,51 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
     return out
 
 
+def _dealias(q: dict) -> dict:
+    """Rewrite alias-qualified column refs to real table names. Aliases
+    are naming sugar only; a self-join (both sides the same real table)
+    would need true alias namespaces and is rejected."""
+    amap = {}
+    if q.get("alias"):
+        amap[q["alias"]] = q["table"]
+    if q.get("join") and q["join"].get("alias"):
+        amap[q["join"]["alias"]] = q["join"]["table"]
+    if q.get("join") and q["join"]["table"] == q["table"]:
+        raise SqlError("self-joins are unsupported (alias namespaces)")
+    if not amap:
+        return q
+
+    def rw(name: str) -> str:
+        if "." in name:
+            t, c = name.split(".", 1)
+            return f"{amap.get(t, t)}.{c}"
+        return name
+
+    def rw_tree(node):
+        if node is None:
+            return None
+        tag = node[0]
+        if tag in ("and", "or"):
+            return (tag, rw_tree(node[1]), rw_tree(node[2]))
+        if tag == "not":
+            return (tag, rw_tree(node[1]))
+        if tag in ("in", "insub"):
+            return (tag, rw(node[1]), node[2])
+        return (tag, node[1], rw(node[2]), node[3])
+
+    items = [("col", rw(i[1])) if i[0] == "col"
+             else ("agg", i[1], rw(i[2]) if i[2] else None, i[3])
+             for i in q["items"]]
+    join = q["join"]
+    if join:
+        join = dict(join, on=(rw(join["on"][0]), rw(join["on"][1])))
+    return dict(q, items=items, join=join,
+                group=[rw(g) for g in q["group"]],
+                where=rw_tree(q["where"]))
+
+
 def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
+    q = _dealias(q)
     q = dict(q, where=_resolve_subqueries(sf_dir, q["where"], plan))
     aggs = [i for i in q["items"] if i[0] == "agg"]
     plain = [i[1] for i in q["items"] if i[0] == "col"]

@@ -402,3 +402,20 @@ def test_differential_random_joins_vs_duckdb(ray_session, tmp_path):
         assert canon(got) == canon(want), (s, cap, got, want)
 
     run()
+
+
+def test_from_aliases(ray_session, tmp_path):
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64()),
+                             "lv": pa.array([10, 20], pa.int64())}),
+                   str(tmp_path / "big_table_name.parquet"))
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64()),
+                             "rv": pa.array([9], pa.int64())}),
+                   str(tmp_path / "other.parquet"))
+    out = run_sql(str(tmp_path),
+                  "SELECT b.lv, x.rv FROM big_table_name AS b "
+                  "JOIN other x ON b.k = x.k WHERE b.lv > 5").to_pandas()
+    assert out[["lv", "rv"]].values.tolist() == [[10, 9]]
+    with pytest.raises(SqlError, match="self-join"):
+        run_sql(str(tmp_path),
+                "SELECT a.k, b.k FROM other a JOIN other b "
+                "ON a.k = b.k").count()
