@@ -2603,8 +2603,9 @@ FROM {PROFILE_TABLE}"""
     # statement the engine parses and executes — structural self-check of
     # the whole supported construct set
     from docodo_ray.sqlfront import (DEMO_FILTER, DEMO_GLOBAL, DEMO_GROUPBY,
-                                     DEMO_COUNTD, DEMO_INSUB, DEMO_JOIN,
-                                     DEMO_LEFTJOIN, DEMO_TOPK, DEMO_UNION)
+                                     DEMO_CHAIN, DEMO_COUNTD, DEMO_INSUB,
+                                     DEMO_JOIN, DEMO_LEFTJOIN, DEMO_TOPK,
+                                     DEMO_UNION)
 
     sql["sql_orders_groupby"] = DEMO_GROUPBY
     sql["sql_events_filter"] = DEMO_FILTER
@@ -2615,6 +2616,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_in_subquery"] = DEMO_INSUB
     sql["sql_union_all"] = DEMO_UNION
     sql["sql_left_join"] = DEMO_LEFTJOIN
+    sql["sql_join_chain"] = DEMO_CHAIN
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

@@ -17,10 +17,13 @@ as a Ray Data pipeline — the thin end of a pushdown query engine:
 Grammar (deliberately small, errors are loud)::
 
     SELECT item (, item)*  FROM table
-      [[LEFT [OUTER]] JOIN table2 ON t1.col = t2.col]
-                                                 -- equi-join, integer
-                                                 -- keys, columns
-                                                 -- qualified table.col
+      ([[LEFT [OUTER]] JOIN tableN ON a.col = b.col])*
+                                                 -- left-deep equi-join
+                                                 -- chain, integer keys,
+                                                 -- columns qualified
+                                                 -- table.col; each ON
+                                                 -- links the new table
+                                                 -- to an earlier one
       [WHERE disjunction]  [GROUP BY col (, col)*]
       [HAVING disjunction over aliases]
       [ORDER BY col [ASC|DESC] (, ...)*]  [LIMIT k]
@@ -148,14 +151,16 @@ class _Parser:
         self.expect("kw", "from")
         table = self.expect("ident")
         alias = self._opt_alias()
-        join = None
-        kind = "inner"
-        if self.peek() == ("kw", "left"):
-            self.next()
-            if self.peek() == ("kw", "outer"):
+        joins = []
+        while self.peek() in (("kw", "join"), ("kw", "left")):
+            kind = "inner"
+            if self.peek() == ("kw", "left"):
                 self.next()
-            kind = "left"
-        if self.peek() == ("kw", "join"):
+                if self.peek() == ("kw", "outer"):
+                    self.next()
+                kind = "left"
+                if self.peek() != ("kw", "join"):
+                    raise SqlError("LEFT without JOIN")
             self.next()
             t2 = self.expect("ident")
             alias2 = self._opt_alias()
@@ -163,10 +168,8 @@ class _Parser:
             lk = self._qual_ident()
             self.expect("op", "=")
             rk = self._qual_ident()
-            join = {"table": t2, "on": (lk, rk), "kind": kind,
-                    "alias": alias2}
-        elif kind == "left":
-            raise SqlError("LEFT without JOIN")
+            joins.append({"table": t2, "on": (lk, rk), "kind": kind,
+                          "alias": alias2})
         where = None
         if self.peek() == ("kw", "where"):
             self.next()
@@ -207,7 +210,7 @@ class _Parser:
         elif self.peek()[0] != "end":
             raise SqlError(f"trailing tokens at {self.peek()!r}")
         return {"items": items, "table": table, "alias": alias,
-                "join": join, "where": where, "group": group,
+                "joins": joins, "where": where, "group": group,
                 "having": having, "order": order, "limit": limit}
 
     def _opt_alias(self):
@@ -421,49 +424,71 @@ def _strip(name: str) -> str:
     return name.split(".", 1)[1] if "." in name else name
 
 
-def _table_of(name: str, t1: str, t2: str) -> str:
+def _table_of(name: str, tables: list[str]) -> str:
     if "." not in name:
         raise SqlError(f"JOIN queries need qualified columns: {name!r}")
     tab = name.split(".", 1)[0]
-    if tab not in (t1, t2):
+    if tab not in tables:
         raise SqlError(f"unknown table {tab!r} in {name!r}")
     return tab
 
 
-def _join_rows(sf_dir: str, q: dict, need: set,
-               plan: list | None = None) -> rd.Dataset:
-    """INNER equi-join of q['table'] x q['join']['table'].
+def _join_chain(sf_dir: str, q: dict, need: set,
+                plan: list | None = None) -> rd.Dataset:
+    """Left-deep equi-join chain: FROM t1 JOIN t2 ON .. JOIN t3 ON .. —
+    each ON links the new table to any earlier table by integer keys.
 
-    Planner: if either side's parquet footer reports <= SQL_BROADCAST_ROWS
-    rows, that side is read once, key-sorted, ray.put, and PROBED inside
-    every big-side map task (searchsorted ranges -> vectorized MxN gather)
-    — the big side never shuffles. Otherwise both sides are lifted into a
-    shared output schema (the other side's columns ride as nulls),
-    co-located by a coarse hash of the integer join key in ONE exchange,
-    and the per-group fold emits the full MxN product per key with
-    vectorized repeat/tile index math — no per-row Python either way.
-    Single-table WHERE conjuncts push into each side's parquet scan."""
+    Per step the planner picks one of two physical joins:
+    - BROADCAST: a new table whose parquet footer reports <=
+      SQL_BROADCAST_ROWS rows is read once, key-sorted, ray.put, and
+      PROBED inside every accumulated-side map task (searchsorted ranges
+      -> vectorized MxN gather) — the accumulated stream never shuffles.
+      (For the FIRST inner step the roles may swap so the genuinely
+      smaller parquet side broadcasts.)
+    - HASH-EXCHANGE: both sides are lifted into the step's shared output
+      schema (the other side's columns ride as nulls), co-located by a
+      coarse hash of the join key in ONE exchange, and the per-group fold
+      emits the full MxN product per key with vectorized repeat/tile
+      index math.
+    Single-table WHERE conjuncts push into that table's parquet scan;
+    LEFT-joined (nullable) tables reject WHERE pushdown and later use as
+    a join key."""
     import pyarrow.parquet as pq
 
-    t1, t2 = q["table"], q["join"]["table"]
-    kind = q["join"].get("kind", "inner")
-    lk, rk = q["join"]["on"]
-    if _table_of(lk, t1, t2) == t2:
-        lk, rk = rk, lk
-    if _table_of(lk, t1, t2) != t1 or _table_of(rk, t1, t2) != t2:
-        raise SqlError("ON must join the two FROM tables")
+    t1 = q["table"]
+    joins = q["joins"]
+    tables = [t1] + [j["table"] for j in joins]
+    nullable = {j["table"] for j in joins if j["kind"] == "left"}
+
+    # normalize each ON to (acc_key from an earlier table, new-table key)
+    steps = []
+    seen = [t1]
+    for j in joins:
+        tn = j["table"]
+        lk, rk = j["on"]
+        if _table_of(lk, tables) == tn:
+            lk, rk = rk, lk
+        if _table_of(rk, tables) != tn or _table_of(lk, tables) not in seen:
+            raise SqlError(
+                f"ON for JOIN {tn} must link it to an earlier FROM table")
+        if _table_of(lk, tables) in nullable:
+            raise SqlError(
+                "join key from the nullable side of an earlier LEFT JOIN "
+                "is unsupported")
+        steps.append({"table": tn, "ak": lk, "nk": rk, "kind": j["kind"]})
+        seen.append(tn)
 
     # split WHERE into per-table scan filters
-    filters = {t1: [], t2: []}
+    filters: dict[str, list] = {t: [] for t in tables}
     if q["where"] is not None:
         for conj in _flatten_and(q["where"], []):
-            tabs = {_table_of(c, t1, t2) for c in _pred_cols(conj, set())}
+            tabs = {_table_of(c, tables) for c in _pred_cols(conj, set())}
             if len(tabs) != 1:
                 raise SqlError(
                     "JOIN WHERE conjuncts must each reference one table")
             tab = tabs.pop()
-            if kind == "left" and tab == t2:
-                # pushing a right-side WHERE into the scan would be
+            if tab in nullable:
+                # pushing a nullable-side WHERE into the scan would be
                 # ON-clause semantics; SQL WHERE filters AFTER the join
                 # and kills the NULL rows — refuse rather than diverge
                 raise SqlError(
@@ -471,27 +496,30 @@ def _join_rows(sf_dir: str, q: dict, need: set,
                     "unsupported (it differs from pushing into the scan)")
             filters[tab].append(conj)
 
-    need = set(need) | {lk, rk}
-    out_cols: dict[str, str] = {}  # unqualified -> table
-    # the two key columns are equal-valued in every joined row: when their
-    # base names collide (ON l.k = r.k) the LEFT side owns the output
-    out_cols[_strip(lk)] = t1
-    if _strip(rk) != _strip(lk):
-        out_cols[_strip(rk)] = t2
-    for c in need - {lk, rk}:
-        tab = _table_of(c, t1, t2)
+    key_cols = {c for s in steps for c in (s["ak"], s["nk"])}
+    need = set(need) | key_cols
+    out_cols: dict[str, str] = {}  # unqualified -> owning table
+    # key columns are equal-valued in every joined row of their step: when
+    # their base names collide (ON l.k = r.k) the LEFT/acc side owns
+    for s in steps:
+        at, nt = _table_of(s["ak"], tables), s["table"]
+        ab, nb = _strip(s["ak"]), _strip(s["nk"])
+        if out_cols.setdefault(ab, at) != at:
+            raise SqlError(f"ambiguous output column {ab!r}")
+        if nb != ab and out_cols.setdefault(nb, nt) != nt:
+            raise SqlError(f"ambiguous output column {nb!r}")
+    for c in need - key_cols:
+        tab = _table_of(c, tables)
         base = _strip(c)
-        if base in out_cols and out_cols[base] != tab:
+        if out_cols.setdefault(base, tab) != tab:
             raise SqlError(f"ambiguous output column {base!r}")
-        out_cols[base] = tab
-    schemas = {t: pq.read_schema(f"{sf_dir}/{t}.parquet") for t in (t1, t2)}
+    schemas = {t: pq.read_schema(f"{sf_dir}/{t}.parquet") for t in tables}
     types = {}
     for base, tab in out_cols.items():
         if base not in schemas[tab].names:
             raise SqlError(f"{tab}.{base}: no such column")
         types[base] = schemas[tab].field(base).type
     order_cols = sorted(out_cols)
-    key_by_table = {t1: _strip(lk), t2: _strip(rk)}
 
     def _side_filter(tab: str):
         preds = filters[tab]
@@ -502,38 +530,47 @@ def _join_rows(sf_dir: str, q: dict, need: set,
             node = ("and", node, p)
         return _to_pads(_strip_tree(node))
 
-    # --- planner: broadcast the small side instead of shuffling both -----
     plan = plan if plan is not None else []
     nrows = {t: pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata.num_rows
-             for t in (t1, t2)}
-    bcast_ok = (nrows[t2] <= SQL_BROADCAST_ROWS if kind == "left"
-                else min(nrows.values()) <= SQL_BROADCAST_ROWS)
-    if bcast_ok:
+             for t in tables}
+
+    def _scan(tab: str, key: str) -> rd.Dataset:
+        # the step's key column always reads physically, even when its
+        # base name is OWNED by the other side (ON l.k = r.k collision)
+        mine = {b for b in order_cols if out_cols[b] == tab} | {key}
+        read_kw = {"columns": sorted(mine)}
+        flt = _side_filter(tab)
+        if flt is not None:
+            read_kw["filter"] = flt
+        plan.append(f"scan {tab}: columns={read_kw['columns']}"
+                    + (" pushdown=[yes]" if "filter" in read_kw else ""))
+        return rd.read_parquet(f"{sf_dir}/{tab}.parquet", **read_kw)
+
+    def _load_small(tab: str, key: str) -> tuple[np.ndarray, pa.Table]:
+        mine = {b for b in order_cols if out_cols[b] == tab}
+        stbl = pads.dataset(f"{sf_dir}/{tab}.parquet").to_table(
+            columns=sorted(mine | {key}), filter=_side_filter(tab))
+        if not pa.types.is_integer(stbl.schema.field(key).type):
+            raise SqlError(f"join key {key!r} must be an integer column")
+        ks = stbl[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        srt = np.argsort(ks, kind="stable")
+        return ks[srt], stbl.take(pa.array(srt, pa.int64()))
+
+    def _bcast_step(stream: rd.Dataset, stream_tabs: set, skey: str,
+                    small_tab: str, small_key: str, kind: str,
+                    emit: list[str]) -> rd.Dataset:
+        """Probe a broadcast small table inside every stream map task."""
         import ray
 
-        if kind == "left":
-            small, big = t2, t1  # unmatched LEFT rows must stream through
-        else:
-            small = t1 if nrows[t1] <= nrows[t2] else t2
-            big = t2 if small == t1 else t1
-        skey, bkey = key_by_table[small], key_by_table[big]
-        small_mine = [b for b in order_cols if out_cols[b] == small]
-        stbl = pads.dataset(f"{sf_dir}/{small}.parquet").to_table(
-            columns=sorted({*small_mine, skey}),
-            filter=_side_filter(small))
-        if not pa.types.is_integer(stbl.schema.field(skey).type):
-            raise SqlError(f"join key {skey!r} must be an integer column")
-        ks = stbl[skey].to_numpy(zero_copy_only=False).astype(np.int64)
-        srt = np.argsort(ks, kind="stable")
-        stbl, ks = stbl.take(pa.array(srt, pa.int64())), ks[srt]
+        ks, stbl = _load_small(small_tab, small_key)
         ref = ray.put((ks, stbl))
 
         def probe(t: pa.Table) -> pa.Table:
-            if not pa.types.is_integer(t.schema.field(bkey).type):
-                raise SqlError(f"join key {bkey!r} must be an integer "
-                               f"column")
+            if not pa.types.is_integer(t.schema.field(skey).type):
+                raise SqlError(
+                    f"join key {skey!r} must be an integer column")
             ks_s, s_tbl = ray.get(ref)
-            kb = t[bkey].to_numpy(zero_copy_only=False).astype(np.int64)
+            kb = t[skey].to_numpy(zero_copy_only=False).astype(np.int64)
             lo = np.searchsorted(ks_s, kb, "left")
             cnt = np.searchsorted(ks_s, kb, "right") - lo
             big_idx = np.repeat(np.arange(kb.size), cnt)
@@ -543,115 +580,140 @@ def _join_rows(sf_dir: str, q: dict, need: set,
             bi = pa.array(big_idx, pa.int64())
             si = pa.array(small_idx, pa.int64())
             out = pa.table({
-                b: (t[b].combine_chunks().take(bi) if out_cols[b] == big
+                b: (t[b].combine_chunks().take(bi)
+                    if out_cols[b] in stream_tabs
                     else s_tbl[b].combine_chunks().take(si))
-                for b in order_cols})
+                for b in emit})
             if kind == "left":
                 lone = np.flatnonzero(cnt == 0)
                 if lone.size:
                     li = pa.array(lone, pa.int64())
                     lonely = pa.table({
                         b: (t[b].combine_chunks().take(li)
-                            if out_cols[b] == big
+                            if out_cols[b] in stream_tabs
                             else pa.nulls(lone.size, types[b]))
-                        for b in order_cols})
+                        for b in emit})
                     out = pa.concat_tables([out, lonely])
             return out
 
-        probe.__name__ = f"sql_bcast_probe_{big}"
-        read_kw = {"columns": sorted(
-            {b for b in order_cols if out_cols[b] == big} | {bkey})}
-        bf = _side_filter(big)
-        if bf is not None:
-            read_kw["filter"] = bf
-        plan.append(
-            f"join strategy=BROADCAST small={small} ({nrows[small]} rows "
-            f"<= {SQL_BROADCAST_ROWS}) probe={big}; scan {big}: "
-            f"columns={read_kw['columns']}"
-            + (" pushdown=[yes]" if "filter" in read_kw else ""))
-        return rd.read_parquet(f"{sf_dir}/{big}.parquet", **read_kw
-                               ).map_batches(probe, batch_format="pyarrow")
+        probe.__name__ = f"sql_bcast_probe_{small_tab}"
+        return stream.map_batches(probe, batch_format="pyarrow")
 
-    def _lift(tab: str, side: int):
-        kcol = key_by_table[tab]
-        mine = [b for b in order_cols if out_cols[b] == tab]
+    def _exch_step(acc: rd.Dataset, acc_tabs: set, ak_b: str,
+                   new_tab: str, new_ds: rd.Dataset, nk_b: str, kind: str,
+                   emit: list[str]) -> rd.Dataset:
+        acc_set = frozenset(acc_tabs)
 
-        def lift(t: pa.Table) -> pa.Table:
-            if not pa.types.is_integer(t.schema.field(kcol).type):
-                raise SqlError(f"join key {kcol!r} must be an integer "
-                               f"column (got {t.schema.field(kcol).type})")
-            jk = t[kcol].to_numpy(zero_copy_only=False).astype(np.int64)
-            arrs, names = [], []
-            for b in order_cols:
-                names.append(b)
-                arrs.append(t[b].combine_chunks() if b in mine
-                            else pa.nulls(t.num_rows, types[b]))
-            names += ["_jk", "_s", "_ck"]
-            arrs += [pa.array(jk, pa.int64()),
-                     pa.array(np.full(t.num_rows, side, np.int64)),
-                     pa.array(_coarse_mix(jk), pa.int64())]
-            return pa.table(dict(zip(names, arrs)))
+        def _lift(key: str, side: int, have: frozenset):
+            def lift(t: pa.Table) -> pa.Table:
+                if not pa.types.is_integer(t.schema.field(key).type):
+                    raise SqlError(
+                        f"join key {key!r} must be an integer column "
+                        f"(got {t.schema.field(key).type})")
+                jk = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+                arrs, names = [], []
+                for b in emit:
+                    names.append(b)
+                    arrs.append(t[b].combine_chunks()
+                                if out_cols[b] in have
+                                else pa.nulls(t.num_rows, types[b]))
+                names += ["_jk", "_s", "_ck"]
+                arrs += [pa.array(jk, pa.int64()),
+                         pa.array(np.full(t.num_rows, side, np.int64)),
+                         pa.array(_coarse_mix(jk), pa.int64())]
+                return pa.table(dict(zip(names, arrs)))
 
-        lift.__name__ = f"sql_lift_{tab}"
-        read_kw = {"columns": sorted({*mine, kcol})}
-        flt = _side_filter(tab)
-        if flt is not None:
-            read_kw["filter"] = flt
-        return rd.read_parquet(f"{sf_dir}/{tab}.parquet", **read_kw
-                               ).map_batches(lift, batch_format="pyarrow")
+            lift.__name__ = f"sql_lift_{side}"
+            return lift
 
-    def fold(g: pa.Table) -> pa.Table:
-        jk = g["_jk"].to_numpy(zero_copy_only=False)
-        s = g["_s"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((s, jk))
-        jk_s, s_s = jk[order], s[order]
-        starts = np.flatnonzero(
-            np.concatenate(([True], jk_s[1:] != jk_s[:-1])))
-        counts = np.diff(np.append(starts, jk_s.size))
-        a = np.add.reduceat((s_s == 0).astype(np.int64), starts)
-        b = counts - a
-        valid = (a > 0) & (b > 0)
-        key_id = np.repeat(np.arange(starts.size), counts)
-        vrow = valid[key_id]
-        rows0 = order[(s_s == 0) & vrow]
-        rows1 = order[(s_s == 1) & vrow]
-        a_v, b_v = a[valid], b[valid]
-        if a_v.size == 0:
-            left = right = np.empty(0, np.int64)
+        def fold(g: pa.Table) -> pa.Table:
+            jk = g["_jk"].to_numpy(zero_copy_only=False)
+            s = g["_s"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((s, jk))
+            jk_s, s_s = jk[order], s[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], jk_s[1:] != jk_s[:-1])))
+            counts = np.diff(np.append(starts, jk_s.size))
+            a = np.add.reduceat((s_s == 0).astype(np.int64), starts)
+            b = counts - a
+            valid = (a > 0) & (b > 0)
+            key_id = np.repeat(np.arange(starts.size), counts)
+            vrow = valid[key_id]
+            rows0 = order[(s_s == 0) & vrow]
+            rows1 = order[(s_s == 1) & vrow]
+            a_v, b_v = a[valid], b[valid]
+            if a_v.size == 0:
+                left = right = np.empty(0, np.int64)
+            else:
+                left = np.repeat(rows0, np.repeat(b_v, a_v))
+                total = a_v * b_v
+                off = np.concatenate(([0], np.cumsum(total)[:-1]))
+                base1 = np.concatenate(([0], np.cumsum(b_v)[:-1]))
+                r = np.arange(int(total.sum())) - np.repeat(off, total)
+                right = rows1[np.repeat(base1, total)
+                              + r % np.repeat(b_v, total)]
+            out = {}
+            for base in emit:
+                idx = left if out_cols[base] in acc_set else right
+                out[base] = g[base].combine_chunks().take(
+                    pa.array(idx, pa.int64()))
+            res = pa.table(out)
+            if kind == "left":
+                lonely = (a > 0) & (b == 0)
+                l0 = order[(s_s == 0) & lonely[key_id]]
+                if l0.size:
+                    li = pa.array(l0, pa.int64())
+                    lt = pa.table({
+                        base: (g[base].combine_chunks().take(li)
+                               if out_cols[base] in acc_set
+                               else pa.nulls(l0.size, types[base]))
+                        for base in emit})
+                    res = pa.concat_tables([res, lt])
+            return res
+
+        fold.__name__ = "sql_join_fold"
+        lifted = (acc.map_batches(_lift(ak_b, 0, acc_set),
+                                  batch_format="pyarrow")
+                  .union(new_ds.map_batches(
+                      _lift(nk_b, 1, frozenset({new_tab})),
+                      batch_format="pyarrow")))
+        return lifted.groupby("_ck").map_groups(fold,
+                                                batch_format="pyarrow")
+
+    acc: rd.Dataset | None = None  # None = t1 still a bare parquet scan
+    acc_tabs = [t1]
+    for si, s in enumerate(steps):
+        tn, kind = s["table"], s["kind"]
+        ak_b, nk_b = _strip(s["ak"]), _strip(s["nk"])
+        emit = [b for b in order_cols if out_cols[b] in acc_tabs + [tn]]
+        if (kind == "inner" and acc is None
+                and nrows[t1] <= SQL_BROADCAST_ROWS
+                and nrows[t1] <= nrows[tn]):
+            # first inner step with a small base table: broadcast t1 and
+            # stream the new table instead
+            plan.append(
+                f"join strategy=BROADCAST small={t1} ({nrows[t1]} rows "
+                f"<= {SQL_BROADCAST_ROWS}) probe={tn}")
+            acc = _bcast_step(_scan(tn, nk_b), {tn}, nk_b, t1, ak_b,
+                              kind, emit)
+        elif nrows[tn] <= SQL_BROADCAST_ROWS:
+            plan.append(
+                f"join strategy=BROADCAST small={tn} ({nrows[tn]} rows "
+                f"<= {SQL_BROADCAST_ROWS}) probe={'+'.join(acc_tabs)}")
+            acc = _bcast_step(acc if acc is not None
+                              else _scan(t1, ak_b),
+                              set(acc_tabs), ak_b, tn, nk_b, kind, emit)
         else:
-            left = np.repeat(rows0, np.repeat(b_v, a_v))
-            total = a_v * b_v
-            off = np.concatenate(([0], np.cumsum(total)[:-1]))
-            base1 = np.concatenate(([0], np.cumsum(b_v)[:-1]))
-            r = np.arange(int(total.sum())) - np.repeat(off, total)
-            right = rows1[np.repeat(base1, total)
-                          + r % np.repeat(b_v, total)]
-        out = {}
-        for base in order_cols:
-            idx = left if out_cols[base] == t1 else right
-            out[base] = g[base].combine_chunks().take(
-                pa.array(idx, pa.int64()))
-        res = pa.table(out)
-        if kind == "left":
-            lonely = (a > 0) & (b == 0)
-            l0 = order[(s_s == 0) & lonely[key_id]]
-            if l0.size:
-                li = pa.array(l0, pa.int64())
-                lt = pa.table({
-                    base: (g[base].combine_chunks().take(li)
-                           if out_cols[base] == t1
-                           else pa.nulls(l0.size, types[base]))
-                    for base in order_cols})
-                res = pa.concat_tables([res, lt])
-        return res
-
-    fold.__name__ = "sql_join_fold"
-    plan.append(
-        f"join strategy=HASH-EXCHANGE {t1} ({nrows[t1]} rows) x {t2} "
-        f"({nrows[t2]} rows) key={_strip(lk)}: 1 all-to-all on "
-        f"coarse(jk), per-group MxN fold")
-    return (_lift(t1, 0).union(_lift(t2, 1))
-            .groupby("_ck").map_groups(fold, batch_format="pyarrow"))
+            plan.append(
+                f"join strategy=HASH-EXCHANGE {'+'.join(acc_tabs)} x {tn} "
+                f"({nrows[tn]} rows) key={ak_b}: 1 all-to-all on "
+                f"coarse(jk), per-group MxN fold")
+            acc = _exch_step(acc if acc is not None
+                             else _scan(t1, ak_b),
+                             set(acc_tabs), ak_b, tn, _scan(tn, nk_b), nk_b,
+                             kind, emit)
+        acc_tabs.append(tn)
+    return acc
 
 
 def _strip_tree(node):
@@ -748,9 +810,11 @@ def _dealias(q: dict) -> dict:
     amap = {}
     if q.get("alias"):
         amap[q["alias"]] = q["table"]
-    if q.get("join") and q["join"].get("alias"):
-        amap[q["join"]["alias"]] = q["join"]["table"]
-    if q.get("join") and q["join"]["table"] == q["table"]:
+    for j in q.get("joins") or []:
+        if j.get("alias"):
+            amap[j["alias"]] = j["table"]
+    reals = [q["table"]] + [j["table"] for j in q.get("joins") or []]
+    if len(set(reals)) != len(reals):
         raise SqlError("self-joins are unsupported (alias namespaces)")
     if not amap:
         return q
@@ -776,10 +840,9 @@ def _dealias(q: dict) -> dict:
     items = [("col", rw(i[1])) if i[0] == "col"
              else ("agg", i[1], rw(i[2]) if i[2] else None, i[3])
              for i in q["items"]]
-    join = q["join"]
-    if join:
-        join = dict(join, on=(rw(join["on"][0]), rw(join["on"][1])))
-    return dict(q, items=items, join=join,
+    joins = [dict(j, on=(rw(j["on"][0]), rw(j["on"][1])))
+             for j in q["joins"]]
+    return dict(q, items=items, joins=joins,
                 group=[rw(g) for g in q["group"]],
                 where=rw_tree(q["where"]))
 
@@ -797,17 +860,18 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
     if not group and aggs and plain:
         raise SqlError("mixing bare columns with aggregates needs GROUP BY")
 
-    if q["join"] is not None:
-        if q["join"].get("kind") == "left":
+    if q["joins"]:
+        tables = [q["table"]] + [j["table"] for j in q["joins"]]
+        nullable = {j["table"] for j in q["joins"] if j["kind"] == "left"}
+        if nullable:
             for _k, _f, c, _n in aggs:
-                if c and _table_of(c, q["table"],
-                                   q["join"]["table"]) == q["join"]["table"]:
+                if c and _table_of(c, tables) in nullable:
                     raise SqlError(
                         "aggregating a nullable right-side column of a "
                         "LEFT JOIN is unsupported (COUNT(*) is fine)")
         need = (set(plain) | set(group) | {a[2] for a in aggs if a[2]}
                 | (_pred_cols(q["where"], set()) if q["where"] else set()))
-        joined = _join_rows(sf_dir, q, need - set(), plan)
+        joined = _join_chain(sf_dir, q, need - set(), plan)
         # downstream (aggregates / projection / HAVING / ORDER) sees the
         # joined rows under unqualified names
         plain = [_strip(c) for c in plain]
@@ -1107,3 +1171,12 @@ DEMO_LEFTJOIN = (
     "SELECT nation.n_nationkey, count(*) AS n FROM nation "
     "LEFT JOIN supplier ON nation.n_nationkey = supplier.s_nationkey "
     "GROUP BY nation.n_nationkey")
+DEMO_CHAIN = (
+    "SELECT nation.n_name, count(*) AS n_orders, "
+    "CAST(sum(orders.o_orderkey) AS BIGINT) AS s "
+    "FROM nation JOIN customer "
+    "ON nation.n_nationkey = customer.c_nationkey "
+    "JOIN orders ON customer.c_custkey = orders.o_custkey "
+    "WHERE orders.o_orderstatus = 'F' "
+    "GROUP BY nation.n_name "
+    "ORDER BY n_orders DESC, n_name ASC LIMIT 10")

@@ -419,3 +419,70 @@ def test_from_aliases(ray_session, tmp_path):
         run_sql(str(tmp_path),
                 "SELECT a.k, b.k FROM other a JOIN other b "
                 "ON a.k = b.k").count()
+
+
+def test_join_chain_three_tables_vs_duckdb(ray_session, tmp_path,
+                                           monkeypatch):
+    """Left-deep 3-table chain (mixed inner + LEFT, ON linking back to the
+    FIRST table) agrees with DuckDB under both planner paths."""
+    import duckdb
+
+    import docodo_ray.sqlfront as sf
+
+    pq.write_table(pa.table({
+        "ak": pa.array([1, 1, 2, 3, 4], pa.int64()),
+        "bk": pa.array([10, 11, 10, 12, 99], pa.int64()),
+        "av": pa.array([100, 101, 102, 103, 104], pa.int64()),
+    }), str(tmp_path / "a.parquet"))
+    pq.write_table(pa.table({
+        "bk": pa.array([10, 10, 11, 13], pa.int64()),
+        "bv": pa.array([5, 6, 7, 8], pa.int64()),
+    }), str(tmp_path / "b.parquet"))
+    pq.write_table(pa.table({
+        "ak": pa.array([2, 2, 9], pa.int64()),
+        "cv": pa.array([41, 42, 43], pa.int64()),
+    }), str(tmp_path / "c.parquet"))
+    stmt = ("SELECT a.av, b.bv, c.cv FROM a "
+            "JOIN b ON a.bk = b.bk "
+            "LEFT JOIN c ON a.ak = c.ak "
+            "WHERE b.bv <= 7")
+    con = duckdb.connect()
+    for t in ("a", "b", "c"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    want = con.execute(stmt).fetch_df()
+
+    def canon(df):
+        return sorted(
+            tuple(None if pd.isna(x) else int(x) for x in row)
+            for row in df[["av", "bv", "cv"]].values.tolist())
+
+    for cap in (200_000, 0):
+        monkeypatch.setattr(sf, "SQL_BROADCAST_ROWS", cap)
+        got = run_sql(str(tmp_path), stmt).to_pandas()
+        assert canon(got) == canon(want), (cap, got, want)
+    assert len(want) > 0 and want["cv"].isna().any()  # non-trivial fixture
+
+
+def test_join_chain_errors(ray_session, tmp_path):
+    for t, cols in (("a", {"ak": [1], "bk": [2], "av": [3]}),
+                    ("b", {"bk": [2], "bv": [4]}),
+                    ("c", {"ak": [1], "cv": [5]})):
+        pq.write_table(
+            pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()}),
+            str(tmp_path / f"{t}.parquet"))
+    # ON must link the NEW table to an EARLIER one
+    with pytest.raises(SqlError, match="earlier FROM table"):
+        run_sql(str(tmp_path),
+                "SELECT a.av FROM a JOIN b ON a.bk = b.bk "
+                "JOIN c ON c.ak = c.ak").count()
+    # a LEFT-joined (nullable) table cannot key a later join
+    with pytest.raises(SqlError, match="nullable side"):
+        run_sql(str(tmp_path),
+                "SELECT a.av FROM a LEFT JOIN b ON a.bk = b.bk "
+                "JOIN c ON b.bk = c.ak").count()
+    # WHERE on any nullable table is rejected, chain-wide
+    with pytest.raises(SqlError, match="LEFT JOIN"):
+        run_sql(str(tmp_path),
+                "SELECT a.av FROM a JOIN c ON a.ak = c.ak "
+                "LEFT JOIN b ON a.bk = b.bk WHERE b.bv = 4").count()
