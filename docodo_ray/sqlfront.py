@@ -936,6 +936,10 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
                 raise SqlError(
                     f"{fn}({col}): only integer columns are supported "
                     f"(got {t.schema.field(col).type})")
+            if t[col].null_count:
+                raise SqlError(
+                    f"{fn}({col}): NULL values in an aggregate input are "
+                    f"unsupported (exact-int contract)")
 
     import zlib
 
@@ -953,21 +957,41 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
 
         all_int = all(pa.types.is_integer(t.schema.field(g).type)
                       for g in group)
+        any_null = any(t[g].null_count for g in group)
         if all_int:
-            # fully vectorized: only the UNIQUE keys become Python tuples
-            mat = np.stack([t[g].to_numpy(zero_copy_only=False)
-                            .astype(np.int64) for g in group], axis=1)
+            # fully vectorized: only the UNIQUE keys become Python tuples.
+            # NULL keys (LEFT-join output, nullable data) ride as a
+            # parallel validity plane so they form their own SQL-style
+            # NULL group instead of casting to garbage.
+            vals, nulls = [], []
+            for g in group:
+                a = t[g].combine_chunks()
+                nulls.append(np.asarray(a.is_null()).astype(np.int64))
+                vals.append(a.fill_null(0).to_numpy(zero_copy_only=False)
+                            .astype(np.int64))
+            mat = np.stack(vals + (nulls if any_null else []), axis=1)
             um, inv = np.unique(mat, axis=0, return_inverse=True)
-            return _tuples([tuple(r) for r in um.tolist()]), inv
-        if len(group) == 1:
+            k = len(group)
+            if any_null:
+                uniq = [tuple(None if r[k + i] else r[i] for i in range(k))
+                        for r in um.tolist()]
+            else:
+                uniq = [tuple(r) for r in um.tolist()]
+            return _tuples(uniq), inv
+        if len(group) == 1 and not any_null:
             k = np.asarray(t[group[0]].to_pylist(), dtype=object)
             u1, inv = np.unique(k, return_inverse=True)
             return _tuples([(v,) for v in u1]), inv
         keys = [np.asarray(t[g].to_pylist(), dtype=object) for g in group]
         packed = np.empty(n, dtype=object)
         for i in range(n):
-            packed[i] = tuple(k[i] for k in keys)
-        return np.unique(packed, return_inverse=True)
+            # (is_null, value) surrogates keep mixed None/value tuples
+            # totally ordered for np.unique's sort
+            packed[i] = tuple((k[i] is None, "" if k[i] is None else k[i])
+                              for k in keys)
+        up, inv = np.unique(packed, return_inverse=True)
+        return _tuples([tuple(None if isn else v for isn, v in s)
+                        for s in up]), inv
 
     def _key_cols(t: pa.Table, u) -> dict:
         # preserve each group column's Arrow type even for empty batches

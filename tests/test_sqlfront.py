@@ -486,3 +486,33 @@ def test_join_chain_errors(ray_session, tmp_path):
         run_sql(str(tmp_path),
                 "SELECT a.av FROM a JOIN c ON a.ak = c.ak "
                 "LEFT JOIN b ON a.bk = b.bk WHERE b.bv = 4").count()
+
+
+def test_group_by_nullable_join_column(ray_session, tmp_path):
+    """GROUP BY over a LEFT-joined (nullable) column forms a SQL-style
+    NULL group — int and string key paths — instead of casting NULLs to
+    garbage; NULLs reaching an aggregate INPUT are a loud error."""
+    import duckdb
+
+    pq.write_table(pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                             "lv": pa.array([10, 20, 30], pa.int64())}),
+                   str(tmp_path / "l.parquet"))
+    pq.write_table(pa.table({"k": pa.array([1, 1], pa.int64()),
+                             "rv": pa.array([7, 7], pa.int64()),
+                             "rs": pa.array(["x", "x"], pa.string())}),
+                   str(tmp_path / "r.parquet"))
+    con = duckdb.connect()
+    for t in ("l", "r"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    for key, as_py in (("rv", lambda x: None if pd.isna(x) else int(x)),
+                       ("rs", lambda x: None if x is None or
+                        (not isinstance(x, str) and pd.isna(x)) else x)):
+        s = (f"SELECT r.{key}, count(*) AS n FROM l "
+             f"LEFT JOIN r ON l.k = r.k GROUP BY r.{key}")
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        canon = lambda df: sorted(
+            ((as_py(a), int(b)) for a, b in df[[key, "n"]].values.tolist()),
+            key=lambda p: (p[0] is None, p[0]))
+        assert canon(got) == canon(want), (s, got, want)
