@@ -16,7 +16,7 @@ as a Ray Data pipeline — the thin end of a pushdown query engine:
 
 Grammar (deliberately small, errors are loud)::
 
-    SELECT item (, item)*  FROM table
+    SELECT [DISTINCT] item (, item)*  FROM table
       ([[LEFT [OUTER]] JOIN tableN ON a.col = b.col])*
                                                  -- left-deep equi-join
                                                  -- chain, integer keys,
@@ -144,6 +144,10 @@ class _Parser:
     def parse(self, stop_at_paren: bool = False,
               stop_at_union: bool = False) -> dict:
         self.expect("kw", "select")
+        distinct = False
+        if self.peek() == ("kw", "distinct"):
+            self.next()
+            distinct = True
         items = [self._item()]
         while self.peek() == ("op", ","):
             self.next()
@@ -211,7 +215,8 @@ class _Parser:
             raise SqlError(f"trailing tokens at {self.peek()!r}")
         return {"items": items, "table": table, "alias": alias,
                 "joins": joins, "where": where, "group": group,
-                "having": having, "order": order, "limit": limit}
+                "having": having, "order": order, "limit": limit,
+                "distinct": distinct}
 
     def _opt_alias(self):
         if self.peek() == ("kw", "as"):
@@ -853,6 +858,15 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
     aggs = [i for i in q["items"] if i[0] == "agg"]
     plain = [i[1] for i in q["items"] if i[0] == "col"]
     group = q["group"]
+    if q.get("distinct"):
+        # SELECT DISTINCT cols == GROUP BY all selected cols, no aggs
+        if aggs:
+            raise SqlError("SELECT DISTINCT with aggregates is "
+                           "unsupported (use GROUP BY)")
+        if group:
+            raise SqlError("SELECT DISTINCT with GROUP BY is unsupported")
+        group = list(plain)
+        q = dict(q, group=group)
     if q["having"] is not None and not aggs:
         raise SqlError("HAVING requires aggregates")
     if group and sorted(plain) != sorted(group):
@@ -910,7 +924,7 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
     """Projection / grouped-aggregate / HAVING / ORDER-LIMIT tail shared by
     the single-table and JOIN paths (input: a Dataset of plain rows)."""
     plan = plan if plan is not None else []
-    if not aggs:  # pure filter + projection
+    if not aggs and not group:  # pure filter + projection
         plan.append(f"project {plain} (streamed, no exchange)")
 
         def project(t: pa.Table) -> pa.Table:
@@ -1005,6 +1019,28 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
         # one key across groups)
         return np.array([zlib.crc32(repr(v).encode()) for v in u],
                         dtype=np.int64)
+
+    if not aggs:
+        # SELECT DISTINCT / agg-less GROUP BY: map-side per-batch unique,
+        # then ONE exchange co-locating equal keys for the global dedup
+        def dd_partial(t: pa.Table) -> pa.Table:
+            u, _inv = _group_key(t, t.num_rows)
+            out = _key_cols(t, u)
+            out["_gk"] = pa.array(_coarse_mix(_stable_gk(u)), pa.int64())
+            return pa.table(out)
+
+        dd_partial.__name__ = "sql_distinct_partial"
+
+        def dd_fold(g: pa.Table) -> pa.Table:
+            u, _inv = _group_key(g, g.num_rows)
+            return pa.table(_key_cols(g, u))
+
+        dd_fold.__name__ = "sql_distinct_fold"
+        plan.append(f"distinct over {group}: map-side unique + "
+                    "1 exchange (key dedup)")
+        ds = (ds.map_batches(dd_partial, batch_format="pyarrow")
+              .groupby("_gk").map_groups(dd_fold, batch_format="pyarrow"))
+        return _order_limit(ds, q)
 
     def _fold_rows(t: pa.Table, emit_key: bool) -> dict:
         """Fold partial agg rows per group key -> column dict."""
@@ -1195,6 +1231,9 @@ DEMO_LEFTJOIN = (
     "SELECT nation.n_nationkey, count(*) AS n FROM nation "
     "LEFT JOIN supplier ON nation.n_nationkey = supplier.s_nationkey "
     "GROUP BY nation.n_nationkey")
+DEMO_DISTINCT = (
+    "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders "
+    "WHERE o_custkey BETWEEN 50 AND 500")
 DEMO_CHAIN = (
     "SELECT nation.n_name, count(*) AS n_orders, "
     "CAST(sum(orders.o_orderkey) AS BIGINT) AS s "

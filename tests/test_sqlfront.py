@@ -516,3 +516,95 @@ def test_group_by_nullable_join_column(ray_session, tmp_path):
             ((as_py(a), int(b)) for a, b in df[[key, "n"]].values.tolist()),
             key=lambda p: (p[0] is None, p[0]))
         assert canon(got) == canon(want), (s, got, want)
+
+
+def test_differential_random_join_chains_vs_duckdb(ray_session, tmp_path):
+    """Random 3-table left-deep chains (mixed INNER/LEFT, second ON
+    linking to either earlier table, dup keys + orphans everywhere) must
+    agree with DuckDB under both planner paths."""
+    import duckdb
+
+    import docodo_ray.sqlfront as sf
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    idx = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        ak=st.lists(st.integers(0, 3), min_size=0, max_size=6),
+        bk=st.lists(st.integers(0, 3), min_size=0, max_size=6),
+        ck=st.lists(st.integers(0, 3), min_size=0, max_size=6),
+        k1=st.sampled_from(["JOIN", "LEFT JOIN"]),
+        k2=st.sampled_from(["JOIN", "LEFT JOIN"]),
+        link=st.sampled_from(["a", "b"]),
+        cap=st.sampled_from([200_000, 0]),
+    )
+    def run(ak, bk, ck, k1, k2, link, cap):
+        if k1 == "LEFT JOIN" and link == "b":
+            return  # nullable-side join keys are rejected by design
+        idx[0] += 1
+        d = tmp_path / f"c{idx[0]}"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "k": pa.array(ak, pa.int64()),
+            "av": pa.array(list(range(len(ak))), pa.int64())}),
+            str(d / "a.parquet"), row_group_size=3)
+        pq.write_table(pa.table({
+            "k": pa.array(bk, pa.int64()),
+            "bv": pa.array(list(range(len(bk))), pa.int64())}),
+            str(d / "b.parquet"), row_group_size=3)
+        pq.write_table(pa.table({
+            "ck": pa.array(ck, pa.int64()),
+            "cv": pa.array(list(range(len(ck))), pa.int64())}),
+            str(d / "c.parquet"), row_group_size=3)
+        s = (f"SELECT a.av, b.bv, c.cv FROM a {k1} b ON a.k = b.k "
+             f"{k2} c ON {link}.{'k' if link == 'a' else 'bv'} = c.ck")
+        old = sf.SQL_BROADCAST_ROWS
+        try:
+            sf.SQL_BROADCAST_ROWS = cap
+            got = run_sql(str(d), s).to_pandas()
+        finally:
+            sf.SQL_BROADCAST_ROWS = old
+        con = duckdb.connect()
+        for t in ("a", "b", "c"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{d}/{t}.parquet')")
+        want = con.execute(s).fetch_df()
+
+        def canon(df):
+            return sorted(
+                tuple(None if pd.isna(x) else int(x) for x in row)
+                for row in df[["av", "bv", "cv"]].values.tolist()) \
+                if len(df) else []
+        assert canon(got) == canon(want), (s, cap, got, want)
+
+    run()
+
+
+def test_select_distinct_and_aggless_group_by(ray_session, tmp_path):
+    """SELECT DISTINCT and agg-less GROUP BY both dedup globally (keys
+    split across row groups), matching DuckDB; DISTINCT + aggregates and
+    DISTINCT + GROUP BY are loud errors."""
+    import duckdb
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "b", "b", "a", "c"], pa.string()),
+        "v": pa.array([1, 1, 2, 2, 1, 3], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=2)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    for s in ("SELECT DISTINCT k, v FROM t",
+              "SELECT k, v FROM t GROUP BY k, v",
+              "SELECT DISTINCT v FROM t WHERE NOT k = 'c'"):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        canon = lambda df: sorted(map(tuple, df.values.tolist()))
+        assert canon(got) == canon(want), (s, got, want)
+        assert len(got) == len(got.drop_duplicates())
+    with pytest.raises(SqlError, match="DISTINCT with aggregates"):
+        run_sql(str(tmp_path), "SELECT DISTINCT count(*) AS n FROM t")
+    with pytest.raises(SqlError, match="DISTINCT with GROUP BY"):
+        run_sql(str(tmp_path), "SELECT DISTINCT k FROM t GROUP BY k")
