@@ -2603,8 +2603,8 @@ FROM {PROFILE_TABLE}"""
     # statement the engine parses and executes — structural self-check of
     # the whole supported construct set
     from docodo_ray.sqlfront import (DEMO_FILTER, DEMO_GLOBAL, DEMO_GROUPBY,
-                                     DEMO_CHAIN, DEMO_COUNTD, DEMO_DISTINCT,
-                                     DEMO_INSUB,
+                                     DEMO_AGGEXPR, DEMO_CHAIN, DEMO_COUNTD,
+                                     DEMO_DISTINCT, DEMO_INSUB,
                                      DEMO_JOIN, DEMO_LEFTJOIN, DEMO_TOPK,
                                      DEMO_UNION)
 
@@ -2619,6 +2619,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_left_join"] = DEMO_LEFTJOIN
     sql["sql_join_chain"] = DEMO_CHAIN
     sql["sql_distinct"] = DEMO_DISTINCT
+    sql["sql_agg_expr"] = DEMO_AGGEXPR
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

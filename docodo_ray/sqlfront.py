@@ -30,7 +30,11 @@ Grammar (deliberately small, errors are loud)::
       [UNION ALL select]*
     item  := col | COUNT(*) AS name
            | COUNT(DISTINCT col) AS name         -- int64 columns only
-           | (SUM|MIN|MAX)(col) AS name          -- int64 columns only
+           | (SUM|MIN|MAX)(expr) AS name         -- int64 columns only
+    expr  := col | int | expr (+|-|*) expr | (expr)
+                                                 -- exact int64 arithmetic
+                                                 -- inside the aggregate
+                                                 -- (TPC-H revenue style)
            | CAST(agg AS BIGINT) AS name         -- pins DuckDB SUM width
     pred  := col (=|!=|<>|<|<=|>|>=) literal
            | col IN (lit, ...) | NOT pred | (disjunction)
@@ -84,7 +88,7 @@ SQL_BROADCAST_ROWS = 200_000
 
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>-?\d+(?:\.\d+)?)|(?P<str>'(?:[^']|'')*')"
-    r"|(?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\*|\.)"
+    r"|(?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\*|\+|-|\.)"
     r"|(?P<word>[A-Za-z_][A-Za-z_0-9]*))")
 
 _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
@@ -279,9 +283,55 @@ class _Parser:
             self.expect("op", "*")
             col = None
         else:
-            col = self._qual_ident()
+            col = self._arith()
         self.expect("op", ")")
         return (v, col)
+
+    # --- integer arithmetic inside SUM/MIN/MAX ----------------------------
+    def _arith(self):
+        node = self._arith_term()
+        while True:
+            k, v = self.peek()
+            if (k, v) in (("op", "+"), ("op", "-")):
+                op = self.next()[1]
+                node = ("bin", op, node, self._arith_term())
+            elif k == "num" and isinstance(v, int) and v < 0:
+                # the lexer folds '- 3' into a negative literal; re-enter
+                # term parsing with |3| as its first atom so 'a - 3 * b'
+                # keeps * precedence
+                self.next()
+                rhs = ("lit", -v)
+                while self.peek() == ("op", "*"):
+                    self.next()
+                    rhs = ("bin", "*", rhs, self._arith_atom())
+                node = ("bin", "-", node, rhs)
+            else:
+                break
+        return node
+
+    def _arith_term(self):
+        node = self._arith_atom()
+        while self.peek() == ("op", "*"):
+            self.next()
+            node = ("bin", "*", node, self._arith_atom())
+        return node
+
+    def _arith_atom(self):
+        k, v = self.peek()
+        if k == "num":
+            self.next()
+            if not isinstance(v, int):
+                raise SqlError(
+                    "only integer literals in aggregate expressions")
+            return ("lit", v)
+        if (k, v) == ("op", "("):
+            self.next()
+            node = self._arith()
+            self.expect("op", ")")
+            return node
+        # a bare column rides as a plain string — a single-column
+        # aggregate keeps its original representation everywhere
+        return self._qual_ident()
 
     # --- boolean expression ----------------------------------------------
     def _or(self):
@@ -427,6 +477,51 @@ def _flatten_and(node, out: list):
 
 def _strip(name: str) -> str:
     return name.split(".", 1)[1] if "." in name else name
+
+
+def _expr_cols(e, acc: set) -> set:
+    """Column names referenced by an aggregate argument (plain string for
+    a bare column, ('bin', op, l, r)/('lit', n) tree for arithmetic)."""
+    if e is None:
+        return acc
+    if isinstance(e, str):
+        acc.add(e)
+    elif e[0] == "bin":
+        _expr_cols(e[2], acc)
+        _expr_cols(e[3], acc)
+    return acc
+
+
+def _expr_map(e, f):
+    """Rewrite every column ref in an aggregate argument with f."""
+    if e is None:
+        return None
+    if isinstance(e, str):
+        return f(e)
+    if e[0] == "bin":
+        return ("bin", e[1], _expr_map(e[2], f), _expr_map(e[3], f))
+    return e
+
+
+def _expr_str(e) -> str | None:
+    """Human form of an aggregate argument (EXPLAIN output)."""
+    if e is None or isinstance(e, str):
+        return e
+    if e[0] == "lit":
+        return str(e[1])
+    return f"({_expr_str(e[2])} {e[1]} {_expr_str(e[3])})"
+
+
+def _eval_expr(t: pa.Table, e) -> np.ndarray:
+    """Vectorized int64 evaluation of an aggregate argument over a batch.
+    Exact int64 both sides of the oracle contract; like the engine,
+    DuckDB's BIGINT arithmetic never widens."""
+    if isinstance(e, str):
+        return t[e].to_numpy(zero_copy_only=False).astype(np.int64)
+    if e[0] == "lit":
+        return np.int64(e[1])
+    l, r = _eval_expr(t, e[2]), _eval_expr(t, e[3])
+    return {"+": np.add, "-": np.subtract, "*": np.multiply}[e[1]](l, r)
 
 
 def _table_of(name: str, tables: list[str]) -> str:
@@ -843,7 +938,7 @@ def _dealias(q: dict) -> dict:
         return (tag, node[1], rw(node[2]), node[3])
 
     items = [("col", rw(i[1])) if i[0] == "col"
-             else ("agg", i[1], rw(i[2]) if i[2] else None, i[3])
+             else ("agg", i[1], _expr_map(i[2], rw), i[3])
              for i in q["items"]]
     joins = [dict(j, on=(rw(j["on"][0]), rw(j["on"][1])))
              for j in q["joins"]]
@@ -877,26 +972,31 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
     if q["joins"]:
         tables = [q["table"]] + [j["table"] for j in q["joins"]]
         nullable = {j["table"] for j in q["joins"] if j["kind"] == "left"}
+        agg_need: set = set()
+        for a in aggs:
+            _expr_cols(a[2], agg_need)
         if nullable:
-            for _k, _f, c, _n in aggs:
-                if c and _table_of(c, tables) in nullable:
+            for c in agg_need:
+                if _table_of(c, tables) in nullable:
                     raise SqlError(
                         "aggregating a nullable right-side column of a "
                         "LEFT JOIN is unsupported (COUNT(*) is fine)")
-        need = (set(plain) | set(group) | {a[2] for a in aggs if a[2]}
+        need = (set(plain) | set(group) | agg_need
                 | (_pred_cols(q["where"], set()) if q["where"] else set()))
         joined = _join_chain(sf_dir, q, need - set(), plan)
         # downstream (aggregates / projection / HAVING / ORDER) sees the
         # joined rows under unqualified names
         plain = [_strip(c) for c in plain]
         group = [_strip(c) for c in group]
-        aggs = [(k, f, _strip(c) if c else None, n) for k, f, c, n in aggs]
+        aggs = [(k, f, _expr_map(c, _strip), n) for k, f, c, n in aggs]
         q = dict(q, where=None, group=group,
                  items=[("col", c) for c in plain]
                  + [("agg", f, c, n) for _k, f, c, n in aggs])
         return _run_over(joined, q, aggs, plain, group, plan)
 
-    need = set(plain) | set(group) | {a[2] for a in aggs if a[2]}
+    need = set(plain) | set(group)
+    for a in aggs:
+        _expr_cols(a[2], need)
     cols = sorted(need) or [None]
     read_kw = {}
     if q["where"] is not None:
@@ -945,15 +1045,16 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
               "min": np.iinfo(np.int64).max, "max": np.iinfo(np.int64).min}
 
     def _check_int(t: pa.Table):
-        for _, fn, col, _n in sum_cols + min_cols + max_cols + cd_cols:
-            if not pa.types.is_integer(t.schema.field(col).type):
-                raise SqlError(
-                    f"{fn}({col}): only integer columns are supported "
-                    f"(got {t.schema.field(col).type})")
-            if t[col].null_count:
-                raise SqlError(
-                    f"{fn}({col}): NULL values in an aggregate input are "
-                    f"unsupported (exact-int contract)")
+        for _, fn, arg, _n in sum_cols + min_cols + max_cols + cd_cols:
+            for col in sorted(_expr_cols(arg, set())):
+                if not pa.types.is_integer(t.schema.field(col).type):
+                    raise SqlError(
+                        f"{fn}({col}): only integer columns are supported "
+                        f"(got {t.schema.field(col).type})")
+                if t[col].null_count:
+                    raise SqlError(
+                        f"{fn}({col}): NULL values in an aggregate input "
+                        f"are unsupported (exact-int contract)")
 
     import zlib
 
@@ -1070,8 +1171,8 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
             c = np.zeros(len(u), np.int64)
             np.add.at(c, inv, 1)
             out[name] = pa.array(c, pa.int64())
-        for _, _f, col, name in sum_cols:
-            v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        for _, _f, arg, name in sum_cols:
+            v = _eval_expr(t, arg)
             s = np.zeros(len(u), np.int64)
             np.add.at(s, inv, v)
             out[name] = pa.array(s, pa.int64())
@@ -1079,8 +1180,8 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
                                     np.minimum),
                                    (max_cols, np.iinfo(np.int64).min,
                                     np.maximum)):
-            for _, _f, col, name in bunch:
-                v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            for _, _f, arg, name in bunch:
+                v = _eval_expr(t, arg)
                 m = np.full(len(u), init, np.int64)
                 ufunc.at(m, inv, v)
                 out[name] = pa.array(m, pa.int64())
@@ -1169,7 +1270,8 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
     fold.__name__ = "sql_fold"
     plan.append(
         f"aggregate group_by={group or 'GLOBAL'} "
-        f"aggs={[(a[1], a[2]) for a in aggs]}: map-side partials + "
+        f"aggs={[(a[1], _expr_str(a[2])) for a in aggs]}: map-side "
+        "partials + "
         + ("2 exchanges (distinct-carrier dedup, group merge)"
            if cd_cols else "1 exchange (group fold)"))
     ds = ds.map_batches(partial, batch_format="pyarrow")
@@ -1234,6 +1336,12 @@ DEMO_LEFTJOIN = (
 DEMO_DISTINCT = (
     "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders "
     "WHERE o_custkey BETWEEN 50 AND 500")
+DEMO_AGGEXPR = (
+    "SELECT l_returnflag, "
+    "CAST(sum(l_orderkey * 4 + l_linenumber) AS BIGINT) AS weighted, "
+    "min(l_partkey - l_suppkey) AS spread, "
+    "max((l_suppkey + 1) * 2) AS cap2 "
+    "FROM lineitem WHERE l_quantity >= 10 GROUP BY l_returnflag")
 DEMO_CHAIN = (
     "SELECT nation.n_name, count(*) AS n_orders, "
     "CAST(sum(orders.o_orderkey) AS BIGINT) AS s "

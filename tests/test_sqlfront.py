@@ -289,7 +289,8 @@ def test_differential_random_statements_vs_duckdb(ray_session, tmp_path):
 
     aggs = st.sampled_from(
         ["count(*) AS n", "sum(v) AS s", "min(v) AS mn", "max(v) AS mx",
-         "count(DISTINCT v) AS d"])
+         "count(DISTINCT v) AS d", "sum(v * 2 - 3) AS s2",
+         "max((v + 1) * v) AS mx2", "min(v - v * v) AS mn2"])
     cmps = st.sampled_from(["=", "!=", "<", "<=", ">", ">="])
 
     @st.composite
@@ -608,3 +609,72 @@ def test_select_distinct_and_aggless_group_by(ray_session, tmp_path):
         run_sql(str(tmp_path), "SELECT DISTINCT count(*) AS n FROM t")
     with pytest.raises(SqlError, match="DISTINCT with GROUP BY"):
         run_sql(str(tmp_path), "SELECT DISTINCT k FROM t GROUP BY k")
+
+
+def test_aggregate_arithmetic(ray_session, tmp_path):
+    """Integer arithmetic inside SUM/MIN/MAX: * binds tighter than +/-,
+    parens override, the lexer's negative-literal fold ('v - 3' lexes as
+    v, -3) keeps subtraction AND precedence right, and results match
+    DuckDB exactly — single-table, grouped, and through a JOIN."""
+    import duckdb
+
+    # parser shape: a*b + 2 groups as ((a*b) + 2); a - 3 * b as a - (3*b)
+    q = _Parser("SELECT sum(a * b + 2) AS s, min(a - 3 * b) AS m "
+                "FROM t GROUP BY k").parse()
+    assert q["items"][0][2] == ("bin", "+", ("bin", "*", "a", "b"),
+                                ("lit", 2))
+    assert q["items"][1][2] == ("bin", "-", "a",
+                                ("bin", "*", ("lit", 3), "b"))
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "b", "b", "b", "c"], pa.string()),
+        "v": pa.array([5, -1, 2, 9, 0, 7], pa.int64()),
+        "w": pa.array([1, 3, -2, 4, 6, 0], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=2)
+    pq.write_table(pa.table({
+        "k": pa.array(["a", "b", "b"], pa.string()),
+    }), str(tmp_path / "unused.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    for s in (
+        "SELECT k, CAST(sum(v * w + 2) AS BIGINT) AS s, "
+        "min(v - 3 * w) AS m, max((v + 1) * w) AS x FROM t GROUP BY k",
+        "SELECT CAST(sum(v * 2 - 3) AS BIGINT) AS s, "
+        "min((v - w) * (v + w)) AS m FROM t",
+        "SELECT k, CAST(sum(v - 3) AS BIGINT) AS s FROM t "
+        "WHERE w >= 0 GROUP BY k",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        canon = lambda df: sorted(
+            map(tuple, df[sorted(df.columns)].values.tolist()))
+        assert canon(got) == canon(want), (s, got, want)
+
+    # expression through a JOIN (qualified refs on both tables)
+    pq.write_table(pa.table({
+        "j": pa.array([1, 1, 2], pa.int64()),
+        "u": pa.array([10, 20, 30], pa.int64()),
+    }), str(tmp_path / "r.parquet"))
+    pq.write_table(pa.table({
+        "j": pa.array([1, 2, 2, 3], pa.int64()),
+        "v": pa.array([4, 5, 6, 7], pa.int64()),
+    }), str(tmp_path / "l.parquet"))
+    con.execute(f"CREATE VIEW l AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/l.parquet')")
+    con.execute(f"CREATE VIEW r AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/r.parquet')")
+    s = ("SELECT CAST(sum(l.v * r.u + 1) AS BIGINT) AS s "
+         "FROM l JOIN r ON l.j = r.j")
+    got = run_sql(str(tmp_path), s).to_pandas()
+    want = con.execute(s).fetch_df()
+    assert got["s"].tolist() == want["s"].tolist(), (got, want)
+
+    # non-integer column anywhere in the expression is loud
+    with pytest.raises(Exception, match="integer columns"):
+        run_sql(SF, "SELECT sum(l_orderkey * l_discount) AS s "
+                    "FROM lineitem").count()
+    # float literal inside an aggregate expression is loud at parse
+    with pytest.raises(SqlError, match="integer literals"):
+        _Parser("SELECT sum(v * 1.5) AS s FROM t").parse()
