@@ -28,7 +28,9 @@ Grammar (deliberately small, errors are loud)::
       [HAVING disjunction over aliases]
       [ORDER BY col [ASC|DESC] (, ...)*]  [LIMIT k]
       [UNION ALL select]*
-    item  := col | COUNT(*) AS name
+    item  := col | expr AS name                  -- computed projection
+                                                 -- (plain SELECTs only)
+           | COUNT(*) AS name
            | COUNT(DISTINCT col) AS name         -- int64 columns only
            | (SUM|MIN|MAX)(expr) AS name         -- int64 columns only
     expr  := col | int | expr (+|-|*) expr | (expr)
@@ -37,6 +39,8 @@ Grammar (deliberately small, errors are loud)::
                                                  -- (TPC-H revenue style)
            | CAST(agg AS BIGINT) AS name         -- pins DuckDB SUM width
     pred  := col (=|!=|<>|<|<=|>|>=) literal
+           | expr (=|!=|<>|<|<=|>|>=) expr       -- computed comparison,
+                                                 -- filtered at the scan
            | col IN (lit, ...) | NOT pred | (disjunction)
            | col BETWEEN lit AND lit
            | col IN (SELECT ...)                 -- broadcast semi-join,
@@ -265,8 +269,12 @@ class _Parser:
             self.expect("kw", "as")
             name = self.expect("ident")
             return ("agg", fn, col, name)
-        if k == "ident":
-            return ("col", self._qual_ident())
+        if k == "ident" or k == "num" or (k, v) == ("op", "("):
+            e = self._arith()
+            if isinstance(e, str):
+                return ("col", e)
+            self.expect("kw", "as")
+            return ("exprcol", e, self.expect("ident"))
         raise SqlError(f"bad select item at {v!r}")
 
     def _agg_call(self):
@@ -361,7 +369,17 @@ class _Parser:
             node = self._or()
             self.expect("op", ")")
             return node
-        col = self._qual_ident()
+        col = self._arith()
+        if not isinstance(col, str):
+            # arithmetic comparison: expr cmp (int literal | expr) —
+            # evaluated exact-int64, pushed into the scan as a computed
+            # pads expression (no row-group stats pruning, but still
+            # filtered at the read)
+            k, v = self.next()
+            if k != "op" or v not in ("=", "!=", "<>", "<", "<=", ">",
+                                      ">="):
+                raise SqlError(f"bad arithmetic predicate op {v!r}")
+            return ("cmpe", v, col, self._arith())
         k, v = self.next()
         if (k, v) == ("kw", "in"):
             self.expect("op", "(")
@@ -381,6 +399,13 @@ class _Parser:
             hi = self._literal()
             return ("and", ("cmp", ">=", col, lo), ("cmp", "<=", col, hi))
         if k == "op" and v in ("=", "!=", "<>", "<", "<=", ">", ">="):
+            nk, nv = self.peek()
+            if nk == "ident" or (nk, nv) == ("op", "("):
+                return ("cmpe", v, col, self._arith())
+            if (nk == "num" and isinstance(nv, int)
+                    and self.toks[self.pos + 1][:2] in (
+                        ("op", "+"), ("op", "-"), ("op", "*"))):
+                return ("cmpe", v, col, self._arith())
             return ("cmp", v, col, self._literal())
         raise SqlError(f"bad predicate after {col!r}: {v!r}")
 
@@ -402,6 +427,9 @@ def _pred_cols(node, acc: set):
         _pred_cols(node[1], acc)
     elif tag == "cmp":
         acc.add(node[2])
+    elif tag == "cmpe":
+        _expr_cols(node[2], acc)
+        _expr_cols(node[3], acc)
     elif tag in ("in", "insub"):
         acc.add(node[1])
     return acc
@@ -419,10 +447,25 @@ def _to_pads(node):
         return ~_to_pads(node[1])
     if tag == "in":
         return pads.field(node[1]).isin(node[2])
-    _, op, col, lit = node
-    f = pads.field(col)
+    if tag == "cmpe":
+        _, op, l, r = node
+        f, lit = _expr_pads(l), _expr_pads(r)
+    else:
+        _, op, col, lit = node
+        f = pads.field(col)
     return {"=": f == lit, "!=": f != lit, "<>": f != lit, "<": f < lit,
             "<=": f <= lit, ">": f > lit, ">=": f >= lit}[op]
+
+
+def _expr_pads(e):
+    """Arithmetic tree -> computed pyarrow.dataset expression (filtered at
+    the scan; no row-group stats pruning for computed terms)."""
+    if isinstance(e, str):
+        return pads.field(e)
+    if e[0] == "lit":
+        return pads.scalar(e[1])
+    l, r = _expr_pads(e[2]), _expr_pads(e[3])
+    return {"+": l + r, "-": l - r, "*": l * r}[e[1]]
 
 
 def _eval_pred(node, t: pa.Table) -> np.ndarray:
@@ -447,11 +490,13 @@ def _eval_pred(node, t: pa.Table) -> np.ndarray:
         for lit in node[2]:
             hit |= v == lit
         return hit
-    _, op, col, lit = node
-    v = colv(col)
     import operator as _op
-    return {"=": _op.eq, "!=": _op.ne, "<>": _op.ne, "<": _op.lt,
-            "<=": _op.le, ">": _op.gt, ">=": _op.ge}[op](v, lit)
+    ops = {"=": _op.eq, "!=": _op.ne, "<>": _op.ne, "<": _op.lt,
+           "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+    if tag == "cmpe":
+        return ops[node[1]](_eval_expr(t, node[2]), _eval_expr(t, node[3]))
+    _, op, col, lit = node
+    return ops[op](colv(col), lit)
 
 
 def _order_limit(ds: rd.Dataset, q: dict) -> rd.Dataset:
@@ -517,6 +562,10 @@ def _eval_expr(t: pa.Table, e) -> np.ndarray:
     Exact int64 both sides of the oracle contract; like the engine,
     DuckDB's BIGINT arithmetic never widens."""
     if isinstance(e, str):
+        if not pa.types.is_integer(t.schema.field(e).type):
+            raise SqlError(
+                f"{e}: only integer columns are supported in arithmetic "
+                f"expressions (got {t.schema.field(e).type})")
         return t[e].to_numpy(zero_copy_only=False).astype(np.int64)
     if e[0] == "lit":
         return np.int64(e[1])
@@ -825,6 +874,9 @@ def _strip_tree(node):
         return (tag, _strip_tree(node[1]))
     if tag == "in":
         return (tag, _strip(node[1]), node[2])
+    if tag == "cmpe":
+        return (tag, node[1], _expr_map(node[2], _strip),
+                _expr_map(node[3], _strip))
     return (tag, node[1], _strip(node[2]), node[3])
 
 
@@ -886,7 +938,8 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
         return _run_parsed(sf_dir, q, plan)
     # UNION ALL: each branch plans independently; Ray union concatenates
     # streams (no exchange). Branch output names must agree.
-    names = [tuple(i[3] if i[0] == "agg" else _strip(i[1])
+    names = [tuple(i[3] if i[0] == "agg"
+                   else i[2] if i[0] == "exprcol" else _strip(i[1])
                    for i in b["items"]) for b in branches]
     if len(set(names)) != 1:
         raise SqlError(f"UNION ALL branches select different columns: "
@@ -935,9 +988,14 @@ def _dealias(q: dict) -> dict:
             return (tag, rw_tree(node[1]))
         if tag in ("in", "insub"):
             return (tag, rw(node[1]), node[2])
+        if tag == "cmpe":
+            return (tag, node[1], _expr_map(node[2], rw),
+                    _expr_map(node[3], rw))
         return (tag, node[1], rw(node[2]), node[3])
 
     items = [("col", rw(i[1])) if i[0] == "col"
+             else ("exprcol", _expr_map(i[1], rw), i[2])
+             if i[0] == "exprcol"
              else ("agg", i[1], _expr_map(i[2], rw), i[3])
              for i in q["items"]]
     joins = [dict(j, on=(rw(j["on"][0]), rw(j["on"][1])))
@@ -952,7 +1010,12 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
     q = dict(q, where=_resolve_subqueries(sf_dir, q["where"], plan))
     aggs = [i for i in q["items"] if i[0] == "agg"]
     plain = [i[1] for i in q["items"] if i[0] == "col"]
+    exprs = [i for i in q["items"] if i[0] == "exprcol"]
     group = q["group"]
+    if exprs and (aggs or group or q.get("distinct")):
+        raise SqlError("computed select expressions are only supported "
+                       "in plain projections (no GROUP BY / aggregates / "
+                       "DISTINCT)")
     if q.get("distinct"):
         # SELECT DISTINCT cols == GROUP BY all selected cols, no aggs
         if aggs:
@@ -975,6 +1038,8 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
         agg_need: set = set()
         for a in aggs:
             _expr_cols(a[2], agg_need)
+        for e in exprs:
+            _expr_cols(e[1], agg_need)
         if nullable:
             for c in agg_need:
                 if _table_of(c, tables) in nullable:
@@ -986,17 +1051,22 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
         joined = _join_chain(sf_dir, q, need - set(), plan)
         # downstream (aggregates / projection / HAVING / ORDER) sees the
         # joined rows under unqualified names
+        items2 = [("col", _strip(i[1])) if i[0] == "col"
+                  else ("exprcol", _expr_map(i[1], _strip), i[2])
+                  if i[0] == "exprcol"
+                  else ("agg", i[1], _expr_map(i[2], _strip), i[3])
+                  for i in q["items"]]
         plain = [_strip(c) for c in plain]
         group = [_strip(c) for c in group]
-        aggs = [(k, f, _expr_map(c, _strip), n) for k, f, c, n in aggs]
-        q = dict(q, where=None, group=group,
-                 items=[("col", c) for c in plain]
-                 + [("agg", f, c, n) for _k, f, c, n in aggs])
+        aggs = [i for i in items2 if i[0] == "agg"]
+        q = dict(q, where=None, group=group, items=items2)
         return _run_over(joined, q, aggs, plain, group, plan)
 
     need = set(plain) | set(group)
     for a in aggs:
         _expr_cols(a[2], need)
+    for e in exprs:
+        _expr_cols(e[1], need)
     cols = sorted(need) or [None]
     read_kw = {}
     if q["where"] is not None:
@@ -1025,10 +1095,19 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
     the single-table and JOIN paths (input: a Dataset of plain rows)."""
     plan = plan if plan is not None else []
     if not aggs and not group:  # pure filter + projection
-        plan.append(f"project {plain} (streamed, no exchange)")
+        proj = [i for i in q["items"] if i[0] in ("col", "exprcol")]
+        shown = [i[1] if i[0] == "col"
+                 else f"{_expr_str(i[1])} AS {i[2]}" for i in proj]
+        plan.append(f"project {shown} (streamed, no exchange)")
 
         def project(t: pa.Table) -> pa.Table:
-            return t.select(plain)
+            return pa.table({
+                (i[1] if i[0] == "col" else i[2]):
+                (t[i[1]] if i[0] == "col"
+                 else pa.array(
+                     np.broadcast_to(_eval_expr(t, i[1]), t.num_rows),
+                     pa.int64()))
+                for i in proj})
 
         project.__name__ = "sql_project"
         return _order_limit(ds.map_batches(project, batch_format="pyarrow"),
@@ -1342,6 +1421,10 @@ DEMO_AGGEXPR = (
     "min(l_partkey - l_suppkey) AS spread, "
     "max((l_suppkey + 1) * 2) AS cap2 "
     "FROM lineitem WHERE l_quantity >= 10 GROUP BY l_returnflag")
+DEMO_EXPRPROJ = (
+    "SELECT l_orderkey, l_partkey * 4 + l_linenumber AS weighted, "
+    "(l_suppkey + 1) * 2 AS s2 FROM lineitem "
+    "WHERE l_partkey - l_suppkey >= 150 AND l_orderkey * 2 + 1 > l_suppkey")
 DEMO_CHAIN = (
     "SELECT nation.n_name, count(*) AS n_orders, "
     "CAST(sum(orders.o_orderkey) AS BIGINT) AS s "

@@ -678,3 +678,68 @@ def test_aggregate_arithmetic(ray_session, tmp_path):
     # float literal inside an aggregate expression is loud at parse
     with pytest.raises(SqlError, match="integer literals"):
         _Parser("SELECT sum(v * 1.5) AS s FROM t").parse()
+
+
+def test_scalar_expressions_projection_and_where(ray_session, tmp_path):
+    """Computed SELECT items (expr AS name) and arithmetic comparisons in
+    WHERE (expr cmp expr / col cmp expr / literal-folded 'a - 3') match
+    DuckDB; the computed predicate is pushed into the scan; strings in an
+    expression and expr+GROUP BY are loud errors."""
+    import duckdb
+
+    from docodo_ray.sqlfront import explain_sql
+
+    t = pa.table({
+        "k": pa.array(["a", "b", "c", "d", "e", "f"], pa.string()),
+        "v": pa.array([5, -1, 2, 9, 0, 7], pa.int64()),
+        "w": pa.array([1, 3, -2, 4, 6, 0], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=2)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    for s in (
+        "SELECT k, v * 2 + w AS x, (v - w) * (v + w) AS y FROM t",
+        "SELECT k FROM t WHERE v * 2 + 1 > w * 3",
+        "SELECT k, v - 3 AS adj FROM t WHERE v - 3 >= w - 1",
+        "SELECT k FROM t WHERE v > w + 2",
+        "SELECT k FROM t WHERE v + w = 2 * w OR NOT v - 3 * w < 0",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        canon = lambda df: sorted(
+            map(tuple, df[sorted(df.columns)].values.tolist()))
+        assert canon(got) == canon(want), (s, got, want)
+
+    # computed comparison reaches the scan as a pads expression
+    ex = explain_sql(str(tmp_path), "SELECT k FROM t WHERE v * 2 > w")
+    assert "pushdown" in ex and "multiply" in ex, ex
+
+    # qualified expressions through a JOIN projection
+    pq.write_table(pa.table({
+        "j": pa.array([1, 2], pa.int64()),
+        "u": pa.array([10, 20], pa.int64()),
+    }), str(tmp_path / "r.parquet"))
+    pq.write_table(pa.table({
+        "j": pa.array([1, 1, 2], pa.int64()),
+        "v": pa.array([4, 5, 6], pa.int64()),
+    }), str(tmp_path / "l.parquet"))
+    con.execute(f"CREATE VIEW l AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/l.parquet')")
+    con.execute(f"CREATE VIEW r AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/r.parquet')")
+    s = ("SELECT l.v * r.u + 1 AS prod FROM l JOIN r ON l.j = r.j "
+         "WHERE l.v * 2 > 8")
+    got = sorted(run_sql(str(tmp_path), s).to_pandas()["prod"].tolist())
+    want = sorted(con.execute(s).fetch_df()["prod"].tolist())
+    assert got == want, (got, want)
+
+    with pytest.raises(SqlError, match="plain projections"):
+        run_sql(str(tmp_path),
+                "SELECT v + 1 AS x, count(*) AS n FROM t GROUP BY v")
+    with pytest.raises(SqlError, match="plain projections"):
+        run_sql(str(tmp_path), "SELECT DISTINCT v + 1 AS x FROM t")
+    with pytest.raises(Exception, match="integer columns"):
+        run_sql(str(tmp_path), "SELECT k + 1 AS x FROM t").to_pandas()
+    with pytest.raises(SqlError):
+        _Parser("SELECT v + 1 FROM t").parse()  # expr needs AS name
