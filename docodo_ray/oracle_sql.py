@@ -2605,7 +2605,7 @@ FROM {PROFILE_TABLE}"""
     from docodo_ray.sqlfront import (DEMO_FILTER, DEMO_GLOBAL, DEMO_GROUPBY,
                                      DEMO_AGGEXPR, DEMO_CHAIN, DEMO_COUNTD,
                                      DEMO_DISTINCT, DEMO_EXPRPROJ,
-                                     DEMO_INSUB,
+                                     DEMO_INSUB, DEMO_SELFJOIN,
                                      DEMO_JOIN, DEMO_LEFTJOIN, DEMO_TOPK,
                                      DEMO_UNION)
 
@@ -2622,6 +2622,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_distinct"] = DEMO_DISTINCT
     sql["sql_agg_expr"] = DEMO_AGGEXPR
     sql["sql_expr_projection"] = DEMO_EXPRPROJ
+    sql["sql_self_join"] = DEMO_SELFJOIN
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

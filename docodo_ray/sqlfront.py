@@ -20,24 +20,26 @@ Grammar (deliberately small, errors are loud)::
       ([[LEFT [OUTER]] JOIN tableN ON a.col = b.col])*
                                                  -- left-deep equi-join
                                                  -- chain, integer keys,
-                                                 -- columns qualified
-                                                 -- table.col; each ON
-                                                 -- links the new table
-                                                 -- to an earlier one
+                                                 -- columns qualified by
+                                                 -- namespace (alias or
+                                                 -- table); each ON links
+                                                 -- the new table to an
+                                                 -- earlier one; SELF-
+                                                 -- joins via aliases
       [WHERE disjunction]  [GROUP BY col (, col)*]
       [HAVING disjunction over aliases]
       [ORDER BY col [ASC|DESC] (, ...)*]  [LIMIT k]
       [UNION ALL select]*
-    item  := col | expr AS name                  -- computed projection
-                                                 -- (plain SELECTs only)
+    item  := col [AS name] | expr AS name        -- renames / computed
+                                                 -- projections (plain
+                                                 -- SELECTs only)
            | COUNT(*) AS name
            | COUNT(DISTINCT col) AS name         -- int64 columns only
            | (SUM|MIN|MAX)(expr) AS name         -- int64 columns only
+           | CAST(agg AS BIGINT) AS name         -- pins DuckDB SUM width
     expr  := col | int | expr (+|-|*) expr | (expr)
                                                  -- exact int64 arithmetic
-                                                 -- inside the aggregate
                                                  -- (TPC-H revenue style)
-           | CAST(agg AS BIGINT) AS name         -- pins DuckDB SUM width
     pred  := col (=|!=|<>|<|<=|>|>=) literal
            | expr (=|!=|<>|<|<=|>|>=) expr       -- computed comparison,
                                                  -- filtered at the scan
@@ -272,6 +274,9 @@ class _Parser:
         if k == "ident" or k == "num" or (k, v) == ("op", "("):
             e = self._arith()
             if isinstance(e, str):
+                if self.peek() == ("kw", "as"):
+                    self.next()
+                    return ("colas", e, self.expect("ident"))
                 return ("col", e)
             self.expect("kw", "as")
             return ("exprcol", e, self.expect("ident"))
@@ -583,9 +588,13 @@ def _table_of(name: str, tables: list[str]) -> str:
 
 
 def _join_chain(sf_dir: str, q: dict, need: set,
-                plan: list | None = None) -> rd.Dataset:
+                plan: list | None = None,
+                ns2tab: dict[str, str] | None = None) -> rd.Dataset:
     """Left-deep equi-join chain: FROM t1 JOIN t2 ON .. JOIN t3 ON .. —
     each ON links the new table to any earlier table by integer keys.
+    Every step keys on the FROM-clause NAMESPACE (alias or table name);
+    ns2tab maps namespaces to parquet files, so a self-join is just two
+    namespaces sharing a file.
 
     Per step the planner picks one of two physical joins:
     - BROADCAST: a new table whose parquet footer reports <=
@@ -605,6 +614,10 @@ def _join_chain(sf_dir: str, q: dict, need: set,
     import pyarrow.parquet as pq
 
     t1 = q["table"]
+    ns2tab = ns2tab if ns2tab is not None else {}
+
+    def _file(ns: str) -> str:
+        return f"{sf_dir}/{ns2tab.get(ns, ns)}.parquet"
     joins = q["joins"]
     tables = [t1] + [j["table"] for j in joins]
     nullable = {j["table"] for j in joins if j["kind"] == "left"}
@@ -646,28 +659,31 @@ def _join_chain(sf_dir: str, q: dict, need: set,
             filters[tab].append(conj)
 
     key_cols = {c for s in steps for c in (s["ak"], s["nk"])}
-    need = set(need) | key_cols
-    out_cols: dict[str, str] = {}  # unqualified -> owning table
-    # key columns are equal-valued in every joined row of their step: when
-    # their base names collide (ON l.k = r.k) the LEFT/acc side owns
-    for s in steps:
-        at, nt = _table_of(s["ak"], tables), s["table"]
-        ab, nb = _strip(s["ak"]), _strip(s["nk"])
-        if out_cols.setdefault(ab, at) != at:
-            raise SqlError(f"ambiguous output column {ab!r}")
-        if nb != ab and out_cols.setdefault(nb, nt) != nt:
-            raise SqlError(f"ambiguous output column {nb!r}")
-    for c in need - key_cols:
-        tab = _table_of(c, tables)
-        base = _strip(c)
-        if out_cols.setdefault(base, tab) != tab:
-            raise SqlError(f"ambiguous output column {base!r}")
-    schemas = {t: pq.read_schema(f"{sf_dir}/{t}.parquet") for t in tables}
+    qual = set(need) | key_cols
+    # every qualified column gets an EMIT name the joined stream carries:
+    # the bare base name when only one namespace references that base,
+    # ns_base when two sides of a (self-)join both carry it — the column
+    # planes stay distinct with no equal-value aliasing special cases
+    base_ns: dict[str, set] = {}
+    for c in qual:
+        base_ns.setdefault(_strip(c), set()).add(_table_of(c, tables))
+    emit_of: dict[str, str] = {}   # qualified ref -> emit name
+    out_cols: dict[str, str] = {}  # emit name -> owning namespace
+    src_of: dict[str, str] = {}    # emit name -> physical column name
+    for c in sorted(qual):
+        b, ns = _strip(c), _table_of(c, tables)
+        emit = b if len(base_ns[b]) == 1 else f"{ns}_{b}"
+        if out_cols.setdefault(emit, ns) != ns:
+            raise SqlError(f"ambiguous output column {emit!r}")
+        emit_of[c] = emit
+        src_of[emit] = b
+    schemas = {t: pq.read_schema(_file(t)) for t in tables}
     types = {}
-    for base, tab in out_cols.items():
+    for emit, tab in out_cols.items():
+        base = src_of[emit]
         if base not in schemas[tab].names:
             raise SqlError(f"{tab}.{base}: no such column")
-        types[base] = schemas[tab].field(base).type
+        types[emit] = schemas[tab].field(base).type
     order_cols = sorted(out_cols)
 
     def _side_filter(tab: str):
@@ -680,25 +696,41 @@ def _join_chain(sf_dir: str, q: dict, need: set,
         return _to_pads(_strip_tree(node))
 
     plan = plan if plan is not None else []
-    nrows = {t: pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata.num_rows
+    nrows = {t: pq.ParquetFile(_file(t)).metadata.num_rows
              for t in tables}
 
     def _scan(tab: str, key: str) -> rd.Dataset:
-        # the step's key column always reads physically, even when its
-        # base name is OWNED by the other side (ON l.k = r.k collision)
+        # key is an emit name owned by tab; the scan reads the PHYSICAL
+        # columns, then renames to emit names (zero-copy) so every later
+        # stage speaks one schema
         mine = {b for b in order_cols if out_cols[b] == tab} | {key}
-        read_kw = {"columns": sorted(mine)}
+        srcs = sorted({src_of[m] for m in mine})
+        read_kw = {"columns": srcs}
         flt = _side_filter(tab)
         if flt is not None:
             read_kw["filter"] = flt
         plan.append(f"scan {tab}: columns={read_kw['columns']}"
                     + (" pushdown=[yes]" if "filter" in read_kw else ""))
-        return rd.read_parquet(f"{sf_dir}/{tab}.parquet", **read_kw)
+        ds = rd.read_parquet(_file(tab), **read_kw)
+        ren = {src_of[m]: m for m in mine}
+        if any(k != v for k, v in ren.items()):
+
+            def rename(t: pa.Table) -> pa.Table:
+                return t.rename_columns(
+                    [ren.get(c, c) for c in t.column_names])
+
+            rename.__name__ = f"sql_emit_rename_{tab}"
+            ds = ds.map_batches(rename, batch_format="pyarrow")
+        return ds
 
     def _load_small(tab: str, key: str) -> tuple[np.ndarray, pa.Table]:
-        mine = {b for b in order_cols if out_cols[b] == tab}
-        stbl = pads.dataset(f"{sf_dir}/{tab}.parquet").to_table(
-            columns=sorted(mine | {key}), filter=_side_filter(tab))
+        mine = {b for b in order_cols if out_cols[b] == tab} | {key}
+        srcs = sorted({src_of[m] for m in mine})
+        stbl = pads.dataset(_file(tab)).to_table(
+            columns=srcs, filter=_side_filter(tab))
+        ren = {src_of[m]: m for m in mine}
+        stbl = stbl.rename_columns(
+            [ren.get(c, c) for c in stbl.column_names])
         if not pa.types.is_integer(stbl.schema.field(key).type):
             raise SqlError(f"join key {key!r} must be an integer column")
         ks = stbl[key].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -833,7 +865,7 @@ def _join_chain(sf_dir: str, q: dict, need: set,
     acc_tabs = [t1]
     for si, s in enumerate(steps):
         tn, kind = s["table"], s["kind"]
-        ak_b, nk_b = _strip(s["ak"]), _strip(s["nk"])
+        ak_b, nk_b = emit_of[s["ak"]], emit_of[s["nk"]]
         emit = [b for b in order_cols if out_cols[b] in acc_tabs + [tn]]
         if (kind == "inner" and acc is None
                 and nrows[t1] <= SQL_BROADCAST_ROWS
@@ -862,7 +894,7 @@ def _join_chain(sf_dir: str, q: dict, need: set,
                              set(acc_tabs), ak_b, tn, _scan(tn, nk_b), nk_b,
                              kind, emit)
         acc_tabs.append(tn)
-    return acc
+    return acc, emit_of
 
 
 def _strip_tree(node):
@@ -939,7 +971,8 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
     # UNION ALL: each branch plans independently; Ray union concatenates
     # streams (no exchange). Branch output names must agree.
     names = [tuple(i[3] if i[0] == "agg"
-                   else i[2] if i[0] == "exprcol" else _strip(i[1])
+                   else i[2] if i[0] in ("colas", "exprcol")
+                   else _strip(i[1])
                    for i in b["items"]) for b in branches]
     if len(set(names)) != 1:
         raise SqlError(f"UNION ALL branches select different columns: "
@@ -956,26 +989,39 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
     return out
 
 
-def _dealias(q: dict) -> dict:
-    """Rewrite alias-qualified column refs to real table names. Aliases
-    are naming sugar only; a self-join (both sides the same real table)
-    would need true alias namespaces and is rejected."""
-    amap = {}
-    if q.get("alias"):
-        amap[q["alias"]] = q["table"]
-    for j in q.get("joins") or []:
-        if j.get("alias"):
-            amap[j["alias"]] = j["table"]
-    reals = [q["table"]] + [j["table"] for j in q.get("joins") or []]
-    if len(set(reals)) != len(reals):
-        raise SqlError("self-joins are unsupported (alias namespaces)")
-    if not amap:
-        return q
+def _namespace(q: dict) -> tuple[dict, dict]:
+    """Resolve FROM-clause namespaces: each side is addressed by its alias
+    if given, else its table name (DuckDB scoping). Two namespaces may map
+    to the SAME parquet file — that is a self-join; every plan step keys on
+    the namespace, so no special casing downstream. For a single-table
+    query, namespace-qualified refs are stripped to bare columns here.
+    Returns (q with table/joins rewritten to namespaces, ns -> real table
+    map for file resolution)."""
+    ns2tab: dict[str, str] = {}
 
+    def add(tab: str, alias) -> str:
+        ns = alias or tab
+        if ns in ns2tab:
+            raise SqlError(
+                f"duplicate FROM namespace {ns!r} — alias each side of a "
+                f"self-join differently")
+        ns2tab[ns] = tab
+        return ns
+
+    base_ns = add(q["table"], q.get("alias"))
+    joins = [dict(j, table=add(j["table"], j.get("alias")))
+             for j in q.get("joins") or []]
+    q = dict(q, table=base_ns, joins=joins)
+    if joins:
+        return q, ns2tab
+
+    # single-table: 'ns.col' -> 'col' (the scan reads bare names)
     def rw(name: str) -> str:
         if "." in name:
-            t, c = name.split(".", 1)
-            return f"{amap.get(t, t)}.{c}"
+            ns, c = name.split(".", 1)
+            if ns != base_ns:
+                raise SqlError(f"unknown table {ns!r} in {name!r}")
+            return c
         return name
 
     def rw_tree(node):
@@ -994,28 +1040,34 @@ def _dealias(q: dict) -> dict:
         return (tag, node[1], rw(node[2]), node[3])
 
     items = [("col", rw(i[1])) if i[0] == "col"
+             else ("colas", rw(i[1]), i[2]) if i[0] == "colas"
              else ("exprcol", _expr_map(i[1], rw), i[2])
              if i[0] == "exprcol"
              else ("agg", i[1], _expr_map(i[2], rw), i[3])
              for i in q["items"]]
-    joins = [dict(j, on=(rw(j["on"][0]), rw(j["on"][1])))
-             for j in q["joins"]]
-    return dict(q, items=items, joins=joins,
+    return dict(q, items=items,
                 group=[rw(g) for g in q["group"]],
-                where=rw_tree(q["where"]))
+                where=rw_tree(q["where"])), ns2tab
 
 
 def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
-    q = _dealias(q)
+    q, ns2tab = _namespace(q)
     q = dict(q, where=_resolve_subqueries(sf_dir, q["where"], plan))
     aggs = [i for i in q["items"] if i[0] == "agg"]
     plain = [i[1] for i in q["items"] if i[0] == "col"]
+    renames = [i for i in q["items"] if i[0] == "colas"]
     exprs = [i for i in q["items"] if i[0] == "exprcol"]
     group = q["group"]
-    if exprs and (aggs or group or q.get("distinct")):
-        raise SqlError("computed select expressions are only supported "
+    if (exprs or renames) and (aggs or group or q.get("distinct")):
+        raise SqlError("computed/renamed select items are only supported "
                        "in plain projections (no GROUP BY / aggregates / "
                        "DISTINCT)")
+    out_names = [i[3] if i[0] == "agg"
+                 else i[2] if i[0] in ("colas", "exprcol")
+                 else _strip(i[1]) for i in q["items"]]
+    if len(set(out_names)) != len(out_names):
+        raise SqlError(f"duplicate output column names: {out_names} — "
+                       "use AS to disambiguate")
     if q.get("distinct"):
         # SELECT DISTINCT cols == GROUP BY all selected cols, no aggs
         if aggs:
@@ -1040,6 +1092,7 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
             _expr_cols(a[2], agg_need)
         for e in exprs:
             _expr_cols(e[1], agg_need)
+        agg_need |= {i[1] for i in renames}
         if nullable:
             for c in agg_need:
                 if _table_of(c, tables) in nullable:
@@ -1048,21 +1101,34 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
                         "LEFT JOIN is unsupported (COUNT(*) is fine)")
         need = (set(plain) | set(group) | agg_need
                 | (_pred_cols(q["where"], set()) if q["where"] else set()))
-        joined = _join_chain(sf_dir, q, need - set(), plan)
+        joined, emit_of = _join_chain(sf_dir, q, need - set(), plan, ns2tab)
         # downstream (aggregates / projection / HAVING / ORDER) sees the
-        # joined rows under unqualified names
-        items2 = [("col", _strip(i[1])) if i[0] == "col"
-                  else ("exprcol", _expr_map(i[1], _strip), i[2])
-                  if i[0] == "exprcol"
-                  else ("agg", i[1], _expr_map(i[2], _strip), i[3])
-                  for i in q["items"]]
-        plain = [_strip(c) for c in plain]
-        group = [_strip(c) for c in group]
+        # joined rows under EMIT names (the bare base name unless two
+        # join sides both carry it); projection renames to output names
+        em = emit_of.__getitem__
+        items2 = []
+        for i in q["items"]:
+            if i[0] == "col":
+                items2.append(("colas", em(i[1]), _strip(i[1])))
+            elif i[0] == "colas":
+                items2.append(("colas", em(i[1]), i[2]))
+            elif i[0] == "exprcol":
+                items2.append(("exprcol", _expr_map(i[1], em), i[2]))
+            else:
+                items2.append(("agg", i[1], _expr_map(i[2], em), i[3]))
+        for g in group:
+            if em(g) != _strip(g):
+                raise SqlError(
+                    f"GROUP BY column {g!r} collides across join sides "
+                    f"— its output name would be {em(g)!r}; group by a "
+                    f"column only one side carries")
+        plain = [em(c) for c in plain]
+        group = [em(g) for g in group]
         aggs = [i for i in items2 if i[0] == "agg"]
         q = dict(q, where=None, group=group, items=items2)
         return _run_over(joined, q, aggs, plain, group, plan)
 
-    need = set(plain) | set(group)
+    need = set(plain) | set(group) | {i[1] for i in renames}
     for a in aggs:
         _expr_cols(a[2], need)
     for e in exprs:
@@ -1074,15 +1140,16 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
     # Ray 2.49: read_parquet(partitioning=None, columns=...) trips an
     # UnboundLocalError — pass columns only (default partitioning is fine
     # for flat files)
+    path = f"{sf_dir}/{ns2tab[q['table']]}.parquet"
     if cols != [None]:
         read_kw["columns"] = cols
     else:
         # COUNT(*) with no referenced columns still needs one physical
         # column to materialize row counts
         import pyarrow.parquet as pq
-        first = pq.read_schema(f"{sf_dir}/{q['table']}.parquet").names[0]
+        first = pq.read_schema(path).names[0]
         read_kw["columns"] = [first]
-    ds = rd.read_parquet(f"{sf_dir}/{q['table']}.parquet", **read_kw)
+    ds = rd.read_parquet(path, **read_kw)
     plan.append(f"scan {q['table']}: columns={read_kw['columns']}"
                 + (f" pushdown=[{read_kw['filter']}]"
                    if "filter" in read_kw else " (no filter)"))
@@ -1095,7 +1162,8 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
     the single-table and JOIN paths (input: a Dataset of plain rows)."""
     plan = plan if plan is not None else []
     if not aggs and not group:  # pure filter + projection
-        proj = [i for i in q["items"] if i[0] in ("col", "exprcol")]
+        proj = [i for i in q["items"]
+                if i[0] in ("col", "colas", "exprcol")]
         shown = [i[1] if i[0] == "col"
                  else f"{_expr_str(i[1])} AS {i[2]}" for i in proj]
         plan.append(f"project {shown} (streamed, no exchange)")
@@ -1103,7 +1171,7 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
         def project(t: pa.Table) -> pa.Table:
             return pa.table({
                 (i[1] if i[0] == "col" else i[2]):
-                (t[i[1]] if i[0] == "col"
+                (t[i[1]] if i[0] in ("col", "colas")
                  else pa.array(
                      np.broadcast_to(_eval_expr(t, i[1]), t.num_rows),
                      pa.int64()))
@@ -1421,6 +1489,11 @@ DEMO_AGGEXPR = (
     "min(l_partkey - l_suppkey) AS spread, "
     "max((l_suppkey + 1) * 2) AS cap2 "
     "FROM lineitem WHERE l_quantity >= 10 GROUP BY l_returnflag")
+DEMO_SELFJOIN = (
+    "SELECT o1.o_orderstatus, count(*) AS n_pairs, "
+    "CAST(sum(o2.o_orderkey - o1.o_orderkey) AS BIGINT) AS key_delta "
+    "FROM orders o1 JOIN orders o2 ON o1.o_custkey = o2.o_custkey "
+    "WHERE o1.o_orderstatus = 'F' GROUP BY o1.o_orderstatus")
 DEMO_EXPRPROJ = (
     "SELECT l_orderkey, l_partkey * 4 + l_linenumber AS weighted, "
     "(l_suppkey + 1) * 2 AS s2 FROM lineitem "

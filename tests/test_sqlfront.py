@@ -121,7 +121,7 @@ def test_join_rejects_cross_table_conjunct_and_ambiguity(ray_session,
         run_sql(str(tmp_path),
                 "SELECT l.v FROM l JOIN r ON l.k = r.k "
                 "WHERE l.v = 1 OR r.v = 2").count()
-    with pytest.raises(SqlError, match="ambiguous"):
+    with pytest.raises(SqlError, match="duplicate output column"):
         run_sql(str(tmp_path),
                 "SELECT l.v, r.v FROM l JOIN r ON l.k = r.k").count()
     with pytest.raises(SqlError, match="qualified"):
@@ -416,10 +416,19 @@ def test_from_aliases(ray_session, tmp_path):
                   "SELECT b.lv, x.rv FROM big_table_name AS b "
                   "JOIN other x ON b.k = x.k WHERE b.lv > 5").to_pandas()
     assert out[["lv", "rv"]].values.tolist() == [[10, 9]]
-    with pytest.raises(SqlError, match="self-join"):
+    # self-join: two namespaces over the same file (emit names keep the
+    # column planes distinct); same-named outputs need AS
+    out = run_sql(str(tmp_path),
+                  "SELECT a.k AS ak, b.rv FROM other a JOIN other b "
+                  "ON a.k = b.k").to_pandas()
+    assert out[["ak", "rv"]].values.tolist() == [[1, 9]]
+    with pytest.raises(SqlError, match="duplicate output column"):
         run_sql(str(tmp_path),
                 "SELECT a.k, b.k FROM other a JOIN other b "
                 "ON a.k = b.k").count()
+    with pytest.raises(SqlError, match="duplicate FROM namespace"):
+        run_sql(str(tmp_path),
+                "SELECT a.k FROM other a JOIN other a ON a.k = a.k")
 
 
 def test_join_chain_three_tables_vs_duckdb(ray_session, tmp_path,
@@ -743,3 +752,121 @@ def test_scalar_expressions_projection_and_where(ray_session, tmp_path):
         run_sql(str(tmp_path), "SELECT k + 1 AS x FROM t").to_pandas()
     with pytest.raises(SqlError):
         _Parser("SELECT v + 1 FROM t").parse()  # expr needs AS name
+
+
+def test_self_join_namespaces(ray_session, tmp_path):
+    """Self-joins: two FROM namespaces over the same parquet file. Emit
+    names (ns_base) keep colliding column planes distinct through both
+    planner paths; single-side columns keep bare output names; colliding
+    GROUP BY and duplicate outputs are loud."""
+    import duckdb
+
+    import docodo_ray.sqlfront as sfm
+
+    t = pa.table({
+        "emp": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "mgr": pa.array([3, 3, 4, 4, 4], pa.int64()),
+        "sal": pa.array([10, 20, 30, 40, 15], pa.int64()),
+        "nm": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "staff.parquet"), row_group_size=2)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW staff AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/staff.parquet')")
+    cases = [
+        # employee/manager pay (string col from both sides, AS rename)
+        "SELECT e.nm, m.nm AS mgr_nm, e.sal AS esal, m.sal AS msal "
+        "FROM staff e JOIN staff m ON e.mgr = m.emp WHERE e.sal < 40",
+        # grouped self-join + aggregate arithmetic across namespaces
+        "SELECT m.emp, count(*) AS n, "
+        "CAST(sum(e.sal * 2 + m.sal) AS BIGINT) AS s "
+        "FROM staff e JOIN staff m ON e.mgr = m.emp GROUP BY m.emp",
+        # LEFT self-join: employees with no reports keep a NULL plane
+        "SELECT m.emp, count(*) AS n FROM staff m "
+        "LEFT JOIN staff e ON m.emp = e.mgr GROUP BY m.emp",
+    ]
+    for forced_exchange in (False, True):
+        for s in cases:
+            if forced_exchange:
+                orig = sfm.SQL_BROADCAST_ROWS
+                sfm.SQL_BROADCAST_ROWS = 0
+            try:
+                got = run_sql(str(tmp_path), s).to_pandas()
+            finally:
+                if forced_exchange:
+                    sfm.SQL_BROADCAST_ROWS = orig
+            want = con.execute(s).fetch_df()
+            canon = lambda df: sorted(
+                map(tuple, df[sorted(df.columns)].values.tolist()))
+            assert canon(got) == canon(want), (s, forced_exchange,
+                                               got, want)
+
+    with pytest.raises(SqlError, match="duplicate output column"):
+        run_sql(str(tmp_path),
+                "SELECT e.sal, m.sal FROM staff e JOIN staff m "
+                "ON e.mgr = m.emp")
+    with pytest.raises(SqlError, match="collides across join sides"):
+        run_sql(str(tmp_path),
+                "SELECT e.emp, count(*) AS n FROM staff e JOIN staff r "
+                "ON e.emp = r.emp GROUP BY e.emp")
+    with pytest.raises(SqlError, match="duplicate FROM namespace"):
+        run_sql(str(tmp_path),
+                "SELECT a.emp FROM staff a JOIN staff a ON a.emp = a.mgr")
+
+
+def test_differential_random_self_joins_vs_duckdb(ray_session, tmp_path):
+    """Random self-joins (key skew, orphans, MxN duplicates) must agree
+    with DuckDB under both planner paths."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import docodo_ray.sqlfront as sfm
+
+    idx = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        ka=st.lists(st.integers(0, 3), min_size=0, max_size=10),
+        vs=st.data(),
+        grouped=st.booleans(),
+        forced=st.booleans(),
+    )
+    def run(ka, vs, grouped, forced):
+        kb = [vs.draw(st.integers(0, 3)) for _ in ka]
+        v = [vs.draw(st.integers(-5, 5)) for _ in ka]
+        idx[0] += 1
+        d = tmp_path / f"sj{idx[0]}"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"ka": pa.array(ka, pa.int64()),
+                      "kb": pa.array(kb, pa.int64()),
+                      "v": pa.array(v, pa.int64())}),
+            str(d / "t.parquet"), row_group_size=3)
+        if grouped:
+            s = ("SELECT x.ka, count(*) AS n, "
+                 "CAST(sum(y.v - x.v) AS BIGINT) AS s "
+                 "FROM t x JOIN t y ON x.ka = y.kb GROUP BY x.ka")
+        else:
+            s = ("SELECT x.v AS xv, y.v AS yv FROM t x "
+                 "JOIN t y ON x.ka = y.kb WHERE x.v <= 3")
+        orig = sfm.SQL_BROADCAST_ROWS
+        if forced:
+            sfm.SQL_BROADCAST_ROWS = 0
+        try:
+            got = run_sql(str(d), s).to_pandas()
+        finally:
+            sfm.SQL_BROADCAST_ROWS = orig
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                    f"read_parquet('{d}/t.parquet')")
+        want = con.execute(s).fetch_df()
+        if len(want) == 0:
+            assert len(got) == 0, (s, got)
+            return
+        canon = lambda df: sorted(
+            map(tuple, df[sorted(df.columns)].astype("int64")
+                .values.tolist()))
+        assert canon(got) == canon(want), (s, forced, got, want)
+
+    run()
