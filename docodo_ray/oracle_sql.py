@@ -2606,6 +2606,7 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_AGGEXPR, DEMO_CHAIN, DEMO_COUNTD,
                                      DEMO_DISTINCT, DEMO_EXPRPROJ,
                                      DEMO_INSUB, DEMO_SELFJOIN,
+                                     DEMO_WINDOW,
                                      DEMO_JOIN, DEMO_LEFTJOIN, DEMO_TOPK,
                                      DEMO_UNION)
 
@@ -2623,6 +2624,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_agg_expr"] = DEMO_AGGEXPR
     sql["sql_expr_projection"] = DEMO_EXPRPROJ
     sql["sql_self_join"] = DEMO_SELFJOIN
+    sql["sql_window_topk"] = DEMO_WINDOW
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

@@ -28,6 +28,8 @@ Grammar (deliberately small, errors are loud)::
                                                  -- joins via aliases
       [WHERE disjunction]  [GROUP BY col (, col)*]
       [HAVING disjunction over aliases]
+      [QUALIFY disjunction over output columns]  -- window top-k filter,
+                                                 -- applied in-fold
       [ORDER BY col [ASC|DESC] (, ...)*]  [LIMIT k]
       [UNION ALL select]*
     item  := col [AS name] | expr AS name        -- renames / computed
@@ -37,6 +39,12 @@ Grammar (deliberately small, errors are loud)::
            | COUNT(DISTINCT col) AS name         -- int64 columns only
            | (SUM|MIN|MAX)(expr) AS name         -- int64 columns only
            | CAST(agg AS BIGINT) AS name         -- pins DuckDB SUM width
+           | (ROW_NUMBER|RANK|DENSE_RANK)() OVER
+             (PARTITION BY col (, col)*
+              ORDER BY col [ASC|DESC] (, ...)*) AS name
+                                                 -- 1 exchange; all window
+                                                 -- items share one spec;
+                                                 -- int ORDER BY keys
     expr  := col | int | expr (+|-|*) expr | (expr)
                                                  -- exact int64 arithmetic
                                                  -- (TPC-H revenue style)
@@ -78,6 +86,7 @@ capability per the brief ("same query capabilities" at the engine tier).
 from __future__ import annotations
 
 import re
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -100,7 +109,9 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
              "not", "in", "count", "sum", "min", "max", "cast", "bigint",
              "having", "order", "limit", "asc", "desc", "join", "on",
-             "distinct", "between", "union", "all", "left", "outer"}
+             "distinct", "between", "union", "all", "left", "outer",
+             "row_number", "rank", "dense_rank", "over", "partition",
+             "qualify"}
 
 
 class SqlError(ValueError):
@@ -200,6 +211,10 @@ class _Parser:
         if self.peek() == ("kw", "having"):
             self.next()
             having = self._or()
+        qualify = None
+        if self.peek() == ("kw", "qualify"):
+            self.next()
+            qualify = self._or()
         order = []
         if self.peek() == ("kw", "order"):
             self.next()
@@ -225,8 +240,8 @@ class _Parser:
             raise SqlError(f"trailing tokens at {self.peek()!r}")
         return {"items": items, "table": table, "alias": alias,
                 "joins": joins, "where": where, "group": group,
-                "having": having, "order": order, "limit": limit,
-                "distinct": distinct}
+                "having": having, "qualify": qualify, "order": order,
+                "limit": limit, "distinct": distinct}
 
     def _opt_alias(self):
         if self.peek() == ("kw", "as"):
@@ -245,6 +260,13 @@ class _Parser:
 
     def _order_item(self):
         col = self.expect("ident")
+        desc = False
+        if self.peek() in (("kw", "asc"), ("kw", "desc")):
+            desc = self.next()[1] == "desc"
+        return (col, desc)
+
+    def _win_order_item(self):
+        col = self._qual_ident()
         desc = False
         if self.peek() in (("kw", "asc"), ("kw", "desc")):
             desc = self.next()[1] == "desc"
@@ -271,6 +293,30 @@ class _Parser:
             self.expect("kw", "as")
             name = self.expect("ident")
             return ("agg", fn, col, name)
+        if k == "kw" and v in ("row_number", "rank", "dense_rank"):
+            self.next()
+            self.expect("op", "(")
+            self.expect("op", ")")
+            self.expect("kw", "over")
+            self.expect("op", "(")
+            # PARTITION BY is mandatory: a global window is one group —
+            # every row through a single task; refuse by grammar
+            self.expect("kw", "partition")
+            self.expect("kw", "by")
+            part = [self._qual_ident()]
+            while self.peek() == ("op", ","):
+                self.next()
+                part.append(self._qual_ident())
+            self.expect("kw", "order")
+            self.expect("kw", "by")
+            order = [self._win_order_item()]
+            while self.peek() == ("op", ","):
+                self.next()
+                order.append(self._win_order_item())
+            self.expect("op", ")")
+            self.expect("kw", "as")
+            name = self.expect("ident")
+            return ("win", v, part, order, name)
         if k == "ident" or k == "num" or (k, v) == ("op", "("):
             e = self._arith()
             if isinstance(e, str):
@@ -471,6 +517,72 @@ def _expr_pads(e):
         return pads.scalar(e[1])
     l, r = _expr_pads(e[2]), _expr_pads(e[3])
     return {"+": l + r, "-": l - r, "*": l * r}[e[1]]
+
+
+def _batch_group_key(t: pa.Table, n: int, group: list):
+    """(unique keys as tuples, inverse) over the given key columns.
+    All-integer batches take the vectorized np.unique path."""
+    if not group:
+        return np.array([()], dtype=object), np.zeros(n, np.int64)
+
+    def _tuples(rows: list) -> np.ndarray:
+        out = np.empty(len(rows), dtype=object)
+        for i, r in enumerate(rows):
+            out[i] = r
+        return out
+
+    all_int = all(pa.types.is_integer(t.schema.field(g).type)
+                  for g in group)
+    any_null = any(t[g].null_count for g in group)
+    if all_int:
+        # fully vectorized: only the UNIQUE keys become Python tuples.
+        # NULL keys (LEFT-join output, nullable data) ride as a
+        # parallel validity plane so they form their own SQL-style
+        # NULL group instead of casting to garbage.
+        vals, nulls = [], []
+        for g in group:
+            a = t[g].combine_chunks()
+            nulls.append(np.asarray(a.is_null()).astype(np.int64))
+            vals.append(a.fill_null(0).to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        mat = np.stack(vals + (nulls if any_null else []), axis=1)
+        um, inv = np.unique(mat, axis=0, return_inverse=True)
+        k = len(group)
+        if any_null:
+            uniq = [tuple(None if r[k + i] else r[i] for i in range(k))
+                    for r in um.tolist()]
+        else:
+            uniq = [tuple(r) for r in um.tolist()]
+        return _tuples(uniq), inv
+    if len(group) == 1 and not any_null:
+        k = np.asarray(t[group[0]].to_pylist(), dtype=object)
+        u1, inv = np.unique(k, return_inverse=True)
+        return _tuples([(v,) for v in u1]), inv
+    keys = [np.asarray(t[g].to_pylist(), dtype=object) for g in group]
+    packed = np.empty(n, dtype=object)
+    for i in range(n):
+        # (is_null, value) surrogates keep mixed None/value tuples
+        # totally ordered for np.unique's sort
+        packed[i] = tuple((k[i] is None, "" if k[i] is None else k[i])
+                          for k in keys)
+    up, inv = np.unique(packed, return_inverse=True)
+    return _tuples([tuple(None if isn else v for isn, v in s)
+                    for s in up]), inv
+
+
+def _batch_key_cols(t: pa.Table, u, group: list) -> dict:
+    # preserve each key column's Arrow type even for empty batches
+    return {g: pa.array([v[gi] for v in u],
+                        type=t.schema.field(g).type)
+            for gi, g in enumerate(group)}
+
+
+def _stable_gk(u) -> np.ndarray:
+    # crc32 of the tuple repr: deterministic across worker processes
+    # (Python's hash() is seed-randomized per process and would split
+    # one key across groups)
+    return np.array([zlib.crc32(repr(v).encode()) for v in u],
+                    dtype=np.int64)
 
 
 def _eval_pred(node, t: pa.Table) -> np.ndarray:
@@ -972,6 +1084,7 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
     # streams (no exchange). Branch output names must agree.
     names = [tuple(i[3] if i[0] == "agg"
                    else i[2] if i[0] in ("colas", "exprcol")
+                   else i[4] if i[0] == "win"
                    else _strip(i[1])
                    for i in b["items"]) for b in branches]
     if len(set(names)) != 1:
@@ -1043,6 +1156,9 @@ def _namespace(q: dict) -> tuple[dict, dict]:
              else ("colas", rw(i[1]), i[2]) if i[0] == "colas"
              else ("exprcol", _expr_map(i[1], rw), i[2])
              if i[0] == "exprcol"
+             else ("win", i[1], [rw(c) for c in i[2]],
+                   [(rw(c), d) for c, d in i[3]], i[4])
+             if i[0] == "win"
              else ("agg", i[1], _expr_map(i[2], rw), i[3])
              for i in q["items"]]
     return dict(q, items=items,
@@ -1064,10 +1180,32 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
                        "DISTINCT)")
     out_names = [i[3] if i[0] == "agg"
                  else i[2] if i[0] in ("colas", "exprcol")
+                 else i[4] if i[0] == "win"
                  else _strip(i[1]) for i in q["items"]]
     if len(set(out_names)) != len(out_names):
         raise SqlError(f"duplicate output column names: {out_names} — "
                        "use AS to disambiguate")
+    wins = [i for i in q["items"] if i[0] == "win"]
+    if wins:
+        if aggs or group or exprs or q.get("distinct"):
+            raise SqlError("window functions combine only with plain "
+                           "column select items")
+        if q["joins"]:
+            raise SqlError("window functions over JOINs are unsupported "
+                           "— window a plain SELECT instead")
+        sig = (tuple(wins[0][2]), tuple(wins[0][3]))
+        for w in wins[1:]:
+            if (tuple(w[2]), tuple(w[3])) != sig:
+                raise SqlError(
+                    "all window functions in one statement must share "
+                    "the same PARTITION BY / ORDER BY (one exchange)")
+        if q.get("qualify") is not None:
+            for c in sorted(_pred_cols(q["qualify"], set())):
+                if c not in out_names:
+                    raise SqlError(f"QUALIFY references {c!r} which is "
+                                   f"not a selected output column")
+    elif q.get("qualify") is not None:
+        raise SqlError("QUALIFY requires a window function")
     if q.get("distinct"):
         # SELECT DISTINCT cols == GROUP BY all selected cols, no aggs
         if aggs:
@@ -1133,6 +1271,8 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
         _expr_cols(a[2], need)
     for e in exprs:
         _expr_cols(e[1], need)
+    for w in wins:
+        need |= set(w[2]) | {c for c, _ in w[3]}
     cols = sorted(need) or [None]
     read_kw = {}
     if q["where"] is not None:
@@ -1153,7 +1293,91 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
     plan.append(f"scan {q['table']}: columns={read_kw['columns']}"
                 + (f" pushdown=[{read_kw['filter']}]"
                    if "filter" in read_kw else " (no filter)"))
+    if wins:
+        return _run_window(ds, q, wins, plan)
     return _run_over(ds, q, aggs, plain, group, plan)
+
+
+def _run_window(ds: rd.Dataset, q: dict, wins, plan: list) -> rd.Dataset:
+    """ROW_NUMBER / RANK / DENSE_RANK OVER (PARTITION BY .. ORDER BY ..):
+    one exchange co-locating partitions by coarse key hash, then a
+    per-group vectorized sort + boundary-scan rank computation. QUALIFY
+    filters inside the same fold (a per-partition top-k never ships more
+    than it keeps). All window items share one (PARTITION, ORDER) spec —
+    validated at plan time — so the whole SELECT costs ONE exchange."""
+    part = list(wins[0][2])
+    order = list(wins[0][3])
+    items = list(q["items"])
+    qual = q.get("qualify")
+
+    def wk_partial(t: pa.Table) -> pa.Table:
+        u, inv = _batch_group_key(t, t.num_rows, part)
+        wk = _coarse_mix(_stable_gk(u))[inv] if t.num_rows else \
+            np.empty(0, np.int64)
+        return t.append_column("_wk", pa.array(wk, pa.int64()))
+
+    wk_partial.__name__ = "sql_win_partial"
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_wk"])
+        n = g.num_rows
+        _u, inv = _batch_group_key(g, n, part)
+        okeys = []
+        for oc, desc in order:
+            f = g.schema.field(oc)
+            if not pa.types.is_integer(f.type):
+                raise SqlError(
+                    f"window ORDER BY {oc!r}: only integer columns are "
+                    f"supported (got {f.type})")
+            if g[oc].null_count:
+                raise SqlError(
+                    f"window ORDER BY {oc!r}: NULL ordering keys are "
+                    f"unsupported")
+            v = g[oc].to_numpy(zero_copy_only=False).astype(np.int64)
+            okeys.append(-v if desc else v)
+        sort_idx = np.lexsort(tuple(reversed(okeys)) + (inv,))
+        inv_s = inv[sort_idx]
+        new_part = np.ones(n, bool)
+        new_order = np.ones(n, bool)
+        if n > 1:
+            new_part[1:] = inv_s[1:] != inv_s[:-1]
+            new_order[1:] = new_part[1:]
+            for k in okeys:
+                ks = k[sort_idx]
+                new_order[1:] |= ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new_part)
+        run_id = np.cumsum(new_part) - 1
+        pstart = starts[run_id] if n else np.empty(0, np.int64)
+        rn = np.arange(n) - pstart + 1
+        bnd = np.flatnonzero(new_order)
+        bidx = np.cumsum(new_order) - 1
+        rank = (bnd[bidx] - pstart + 1) if n else np.empty(0, np.int64)
+        cno = np.cumsum(new_order)
+        dense = (cno - cno[pstart] + 1) if n else np.empty(0, np.int64)
+        vals = {"row_number": rn, "rank": rank, "dense_rank": dense}
+        gs = g.take(pa.array(sort_idx, pa.int64()))
+        out = {}
+        for it in items:
+            if it[0] == "col":
+                out[it[1]] = gs[it[1]]
+            elif it[0] == "colas":
+                out[it[2]] = gs[it[1]]
+            else:
+                out[it[4]] = pa.array(vals[it[1]], pa.int64())
+        res = pa.table(out)
+        if qual is not None:
+            res = res.filter(pa.array(_eval_pred(qual, res)))
+        return res
+
+    fold.__name__ = "sql_win_fold"
+    plan.append(
+        f"window partition_by={part} order_by={order} "
+        f"fns={[(w[1], w[4]) for w in wins]}: 1 exchange (coarse "
+        "partition hash), per-group sort + boundary ranks"
+        + ("; qualify applied in-fold" if qual is not None else ""))
+    out = (ds.map_batches(wk_partial, batch_format="pyarrow")
+           .groupby("_wk").map_groups(fold, batch_format="pyarrow"))
+    return _order_limit(out, q)
 
 
 def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
@@ -1203,70 +1427,11 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
                         f"{fn}({col}): NULL values in an aggregate input "
                         f"are unsupported (exact-int contract)")
 
-    import zlib
-
     def _group_key(t: pa.Table, n: int):
-        """(unique keys as tuples, inverse) over the GROUP BY columns.
-        Single-key batches take the vectorized np.unique path."""
-        if not group:
-            return np.array([()], dtype=object), np.zeros(n, np.int64)
-
-        def _tuples(rows: list) -> np.ndarray:
-            out = np.empty(len(rows), dtype=object)
-            for i, r in enumerate(rows):
-                out[i] = r
-            return out
-
-        all_int = all(pa.types.is_integer(t.schema.field(g).type)
-                      for g in group)
-        any_null = any(t[g].null_count for g in group)
-        if all_int:
-            # fully vectorized: only the UNIQUE keys become Python tuples.
-            # NULL keys (LEFT-join output, nullable data) ride as a
-            # parallel validity plane so they form their own SQL-style
-            # NULL group instead of casting to garbage.
-            vals, nulls = [], []
-            for g in group:
-                a = t[g].combine_chunks()
-                nulls.append(np.asarray(a.is_null()).astype(np.int64))
-                vals.append(a.fill_null(0).to_numpy(zero_copy_only=False)
-                            .astype(np.int64))
-            mat = np.stack(vals + (nulls if any_null else []), axis=1)
-            um, inv = np.unique(mat, axis=0, return_inverse=True)
-            k = len(group)
-            if any_null:
-                uniq = [tuple(None if r[k + i] else r[i] for i in range(k))
-                        for r in um.tolist()]
-            else:
-                uniq = [tuple(r) for r in um.tolist()]
-            return _tuples(uniq), inv
-        if len(group) == 1 and not any_null:
-            k = np.asarray(t[group[0]].to_pylist(), dtype=object)
-            u1, inv = np.unique(k, return_inverse=True)
-            return _tuples([(v,) for v in u1]), inv
-        keys = [np.asarray(t[g].to_pylist(), dtype=object) for g in group]
-        packed = np.empty(n, dtype=object)
-        for i in range(n):
-            # (is_null, value) surrogates keep mixed None/value tuples
-            # totally ordered for np.unique's sort
-            packed[i] = tuple((k[i] is None, "" if k[i] is None else k[i])
-                              for k in keys)
-        up, inv = np.unique(packed, return_inverse=True)
-        return _tuples([tuple(None if isn else v for isn, v in s)
-                        for s in up]), inv
+        return _batch_group_key(t, n, group)
 
     def _key_cols(t: pa.Table, u) -> dict:
-        # preserve each group column's Arrow type even for empty batches
-        return {g: pa.array([v[gi] for v in u],
-                            type=t.schema.field(g).type)
-                for gi, g in enumerate(group)}
-
-    def _stable_gk(u) -> np.ndarray:
-        # crc32 of the tuple repr: deterministic across worker processes
-        # (Python's hash() is seed-randomized per process and would split
-        # one key across groups)
-        return np.array([zlib.crc32(repr(v).encode()) for v in u],
-                        dtype=np.int64)
+        return _batch_key_cols(t, u, group)
 
     if not aggs:
         # SELECT DISTINCT / agg-less GROUP BY: map-side per-batch unique,
@@ -1489,6 +1654,10 @@ DEMO_AGGEXPR = (
     "min(l_partkey - l_suppkey) AS spread, "
     "max((l_suppkey + 1) * 2) AS cap2 "
     "FROM lineitem WHERE l_quantity >= 10 GROUP BY l_returnflag")
+DEMO_WINDOW = (
+    "SELECT o_custkey, o_orderkey, o_orderstatus, "
+    "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) "
+    "AS rn FROM orders QUALIFY rn <= 2")
 DEMO_SELFJOIN = (
     "SELECT o1.o_orderstatus, count(*) AS n_pairs, "
     "CAST(sum(o2.o_orderkey - o1.o_orderkey) AS BIGINT) AS key_delta "

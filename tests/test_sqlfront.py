@@ -870,3 +870,67 @@ def test_differential_random_self_joins_vs_duckdb(ray_session, tmp_path):
         assert canon(got) == canon(want), (s, forced, got, want)
 
     run()
+
+
+def test_window_functions(ray_session, tmp_path):
+    """ROW_NUMBER / RANK / DENSE_RANK OVER (PARTITION BY .. ORDER BY ..)
+    + QUALIFY: one coarse-hash exchange, per-group boundary-scan ranks —
+    results match DuckDB (which evaluates QUALIFY natively), ties covered
+    for rank/dense_rank; mixed specs and QUALIFY-without-window are
+    loud."""
+    import duckdb
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b", "c", None], pa.string()),
+        "u": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "v": pa.array([10, 10, 20, 5, 5, 9, 9], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=2)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    for s in (
+        # ties: rank gaps + dense_rank, NULL partition key its own group
+        "SELECT k, u, rank() OVER (PARTITION BY k ORDER BY v ASC) AS r, "
+        "dense_rank() OVER (PARTITION BY k ORDER BY v ASC) AS dr "
+        "FROM t",
+        # per-partition top-1 by unique key, descending
+        "SELECT k, u, row_number() OVER (PARTITION BY k ORDER BY u DESC) "
+        "AS rn FROM t QUALIFY rn = 1",
+        # WHERE pushes to the scan before the window
+        "SELECT k, u, row_number() OVER (PARTITION BY k ORDER BY u ASC) "
+        "AS rn FROM t WHERE u <= 5 QUALIFY rn <= 2",
+        # multi-column order, AS rename riding along
+        "SELECT u AS uid, rank() OVER (PARTITION BY k ORDER BY v DESC, "
+        "u ASC) AS r FROM t",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+
+        def canon(df):
+            df = df[sorted(df.columns)]
+            df = df.where(pd.notna(df), None)
+            return sorted(
+                map(tuple, df.values.tolist()),
+                key=lambda r: tuple((x is None, "" if x is None else x)
+                                    for x in r))
+
+        assert canon(got) == canon(want), (s, got, want)
+
+    with pytest.raises(SqlError, match="share the same"):
+        run_sql(str(tmp_path),
+                "SELECT u, rank() OVER (PARTITION BY k ORDER BY u) AS a, "
+                "rank() OVER (PARTITION BY v ORDER BY u) AS b FROM t")
+    with pytest.raises(SqlError, match="QUALIFY requires"):
+        run_sql(str(tmp_path), "SELECT u FROM t QUALIFY u > 1")
+    with pytest.raises(SqlError, match="not a selected output"):
+        run_sql(str(tmp_path),
+                "SELECT u, row_number() OVER (PARTITION BY k ORDER BY u) "
+                "AS rn FROM t QUALIFY v > 1")
+    with pytest.raises(SqlError, match="expected partition"):
+        run_sql(str(tmp_path),
+                "SELECT u, row_number() OVER (ORDER BY u) AS rn FROM t")
+    with pytest.raises(Exception, match="only integer"):
+        run_sql(str(tmp_path),
+                "SELECT u, rank() OVER (PARTITION BY v ORDER BY k) AS r "
+                "FROM t").to_pandas()
