@@ -2605,7 +2605,7 @@ FROM {PROFILE_TABLE}"""
     from docodo_ray.sqlfront import (DEMO_FILTER, DEMO_GLOBAL, DEMO_GROUPBY,
                                      DEMO_AGGEXPR, DEMO_CHAIN, DEMO_COUNTD,
                                      DEMO_DISTINCT, DEMO_EXPRPROJ,
-                                     DEMO_INSUB, DEMO_SELFJOIN,
+                                     DEMO_INSUB, DEMO_LAG, DEMO_SELFJOIN,
                                      DEMO_WINDOW,
                                      DEMO_JOIN, DEMO_LEFTJOIN, DEMO_TOPK,
                                      DEMO_UNION)
@@ -2625,6 +2625,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_expr_projection"] = DEMO_EXPRPROJ
     sql["sql_self_join"] = DEMO_SELFJOIN
     sql["sql_window_topk"] = DEMO_WINDOW
+    sql["sql_window_lag"] = DEMO_LAG
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

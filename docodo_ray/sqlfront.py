@@ -39,12 +39,16 @@ Grammar (deliberately small, errors are loud)::
            | COUNT(DISTINCT col) AS name         -- int64 columns only
            | (SUM|MIN|MAX)(expr) AS name         -- int64 columns only
            | CAST(agg AS BIGINT) AS name         -- pins DuckDB SUM width
-           | (ROW_NUMBER|RANK|DENSE_RANK)() OVER
-             (PARTITION BY col (, col)*
-              ORDER BY col [ASC|DESC] (, ...)*) AS name
+           | (ROW_NUMBER|RANK|DENSE_RANK)() OVER w AS name
+           | (LAG|LEAD)(col [, k]) OVER w AS name
+                                                 -- NULL outside the
+                                                 -- partition, any type
+    w     := (PARTITION BY col (, col)*
+              ORDER BY col [ASC|DESC] (, ...)*)
                                                  -- 1 exchange; all window
                                                  -- items share one spec;
-                                                 -- int ORDER BY keys
+                                                 -- int ORDER BY keys;
+                                                 -- works over JOINs too
     expr  := col | int | expr (+|-|*) expr | (expr)
                                                  -- exact int64 arithmetic
                                                  -- (TPC-H revenue style)
@@ -111,7 +115,7 @@ _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
              "having", "order", "limit", "asc", "desc", "join", "on",
              "distinct", "between", "union", "all", "left", "outer",
              "row_number", "rank", "dense_rank", "over", "partition",
-             "qualify"}
+             "qualify", "lag", "lead"}
 
 
 class SqlError(ValueError):
@@ -293,9 +297,22 @@ class _Parser:
             self.expect("kw", "as")
             name = self.expect("ident")
             return ("agg", fn, col, name)
-        if k == "kw" and v in ("row_number", "rank", "dense_rank"):
+        if k == "kw" and v in ("row_number", "rank", "dense_rank",
+                               "lag", "lead"):
             self.next()
             self.expect("op", "(")
+            arg = None
+            if v in ("lag", "lead"):
+                c = self._qual_ident()
+                off = 1
+                if self.peek() == ("op", ","):
+                    self.next()
+                    kk, vv = self.next()
+                    if kk != "num" or not isinstance(vv, int) or vv < 1:
+                        raise SqlError(
+                            f"{v} offset must be a positive integer")
+                    off = vv
+                arg = (c, off)
             self.expect("op", ")")
             self.expect("kw", "over")
             self.expect("op", "(")
@@ -316,7 +333,7 @@ class _Parser:
             self.expect("op", ")")
             self.expect("kw", "as")
             name = self.expect("ident")
-            return ("win", v, part, order, name)
+            return ("win", v, part, order, name, arg)
         if k == "ident" or k == "num" or (k, v) == ("op", "("):
             e = self._arith()
             if isinstance(e, str):
@@ -1157,7 +1174,8 @@ def _namespace(q: dict) -> tuple[dict, dict]:
              else ("exprcol", _expr_map(i[1], rw), i[2])
              if i[0] == "exprcol"
              else ("win", i[1], [rw(c) for c in i[2]],
-                   [(rw(c), d) for c, d in i[3]], i[4])
+                   [(rw(c), d) for c, d in i[3]], i[4],
+                   (rw(i[5][0]), i[5][1]) if i[5] else None)
              if i[0] == "win"
              else ("agg", i[1], _expr_map(i[2], rw), i[3])
              for i in q["items"]]
@@ -1190,9 +1208,6 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
         if aggs or group or exprs or q.get("distinct"):
             raise SqlError("window functions combine only with plain "
                            "column select items")
-        if q["joins"]:
-            raise SqlError("window functions over JOINs are unsupported "
-                           "— window a plain SELECT instead")
         sig = (tuple(wins[0][2]), tuple(wins[0][3]))
         for w in wins[1:]:
             if (tuple(w[2]), tuple(w[3])) != sig:
@@ -1231,6 +1246,10 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
         for e in exprs:
             _expr_cols(e[1], agg_need)
         agg_need |= {i[1] for i in renames}
+        for w in wins:
+            agg_need |= set(w[2]) | {c for c, _ in w[3]}
+            if w[5]:
+                agg_need.add(w[5][0])
         if nullable:
             for c in agg_need:
                 if _table_of(c, tables) in nullable:
@@ -1252,6 +1271,10 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
                 items2.append(("colas", em(i[1]), i[2]))
             elif i[0] == "exprcol":
                 items2.append(("exprcol", _expr_map(i[1], em), i[2]))
+            elif i[0] == "win":
+                items2.append(("win", i[1], [em(c) for c in i[2]],
+                               [(em(c), d) for c, d in i[3]], i[4],
+                               (em(i[5][0]), i[5][1]) if i[5] else None))
             else:
                 items2.append(("agg", i[1], _expr_map(i[2], em), i[3]))
         for g in group:
@@ -1264,6 +1287,9 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
         group = [em(g) for g in group]
         aggs = [i for i in items2 if i[0] == "agg"]
         q = dict(q, where=None, group=group, items=items2)
+        if wins:
+            return _run_window(joined, q,
+                               [i for i in items2 if i[0] == "win"], plan)
         return _run_over(joined, q, aggs, plain, group, plan)
 
     need = set(plain) | set(group) | {i[1] for i in renames}
@@ -1273,6 +1299,8 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
         _expr_cols(e[1], need)
     for w in wins:
         need |= set(w[2]) | {c for c, _ in w[3]}
+        if w[5]:
+            need.add(w[5][0])
     cols = sorted(need) or [None]
     read_kw = {}
     if q["where"] is not None:
@@ -1362,6 +1390,20 @@ def _run_window(ds: rd.Dataset, q: dict, wins, plan: list) -> rd.Dataset:
                 out[it[1]] = gs[it[1]]
             elif it[0] == "colas":
                 out[it[2]] = gs[it[1]]
+            elif it[1] in ("lag", "lead"):
+                import pyarrow.compute as pc
+                col, off = it[5]
+                shift = off if it[1] == "lag" else -off
+                idx = np.arange(n) - shift
+                ok = (idx >= 0) & (idx < n)
+                # the shifted row must be in the SAME partition
+                same = np.zeros(n, bool)
+                same[ok] = pstart[idx[ok]] == pstart[ok]
+                src = gs[col].combine_chunks()
+                safe = np.where(same, idx, 0)
+                shifted = src.take(pa.array(safe, pa.int64()))
+                out[it[4]] = pc.if_else(pa.array(same), shifted,
+                                        pa.nulls(n, src.type))
             else:
                 out[it[4]] = pa.array(vals[it[1]], pa.int64())
         res = pa.table(out)
@@ -1654,6 +1696,10 @@ DEMO_AGGEXPR = (
     "min(l_partkey - l_suppkey) AS spread, "
     "max((l_suppkey + 1) * 2) AS cap2 "
     "FROM lineitem WHERE l_quantity >= 10 GROUP BY l_returnflag")
+DEMO_LAG = (
+    "SELECT user_id, event_id, "
+    "lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id ASC) "
+    "AS prev_ev FROM events WHERE user_id <= 100")
 DEMO_WINDOW = (
     "SELECT o_custkey, o_orderkey, o_orderstatus, "
     "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) "

@@ -934,3 +934,55 @@ def test_window_functions(ray_session, tmp_path):
         run_sql(str(tmp_path),
                 "SELECT u, rank() OVER (PARTITION BY v ORDER BY k) AS r "
                 "FROM t").to_pandas()
+
+
+def test_window_lag_lead_and_join_windows(ray_session, tmp_path):
+    """LAG/LEAD with offsets (NULL outside the partition, any column
+    type) and window functions over a JOIN stream (qualified specs ride
+    the emit-name rewrite) match DuckDB."""
+    import duckdb
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 50, 60, 70], pa.int64()),
+        "s": pa.array(["a", "b", "c", "d", "e", "f", "g"], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=2)
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "grp": pa.array([7, 7, 8], pa.int64()),
+    }), str(tmp_path / "dims.parquet"))
+    con = duckdb.connect()
+    for nm in ("t", "dims"):
+        con.execute(f"CREATE VIEW {nm} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{nm}.parquet')")
+
+    def canon(df):
+        df = df[sorted(df.columns)].astype(object)
+        df = df.where(pd.notna(df), None)
+        return sorted(map(tuple, df.values.tolist()),
+                      key=lambda r: tuple((x is None,
+                                           "" if x is None else x)
+                                          for x in r))
+
+    for s in (
+        "SELECT k, v, lag(v) OVER (PARTITION BY k ORDER BY v ASC) AS pv, "
+        "lead(v, 2) OVER (PARTITION BY k ORDER BY v ASC) AS n2 FROM t",
+        # string-typed lag keeps the type and NULLs the partition head
+        "SELECT k, v, lag(s) OVER (PARTITION BY k ORDER BY v DESC) "
+        "AS ps FROM t",
+        # window over a JOIN, partitioned by the small side's column
+        "SELECT dims.grp, t.v, row_number() OVER (PARTITION BY dims.grp "
+        "ORDER BY t.v DESC) AS rn FROM t JOIN dims ON t.k = dims.k "
+        "QUALIFY rn <= 2",
+        "SELECT dims.grp, t.v, lag(t.v) OVER (PARTITION BY dims.grp "
+        "ORDER BY t.v ASC) AS pv FROM t JOIN dims ON t.k = dims.k",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), (s, got, want)
+
+    with pytest.raises(SqlError, match="positive integer"):
+        run_sql(str(tmp_path),
+                "SELECT k, lag(v, 0) OVER (PARTITION BY k ORDER BY v) "
+                "AS pv FROM t")
