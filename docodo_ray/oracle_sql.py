@@ -2606,7 +2606,7 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_AGGEXPR, DEMO_CHAIN, DEMO_COUNTD,
                                      DEMO_DISTINCT, DEMO_EXPRPROJ,
                                      DEMO_INSUB, DEMO_LAG, DEMO_SELFJOIN,
-                                     DEMO_WINDOW,
+                                     DEMO_WINAGG, DEMO_WINDOW,
                                      DEMO_JOIN, DEMO_LEFTJOIN, DEMO_TOPK,
                                      DEMO_UNION)
 
@@ -2626,6 +2626,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_self_join"] = DEMO_SELFJOIN
     sql["sql_window_topk"] = DEMO_WINDOW
     sql["sql_window_lag"] = DEMO_LAG
+    sql["sql_window_running_agg"] = DEMO_WINAGG
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

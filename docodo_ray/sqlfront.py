@@ -43,6 +43,10 @@ Grammar (deliberately small, errors are loud)::
            | (LAG|LEAD)(col [, k]) OVER w AS name
                                                  -- NULL outside the
                                                  -- partition, any type
+           | (SUM|MIN|MAX)(expr) OVER w AS name  -- running aggregate,
+           | COUNT(*) OVER w AS name             -- default frame incl.
+                                                 -- ORDER BY peers; CAST
+                                                 -- pins DuckDB SUM width
     w     := (PARTITION BY col (, col)*
               ORDER BY col [ASC|DESC] (, ...)*)
                                                  -- 1 exchange; all window
@@ -276,6 +280,26 @@ class _Parser:
             desc = self.next()[1] == "desc"
         return (col, desc)
 
+    def _over_spec(self):
+        self.expect("kw", "over")
+        self.expect("op", "(")
+        # PARTITION BY is mandatory: a global window is one group —
+        # every row through a single task; refuse by grammar
+        self.expect("kw", "partition")
+        self.expect("kw", "by")
+        part = [self._qual_ident()]
+        while self.peek() == ("op", ","):
+            self.next()
+            part.append(self._qual_ident())
+        self.expect("kw", "order")
+        self.expect("kw", "by")
+        order = [self._win_order_item()]
+        while self.peek() == ("op", ","):
+            self.next()
+            order.append(self._win_order_item())
+        self.expect("op", ")")
+        return part, order
+
     def _item(self):
         k, v = self.peek()
         if k == "kw" and v == "cast":
@@ -286,14 +310,30 @@ class _Parser:
             self.next()
             self.expect("op", "(")
             inner = self._agg_call()
+            win = None
+            if self.peek() == ("kw", "over"):
+                # CAST(SUM(x) OVER w AS BIGINT): running window aggregate
+                # (the CAST pins DuckDB's HUGEINT window SUM to BIGINT)
+                if inner[0] == "countd":
+                    raise SqlError("COUNT(DISTINCT) OVER is unsupported")
+                win = self._over_spec()
             self.expect("kw", "as")
             self.expect("kw", "bigint")
             self.expect("op", ")")
             self.expect("kw", "as")
             name = self.expect("ident")
+            if win is not None:
+                return ("win", inner[0], win[0], win[1], name, inner[1])
             return ("agg", inner[0], inner[1], name)
         if k == "kw" and v in ("count", "sum", "min", "max"):
             fn, col = self._agg_call()
+            if self.peek() == ("kw", "over"):
+                if fn == "countd":
+                    raise SqlError("COUNT(DISTINCT) OVER is unsupported")
+                part, order = self._over_spec()
+                self.expect("kw", "as")
+                name = self.expect("ident")
+                return ("win", fn, part, order, name, col)
             self.expect("kw", "as")
             name = self.expect("ident")
             return ("agg", fn, col, name)
@@ -314,23 +354,7 @@ class _Parser:
                     off = vv
                 arg = (c, off)
             self.expect("op", ")")
-            self.expect("kw", "over")
-            self.expect("op", "(")
-            # PARTITION BY is mandatory: a global window is one group —
-            # every row through a single task; refuse by grammar
-            self.expect("kw", "partition")
-            self.expect("kw", "by")
-            part = [self._qual_ident()]
-            while self.peek() == ("op", ","):
-                self.next()
-                part.append(self._qual_ident())
-            self.expect("kw", "order")
-            self.expect("kw", "by")
-            order = [self._win_order_item()]
-            while self.peek() == ("op", ","):
-                self.next()
-                order.append(self._win_order_item())
-            self.expect("op", ")")
+            part, order = self._over_spec()
             self.expect("kw", "as")
             name = self.expect("ident")
             return ("win", v, part, order, name, arg)
@@ -682,6 +706,24 @@ def _expr_map(e, f):
     return e
 
 
+def _win_arg_map(fn: str, arg, f):
+    """Rewrite column refs inside a window item's argument with f."""
+    if arg is None:
+        return None
+    if fn in ("lag", "lead"):
+        return (f(arg[0]), arg[1])
+    return _expr_map(arg, f)
+
+
+def _win_arg_cols(fn: str, arg, acc: set) -> set:
+    if arg is not None:
+        if fn in ("lag", "lead"):
+            acc.add(arg[0])
+        else:
+            _expr_cols(arg, acc)
+    return acc
+
+
 def _expr_str(e) -> str | None:
     """Human form of an aggregate argument (EXPLAIN output)."""
     if e is None or isinstance(e, str):
@@ -700,6 +742,10 @@ def _eval_expr(t: pa.Table, e) -> np.ndarray:
             raise SqlError(
                 f"{e}: only integer columns are supported in arithmetic "
                 f"expressions (got {t.schema.field(e).type})")
+        if t[e].null_count:
+            raise SqlError(f"{e}: NULL values in an arithmetic "
+                           f"expression are unsupported (exact-int "
+                           f"contract)")
         return t[e].to_numpy(zero_copy_only=False).astype(np.int64)
     if e[0] == "lit":
         return np.int64(e[1])
@@ -1175,7 +1221,7 @@ def _namespace(q: dict) -> tuple[dict, dict]:
              if i[0] == "exprcol"
              else ("win", i[1], [rw(c) for c in i[2]],
                    [(rw(c), d) for c, d in i[3]], i[4],
-                   (rw(i[5][0]), i[5][1]) if i[5] else None)
+                   _win_arg_map(i[1], i[5], rw))
              if i[0] == "win"
              else ("agg", i[1], _expr_map(i[2], rw), i[3])
              for i in q["items"]]
@@ -1248,8 +1294,7 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
         agg_need |= {i[1] for i in renames}
         for w in wins:
             agg_need |= set(w[2]) | {c for c, _ in w[3]}
-            if w[5]:
-                agg_need.add(w[5][0])
+            _win_arg_cols(w[1], w[5], agg_need)
         if nullable:
             for c in agg_need:
                 if _table_of(c, tables) in nullable:
@@ -1274,7 +1319,7 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
             elif i[0] == "win":
                 items2.append(("win", i[1], [em(c) for c in i[2]],
                                [(em(c), d) for c, d in i[3]], i[4],
-                               (em(i[5][0]), i[5][1]) if i[5] else None))
+                               _win_arg_map(i[1], i[5], em)))
             else:
                 items2.append(("agg", i[1], _expr_map(i[2], em), i[3]))
         for g in group:
@@ -1299,8 +1344,7 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
         _expr_cols(e[1], need)
     for w in wins:
         need |= set(w[2]) | {c for c, _ in w[3]}
-        if w[5]:
-            need.add(w[5][0])
+        _win_arg_cols(w[1], w[5], need)
     cols = sorted(need) or [None]
     read_kw = {}
     if q["where"] is not None:
@@ -1384,12 +1428,34 @@ def _run_window(ds: rd.Dataset, q: dict, wins, plan: list) -> rd.Dataset:
         dense = (cno - cno[pstart] + 1) if n else np.empty(0, np.int64)
         vals = {"row_number": rn, "rank": rank, "dense_rank": dense}
         gs = g.take(pa.array(sort_idx, pa.int64()))
+        # peer groups (ORDER BY ties): the SQL default frame RANGE
+        # UNBOUNDED PRECEDING .. CURRENT ROW includes all peers, so a
+        # running aggregate reads at the LAST row of its peer group
+        ends = (np.append(bnd[1:], n) - 1)[bidx] if n else \
+            np.empty(0, np.int64)
         out = {}
         for it in items:
             if it[0] == "col":
                 out[it[1]] = gs[it[1]]
             elif it[0] == "colas":
                 out[it[2]] = gs[it[1]]
+            elif it[1] in ("sum", "min", "max", "count"):
+                import pandas as pd
+                if it[1] == "count":
+                    run = ends - pstart + 1
+                else:
+                    v = np.broadcast_to(
+                        np.asarray(_eval_expr(gs, it[5])), n).astype(
+                            np.int64)
+                    if it[1] == "sum":
+                        cs = np.cumsum(v)
+                        seg = cs - cs[pstart] + v[pstart] if n else cs
+                    else:
+                        op = "cummin" if it[1] == "min" else "cummax"
+                        seg = getattr(
+                            pd.Series(v).groupby(run_id), op)().to_numpy()
+                    run = seg[ends]
+                out[it[4]] = pa.array(run, pa.int64())
             elif it[1] in ("lag", "lead"):
                 import pyarrow.compute as pc
                 col, off = it[5]
@@ -1696,6 +1762,12 @@ DEMO_AGGEXPR = (
     "min(l_partkey - l_suppkey) AS spread, "
     "max((l_suppkey + 1) * 2) AS cap2 "
     "FROM lineitem WHERE l_quantity >= 10 GROUP BY l_returnflag")
+DEMO_WINAGG = (
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(sum(o_orderkey) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderkey ASC) AS BIGINT) AS run_key, "
+    "count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC) "
+    "AS run_n FROM orders WHERE o_custkey <= 300")
 DEMO_LAG = (
     "SELECT user_id, event_id, "
     "lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id ASC) "

@@ -986,3 +986,50 @@ def test_window_lag_lead_and_join_windows(ray_session, tmp_path):
         run_sql(str(tmp_path),
                 "SELECT k, lag(v, 0) OVER (PARTITION BY k ORDER BY v) "
                 "AS pv FROM t")
+
+
+def test_window_running_aggregates(ray_session, tmp_path):
+    """Running SUM/MIN/MAX/COUNT(*) OVER (PARTITION .. ORDER ..): the SQL
+    default frame includes ORDER BY peers, so ties share the running
+    value — matches DuckDB exactly; aggregate arithmetic works inside;
+    COUNT(DISTINCT) OVER and NULL inputs are loud."""
+    import duckdb
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "v": pa.array([10, 20, 20, 40, 50, 60, 70], pa.int64()),
+        "w": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "nv": pa.array([1, None, 3, 4, 5, 6, 7], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=2)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    for s in (
+        # tie at v=20 inside k=1: both peer rows carry the shared total
+        "SELECT k, w, CAST(sum(v) OVER (PARTITION BY k ORDER BY v ASC) "
+        "AS BIGINT) AS rs FROM t",
+        "SELECT k, w, min(v - w) OVER (PARTITION BY k ORDER BY w ASC) "
+        "AS rm, max(v * 2) OVER (PARTITION BY k ORDER BY w ASC) AS rx "
+        "FROM t",
+        "SELECT k, w, count(*) OVER (PARTITION BY k ORDER BY v ASC) "
+        "AS rc FROM t",
+        # running agg + rank in one statement (same spec, one exchange)
+        "SELECT k, w, CAST(sum(v) OVER (PARTITION BY k ORDER BY w ASC) "
+        "AS BIGINT) AS rs, row_number() OVER (PARTITION BY k ORDER BY "
+        "w ASC) AS rn FROM t QUALIFY rn >= 2",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        canon = lambda df: sorted(
+            map(tuple, df[sorted(df.columns)].values.tolist()))
+        assert canon(got) == canon(want), (s, got, want)
+
+    with pytest.raises(SqlError, match="OVER is unsupported"):
+        run_sql(str(tmp_path),
+                "SELECT k, count(DISTINCT v) OVER (PARTITION BY k "
+                "ORDER BY w) AS c FROM t")
+    with pytest.raises(Exception, match="NULL values"):
+        run_sql(str(tmp_path),
+                "SELECT k, CAST(sum(nv) OVER (PARTITION BY k ORDER BY "
+                "w ASC) AS BIGINT) AS rs FROM t").to_pandas()
