@@ -197,6 +197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, sqlfront.DEMO_LAG),
         "sql_window_running_agg": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_WINAGG),
+        "sql_window_ntile": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_NTILE),
         "orders_cube": relational.orders_cube,           # GROUP BY CUBE grouping sets
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
         "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join

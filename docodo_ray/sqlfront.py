@@ -40,6 +40,8 @@ Grammar (deliberately small, errors are loud)::
            | (SUM|MIN|MAX)(expr) AS name         -- int64 columns only
            | CAST(agg AS BIGINT) AS name         -- pins DuckDB SUM width
            | (ROW_NUMBER|RANK|DENSE_RANK)() OVER w AS name
+           | NTILE(k) OVER w AS name
+           | (FIRST_VALUE|LAST_VALUE)(col) OVER w AS name
            | (LAG|LEAD)(col [, k]) OVER w AS name
                                                  -- NULL outside the
                                                  -- partition, any type
@@ -119,7 +121,8 @@ _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
              "having", "order", "limit", "asc", "desc", "join", "on",
              "distinct", "between", "union", "all", "left", "outer",
              "row_number", "rank", "dense_rank", "over", "partition",
-             "qualify", "lag", "lead"}
+             "qualify", "lag", "lead", "ntile", "first_value",
+             "last_value"}
 
 
 class SqlError(ValueError):
@@ -338,7 +341,8 @@ class _Parser:
             name = self.expect("ident")
             return ("agg", fn, col, name)
         if k == "kw" and v in ("row_number", "rank", "dense_rank",
-                               "lag", "lead"):
+                               "lag", "lead", "ntile", "first_value",
+                               "last_value"):
             self.next()
             self.expect("op", "(")
             arg = None
@@ -353,6 +357,13 @@ class _Parser:
                             f"{v} offset must be a positive integer")
                     off = vv
                 arg = (c, off)
+            elif v == "ntile":
+                kk, vv = self.next()
+                if kk != "num" or not isinstance(vv, int) or vv < 1:
+                    raise SqlError("NTILE needs a positive integer")
+                arg = vv
+            elif v in ("first_value", "last_value"):
+                arg = self._qual_ident()
             self.expect("op", ")")
             part, order = self._over_spec()
             self.expect("kw", "as")
@@ -708,19 +719,24 @@ def _expr_map(e, f):
 
 def _win_arg_map(fn: str, arg, f):
     """Rewrite column refs inside a window item's argument with f."""
-    if arg is None:
-        return None
+    if arg is None or fn == "ntile":
+        return arg
     if fn in ("lag", "lead"):
         return (f(arg[0]), arg[1])
+    if fn in ("first_value", "last_value"):
+        return f(arg)
     return _expr_map(arg, f)
 
 
 def _win_arg_cols(fn: str, arg, acc: set) -> set:
-    if arg is not None:
-        if fn in ("lag", "lead"):
-            acc.add(arg[0])
-        else:
-            _expr_cols(arg, acc)
+    if arg is None or fn == "ntile":
+        return acc
+    if fn in ("lag", "lead"):
+        acc.add(arg[0])
+    elif fn in ("first_value", "last_value"):
+        acc.add(arg)
+    else:
+        _expr_cols(arg, acc)
     return acc
 
 
@@ -1456,6 +1472,25 @@ def _run_window(ds: rd.Dataset, q: dict, wins, plan: list) -> rd.Dataset:
                             pd.Series(v).groupby(run_id), op)().to_numpy()
                     run = seg[ends]
                 out[it[4]] = pa.array(run, pa.int64())
+            elif it[1] == "ntile":
+                k = it[5]
+                pend = (np.append(starts[1:], n) - 1)[run_id] if n else \
+                    np.empty(0, np.int64)
+                sz = pend - pstart + 1
+                p = rn - 1
+                base, rem = sz // k, sz % k
+                bound = rem * (base + 1)
+                out[it[4]] = pa.array(np.where(
+                    p < bound, p // (base + 1) + 1,
+                    rem + (p - bound) // np.maximum(base, 1) + 1)
+                    .astype(np.int64), pa.int64())
+            elif it[1] == "first_value":
+                src = gs[it[5]].combine_chunks()
+                out[it[4]] = src.take(pa.array(pstart, pa.int64()))
+            elif it[1] == "last_value":
+                # default frame ends at the last ORDER BY peer
+                src = gs[it[5]].combine_chunks()
+                out[it[4]] = src.take(pa.array(ends, pa.int64()))
             elif it[1] in ("lag", "lead"):
                 import pyarrow.compute as pc
                 col, off = it[5]
@@ -1762,6 +1797,13 @@ DEMO_AGGEXPR = (
     "min(l_partkey - l_suppkey) AS spread, "
     "max((l_suppkey + 1) * 2) AS cap2 "
     "FROM lineitem WHERE l_quantity >= 10 GROUP BY l_returnflag")
+DEMO_NTILE = (
+    "SELECT o_custkey, o_orderkey, "
+    "ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC) "
+    "AS quartile, "
+    "first_value(o_orderkey) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderkey ASC) AS first_key "
+    "FROM orders WHERE o_custkey <= 150")
 DEMO_WINAGG = (
     "SELECT o_custkey, o_orderkey, "
     "CAST(sum(o_orderkey) OVER (PARTITION BY o_custkey "

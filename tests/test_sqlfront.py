@@ -1033,3 +1033,115 @@ def test_window_running_aggregates(ray_session, tmp_path):
         run_sql(str(tmp_path),
                 "SELECT k, CAST(sum(nv) OVER (PARTITION BY k ORDER BY "
                 "w ASC) AS BIGINT) AS rs FROM t").to_pandas()
+
+
+def test_window_ntile_first_last(ray_session, tmp_path):
+    """NTILE (DuckDB bucket-size distribution), FIRST_VALUE and
+    LAST_VALUE (default frame ends at the last ORDER BY peer) match
+    DuckDB, any value type."""
+    import duckdb
+
+    t = pa.table({
+        "k": pa.array([1] * 7 + [2] * 3, pa.int64()),
+        "v": pa.array([10, 20, 20, 40, 50, 60, 70, 1, 2, 3], pa.int64()),
+        "w": pa.array(list(range(10)), pa.int64()),
+        "s": pa.array(list("abcdefghij"), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=3)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    for s in (
+        "SELECT k, w, ntile(3) OVER (PARTITION BY k ORDER BY w ASC) "
+        "AS t3 FROM t",
+        "SELECT k, w, ntile(5) OVER (PARTITION BY k ORDER BY w DESC) "
+        "AS t5 FROM t",
+        # ntile wider than the partition: every row its own tile
+        "SELECT k, w, ntile(100) OVER (PARTITION BY k ORDER BY w ASC) "
+        "AS tb FROM t",
+        # tie at v=20: last_value reads at the last PEER
+        "SELECT k, w, first_value(s) OVER (PARTITION BY k ORDER BY v "
+        "ASC) AS fv, last_value(w) OVER (PARTITION BY k ORDER BY v ASC) "
+        "AS lv FROM t",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        canon = lambda df: sorted(
+            map(tuple, df[sorted(df.columns)].values.tolist()))
+        assert canon(got) == canon(want), (s, got, want)
+    with pytest.raises(SqlError, match="positive integer"):
+        run_sql(str(tmp_path),
+                "SELECT k, ntile(0) OVER (PARTITION BY k ORDER BY w) "
+                "AS z FROM t")
+
+
+def test_differential_random_windows_vs_duckdb(ray_session, tmp_path):
+    """Random tables x random window statements (ties, skewed partitions,
+    every supported window fn) must agree with DuckDB exactly. ORDER BY
+    u (unique) keeps row_number/ntile/lag deterministic; rank fns also
+    draw tied keys."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    fns = st.sampled_from([
+        "row_number() OVER W AS x",
+        "rank() OVER W AS x",
+        "dense_rank() OVER W AS x",
+        "ntile(2) OVER W AS x",
+        "ntile(3) OVER W AS x",
+        "lag(v) OVER W AS x",
+        "lead(v, 2) OVER W AS x",
+        "first_value(v) OVER W AS x",
+        "last_value(v) OVER W AS x",
+        "CAST(sum(v) OVER W AS BIGINT) AS x",
+        "min(v - 1) OVER W AS x",
+        "count(*) OVER W AS x",
+    ])
+    idx = [0]
+
+    @settings(max_examples=14, deadline=None)
+    @given(
+        ks=st.lists(st.integers(0, 2), min_size=1, max_size=12),
+        vs=st.data(),
+        fn=fns,
+        by_unique=st.booleans(),
+        desc=st.booleans(),
+    )
+    def run(ks, vs, fn, by_unique, desc):
+        v = [vs.draw(st.integers(-4, 4)) for _ in ks]
+        idx[0] += 1
+        d = tmp_path / f"w{idx[0]}"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"k": pa.array(ks, pa.int64()),
+                      "v": pa.array(v, pa.int64()),
+                      "u": pa.array(range(len(ks)), pa.int64())}),
+            str(d / "t.parquet"), row_group_size=3)
+        dirn = "DESC" if desc else "ASC"
+        # ties under 'ORDER BY v' are only deterministic for rank fns;
+        # everything else orders by the unique u
+        rank_fn = fn.split("(")[0] in ("rank", "dense_rank") or \
+            fn.startswith(("CAST(sum", "min", "count", "last_value"))
+        okey = f"v {dirn}, u ASC" if rank_fn and not by_unique \
+            else f"u {dirn}"
+        s = ("SELECT k, u, " +
+             fn.replace("W", f"(PARTITION BY k ORDER BY {okey})") +
+             " FROM t")
+        got = run_sql(str(d), s).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                    f"read_parquet('{d}/t.parquet')")
+        want = con.execute(s).fetch_df()
+
+        def canon(df):
+            df = df[sorted(df.columns)].astype(object)
+            df = df.where(pd.notna(df), None)
+            return sorted(map(tuple, df.values.tolist()),
+                          key=lambda r: tuple((x is None,
+                                               0 if x is None else x)
+                                              for x in r))
+
+        assert canon(got) == canon(want), (s, got, want)
+
+    run()
