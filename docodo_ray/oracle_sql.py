@@ -2605,6 +2605,7 @@ FROM {PROFILE_TABLE}"""
     from docodo_ray.sqlfront import (DEMO_FILTER, DEMO_GLOBAL, DEMO_GROUPBY,
                                      DEMO_AGGEXPR, DEMO_CHAIN, DEMO_COUNTD,
                                      DEMO_DISTINCT, DEMO_EXPRPROJ,
+                                     DEMO_DERIVED,
                                      DEMO_INSUB, DEMO_LAG, DEMO_NTILE,
                                      DEMO_SELFJOIN,
                                      DEMO_WINAGG, DEMO_WINDOW,
@@ -2629,6 +2630,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_window_lag"] = DEMO_LAG
     sql["sql_window_running_agg"] = DEMO_WINAGG
     sql["sql_window_ntile"] = DEMO_NTILE
+    sql["sql_derived_table"] = DEMO_DERIVED
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

@@ -16,7 +16,11 @@ as a Ray Data pipeline — the thin end of a pushdown query engine:
 
 Grammar (deliberately small, errors are loud)::
 
-    SELECT [DISTINCT] item (, item)*  FROM table
+    SELECT [DISTINCT] item (, item)*
+      FROM (table | (SELECT ...) [AS] t)         -- derived tables: the
+                                                 -- outer ops stream over
+                                                 -- the inner pipeline
+                                                 -- (agg -> window etc.)
       ([[LEFT [OUTER]] JOIN tableN ON a.col = b.col])*
                                                  -- left-deep equi-join
                                                  -- chain, integer keys,
@@ -185,7 +189,16 @@ class _Parser:
             self.next()
             items.append(self._item())
         self.expect("kw", "from")
-        table = self.expect("ident")
+        derived = None
+        if self.peek() == ("op", "("):
+            # FROM (SELECT ...) [AS] t — derived table: the inner query
+            # plans as its own pipeline and the outer ops stream over it
+            self.next()
+            derived = self.parse(stop_at_paren=True)
+            self.expect("op", ")")
+            table = None
+        else:
+            table = self.expect("ident")
         alias = self._opt_alias()
         joins = []
         while self.peek() in (("kw", "join"), ("kw", "left")):
@@ -249,10 +262,12 @@ class _Parser:
                 raise SqlError(f"trailing tokens at {self.peek()!r}")
         elif self.peek()[0] != "end":
             raise SqlError(f"trailing tokens at {self.peek()!r}")
+        if derived is not None and joins:
+            raise SqlError("JOIN with a derived table is unsupported")
         return {"items": items, "table": table, "alias": alias,
                 "joins": joins, "where": where, "group": group,
                 "having": having, "qualify": qualify, "order": order,
-                "limit": limit, "distinct": distinct}
+                "limit": limit, "distinct": distinct, "derived": derived}
 
     def _opt_alias(self):
         if self.peek() == ("kw", "as"):
@@ -1190,6 +1205,12 @@ def _namespace(q: dict) -> tuple[dict, dict]:
     Returns (q with table/joins rewritten to namespaces, ns -> real table
     map for file resolution)."""
     ns2tab: dict[str, str] = {}
+    if q.get("derived") is not None:
+        # the derived table's only namespace is its alias (if any);
+        # qualified refs strip to the inner query's output names
+        base_ns = q.get("alias") or "__derived__"
+        q = dict(q, table=base_ns)
+        return _strip_single_ns(q, base_ns), ns2tab
 
     def add(tab: str, alias) -> str:
         ns = alias or tab
@@ -1206,8 +1227,13 @@ def _namespace(q: dict) -> tuple[dict, dict]:
     q = dict(q, table=base_ns, joins=joins)
     if joins:
         return q, ns2tab
+    return _strip_single_ns(q, base_ns), ns2tab
 
-    # single-table: 'ns.col' -> 'col' (the scan reads bare names)
+
+def _strip_single_ns(q: dict, base_ns: str) -> dict:
+    """Single-namespace query: 'ns.col' -> 'col' (the scan / inner result
+    carries bare names)."""
+
     def rw(name: str) -> str:
         if "." in name:
             ns, c = name.split(".", 1)
@@ -1243,7 +1269,8 @@ def _namespace(q: dict) -> tuple[dict, dict]:
              for i in q["items"]]
     return dict(q, items=items,
                 group=[rw(g) for g in q["group"]],
-                where=rw_tree(q["where"])), ns2tab
+                where=rw_tree(q["where"]),
+                qualify=rw_tree(q.get("qualify")))
 
 
 def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
@@ -1254,8 +1281,8 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
     renames = [i for i in q["items"] if i[0] == "colas"]
     exprs = [i for i in q["items"] if i[0] == "exprcol"]
     group = q["group"]
-    if (exprs or renames) and (aggs or group or q.get("distinct")):
-        raise SqlError("computed/renamed select items are only supported "
+    if exprs and (aggs or group or q.get("distinct")):
+        raise SqlError("computed select expressions are only supported "
                        "in plain projections (no GROUP BY / aggregates / "
                        "DISTINCT)")
     out_names = [i[3] if i[0] == "agg"
@@ -1290,14 +1317,32 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
                            "unsupported (use GROUP BY)")
         if group:
             raise SqlError("SELECT DISTINCT with GROUP BY is unsupported")
-        group = list(plain)
+        group = plain + [i[1] for i in renames]
         q = dict(q, group=group)
     if q["having"] is not None and not aggs:
         raise SqlError("HAVING requires aggregates")
-    if group and sorted(plain) != sorted(group):
+    if group and sorted(plain + [i[1] for i in renames]) != sorted(group):
         raise SqlError("non-aggregate select items must match GROUP BY")
-    if not group and aggs and plain:
+    if not group and aggs and (plain or renames):
         raise SqlError("mixing bare columns with aggregates needs GROUP BY")
+
+    if q.get("derived") is not None:
+        inner = _run_parsed(sf_dir, q["derived"], plan)
+        plan.append("derived table: outer ops stream over the inner "
+                    "pipeline (no extra scan)")
+        ds = inner
+        if q["where"] is not None:
+            w = q["where"]
+
+            def dfilter(t: pa.Table) -> pa.Table:
+                return t.filter(pa.array(_eval_pred(w, t)))
+
+            dfilter.__name__ = "sql_derived_where"
+            ds = ds.map_batches(dfilter, batch_format="pyarrow")
+            plan.append("derived where: vectorized in-flight filter")
+        if wins:
+            return _run_window(ds, q, wins, plan)
+        return _run_over(ds, q, aggs, plain, group, plan)
 
     if q["joins"]:
         tables = [q["table"]] + [j["table"] for j in q["joins"]]
@@ -1384,6 +1429,20 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
     if wins:
         return _run_window(ds, q, wins, plan)
     return _run_over(ds, q, aggs, plain, group, plan)
+
+
+def _rename_keys(ds: rd.Dataset, q: dict) -> rd.Dataset:
+    """Apply 'col AS alias' renames to folded group-key columns (the fold
+    emits keys under their GROUP BY names)."""
+    ren = {i[1]: i[2] for i in q["items"] if i[0] == "colas"}
+    if not ren:
+        return ds
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([ren.get(c, c) for c in t.column_names])
+
+    rename.__name__ = "sql_key_rename"
+    return ds.map_batches(rename, batch_format="pyarrow")
 
 
 def _run_window(ds: rd.Dataset, q: dict, wins, plan: list) -> rd.Dataset:
@@ -1596,7 +1655,7 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
                     "1 exchange (key dedup)")
         ds = (ds.map_batches(dd_partial, batch_format="pyarrow")
               .groupby("_gk").map_groups(dd_fold, batch_format="pyarrow"))
-        return _order_limit(ds, q)
+        return _order_limit(_rename_keys(ds, q), q)
 
     def _fold_rows(t: pa.Table, emit_key: bool) -> dict:
         """Fold partial agg rows per group key -> column dict."""
@@ -1733,6 +1792,7 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
     if cd_cols:
         ds = ds.groupby("_gk").map_groups(fold1, batch_format="pyarrow")
     ds = ds.groupby("_gk").map_groups(fold, batch_format="pyarrow")
+    ds = _rename_keys(ds, q)
     if q["having"] is not None:
         having = q["having"]
 
@@ -1797,6 +1857,13 @@ DEMO_AGGEXPR = (
     "min(l_partkey - l_suppkey) AS spread, "
     "max((l_suppkey + 1) * 2) AS cap2 "
     "FROM lineitem WHERE l_quantity >= 10 GROUP BY l_returnflag")
+DEMO_DERIVED = (
+    "SELECT o_orderstatus, o_custkey, n, "
+    "rank() OVER (PARTITION BY o_orderstatus "
+    "ORDER BY n DESC, o_custkey ASC) AS r "
+    "FROM (SELECT o_orderstatus, o_custkey, count(*) AS n "
+    "FROM orders GROUP BY o_orderstatus, o_custkey) t "
+    "QUALIFY r <= 5")
 DEMO_NTILE = (
     "SELECT o_custkey, o_orderkey, "
     "ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC) "

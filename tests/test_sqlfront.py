@@ -1145,3 +1145,52 @@ def test_differential_random_windows_vs_duckdb(ray_session, tmp_path):
         assert canon(got) == canon(want), (s, got, want)
 
     run()
+
+
+def test_derived_tables_and_grouped_renames(ray_session, tmp_path):
+    """FROM (SELECT ...) t: the inner query plans as its own pipeline and
+    outer WHERE/GROUP/window/DISTINCT ops stream over it; 'col AS alias'
+    now also works on GROUP BY keys and DISTINCT (post-fold rename).
+    All shapes match DuckDB."""
+    import duckdb
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "b", "b", "b", "c"] * 2, pa.string()),
+        "g": pa.array([1, 1, 1, 2, 2, 2] * 2, pa.int64()),
+        "v": pa.array(list(range(12)), pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=3)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    for s in (
+        # aggregate -> outer filter + aggregate over the aggregate
+        "SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_groups "
+        "FROM (SELECT k, count(*) AS n FROM t GROUP BY k) x WHERE n > 2",
+        # aggregate -> window rank per group, top-1 via QUALIFY
+        "SELECT g, k, s, rank() OVER (PARTITION BY g ORDER BY s DESC, "
+        "mv ASC) AS r FROM (SELECT g, k, CAST(sum(v) AS BIGINT) AS s, "
+        "min(v) AS mv FROM t GROUP BY g, k) x QUALIFY r = 1",
+        # alias-qualified outer refs + ORDER/LIMIT
+        "SELECT x.k, x.n FROM (SELECT k, count(*) AS n FROM t "
+        "GROUP BY k) x ORDER BY n DESC, k ASC LIMIT 2",
+        # grouped rename + DISTINCT rename
+        "SELECT k AS grp, count(*) AS n FROM t GROUP BY k",
+        "SELECT DISTINCT k AS kk FROM t",
+        # derived of a derived
+        "SELECT count(*) AS deep FROM (SELECT k FROM (SELECT k, "
+        "count(*) AS n FROM t GROUP BY k) a WHERE n > 2) b",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        canon = lambda df: sorted(
+            map(tuple, df[sorted(df.columns)].values.tolist()))
+        assert canon(got) == canon(want), (s, got, want)
+
+    with pytest.raises(SqlError, match="JOIN with a derived table"):
+        run_sql(str(tmp_path),
+                "SELECT x.k FROM (SELECT k FROM t) x JOIN t "
+                "ON x.k = t.k")
+    with pytest.raises(SqlError, match="must match GROUP BY"):
+        run_sql(str(tmp_path),
+                "SELECT k AS a, k AS b, count(*) AS n FROM t GROUP BY k")
