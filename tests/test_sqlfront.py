@@ -166,6 +166,9 @@ def test_parser_fuzz_never_crashes():
         "LIMIT", "JOIN", "ON", "AND", "OR", "NOT", "IN", "AS", "ASC",
         "DESC", "count", "sum", "min", "max", "CAST", "BIGINT", "(", ")",
         "DISTINCT", "BETWEEN", "UNION", "ALL", "LEFT", "OUTER",
+        "OVER", "PARTITION", "QUALIFY", "ROW_NUMBER", "RANK",
+        "DENSE_RANK", "NTILE", "LAG", "LEAD", "FIRST_VALUE",
+        "LAST_VALUE", "+", "-",
         ",", "*", ".", "=", "<", ">", "<=", ">=", "!=", "<>", "tbl",
         "col", "x", "'s'", "''", "1", "2.5", "9999999999",
     ])
