@@ -201,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, sqlfront.DEMO_NTILE),
         "sql_derived_table": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_DERIVED),
+        "sql_string_fns": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_STRFN),
         "orders_cube": relational.orders_cube,           # GROUP BY CUBE grouping sets
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
         "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join

@@ -65,6 +65,10 @@ Grammar (deliberately small, errors are loud)::
     pred  := col (=|!=|<>|<|<=|>|>=) literal
            | expr (=|!=|<>|<|<=|>|>=) expr       -- computed comparison,
                                                  -- filtered at the scan
+           | (LENGTH|LOWER|UPPER)(col) cmp lit   -- string fns, pushed to
+                                                 -- the scan; also usable
+                                                 -- as `fn(col) AS name`
+                                                 -- select items
            | col IN (lit, ...) | NOT pred | (disjunction)
            | col BETWEEN lit AND lit
            | col IN (SELECT ...)                 -- broadcast semi-join,
@@ -126,7 +130,7 @@ _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
              "distinct", "between", "union", "all", "left", "outer",
              "row_number", "rank", "dense_rank", "over", "partition",
              "qualify", "lag", "lead", "ntile", "first_value",
-             "last_value"}
+             "last_value", "length", "lower", "upper"}
 
 
 class SqlError(ValueError):
@@ -384,6 +388,10 @@ class _Parser:
             self.expect("kw", "as")
             name = self.expect("ident")
             return ("win", v, part, order, name, arg)
+        if k == "kw" and v in ("length", "lower", "upper"):
+            fn = self._strfn()
+            self.expect("kw", "as")
+            return ("sfn", fn[1], fn[2], self.expect("ident"))
         if k == "ident" or k == "num" or (k, v) == ("op", "("):
             e = self._arith()
             if isinstance(e, str):
@@ -394,6 +402,13 @@ class _Parser:
             self.expect("kw", "as")
             return ("exprcol", e, self.expect("ident"))
         raise SqlError(f"bad select item at {v!r}")
+
+    def _strfn(self):
+        fn = self.next()[1]
+        self.expect("op", "(")
+        col = self._qual_ident()
+        self.expect("op", ")")
+        return ("strfn", fn, col)
 
     def _agg_call(self):
         k, v = self.next()
@@ -487,6 +502,13 @@ class _Parser:
             node = self._or()
             self.expect("op", ")")
             return node
+        if k == "kw" and v in ("length", "lower", "upper"):
+            fn = self._strfn()
+            kk, vv = self.next()
+            if kk != "op" or vv not in ("=", "!=", "<>", "<", "<=", ">",
+                                        ">="):
+                raise SqlError(f"bad predicate op after {fn[1]}: {vv!r}")
+            return ("scmp", vv, fn, self._literal())
         col = self._arith()
         if not isinstance(col, str):
             # arithmetic comparison: expr cmp (int literal | expr) —
@@ -548,6 +570,8 @@ def _pred_cols(node, acc: set):
     elif tag == "cmpe":
         _expr_cols(node[2], acc)
         _expr_cols(node[3], acc)
+    elif tag == "scmp":
+        acc.add(node[2][2])
     elif tag in ("in", "insub"):
         acc.add(node[1])
     return acc
@@ -568,11 +592,36 @@ def _to_pads(node):
     if tag == "cmpe":
         _, op, l, r = node
         f, lit = _expr_pads(l), _expr_pads(r)
+    elif tag == "scmp":
+        _, op, sfn, lit = node
+        f = _strfn_pads(sfn)
     else:
         _, op, col, lit = node
         f = pads.field(col)
     return {"=": f == lit, "!=": f != lit, "<>": f != lit, "<": f < lit,
             "<=": f <= lit, ">": f > lit, ">=": f >= lit}[op]
+
+
+_STRFN_PC = {"length": "utf8_length", "lower": "utf8_lower",
+             "upper": "utf8_upper"}
+
+
+def _strfn_pads(node):
+    """String scalar function -> computed pads expression (filtered at
+    the scan). pyarrow's utf8_* kernels match DuckDB: LENGTH counts
+    code points, LOWER/UPPER apply full Unicode case mapping."""
+    import pyarrow.compute as pc
+    _, fn, col = node
+    return getattr(pc, _STRFN_PC[fn])(pads.field(col))
+
+
+def _strfn_eval(node, t: pa.Table):
+    import pyarrow.compute as pc
+    _, fn, col = node
+    arr = getattr(pc, _STRFN_PC[fn])(t[col].combine_chunks())
+    if fn == "length":
+        return arr.cast(pa.int64())
+    return arr
 
 
 def _expr_pads(e):
@@ -679,6 +728,13 @@ def _eval_pred(node, t: pa.Table) -> np.ndarray:
            "<=": _op.le, ">": _op.gt, ">=": _op.ge}
     if tag == "cmpe":
         return ops[node[1]](_eval_expr(t, node[2]), _eval_expr(t, node[3]))
+    if tag == "scmp":
+        arr = _strfn_eval(node[2], t)
+        if node[2][1] == "length":
+            return ops[node[1]](arr.to_numpy(zero_copy_only=False),
+                                node[3])
+        return ops[node[1]](np.asarray(arr.to_pylist(), dtype=object),
+                            node[3])
     _, op, col, lit = node
     return ops[op](colv(col), lit)
 
@@ -1115,6 +1171,9 @@ def _strip_tree(node):
     if tag == "cmpe":
         return (tag, node[1], _expr_map(node[2], _strip),
                 _expr_map(node[3], _strip))
+    if tag == "scmp":
+        return (tag, node[1],
+                ("strfn", node[2][1], _strip(node[2][2])), node[3])
     return (tag, node[1], _strip(node[2]), node[3])
 
 
@@ -1176,7 +1235,7 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
         return _run_parsed(sf_dir, q, plan)
     # UNION ALL: each branch plans independently; Ray union concatenates
     # streams (no exchange). Branch output names must agree.
-    names = [tuple(i[3] if i[0] == "agg"
+    names = [tuple(i[3] if i[0] in ("agg", "sfn")
                    else i[2] if i[0] in ("colas", "exprcol")
                    else i[4] if i[0] == "win"
                    else _strip(i[1])
@@ -1255,10 +1314,14 @@ def _strip_single_ns(q: dict, base_ns: str) -> dict:
         if tag == "cmpe":
             return (tag, node[1], _expr_map(node[2], rw),
                     _expr_map(node[3], rw))
+        if tag == "scmp":
+            return (tag, node[1],
+                    ("strfn", node[2][1], rw(node[2][2])), node[3])
         return (tag, node[1], rw(node[2]), node[3])
 
     items = [("col", rw(i[1])) if i[0] == "col"
              else ("colas", rw(i[1]), i[2]) if i[0] == "colas"
+             else ("sfn", i[1], rw(i[2]), i[3]) if i[0] == "sfn"
              else ("exprcol", _expr_map(i[1], rw), i[2])
              if i[0] == "exprcol"
              else ("win", i[1], [rw(c) for c in i[2]],
@@ -1280,12 +1343,13 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
     plain = [i[1] for i in q["items"] if i[0] == "col"]
     renames = [i for i in q["items"] if i[0] == "colas"]
     exprs = [i for i in q["items"] if i[0] == "exprcol"]
+    sfns = [i for i in q["items"] if i[0] == "sfn"]
     group = q["group"]
-    if exprs and (aggs or group or q.get("distinct")):
+    if (exprs or sfns) and (aggs or group or q.get("distinct")):
         raise SqlError("computed select expressions are only supported "
                        "in plain projections (no GROUP BY / aggregates / "
                        "DISTINCT)")
-    out_names = [i[3] if i[0] == "agg"
+    out_names = [i[3] if i[0] in ("agg", "sfn")
                  else i[2] if i[0] in ("colas", "exprcol")
                  else i[4] if i[0] == "win"
                  else _strip(i[1]) for i in q["items"]]
@@ -1294,7 +1358,7 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
                        "use AS to disambiguate")
     wins = [i for i in q["items"] if i[0] == "win"]
     if wins:
-        if aggs or group or exprs or q.get("distinct"):
+        if aggs or group or exprs or sfns or q.get("distinct"):
             raise SqlError("window functions combine only with plain "
                            "column select items")
         sig = (tuple(wins[0][2]), tuple(wins[0][3]))
@@ -1352,7 +1416,7 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
             _expr_cols(a[2], agg_need)
         for e in exprs:
             _expr_cols(e[1], agg_need)
-        agg_need |= {i[1] for i in renames}
+        agg_need |= {i[1] for i in renames} | {i[2] for i in sfns}
         for w in wins:
             agg_need |= set(w[2]) | {c for c, _ in w[3]}
             _win_arg_cols(w[1], w[5], agg_need)
@@ -1377,6 +1441,8 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
                 items2.append(("colas", em(i[1]), i[2]))
             elif i[0] == "exprcol":
                 items2.append(("exprcol", _expr_map(i[1], em), i[2]))
+            elif i[0] == "sfn":
+                items2.append(("sfn", i[1], em(i[2]), i[3]))
             elif i[0] == "win":
                 items2.append(("win", i[1], [em(c) for c in i[2]],
                                [(em(c), d) for c, d in i[3]], i[4],
@@ -1398,7 +1464,8 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
                                [i for i in items2 if i[0] == "win"], plan)
         return _run_over(joined, q, aggs, plain, group, plan)
 
-    need = set(plain) | set(group) | {i[1] for i in renames}
+    need = (set(plain) | set(group) | {i[1] for i in renames}
+            | {i[2] for i in sfns})
     for a in aggs:
         _expr_cols(a[2], need)
     for e in exprs:
@@ -1589,19 +1656,26 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
     plan = plan if plan is not None else []
     if not aggs and not group:  # pure filter + projection
         proj = [i for i in q["items"]
-                if i[0] in ("col", "colas", "exprcol")]
+                if i[0] in ("col", "colas", "exprcol", "sfn")]
         shown = [i[1] if i[0] == "col"
+                 else f"{i[1]}({i[2]}) AS {i[3]}" if i[0] == "sfn"
                  else f"{_expr_str(i[1])} AS {i[2]}" for i in proj]
         plan.append(f"project {shown} (streamed, no exchange)")
 
         def project(t: pa.Table) -> pa.Table:
-            return pa.table({
-                (i[1] if i[0] == "col" else i[2]):
-                (t[i[1]] if i[0] in ("col", "colas")
-                 else pa.array(
-                     np.broadcast_to(_eval_expr(t, i[1]), t.num_rows),
-                     pa.int64()))
-                for i in proj})
+            out = {}
+            for i in proj:
+                if i[0] == "col":
+                    out[i[1]] = t[i[1]]
+                elif i[0] == "colas":
+                    out[i[2]] = t[i[1]]
+                elif i[0] == "sfn":
+                    out[i[3]] = _strfn_eval(("strfn", i[1], i[2]), t)
+                else:
+                    out[i[2]] = pa.array(
+                        np.broadcast_to(_eval_expr(t, i[1]), t.num_rows),
+                        pa.int64())
+            return pa.table(out)
 
         project.__name__ = "sql_project"
         return _order_limit(ds.map_batches(project, batch_format="pyarrow"),
@@ -1857,6 +1931,10 @@ DEMO_AGGEXPR = (
     "min(l_partkey - l_suppkey) AS spread, "
     "max((l_suppkey + 1) * 2) AS cap2 "
     "FROM lineitem WHERE l_quantity >= 10 GROUP BY l_returnflag")
+DEMO_STRFN = (
+    "SELECT o_orderkey, LENGTH(o_orderpriority) AS plen, "
+    "LOWER(o_orderpriority) AS lo, UPPER(o_orderstatus) AS up "
+    "FROM orders WHERE LENGTH(o_orderpriority) >= 8")
 DEMO_DERIVED = (
     "SELECT o_orderstatus, o_custkey, n, "
     "rank() OVER (PARTITION BY o_orderstatus "

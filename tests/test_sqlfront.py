@@ -1197,3 +1197,39 @@ def test_derived_tables_and_grouped_renames(ray_session, tmp_path):
     with pytest.raises(SqlError, match="must match GROUP BY"):
         run_sql(str(tmp_path),
                 "SELECT k AS a, k AS b, count(*) AS n FROM t GROUP BY k")
+
+
+def test_string_functions(ray_session, tmp_path):
+    """LENGTH/LOWER/UPPER in projections and predicates: code-point
+    semantics and Unicode case mapping match DuckDB; the predicate is
+    pushed into the scan as a computed pads expression."""
+    import duckdb
+
+    from docodo_ray.sqlfront import explain_sql
+
+    t = pa.table({
+        "s": pa.array(["Abc", "ЖУК", "", "straße", "MiXeD", "xy"],
+                      pa.string()),
+        "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=2)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    for s in (
+        "SELECT v, LENGTH(s) AS n, LOWER(s) AS lo, UPPER(s) AS up FROM t",
+        "SELECT v FROM t WHERE LENGTH(s) >= 3",
+        "SELECT v FROM t WHERE LOWER(s) = 'abc' OR UPPER(s) = 'XY'",
+        "SELECT v FROM t WHERE NOT LENGTH(s) < 3 AND v > 1",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        canon = lambda df: sorted(
+            map(tuple, df[sorted(df.columns)].values.tolist()))
+        assert canon(got) == canon(want), (s, got, want)
+
+    ex = explain_sql(str(tmp_path), "SELECT v FROM t WHERE LENGTH(s) > 2")
+    assert "pushdown" in ex and "utf8_length" in ex, ex
+    with pytest.raises(SqlError, match="plain projections"):
+        run_sql(str(tmp_path),
+                "SELECT LOWER(s) AS lo, count(*) AS n FROM t GROUP BY s")
