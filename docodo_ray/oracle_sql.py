@@ -2606,8 +2606,8 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_AGGEXPR, DEMO_CHAIN, DEMO_COUNTD,
                                      DEMO_DISTINCT, DEMO_EXPRPROJ,
                                      DEMO_DERIVED,
-                                     DEMO_INSUB, DEMO_LAG, DEMO_NTILE,
-                                     DEMO_STRFN,
+                                     DEMO_INSUB, DEMO_LAG, DEMO_LIKE,
+                                     DEMO_NTILE, DEMO_STRFN,
                                      DEMO_SELFJOIN,
                                      DEMO_WINAGG, DEMO_WINDOW,
                                      DEMO_JOIN, DEMO_LEFTJOIN, DEMO_TOPK,
@@ -2633,6 +2633,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_window_ntile"] = DEMO_NTILE
     sql["sql_derived_table"] = DEMO_DERIVED
     sql["sql_string_fns"] = DEMO_STRFN
+    sql["sql_like_isnull"] = DEMO_LIKE
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

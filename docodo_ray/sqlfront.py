@@ -70,6 +70,11 @@ Grammar (deliberately small, errors are loud)::
                                                  -- as `fn(col) AS name`
                                                  -- select items
            | col IN (lit, ...) | NOT pred | (disjunction)
+           | col [NOT] LIKE 'pat'               -- %/_ wildcards, pushed
+                                                 -- to the scan; NOT LIKE
+                                                 -- / NOT IN exclude NULL
+                                                 -- rows (SQL 3VL)
+           | col IS [NOT] NULL
            | col BETWEEN lit AND lit
            | col IN (SELECT ...)                 -- broadcast semi-join,
                                                  -- capped result set
@@ -130,7 +135,8 @@ _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
              "distinct", "between", "union", "all", "left", "outer",
              "row_number", "rank", "dense_rank", "over", "partition",
              "qualify", "lag", "lead", "ntile", "first_value",
-             "last_value", "length", "lower", "upper"}
+             "last_value", "length", "lower", "upper", "like", "is",
+             "null"}
 
 
 class SqlError(ValueError):
@@ -521,18 +527,53 @@ class _Parser:
                 raise SqlError(f"bad arithmetic predicate op {v!r}")
             return ("cmpe", v, col, self._arith())
         k, v = self.next()
+        neg_infix = False
+        if (k, v) == ("kw", "not") and self.peek() in (("kw", "like"),
+                                                       ("kw", "in")):
+            # infix negation: col NOT IN (...) / col NOT LIKE 'pat'
+            neg_infix = True
+            k, v = self.next()
+
+        def _n(node):
+            # SQL NULL semantics: `col NOT IN (...)` / `col NOT LIKE p`
+            # exclude NULL rows (NOT NULL -> NULL -> filtered), so the
+            # negation carries an explicit validity guard — correct on
+            # both the scan-pushdown and in-flight evaluation paths
+            if not neg_infix:
+                return node
+            return ("and", ("not", node), ("not", ("isnull", col)))
+
         if (k, v) == ("kw", "in"):
             self.expect("op", "(")
             if self.peek() == ("kw", "select"):
                 sub = self.parse(stop_at_paren=True)
                 self.expect("op", ")")
-                return ("insub", col, sub)
+                return _n(("insub", col, sub))
             lits = [self._literal()]
             while self.peek() == ("op", ","):
                 self.next()
                 lits.append(self._literal())
             self.expect("op", ")")
-            return ("in", col, lits)
+            return _n(("in", col, lits))
+        if (k, v) == ("kw", "like"):
+            pat = self._literal()
+            if not isinstance(pat, str):
+                raise SqlError("LIKE needs a string pattern")
+            if "\\" in pat:
+                # pyarrow's match_like treats backslash as an escape;
+                # DuckDB's LIKE (no ESCAPE clause) does not — refuse
+                # rather than silently diverge from the oracle
+                raise SqlError("backslash in a LIKE pattern is "
+                               "unsupported (no ESCAPE support)")
+            return _n(("like", col, pat))
+        if (k, v) == ("kw", "is"):
+            neg = False
+            if self.peek() == ("kw", "not"):
+                self.next()
+                neg = True
+            self.expect("kw", "null")
+            node = ("isnull", col)
+            return ("not", node) if neg else node
         if (k, v) == ("kw", "between"):
             lo = self._literal()
             self.expect("kw", "and")
@@ -572,7 +613,7 @@ def _pred_cols(node, acc: set):
         _expr_cols(node[3], acc)
     elif tag == "scmp":
         acc.add(node[2][2])
-    elif tag in ("in", "insub"):
+    elif tag in ("in", "insub", "like", "isnull"):
         acc.add(node[1])
     return acc
 
@@ -588,7 +629,19 @@ def _to_pads(node):
     if tag == "not":
         return ~_to_pads(node[1])
     if tag == "in":
-        return pads.field(node[1]).isin(node[2])
+        # OR-chain of equalities, not isin(): equality emits NULL for
+        # NULL inputs, so `NOT (col IN ...)` follows SQL three-valued
+        # logic at the scan (isin would emit false and flip under NOT)
+        f = pads.field(node[1])
+        e = f == node[2][0]
+        for lit in node[2][1:]:
+            e = e | (f == lit)
+        return e
+    if tag == "like":
+        import pyarrow.compute as pc
+        return pc.match_like(pads.field(node[1]), node[2])
+    if tag == "isnull":
+        return pads.field(node[1]).is_null()
     if tag == "cmpe":
         _, op, l, r = node
         f, lit = _expr_pads(l), _expr_pads(r)
@@ -723,6 +776,12 @@ def _eval_pred(node, t: pa.Table) -> np.ndarray:
         for lit in node[2]:
             hit |= v == lit
         return hit
+    if tag == "like":
+        import pyarrow.compute as pc
+        m = pc.match_like(t[node[1]].combine_chunks(), node[2])
+        return np.asarray(m.fill_null(False))
+    if tag == "isnull":
+        return np.asarray(t[node[1]].combine_chunks().is_null())
     import operator as _op
     ops = {"=": _op.eq, "!=": _op.ne, "<>": _op.ne, "<": _op.lt,
            "<=": _op.le, ">": _op.gt, ">=": _op.ge}
@@ -1166,8 +1225,10 @@ def _strip_tree(node):
         return (tag, _strip_tree(node[1]), _strip_tree(node[2]))
     if tag == "not":
         return (tag, _strip_tree(node[1]))
-    if tag == "in":
+    if tag in ("in", "like"):
         return (tag, _strip(node[1]), node[2])
+    if tag == "isnull":
+        return (tag, _strip(node[1]))
     if tag == "cmpe":
         return (tag, node[1], _expr_map(node[2], _strip),
                 _expr_map(node[3], _strip))
@@ -1309,8 +1370,10 @@ def _strip_single_ns(q: dict, base_ns: str) -> dict:
             return (tag, rw_tree(node[1]), rw_tree(node[2]))
         if tag == "not":
             return (tag, rw_tree(node[1]))
-        if tag in ("in", "insub"):
+        if tag in ("in", "insub", "like"):
             return (tag, rw(node[1]), node[2])
+        if tag == "isnull":
+            return (tag, rw(node[1]))
         if tag == "cmpe":
             return (tag, node[1], _expr_map(node[2], rw),
                     _expr_map(node[3], rw))
@@ -1931,6 +1994,10 @@ DEMO_AGGEXPR = (
     "min(l_partkey - l_suppkey) AS spread, "
     "max((l_suppkey + 1) * 2) AS cap2 "
     "FROM lineitem WHERE l_quantity >= 10 GROUP BY l_returnflag")
+DEMO_LIKE = (
+    "SELECT o_orderkey, o_orderpriority FROM orders "
+    "WHERE o_orderpriority LIKE '%URGENT' AND o_orderpriority "
+    "NOT LIKE '2%' AND o_orderstatus IS NOT NULL")
 DEMO_STRFN = (
     "SELECT o_orderkey, LENGTH(o_orderpriority) AS plen, "
     "LOWER(o_orderpriority) AS lo, UPPER(o_orderstatus) AS up "

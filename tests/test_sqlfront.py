@@ -28,7 +28,8 @@ def test_parser_shapes():
     "SELECT a FROM t GROUP BY",
     "SELECT sum(a) FROM t",              # missing AS
     "SELECT a, sum(b) AS s FROM t",      # bare col without GROUP BY
-    "SELECT a FROM t WHERE a LIKE 'x'",  # unsupported op
+    "SELECT a FROM t WHERE a LIKE 5",        # LIKE needs a string
+    "SELECT a FROM t WHERE a LIKE 'x\\%y'",  # no ESCAPE support
     "SELECT a FROM t; DROP TABLE t",     # trailing garbage
 ])
 def test_parser_rejects(bad):
@@ -1233,3 +1234,43 @@ def test_string_functions(ray_session, tmp_path):
     with pytest.raises(SqlError, match="plain projections"):
         run_sql(str(tmp_path),
                 "SELECT LOWER(s) AS lo, count(*) AS n FROM t GROUP BY s")
+
+
+def test_like_and_is_null(ray_session, tmp_path):
+    """LIKE / NOT LIKE (%, _ wildcards; pushed to the scan via
+    match_like) and IS [NOT] NULL match DuckDB, including SQL NULL
+    semantics: NOT IN / NOT LIKE exclude NULL rows."""
+    import duckdb
+
+    t = pa.table({
+        "s": pa.array(["apple", "APPLE pie", None, "grape", "ap_le",
+                       "a%b"], pa.string()),
+        "v": pa.array([1, 2, None, 4, 5, 6], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=2)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+
+    def canon(df):
+        df = df[sorted(df.columns)].astype(object)
+        df = df.where(pd.notna(df), None)
+        return sorted(map(tuple, df.values.tolist()),
+                      key=lambda r: tuple((x is None,
+                                           "" if x is None else x)
+                                          for x in r))
+
+    for s in (
+        "SELECT v FROM t WHERE s LIKE 'ap%'",
+        "SELECT v FROM t WHERE s LIKE '%p_e%'",     # _ single-char
+        "SELECT v FROM t WHERE s NOT LIKE '%apple%'",
+        "SELECT s FROM t WHERE v IS NULL",
+        "SELECT s, v FROM t WHERE v IS NOT NULL AND s IS NOT NULL",
+        "SELECT v FROM t WHERE NOT s LIKE 'a%' OR v IS NULL",
+        "SELECT v FROM t WHERE v NOT IN (1, 4)",    # NULL row excluded
+        "SELECT v FROM t WHERE NOT v IN (1, 4)",    # prefix NOT, 3VL
+        "SELECT v FROM t WHERE v IN (1, 4)",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), (s, got, want)
