@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, sqlfront.DEMO_STRFN),
         "sql_like_isnull": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_LIKE),
+        "sql_date_range": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_DATE),
         "orders_cube": relational.orders_cube,           # GROUP BY CUBE grouping sets
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
         "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join

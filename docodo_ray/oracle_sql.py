@@ -2606,6 +2606,7 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_AGGEXPR, DEMO_CHAIN, DEMO_COUNTD,
                                      DEMO_DISTINCT, DEMO_EXPRPROJ,
                                      DEMO_DERIVED,
+                                     DEMO_DATE,
                                      DEMO_INSUB, DEMO_LAG, DEMO_LIKE,
                                      DEMO_NTILE, DEMO_STRFN,
                                      DEMO_SELFJOIN,
@@ -2634,6 +2635,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_derived_table"] = DEMO_DERIVED
     sql["sql_string_fns"] = DEMO_STRFN
     sql["sql_like_isnull"] = DEMO_LIKE
+    sql["sql_date_range"] = DEMO_DATE
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

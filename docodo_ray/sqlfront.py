@@ -79,6 +79,10 @@ Grammar (deliberately small, errors are loud)::
            | col IN (SELECT ...)                 -- broadcast semi-join,
                                                  -- capped result set
     literal := 123 | 1.5 | 'text'
+             | DATE 'yyyy-mm-dd' | TIMESTAMP 'yyyy-mm-dd hh:mm:ss'
+                                                 -- timestamp-column
+                                                 -- comparisons, pushed
+                                                 -- to the scan
 
     ``explain_sql`` (CLI ``sql --explain``) prints the chosen plan:
     per-scan pushdowns, broadcast-vs-exchange join strategy, exchange
@@ -136,7 +140,7 @@ _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
              "row_number", "rank", "dense_rank", "over", "partition",
              "qualify", "lag", "lead", "ntile", "first_value",
              "last_value", "length", "lower", "upper", "like", "is",
-             "null"}
+             "null", "date", "timestamp"}
 
 
 class SqlError(ValueError):
@@ -592,6 +596,18 @@ class _Parser:
 
     def _literal(self):
         k, v = self.next()
+        if (k, v) in (("kw", "date"), ("kw", "timestamp")):
+            # DATE 'yyyy-mm-dd' / TIMESTAMP 'yyyy-mm-dd hh:mm:ss' —
+            # parsed to a datetime; comparisons against timestamp
+            # columns work on both the pads-pushdown and in-flight paths
+            import datetime as _dt
+            kk, vv = self.next()
+            if kk != "str":
+                raise SqlError(f"{v.upper()} needs a quoted string")
+            try:
+                return _dt.datetime.fromisoformat(vv)
+            except ValueError as e:
+                raise SqlError(f"bad {v.upper()} literal {vv!r}: {e}")
         if k not in ("num", "str"):
             raise SqlError(f"expected literal, got {v!r}")
         return v
@@ -795,6 +811,9 @@ def _eval_pred(node, t: pa.Table) -> np.ndarray:
         return ops[node[1]](np.asarray(arr.to_pylist(), dtype=object),
                             node[3])
     _, op, col, lit = node
+    import datetime as _dt
+    if isinstance(lit, _dt.datetime):
+        lit = np.datetime64(lit)
     return ops[op](colv(col), lit)
 
 
@@ -1994,6 +2013,12 @@ DEMO_AGGEXPR = (
     "min(l_partkey - l_suppkey) AS spread, "
     "max((l_suppkey + 1) * 2) AS cap2 "
     "FROM lineitem WHERE l_quantity >= 10 GROUP BY l_returnflag")
+DEMO_DATE = (
+    "SELECT o_orderpriority, count(*) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS s FROM orders "
+    "WHERE o_orderdate >= DATE '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00' "
+    "GROUP BY o_orderpriority")
 DEMO_LIKE = (
     "SELECT o_orderkey, o_orderpriority FROM orders "
     "WHERE o_orderpriority LIKE '%URGENT' AND o_orderpriority "

@@ -1274,3 +1274,41 @@ def test_like_and_is_null(ray_session, tmp_path):
         got = run_sql(str(tmp_path), s).to_pandas()
         want = con.execute(s).fetch_df()
         assert canon(got) == canon(want), (s, got, want)
+
+
+def test_date_timestamp_literals(ray_session, tmp_path):
+    """DATE 'yyyy-mm-dd' / TIMESTAMP '...' literals compare against
+    timestamp columns on both the scan-pushdown and in-flight paths,
+    matching DuckDB; bad literals are loud."""
+    import datetime as dt
+
+    import duckdb
+
+    t = pa.table({
+        "ts": pa.array([dt.datetime(2020, 1, 1), dt.datetime(2020, 6, 15),
+                        dt.datetime(2021, 1, 1, 12, 30),
+                        dt.datetime(2022, 3, 4)], pa.timestamp("us")),
+        "v": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=2)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    for s in (
+        "SELECT v FROM t WHERE ts >= DATE '2020-06-01'",
+        "SELECT v FROM t WHERE ts BETWEEN DATE '2020-01-01' AND "
+        "TIMESTAMP '2021-01-01 12:30:00'",
+        "SELECT count(*) AS n FROM t WHERE NOT ts < DATE '2021-01-01'",
+        # in-flight path: date comparison inside a derived-table WHERE
+        "SELECT v FROM (SELECT ts, v FROM t) x "
+        "WHERE ts > TIMESTAMP '2020-06-15 00:00:00'",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        canon = lambda df: sorted(
+            map(tuple, df[sorted(df.columns)].values.tolist()))
+        assert canon(got) == canon(want), (s, got, want)
+    with pytest.raises(SqlError, match="bad DATE literal"):
+        run_sql(str(tmp_path), "SELECT v FROM t WHERE ts > DATE 'nope'")
+    with pytest.raises(SqlError, match="needs a quoted"):
+        run_sql(str(tmp_path), "SELECT v FROM t WHERE ts > DATE 3")
