@@ -207,6 +207,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, sqlfront.DEMO_LIKE),
         "sql_date_range": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_DATE),
+        "sql_case_agg": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_CASEAGG),
+        "sql_mod_div": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_MODDIV),
+        "sql_coalesce_leftjoin": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_COALESCE),
+        "sql_avg": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_AVG),
         "orders_cube": relational.orders_cube,           # GROUP BY CUBE grouping sets
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
         "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join

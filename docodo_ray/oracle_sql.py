@@ -2612,7 +2612,8 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_SELFJOIN,
                                      DEMO_WINAGG, DEMO_WINDOW,
                                      DEMO_JOIN, DEMO_LEFTJOIN, DEMO_TOPK,
-                                     DEMO_UNION)
+                                     DEMO_UNION, DEMO_CASEAGG, DEMO_MODDIV,
+                                     DEMO_COALESCE, DEMO_AVG)
 
     sql["sql_orders_groupby"] = DEMO_GROUPBY
     sql["sql_events_filter"] = DEMO_FILTER
@@ -2636,6 +2637,10 @@ FROM {PROFILE_TABLE}"""
     sql["sql_string_fns"] = DEMO_STRFN
     sql["sql_like_isnull"] = DEMO_LIKE
     sql["sql_date_range"] = DEMO_DATE
+    sql["sql_case_agg"] = DEMO_CASEAGG
+    sql["sql_mod_div"] = DEMO_MODDIV
+    sql["sql_coalesce_leftjoin"] = DEMO_COALESCE
+    sql["sql_avg"] = DEMO_AVG
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

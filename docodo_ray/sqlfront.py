@@ -42,6 +42,16 @@ Grammar (deliberately small, errors are loud)::
            | COUNT(*) AS name
            | COUNT(DISTINCT col) AS name         -- int64 columns only
            | (SUM|MIN|MAX)(expr) AS name         -- int64 columns only
+           | AVG(expr) AS name                   -- exact (sum, count)
+                                                 -- int64 pair across the
+                                                 -- exchanges; ONE float64
+                                                 -- division in the final
+                                                 -- fold (bit-identical
+                                                 -- to DuckDB's AVG)
+           | CAST(AVG(expr) AS BIGINT) AS name   -- ... then rounded half
+                                                 -- away from zero (the
+                                                 -- DuckDB DOUBLE->BIGINT
+                                                 -- cast)
            | CAST(agg AS BIGINT) AS name         -- pins DuckDB SUM width
            | (ROW_NUMBER|RANK|DENSE_RANK)() OVER w AS name
            | NTILE(k) OVER w AS name
@@ -59,9 +69,27 @@ Grammar (deliberately small, errors are loud)::
                                                  -- items share one spec;
                                                  -- int ORDER BY keys;
                                                  -- works over JOINs too
-    expr  := col | int | expr (+|-|*) expr | (expr)
+    expr  := col | int | expr (+|-|*|%|//) expr | (expr)
                                                  -- exact int64 arithmetic
-                                                 -- (TPC-H revenue style)
+                                                 -- (TPC-H revenue style);
+                                                 -- % and // carry DuckDB
+                                                 -- C-style sign semantics
+                                                 -- (truncate toward 0)
+           | ABS(expr)
+           | COALESCE(col, expr)                 -- the one null-tolerant
+                                                 -- atom (LEFT-JOIN
+                                                 -- null-extended rows)
+           | CASE WHEN pred THEN expr
+             (WHEN pred THEN expr)* ELSE expr END
+                                                 -- vectorized np.select /
+                                                 -- pads if_else chain;
+                                                 -- ELSE is mandatory
+                                                 -- (exact-int contract);
+                                                 -- usable inside
+                                                 -- aggregates (TPC-H
+                                                 -- Q12/Q14 style),
+                                                 -- projections and
+                                                 -- scan-pushed WHERE
     pred  := col (=|!=|<>|<|<=|>|>=) literal
            | expr (=|!=|<>|<|<=|>|>=) expr       -- computed comparison,
                                                  -- filtered at the scan
@@ -130,7 +158,7 @@ SQL_BROADCAST_ROWS = 200_000
 
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>-?\d+(?:\.\d+)?)|(?P<str>'(?:[^']|'')*')"
-    r"|(?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\*|\+|-|\.)"
+    r"|(?P<op><=|>=|!=|<>|=|<|>|//|%|\(|\)|,|\*|\+|-|\.)"
     r"|(?P<word>[A-Za-z_][A-Za-z_0-9]*))")
 
 _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
@@ -140,7 +168,8 @@ _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
              "row_number", "rank", "dense_rank", "over", "partition",
              "qualify", "lag", "lead", "ntile", "first_value",
              "last_value", "length", "lower", "upper", "like", "is",
-             "null", "date", "timestamp"}
+             "null", "date", "timestamp", "case", "when", "then", "else",
+             "end", "abs", "coalesce", "avg"}
 
 
 class SqlError(ValueError):
@@ -346,8 +375,9 @@ class _Parser:
             if self.peek() == ("kw", "over"):
                 # CAST(SUM(x) OVER w AS BIGINT): running window aggregate
                 # (the CAST pins DuckDB's HUGEINT window SUM to BIGINT)
-                if inner[0] == "countd":
-                    raise SqlError("COUNT(DISTINCT) OVER is unsupported")
+                if inner[0] in ("countd", "avg"):
+                    raise SqlError(
+                        f"{inner[0]} OVER is unsupported")
                 win = self._over_spec()
             self.expect("kw", "as")
             self.expect("kw", "bigint")
@@ -356,12 +386,17 @@ class _Parser:
             name = self.expect("ident")
             if win is not None:
                 return ("win", inner[0], win[0], win[1], name, inner[1])
+            if inner[0] == "avg":
+                # CAST(AVG(x) AS BIGINT): exact int64 (sum, count) pair
+                # internally; the final fold divides in float64 and
+                # rounds half to even (DuckDB's double->BIGINT cast)
+                return ("agg", "avgb", inner[1], name)
             return ("agg", inner[0], inner[1], name)
-        if k == "kw" and v in ("count", "sum", "min", "max"):
+        if k == "kw" and v in ("count", "sum", "min", "max", "avg"):
             fn, col = self._agg_call()
             if self.peek() == ("kw", "over"):
-                if fn == "countd":
-                    raise SqlError("COUNT(DISTINCT) OVER is unsupported")
+                if fn in ("countd", "avg"):
+                    raise SqlError(f"{fn} OVER is unsupported")
                 part, order = self._over_spec()
                 self.expect("kw", "as")
                 name = self.expect("ident")
@@ -402,7 +437,8 @@ class _Parser:
             fn = self._strfn()
             self.expect("kw", "as")
             return ("sfn", fn[1], fn[2], self.expect("ident"))
-        if k == "ident" or k == "num" or (k, v) == ("op", "("):
+        if (k == "ident" or k == "num" or (k, v) == ("op", "(")
+                or (k == "kw" and v in ("case", "abs", "coalesce"))):
             e = self._arith()
             if isinstance(e, str):
                 if self.peek() == ("kw", "as"):
@@ -422,7 +458,7 @@ class _Parser:
 
     def _agg_call(self):
         k, v = self.next()
-        if k != "kw" or v not in ("count", "sum", "min", "max"):
+        if k != "kw" or v not in ("count", "sum", "min", "max", "avg"):
             raise SqlError(f"expected aggregate, got {v!r}")
         self.expect("op", "(")
         if v == "count":
@@ -462,9 +498,9 @@ class _Parser:
 
     def _arith_term(self):
         node = self._arith_atom()
-        while self.peek() == ("op", "*"):
-            self.next()
-            node = ("bin", "*", node, self._arith_atom())
+        while self.peek() in (("op", "*"), ("op", "//"), ("op", "%")):
+            op = self.next()[1]
+            node = ("bin", op, node, self._arith_atom())
         return node
 
     def _arith_atom(self):
@@ -480,6 +516,40 @@ class _Parser:
             node = self._arith()
             self.expect("op", ")")
             return node
+        if (k, v) == ("kw", "case"):
+            # CASE WHEN pred THEN expr (WHEN ...)* ELSE expr END — the
+            # ELSE is mandatory (DuckDB defaults a missing ELSE to NULL,
+            # which the exact-int contract refuses)
+            self.next()
+            whens = []
+            while self.peek() == ("kw", "when"):
+                self.next()
+                p = self._or()
+                self.expect("kw", "then")
+                whens.append((p, self._arith()))
+            if not whens:
+                raise SqlError("CASE needs at least one WHEN")
+            self.expect("kw", "else")
+            els = self._arith()
+            self.expect("kw", "end")
+            return ("case", whens, els)
+        if (k, v) == ("kw", "abs"):
+            self.next()
+            self.expect("op", "(")
+            node = self._arith()
+            self.expect("op", ")")
+            return ("abs", node)
+        if (k, v) == ("kw", "coalesce"):
+            # COALESCE(col, expr) — the one null-tolerant arithmetic
+            # atom (LEFT-JOIN null-extended rows); first arg is a bare
+            # column so null positions are well-defined
+            self.next()
+            self.expect("op", "(")
+            col = self._qual_ident()
+            self.expect("op", ",")
+            alt = self._arith()
+            self.expect("op", ")")
+            return ("coalesce", col, alt)
         # a bare column rides as a plain string — a single-column
         # aggregate keeps its original representation everywhere
         return self._qual_ident()
@@ -696,11 +766,28 @@ def _strfn_eval(node, t: pa.Table):
 def _expr_pads(e):
     """Arithmetic tree -> computed pyarrow.dataset expression (filtered at
     the scan; no row-group stats pruning for computed terms)."""
+    import pyarrow.compute as pc
     if isinstance(e, str):
         return pads.field(e)
     if e[0] == "lit":
         return pads.scalar(e[1])
+    if e[0] == "case":
+        expr = _expr_pads(e[2])
+        for p, x in reversed(e[1]):
+            expr = pc.if_else(_to_pads(p), _expr_pads(x), expr)
+        return expr
+    if e[0] == "abs":
+        return pc.abs(_expr_pads(e[1]))
+    if e[0] == "coalesce":
+        return pc.coalesce(pads.field(e[1]), _expr_pads(e[2]))
     l, r = _expr_pads(e[2]), _expr_pads(e[3])
+    if e[1] == "//":
+        # Arrow's integer divide truncates toward zero — exactly
+        # DuckDB's `//` (numpy's floor_divide would floor instead)
+        return pc.divide(l, r)
+    if e[1] == "%":
+        # DuckDB % keeps the dividend's sign: a - (a trunc-div b) * b
+        return l - pc.divide(l, r) * r
     return {"+": l + r, "-": l - r, "*": l * r}[e[1]]
 
 
@@ -843,8 +930,9 @@ def _strip(name: str) -> str:
 
 
 def _expr_cols(e, acc: set) -> set:
-    """Column names referenced by an aggregate argument (plain string for
-    a bare column, ('bin', op, l, r)/('lit', n) tree for arithmetic)."""
+    """ALL column names referenced by an aggregate argument (plain string
+    for a bare column, ('bin', op, l, r)/('lit', n) tree for arithmetic;
+    CASE contributes its predicate columns too — the scan needs them)."""
     if e is None:
         return acc
     if isinstance(e, str):
@@ -852,6 +940,16 @@ def _expr_cols(e, acc: set) -> set:
     elif e[0] == "bin":
         _expr_cols(e[2], acc)
         _expr_cols(e[3], acc)
+    elif e[0] == "case":
+        for p, x in e[1]:
+            _pred_cols(p, acc)
+            _expr_cols(x, acc)
+        _expr_cols(e[2], acc)
+    elif e[0] == "abs":
+        _expr_cols(e[1], acc)
+    elif e[0] == "coalesce":
+        acc.add(e[1])
+        _expr_cols(e[2], acc)
     return acc
 
 
@@ -863,7 +961,59 @@ def _expr_map(e, f):
         return f(e)
     if e[0] == "bin":
         return ("bin", e[1], _expr_map(e[2], f), _expr_map(e[3], f))
+    if e[0] == "case":
+        return ("case", [(_pred_map(p, f), _expr_map(x, f))
+                         for p, x in e[1]], _expr_map(e[2], f))
+    if e[0] == "abs":
+        return ("abs", _expr_map(e[1], f))
+    if e[0] == "coalesce":
+        return ("coalesce", f(e[1]), _expr_map(e[2], f))
     return e
+
+
+def _strict_cols(e, acc: set) -> set:
+    """Columns at NULL-intolerant value positions of an arithmetic tree:
+    like _expr_cols, but COALESCE's first column and CASE predicate
+    columns are exempt (they handle or tolerate NULLs)."""
+    if e is None:
+        return acc
+    if isinstance(e, str):
+        acc.add(e)
+    elif e[0] == "bin":
+        _strict_cols(e[2], acc)
+        _strict_cols(e[3], acc)
+    elif e[0] == "case":
+        for _p, x in e[1]:
+            _strict_cols(x, acc)
+        _strict_cols(e[2], acc)
+    elif e[0] == "abs":
+        _strict_cols(e[1], acc)
+    elif e[0] == "coalesce":
+        _strict_cols(e[2], acc)
+    return acc
+
+
+def _pred_map(node, f):
+    """Rewrite every column ref in a predicate tree with f (namespace
+    strip / emit-name rename). Subquery payloads pass through untouched."""
+    if node is None:
+        return None
+    tag = node[0]
+    if tag in ("and", "or"):
+        return (tag, _pred_map(node[1], f), _pred_map(node[2], f))
+    if tag == "not":
+        return (tag, _pred_map(node[1], f))
+    if tag in ("in", "insub", "like"):
+        return (tag, f(node[1]), node[2])
+    if tag == "isnull":
+        return (tag, f(node[1]))
+    if tag == "cmpe":
+        return (tag, node[1], _expr_map(node[2], f),
+                _expr_map(node[3], f))
+    if tag == "scmp":
+        return (tag, node[1],
+                ("strfn", node[2][1], f(node[2][2])), node[3])
+    return (tag, node[1], f(node[2]), node[3])  # cmp
 
 
 def _win_arg_map(fn: str, arg, f):
@@ -895,7 +1045,21 @@ def _expr_str(e) -> str | None:
         return e
     if e[0] == "lit":
         return str(e[1])
+    if e[0] == "case":
+        return ("CASE " + " ".join(
+            f"WHEN .. THEN {_expr_str(x)}" for _, x in e[1])
+            + f" ELSE {_expr_str(e[2])} END")
+    if e[0] == "abs":
+        return f"ABS({_expr_str(e[1])})"
+    if e[0] == "coalesce":
+        return f"COALESCE({e[1]}, {_expr_str(e[2])})"
     return f"({_expr_str(e[2])} {e[1]} {_expr_str(e[3])})"
+
+
+def _trunc_div(l, r):
+    """C/DuckDB `//` semantics: truncate toward zero (numpy floors)."""
+    q = np.floor_divide(np.abs(l), np.abs(r))
+    return np.where((l < 0) != (r < 0), -q, q)
 
 
 def _eval_expr(t: pa.Table, e) -> np.ndarray:
@@ -914,7 +1078,35 @@ def _eval_expr(t: pa.Table, e) -> np.ndarray:
         return t[e].to_numpy(zero_copy_only=False).astype(np.int64)
     if e[0] == "lit":
         return np.int64(e[1])
+    if e[0] == "case":
+        n = t.num_rows
+        conds = [np.broadcast_to(_eval_pred(p, t), (n,)) for p, _ in e[1]]
+        choices = [np.broadcast_to(
+            np.asarray(_eval_expr(t, x), dtype=np.int64), (n,))
+            for _, x in e[1]]
+        default = np.broadcast_to(
+            np.asarray(_eval_expr(t, e[2]), dtype=np.int64), (n,))
+        return np.select(conds, choices, default)
+    if e[0] == "abs":
+        return np.abs(_eval_expr(t, e[1]))
+    if e[0] == "coalesce":
+        col, alt = e[1], e[2]
+        if not pa.types.is_integer(t.schema.field(col).type):
+            raise SqlError(
+                f"COALESCE({col}, ..): only integer columns are "
+                f"supported (got {t.schema.field(col).type})")
+        arr = t[col].combine_chunks()
+        base = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        isn = np.asarray(arr.is_null())
+        av = np.broadcast_to(
+            np.asarray(_eval_expr(t, alt), dtype=np.int64), (t.num_rows,))
+        return np.where(isn, av, base)
     l, r = _eval_expr(t, e[2]), _eval_expr(t, e[3])
+    if e[1] == "//":
+        return _trunc_div(l, r)
+    if e[1] == "%":
+        return l - _trunc_div(l, r) * np.asarray(r, dtype=np.int64)
     return {"+": np.add, "-": np.subtract, "*": np.multiply}[e[1]](l, r)
 
 
@@ -1239,22 +1431,7 @@ def _join_chain(sf_dir: str, q: dict, need: set,
 
 def _strip_tree(node):
     """Unqualify column refs in a predicate tree (per-table scan push)."""
-    tag = node[0]
-    if tag in ("and", "or"):
-        return (tag, _strip_tree(node[1]), _strip_tree(node[2]))
-    if tag == "not":
-        return (tag, _strip_tree(node[1]))
-    if tag in ("in", "like"):
-        return (tag, _strip(node[1]), node[2])
-    if tag == "isnull":
-        return (tag, _strip(node[1]))
-    if tag == "cmpe":
-        return (tag, node[1], _expr_map(node[2], _strip),
-                _expr_map(node[3], _strip))
-    if tag == "scmp":
-        return (tag, node[1],
-                ("strfn", node[2][1], _strip(node[2][2])), node[3])
-    return (tag, node[1], _strip(node[2]), node[3])
+    return _pred_map(node, _strip)
 
 
 def _resolve_subqueries(sf_dir: str, node, plan: list):
@@ -1382,24 +1559,7 @@ def _strip_single_ns(q: dict, base_ns: str) -> dict:
         return name
 
     def rw_tree(node):
-        if node is None:
-            return None
-        tag = node[0]
-        if tag in ("and", "or"):
-            return (tag, rw_tree(node[1]), rw_tree(node[2]))
-        if tag == "not":
-            return (tag, rw_tree(node[1]))
-        if tag in ("in", "insub", "like"):
-            return (tag, rw(node[1]), node[2])
-        if tag == "isnull":
-            return (tag, rw(node[1]))
-        if tag == "cmpe":
-            return (tag, node[1], _expr_map(node[2], rw),
-                    _expr_map(node[3], rw))
-        if tag == "scmp":
-            return (tag, node[1],
-                    ("strfn", node[2][1], rw(node[2][2])), node[3])
-        return (tag, node[1], rw(node[2]), node[3])
+        return _pred_map(node, rw)
 
     items = [("col", rw(i[1])) if i[0] == "col"
              else ("colas", rw(i[1]), i[2]) if i[0] == "colas"
@@ -1494,20 +1654,29 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
         tables = [q["table"]] + [j["table"] for j in q["joins"]]
         nullable = {j["table"] for j in q["joins"] if j["kind"] == "left"}
         agg_need: set = set()
+        strict: set = set()  # value positions that cannot tolerate NULLs
         for a in aggs:
             _expr_cols(a[2], agg_need)
+            _strict_cols(a[2], strict)
         for e in exprs:
             _expr_cols(e[1], agg_need)
+            _strict_cols(e[1], strict)
         agg_need |= {i[1] for i in renames} | {i[2] for i in sfns}
         for w in wins:
             agg_need |= set(w[2]) | {c for c, _ in w[3]}
             _win_arg_cols(w[1], w[5], agg_need)
+            _win_arg_cols(w[1], w[5], strict)
+            strict |= set(w[2]) | {c for c, _ in w[3]}
         if nullable:
-            for c in agg_need:
+            # plain projections / renames / string fns / COALESCE(col, ..)
+            # of the null-extended side are fine (nulls flow through or
+            # are filled); bare arithmetic and window keys are not
+            for c in strict:
                 if _table_of(c, tables) in nullable:
                     raise SqlError(
                         "aggregating a nullable right-side column of a "
-                        "LEFT JOIN is unsupported (COUNT(*) is fine)")
+                        "LEFT JOIN is unsupported (COUNT(*) or "
+                        "COALESCE(col, ..) are fine)")
         need = (set(plain) | set(group) | agg_need
                 | (_pred_cols(q["where"], set()) if q["where"] else set()))
         joined, emit_of = _join_chain(sf_dir, q, need - set(), plan, ns2tab)
@@ -1768,22 +1937,55 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
     max_cols = [a for a in aggs if a[1] == "max"]
     cnt_cols = [a for a in aggs if a[1] == "count"]
     cd_cols = [a for a in aggs if a[1] == "countd"]
-    # per-agg identity for rows that do not carry that aggregate, and the
-    # exchange-2 merge ufunc (count/sum/countd partials ADD; min/max fold)
-    _IDENT = {"count": 0, "sum": 0, "countd": 0,
-              "min": np.iinfo(np.int64).max, "max": np.iinfo(np.int64).min}
+    avg_cols = [a for a in aggs if a[1] in ("avg", "avgb")]
+    # physical fold plan: each aggregate's partial state is one or two
+    # int64 columns merged by ADD / MIN / MAX across exchanges. AVG rides
+    # as an exact (sum, count) pair and divides only in the final fold.
+    fold_specs: list[tuple[str, str]] = []
+    for _, fn, _arg, name in aggs:
+        if fn in ("avg", "avgb"):
+            fold_specs.append(("add", f"__avs_{name}"))
+            fold_specs.append(("add", f"__avn_{name}"))
+        elif fn in ("count", "sum", "countd"):
+            fold_specs.append(("add", name))
+        else:
+            fold_specs.append((fn, name))
+    _IDENT_K = {"add": 0, "min": np.iinfo(np.int64).max,
+                "max": np.iinfo(np.int64).min}
+
+    def _check_one(t: pa.Table, fn: str, e, null_ok: bool = False):
+        """Integer/non-null contract over the VALUE positions of an
+        aggregate argument: CASE predicates may reference any column
+        type; COALESCE's first column may hold NULLs (that's its job)."""
+        if e is None:
+            return
+        if isinstance(e, str):
+            if not pa.types.is_integer(t.schema.field(e).type):
+                raise SqlError(
+                    f"{fn}({e}): only integer columns are supported "
+                    f"(got {t.schema.field(e).type})")
+            if not null_ok and t[e].null_count:
+                raise SqlError(
+                    f"{fn}({e}): NULL values in an aggregate input "
+                    f"are unsupported (exact-int contract)")
+            return
+        if e[0] == "bin":
+            _check_one(t, fn, e[2])
+            _check_one(t, fn, e[3])
+        elif e[0] == "case":
+            for _p, x in e[1]:
+                _check_one(t, fn, x)
+            _check_one(t, fn, e[2])
+        elif e[0] == "abs":
+            _check_one(t, fn, e[1])
+        elif e[0] == "coalesce":
+            _check_one(t, fn, e[1], null_ok=True)
+            _check_one(t, fn, e[2])
 
     def _check_int(t: pa.Table):
-        for _, fn, arg, _n in sum_cols + min_cols + max_cols + cd_cols:
-            for col in sorted(_expr_cols(arg, set())):
-                if not pa.types.is_integer(t.schema.field(col).type):
-                    raise SqlError(
-                        f"{fn}({col}): only integer columns are supported "
-                        f"(got {t.schema.field(col).type})")
-                if t[col].null_count:
-                    raise SqlError(
-                        f"{fn}({col}): NULL values in an aggregate input "
-                        f"are unsupported (exact-int contract)")
+        for _, fn, arg, _n in (sum_cols + min_cols + max_cols + cd_cols
+                               + avg_cols):
+            _check_one(t, fn, arg)
 
     def _group_key(t: pa.Table, n: int):
         return _batch_group_key(t, n, group)
@@ -1817,13 +2019,13 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
         """Fold partial agg rows per group key -> column dict."""
         u, inv = _group_key(t, t.num_rows)
         out = _key_cols(t, u)
-        for _, fn, _c, name in aggs:
+        for kind, name in fold_specs:
             v = t[name].to_numpy(zero_copy_only=False)
-            r = np.full(len(u), _IDENT[fn], np.int64)
-            if fn in ("count", "sum", "countd"):
+            r = np.full(len(u), _IDENT_K[kind], np.int64)
+            if kind == "add":
                 r[:] = 0
                 np.add.at(r, inv, v)
-            elif fn == "min":
+            elif kind == "min":
                 np.minimum.at(r, inv, v)
             else:
                 np.maximum.at(r, inv, v)
@@ -1855,6 +2057,14 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
                 m = np.full(len(u), init, np.int64)
                 ufunc.at(m, inv, v)
                 out[name] = pa.array(m, pa.int64())
+        for _, _f, arg, name in avg_cols:
+            v = _eval_expr(t, arg)
+            s = np.zeros(len(u), np.int64)
+            np.add.at(s, inv, v)
+            c = np.zeros(len(u), np.int64)
+            np.add.at(c, inv, 1)
+            out[f"__avs_{name}"] = pa.array(s, pa.int64())
+            out[f"__avn_{name}"] = pa.array(c, pa.int64())
         for _, _f, col, name in cd_cols:
             out[name] = pa.array(np.zeros(len(u), np.int64), pa.int64())
         kh = _stable_gk(u)
@@ -1874,9 +2084,10 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
             up = np.unique(pair, axis=0) if n else np.empty((0, 2), np.int64)
             gi, dv = up[:, 0], up[:, 1]
             cd = _key_cols(t, u[gi] if len(gi) else u[:0])
-            for _k2, fn2, _c2, name2 in aggs:
+            for kind2, name2 in fold_specs:
                 cd[name2] = pa.array(
-                    np.full(len(gi), _IDENT[fn2], np.int64), pa.int64())
+                    np.full(len(gi), _IDENT_K[kind2], np.int64),
+                    pa.int64())
             mix = ((kh[gi].astype(np.uint64)
                     * np.uint64(0x9E3779B97F4A7C15))
                    ^ dv.astype(np.uint64)
@@ -1917,9 +2128,10 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
             counts = Counter((tr[0], tr[1]) for tr in ut)
             gidx = [gk for gk, _ in counts]
             cd = _key_cols(cdt, u2[gidx] if gidx else u2[:0])
-            for _k2, fn2, _c2, name2 in aggs:
+            for kind2, name2 in fold_specs:
                 cd[name2] = pa.array(
-                    np.full(len(gidx), _IDENT[fn2], np.int64), pa.int64())
+                    np.full(len(gidx), _IDENT_K[kind2], np.int64),
+                    pa.int64())
             for ci, (_, _f, _c, name) in enumerate(cd_cols):
                 cd[name] = pa.array(
                     np.array([counts[(gk, c2)] if c2 == ci else 0
@@ -1935,7 +2147,22 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
     fold1.__name__ = "sql_fold1"
 
     def fold(g: pa.Table) -> pa.Table:
-        return pa.table(_fold_rows(g, emit_key=False))
+        out = _fold_rows(g, emit_key=False)
+        for _, fn, _c, name in avg_cols:
+            sv = out.pop(f"__avs_{name}").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            nv = out.pop(f"__avn_{name}").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            x = sv / nv  # one IEEE division over exact int64 sums —
+            # bit-identical to DuckDB's AVG (hugeint sum, final divide)
+            if fn == "avgb":
+                # DuckDB CAST(DOUBLE AS BIGINT) rounds half to EVEN
+                # (np.rint; its DECIMAL cast rounds half away instead)
+                out[name] = pa.array(np.rint(x).astype(np.int64),
+                                     pa.int64())
+            else:
+                out[name] = pa.array(x, pa.float64())
+        return pa.table(out)
 
     fold.__name__ = "sql_fold"
     plan.append(
@@ -2073,3 +2300,26 @@ DEMO_CHAIN = (
     "WHERE orders.o_orderstatus = 'F' "
     "GROUP BY nation.n_name "
     "ORDER BY n_orders DESC, n_name ASC LIMIT 10")
+DEMO_CASEAGG = (
+    "SELECT l_returnflag, "
+    "CAST(sum(CASE WHEN l_linenumber = 1 AND l_partkey % 2 = 0 "
+    "THEN l_suppkey * 3 WHEN l_linenumber = 2 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS w, "
+    "min(ABS(l_partkey - 2 * l_suppkey)) AS adist, count(*) AS n "
+    "FROM lineitem GROUP BY l_returnflag")
+# (the filter keeps rows at every test SF — an sf0.001 lineitem only has
+# l_suppkey 1..10, so thresholds must stay small)
+DEMO_MODDIV = (
+    "SELECT l_orderkey, l_partkey % 10 AS pmod, l_suppkey // 7 AS sdiv, "
+    "ABS(l_partkey - l_suppkey * 3) AS dist FROM lineitem "
+    "WHERE l_orderkey % 3 = 1 AND l_partkey // 2 >= 5")
+DEMO_COALESCE = (
+    "SELECT nation.n_nationkey, COALESCE(supplier.s_suppkey, -1) AS sk "
+    "FROM nation LEFT JOIN supplier "
+    "ON nation.n_nationkey = supplier.s_nationkey")
+# the shipped AVG demo pins both averages to BIGINT (the repo's integer
+# float policy — plain AVG's bit-exact float64 path is pytest-covered)
+DEMO_AVG = (
+    "SELECT o_orderpriority, CAST(AVG(o_custkey * 3 + 1) AS BIGINT) "
+    "AS avg_big, CAST(AVG(o_orderkey) AS BIGINT) AS avg_key, "
+    "count(*) AS n FROM orders GROUP BY o_orderpriority")

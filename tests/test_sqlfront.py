@@ -169,7 +169,8 @@ def test_parser_fuzz_never_crashes():
         "DISTINCT", "BETWEEN", "UNION", "ALL", "LEFT", "OUTER",
         "OVER", "PARTITION", "QUALIFY", "ROW_NUMBER", "RANK",
         "DENSE_RANK", "NTILE", "LAG", "LEAD", "FIRST_VALUE",
-        "LAST_VALUE", "+", "-",
+        "LAST_VALUE", "+", "-", "%", "//",
+        "CASE", "WHEN", "THEN", "ELSE", "END", "ABS", "COALESCE", "AVG",
         ",", "*", ".", "=", "<", ">", "<=", ">=", "!=", "<>", "tbl",
         "col", "x", "'s'", "''", "1", "2.5", "9999999999",
     ])
@@ -1312,3 +1313,142 @@ def test_date_timestamp_literals(ray_session, tmp_path):
         run_sql(str(tmp_path), "SELECT v FROM t WHERE ts > DATE 'nope'")
     with pytest.raises(SqlError, match="needs a quoted"):
         run_sql(str(tmp_path), "SELECT v FROM t WHERE ts > DATE 3")
+
+
+def test_case_abs_mod_div_vs_duckdb(ray_session, tmp_path):
+    """CASE WHEN / ABS / % / // in aggregates, projections and scan-pushed
+    WHERE match DuckDB exactly, including C-style sign semantics for
+    % (dividend's sign) and // (truncation toward zero)."""
+    import duckdb
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "b", "b", "c", "c"], pa.string()),
+        "v": pa.array([-7, 7, -3, 3, 0, 10], pa.int64()),
+        "w": pa.array([2, -2, 5, -5, 3, 7], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=2)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    canon = lambda df: sorted(
+        map(tuple, df[sorted(df.columns)].values.tolist()))
+    for s in (
+        # C-sign semantics across all quadrant combinations
+        "SELECT v, w, v % 3 AS m3, v // 3 AS d3, v % w AS mw, "
+        "v // w AS dw, ABS(v - w) AS a FROM t WHERE NOT w = 0",
+        # CASE inside SUM / MIN with string and arithmetic predicates
+        "SELECT k, CAST(sum(CASE WHEN v % 2 = 0 THEN v * 10 "
+        "WHEN k = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS cs, "
+        "min(CASE WHEN v > 0 THEN v ELSE 0 - v END) AS mabs "
+        "FROM t GROUP BY k",
+        # CASE + % in scan-pushed WHERE
+        "SELECT k, v FROM t WHERE CASE WHEN k = 'c' THEN 1 ELSE v % 2 "
+        "END = 1 OR ABS(v) // 2 >= 3",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), (s, got, want)
+    with pytest.raises(SqlError, match="at least one WHEN"):
+        run_sql(str(tmp_path), "SELECT CASE ELSE 1 END AS x FROM t")
+    with pytest.raises(SqlError):
+        # missing mandatory ELSE
+        run_sql(str(tmp_path),
+                "SELECT CASE WHEN v > 0 THEN 1 END AS x FROM t")
+
+
+def test_coalesce_left_join_and_nulls(ray_session, tmp_path):
+    """COALESCE fills LEFT-JOIN null-extended rows and plain NULL cells;
+    bare arithmetic on the nullable side stays loud."""
+    import duckdb
+
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "n": pa.array(["x", "y", "z"], pa.string())}),
+        str(tmp_path / "a.parquet"))
+    pq.write_table(pa.table({
+        "k": pa.array([1, 1, 3], pa.int64()),
+        "v": pa.array([10, 20, 30], pa.int64())}),
+        str(tmp_path / "b.parquet"))
+    con = duckdb.connect()
+    for tb in ("a", "b"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{tb}.parquet')")
+    s = ("SELECT a.k, COALESCE(b.v, -1) AS v FROM a "
+         "LEFT JOIN b ON a.k = b.k")
+    got = run_sql(str(tmp_path), s).to_pandas()
+    want = con.execute(s).fetch_df()
+    canon = lambda df: sorted(
+        map(tuple, df[sorted(df.columns)].values.tolist()))
+    assert canon(got) == canon(want)
+    # arithmetic over the nullable side WITHOUT coalesce is rejected at
+    # plan time (the exact-int contract would otherwise fail at runtime)
+    with pytest.raises(SqlError, match="nullable right-side"):
+        run_sql(str(tmp_path),
+                "SELECT a.k, b.v * 2 AS v2 FROM a LEFT JOIN b "
+                "ON a.k = b.k").to_pandas()
+
+
+def test_avg_exact_and_rounding_vs_duckdb(ray_session, tmp_path):
+    """AVG folds an exact int64 (sum, count) pair and divides once in
+    float64 — bit-identical to DuckDB's DOUBLE result, keys split across
+    row groups; CAST(AVG .. AS BIGINT) matches DuckDB's half-away-from-
+    zero double->int cast, negative values included."""
+    import duckdb
+
+    t = pa.table({
+        "k": pa.array(["a"] * 3 + ["b"] * 4 + ["c"] * 2, pa.string()),
+        # 'a' avg = 7/3 (repeating fraction), 'b' avg = 2.5 (tie round),
+        # 'c' avg = -2.5 (negative tie round)
+        "v": pa.array([1, 2, 4, 1, 2, 3, 4, -2, -3], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=2)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    s = ("SELECT k, AVG(v) AS a, CAST(AVG(v) AS BIGINT) AS ab, "
+         "AVG(v * 2 - 1) AS ax, count(*) AS n FROM t GROUP BY k")
+    got = run_sql(str(tmp_path), s).to_pandas().set_index("k").sort_index()
+    want = con.execute(s).fetch_df().set_index("k").sort_index()
+    for c in ("a", "ab", "ax", "n"):
+        # exact equality on the floats too (same one division both sides)
+        assert got[c].tolist() == want[c].tolist(), (c, got, want)
+    assert got["ab"].tolist() == [2, 2, -2]  # 7/3->2, ±2.5->even 2
+    # AVG mixes with COUNT(DISTINCT) (two-exchange plan, carrier rows
+    # must not disturb the (sum, count) pair)
+    s2 = ("SELECT k, AVG(v) AS a, count(DISTINCT v) AS d FROM t "
+          "GROUP BY k")
+    got2 = run_sql(str(tmp_path), s2).to_pandas().set_index(
+        "k").sort_index()
+    want2 = con.execute(s2).fetch_df().set_index("k").sort_index()
+    assert got2["a"].tolist() == want2["a"].tolist()
+    assert got2["d"].tolist() == want2["d"].tolist()
+    # HAVING / ORDER BY over the avg output column
+    s3 = ("SELECT k, AVG(v) AS a FROM t GROUP BY k "
+          "HAVING a > 0 ORDER BY a DESC, k ASC LIMIT 2")
+    got3 = run_sql(str(tmp_path), s3).to_pandas()
+    want3 = con.execute(s3).fetch_df()
+    assert got3.values.tolist() == want3.values.tolist()
+    with pytest.raises(SqlError, match="OVER is unsupported"):
+        run_sql(str(tmp_path),
+                "SELECT AVG(v) OVER (PARTITION BY k ORDER BY v ASC) "
+                "AS a FROM t")
+
+
+def test_shipped_arith_demos_match_duckdb(ray_session):
+    """The four new shipped statements (their own oracles) hash-match at
+    sf0.001 — the same check the driver runs at sf0.01."""
+    import duckdb
+
+    from docodo_ray.sqlfront import (DEMO_AVG, DEMO_CASEAGG,
+                                     DEMO_COALESCE, DEMO_MODDIV)
+
+    con = duckdb.connect()
+    for tb in ("lineitem", "orders", "nation", "supplier"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    canon = lambda df: sorted(
+        map(tuple, df[sorted(df.columns)].values.tolist()))
+    for s in (DEMO_CASEAGG, DEMO_MODDIV, DEMO_COALESCE, DEMO_AVG):
+        got = run_sql(SF, s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), s
