@@ -215,6 +215,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, sqlfront.DEMO_COALESCE),
         "sql_avg": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_AVG),
+        "sql_exists": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_EXISTS),
+        "sql_not_exists": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_NOTEXISTS),
+        "sql_scalar_subquery": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_SCALARSUB),
+        "sql_cte": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_CTE),
         "orders_cube": relational.orders_cube,           # GROUP BY CUBE grouping sets
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
         "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join

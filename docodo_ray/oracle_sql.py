@@ -2613,7 +2613,9 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_WINAGG, DEMO_WINDOW,
                                      DEMO_JOIN, DEMO_LEFTJOIN, DEMO_TOPK,
                                      DEMO_UNION, DEMO_CASEAGG, DEMO_MODDIV,
-                                     DEMO_COALESCE, DEMO_AVG)
+                                     DEMO_COALESCE, DEMO_AVG, DEMO_EXISTS,
+                                     DEMO_NOTEXISTS, DEMO_SCALARSUB,
+                                     DEMO_CTE)
 
     sql["sql_orders_groupby"] = DEMO_GROUPBY
     sql["sql_events_filter"] = DEMO_FILTER
@@ -2641,6 +2643,10 @@ FROM {PROFILE_TABLE}"""
     sql["sql_mod_div"] = DEMO_MODDIV
     sql["sql_coalesce_leftjoin"] = DEMO_COALESCE
     sql["sql_avg"] = DEMO_AVG
+    sql["sql_exists"] = DEMO_EXISTS
+    sql["sql_not_exists"] = DEMO_NOTEXISTS
+    sql["sql_scalar_subquery"] = DEMO_SCALARSUB
+    sql["sql_cte"] = DEMO_CTE
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

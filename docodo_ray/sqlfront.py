@@ -16,6 +16,13 @@ as a Ray Data pipeline — the thin end of a pushdown query engine:
 
 Grammar (deliberately small, errors are loud)::
 
+    [WITH name AS (SELECT ...) (, name AS (SELECT ...))*]
+                                                 -- CTEs inline as derived
+                                                 -- pipelines (streamed,
+                                                 -- never materialized);
+                                                 -- later CTEs and all
+                                                 -- subqueries may
+                                                 -- reference earlier ones
     SELECT [DISTINCT] item (, item)*
       FROM (table | (SELECT ...) [AS] t)         -- derived tables: the
                                                  -- outer ops stream over
@@ -106,6 +113,21 @@ Grammar (deliberately small, errors are loud)::
            | col BETWEEN lit AND lit
            | col IN (SELECT ...)                 -- broadcast semi-join,
                                                  -- capped result set
+           | col cmp (SELECT agg AS x FROM ..)   -- scalar subquery,
+                                                 -- resolved to a literal
+                                                 -- at plan time (0 rows
+                                                 -- = SQL NULL = false;
+                                                 -- >1 rows is loud)
+           | [NOT] EXISTS (SELECT 1 FROM t2
+              WHERE t2.k = outer.k [AND ...])    -- the correlated
+                                                 -- equality is extracted
+                                                 -- and the inner side
+                                                 -- runs as a distributed
+                                                 -- SELECT DISTINCT k
+                                                 -- broadcast semi-join
+                                                 -- (anti-join for NOT,
+                                                 -- NULL-key rows kept
+                                                 -- per SQL semantics)
     literal := 123 | 1.5 | 'text'
              | DATE 'yyyy-mm-dd' | TIMESTAMP 'yyyy-mm-dd hh:mm:ss'
                                                  -- timestamp-column
@@ -169,7 +191,7 @@ _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
              "qualify", "lag", "lead", "ntile", "first_value",
              "last_value", "length", "lower", "upper", "like", "is",
              "null", "date", "timestamp", "case", "when", "then", "else",
-             "end", "abs", "coalesce", "avg"}
+             "end", "abs", "coalesce", "avg", "exists", "with"}
 
 
 class SqlError(ValueError):
@@ -445,6 +467,10 @@ class _Parser:
                     self.next()
                     return ("colas", e, self.expect("ident"))
                 return ("col", e)
+            if e[0] == "lit" and self.peek() != ("kw", "as"):
+                # bare literal item (the conventional EXISTS (SELECT 1 ..)
+                # probe); the item is discarded by the semi-join rewrite
+                return ("exprcol", e, f"lit_{e[1]}")
             self.expect("kw", "as")
             return ("exprcol", e, self.expect("ident"))
         raise SqlError(f"bad select item at {v!r}")
@@ -577,6 +603,16 @@ class _Parser:
 
     def _primary(self):
         k, v = self.peek()
+        if (k, v) == ("kw", "exists"):
+            # [NOT] EXISTS (SELECT .. FROM t2 WHERE t2.k = outer.k ..):
+            # the correlated equi-conjunct is extracted at plan time and
+            # the subquery becomes a broadcast semi-join (same machinery
+            # as IN (SELECT ..)); NOT EXISTS is the anti-join
+            self.next()
+            self.expect("op", "(")
+            sub = self.parse(stop_at_paren=True)
+            self.expect("op", ")")
+            return ("exists", sub)
         if (k, v) == ("op", "("):
             self.next()
             node = self._or()
@@ -655,6 +691,14 @@ class _Parser:
             return ("and", ("cmp", ">=", col, lo), ("cmp", "<=", col, hi))
         if k == "op" and v in ("=", "!=", "<>", "<", "<=", ">", ">="):
             nk, nv = self.peek()
+            if ((nk, nv) == ("op", "(")
+                    and self.toks[self.pos + 1][:2] == ("kw", "select")):
+                # col cmp (SELECT ..): scalar subquery, resolved to a
+                # literal at plan time (exactly-one-row contract)
+                self.next()
+                sub = self.parse(stop_at_paren=True)
+                self.expect("op", ")")
+                return ("cmpsub", v, col, sub)
             if nk == "ident" or (nk, nv) == ("op", "("):
                 return ("cmpe", v, col, self._arith())
             if (nk == "num" and isinstance(nv, int)
@@ -692,7 +736,7 @@ def _pred_cols(node, acc: set):
         _pred_cols(node[2], acc)
     elif tag == "not":
         _pred_cols(node[1], acc)
-    elif tag == "cmp":
+    elif tag in ("cmp", "cmpsub"):
         acc.add(node[2])
     elif tag == "cmpe":
         _expr_cols(node[2], acc)
@@ -728,6 +772,8 @@ def _to_pads(node):
         return pc.match_like(pads.field(node[1]), node[2])
     if tag == "isnull":
         return pads.field(node[1]).is_null()
+    if tag == "const":
+        return pads.scalar(bool(node[1]))
     if tag == "cmpe":
         _, op, l, r = node
         f, lit = _expr_pads(l), _expr_pads(r)
@@ -885,6 +931,8 @@ def _eval_pred(node, t: pa.Table) -> np.ndarray:
         return np.asarray(m.fill_null(False))
     if tag == "isnull":
         return np.asarray(t[node[1]].combine_chunks().is_null())
+    if tag == "const":
+        return np.full(len(t), bool(node[1]))
     import operator as _op
     ops = {"=": _op.eq, "!=": _op.ne, "<>": _op.ne, "<": _op.lt,
            "<=": _op.le, ">": _op.gt, ">=": _op.ge}
@@ -1013,7 +1061,12 @@ def _pred_map(node, f):
     if tag == "scmp":
         return (tag, node[1],
                 ("strfn", node[2][1], f(node[2][2])), node[3])
-    return (tag, node[1], f(node[2]), node[3])  # cmp
+    if tag in ("exists", "const"):
+        # EXISTS payloads (incl. the correlated outer ref) are rewritten
+        # at resolve time, when the outer namespace is known; const has
+        # no columns
+        return node
+    return (tag, node[1], f(node[2]), node[3])  # cmp / cmpsub
 
 
 def _win_arg_map(fn: str, arg, f):
@@ -1434,37 +1487,142 @@ def _strip_tree(node):
     return _pred_map(node, _strip)
 
 
-def _resolve_subqueries(sf_dir: str, node, plan: list):
-    """Rewrite ('insub', col, subquery) -> ('in', col, values): the
-    inner single-column SELECT runs as its own pushdown pipeline and its
-    result set broadcasts into the outer scan's filter — a broadcast
-    semi-join. Bounded: more than SQL_BROADCAST_ROWS distinct values is a
-    loud error (rewrite as a JOIN)."""
+def _resolve_subqueries(sf_dir: str, node, plan: list,
+                        outer: dict | None = None):
+    """Plan-time subquery rewrites (each inner SELECT runs as its own
+    pushdown pipeline; its SMALL result broadcasts into the outer scan):
+
+    - ('insub', col, sub)  -> ('in', col, values): broadcast semi-join,
+      loud beyond SQL_BROADCAST_ROWS (rewrite as a JOIN);
+    - ('cmpsub', op, col, sub) -> ('cmp', op, col, literal): scalar
+      subquery — exactly one row/column (zero rows compare as SQL NULL,
+      i.e. constant-false; more than one is a loud error);
+    - ('exists', sub): the correlated equality `inner.k = outer.k` is
+      extracted from the subquery's WHERE, the inner side runs as
+      SELECT DISTINCT k (distributed dedup BEFORE the driver collect)
+      and the node becomes the same broadcast semi-join; NOT EXISTS
+      then negates into an anti-join with correct NULL-key semantics
+      (outer NULLs pass NOT EXISTS, fail EXISTS — both paths honor it).
+      An uncorrelated EXISTS collapses to a constant."""
     if node is None:
         return None
     tag = node[0]
     if tag in ("and", "or"):
-        return (tag, _resolve_subqueries(sf_dir, node[1], plan),
-                _resolve_subqueries(sf_dir, node[2], plan))
+        return (tag, _resolve_subqueries(sf_dir, node[1], plan, outer),
+                _resolve_subqueries(sf_dir, node[2], plan, outer))
     if tag == "not":
-        return (tag, _resolve_subqueries(sf_dir, node[1], plan))
-    if tag != "insub":
-        return node
-    col, sub = node[1], node[2]
-    sub_plan: list = []
-    ds = _run_parsed(sf_dir, sub, sub_plan)
-    vals = ds.to_pandas()
-    if vals.shape[1] != 1:
-        raise SqlError("IN (SELECT ...) needs a single-column subquery")
-    if len(vals) > SQL_BROADCAST_ROWS:
-        raise SqlError(
-            f"IN subquery returned {len(vals)} rows > broadcast cap "
-            f"{SQL_BROADCAST_ROWS} — rewrite as a JOIN")
-    lits = sorted(set(vals.iloc[:, 0].tolist()))
-    plan.append(f"semi-join: {col} IN subquery ({len(lits)} distinct "
-                f"values broadcast into the scan filter); inner plan: "
-                + " | ".join(sub_plan))
-    return ("in", col, lits)
+        return (tag, _resolve_subqueries(sf_dir, node[1], plan, outer))
+    if tag == "insub":
+        col, sub = node[1], node[2]
+        sub_plan: list = []
+        ds = _run_parsed(sf_dir, sub, sub_plan)
+        vals = ds.to_pandas()
+        if vals.shape[1] != 1:
+            raise SqlError("IN (SELECT ...) needs a single-column "
+                           "subquery")
+        if len(vals) > SQL_BROADCAST_ROWS:
+            raise SqlError(
+                f"IN subquery returned {len(vals)} rows > broadcast cap "
+                f"{SQL_BROADCAST_ROWS} — rewrite as a JOIN")
+        lits = sorted(set(vals.iloc[:, 0].tolist()))
+        plan.append(f"semi-join: {col} IN subquery ({len(lits)} distinct "
+                    f"values broadcast into the scan filter); inner plan: "
+                    + " | ".join(sub_plan))
+        return ("in", col, lits)
+    if tag == "cmpsub":
+        _, op, col, sub = node
+        sub_plan = []
+        ds = _run_parsed(sf_dir, sub, sub_plan)
+        vals = ds.to_pandas()
+        if vals.shape[1] not in (0, 1):
+            raise SqlError("a scalar subquery needs a single column")
+        if len(vals) > 1:
+            raise SqlError(
+                f"scalar subquery returned {len(vals)} rows (want 1)")
+        if len(vals) == 0 or vals.shape[1] == 0:
+            # SQL: comparing against a zero-row scalar subquery is a
+            # NULL comparison — never true
+            plan.append(f"scalar subquery for {col} {op} ..: 0 rows -> "
+                        "constant-false predicate")
+            return ("const", False)
+        lit = vals.iloc[0, 0]
+        if hasattr(lit, "to_pydatetime"):
+            lit = lit.to_pydatetime()
+        elif hasattr(lit, "item"):
+            lit = lit.item()
+        plan.append(f"scalar subquery: {col} {op} {lit!r}; inner plan: "
+                    + " | ".join(sub_plan))
+        return ("cmp", op, col, lit)
+    if tag == "exists":
+        sub = node[1]
+        if sub.get("group") or sub.get("distinct") or any(
+                i[0] not in ("col", "colas", "exprcol")
+                for i in sub["items"]):
+            raise SqlError("EXISTS subqueries support plain SELECT "
+                           "items only (use SELECT 1)")
+        sub_ns = {sub.get("alias") or sub["table"]}
+        for j in sub.get("joins") or []:
+            sub_ns.add(j.get("alias") or j["table"])
+
+        def _is_outer(ref) -> bool:
+            return (isinstance(ref, str) and "." in ref
+                    and ref.split(".", 1)[0] not in sub_ns)
+
+        conjs = _flatten_and(sub["where"], []) if sub["where"] else []
+        corr = [(i, c) for i, c in enumerate(conjs)
+                if c[0] == "cmpe" and c[1] == "="
+                and isinstance(c[2], str) and isinstance(c[3], str)
+                and _is_outer(c[2]) != _is_outer(c[3])]
+        if len(corr) > 1:
+            raise SqlError("EXISTS supports exactly one correlated "
+                           "equality conjunct")
+        if not corr:
+            for c in conjs:
+                for cc in _pred_cols(c, set()):
+                    if _is_outer(cc):
+                        raise SqlError(
+                            f"EXISTS correlation on {cc!r} must be a "
+                            f"top-level equality conjunct")
+            sub_plan = []
+            any_row = _run_parsed(sf_dir, sub, sub_plan).limit(1).count()
+            plan.append(f"uncorrelated EXISTS -> constant "
+                        f"{bool(any_row)}; inner plan: "
+                        + " | ".join(sub_plan))
+            return ("const", bool(any_row))
+        ci, c = corr[0]
+        outer_ref, inner_ref = ((c[2], c[3]) if _is_outer(c[2])
+                                else (c[3], c[2]))
+        if outer is None or outer.get("joins"):
+            raise SqlError("correlated EXISTS needs a single-table "
+                           "outer query")
+        ons, ocol = outer_ref.split(".", 1)
+        if ons != outer["table"]:
+            raise SqlError(f"unknown outer table {ons!r} in the EXISTS "
+                           f"correlation (outer is {outer['table']!r})")
+        rest = None
+        for j2, x in enumerate(conjs):
+            if j2 != ci:
+                rest = x if rest is None else ("and", rest, x)
+        sub2 = dict(sub, items=[("col", inner_ref)], where=rest,
+                    distinct=True, order=[], limit=None, having=None,
+                    qualify=None)
+        sub_plan = []
+        ds = _run_parsed(sf_dir, sub2, sub_plan)
+        vals = ds.to_pandas()
+        if len(vals) > SQL_BROADCAST_ROWS:
+            raise SqlError(
+                f"EXISTS subquery returned {len(vals)} distinct keys > "
+                f"broadcast cap {SQL_BROADCAST_ROWS} — rewrite as a JOIN")
+        keys = sorted(x for x in
+                      (set(vals.iloc[:, 0].tolist()) if len(vals) else
+                       set())
+                      if x is not None and x == x)
+        plan.append(f"semi-join (EXISTS): {ocol} IN {len(keys)} distinct "
+                    f"inner keys; inner plan: " + " | ".join(sub_plan))
+        if not keys:
+            return ("const", False)
+        return ("and", ("in", ocol, keys), ("not", ("isnull", ocol)))
+    return node
 
 
 def explain_sql(sf_dir: str, sql: str) -> str:
@@ -1477,9 +1635,65 @@ def explain_sql(sf_dir: str, sql: str) -> str:
     return "\n".join(plan)
 
 
+def _attach_ctes(q: dict, ctes: dict, depth: int = 0) -> dict:
+    """Rewrite FROM-clause references to WITH names into derived tables
+    (the CTE pipeline streams into the outer ops — no materialization,
+    no extra scan beyond the CTE's own). CTEs may reference earlier CTEs
+    and appear inside IN/EXISTS/scalar subqueries; JOINs against a CTE
+    are rejected like any derived-table join."""
+    if depth > 16:
+        raise SqlError("CTE nesting too deep (self-reference?)")
+    if q.get("derived") is not None:
+        q = dict(q, derived=_attach_ctes(q["derived"], ctes, depth + 1))
+    elif q["table"] in ctes:
+        if q["joins"]:
+            raise SqlError("JOIN with a CTE is unsupported (inline the "
+                           "CTE as a table or pre-materialize it)")
+        inner = _attach_ctes(ctes[q["table"]], ctes, depth + 1)
+        q = dict(q, derived=inner, alias=q.get("alias") or q["table"],
+                 table=None)
+
+    def walk(node):
+        if node is None:
+            return None
+        tag = node[0]
+        if tag in ("and", "or"):
+            return (tag, walk(node[1]), walk(node[2]))
+        if tag == "not":
+            return (tag, walk(node[1]))
+        if tag == "insub":
+            return (tag, node[1], _attach_ctes(node[2], ctes, depth + 1))
+        if tag == "cmpsub":
+            return (tag, node[1], node[2],
+                    _attach_ctes(node[3], ctes, depth + 1))
+        if tag == "exists":
+            return (tag, _attach_ctes(node[1], ctes, depth + 1))
+        return node
+
+    return dict(q, where=walk(q["where"]))
+
+
 def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
     plan = _plan if _plan is not None else []
     parser = _Parser(sql)
+    ctes: dict[str, dict] = {}
+    if parser.peek() == ("kw", "with"):
+        parser.next()
+        while True:
+            name = parser.expect("ident")
+            if name in ctes:
+                raise SqlError(f"duplicate CTE name {name!r}")
+            parser.expect("kw", "as")
+            parser.expect("op", "(")
+            # earlier CTEs are visible inside later ones (attached now,
+            # so a later SELECT .. FROM earlier_cte nests its pipeline)
+            ctes[name] = _attach_ctes(parser.parse(stop_at_paren=True),
+                                      ctes)
+            parser.expect("op", ")")
+            if parser.peek() == ("op", ","):
+                parser.next()
+                continue
+            break
     q = parser.parse(stop_at_union=True)
     branches = [q]
     while parser.peek() == ("kw", "union"):
@@ -1488,6 +1702,11 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
         branches.append(parser.parse(stop_at_union=True))
     if parser.peek()[0] != "end":
         raise SqlError(f"trailing tokens at {parser.peek()!r}")
+    if ctes:
+        branches = [_attach_ctes(b, ctes) for b in branches]
+        q = branches[0]
+        plan.append(f"with: {len(ctes)} CTE(s) inlined as derived "
+                    f"pipelines ({', '.join(ctes)})")
     if len(branches) == 1:
         return _run_parsed(sf_dir, q, plan)
     # UNION ALL: each branch plans independently; Ray union concatenates
@@ -1580,7 +1799,8 @@ def _strip_single_ns(q: dict, base_ns: str) -> dict:
 
 def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
     q, ns2tab = _namespace(q)
-    q = dict(q, where=_resolve_subqueries(sf_dir, q["where"], plan))
+    q = dict(q, where=_resolve_subqueries(sf_dir, q["where"], plan,
+                                          outer=q))
     aggs = [i for i in q["items"] if i[0] == "agg"]
     plain = [i[1] for i in q["items"] if i[0] == "col"]
     renames = [i for i in q["items"] if i[0] == "colas"]
@@ -2323,3 +2543,20 @@ DEMO_AVG = (
     "SELECT o_orderpriority, CAST(AVG(o_custkey * 3 + 1) AS BIGINT) "
     "AS avg_big, CAST(AVG(o_orderkey) AS BIGINT) AS avg_key, "
     "count(*) AS n FROM orders GROUP BY o_orderpriority")
+DEMO_EXISTS = (
+    "SELECT o_orderkey, o_custkey FROM orders WHERE EXISTS "
+    "(SELECT 1 FROM lineitem WHERE lineitem.l_orderkey = "
+    "orders.o_orderkey AND lineitem.l_quantity >= 45) "
+    "AND o_orderstatus = 'F'")
+DEMO_NOTEXISTS = (
+    "SELECT c_custkey, c_nationkey FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE orders.o_custkey = customer.c_custkey "
+    "AND orders.o_orderpriority = '1-URGENT')")
+DEMO_SCALARSUB = (
+    "SELECT o_orderpriority, count(*) AS n FROM orders "
+    "WHERE o_custkey >= (SELECT max(c_custkey) AS m FROM customer "
+    "WHERE c_nationkey <= 2) GROUP BY o_orderpriority")
+DEMO_CTE = (
+    "WITH busy AS (SELECT user_id, count(*) AS n FROM events "
+    "WHERE event_type = 'click' GROUP BY user_id) "
+    "SELECT n, count(*) AS n_users FROM busy WHERE n >= 2 GROUP BY n")

@@ -171,6 +171,7 @@ def test_parser_fuzz_never_crashes():
         "DENSE_RANK", "NTILE", "LAG", "LEAD", "FIRST_VALUE",
         "LAST_VALUE", "+", "-", "%", "//",
         "CASE", "WHEN", "THEN", "ELSE", "END", "ABS", "COALESCE", "AVG",
+        "EXISTS", "WITH",
         ",", "*", ".", "=", "<", ">", "<=", ">=", "!=", "<>", "tbl",
         "col", "x", "'s'", "''", "1", "2.5", "9999999999",
     ])
@@ -1451,4 +1452,155 @@ def test_shipped_arith_demos_match_duckdb(ray_session):
     for s in (DEMO_CASEAGG, DEMO_MODDIV, DEMO_COALESCE, DEMO_AVG):
         got = run_sql(SF, s).to_pandas()
         want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), s
+
+
+def test_exists_semantics_vs_duckdb(ray_session, tmp_path):
+    """Correlated [NOT] EXISTS compiles to a broadcast semi/anti-join
+    with SQL NULL-key semantics: a NULL outer key fails EXISTS but
+    passes NOT EXISTS, on both the scan-pushdown and in-flight paths."""
+    import duckdb
+
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2, None, 4], pa.int64()),
+        "n": pa.array(["a", "b", "c", "d"], pa.string())}),
+        str(tmp_path / "a.parquet"))
+    pq.write_table(pa.table({
+        "k": pa.array([1, 1, 4, None], pa.int64()),
+        "v": pa.array([10, 20, 30, 40], pa.int64())}),
+        str(tmp_path / "b.parquet"))
+    con = duckdb.connect()
+    for tb in ("a", "b"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{tb}.parquet')")
+    canon = lambda df: sorted(
+        map(tuple, df[sorted(df.columns)].values.tolist()))
+    for s in (
+        "SELECT n FROM a WHERE EXISTS "
+        "(SELECT 1 FROM b WHERE b.k = a.k)",
+        "SELECT n FROM a WHERE NOT EXISTS "
+        "(SELECT 1 FROM b WHERE b.k = a.k)",
+        # extra inner conjuncts narrow the key set
+        "SELECT n FROM a WHERE EXISTS "
+        "(SELECT 1 FROM b WHERE b.k = a.k AND b.v >= 20)",
+        # uncorrelated: constant true / false
+        "SELECT n FROM a WHERE EXISTS (SELECT 1 FROM b WHERE v > 35)",
+        "SELECT n FROM a WHERE EXISTS (SELECT 1 FROM b WHERE v > 99) "
+        "OR k = 2",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        if len(want) == 0:
+            assert len(got) == 0, (s, got)
+            continue
+        assert canon(got) == canon(want), (s, got, want)
+    # correlation must be a top-level equality conjunct
+    with pytest.raises(SqlError, match="top-level equality"):
+        run_sql(str(tmp_path),
+                "SELECT n FROM a WHERE EXISTS "
+                "(SELECT 1 FROM b WHERE b.k = a.k OR b.v = 1)")
+    with pytest.raises(SqlError, match="one correlated"):
+        run_sql(str(tmp_path),
+                "SELECT n FROM a WHERE EXISTS "
+                "(SELECT 1 FROM b WHERE b.k = a.k AND b.v = a.k)")
+
+
+def test_scalar_subquery_vs_duckdb(ray_session, tmp_path):
+    """col cmp (SELECT ..) resolves to a plan-time literal; zero inner
+    rows behave as a NULL comparison (no rows); two inner rows are
+    loud."""
+    import duckdb
+
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([10, 20, 30, 40], pa.int64())}),
+        str(tmp_path / "t.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    canon = lambda df: sorted(
+        map(tuple, df[sorted(df.columns)].values.tolist()))
+    for s in (
+        "SELECT k FROM t WHERE v > (SELECT min(v) AS m FROM t)",
+        "SELECT k FROM t WHERE v >= (SELECT max(v) AS m FROM t "
+        "WHERE k <= 2)",
+        # zero-row scalar subquery -> NULL comparison -> empty result
+        "SELECT k FROM t WHERE v > (SELECT max(v) AS m FROM t "
+        "WHERE k > 99)",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        if len(want) == 0:
+            assert len(got) == 0, (s, got)
+            continue
+        assert canon(got) == canon(want), (s, got, want)
+    with pytest.raises(SqlError, match="scalar subquery returned"):
+        run_sql(str(tmp_path),
+                "SELECT k FROM t WHERE v > (SELECT v FROM t WHERE "
+                "k <= 2)")
+
+
+def test_with_ctes_vs_duckdb(ray_session, tmp_path):
+    """WITH chains inline as derived pipelines: CTE-over-CTE, CTE under
+    an IN subquery, and a window over a CTE aggregate all match DuckDB."""
+    import duckdb
+
+    pq.write_table(pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b", "c"], pa.string()),
+        "u": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+        "v": pa.array([5, 1, 2, 9, 9, 4], pa.int64())}),
+        str(tmp_path / "t.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    canon = lambda df: sorted(
+        map(tuple, df[sorted(df.columns)].values.tolist()))
+    for s in (
+        "WITH g AS (SELECT k, CAST(sum(v) AS BIGINT) AS s FROM t "
+        "GROUP BY k) SELECT k, s FROM g WHERE s >= 5",
+        # CTE referencing an earlier CTE
+        "WITH g AS (SELECT k, u, count(*) AS n FROM t GROUP BY k, u), "
+        "h AS (SELECT u, CAST(sum(n) AS BIGINT) AS tot FROM g "
+        "GROUP BY u) SELECT u, tot FROM h WHERE tot >= 2",
+        # CTE consumed by an IN subquery
+        "WITH big AS (SELECT k, CAST(sum(v) AS BIGINT) AS s FROM t "
+        "GROUP BY k) SELECT k, v FROM t WHERE k IN "
+        "(SELECT k FROM big WHERE s >= 8)",
+        # window over a CTE aggregate
+        "WITH g AS (SELECT k, u, CAST(sum(v) AS BIGINT) AS s FROM t "
+        "GROUP BY k, u) SELECT k, u, s, "
+        "rank() OVER (PARTITION BY k ORDER BY s DESC, u ASC) AS r "
+        "FROM g QUALIFY r <= 1",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), (s, got, want)
+    with pytest.raises(SqlError, match="duplicate CTE"):
+        run_sql(str(tmp_path),
+                "WITH g AS (SELECT k FROM t), g AS (SELECT u FROM t) "
+                "SELECT k FROM g")
+    with pytest.raises(SqlError, match="JOIN with a CTE"):
+        run_sql(str(tmp_path),
+                "WITH g AS (SELECT k, u FROM t) SELECT g.k FROM g "
+                "JOIN t ON g.u = t.u")
+
+
+def test_shipped_subquery_demos_match_duckdb(ray_session):
+    """The EXISTS / NOT EXISTS / scalar-subquery / CTE shipped statements
+    (their own oracles) match at sf0.001 and return rows."""
+    import duckdb
+
+    from docodo_ray.sqlfront import (DEMO_CTE, DEMO_EXISTS,
+                                     DEMO_NOTEXISTS, DEMO_SCALARSUB)
+
+    con = duckdb.connect()
+    for tb in ("lineitem", "orders", "customer", "events"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    canon = lambda df: sorted(
+        map(tuple, df[sorted(df.columns)].values.tolist()))
+    for s in (DEMO_EXISTS, DEMO_NOTEXISTS, DEMO_SCALARSUB, DEMO_CTE):
+        got = run_sql(SF, s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert len(want) > 0, f"demo returns no rows at sf0.001: {s}"
         assert canon(got) == canon(want), s
