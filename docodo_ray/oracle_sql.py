@@ -2615,7 +2615,8 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_UNION, DEMO_CASEAGG, DEMO_MODDIV,
                                      DEMO_COALESCE, DEMO_AVG, DEMO_EXISTS,
                                      DEMO_NOTEXISTS, DEMO_SCALARSUB,
-                                     DEMO_CTE)
+                                     DEMO_CTE, DEMO_GROUPEXPR,
+                                     DEMO_HIDDENHAVING)
 
     sql["sql_orders_groupby"] = DEMO_GROUPBY
     sql["sql_events_filter"] = DEMO_FILTER
@@ -2647,6 +2648,8 @@ FROM {PROFILE_TABLE}"""
     sql["sql_not_exists"] = DEMO_NOTEXISTS
     sql["sql_scalar_subquery"] = DEMO_SCALARSUB
     sql["sql_cte"] = DEMO_CTE
+    sql["sql_group_expr"] = DEMO_GROUPEXPR
+    sql["sql_hidden_having"] = DEMO_HIDDENHAVING
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

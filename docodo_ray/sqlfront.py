@@ -292,10 +292,13 @@ class _Parser:
         if self.peek() == ("kw", "group"):
             self.next()
             self.expect("kw", "by")
-            group.append(self._qual_ident())
+            # a GROUP BY item may be a bare column or an arithmetic
+            # expression (bucketing: k % 7, CASE buckets) — expressions
+            # are rewritten into a derived-table plan at _run_parsed
+            group.append(self._arith())
             while self.peek() == ("op", ","):
                 self.next()
-                group.append(self._qual_ident())
+                group.append(self._arith())
         having = None
         if self.peek() == ("kw", "having"):
             self.next()
@@ -603,6 +606,16 @@ class _Parser:
 
     def _primary(self):
         k, v = self.peek()
+        if k == "kw" and v in ("count", "sum", "min", "max", "avg"):
+            # aggregate-call predicate — HAVING sum(x) > 5 without the
+            # aggregate appearing in the select list (a hidden aggregate
+            # is synthesized at plan time; loud if used in WHERE)
+            fn, arg = self._agg_call()
+            kk, vv = self.next()
+            if kk != "op" or vv not in ("=", "!=", "<>", "<", "<=", ">",
+                                        ">="):
+                raise SqlError(f"bad predicate op after {fn}(..): {vv!r}")
+            return ("aggcmp", vv, (fn, arg), self._literal())
         if (k, v) == ("kw", "exists"):
             # [NOT] EXISTS (SELECT .. FROM t2 WHERE t2.k = outer.k ..):
             # the correlated equi-conjunct is extracted at plan time and
@@ -752,6 +765,8 @@ def _to_pads(node):
     """Compile the WHERE tree to a pyarrow.dataset expression (pushed into
     the parquet scan: row-group stats pruning + late materialization)."""
     tag = node[0]
+    if tag == "aggcmp":
+        raise SqlError("aggregate predicates belong in HAVING, not WHERE")
     if tag == "and":
         return _to_pads(node[1]) & _to_pads(node[2])
     if tag == "or":
@@ -907,6 +922,8 @@ def _eval_pred(node, t: pa.Table) -> np.ndarray:
     """Evaluate a predicate tree over an in-flight Arrow table (HAVING —
     the scan-pushdown path handles WHERE)."""
     tag = node[0]
+    if tag == "aggcmp":
+        raise SqlError("aggregate predicates belong in HAVING, not WHERE")
     if tag == "and":
         return _eval_pred(node[1], t) & _eval_pred(node[2], t)
     if tag == "or":
@@ -1066,6 +1083,9 @@ def _pred_map(node, f):
         # at resolve time, when the outer namespace is known; const has
         # no columns
         return node
+    if tag == "aggcmp":
+        return (tag, node[1], (node[2][0], _expr_map(node[2][1], f)),
+                node[3])
     return (tag, node[1], f(node[2]), node[3])  # cmp / cmpsub
 
 
@@ -1797,7 +1817,105 @@ def _strip_single_ns(q: dict, base_ns: str) -> dict:
                 qualify=rw_tree(q.get("qualify")))
 
 
+def _rewrite_having_aggs(q: dict) -> dict:
+    """HAVING sum(x) > 5 with the aggregate absent from the select list:
+    each ('aggcmp', op, (fn, arg), lit) predicate node synthesizes a
+    hidden aggregate item ('agg', fn, arg, '__hv<i>') — reusing a
+    matching select aggregate when one exists — and rewrites into a plain
+    column comparison over the folded rows. Hidden columns are dropped
+    after the HAVING filter (q['_hidden'])."""
+    if q["having"] is None:
+        return q
+    items = list(q["items"])
+    hidden: list[str] = []
+
+    def rw(node):
+        tag = node[0]
+        if tag in ("and", "or"):
+            return (tag, rw(node[1]), rw(node[2]))
+        if tag == "not":
+            return (tag, rw(node[1]))
+        if tag != "aggcmp":
+            return node
+        _t, op, (fn, arg), lit = node
+        for i in items:
+            if i[0] == "agg" and i[1] == fn and i[2] == arg:
+                return ("cmp", op, i[3], lit)
+        name = f"__hv{len(hidden)}"
+        hidden.append(name)
+        items.append(("agg", fn, arg, name))
+        return ("cmp", op, name, lit)
+
+    having = rw(q["having"])
+    if not hidden:
+        return dict(q, having=having)
+    return dict(q, items=items, having=having,
+                _hidden=hidden + list(q.get("_hidden") or []))
+
+
+def _rewrite_group_exprs(q: dict, plan: list) -> dict:
+    """GROUP BY <arithmetic expression> (bucketing: k % 7, CASE buckets):
+    rewritten into a derived-table plan — the inner query computes each
+    grouping expression as a named column (it must appear in the select
+    list as 'expr AS name'), the outer groups by those names. WHERE stays
+    on the inner (scan pushdown); aggregates / HAVING / ORDER / LIMIT
+    move to the outer. Single-namespace queries only (no JOIN)."""
+    if all(isinstance(g, str) for g in q["group"]):
+        return q
+    if q["joins"]:
+        raise SqlError("GROUP BY expressions with JOIN are unsupported "
+                       "(group a derived table instead)")
+    if q.get("distinct"):
+        raise SqlError("SELECT DISTINCT with GROUP BY is unsupported")
+    exprcols = [i for i in q["items"] if i[0] == "exprcol"]
+    group2: list[str] = []
+    inner_cols: set = set()
+    outer_items: list = []
+    for g in q["group"]:
+        if isinstance(g, str):
+            group2.append(_strip(g))
+            inner_cols.add(g)
+            continue
+        match = [i for i in exprcols if i[1] == g]
+        if not match:
+            raise SqlError("a GROUP BY expression must appear in the "
+                           "select list as 'expr AS name'")
+        group2.append(match[0][2])
+    for i in q["items"]:
+        if i[0] == "exprcol":
+            if not any(i[1] == g for g in q["group"]
+                       if not isinstance(g, str)):
+                raise SqlError(f"select expression {i[2]!r} is not a "
+                               "GROUP BY expression")
+            outer_items.append(("col", i[2]))
+        elif i[0] == "col":
+            inner_cols.add(i[1])
+            outer_items.append(("col", _strip(i[1])))
+        elif i[0] == "colas":
+            inner_cols.add(i[1])
+            outer_items.append(("colas", _strip(i[1]), i[2]))
+        elif i[0] == "agg":
+            _expr_cols(i[2], inner_cols)
+            outer_items.append(
+                ("agg", i[1], _expr_map(i[2], _strip), i[3]))
+        else:
+            raise SqlError("GROUP BY expressions combine only with "
+                           "plain columns and aggregates")
+    inner_items = ([i for i in q["items"]
+                    if i[0] == "exprcol" and i[2] in group2]
+                   + [("col", c) for c in sorted(inner_cols)])
+    inner = dict(q, items=inner_items, group=[], having=None,
+                 qualify=None, order=[], limit=None, distinct=False)
+    inner.pop("_hidden", None)
+    plan.append("group_expr: grouping expressions computed in a derived "
+                f"projection; outer groups by {group2}")
+    return dict(q, table=None, alias=None, joins=[], where=None,
+                derived=inner, group=group2, items=outer_items)
+
+
 def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
+    q = _rewrite_having_aggs(q)
+    q = _rewrite_group_exprs(q, plan)
     q, ns2tab = _namespace(q)
     q = dict(q, where=_resolve_subqueries(sf_dir, q["where"], plan,
                                           outer=q))
@@ -2405,6 +2523,14 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
         have.__name__ = "sql_having"
         ds = ds.map_batches(have, batch_format="pyarrow")
         plan.append("having: vectorized filter over folded rows")
+    hidden = q.get("_hidden")
+    if hidden:
+        def drop_hidden(t: pa.Table) -> pa.Table:
+            return t.drop_columns(hidden)
+
+        drop_hidden.__name__ = "sql_drop_hidden"
+        ds = ds.map_batches(drop_hidden, batch_format="pyarrow")
+        plan.append(f"drop hidden HAVING aggregates {hidden}")
     if q["order"]:
         plan.append(f"order_by={q['order']}"
                     + (f" limit={q['limit']} (distributed top-k)"
@@ -2560,3 +2686,16 @@ DEMO_CTE = (
     "WITH busy AS (SELECT user_id, count(*) AS n FROM events "
     "WHERE event_type = 'click' GROUP BY user_id) "
     "SELECT n, count(*) AS n_users FROM busy WHERE n >= 2 GROUP BY n")
+DEMO_GROUPEXPR = (
+    "SELECT o_custkey % 10 AS bucket, "
+    "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f, "
+    "count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS s "
+    "FROM orders WHERE o_custkey > 10 "
+    "GROUP BY o_custkey % 10, "
+    "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END "
+    "ORDER BY bucket ASC, is_f ASC")
+DEMO_HIDDENHAVING = (
+    "SELECT o_orderpriority, count(*) AS n FROM orders "
+    "GROUP BY o_orderpriority "
+    "HAVING sum(o_orderkey) > 100000 AND min(o_custkey) < 50 "
+    "ORDER BY o_orderpriority ASC")
