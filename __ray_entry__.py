@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": textstats.winnow_fingerprints,  # MOSS winnowing
         "top_terms_sketch": textstats.top_terms_sketch,  # Misra-Gries heavy hitters (exact sibling: top_terms)
         "repetition_stats": textstats.repetition_stats,  # Gopher repetition filters
+        "gopher_quality": textstats.gopher_quality,      # Gopher word-level rules + keep
         "collocation_pmi": textstats.collocation_pmi,    # top-N PMI collocations
         # --- training-data curation (decontamination / packing / mixing) ---
         "decontaminate": traindata.decontaminate,        # eval n-gram overlap

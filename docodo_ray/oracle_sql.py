@@ -1076,6 +1076,70 @@ SELECT d.doc_id, la.n_lines, la.n_dup_lines,
 FROM documents d JOIN la USING (doc_id) LEFT JOIN gt USING (doc_id)
 """
 
+    # Gopher word-level quality rules (textstats.GopherQualityStage):
+    # identical word split, integer e3 fixed point and verdict thresholds
+    from docodo_ray.textstats import (
+        GOPHER_MAX_SYMBOL_E3,
+        GOPHER_MAX_TOPWORD_E3,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_E3,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_MWL_MAX_E3,
+        GOPHER_MWL_MIN_E3,
+        GOPHER_REQUIRED_WORDS,
+    )
+
+    req = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS)
+    sql["gopher_quality"] = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+         AS BIGINT) AS sum_chars,
+    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+         AS BIGINT) AS n_alpha,
+    CAST(len(list_filter(ws, x -> contains(x, '#')
+                                  OR contains(x, '...')))
+         AS BIGINT) AS n_sym
+  FROM w
+),
+uw AS (SELECT doc_id, unnest(ws) AS word FROM w),
+cnt AS (SELECT doc_id, word, count(*) AS c FROM uw GROUP BY doc_id, word),
+top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c
+        FROM cnt GROUP BY doc_id),
+stops AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_stop FROM cnt
+          WHERE word IN ({req}) GROUP BY doc_id),
+stats AS (
+  SELECT b.doc_id, b.n_words,
+    b.sum_chars * 1000 // GREATEST(b.n_words, 1) AS mean_word_len_e3,
+    b.n_alpha * 1000 // GREATEST(b.n_words, 1) AS alpha_frac_e3,
+    b.n_sym * 1000 // GREATEST(b.n_words, 1) AS symbol_frac_e3,
+    COALESCE(s.n_stop, 0) AS n_stop_hits,
+    COALESCE(t.top_c, 0) * 1000 // GREATEST(b.n_words, 1)
+      AS top_word_frac_e3
+  FROM base b LEFT JOIN top t USING (doc_id)
+  LEFT JOIN stops s USING (doc_id)
+)
+SELECT doc_id, n_words, mean_word_len_e3, alpha_frac_e3, symbol_frac_e3,
+  n_stop_hits, top_word_frac_e3,
+  CAST(CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+             AND n_words <= {GOPHER_MAX_WORDS}
+             AND mean_word_len_e3 BETWEEN {GOPHER_MWL_MIN_E3}
+                                      AND {GOPHER_MWL_MAX_E3}
+             AND alpha_frac_e3 >= {GOPHER_MIN_ALPHA_E3}
+             AND symbol_frac_e3 <= {GOPHER_MAX_SYMBOL_E3}
+             AND n_stop_hits >= {GOPHER_MIN_STOP_HITS}
+             AND top_word_frac_e3 <= {GOPHER_MAX_TOPWORD_E3}
+        THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM stats
+"""
+
     sql["exact_dedup"] = """
 SELECT sha256(text) AS text_sha, min(doc_id) AS min_doc_id, count(*) AS n
 FROM documents GROUP BY sha256(text)

@@ -351,6 +351,116 @@ def repetition_stats(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(RepetitionStage, batch_format="pyarrow", concurrency=(1, 4))
 
 
+# ---- Gopher word-level quality rules (Rae et al. 2021 Table A1) --------------
+#
+# The repetition signals above cover Gopher's duplicate-line / n-gram
+# rules; this stage covers the WORD-level rules with a keep verdict:
+# word-count bounds, mean word length band, alphabetic-word fraction,
+# symbol-to-word ratio, and required-stop-word presence. All counters are
+# exact integers (e3 fixed point via floor division) so the DuckDB oracle
+# replays them bit-for-bit. One stateless map_batches pass — Arrow string
+# kernels plus a C++ group_by for the per-doc top-word count; no exchange,
+# so the stage streams at any corpus size.
+#
+# Thresholds are Gopher's, except min_words (Gopher: 50) defaults to 30 so
+# the verdict discriminates on the 10-99-word fixture docs, and the
+# required-word hit minimum defaults to 1 (Gopher: 2 of 8) because the
+# synthetic corpus carries only "the"/"a" from the closed-class list.
+
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have",
+                         "with", "a")
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_MIN_E3 = 3_000     # mean word length in [3, 10]
+GOPHER_MWL_MAX_E3 = 10_000
+GOPHER_MIN_ALPHA_E3 = 800     # >= 80% of words contain a letter
+GOPHER_MAX_SYMBOL_E3 = 100    # <= 10% of words contain '#' or '...'
+GOPHER_MIN_STOP_HITS = 1
+GOPHER_MAX_TOPWORD_E3 = 200   # most frequent word covers <= 20% of words
+
+
+class GopherQualityStage:
+    def __init__(self, content_col: str = "text", id_col: str = "doc_id"):
+        self.content_col = content_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch[self.id_col].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        split = pc.split_pattern_regex(batch[self.content_col],
+                                       pattern=r"\s+")
+        lens = pc.list_value_length(split).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(split)
+        word_doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+        nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        word_doc = word_doc[nonempty]
+
+        n_words = np.bincount(word_doc, minlength=n).astype(np.int64)
+        wlen = pc.utf8_length(flat).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sum_chars = np.zeros(n, np.int64)
+        np.add.at(sum_chars, word_doc, wlen)
+        alpha = pc.match_substring_regex(flat, "[a-zA-Z]").to_numpy(
+            zero_copy_only=False)
+        n_alpha = np.bincount(word_doc[alpha], minlength=n).astype(np.int64)
+        sym = pc.or_(pc.match_substring(flat, "#"),
+                     pc.match_substring(flat, "...")).to_numpy(
+            zero_copy_only=False)
+        n_sym = np.bincount(word_doc[sym], minlength=n).astype(np.int64)
+
+        # per-doc top-word count and distinct required-word hits: one C++
+        # group_by over (doc, word) pairs (batch-local, never exchanged)
+        wc = (pa.table({"d": pa.array(word_doc), "w": flat})
+              .group_by(["d", "w"]).aggregate([("w", "count")]))
+        d2 = wc["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = wc["w_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        top_c = np.zeros(n, np.int64)
+        np.maximum.at(top_c, d2, c2)
+        req = pc.is_in(wc["w"], value_set=pa.array(
+            GOPHER_REQUIRED_WORDS, pa.string())).to_numpy(
+            zero_copy_only=False)
+        n_stop = np.bincount(d2[req], minlength=n).astype(np.int64)
+
+        nz = np.maximum(n_words, 1)  # guard: 0-word docs emit zeros
+        mwl_e3 = (sum_chars * 1000) // nz
+        alpha_e3 = (n_alpha * 1000) // nz
+        sym_e3 = (n_sym * 1000) // nz
+        top_e3 = (top_c * 1000) // nz
+        keep = ((n_words >= GOPHER_MIN_WORDS)
+                & (n_words <= GOPHER_MAX_WORDS)
+                & (mwl_e3 >= GOPHER_MWL_MIN_E3)
+                & (mwl_e3 <= GOPHER_MWL_MAX_E3)
+                & (alpha_e3 >= GOPHER_MIN_ALPHA_E3)
+                & (sym_e3 <= GOPHER_MAX_SYMBOL_E3)
+                & (n_stop >= GOPHER_MIN_STOP_HITS)
+                & (top_e3 <= GOPHER_MAX_TOPWORD_E3)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_words": pa.array(n_words),
+            "mean_word_len_e3": pa.array(mwl_e3),
+            "alpha_frac_e3": pa.array(alpha_e3),
+            "symbol_frac_e3": pa.array(sym_e3),
+            "n_stop_hits": pa.array(n_stop),
+            "top_word_frac_e3": pa.array(top_e3),
+            "keep": pa.array(keep),
+        })
+
+
+def gopher_quality(sf_dir: str) -> rd.Dataset:
+    """(doc_id, word-rule counters, keep): Gopher word-level quality
+    verdicts over the documents table."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(GopherQualityStage, batch_format="pyarrow",
+                          concurrency=(1, 4))
+
+
 # ---- PMI collocations --------------------------------------------------------
 
 PMI_MIN_COUNT = 5

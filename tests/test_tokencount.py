@@ -133,3 +133,38 @@ def test_repetition_stats_planted():
     out2 = RepetitionStage()(t2)
     # grams: (b,a) (a,b) (b,a) -> top is 'b a' count 2, len 3, text len 7
     assert out2["top2_frac_e6"].to_pylist() == [2 * 3 * 1_000_000 // 7]
+
+
+def test_gopher_quality_crafted():
+    """Gopher word-level rules on crafted texts: exact counters and the
+    keep verdict flip per rule (word count, mean length, alpha fraction,
+    symbols, stop words, top-word fraction)."""
+    from docodo_ray.textstats import GopherQualityStage
+
+    good = ("the quick brown fox jumps over lazy dogs near river banks "
+            * 4).strip()  # 44 words, all alpha, has 'the', varied words
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array([
+            good,                              # passes every rule
+            "the cat sat",                     # too few words
+            " ".join(["the"] + ["#x#"] * 35),  # symbol ratio + top-word
+            " ".join(["123"] * 31 + ["the"]),  # alpha fraction too low
+            " ".join(f"w{i}abc" for i in range(40)),  # no required word
+            "",                                # degenerate: zeros, drop
+        ]),
+    })
+    out = GopherQualityStage()(t)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["keep"] == 1
+    assert rows[1]["n_words"] == 44
+    assert rows[1]["n_stop_hits"] >= 1
+    assert rows[2]["keep"] == 0 and rows[2]["n_words"] == 3
+    assert rows[3]["keep"] == 0
+    assert rows[3]["symbol_frac_e3"] == 35 * 1000 // 36
+    assert rows[3]["top_word_frac_e3"] == 35 * 1000 // 36
+    assert rows[4]["keep"] == 0
+    assert rows[4]["alpha_frac_e3"] == 1 * 1000 // 32
+    assert rows[5]["keep"] == 0 and rows[5]["n_stop_hits"] == 0
+    assert rows[6]["keep"] == 0 and rows[6]["n_words"] == 0
+    assert rows[6]["mean_word_len_e3"] == 0
