@@ -2680,7 +2680,8 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_COALESCE, DEMO_AVG, DEMO_EXISTS,
                                      DEMO_NOTEXISTS, DEMO_SCALARSUB,
                                      DEMO_CTE, DEMO_GROUPEXPR,
-                                     DEMO_HIDDENHAVING)
+                                     DEMO_HIDDENHAVING, DEMO_EXCEPT,
+                                     DEMO_INTERSECT)
 
     sql["sql_orders_groupby"] = DEMO_GROUPBY
     sql["sql_events_filter"] = DEMO_FILTER
@@ -2714,6 +2715,8 @@ FROM {PROFILE_TABLE}"""
     sql["sql_cte"] = DEMO_CTE
     sql["sql_group_expr"] = DEMO_GROUPEXPR
     sql["sql_hidden_having"] = DEMO_HIDDENHAVING
+    sql["sql_except"] = DEMO_EXCEPT
+    sql["sql_intersect"] = DEMO_INTERSECT
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

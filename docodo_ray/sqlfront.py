@@ -191,7 +191,8 @@ _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
              "qualify", "lag", "lead", "ntile", "first_value",
              "last_value", "length", "lower", "upper", "like", "is",
              "null", "date", "timestamp", "case", "when", "then", "else",
-             "end", "abs", "coalesce", "avg", "exists", "with"}
+             "end", "abs", "coalesce", "avg", "exists", "with",
+             "except", "intersect"}
 
 
 class SqlError(ValueError):
@@ -326,7 +327,9 @@ class _Parser:
             if self.peek() != ("op", ")"):
                 raise SqlError(f"bad subquery end at {self.peek()!r}")
         elif stop_at_union:
-            if self.peek()[0] != "end" and self.peek() != ("kw", "union"):
+            if self.peek()[0] != "end" and self.peek() not in (
+                    ("kw", "union"), ("kw", "except"),
+                    ("kw", "intersect")):
                 raise SqlError(f"trailing tokens at {self.peek()!r}")
         elif self.peek()[0] != "end":
             raise SqlError(f"trailing tokens at {self.peek()!r}")
@@ -1716,9 +1719,13 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
             break
     q = parser.parse(stop_at_union=True)
     branches = [q]
-    while parser.peek() == ("kw", "union"):
-        parser.next()
-        parser.expect("kw", "all")
+    ops: list[str] = []
+    while parser.peek() in (("kw", "union"), ("kw", "except"),
+                            ("kw", "intersect")):
+        op = parser.next()[1]
+        if op == "union":
+            parser.expect("kw", "all")
+        ops.append(op)
         branches.append(parser.parse(stop_at_union=True))
     if parser.peek()[0] != "end":
         raise SqlError(f"trailing tokens at {parser.peek()!r}")
@@ -1729,26 +1736,91 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
                     f"pipelines ({', '.join(ctes)})")
     if len(branches) == 1:
         return _run_parsed(sf_dir, q, plan)
-    # UNION ALL: each branch plans independently; Ray union concatenates
-    # streams (no exchange). Branch output names must agree.
+    # multi-branch: each branch plans independently. Branch output names
+    # must agree (same names, same order).
     names = [tuple(i[3] if i[0] in ("agg", "sfn")
                    else i[2] if i[0] in ("colas", "exprcol")
                    else i[4] if i[0] == "win"
                    else _strip(i[1])
                    for i in b["items"]) for b in branches]
     if len(set(names)) != 1:
-        raise SqlError(f"UNION ALL branches select different columns: "
-                       f"{names}")
+        raise SqlError(f"set-operation branches select different "
+                       f"columns: {names}")
     for b in branches:
         if b["order"] or b["limit"] is not None:
-            raise SqlError("ORDER BY / LIMIT inside a UNION ALL branch "
-                           "is unsupported")
-    plan.append(f"union_all: {len(branches)} branches concatenated "
-                "(streamed, no exchange)")
+            raise SqlError("ORDER BY / LIMIT inside a set-operation "
+                           "branch is unsupported")
+    if "union" in ops and set(ops) != {"union"}:
+        raise SqlError("mixing UNION ALL with EXCEPT/INTERSECT in one "
+                       "statement is unsupported (use a CTE)")
+    if set(ops) == {"union"}:
+        # UNION ALL: Ray union concatenates streams (no exchange)
+        plan.append(f"union_all: {len(branches)} branches concatenated "
+                    "(streamed, no exchange)")
+        out = _run_parsed(sf_dir, branches[0], plan)
+        for b in branches[1:]:
+            out = out.union(_run_parsed(sf_dir, b, plan))
+        return out
+    # EXCEPT / INTERSECT chains fold left-associatively, one exchange per
+    # step (SQL DISTINCT set semantics)
     out = _run_parsed(sf_dir, branches[0], plan)
-    for b in branches[1:]:
-        out = out.union(_run_parsed(sf_dir, b, plan))
+    for op, b in zip(ops, branches[1:]):
+        out = _setop(out, _run_parsed(sf_dir, b, plan),
+                     list(names[0]), op, plan)
     return out
+
+
+def _setop(left: rd.Dataset, right: rd.Dataset, cols: list, kind: str,
+           plan: list) -> rd.Dataset:
+    """EXCEPT / INTERSECT with SQL DISTINCT set semantics: rows ride with
+    a side tag, the map side dedups each batch to (key, side-presence)
+    partial rows, ONE exchange co-locates equal rows, and the fold keeps
+    each distinct row per the set rule (EXCEPT: left only; INTERSECT:
+    both sides)."""
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("_side", pa.array(
+                np.full(t.num_rows, side, np.int64)))
+
+        f.__name__ = f"sql_setop_tag{side}"
+        return f
+
+    ds = (left.map_batches(tag(0), batch_format="pyarrow")
+          .union(right.map_batches(tag(1), batch_format="pyarrow")))
+
+    def so_partial(t: pa.Table) -> pa.Table:
+        u, inv = _batch_group_key(t, t.num_rows, cols)
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        h0 = np.zeros(len(u), np.int64)
+        h1 = np.zeros(len(u), np.int64)
+        m0 = side == 0
+        np.maximum.at(h0, inv[m0], 1)
+        np.maximum.at(h1, inv[~m0], 1)
+        out = _batch_key_cols(t, u, cols)
+        out["_h0"] = pa.array(h0, pa.int64())
+        out["_h1"] = pa.array(h1, pa.int64())
+        out["_gk"] = pa.array(_coarse_mix(_stable_gk(u)), pa.int64())
+        return pa.table(out)
+
+    so_partial.__name__ = "sql_setop_partial"
+
+    def so_fold(g: pa.Table) -> pa.Table:
+        u, inv = _batch_group_key(g, g.num_rows, cols)
+        h0 = np.zeros(len(u), np.int64)
+        h1 = np.zeros(len(u), np.int64)
+        np.maximum.at(h0, inv, g["_h0"].to_numpy(zero_copy_only=False))
+        np.maximum.at(h1, inv, g["_h1"].to_numpy(zero_copy_only=False))
+        keep = (h0 == 1) & ((h1 == 1) if kind == "intersect"
+                            else (h1 == 0))
+        return pa.table(_batch_key_cols(g, u, cols)).filter(
+            pa.array(keep))
+
+    so_fold.__name__ = "sql_setop_fold"
+    plan.append(f"{kind}: map-side presence partials + 1 exchange "
+                "(distinct set semantics)")
+    return (ds.map_batches(so_partial, batch_format="pyarrow")
+            .groupby("_gk").map_groups(so_fold, batch_format="pyarrow"))
 
 
 def _namespace(q: dict) -> tuple[dict, dict]:
@@ -2686,6 +2758,14 @@ DEMO_CTE = (
     "WITH busy AS (SELECT user_id, count(*) AS n FROM events "
     "WHERE event_type = 'click' GROUP BY user_id) "
     "SELECT n, count(*) AS n_users FROM busy WHERE n >= 2 GROUP BY n")
+DEMO_EXCEPT = (
+    "SELECT user_id, event_id % 97 AS b FROM events "
+    "WHERE event_type = 'view' "
+    "EXCEPT SELECT user_id, event_id % 97 AS b FROM events "
+    "WHERE event_type = 'purchase'")
+DEMO_INTERSECT = (
+    "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+    "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'")
 DEMO_GROUPEXPR = (
     "SELECT o_custkey % 10 AS bucket, "
     "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f, "

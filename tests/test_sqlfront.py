@@ -1704,3 +1704,57 @@ def test_shipped_groupexpr_hidden_having_demos(ray_session):
         want = con.execute(s).fetch_df()
         assert len(want) > 0, f"demo returns no rows at sf0.001: {s}"
         assert canon(got) == canon(want), s
+
+
+def test_except_intersect_vs_duckdb(ray_session, tmp_path):
+    """EXCEPT / INTERSECT (DISTINCT set semantics, one exchange per step):
+    multi-column keys, NULL keys, left-associative chains, and the shipped
+    demo statements all match DuckDB."""
+    import duckdb
+
+    pq.write_table(pa.table({
+        "k": pa.array(["a", "a", "b", "c", "c", "d", None]),
+        "v": pa.array([1, 1, 2, 3, 3, 4, 5], pa.int64()),
+        "side": pa.array([0, 0, 0, 0, 1, 1, 1], pa.int64())}),
+        str(tmp_path / "t.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    canon = lambda df: sorted(
+        map(lambda r: tuple(map(str, r)),
+            df[sorted(df.columns)].values.tolist()))
+    for s in (
+        "SELECT k, v FROM t WHERE side = 0 "
+        "EXCEPT SELECT k, v FROM t WHERE side = 1",
+        "SELECT k, v FROM t WHERE side = 0 "
+        "INTERSECT SELECT k, v FROM t WHERE side = 1",
+        # NULL keys form their own set element (SQL set-op semantics)
+        "SELECT k FROM t EXCEPT SELECT k FROM t WHERE side = 1",
+        # left-associative chain
+        "SELECT v FROM t EXCEPT SELECT v FROM t WHERE v >= 3 "
+        "EXCEPT SELECT v FROM t WHERE v = 1",
+        # intersect of aggregate branches
+        "SELECT k, count(*) AS n FROM t WHERE v < 4 GROUP BY k "
+        "INTERSECT SELECT k, count(*) AS n FROM t GROUP BY k",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), (s, got, want)
+    with pytest.raises(SqlError, match="mixing UNION ALL"):
+        run_sql(str(tmp_path),
+                "SELECT k FROM t UNION ALL SELECT k FROM t "
+                "EXCEPT SELECT k FROM t")
+    with pytest.raises(SqlError, match="different"):
+        run_sql(str(tmp_path),
+                "SELECT k FROM t EXCEPT SELECT v FROM t")
+
+    from docodo_ray.sqlfront import DEMO_EXCEPT, DEMO_INTERSECT
+
+    for tb in ("events", "orders"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    for s in (DEMO_EXCEPT, DEMO_INTERSECT):
+        got = run_sql(SF, s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert len(want) > 0, f"demo returns no rows at sf0.001: {s}"
+        assert canon(got) == canon(want), s
