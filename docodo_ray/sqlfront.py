@@ -227,6 +227,10 @@ class _Parser:
     def __init__(self, sql: str):
         self.toks = _tokenize(sql)
         self.pos = 0
+        # inside a HAVING expression aggregate calls are arithmetic
+        # atoms (('aggref', fn, arg) — rewritten to hidden fold columns
+        # at plan time); everywhere else they are a loud error
+        self._in_having = False
 
     def peek(self):
         return self.toks[self.pos]
@@ -245,6 +249,8 @@ class _Parser:
     # --- select list ------------------------------------------------------
     def parse(self, stop_at_paren: bool = False,
               stop_at_union: bool = False) -> dict:
+        outer_having = self._in_having
+        self._in_having = False
         self.expect("kw", "select")
         distinct = False
         if self.peek() == ("kw", "distinct"):
@@ -303,7 +309,9 @@ class _Parser:
         having = None
         if self.peek() == ("kw", "having"):
             self.next()
+            self._in_having = True
             having = self._or()
+            self._in_having = False
         qualify = None
         if self.peek() == ("kw", "qualify"):
             self.next()
@@ -335,6 +343,7 @@ class _Parser:
             raise SqlError(f"trailing tokens at {self.peek()!r}")
         if derived is not None and joins:
             raise SqlError("JOIN with a derived table is unsupported")
+        self._in_having = outer_having
         return {"items": items, "table": table, "alias": alias,
                 "joins": joins, "where": where, "group": group,
                 "having": having, "qualify": qualify, "order": order,
@@ -571,6 +580,12 @@ class _Parser:
             node = self._arith()
             self.expect("op", ")")
             return ("abs", node)
+        if (k == "kw" and v in ("count", "sum", "min", "max", "avg")
+                and self._in_having):
+            # aggregate call as a HAVING arithmetic atom: rewritten to a
+            # hidden fold column at plan time (_rewrite_having_aggs)
+            fn, arg = self._agg_call()
+            return ("aggref", fn, arg)
         if (k, v) == ("kw", "coalesce"):
             # COALESCE(col, expr) — the one null-tolerant arithmetic
             # atom (LEFT-JOIN null-extended rows); first arg is a bare
@@ -609,16 +624,10 @@ class _Parser:
 
     def _primary(self):
         k, v = self.peek()
-        if k == "kw" and v in ("count", "sum", "min", "max", "avg"):
-            # aggregate-call predicate — HAVING sum(x) > 5 without the
-            # aggregate appearing in the select list (a hidden aggregate
-            # is synthesized at plan time; loud if used in WHERE)
-            fn, arg = self._agg_call()
-            kk, vv = self.next()
-            if kk != "op" or vv not in ("=", "!=", "<>", "<", "<=", ">",
-                                        ">="):
-                raise SqlError(f"bad predicate op after {fn}(..): {vv!r}")
-            return ("aggcmp", vv, (fn, arg), self._literal())
+        if (k == "kw" and v in ("count", "sum", "min", "max", "avg")
+                and not self._in_having):
+            raise SqlError(
+                "aggregate predicates belong in HAVING, not WHERE")
         if (k, v) == ("kw", "exists"):
             # [NOT] EXISTS (SELECT .. FROM t2 WHERE t2.k = outer.k ..):
             # the correlated equi-conjunct is extracted at plan time and
@@ -715,7 +724,13 @@ class _Parser:
                 sub = self.parse(stop_at_paren=True)
                 self.expect("op", ")")
                 return ("cmpsub", v, col, sub)
-            if nk == "ident" or (nk, nv) == ("op", "("):
+            if (nk == "kw" and not self._in_having
+                    and nv in ("count", "sum", "min", "max", "avg")):
+                raise SqlError(
+                    "aggregate predicates belong in HAVING, not WHERE")
+            if (nk == "ident" or (nk, nv) == ("op", "(")
+                    or (nk == "kw" and self._in_having
+                        and nv in ("count", "sum", "min", "max", "avg"))):
                 return ("cmpe", v, col, self._arith())
             if (nk == "num" and isinstance(nv, int)
                     and self.toks[self.pos + 1][:2] in (
@@ -768,8 +783,6 @@ def _to_pads(node):
     """Compile the WHERE tree to a pyarrow.dataset expression (pushed into
     the parquet scan: row-group stats pruning + late materialization)."""
     tag = node[0]
-    if tag == "aggcmp":
-        raise SqlError("aggregate predicates belong in HAVING, not WHERE")
     if tag == "and":
         return _to_pads(node[1]) & _to_pads(node[2])
     if tag == "or":
@@ -925,8 +938,6 @@ def _eval_pred(node, t: pa.Table) -> np.ndarray:
     """Evaluate a predicate tree over an in-flight Arrow table (HAVING —
     the scan-pushdown path handles WHERE)."""
     tag = node[0]
-    if tag == "aggcmp":
-        raise SqlError("aggregate predicates belong in HAVING, not WHERE")
     if tag == "and":
         return _eval_pred(node[1], t) & _eval_pred(node[2], t)
     if tag == "or":
@@ -957,7 +968,15 @@ def _eval_pred(node, t: pa.Table) -> np.ndarray:
     ops = {"=": _op.eq, "!=": _op.ne, "<>": _op.ne, "<": _op.lt,
            "<=": _op.le, ">": _op.gt, ">=": _op.ge}
     if tag == "cmpe":
-        return ops[node[1]](_eval_expr(t, node[2]), _eval_expr(t, node[3]))
+        def _side(e):
+            # a BARE float column (an AVG fold) may be compared directly;
+            # float arithmetic stays loud (exact-int contract)
+            if (isinstance(e, str)
+                    and pa.types.is_floating(t.schema.field(e).type)):
+                return t[e].to_numpy(zero_copy_only=False)
+            return _eval_expr(t, e)
+
+        return ops[node[1]](_side(node[2]), _side(node[3]))
     if tag == "scmp":
         arr = _strfn_eval(node[2], t)
         if node[2][1] == "length":
@@ -1086,9 +1105,6 @@ def _pred_map(node, f):
         # at resolve time, when the outer namespace is known; const has
         # no columns
         return node
-    if tag == "aggcmp":
-        return (tag, node[1], (node[2][0], _expr_map(node[2][1], f)),
-                node[3])
     return (tag, node[1], f(node[2]), node[3])  # cmp / cmpsub
 
 
@@ -1890,16 +1906,42 @@ def _strip_single_ns(q: dict, base_ns: str) -> dict:
 
 
 def _rewrite_having_aggs(q: dict) -> dict:
-    """HAVING sum(x) > 5 with the aggregate absent from the select list:
-    each ('aggcmp', op, (fn, arg), lit) predicate node synthesizes a
-    hidden aggregate item ('agg', fn, arg, '__hv<i>') — reusing a
-    matching select aggregate when one exists — and rewrites into a plain
-    column comparison over the folded rows. Hidden columns are dropped
-    after the HAVING filter (q['_hidden'])."""
+    """HAVING with aggregate calls absent from the select list — plain
+    (HAVING sum(x) > 5) or arithmetic (HAVING sum(a) * 2 > sum(b) + 1):
+    every ('aggref', fn, arg) atom synthesizes a hidden aggregate item
+    ('agg', fn, arg, '__hv<i>') — reusing a matching select aggregate
+    when one exists — and is replaced by that fold column name, so the
+    HAVING tree becomes ordinary column arithmetic over folded rows.
+    Hidden columns are dropped after the HAVING filter (q['_hidden'])."""
     if q["having"] is None:
         return q
     items = list(q["items"])
     hidden: list[str] = []
+
+    def name_of(fn, arg) -> str:
+        for i in items:
+            if i[0] == "agg" and i[1] == fn and i[2] == arg:
+                return i[3]
+        name = f"__hv{len(hidden)}"
+        hidden.append(name)
+        items.append(("agg", fn, arg, name))
+        return name
+
+    def rw_expr(e):
+        if e is None or isinstance(e, str):
+            return e
+        if e[0] == "aggref":
+            return name_of(e[1], e[2])
+        if e[0] == "bin":
+            return ("bin", e[1], rw_expr(e[2]), rw_expr(e[3]))
+        if e[0] == "abs":
+            return ("abs", rw_expr(e[1]))
+        if e[0] == "coalesce":
+            return ("coalesce", e[1], rw_expr(e[2]))
+        if e[0] == "case":
+            return ("case", [(p, rw_expr(x)) for p, x in e[1]],
+                    rw_expr(e[2]))
+        return e
 
     def rw(node):
         tag = node[0]
@@ -1907,20 +1949,13 @@ def _rewrite_having_aggs(q: dict) -> dict:
             return (tag, rw(node[1]), rw(node[2]))
         if tag == "not":
             return (tag, rw(node[1]))
-        if tag != "aggcmp":
-            return node
-        _t, op, (fn, arg), lit = node
-        for i in items:
-            if i[0] == "agg" and i[1] == fn and i[2] == arg:
-                return ("cmp", op, i[3], lit)
-        name = f"__hv{len(hidden)}"
-        hidden.append(name)
-        items.append(("agg", fn, arg, name))
-        return ("cmp", op, name, lit)
+        if tag == "cmpe":
+            return ("cmpe", node[1], rw_expr(node[2]), rw_expr(node[3]))
+        return node
 
     having = rw(q["having"])
-    if not hidden:
-        return dict(q, having=having)
+    if not hidden and having == q["having"]:
+        return q
     return dict(q, items=items, having=having,
                 _hidden=hidden + list(q.get("_hidden") or []))
 
@@ -2778,4 +2813,5 @@ DEMO_HIDDENHAVING = (
     "SELECT o_orderpriority, count(*) AS n FROM orders "
     "GROUP BY o_orderpriority "
     "HAVING sum(o_orderkey) > 100000 AND min(o_custkey) < 50 "
+    "AND max(o_custkey) - min(o_custkey) >= count(*) // 3 "
     "ORDER BY o_orderpriority ASC")

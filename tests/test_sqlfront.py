@@ -1758,3 +1758,36 @@ def test_except_intersect_vs_duckdb(ray_session, tmp_path):
         want = con.execute(s).fetch_df()
         assert len(want) > 0, f"demo returns no rows at sf0.001: {s}"
         assert canon(got) == canon(want), s
+
+
+def test_having_aggregate_arithmetic_vs_duckdb(ray_session, tmp_path):
+    """HAVING with aggregate arithmetic on either side (sum(a)*2 >
+    sum(b)+1, max-min spreads, select-alias vs aggregate): hidden fold
+    columns ride the exchange and drop from the output."""
+    import duckdb
+
+    pq.write_table(pa.table({
+        "k": pa.array(["a", "a", "b", "b", "b", "c"], pa.string()),
+        "u": pa.array([1, 2, 1, 2, 2, 3], pa.int64()),
+        "v": pa.array([5, 1, 2, 9, 9, 4], pa.int64())}),
+        str(tmp_path / "t.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    canon = lambda df: sorted(
+        map(tuple, df[sorted(df.columns)].values.tolist()))
+    for s in (
+        "SELECT k, count(*) AS n FROM t GROUP BY k "
+        "HAVING sum(v) * 2 > sum(u) + 10",
+        "SELECT k FROM t GROUP BY k HAVING max(v) - min(v) >= 4",
+        "SELECT k, count(*) AS n FROM t GROUP BY k "
+        "HAVING n * 3 <= sum(v)",
+        "SELECT k FROM t GROUP BY k "
+        "HAVING avg(v) >= 3 AND sum(v) > count(*) * 2",
+        "SELECT k FROM t GROUP BY k HAVING ABS(sum(v) - 10) <= 4",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), (s, got, want)
+    with pytest.raises(SqlError, match="belong in HAVING"):
+        run_sql(str(tmp_path), "SELECT k, u FROM t WHERE u > sum(v)")
