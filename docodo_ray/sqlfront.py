@@ -660,6 +660,11 @@ class _Parser:
             if k != "op" or v not in ("=", "!=", "<>", "<", "<=", ">",
                                       ">="):
                 raise SqlError(f"bad arithmetic predicate op {v!r}")
+            if self._in_having and self.peek()[0] == "str":
+                # HAVING min(s) = 'alpha': a string comparison against a
+                # bare aggregate — rides as a cmp node whose column slot
+                # is resolved to the hidden fold column at plan time
+                return ("cmp", v, col, self._literal())
             return ("cmpe", v, col, self._arith())
         k, v = self.next()
         neg_infix = False
@@ -1951,6 +1956,12 @@ def _rewrite_having_aggs(q: dict) -> dict:
             return (tag, rw(node[1]))
         if tag == "cmpe":
             return ("cmpe", node[1], rw_expr(node[2]), rw_expr(node[3]))
+        if tag == "cmp" and not isinstance(node[2], str):
+            col = rw_expr(node[2])
+            if not isinstance(col, str):
+                raise SqlError("a string comparison in HAVING needs a "
+                               "bare aggregate on the left")
+            return ("cmp", node[1], col, node[3])
         return node
 
     having = rw(q["having"])
@@ -2401,8 +2412,13 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
     def _check_one(t: pa.Table, fn: str, e, null_ok: bool = False):
         """Integer/non-null contract over the VALUE positions of an
         aggregate argument: CASE predicates may reference any column
-        type; COALESCE's first column may hold NULLs (that's its job)."""
+        type; COALESCE's first column may hold NULLs (that's its job);
+        MIN/MAX additionally accept bare STRING columns (ordinal order,
+        NULLs skipped — SQL semantics)."""
         if e is None:
+            return
+        if (fn in ("min", "max") and isinstance(e, str)
+                and pa.types.is_string(t.schema.field(e).type)):
             return
         if isinstance(e, str):
             if not pa.types.is_integer(t.schema.field(e).type):
@@ -2460,11 +2476,28 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
               .groupby("_gk").map_groups(dd_fold, batch_format="pyarrow"))
         return _order_limit(_rename_keys(ds, q), q)
 
+    def _str_group_minmax(col: pa.ChunkedArray, inv: np.ndarray,
+                          n_groups: int, kind: str) -> pa.Array:
+        """Per-group MIN/MAX of a string column (Arrow C++ group_by;
+        NULLs skipped per SQL — carrier/identity rows ride as NULL)."""
+        gb = (pa.table({"g": pa.array(inv, pa.int64()),
+                        "v": col.combine_chunks()
+                        if isinstance(col, pa.ChunkedArray) else col})
+              .group_by("g").aggregate([("v", kind)]))
+        res = np.full(n_groups, None, dtype=object)
+        res[gb["g"].to_numpy(zero_copy_only=False)] = (
+            gb[f"v_{kind}"].to_pylist())
+        return pa.array(res.tolist(), pa.string())
+
     def _fold_rows(t: pa.Table, emit_key: bool) -> dict:
         """Fold partial agg rows per group key -> column dict."""
         u, inv = _group_key(t, t.num_rows)
         out = _key_cols(t, u)
         for kind, name in fold_specs:
+            if (kind in ("min", "max")
+                    and pa.types.is_string(t.schema.field(name).type)):
+                out[name] = _str_group_minmax(t[name], inv, len(u), kind)
+                continue
             v = t[name].to_numpy(zero_copy_only=False)
             r = np.full(len(u), _IDENT_K[kind], np.int64)
             if kind == "add":
@@ -2493,11 +2526,15 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
             s = np.zeros(len(u), np.int64)
             np.add.at(s, inv, v)
             out[name] = pa.array(s, pa.int64())
-        for bunch, init, ufunc in ((min_cols, np.iinfo(np.int64).max,
-                                    np.minimum),
-                                   (max_cols, np.iinfo(np.int64).min,
-                                    np.maximum)):
+        for bunch, init, ufunc, kind in (
+                (min_cols, np.iinfo(np.int64).max, np.minimum, "min"),
+                (max_cols, np.iinfo(np.int64).min, np.maximum, "max")):
             for _, _f, arg, name in bunch:
+                if (isinstance(arg, str) and pa.types.is_string(
+                        t.schema.field(arg).type)):
+                    out[name] = _str_group_minmax(t[arg], inv, len(u),
+                                                  kind)
+                    continue
                 v = _eval_expr(t, arg)
                 m = np.full(len(u), init, np.int64)
                 ufunc.at(m, inv, v)
@@ -2530,6 +2567,10 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
             gi, dv = up[:, 0], up[:, 1]
             cd = _key_cols(t, u[gi] if len(gi) else u[:0])
             for kind2, name2 in fold_specs:
+                if pa.types.is_string(reg.schema.field(name2).type):
+                    # string MIN/MAX: carrier rows ride as NULL (skipped)
+                    cd[name2] = pa.nulls(len(gi), pa.string())
+                    continue
                 cd[name2] = pa.array(
                     np.full(len(gi), _IDENT_K[kind2], np.int64),
                     pa.int64())
@@ -2574,6 +2615,9 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
             gidx = [gk for gk, _ in counts]
             cd = _key_cols(cdt, u2[gidx] if gidx else u2[:0])
             for kind2, name2 in fold_specs:
+                if pa.types.is_string(g.schema.field(name2).type):
+                    cd[name2] = pa.nulls(len(gidx), pa.string())
+                    continue
                 cd[name2] = pa.array(
                     np.full(len(gidx), _IDENT_K[kind2], np.int64),
                     pa.int64())
@@ -2793,6 +2837,12 @@ DEMO_CTE = (
     "WITH busy AS (SELECT user_id, count(*) AS n FROM events "
     "WHERE event_type = 'click' GROUP BY user_id) "
     "SELECT n, count(*) AS n_users FROM busy WHERE n >= 2 GROUP BY n")
+DEMO_STRMINMAX = (
+    "SELECT o_orderstatus, min(o_orderpriority) AS lo_pri, "
+    "max(o_orderpriority) AS hi_pri, count(*) AS n "
+    "FROM orders GROUP BY o_orderstatus "
+    "HAVING min(o_orderpriority) < '9' "
+    "ORDER BY o_orderstatus ASC")
 DEMO_EXCEPT = (
     "SELECT user_id, event_id % 97 AS b FROM events "
     "WHERE event_type = 'view' "
