@@ -171,7 +171,7 @@ def test_parser_fuzz_never_crashes():
         "DENSE_RANK", "NTILE", "LAG", "LEAD", "FIRST_VALUE",
         "LAST_VALUE", "+", "-", "%", "//",
         "CASE", "WHEN", "THEN", "ELSE", "END", "ABS", "COALESCE", "AVG",
-        "EXISTS", "WITH",
+        "EXISTS", "WITH", "EXCEPT", "INTERSECT",
         ",", "*", ".", "=", "<", ">", "<=", ">=", "!=", "<>", "tbl",
         "col", "x", "'s'", "''", "1", "2.5", "9999999999",
     ])
@@ -1839,3 +1839,96 @@ def test_string_min_max_vs_duckdb(ray_session, tmp_path):
     want = con.execute(DEMO_STRMINMAX).fetch_df()
     assert len(want) > 0
     assert canon(got) == canon(want)
+
+
+def test_differential_random_new_constructs_vs_duckdb(ray_session,
+                                                      tmp_path):
+    """Differential property test over the newest construct set: GROUP BY
+    expressions, aggregate-arithmetic HAVING, EXCEPT/INTERSECT chains and
+    string MIN/MAX (with NULLs) must agree with DuckDB exactly."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cmps = st.sampled_from(["=", "!=", "<", "<=", ">", ">="])
+    aggexpr = st.sampled_from(
+        ["sum(v)", "count(*)", "min(v)", "max(v)",
+         "sum(v) + count(*)", "max(v) - min(v)", "count(*) * 2"])
+
+    @st.composite
+    def stmt(draw):
+        kind = draw(st.sampled_from(
+            ["groupexpr", "agghaving", "setop", "strminmax"]))
+        if kind == "groupexpr":
+            mod = draw(st.integers(2, 5))
+            having = ""
+            if draw(st.booleans()):
+                having = (f" HAVING sum(v) {draw(cmps)} "
+                          f"{draw(st.integers(-4, 10))}")
+            return (f"SELECT v % {mod} AS b, count(*) AS n, "
+                    f"CAST(sum(v) AS BIGINT) AS s FROM t "
+                    f"GROUP BY v % {mod}{having}")
+        if kind == "agghaving":
+            lhs = draw(aggexpr)
+            rhs = (draw(aggexpr) if draw(st.booleans())
+                   else str(draw(st.integers(-5, 12))))
+            return (f"SELECT k, count(*) AS n FROM t GROUP BY k "
+                    f"HAVING {lhs} {draw(cmps)} {rhs}")
+        if kind == "setop":
+            op = draw(st.sampled_from(["EXCEPT", "INTERSECT"]))
+            c1, l1 = draw(cmps), draw(st.integers(-3, 7))
+            c2, l2 = draw(cmps), draw(st.integers(-3, 7))
+            s = (f"SELECT k, v FROM t WHERE v {c1} {l1} "
+                 f"{op} SELECT k, v FROM t WHERE v {c2} {l2}")
+            if draw(st.booleans()):
+                c3, l3 = draw(cmps), draw(st.integers(-3, 7))
+                s += (f" {draw(st.sampled_from(['EXCEPT', 'INTERSECT']))}"
+                      f" SELECT k, v FROM t WHERE v {c3} {l3}")
+            return s
+        having = ""
+        if draw(st.booleans()):
+            having = (f" HAVING min(s) {draw(cmps)} "
+                      f"'{draw(st.sampled_from(['x', 'y', 'zz']))}'")
+        return (f"SELECT k, min(s) AS lo, max(s) AS hi, count(*) AS n "
+                f"FROM t GROUP BY k{having}")
+
+    idx = [0]
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        ks=st.lists(st.sampled_from(["a", "b", "c"]), min_size=0,
+                    max_size=12),
+        vs=st.data(),
+        s=stmt(),
+    )
+    def run(ks, vs, s):
+        v = [vs.draw(st.integers(-3, 7)) for _ in ks]
+        sv = [vs.draw(st.sampled_from(["x", "y", "zz", None]))
+              for _ in ks]
+        idx[0] += 1
+        d = tmp_path / f"nc{idx[0]}"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"k": pa.array(ks, pa.string()),
+                      "v": pa.array(v, pa.int64()),
+                      "s": pa.array(sv, pa.string())}),
+            str(d / "t.parquet"), row_group_size=3)
+        got = run_sql(str(d), s).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                    f"read_parquet('{d}/t.parquet')")
+        want = con.execute(s).fetch_df()
+        for df in (got, want):
+            df.sort_index(axis=1, inplace=True)
+        if len(want) == 0:
+            assert len(got) == 0, (s, got)
+            return
+        key = lambda df: sorted(
+            map(lambda r: tuple("∅" if pd.isna(x)
+                                else x if isinstance(x, str)
+                                else int(x) for x in r),
+                df.values.tolist()))
+        assert got.shape == want.shape, (s, got, want)
+        assert key(got) == key(want), (s, got, want)
+
+    run()
