@@ -1976,13 +1976,10 @@ def _rewrite_group_exprs(q: dict, plan: list) -> dict:
     rewritten into a derived-table plan — the inner query computes each
     grouping expression as a named column (it must appear in the select
     list as 'expr AS name'), the outer groups by those names. WHERE stays
-    on the inner (scan pushdown); aggregates / HAVING / ORDER / LIMIT
-    move to the outer. Single-namespace queries only (no JOIN)."""
+    on the inner (scan pushdown; JOINs stream inside the inner
+    projection); aggregates / HAVING / ORDER / LIMIT move outside."""
     if all(isinstance(g, str) for g in q["group"]):
         return q
-    if q["joins"]:
-        raise SqlError("GROUP BY expressions with JOIN are unsupported "
-                       "(group a derived table instead)")
     if q.get("distinct"):
         raise SqlError("SELECT DISTINCT with GROUP BY is unsupported")
     exprcols = [i for i in q["items"] if i[0] == "exprcol"]

@@ -1932,3 +1932,38 @@ def test_differential_random_new_constructs_vs_duckdb(ray_session,
         assert key(got) == key(want), (s, got, want)
 
     run()
+
+
+def test_group_by_expressions_over_joins_vs_duckdb(ray_session, tmp_path):
+    """GROUP BY expressions compose with JOIN streams: the grouping
+    expression computes inside the joined inner projection; WHERE splits
+    to the side scans; hidden HAVING aggregates ride the fold."""
+    import duckdb
+
+    pq.write_table(pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "w": pa.array([10, 20, 30, 40], pa.int64())}),
+        str(tmp_path / "dim.parquet"))
+    pq.write_table(pa.table({
+        "fid": pa.array([1, 1, 2, 2, 3, 3, 3, 4], pa.int64()),
+        "v": pa.array([5, 1, 2, 9, 9, 4, 7, 6], pa.int64())}),
+        str(tmp_path / "fact.parquet"))
+    con = duckdb.connect()
+    for tb in ("dim", "fact"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{tb}.parquet')")
+    canon = lambda df: sorted(
+        map(tuple, df[sorted(df.columns)].values.tolist()))
+    for s in (
+        "SELECT dim.w % 3 AS b, count(*) AS n, "
+        "CAST(sum(fact.v) AS BIGINT) AS s "
+        "FROM fact JOIN dim ON fact.fid = dim.id GROUP BY dim.w % 3",
+        "SELECT fact.fid, dim.w // 20 AS hw, count(*) AS n "
+        "FROM fact JOIN dim ON fact.fid = dim.id "
+        "WHERE fact.v >= 2 GROUP BY fact.fid, dim.w // 20 "
+        "HAVING sum(fact.v) > 5",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert len(want) > 0
+        assert canon(got) == canon(want), (s, got, want)
