@@ -1782,12 +1782,21 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
         for b in branches[1:]:
             out = out.union(_run_parsed(sf_dir, b, plan))
         return out
-    # EXCEPT / INTERSECT chains fold left-associatively, one exchange per
-    # step (SQL DISTINCT set semantics)
-    out = _run_parsed(sf_dir, branches[0], plan)
+    # EXCEPT / INTERSECT chains: INTERSECT binds tighter than EXCEPT
+    # (SQL precedence), each class folds left-associatively — one
+    # exchange per step (SQL DISTINCT set semantics)
+    cols = list(names[0])
+    operands = [_run_parsed(sf_dir, branches[0], plan)]
     for op, b in zip(ops, branches[1:]):
-        out = _setop(out, _run_parsed(sf_dir, b, plan),
-                     list(names[0]), op, plan)
+        nxt = _run_parsed(sf_dir, b, plan)
+        if op == "intersect":
+            operands[-1] = _setop(operands[-1], nxt, cols, "intersect",
+                                  plan)
+        else:
+            operands.append(nxt)
+    out = operands[0]
+    for o in operands[1:]:
+        out = _setop(out, o, cols, "except", plan)
     return out
 
 

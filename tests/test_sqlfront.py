@@ -1967,3 +1967,24 @@ def test_group_by_expressions_over_joins_vs_duckdb(ray_session, tmp_path):
         want = con.execute(s).fetch_df()
         assert len(want) > 0
         assert canon(got) == canon(want), (s, got, want)
+
+
+def test_setop_precedence_intersect_binds_tighter(ray_session, tmp_path):
+    """A EXCEPT B INTERSECT C == A EXCEPT (B INTERSECT C) — the
+    hypothesis-found precedence case, pinned."""
+    import duckdb
+
+    pq.write_table(pa.table({"k": pa.array(["a"]),
+                             "v": pa.array([0], pa.int64())}),
+                   str(tmp_path / "t.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    s = ("SELECT k, v FROM t WHERE v = 0 "
+         "EXCEPT SELECT k, v FROM t WHERE v = 0 "
+         "INTERSECT SELECT k, v FROM t WHERE v = 1")
+    got = run_sql(str(tmp_path), s).to_pandas()
+    want = con.execute(s).fetch_df()
+    assert len(want) == 1
+    assert sorted(map(tuple, got.values.tolist())) == \
+        sorted(map(tuple, want.values.tolist()))
