@@ -365,7 +365,20 @@ class _Parser:
         return name
 
     def _order_item(self):
-        col = self.expect("ident")
+        k, v = self.peek()
+        if k == "num":
+            # ORDER BY 1: 1-based output-column position, resolved after
+            # the select list's output names are known
+            self.next()
+            if not isinstance(v, int) or v < 1:
+                raise SqlError(f"bad ORDER BY position {v!r}")
+            col = v
+        elif k == "kw" and v in ("count", "sum", "min", "max", "avg"):
+            # ORDER BY sum(v): rides as a hidden fold column (synthesized
+            # at plan time, dropped after the sort)
+            col = ("aggref",) + self._agg_call()
+        else:
+            col = self.expect("ident")
         desc = False
         if self.peek() in (("kw", "asc"), ("kw", "desc")):
             desc = self.next()[1] == "desc"
@@ -1926,8 +1939,11 @@ def _rewrite_having_aggs(q: dict) -> dict:
     ('agg', fn, arg, '__hv<i>') — reusing a matching select aggregate
     when one exists — and is replaced by that fold column name, so the
     HAVING tree becomes ordinary column arithmetic over folded rows.
-    Hidden columns are dropped after the HAVING filter (q['_hidden'])."""
-    if q["having"] is None:
+    Hidden columns are dropped after the HAVING filter (q['_hidden']).
+    ORDER BY aggregate calls synthesize hidden fold columns the same way
+    (sorted on, then dropped)."""
+    order_aggs = any(isinstance(c, tuple) for c, _ in q["order"] or [])
+    if q["having"] is None and not order_aggs:
         return q
     items = list(q["items"])
     hidden: list[str] = []
@@ -1973,10 +1989,13 @@ def _rewrite_having_aggs(q: dict) -> dict:
             return ("cmp", node[1], col, node[3])
         return node
 
-    having = rw(q["having"])
-    if not hidden and having == q["having"]:
+    having = rw(q["having"]) if q["having"] is not None else None
+    order = [(name_of(c[1], c[2]) if isinstance(c, tuple) else c, d)
+             for c, d in q["order"] or []]
+    if (not hidden and having == q["having"]
+            and order == (q["order"] or [])):
         return q
-    return dict(q, items=items, having=having,
+    return dict(q, items=items, having=having, order=order,
                 _hidden=hidden + list(q.get("_hidden") or []))
 
 
@@ -2060,6 +2079,17 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
     if len(set(out_names)) != len(out_names):
         raise SqlError(f"duplicate output column names: {out_names} — "
                        "use AS to disambiguate")
+    if any(isinstance(c, int) for c, _ in q["order"] or []):
+        # ORDER BY 1: resolve 1-based positions to output names
+        order2 = []
+        for c, d in q["order"]:
+            if isinstance(c, int):
+                if not 1 <= c <= len(out_names):
+                    raise SqlError(f"ORDER BY position {c} out of range "
+                                   f"(1..{len(out_names)})")
+                c = out_names[c - 1]
+            order2.append((c, d))
+        q = dict(q, order=order2)
     wins = [i for i in q["items"] if i[0] == "win"]
     if wins:
         if aggs or group or exprs or sfns or q.get("distinct"):
@@ -2680,19 +2710,21 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
         have.__name__ = "sql_having"
         ds = ds.map_batches(have, batch_format="pyarrow")
         plan.append("having: vectorized filter over folded rows")
+    if q["order"]:
+        plan.append(f"order_by={q['order']}"
+                    + (f" limit={q['limit']} (distributed top-k)"
+                       if q["limit"] is not None else " (distributed sort)"))
+    ds = _order_limit(ds, q)
     hidden = q.get("_hidden")
     if hidden:
+        # dropped AFTER the sort so ORDER BY can key on hidden aggregates
         def drop_hidden(t: pa.Table) -> pa.Table:
             return t.drop_columns(hidden)
 
         drop_hidden.__name__ = "sql_drop_hidden"
         ds = ds.map_batches(drop_hidden, batch_format="pyarrow")
-        plan.append(f"drop hidden HAVING aggregates {hidden}")
-    if q["order"]:
-        plan.append(f"order_by={q['order']}"
-                    + (f" limit={q['limit']} (distributed top-k)"
-                       if q["limit"] is not None else " (distributed sort)"))
-    return _order_limit(ds, q)
+        plan.append(f"drop hidden aggregates {hidden}")
+    return ds
 
 
 # shipped demo statements — each doubles as its own DuckDB oracle

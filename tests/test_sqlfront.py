@@ -1988,3 +1988,36 @@ def test_setop_precedence_intersect_binds_tighter(ray_session, tmp_path):
     assert len(want) == 1
     assert sorted(map(tuple, got.values.tolist())) == \
         sorted(map(tuple, want.values.tolist()))
+
+
+def test_order_by_positions_and_aggregates(ray_session, tmp_path):
+    """ORDER BY 1-based output positions and ORDER BY aggregate calls
+    (hidden fold columns, dropped after the sort; selected aggregates
+    reused) produce DuckDB's exact row order."""
+    import duckdb
+
+    pq.write_table(pa.table({
+        "k": pa.array(["a", "a", "b", "b", "b", "c"], pa.string()),
+        "v": pa.array([5, 1, 2, 9, 9, 4], pa.int64())}),
+        str(tmp_path / "t.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    exact = lambda df: list(map(tuple, df.values.tolist()))
+    for s in (
+        "SELECT k, v FROM t ORDER BY 2 DESC, 1 ASC LIMIT 4",
+        "SELECT k, count(*) AS n FROM t GROUP BY k "
+        "ORDER BY 2 DESC, 1 ASC",
+        "SELECT k, count(*) AS n FROM t GROUP BY k "
+        "ORDER BY sum(v) DESC, k ASC",
+        "SELECT k FROM t GROUP BY k HAVING sum(v) >= 4 "
+        "ORDER BY max(v) DESC, k ASC",
+        "SELECT k, CAST(sum(v) AS BIGINT) AS s FROM t GROUP BY k "
+        "ORDER BY sum(v) ASC, k ASC",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert list(got.columns) == list(want.columns), s
+        assert exact(got) == exact(want), (s, got, want)
+    with pytest.raises(SqlError, match="out of range"):
+        run_sql(str(tmp_path), "SELECT k FROM t ORDER BY 5")
