@@ -234,6 +234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, sqlfront.DEMO_INTERSECT),
         "sql_string_minmax": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_STRMINMAX),
+        "sql_countcol_offset": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_COUNTN_OFFSET),
         "orders_cube": relational.orders_cube,           # GROUP BY CUBE grouping sets
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
         "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join

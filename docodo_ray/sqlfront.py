@@ -192,7 +192,7 @@ _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
              "last_value", "length", "lower", "upper", "like", "is",
              "null", "date", "timestamp", "case", "when", "then", "else",
              "end", "abs", "coalesce", "avg", "exists", "with",
-             "except", "intersect"}
+             "except", "intersect", "offset"}
 
 
 class SqlError(ValueError):
@@ -325,12 +325,19 @@ class _Parser:
                 self.next()
                 order.append(self._order_item())
         limit = None
+        offset = 0
         if self.peek() == ("kw", "limit"):
             self.next()
             k, v = self.next()
             if k != "num" or not isinstance(v, int):
                 raise SqlError(f"LIMIT needs an integer, got {v!r}")
             limit = v
+            if self.peek() == ("kw", "offset"):
+                self.next()
+                k, v = self.next()
+                if k != "num" or not isinstance(v, int) or v < 0:
+                    raise SqlError(f"OFFSET needs an integer, got {v!r}")
+                offset = v
         if stop_at_paren:
             if self.peek() != ("op", ")"):
                 raise SqlError(f"bad subquery end at {self.peek()!r}")
@@ -347,7 +354,8 @@ class _Parser:
         return {"items": items, "table": table, "alias": alias,
                 "joins": joins, "where": where, "group": group,
                 "having": having, "qualify": qualify, "order": order,
-                "limit": limit, "distinct": distinct, "derived": derived}
+                "limit": limit, "offset": offset, "distinct": distinct,
+                "derived": derived}
 
     def _opt_alias(self):
         if self.peek() == ("kw", "as"):
@@ -425,7 +433,7 @@ class _Parser:
             if self.peek() == ("kw", "over"):
                 # CAST(SUM(x) OVER w AS BIGINT): running window aggregate
                 # (the CAST pins DuckDB's HUGEINT window SUM to BIGINT)
-                if inner[0] in ("countd", "avg"):
+                if inner[0] in ("countd", "avg", "countn"):
                     raise SqlError(
                         f"{inner[0]} OVER is unsupported")
                 win = self._over_spec()
@@ -445,7 +453,7 @@ class _Parser:
         if k == "kw" and v in ("count", "sum", "min", "max", "avg"):
             fn, col = self._agg_call()
             if self.peek() == ("kw", "over"):
-                if fn in ("countd", "avg"):
+                if fn in ("countd", "avg", "countn"):
                     raise SqlError(f"{fn} OVER is unsupported")
                 part, order = self._over_spec()
                 self.expect("kw", "as")
@@ -521,10 +529,15 @@ class _Parser:
                 col = self._qual_ident()
                 self.expect("op", ")")
                 return ("countd", col)
-            self.expect("op", "*")
-            col = None
-        else:
-            col = self._arith()
+            if self.peek() == ("op", "*"):
+                self.next()
+                self.expect("op", ")")
+                return ("count", None)
+            # COUNT(col): non-NULL count (any column type)
+            col = self._qual_ident()
+            self.expect("op", ")")
+            return ("countn", col)
+        col = self._arith()
         self.expect("op", ")")
         return (v, col)
 
@@ -1017,7 +1030,13 @@ def _order_limit(ds: rd.Dataset, q: dict) -> rd.Dataset:
         ds = ds.sort(key=[c for c, _ in q["order"]],
                      descending=[d for _, d in q["order"]])
     if q["limit"] is not None:
-        ds = ds.limit(q["limit"])
+        off = q.get("offset") or 0
+        ds = ds.limit(off + q["limit"])
+        if off:
+            # OFFSET over the already-LIMITed head: split_at_indices
+            # preserves the sorted row order and touches only the
+            # off+limit rows the top-k kept (metadata scale)
+            ds = ds.split_at_indices([off])[1]
     return ds
 
 
@@ -2149,7 +2168,8 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
         strict: set = set()  # value positions that cannot tolerate NULLs
         for a in aggs:
             _expr_cols(a[2], agg_need)
-            _strict_cols(a[2], strict)
+            if a[1] != "countn":  # COUNT(col) tolerates NULLs by design
+                _strict_cols(a[2], strict)
         for e in exprs:
             _expr_cols(e[1], agg_need)
             _strict_cols(e[1], strict)
@@ -2429,6 +2449,7 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
     max_cols = [a for a in aggs if a[1] == "max"]
     cnt_cols = [a for a in aggs if a[1] == "count"]
     cd_cols = [a for a in aggs if a[1] == "countd"]
+    cn_cols = [a for a in aggs if a[1] == "countn"]
     avg_cols = [a for a in aggs if a[1] in ("avg", "avgb")]
     # physical fold plan: each aggregate's partial state is one or two
     # int64 columns merged by ADD / MIN / MAX across exchanges. AVG rides
@@ -2438,7 +2459,7 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
         if fn in ("avg", "avgb"):
             fold_specs.append(("add", f"__avs_{name}"))
             fold_specs.append(("add", f"__avn_{name}"))
-        elif fn in ("count", "sum", "countd"):
+        elif fn in ("count", "sum", "countd", "countn"):
             fold_specs.append(("add", name))
         else:
             fold_specs.append((fn, name))
@@ -2556,6 +2577,11 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
         for _, _f, col, name in cnt_cols:
             c = np.zeros(len(u), np.int64)
             np.add.at(c, inv, 1)
+            out[name] = pa.array(c, pa.int64())
+        for _, _f, col, name in cn_cols:
+            valid = ~np.asarray(t[col].combine_chunks().is_null())
+            c = np.zeros(len(u), np.int64)
+            np.add.at(c, inv[valid], 1)
             out[name] = pa.array(c, pa.int64())
         for _, _f, arg, name in sum_cols:
             v = _eval_expr(t, arg)
@@ -2875,6 +2901,9 @@ DEMO_CTE = (
     "WITH busy AS (SELECT user_id, count(*) AS n FROM events "
     "WHERE event_type = 'click' GROUP BY user_id) "
     "SELECT n, count(*) AS n_users FROM busy WHERE n >= 2 GROUP BY n")
+DEMO_COUNTN_OFFSET = (
+    "SELECT user_id, count(props) AS np, count(*) AS n FROM events "
+    "GROUP BY user_id ORDER BY user_id ASC LIMIT 8 OFFSET 3")
 DEMO_STRMINMAX = (
     "SELECT o_orderstatus, min(o_orderpriority) AS lo_pri, "
     "max(o_orderpriority) AS hi_pri, count(*) AS n "

@@ -2021,3 +2021,47 @@ def test_order_by_positions_and_aggregates(ray_session, tmp_path):
         assert exact(got) == exact(want), (s, got, want)
     with pytest.raises(SqlError, match="out of range"):
         run_sql(str(tmp_path), "SELECT k FROM t ORDER BY 5")
+
+
+def test_count_col_and_limit_offset_vs_duckdb(ray_session, tmp_path):
+    """COUNT(col) counts non-NULL values (any column type, NULLs and
+    HAVING included); LIMIT n OFFSET m skips exactly m sorted rows. The
+    shipped demo matches at sf0.001."""
+    import duckdb
+
+    pq.write_table(pa.table({
+        "k": pa.array(["a", "a", "b", "b", "b", "c", None]),
+        "v": pa.array([5, 1, 2, 9, 9, 4, 7], pa.int64()),
+        "w": pa.array([1, None, 2, None, 3, None, 4], pa.int64())}),
+        str(tmp_path / "t.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    exact = lambda df: list(
+        map(lambda r: tuple(map(str, r)), df.values.tolist()))
+    canon = lambda df: sorted(exact(df[sorted(df.columns)]))
+    for s in (
+        "SELECT k, v FROM t ORDER BY v DESC, k ASC LIMIT 3 OFFSET 2",
+        "SELECT v FROM t ORDER BY 1 ASC LIMIT 2 OFFSET 4",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert exact(got) == exact(want), (s, got, want)
+    for s in (
+        "SELECT count(w) AS cw, count(*) AS n, count(k) AS ck FROM t",
+        "SELECT k, count(w) AS cw, count(*) AS n FROM t GROUP BY k",
+        "SELECT k, count(*) AS n FROM t GROUP BY k "
+        "HAVING count(w) >= 1",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), (s, got, want)
+
+    from docodo_ray.sqlfront import DEMO_COUNTN_OFFSET
+
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    got = run_sql(SF, DEMO_COUNTN_OFFSET).to_pandas()
+    want = con.execute(DEMO_COUNTN_OFFSET).fetch_df()
+    assert len(want) > 0
+    assert exact(got) == exact(want)
