@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_clean": traindata.line_dedup_clean,  # global cross-doc line dedup
         "curate_corpus": traindata.curate_corpus,        # the full composition
         "curate_corpus_fuzzy": traindata.curate_corpus_fuzzy,  # + near-dup cluster drop
+        "curate_corpus_gopher": traindata.curate_corpus_gopher,  # + Gopher word-rule drop
         "pii_redact": traindata.redact_pii,              # email/IP/key redaction
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,

@@ -2250,6 +2250,52 @@ FROM p
     sql["curate_corpus_fuzzy"] = _curate_sql(
         fuzzy_ctes, "AND d.doc_id NOT IN (SELECT doc_id FROM floser)")
 
+    # Gopher-verdict curation: the word-level keep rule (same math as
+    # sql["gopher_quality"]) joins the survivor condition
+    gopher_ctes = f""",
+gqw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+gqb AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+         AS BIGINT) AS sum_chars,
+    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+         AS BIGINT) AS n_alpha,
+    CAST(len(list_filter(ws, x -> contains(x, '#')
+                                  OR contains(x, '...')))
+         AS BIGINT) AS n_sym
+  FROM gqw
+),
+gqc AS (
+  SELECT doc_id, word, count(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS word FROM gqw) GROUP BY doc_id, word
+),
+gqt AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c
+        FROM gqc GROUP BY doc_id),
+gqs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_stop FROM gqc
+        WHERE word IN ({req}) GROUP BY doc_id),
+gqk AS (
+  SELECT b.doc_id FROM gqb b
+  LEFT JOIN gqt t USING (doc_id) LEFT JOIN gqs s USING (doc_id)
+  WHERE b.n_words >= {GOPHER_MIN_WORDS}
+    AND b.n_words <= {GOPHER_MAX_WORDS}
+    AND b.sum_chars * 1000 // GREATEST(b.n_words, 1)
+        BETWEEN {GOPHER_MWL_MIN_E3} AND {GOPHER_MWL_MAX_E3}
+    AND b.n_alpha * 1000 // GREATEST(b.n_words, 1)
+        >= {GOPHER_MIN_ALPHA_E3}
+    AND b.n_sym * 1000 // GREATEST(b.n_words, 1)
+        <= {GOPHER_MAX_SYMBOL_E3}
+    AND COALESCE(s.n_stop, 0) >= {GOPHER_MIN_STOP_HITS}
+    AND COALESCE(t.top_c, 0) * 1000 // GREATEST(b.n_words, 1)
+        <= {GOPHER_MAX_TOPWORD_E3}
+)"""
+    sql["curate_corpus_gopher"] = _curate_sql(
+        gopher_ctes, "AND d.doc_id IN (SELECT doc_id FROM gqk)")
+
     # PII redaction: the four rule patterns are imported from traindata
     # (single source of truth) and applied as the SAME ordered chain — each
     # rule's count is taken on the text state left by the previous rule.

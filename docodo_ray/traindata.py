@@ -301,7 +301,7 @@ class _CurateStatsStage:
     stratified-sample hash. Contamination is NOT probed here — it arrives
     as a flag join from the distributed gram semi-join (``_decon_hits``)."""
 
-    def __init__(self, eval_mod: int):
+    def __init__(self, eval_mod: int, gopher: bool = False):
         import hashlib
 
         from docodo_ray.config import load_stopwords
@@ -309,6 +309,11 @@ class _CurateStatsStage:
         self._sha = hashlib.sha256
         self.eval_mod = eval_mod
         self.stop = load_stopwords()
+        self._gq = None
+        if gopher:
+            from docodo_ray.textstats import GopherQualityStage
+
+            self._gq = GopherQualityStage()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import regex
@@ -323,6 +328,13 @@ class _CurateStatsStage:
             n_kept.append(sum(1 for t in toks
                               if 3 <= len(t) <= 32 and t not in self.stop))
             n_digit.append(sum(1 for t in toks if digit_re.match(t)))
+        if self._gq is not None:
+            # Gopher word-level verdict computed in the SAME streamed pass
+            # (text is read once; only the boolean joins the stat row)
+            gq_keep = self._gq(batch)["keep"].to_numpy(
+                zero_copy_only=False).astype(bool)
+        else:
+            gq_keep = np.ones(len(ids), bool)
         return pa.table({
             "doc_id": batch["doc_id"],
             "lang": batch["lang"],
@@ -335,11 +347,13 @@ class _CurateStatsStage:
             "u16": pa.array(_u16(ids).astype(np.int64), pa.int64()),
             "is_eval": pa.array(ids % self.eval_mod == 0),
             "decon_hit": pa.array(np.zeros(len(ids), bool)),
+            "gq_keep": pa.array(gq_keep),
         })
 
 
 def curate_corpus(sf_dir: str, budget: int = PACK_BUDGET,
-                  range_size: int = 1024, fuzzy: bool = False) -> rd.Dataset:
+                  range_size: int = 1024, fuzzy: bool = False,
+                  gopher: bool = False) -> rd.Dataset:
     """(doc_id, lang, ntok, pack_id, pack_offset): the full training-data
     curation pipeline in one Dataset flow —
 
@@ -371,7 +385,7 @@ def curate_corpus(sf_dir: str, budget: int = PACK_BUDGET,
 
     stats = docs.map_batches(
         _CurateStatsStage,
-        fn_constructor_kwargs=dict(eval_mod=DECON_EVAL_MOD),
+        fn_constructor_kwargs=dict(eval_mod=DECON_EVAL_MOD, gopher=gopher),
         batch_format="pyarrow", concurrency=(1, 8),
     )
 
@@ -384,7 +398,7 @@ def curate_corpus(sf_dir: str, budget: int = PACK_BUDGET,
     from docodo_ray.dedup import _coarse_mix
 
     _STAT_NAMES = ["doc_id", "lang", "sha", "ntok", "n_raw", "n_kept",
-                   "n_digit", "u16", "is_eval", "decon_hit"]
+                   "n_digit", "u16", "is_eval", "decon_hit", "gq_keep"]
 
     def hit_markers(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -398,6 +412,7 @@ def curate_corpus(sf_dir: str, budget: int = PACK_BUDGET,
             "u16": pa.array(z),
             "is_eval": pa.array(np.zeros(ids.size, bool)),
             "decon_hit": pa.array(np.ones(ids.size, bool)),
+            "gq_keep": pa.array(np.ones(ids.size, bool)),
             "jk": pa.array(_coarse_mix(ids), pa.int64()),
         })
 
@@ -438,6 +453,7 @@ def curate_corpus(sf_dir: str, budget: int = PACK_BUDGET,
             (ids == winner)
             & ~group["is_eval"].to_numpy(zero_copy_only=False)
             & ~group["decon_hit"].to_numpy(zero_copy_only=False)
+            & group["gq_keep"].to_numpy(zero_copy_only=False)
             & (group["n_kept"].to_numpy(zero_copy_only=False) >= CURATE_MIN_KEPT)
             & (group["n_digit"].to_numpy(zero_copy_only=False) * 100
                <= group["n_raw"].to_numpy(zero_copy_only=False) * CURATE_MAX_DIGIT_PCT)
@@ -544,6 +560,16 @@ def curate_corpus_fuzzy(sf_dir: str, budget: int = PACK_BUDGET,
     just reported."""
     return curate_corpus(sf_dir, budget=budget, range_size=range_size,
                          fuzzy=True)
+
+
+def curate_corpus_gopher(sf_dir: str, budget: int = PACK_BUDGET,
+                         range_size: int = 1024) -> rd.Dataset:
+    """``curate_corpus`` with the Gopher word-level quality verdict
+    (textstats.GopherQualityStage) consumed as an additional drop rule —
+    computed in the same streamed stats pass (text is still read once);
+    only a boolean joins the dedup exchange."""
+    return curate_corpus(sf_dir, budget=budget, range_size=range_size,
+                         gopher=True)
 
 
 # ---------------------------------------------------------------------------

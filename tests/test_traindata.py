@@ -206,3 +206,20 @@ def test_weighted_sample_prefers_heavy_docs(ray_session):
         f"{sf}/documents.parquet", columns=["n_chars"]
     )["n_chars"].to_pandas().mean()
     assert s1["n_chars"].mean() > corpus_mean
+
+
+def test_curate_corpus_gopher_consumes_verdict(ray_session):
+    """curate_corpus_gopher drops exactly the docs whose Gopher word-rule
+    verdict is 0 (before sampling/packing, survivors are a subset of the
+    base curation and every survivor has keep=1)."""
+    from docodo_ray.textstats import gopher_quality
+    from docodo_ray.traindata import curate_corpus, curate_corpus_gopher
+
+    sf = "/root/testdata/sf0.001"
+    base = {r["doc_id"] for r in curate_corpus(sf).take_all()}
+    goph = {r["doc_id"] for r in curate_corpus_gopher(sf).take_all()}
+    keep = {r["doc_id"]: r["keep"]
+            for r in gopher_quality(sf).take_all()}
+    assert goph < base  # strictly smaller on this corpus
+    assert all(keep[d] == 1 for d in goph)
+    assert base - goph == {d for d in base if keep[d] == 0}
