@@ -2728,7 +2728,8 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_CTE, DEMO_GROUPEXPR,
                                      DEMO_HIDDENHAVING, DEMO_EXCEPT,
                                      DEMO_INTERSECT, DEMO_STRMINMAX,
-                                     DEMO_COUNTN_OFFSET)
+                                     DEMO_COUNTN_OFFSET,
+                                     DEMO_STAR_GROUPALL)
 
     sql["sql_orders_groupby"] = DEMO_GROUPBY
     sql["sql_events_filter"] = DEMO_FILTER
@@ -2766,6 +2767,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_intersect"] = DEMO_INTERSECT
     sql["sql_string_minmax"] = DEMO_STRMINMAX
     sql["sql_countcol_offset"] = DEMO_COUNTN_OFFSET
+    sql["sql_star_groupall"] = DEMO_STAR_GROUPALL
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

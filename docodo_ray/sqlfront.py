@@ -296,16 +296,24 @@ class _Parser:
             self.next()
             where = self._or()
         group = []
+        group_all = False
         if self.peek() == ("kw", "group"):
             self.next()
             self.expect("kw", "by")
-            # a GROUP BY item may be a bare column or an arithmetic
-            # expression (bucketing: k % 7, CASE buckets) — expressions
-            # are rewritten into a derived-table plan at _run_parsed
-            group.append(self._arith())
-            while self.peek() == ("op", ","):
+            if self.peek() == ("kw", "all"):
+                # GROUP BY ALL: every non-aggregate select item is a key
+                # (resolved at plan time against the select list)
                 self.next()
+                group_all = True
+            else:
+                # a GROUP BY item may be a bare column or an arithmetic
+                # expression (bucketing: k % 7, CASE buckets) —
+                # expressions are rewritten into a derived-table plan at
+                # _run_parsed
                 group.append(self._arith())
+                while self.peek() == ("op", ","):
+                    self.next()
+                    group.append(self._arith())
         having = None
         if self.peek() == ("kw", "having"):
             self.next()
@@ -355,7 +363,7 @@ class _Parser:
                 "joins": joins, "where": where, "group": group,
                 "having": having, "qualify": qualify, "order": order,
                 "limit": limit, "offset": offset, "distinct": distinct,
-                "derived": derived}
+                "group_all": group_all, "derived": derived}
 
     def _opt_alias(self):
         if self.peek() == ("kw", "as"):
@@ -421,6 +429,11 @@ class _Parser:
 
     def _item(self):
         k, v = self.peek()
+        if (k, v) == ("op", "*"):
+            # SELECT *: expanded to the scanned table's columns at plan
+            # time (single-namespace queries only)
+            self.next()
+            return ("star",)
         if k == "kw" and v == "cast":
             # CAST(agg AS BIGINT) AS name — a no-op for the engine (all
             # aggregates are int64 already) that pins the ORACLE side to
@@ -1791,6 +1804,7 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
         return _run_parsed(sf_dir, q, plan)
     # multi-branch: each branch plans independently. Branch output names
     # must agree (same names, same order).
+    branches = [_expand_sugar(sf_dir, b) for b in branches]
     names = [tuple(i[3] if i[0] in ("agg", "sfn")
                    else i[2] if i[0] in ("colas", "exprcol")
                    else i[4] if i[0] == "win"
@@ -1951,6 +1965,47 @@ def _strip_single_ns(q: dict, base_ns: str) -> dict:
                 qualify=rw_tree(q.get("qualify")))
 
 
+def _expand_sugar(sf_dir: str, q: dict) -> dict:
+    """Plan-time sugar: SELECT * expands to the scanned table's parquet
+    schema columns (single-namespace only); GROUP BY ALL resolves to every
+    non-aggregate select item (bare columns, renames, and grouping
+    expressions — the latter feed the derived-table rewrite)."""
+    if any(i[0] == "star" for i in q["items"]):
+        if q["joins"]:
+            raise SqlError("SELECT * with JOIN is unsupported — name "
+                           "the columns")
+        if q.get("derived") is not None:
+            raise SqlError("SELECT * over a derived table is "
+                           "unsupported — name the columns")
+        import pyarrow.parquet as _pq
+        cols = _pq.read_schema(f"{sf_dir}/{q['table']}.parquet").names
+        items = []
+        for i in q["items"]:
+            if i[0] == "star":
+                items.extend(("col", c) for c in cols)
+            else:
+                items.append(i)
+        q = dict(q, items=items)
+    if q.get("group_all"):
+        group = []
+        for i in q["items"]:
+            if i[0] == "col":
+                group.append(i[1])
+            elif i[0] == "colas":
+                group.append(i[1])
+            elif i[0] == "exprcol":
+                group.append(i[1])
+            elif i[0] != "agg":
+                raise SqlError("GROUP BY ALL combines only with plain "
+                               "columns, renames, expressions and "
+                               "aggregates")
+        if not group:
+            raise SqlError("GROUP BY ALL needs at least one "
+                           "non-aggregate select item")
+        q = dict(q, group=group, group_all=False)
+    return q
+
+
 def _rewrite_having_aggs(q: dict) -> dict:
     """HAVING with aggregate calls absent from the select list — plain
     (HAVING sum(x) > 5) or arithmetic (HAVING sum(a) * 2 > sum(b) + 1):
@@ -2076,6 +2131,7 @@ def _rewrite_group_exprs(q: dict, plan: list) -> dict:
 
 
 def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
+    q = _expand_sugar(sf_dir, q)
     q = _rewrite_having_aggs(q)
     q = _rewrite_group_exprs(q, plan)
     q, ns2tab = _namespace(q)
@@ -2901,6 +2957,11 @@ DEMO_CTE = (
     "WITH busy AS (SELECT user_id, count(*) AS n FROM events "
     "WHERE event_type = 'click' GROUP BY user_id) "
     "SELECT n, count(*) AS n_users FROM busy WHERE n >= 2 GROUP BY n")
+DEMO_STAR_GROUPALL = (
+    "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS s FROM orders "
+    "WHERE o_custkey BETWEEN 20 AND 900 GROUP BY ALL "
+    "ORDER BY 1 ASC, 2 ASC")
 DEMO_COUNTN_OFFSET = (
     "SELECT user_id, count(props) AS np, count(*) AS n FROM events "
     "GROUP BY user_id ORDER BY user_id ASC LIMIT 8 OFFSET 3")

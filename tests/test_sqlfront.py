@@ -2065,3 +2065,41 @@ def test_count_col_and_limit_offset_vs_duckdb(ray_session, tmp_path):
     want = con.execute(DEMO_COUNTN_OFFSET).fetch_df()
     assert len(want) > 0
     assert exact(got) == exact(want)
+
+
+def test_select_star_and_group_by_all(ray_session, tmp_path):
+    """SELECT * expands to the parquet schema (incl. through UNION ALL /
+    set ops); GROUP BY ALL keys every non-aggregate select item, feeding
+    the grouping-expression rewrite when items are expressions."""
+    import duckdb
+
+    pq.write_table(pa.table({
+        "k": pa.array(["a", "a", "b", "b", "b", "c"], pa.string()),
+        "u": pa.array([1, 2, 1, 2, 2, 3], pa.int64()),
+        "v": pa.array([5, 1, 2, 9, 9, 4], pa.int64())}),
+        str(tmp_path / "t.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    canon = lambda df: sorted(
+        map(tuple, df[sorted(df.columns)].values.tolist()))
+    for s in (
+        "SELECT * FROM t WHERE v >= 2",
+        "SELECT * FROM t WHERE v >= 2 "
+        "ORDER BY v DESC, k ASC, u ASC LIMIT 3",
+        "SELECT k, count(*) AS n, CAST(sum(v) AS BIGINT) AS s FROM t "
+        "GROUP BY ALL",
+        "SELECT k, u % 2 AS p, count(*) AS n FROM t GROUP BY ALL",
+        "SELECT * FROM t WHERE v > 8 UNION ALL "
+        "SELECT * FROM t WHERE v < 2",
+        "SELECT * FROM t EXCEPT SELECT * FROM t WHERE v >= 4",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), (s, got, want)
+    with pytest.raises(SqlError, match="JOIN is unsupported"):
+        run_sql(str(tmp_path),
+                "SELECT * FROM t JOIN t AS u2 ON t.u = u2.u")
+    with pytest.raises(SqlError, match="at least one"):
+        run_sql(str(tmp_path),
+                "SELECT count(*) AS n FROM t GROUP BY ALL")
