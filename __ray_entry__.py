@@ -246,6 +246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "urgent_order_revenue": relational.urgent_order_revenue,  # Bloom-pruned semi-join
         "brand_supplier_counts": relational.brand_supplier_counts,  # Q16 grouped COUNT(DISTINCT)
         "order_counts_per_customer": relational.order_counts_per_customer,  # LEFT OUTER zero-fill
+        "part_value_concentration": relational.part_value_concentration,  # Q11 global-scalar HAVING
+        "lone_return_suppliers": relational.lone_return_suppliers,  # Q21 lone-offender anti-join
         # --- streaming windows over the events table ---
         "tumbling_window": windows.tumbling_window,      # combiner + small groupby
         "hopping_window": windows.hopping_window,        # overlapping windows

@@ -2246,6 +2246,46 @@ SELECT doc_id, lang, ntok,
 FROM p
 """
 
+    # TPC-H Q11 shape (relational.part_value_concentration): HAVING
+    # against a global scalar, exact integer cross-multiplication
+    from docodo_ray.relational import PVC_DEN, PVC_NUM
+
+    sql["part_value_concentration"] = f"""
+WITH l AS (
+  SELECT l_partkey,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+),
+p AS (
+  SELECT l_partkey AS partkey, CAST(sum(c) AS BIGINT) AS value_cents
+  FROM l GROUP BY l_partkey
+),
+tot AS (
+  SELECT CAST(sum(value_cents) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS n FROM p
+)
+SELECT partkey, value_cents FROM p, tot
+WHERE value_cents * n * {PVC_DEN} > t * {PVC_NUM}
+"""
+
+    # TPC-H Q21 shape (relational.lone_return_suppliers): the lone
+    # offender per multi-supplier order (EXISTS + NOT EXISTS)
+    sql["lone_return_suppliers"] = """
+WITH ls AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+),
+o AS (
+  SELECT l_orderkey, count(*) AS ns, CAST(sum(r) AS BIGINT) AS nr,
+         min(CASE WHEN r = 1 THEN l_suppkey END) AS rs
+  FROM ls GROUP BY l_orderkey
+)
+SELECT rs AS suppkey, CAST(count(*) AS BIGINT) AS n_orders
+FROM o WHERE ns >= 2 AND nr = 1 GROUP BY rs
+"""
+
     sql["curate_corpus"] = _curate_sql()
     sql["curate_corpus_fuzzy"] = _curate_sql(
         fuzzy_ctes, "AND d.doc_id NOT IN (SELECT doc_id FROM floser)")

@@ -1785,3 +1785,166 @@ def table_profile(sf_dir: str, table: str = PROFILE_TABLE,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("ck").map_groups(fold1, batch_format="pyarrow")
             .groupby("col").map_groups(fold2, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: value concentration vs a global scalar
+# ---------------------------------------------------------------------------
+
+PVC_NUM = 6   # keep parts with value > (6/5) x mean part value
+PVC_DEN = 5
+
+
+def part_value_concentration(sf_dir: str) -> rd.Dataset:
+    """(partkey, value_cents): parts whose total extended-price value
+    exceeds PVC_NUM/PVC_DEN of the MEAN per-part value — the TPC-H Q11
+    'important stock' shape (HAVING sum(..) > global scalar).
+
+    Shape at scale: map-side per-batch per-part cents sums (sort +
+    reduceat), ONE partkey-hash exchange folds them to part-scale rows,
+    the folded stream is materialized once (part-scale, ~16 B/part), the
+    global total and part count reduce to TWO driver scalars, and the
+    final filter is an exact integer cross-multiplication
+    (value*n*DEN > total*NUM) — no float thresholds, no re-scan."""
+    from ray.data.aggregate import Count, Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5).astype(np.int64)
+        order = np.argsort(pk, kind="stable")
+        pk, cents = pk[order], cents[order]
+        starts = _segments(pk)
+        s = np.add.reduceat(cents, starts) if pk.size else np.zeros(
+            0, np.int64)
+        upk = pk[starts] if pk.size else pk
+        return pa.table({
+            "partkey": pa.array(upk, pa.int64()),
+            "s": pa.array(s, pa.int64()),
+            "pk": pa.array(_coarse_mix(upk), pa.int64()),
+        })
+
+    partials.__name__ = "q11_part_partials"
+
+    def fold(g: pa.Table) -> pa.Table:
+        pk = g["partkey"].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        pk, s = pk[order], s[order]
+        starts = _segments(pk)
+        return pa.table({
+            "partkey": pa.array(pk[starts], pa.int64()),
+            "value_cents": pa.array(np.add.reduceat(s, starts)
+                                    if pk.size else s, pa.int64()),
+        })
+
+    fold.__name__ = "q11_part_fold"
+    parts = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_partkey", "l_extendedprice"])
+             .map_batches(partials, batch_format="pyarrow")
+             .groupby("pk").map_groups(fold, batch_format="pyarrow")
+             .materialize())
+    agg = parts.aggregate(Sum("value_cents", alias_name="t"),
+                          Count(alias_name="n"))
+    total, n = int(agg["t"]), int(agg["n"])
+
+    def concentrated(t: pa.Table) -> pa.Table:
+        v = t["value_cents"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v * n * PVC_DEN > total * PVC_NUM))
+
+    concentrated.__name__ = "q11_threshold_filter"
+    return parts.map_batches(concentrated, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: the lone offending supplier per multi-supplier order
+# ---------------------------------------------------------------------------
+
+def lone_return_suppliers(sf_dir: str) -> rd.Dataset:
+    """(suppkey, n_orders): per supplier, the number of multi-supplier
+    orders in which THAT supplier is the ONLY one with a returned
+    lineitem (l_returnflag = 'R') — the TPC-H Q21 'suppliers who kept
+    waiting' shape (EXISTS another supplier + NOT EXISTS another
+    offender), with returns standing in for late receipts (the synthetic
+    lineitem has no receipt/commit dates).
+
+    Shape at scale: batches dedup to distinct (orderkey, suppkey,
+    returned) rows before the shuffle, ONE orderkey-hash exchange
+    resolves each order's supplier set and offender set vectorized
+    (lexsort + segment reduces), per-group offender counts pre-aggregate
+    before the second (suppkey-hash) exchange folds the final counts."""
+    schema = pa.schema([("ok", pa.int64()), ("sk", pa.int64()),
+                        ("r", pa.int64()), ("gk", pa.int64())])
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = pc.equal(t["l_returnflag"], "R").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # batch-local dedup to (ok, sk) with max(r): sort r-descending
+        # within the pair so the first occurrence carries the flag
+        order = np.lexsort((-r, sk, ok))
+        ok, sk, r = ok[order], sk[order], r[order]
+        pair_change = np.ones(ok.size, bool)
+        pair_change[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
+        ok, sk, r = ok[pair_change], sk[pair_change], r[pair_change]
+        return pa.Table.from_arrays(
+            [pa.array(ok), pa.array(sk), pa.array(r),
+             pa.array(_coarse_mix(ok), pa.int64())], schema=schema)
+
+    pair_rows.__name__ = "q21_pair_rows"
+
+    def order_fold(g: pa.Table) -> pa.Table:
+        ok = g["ok"].to_numpy(zero_copy_only=False)
+        sk = g["sk"].to_numpy(zero_copy_only=False)
+        r = g["r"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-r, sk, ok))
+        ok, sk, r = ok[order], sk[order], r[order]
+        pair_change = np.ones(ok.size, bool)
+        pair_change[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
+        ok, sk, r = ok[pair_change], sk[pair_change], r[pair_change]
+        starts = _segments(ok)
+        n = ok.size
+        if not n:
+            return pa.table({"suppkey": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "sk2": pa.array([], pa.int64())})
+        runlen = np.diff(np.append(starts, n))
+        run_id = np.repeat(np.arange(starts.size), runlen)
+        nr = np.bincount(run_id, weights=r,
+                         minlength=starts.size).astype(np.int64)
+        qual = (runlen >= 2) & (nr == 1)
+        ret_rows = np.flatnonzero(r == 1)
+        sel = ret_rows[qual[run_id[ret_rows]]]
+        offenders = sk[sel]
+        usk, cnt = (np.unique(offenders, return_counts=True)
+                    if offenders.size else
+                    (np.zeros(0, np.int64), np.zeros(0, np.int64)))
+        return pa.table({
+            "suppkey": pa.array(usk.astype(np.int64)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "sk2": pa.array(_coarse_mix(usk.astype(np.int64)), pa.int64()),
+        })
+
+    order_fold.__name__ = "q21_order_fold"
+
+    def supp_fold(g: pa.Table) -> pa.Table:
+        sk = g["suppkey"].to_numpy(zero_copy_only=False)
+        c = g["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sk, kind="stable")
+        sk, c = sk[order], c[order]
+        starts = _segments(sk)
+        return pa.table({
+            "suppkey": pa.array(sk[starts], pa.int64()),
+            "n_orders": pa.array(np.add.reduceat(c, starts)
+                                 if sk.size else c, pa.int64()),
+        })
+
+    supp_fold.__name__ = "q21_supp_fold"
+    return (rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+        .map_batches(pair_rows, batch_format="pyarrow")
+        .groupby("gk").map_groups(order_fold, batch_format="pyarrow")
+        .groupby("sk2").map_groups(supp_fold, batch_format="pyarrow"))

@@ -152,3 +152,47 @@ def test_table_profile_nulls_and_cross_batch_distinct(ray_session, tmp_path):
     assert got["n_rows"].tolist() == [6, 6]
     assert got["n_nulls"].tolist() == [2, 1]
     assert got["n_distinct"].tolist() == [2, 2]
+
+
+def test_lone_return_suppliers_crafted(ray_session, tmp_path):
+    """Hand-checkable Q21 semantics: credit the supplier only when the
+    order has >= 2 distinct suppliers and exactly one of them has any
+    returned line (multiplicity and cross-batch duplicates ignored)."""
+    import pyarrow.parquet as pq
+
+    from docodo_ray.relational import lone_return_suppliers
+
+    t = pa.table({
+        # order 1: supp 10 returned, supp 20 clean  -> credit 10
+        # order 2: both 10 and 20 returned          -> nobody
+        # order 3: single-supplier order, returned  -> nobody (ns < 2)
+        # order 4: supp 20 returned twice (dup rows), supp 30 clean
+        #          -> credit 20 (dedup to distinct pair first)
+        "l_orderkey": pa.array([1, 1, 2, 2, 3, 4, 4, 4], pa.int64()),
+        "l_suppkey": pa.array([10, 20, 10, 20, 10, 20, 20, 30], pa.int64()),
+        "l_returnflag": pa.array(
+            ["R", "N", "R", "R", "R", "R", "N", "N"]),
+    })
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"), row_group_size=2)
+    rows = {r["suppkey"]: r["n_orders"]
+            for r in lone_return_suppliers(str(tmp_path)).take_all()}
+    assert rows == {10: 1, 20: 1}
+
+
+def test_part_value_concentration_crafted(ray_session, tmp_path):
+    """Q11 threshold: exact integer cross-multiplication against the mean
+    per-part value."""
+    import pyarrow.parquet as pq
+
+    from docodo_ray.relational import part_value_concentration
+
+    # part 1: 10.00, part 2: 1.00, part 3: 1.00 -> total 12.00, n=3,
+    # mean 4.00; keep parts with value*3*5 > 1200*6 i.e. value > 480
+    t = pa.table({
+        "l_partkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_extendedprice": pa.array([4.0, 6.0, 1.0, 1.0], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    rows = {r["partkey"]: r["value_cents"]
+            for r in part_value_concentration(str(tmp_path)).take_all()}
+    assert rows == {1: 1000}
