@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": traindata.curate_corpus,        # the full composition
         "curate_corpus_fuzzy": traindata.curate_corpus_fuzzy,  # + near-dup cluster drop
         "curate_corpus_gopher": traindata.curate_corpus_gopher,  # + Gopher word-rule drop
+        "pca_project": sim.pca_project,                  # top-k PCA (rows-only: eigh)
         "pii_redact": traindata.redact_pii,              # email/IP/key redaction
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,

@@ -767,3 +767,123 @@ def embedding_gram_matrix(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
     return (ds.map_batches(partials, batch_format="pyarrow")
             .groupby(["i", "j"]).map_groups(fold, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (the consumer of the gram-matrix sufficient statistics)
+# ---------------------------------------------------------------------------
+
+PCA_K = 8
+
+
+def _pca_stats(sf_dir: str):
+    """One streamed pass over the embedding table -> exact int64
+    sufficient statistics: upper-triangle Gram (i, j, v), per-dim sums
+    (i, -1, v) and the row count (-1, -1, n), all over floor(x*1000)
+    quantized values (same contract as embedding_gram_matrix). The
+    exchange moves O(n_batches * dim^2) fixed-width rows; the driver
+    collects dim*(dim+1)/2 + dim + 1 rows (~2.1k at dim=64)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offsets)
+        if lens.size == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        if not (lens == lens[0]).all():
+            raise ValueError("ragged embedding lists")
+        dim = int(lens[0])
+        q = np.floor(flat * 1000.0).astype(np.int64).reshape(-1, dim)
+        g = q.T @ q
+        iu, ju = np.triu_indices(dim)
+        i = np.concatenate([iu, np.arange(dim), [-1]]).astype(np.int64)
+        j = np.concatenate([ju, np.full(dim, -1), [-1]]).astype(np.int64)
+        v = np.concatenate([g[iu, ju], q.sum(axis=0),
+                            [q.shape[0]]]).astype(np.int64)
+        return pa.table({"i": pa.array(i), "j": pa.array(j),
+                         "v": pa.array(v)})
+
+    partials.__name__ = "pca_stat_partials"
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "i": g["i"][:1], "j": g["j"][:1],
+            "v": pa.array([int(g["v"].to_numpy().sum())], pa.int64()),
+        })
+
+    fold.__name__ = "pca_stat_fold"
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    rows = (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["i", "j"]).map_groups(fold, batch_format="pyarrow")
+            .take_all())
+    n = next(r["v"] for r in rows if r["i"] == -1)
+    dim = max(r["i"] for r in rows) + 1
+    gram = np.zeros((dim, dim), np.int64)
+    s = np.zeros(dim, np.int64)
+    for r in rows:
+        if r["i"] == -1:
+            continue
+        if r["j"] == -1:
+            s[r["i"]] = r["v"]
+        else:
+            gram[r["i"], r["j"]] = r["v"]
+            gram[r["j"], r["i"]] = r["v"]
+    return gram, s, n, dim
+
+
+def pca_basis(sf_dir: str, k: int = PCA_K):
+    """(W: dim x k float64, mean: dim float64): the top-k principal
+    directions of the quantized embedding table, from exact integer
+    sufficient statistics. Deterministic: the covariance is an exact
+    function of the input (int64 sums, no batch-order float drift) and
+    each eigenvector's sign is fixed so its largest-|.| component is
+    positive."""
+    gram, s, n, dim = _pca_stats(sf_dir)
+    mean = s.astype(np.float64) / (n * 1000.0)
+    cov = (gram.astype(np.float64) / 1e6
+           - np.outer(s, s).astype(np.float64) / (n * 1e6)) / n
+    vals, vecs = np.linalg.eigh(cov)
+    top = np.argsort(vals)[::-1][:k]
+    w = vecs[:, top]
+    sign = np.sign(w[np.abs(w).argmax(axis=0), np.arange(w.shape[1])])
+    sign[sign == 0] = 1.0
+    return w * sign, mean
+
+
+def pca_project(sf_dir: str, k: int = PCA_K) -> rd.Dataset:
+    """(vec_id, proj: list<double>): every embedding projected onto the
+    corpus' top-k principal components — dimensionality reduction ahead
+    of clustering / near-dup / visualization. Two passes: the stats pass
+    above (one tiny exchange), then a stateless map_batches matmul per
+    batch against the broadcast dim x k basis (W rides the closure via
+    the object store; nothing per-row, nothing driver-side at data
+    scale). Rows-only vs SQL by design (eigendecomposition is not
+    SQL-expressible); accuracy is pytest-checked against a single-box
+    numpy PCA of the same quantized table."""
+    w, mean = pca_basis(sf_dir, k)
+
+    def project(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offsets)
+        dim = w.shape[0]
+        if lens.size and not (lens == dim).all():
+            raise ValueError("ragged embedding lists")
+        q = (np.floor(flat * 1000.0) / 1000.0).reshape(-1, dim)
+        y = (q - mean) @ w
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "proj": pa.array(list(y), pa.list_(pa.float64())),
+        })
+
+    project.__name__ = "pca_project"
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return ds.map_batches(project, batch_format="pyarrow")

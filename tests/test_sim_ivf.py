@@ -136,3 +136,43 @@ def test_blocked_near_dup_recall():
     recall = len(blocked) / len(exact)
     print(f"blocked near-dup recall: {recall:.3f} ({len(blocked)}/{len(exact)})")
     assert recall >= 0.9
+
+
+def test_pca_project_matches_numpy(ray_session):
+    """pca_project reproduces a single-box numpy PCA of the same
+    quantized table: identical basis (after the shared sign convention),
+    projections within 1e-9, and projection variance equals the top-k
+    eigenvalues."""
+    import duckdb
+
+    from docodo_ray.sim import PCA_K, pca_basis, pca_project
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    df = con.execute(f"SELECT vec_id, embedding FROM "
+                     f"read_parquet('{sf}/embeddings.parquet') "
+                     f"ORDER BY vec_id").df()
+    x = np.floor(np.stack(df["embedding"].to_numpy()) * 1000.0) / 1000.0
+    mean = x.mean(axis=0)
+    xc = x - mean
+    cov = xc.T @ xc / x.shape[0]
+    vals, vecs = np.linalg.eigh(cov)
+    top = np.argsort(vals)[::-1][:PCA_K]
+    w_ref = vecs[:, top]
+    sign = np.sign(w_ref[np.abs(w_ref).argmax(axis=0),
+                         np.arange(PCA_K)])
+    sign[sign == 0] = 1.0
+    w_ref = w_ref * sign
+
+    w, m = pca_basis(sf, PCA_K)
+    assert np.allclose(m, mean, atol=1e-6)
+    assert np.allclose(w, w_ref, atol=1e-5), np.abs(w - w_ref).max()
+
+    rows = {r["vec_id"]: np.array(r["proj"])
+            for r in pca_project(sf, PCA_K).take_all()}
+    y_ref = xc @ w_ref
+    got = np.stack([rows[v] for v in df["vec_id"]])
+    assert np.allclose(got, y_ref, atol=1e-6)
+    # projection variance tracks the top-k eigenvalues
+    ev = np.sort(vals)[::-1][:PCA_K]
+    assert np.allclose(got.var(axis=0), ev, rtol=1e-6)
