@@ -2769,7 +2769,7 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_HIDDENHAVING, DEMO_EXCEPT,
                                      DEMO_INTERSECT, DEMO_STRMINMAX,
                                      DEMO_COUNTN_OFFSET,
-                                     DEMO_STAR_GROUPALL)
+                                     DEMO_STAR_GROUPALL, DEMO_STRFN2)
 
     sql["sql_orders_groupby"] = DEMO_GROUPBY
     sql["sql_events_filter"] = DEMO_FILTER
@@ -2808,6 +2808,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_string_minmax"] = DEMO_STRMINMAX
     sql["sql_countcol_offset"] = DEMO_COUNTN_OFFSET
     sql["sql_star_groupall"] = DEMO_STAR_GROUPALL
+    sql["sql_string_fns2"] = DEMO_STRFN2
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

@@ -192,7 +192,8 @@ _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
              "last_value", "length", "lower", "upper", "like", "is",
              "null", "date", "timestamp", "case", "when", "then", "else",
              "end", "abs", "coalesce", "avg", "exists", "with",
-             "except", "intersect", "offset"}
+             "except", "intersect", "offset", "substr", "trim",
+             "replace", "concat"}
 
 
 class SqlError(ValueError):
@@ -504,10 +505,11 @@ class _Parser:
             self.expect("kw", "as")
             name = self.expect("ident")
             return ("win", v, part, order, name, arg)
-        if k == "kw" and v in ("length", "lower", "upper"):
+        if k == "kw" and v in ("length", "lower", "upper", "substr",
+                               "trim", "replace", "concat"):
             fn = self._strfn()
             self.expect("kw", "as")
-            return ("sfn", fn[1], fn[2], self.expect("ident"))
+            return ("sfn", fn[1], fn[2], self.expect("ident"), fn[3])
         if (k == "ident" or k == "num" or (k, v) == ("op", "(")
                 or (k == "kw" and v in ("case", "abs", "coalesce"))):
             e = self._arith()
@@ -528,8 +530,41 @@ class _Parser:
         fn = self.next()[1]
         self.expect("op", "(")
         col = self._qual_ident()
+        args: tuple = ()
+        if fn == "substr":
+            # SUBSTR(col, start, len) — 1-based, DuckDB semantics
+            self.expect("op", ",")
+            start = self._literal()
+            self.expect("op", ",")
+            ln = self._literal()
+            if (not isinstance(start, int) or not isinstance(ln, int)
+                    or start < 1 or ln < 0):
+                raise SqlError("SUBSTR needs integer start >= 1, len >= 0")
+            args = (start, ln)
+        elif fn == "replace":
+            self.expect("op", ",")
+            pat = self._literal()
+            self.expect("op", ",")
+            rep = self._literal()
+            if not isinstance(pat, str) or not isinstance(rep, str):
+                raise SqlError("REPLACE needs string literals")
+            args = (pat, rep)
+        elif fn == "concat":
+            # CONCAT(col, lit [, lit ...]) — column first, then string
+            # literals (multi-column concat is out of scope)
+            lits = []
+            while self.peek() == ("op", ","):
+                self.next()
+                lit = self._literal()
+                if not isinstance(lit, str):
+                    raise SqlError("CONCAT suffixes must be string "
+                                   "literals")
+                lits.append(lit)
+            if not lits:
+                raise SqlError("CONCAT needs at least one literal suffix")
+            args = tuple(lits)
         self.expect("op", ")")
-        return ("strfn", fn, col)
+        return ("strfn", fn, col, args)
 
     def _agg_call(self):
         k, v = self.next()
@@ -682,7 +717,8 @@ class _Parser:
             node = self._or()
             self.expect("op", ")")
             return node
-        if k == "kw" and v in ("length", "lower", "upper"):
+        if k == "kw" and v in ("length", "lower", "upper", "substr",
+                               "trim", "replace", "concat"):
             fn = self._strfn()
             kk, vv = self.next()
             if kk != "op" or vv not in ("=", "!=", "<>", "<", "<=", ">",
@@ -866,19 +902,41 @@ _STRFN_PC = {"length": "utf8_length", "lower": "utf8_lower",
              "upper": "utf8_upper"}
 
 
+def _strfn_apply(fn, col_expr, args):
+    """Apply a string scalar function to an Arrow array OR a pads
+    expression (pc kernels dispatch on both). Kernel choices match
+    DuckDB: LENGTH counts code points, LOWER/UPPER full Unicode case
+    mapping, SUBSTR 1-based code-unit slice, TRIM strips ASCII/Unicode
+    whitespace, REPLACE literal substrings, CONCAT appends literals."""
+    import pyarrow.compute as pc
+    if fn in _STRFN_PC:
+        return getattr(pc, _STRFN_PC[fn])(col_expr)
+    if fn == "substr":
+        start, ln = args
+        return pc.utf8_slice_codeunits(col_expr, start=start - 1,
+                                       stop=start - 1 + ln)
+    if fn == "trim":
+        return pc.utf8_trim_whitespace(col_expr)
+    if fn == "replace":
+        return pc.replace_substring(col_expr, pattern=args[0],
+                                    replacement=args[1])
+    if fn == "concat":
+        # DuckDB CONCAT treats NULL as '' (unlike ||): null_handling=skip
+        return pc.binary_join_element_wise(
+            col_expr, *args, "", null_handling="skip")
+    raise SqlError(f"unknown string function {fn!r}")
+
+
 def _strfn_pads(node):
     """String scalar function -> computed pads expression (filtered at
-    the scan). pyarrow's utf8_* kernels match DuckDB: LENGTH counts
-    code points, LOWER/UPPER apply full Unicode case mapping."""
-    import pyarrow.compute as pc
-    _, fn, col = node
-    return getattr(pc, _STRFN_PC[fn])(pads.field(col))
+    the scan)."""
+    _, fn, col, args = node
+    return _strfn_apply(fn, pads.field(col), args)
 
 
 def _strfn_eval(node, t: pa.Table):
-    import pyarrow.compute as pc
-    _, fn, col = node
-    arr = getattr(pc, _STRFN_PC[fn])(t[col].combine_chunks())
+    _, fn, col, args = node
+    arr = _strfn_apply(fn, t[col].combine_chunks(), args)
     if fn == "length":
         return arr.cast(pa.int64())
     return arr
@@ -1149,7 +1207,8 @@ def _pred_map(node, f):
                 _expr_map(node[3], f))
     if tag == "scmp":
         return (tag, node[1],
-                ("strfn", node[2][1], f(node[2][2])), node[3])
+                ("strfn", node[2][1], f(node[2][2]), node[2][3]),
+                node[3])
     if tag in ("exists", "const"):
         # EXISTS payloads (incl. the correlated outer ref) are rewritten
         # at resolve time, when the outer namespace is known; const has
@@ -1950,7 +2009,7 @@ def _strip_single_ns(q: dict, base_ns: str) -> dict:
 
     items = [("col", rw(i[1])) if i[0] == "col"
              else ("colas", rw(i[1]), i[2]) if i[0] == "colas"
-             else ("sfn", i[1], rw(i[2]), i[3]) if i[0] == "sfn"
+             else ("sfn", i[1], rw(i[2]), i[3], i[4]) if i[0] == "sfn"
              else ("exprcol", _expr_map(i[1], rw), i[2])
              if i[0] == "exprcol"
              else ("win", i[1], [rw(c) for c in i[2]],
@@ -2261,7 +2320,7 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
             elif i[0] == "exprcol":
                 items2.append(("exprcol", _expr_map(i[1], em), i[2]))
             elif i[0] == "sfn":
-                items2.append(("sfn", i[1], em(i[2]), i[3]))
+                items2.append(("sfn", i[1], em(i[2]), i[3], i[4]))
             elif i[0] == "win":
                 items2.append(("win", i[1], [em(c) for c in i[2]],
                                [(em(c), d) for c, d in i[3]], i[4],
@@ -2489,7 +2548,8 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
                 elif i[0] == "colas":
                     out[i[2]] = t[i[1]]
                 elif i[0] == "sfn":
-                    out[i[3]] = _strfn_eval(("strfn", i[1], i[2]), t)
+                    out[i[3]] = _strfn_eval(("strfn", i[1], i[2], i[4]),
+                                            t)
                 else:
                     out[i[2]] = pa.array(
                         np.broadcast_to(_eval_expr(t, i[1]), t.num_rows),
@@ -2957,6 +3017,11 @@ DEMO_CTE = (
     "WITH busy AS (SELECT user_id, count(*) AS n FROM events "
     "WHERE event_type = 'click' GROUP BY user_id) "
     "SELECT n, count(*) AS n_users FROM busy WHERE n >= 2 GROUP BY n")
+DEMO_STRFN2 = (
+    "SELECT o_orderkey, SUBSTR(o_orderpriority, 3, 6) AS pname, "
+    "REPLACE(o_orderstatus, 'O', 'OPEN') AS st, "
+    "CONCAT(o_orderpriority, '!') AS px "
+    "FROM orders WHERE SUBSTR(o_orderpriority, 1, 1) = '3'")
 DEMO_STAR_GROUPALL = (
     "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
     "CAST(sum(o_orderkey) AS BIGINT) AS s FROM orders "

@@ -2103,3 +2103,45 @@ def test_select_star_and_group_by_all(ray_session, tmp_path):
     with pytest.raises(SqlError, match="at least one"):
         run_sql(str(tmp_path),
                 "SELECT count(*) AS n FROM t GROUP BY ALL")
+
+
+def test_substr_trim_replace_concat_vs_duckdb(ray_session, tmp_path):
+    """Parameterized string functions (SUBSTR 1-based code points, TRIM,
+    REPLACE literal substrings, CONCAT with NULL-as-empty semantics) in
+    projections AND WHERE predicates (scan-pushdown path); the shipped
+    demo matches at sf0.001."""
+    import duckdb
+
+    pq.write_table(pa.table({
+        "k": pa.array(["  alpha  ", "Bravo", "charlie x", "delta",
+                       "écho", None]),
+        "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64())}),
+        str(tmp_path / "t.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    canon = lambda df: sorted(
+        map(lambda r: tuple(map(str, r)),
+            df[sorted(df.columns)].values.tolist()))
+    for s in (
+        "SELECT v, SUBSTR(k, 2, 3) AS s3, TRIM(k) AS tk FROM t",
+        "SELECT v, REPLACE(k, 'a', '_') AS rk, "
+        "CONCAT(k, '!', '?') AS ck FROM t",
+        "SELECT v FROM t WHERE TRIM(k) = 'alpha'",
+        "SELECT v FROM t WHERE SUBSTR(k, 1, 1) = 'd'",
+        "SELECT v FROM t WHERE REPLACE(k, 'x', 'y') = 'charlie y'",
+        "SELECT v FROM t WHERE CONCAT(k, 'Z') = 'BravoZ'",
+        "SELECT v, SUBSTR(k, 1, 2) AS u2 FROM t WHERE v = 5",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), (s, got, want)
+
+    from docodo_ray.sqlfront import DEMO_STRFN2
+
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    got = run_sql(SF, DEMO_STRFN2).to_pandas()
+    want = con.execute(DEMO_STRFN2).fetch_df()
+    assert len(want) > 0
+    assert canon(got) == canon(want)
