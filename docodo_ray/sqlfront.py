@@ -1079,18 +1079,31 @@ def _eval_pred(node, t: pa.Table) -> np.ndarray:
             return _eval_expr(t, e)
 
         return ops[node[1]](_side(node[2]), _side(node[3]))
+    def _nullsafe(op, v, lit):
+        # SQL three-valued logic: NULL <op> literal is NULL -> row filtered.
+        # Object (string) arrays hold None for NULLs; Python ordering
+        # comparisons on None raise and `!=` would wrongly keep the row,
+        # so compare only the non-NULL slots and leave NULLs False.
+        if v.dtype == object:
+            mask = np.array([x is not None for x in v], bool)
+            out = np.zeros(len(v), bool)
+            if mask.any():
+                out[mask] = ops[op](v[mask], lit)
+            return out
+        return ops[op](v, lit)
+
     if tag == "scmp":
         arr = _strfn_eval(node[2], t)
         if node[2][1] == "length":
             return ops[node[1]](arr.to_numpy(zero_copy_only=False),
                                 node[3])
-        return ops[node[1]](np.asarray(arr.to_pylist(), dtype=object),
-                            node[3])
+        return _nullsafe(node[1],
+                         np.asarray(arr.to_pylist(), dtype=object), node[3])
     _, op, col, lit = node
     import datetime as _dt
     if isinstance(lit, _dt.datetime):
         lit = np.datetime64(lit)
-    return ops[op](colv(col), lit)
+    return _nullsafe(op, colv(col), lit)
 
 
 def _order_limit(ds: rd.Dataset, q: dict) -> rd.Dataset:

@@ -1357,6 +1357,48 @@ def test_case_abs_mod_div_vs_duckdb(ray_session, tmp_path):
                 "SELECT CASE WHEN v > 0 THEN 1 END AS x FROM t")
 
 
+def test_null_string_comparisons_vs_duckdb(ray_session, tmp_path):
+    """SQL three-valued logic for string comparisons over NULLs: a NULL
+    operand makes the predicate NULL -> row filtered, in WHERE and in
+    HAVING over string MIN/MAX of an all-NULL group (regression: the
+    object-array compare raised TypeError on ordering ops and `!=`
+    wrongly kept NULL rows)."""
+    import duckdb
+
+    t = pa.table({
+        "k": pa.array(["a", "b", "b", "c"], pa.string()),
+        "s": pa.array(["x", None, None, "zz"], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=2)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+
+    def canon(df):
+        df = df[sorted(df.columns)].astype(object)
+        df = df.where(pd.notna(df), None)
+        return sorted(map(tuple, df.values.tolist()),
+                      key=lambda r: tuple((x is None,
+                                           "" if x is None else str(x))
+                                          for x in r))
+
+    for s in (
+        # group "b" aggregates to NULL: every HAVING comparison drops it
+        "SELECT k, min(s) AS lo FROM t GROUP BY k HAVING min(s) > 'x'",
+        "SELECT k, min(s) AS lo FROM t GROUP BY k HAVING min(s) >= 'x'",
+        "SELECT k, min(s) AS lo FROM t GROUP BY k HAVING min(s) != 'x'",
+        "SELECT k, max(s) AS hi FROM t GROUP BY k HAVING max(s) <= 'zz'",
+        "SELECT k, min(s) AS lo FROM t GROUP BY k HAVING min(s) = 'x'",
+        # WHERE path over the raw NULL-holding column
+        "SELECT k FROM t WHERE s > 'w'",
+        "SELECT k FROM t WHERE s != 'x'",
+        "SELECT k FROM t WHERE s <= 'x'",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), (s, got, want)
+
+
 def test_coalesce_left_join_and_nulls(ray_session, tmp_path):
     """COALESCE fills LEFT-JOIN null-extended rows and plain NULL cells;
     bare arithmetic on the nullable side stays loud."""
