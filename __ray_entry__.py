@@ -242,6 +242,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, sqlfront.DEMO_STAR_GROUPALL),
         "sql_string_fns2": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_STRFN2),
+        "sql_tpch_q1": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q1),
+        "sql_tpch_q6": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q6),
         "orders_cube": relational.orders_cube,           # GROUP BY CUBE grouping sets
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
         "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join

@@ -2769,7 +2769,8 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_HIDDENHAVING, DEMO_EXCEPT,
                                      DEMO_INTERSECT, DEMO_STRMINMAX,
                                      DEMO_COUNTN_OFFSET,
-                                     DEMO_STAR_GROUPALL, DEMO_STRFN2)
+                                     DEMO_STAR_GROUPALL, DEMO_STRFN2,
+                                     DEMO_TPCH_Q1, DEMO_TPCH_Q6)
 
     sql["sql_orders_groupby"] = DEMO_GROUPBY
     sql["sql_events_filter"] = DEMO_FILTER
@@ -2809,6 +2810,8 @@ FROM {PROFILE_TABLE}"""
     sql["sql_countcol_offset"] = DEMO_COUNTN_OFFSET
     sql["sql_star_groupall"] = DEMO_STAR_GROUPALL
     sql["sql_string_fns2"] = DEMO_STRFN2
+    sql["sql_tpch_q1"] = DEMO_TPCH_Q1
+    sql["sql_tpch_q6"] = DEMO_TPCH_Q6
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

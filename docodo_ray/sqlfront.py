@@ -180,7 +180,7 @@ SQL_BROADCAST_ROWS = 200_000
 
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>-?\d+(?:\.\d+)?)|(?P<str>'(?:[^']|'')*')"
-    r"|(?P<op><=|>=|!=|<>|=|<|>|//|%|\(|\)|,|\*|\+|-|\.)"
+    r"|(?P<op><=|>=|!=|<>|=|<|>|//|/|%|\(|\)|,|\*|\+|-|\.)"
     r"|(?P<word>[A-Za-z_][A-Za-z_0-9]*))")
 
 _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
@@ -435,11 +435,16 @@ class _Parser:
             # time (single-namespace queries only)
             self.next()
             return ("star",)
-        if k == "kw" and v == "cast":
+        if (k == "kw" and v == "cast"
+                and self.toks[self.pos + 2][:2] in (
+                    ("kw", "count"), ("kw", "sum"), ("kw", "min"),
+                    ("kw", "max"), ("kw", "avg"))):
             # CAST(agg AS BIGINT) AS name — a no-op for the engine (all
             # aggregates are int64 already) that pins the ORACLE side to
             # BIGINT (DuckDB SUM(BIGINT) would otherwise widen to HUGEINT
-            # and flip the driver's type-sensitive value hash)
+            # and flip the driver's type-sensitive value hash).
+            # CAST over a row-level float expression instead falls
+            # through to the arithmetic branch (fcast atom)
             self.next()
             self.expect("op", "(")
             inner = self._agg_call()
@@ -511,7 +516,8 @@ class _Parser:
             self.expect("kw", "as")
             return ("sfn", fn[1], fn[2], self.expect("ident"), fn[3])
         if (k == "ident" or k == "num" or (k, v) == ("op", "(")
-                or (k == "kw" and v in ("case", "abs", "coalesce"))):
+                or (k == "kw" and v in ("case", "abs", "coalesce",
+                                        "cast"))):
             e = self._arith()
             if isinstance(e, str):
                 if self.peek() == ("kw", "as"):
@@ -671,9 +677,84 @@ class _Parser:
             alt = self._arith()
             self.expect("op", ")")
             return ("coalesce", col, alt)
+        if (k, v) == ("kw", "cast"):
+            # CAST(<float expr> AS BIGINT): the exact-int bridge out of
+            # float space. Per-row IEEE double arithmetic is
+            # order-independent (same expression tree -> bit-identical
+            # doubles on both engines), and the cast (round half to
+            # even, DuckDB's double->BIGINT semantics) lands back in
+            # the exact-int64 contract — unlocks TPC-H revenue shapes
+            # like SUM(CAST(price * (1 - disc) * 100 AS BIGINT))
+            self.next()
+            self.expect("op", "(")
+            fe = self._farith()
+            self.expect("kw", "as")
+            self.expect("kw", "bigint")
+            self.expect("op", ")")
+            return ("fcast", fe)
         # a bare column rides as a plain string — a single-column
         # aggregate keeps its original representation everywhere
         return self._qual_ident()
+
+    # --- float expression (inside CAST(.. AS BIGINT) only) ----------------
+
+    def _farith(self):
+        node = self._farith_term()
+        while True:
+            k, v = self.peek()
+            if (k, v) in (("op", "+"), ("op", "-")):
+                op = self.next()[1]
+                node = ("fbin", op, node, self._farith_term())
+            elif k == "num" and v < 0:
+                # the lexer folds '- 3' / '- 0.5' into a negative
+                # literal; re-enter term parsing so * and / keep their
+                # precedence (mirror of the int-side _arith handling)
+                self.next()
+                rhs = ("flit", float(-v))
+                while self.peek() in (("op", "*"), ("op", "/")):
+                    op = self.next()[1]
+                    rhs = ("fbin", op, rhs, self._farith_atom())
+                node = ("fbin", "-", node, rhs)
+            else:
+                break
+        return node
+
+    def _farith_term(self):
+        node = self._farith_atom()
+        while self.peek() in (("op", "*"), ("op", "/")):
+            op = self.next()[1]
+            node = ("fbin", op, node, self._farith_atom())
+        return node
+
+    def _farith_atom(self):
+        k, v = self.peek()
+        if k == "num":
+            self.next()
+            return ("flit", float(v))
+        if (k, v) == ("op", "("):
+            self.next()
+            node = self._farith()
+            self.expect("op", ")")
+            return node
+        if (k == "ident" and v.lower() in ("floor", "ceil")
+                and self.toks[self.pos + 1][:2] == ("op", "(")):
+            # FLOOR/CEIL lex as idents (not keywords — the fuzz
+            # alphabet and column namespace stay untouched); only the
+            # call form is a function
+            self.next()
+            self.next()
+            node = self._farith()
+            self.expect("op", ")")
+            return ("ffn", v.lower(), node)
+        if (k, v) == ("kw", "abs"):
+            self.next()
+            self.expect("op", "(")
+            node = self._farith()
+            self.expect("op", ")")
+            return ("ffn", "abs", node)
+        if k == "ident":
+            return ("fcol", self._qual_ident())
+        raise SqlError(f"bad float expression atom: {v!r}")
 
     # --- boolean expression ----------------------------------------------
     def _or(self):
@@ -959,6 +1040,12 @@ def _expr_pads(e):
         return pc.abs(_expr_pads(e[1]))
     if e[0] == "coalesce":
         return pc.coalesce(pads.field(e[1]), _expr_pads(e[2]))
+    if e[0] == "fcast":
+        # DuckDB double->BIGINT cast: round half to even, then cast
+        return pc.round(
+            _fexpr_pads(e[1]),
+            options=pc.RoundOptions(ndigits=0, round_mode="half_to_even")
+        ).cast(pa.int64())
     l, r = _expr_pads(e[2]), _expr_pads(e[3])
     if e[1] == "//":
         # Arrow's integer divide truncates toward zero — exactly
@@ -968,6 +1055,21 @@ def _expr_pads(e):
         # DuckDB % keeps the dividend's sign: a - (a trunc-div b) * b
         return l - pc.divide(l, r) * r
     return {"+": l + r, "-": l - r, "*": l * r}[e[1]]
+
+
+def _fexpr_pads(e):
+    """Float expression tree -> computed pads expression, everything in
+    float64 (Arrow's `/` would integer-divide int columns)."""
+    import pyarrow.compute as pc
+    if e[0] == "fcol":
+        return pads.field(e[1]).cast(pa.float64())
+    if e[0] == "flit":
+        return pads.scalar(float(e[1]))
+    if e[0] == "ffn":
+        return {"floor": pc.floor, "ceil": pc.ceil,
+                "abs": pc.abs}[e[1]](_fexpr_pads(e[2]))
+    l, r = _fexpr_pads(e[2]), _fexpr_pads(e[3])
+    return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[e[1]]
 
 
 def _batch_group_key(t: pa.Table, n: int, group: list):
@@ -1158,7 +1260,30 @@ def _expr_cols(e, acc: set) -> set:
     elif e[0] == "coalesce":
         acc.add(e[1])
         _expr_cols(e[2], acc)
+    elif e[0] == "fcast":
+        _fexpr_cols(e[1], acc)
     return acc
+
+
+def _fexpr_cols(e, acc: set) -> set:
+    if e[0] == "fcol":
+        acc.add(e[1])
+    elif e[0] == "ffn":
+        _fexpr_cols(e[2], acc)
+    elif e[0] == "fbin":
+        _fexpr_cols(e[2], acc)
+        _fexpr_cols(e[3], acc)
+    return acc
+
+
+def _fexpr_map(e, f):
+    if e[0] == "fcol":
+        return ("fcol", f(e[1]))
+    if e[0] == "ffn":
+        return ("ffn", e[1], _fexpr_map(e[2], f))
+    if e[0] == "fbin":
+        return ("fbin", e[1], _fexpr_map(e[2], f), _fexpr_map(e[3], f))
+    return e
 
 
 def _expr_map(e, f):
@@ -1176,6 +1301,8 @@ def _expr_map(e, f):
         return ("abs", _expr_map(e[1], f))
     if e[0] == "coalesce":
         return ("coalesce", f(e[1]), _expr_map(e[2], f))
+    if e[0] == "fcast":
+        return ("fcast", _fexpr_map(e[1], f))
     return e
 
 
@@ -1198,6 +1325,8 @@ def _strict_cols(e, acc: set) -> set:
         _strict_cols(e[1], acc)
     elif e[0] == "coalesce":
         _strict_cols(e[2], acc)
+    elif e[0] == "fcast":
+        _fexpr_cols(e[1], acc)
     return acc
 
 
@@ -1267,7 +1396,19 @@ def _expr_str(e) -> str | None:
         return f"ABS({_expr_str(e[1])})"
     if e[0] == "coalesce":
         return f"COALESCE({e[1]}, {_expr_str(e[2])})"
+    if e[0] == "fcast":
+        return f"CAST({_fexpr_str(e[1])} AS BIGINT)"
     return f"({_expr_str(e[2])} {e[1]} {_expr_str(e[3])})"
+
+
+def _fexpr_str(e) -> str:
+    if e[0] == "fcol":
+        return e[1]
+    if e[0] == "flit":
+        return repr(e[1])
+    if e[0] == "ffn":
+        return f"{e[1].upper()}({_fexpr_str(e[2])})"
+    return f"({_fexpr_str(e[2])} {e[1]} {_fexpr_str(e[3])})"
 
 
 def _trunc_div(l, r):
@@ -1316,12 +1457,128 @@ def _eval_expr(t: pa.Table, e) -> np.ndarray:
         av = np.broadcast_to(
             np.asarray(_eval_expr(t, alt), dtype=np.int64), (t.num_rows,))
         return np.where(isn, av, base)
+    if e[0] == "fcast":
+        _fexpr_require_double(e[1], t.schema)
+        x = _eval_fexpr(t, e[1])
+        if not np.all(np.isfinite(x)):
+            raise SqlError("CAST(.. AS BIGINT): non-finite float value "
+                           "(division by zero?)")
+        if np.any(np.abs(x) >= 2 ** 53):
+            raise SqlError("CAST(.. AS BIGINT): value above 2^53 — "
+                           "float64 loses integer exactness there")
+        # DuckDB CAST(DOUBLE AS BIGINT) rounds half to even == np.rint
+        return np.rint(x).astype(np.int64)
     l, r = _eval_expr(t, e[2]), _eval_expr(t, e[3])
     if e[1] == "//":
         return _trunc_div(l, r)
     if e[1] == "%":
         return l - _trunc_div(l, r) * np.asarray(r, dtype=np.int64)
     return {"+": np.add, "-": np.subtract, "*": np.multiply}[e[1]](l, r)
+
+
+def _ftype(e, schema) -> str:
+    """DuckDB result-type class of a float-expression subtree: 'double',
+    'int' or 'decimal'. Fractional literals are DECIMAL in DuckDB;
+    DECIMAL×INT / DECIMAL±DECIMAL compute EXACTLY there but in binary
+    float64 here (0.1 * q diverges), and a DECIMAL-typed cast to BIGINT
+    rounds half AWAY FROM ZERO unlike DOUBLE's half-to-even — so any
+    + - * combining a decimal with a non-double operand is refused
+    loudly. A decimal next to a double (or under '/', which is always
+    DOUBLE in DuckDB) converts to the bit-identical double first — safe.
+    Pure-int subtrees are exact in float64 below 2^53 (guarded at the
+    cast)."""
+    if e[0] == "fcol":
+        return ("double" if pa.types.is_floating(schema.field(e[1]).type)
+                else "int")
+    if e[0] == "flit":
+        return "int" if float(e[1]).is_integer() else "decimal"
+    if e[0] == "ffn":
+        return _ftype(e[2], schema)
+    l, r = _ftype(e[2], schema), _ftype(e[3], schema)
+    if e[1] == "/":
+        return "double"
+    if "decimal" in (l, r) and "double" not in (l, r):
+        raise SqlError(
+            f"CAST(.. AS BIGINT): {_fexpr_str(e)} combines a fractional "
+            f"literal with a non-double operand — DuckDB computes that "
+            f"in exact DECIMAL, float64 cannot match it (pair the "
+            f"literal with a float column, or divide)")
+    return "double" if "double" in (l, r) else (
+        "decimal" if "decimal" in (l, r) else "int")
+
+
+def _fexpr_require_double(e, schema):
+    if _ftype(e, schema) == "decimal":
+        raise SqlError(
+            f"CAST({_fexpr_str(e)} AS BIGINT): the expression is "
+            f"DECIMAL in the oracle (casts round half away from zero, "
+            f"float64 rounds half to even) — the float bridge needs a "
+            f"DOUBLE- or INTEGER-typed expression")
+
+
+def _expr_fcast_check(e, schema):
+    """Walk an arithmetic tree and type-check every fcast subtree
+    against the scan schema (the pads pushdown path never reaches
+    _eval_fexpr's own check)."""
+    if e is None or isinstance(e, str):
+        return
+    if e[0] == "fcast":
+        _fexpr_require_double(e[1], schema)
+    elif e[0] == "bin":
+        _expr_fcast_check(e[2], schema)
+        _expr_fcast_check(e[3], schema)
+    elif e[0] == "case":
+        for p, x in e[1]:
+            _pred_fcast_check(p, schema)
+            _expr_fcast_check(x, schema)
+        _expr_fcast_check(e[2], schema)
+    elif e[0] in ("abs",):
+        _expr_fcast_check(e[1], schema)
+    elif e[0] == "coalesce":
+        _expr_fcast_check(e[2], schema)
+
+
+def _pred_fcast_check(node, schema):
+    if node is None:
+        return
+    tag = node[0]
+    if tag in ("and", "or"):
+        _pred_fcast_check(node[1], schema)
+        _pred_fcast_check(node[2], schema)
+    elif tag == "not":
+        _pred_fcast_check(node[1], schema)
+    elif tag == "cmpe":
+        _expr_fcast_check(node[2], schema)
+        _expr_fcast_check(node[3], schema)
+    elif tag == "cmp" and not isinstance(node[2], str):
+        _expr_fcast_check(node[2], schema)
+
+
+def _eval_fexpr(t: pa.Table, e) -> np.ndarray:
+    """Vectorized float64 evaluation of a CAST(.. AS BIGINT) inner
+    expression. Per-row IEEE doubles are deterministic and
+    order-independent, so both engines compute bit-identical values for
+    the same expression tree; only the fcast bridge may aggregate.
+    Type-checked at the fcast boundary (callers), not per subtree."""
+    if e[0] == "fcol":
+        c = e[1]
+        ft = t.schema.field(c).type
+        if not (pa.types.is_integer(ft) or pa.types.is_floating(ft)):
+            raise SqlError(f"{c}: only numeric columns in float "
+                           f"expressions (got {ft})")
+        if t[c].null_count:
+            raise SqlError(f"{c}: NULL values in a float expression "
+                           f"are unsupported (exact contract)")
+        return t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+    if e[0] == "flit":
+        return np.float64(e[1])
+    if e[0] == "ffn":
+        x = _eval_fexpr(t, e[2])
+        return {"floor": np.floor, "ceil": np.ceil,
+                "abs": np.abs}[e[1]](x)
+    l, r = _eval_fexpr(t, e[2]), _eval_fexpr(t, e[3])
+    return {"+": np.add, "-": np.subtract, "*": np.multiply,
+            "/": np.divide}[e[1]](l, r)
 
 
 def _table_of(name: str, tables: list[str]) -> str:
@@ -1439,7 +1696,9 @@ def _join_chain(sf_dir: str, q: dict, need: set,
         node = preds[0]
         for p in preds[1:]:
             node = ("and", node, p)
-        return _to_pads(_strip_tree(node))
+        stripped = _strip_tree(node)
+        _pred_fcast_check(stripped, schemas[tab])
+        return _to_pads(stripped)
 
     plan = plan if plan is not None else []
     nrows = {t: pq.ParquetFile(_file(t)).metadata.num_rows
@@ -2366,12 +2625,16 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
         _win_arg_cols(w[1], w[5], need)
     cols = sorted(need) or [None]
     read_kw = {}
+    path = f"{sf_dir}/{ns2tab[q['table']]}.parquet"
     if q["where"] is not None:
+        # fcast subtrees never reach _eval_fexpr on the pushdown path —
+        # type-check them against the physical schema here
+        import pyarrow.parquet as _pqs
+        _pred_fcast_check(q["where"], _pqs.read_schema(path))
         read_kw["filter"] = _to_pads(q["where"])
     # Ray 2.49: read_parquet(partitioning=None, columns=...) trips an
     # UnboundLocalError — pass columns only (default partitioning is fine
     # for flat files)
-    path = f"{sf_dir}/{ns2tab[q['table']]}.parquet"
     if cols != [None]:
         read_kw["columns"] = cols
     else:
@@ -3071,3 +3334,27 @@ DEMO_HIDDENHAVING = (
     "HAVING sum(o_orderkey) > 100000 AND min(o_custkey) < 50 "
     "AND max(o_custkey) - min(o_custkey) >= count(*) // 3 "
     "ORDER BY o_orderpriority ASC")
+DEMO_TPCH_Q1 = (
+    # TPC-H Q1 pricing summary through the float bridge: per-row IEEE
+    # double expressions cast to exact cents (round half to even ==
+    # DuckDB's double->BIGINT cast), then exact int64 aggregation — the
+    # result hash-matches the oracle bit-for-bit
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "CAST(SUM(CAST(l_extendedprice * 100 AS BIGINT)) AS BIGINT) "
+    "AS sum_base_c, "
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * 100 AS BIGINT)) "
+    "AS BIGINT) AS sum_disc_c, "
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) "
+    "* 100 AS BIGINT)) AS BIGINT) AS sum_charge_c, "
+    "count(*) AS count_order FROM lineitem "
+    "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus "
+    "ORDER BY l_returnflag ASC, l_linestatus ASC")
+DEMO_TPCH_Q6 = (
+    # TPC-H Q6 forecasting revenue change: float predicates push to the
+    # scan; the revenue product bridges to cents before the SUM
+    "SELECT CAST(SUM(CAST(l_extendedprice * l_discount * 100 "
+    "AS BIGINT)) AS BIGINT) AS revenue_c, count(*) AS n FROM lineitem "
+    "WHERE l_discount >= 0.05 AND l_discount <= 0.07 "
+    "AND l_quantity < 24")

@@ -1357,6 +1357,143 @@ def test_case_abs_mod_div_vs_duckdb(ray_session, tmp_path):
                 "SELECT CASE WHEN v > 0 THEN 1 END AS x FROM t")
 
 
+def test_float_cast_bridge_vs_duckdb(ray_session, tmp_path):
+    """CAST(<float expr> AS BIGINT) — the exact-int bridge out of float
+    space: per-row IEEE doubles are bit-identical across engines for the
+    same expression tree, and the cast rounds half to even (DuckDB's
+    double->BIGINT). Covers aggregate args, GROUP BY expressions,
+    computed select items, WHERE pushdown, FLOOR/CEIL/ABS and /."""
+    import duckdb
+
+    t = pa.table({
+        "p": pa.array([10.07, 0.5, 2.5, -1.5, 99.99, 3.14159], pa.float64()),
+        "d": pa.array([0.05, 0.07, 0.0, 0.10, 0.06, 0.02], pa.float64()),
+        "q": pa.array([1, 24, 30, 7, 24, 2], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"), row_group_size=2)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return sorted(map(lambda r: tuple(int(x) if not isinstance(x, str)
+                                          else x for x in r),
+                          df.values.tolist()))
+
+    for s in (
+        # half-to-even rounding at .5 boundaries (0.5->0, 2.5->2, -1.5->-2)
+        "SELECT CAST(SUM(CAST(p AS BIGINT)) AS BIGINT) AS s, "
+        "count(*) AS n FROM t",
+        # TPC-H Q6 revenue shape
+        "SELECT CAST(SUM(CAST(p * d * 100 AS BIGINT)) AS BIGINT) AS rev "
+        "FROM t WHERE d >= 0.05 AND d <= 0.07 AND q < 24",
+        # Q1 shape: (1 - d) and (1 + d) chains
+        "SELECT q % 2 AS b, "
+        "CAST(SUM(CAST(p * (1 - d) * 100 AS BIGINT)) AS BIGINT) AS disc, "
+        "CAST(SUM(CAST(p * (1 - d) * (1 + d) * 100 AS BIGINT)) AS BIGINT) "
+        "AS charge FROM t GROUP BY q % 2",
+        # FLOOR / CEIL / ABS and float division
+        "SELECT CAST(FLOOR(p / 2) AS BIGINT) AS f, count(*) AS n "
+        "FROM t GROUP BY CAST(FLOOR(p / 2) AS BIGINT)",
+        "SELECT CAST(CEIL(p * -0.5) AS BIGINT) AS c, count(*) AS n "
+        "FROM t GROUP BY CAST(CEIL(p * -0.5) AS BIGINT)",
+        "SELECT CAST(ABS(p - 3) AS BIGINT) AS a, count(*) AS n "
+        "FROM t GROUP BY CAST(ABS(p - 3) AS BIGINT)",
+        # fcast in a WHERE comparison (scan pushdown path)
+        "SELECT q FROM t WHERE CAST(d * 100 AS BIGINT) > 5",
+        # computed select item + ORDER BY over it
+        "SELECT q, CAST(p * (1 - d) AS BIGINT) AS net FROM t "
+        "ORDER BY net DESC, q ASC LIMIT 4",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), (s, got, want)
+
+    # float NULLs stay loud (exact contract)
+    (tmp_path / "u").mkdir()
+    pq.write_table(pa.table({"p": pa.array([1.0, None], pa.float64()),
+                             "q": pa.array([1, 2], pa.int64())}),
+                   str(tmp_path / "u" / "t.parquet"), row_group_size=2)
+    with pytest.raises(Exception):
+        run_sql(str(tmp_path / "u"),
+                "SELECT CAST(SUM(CAST(p * 2 AS BIGINT)) AS BIGINT) AS s "
+                "FROM t").to_pandas()
+
+
+def test_differential_float_bridge_vs_duckdb(ray_session, tmp_path):
+    """Differential property test: random float expression trees under
+    CAST(.. AS BIGINT) agree with DuckDB exactly (sum + count per
+    bucket), including rounding boundaries from two-decimal inputs."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def fexpr(draw, depth=0):
+        if depth >= 2 or draw(st.booleans()):
+            a = draw(st.sampled_from(["p", "d", "q"]))
+            if draw(st.booleans()):
+                return a
+            lit = draw(st.sampled_from(
+                ["100", "0.5", "2", "(1 - d)", "(1 + d)", "-0.25"]))
+            op = draw(st.sampled_from(["*", "+", "-", "/"]))
+            if op == "/" and lit in ("0.5", "2", "100"):
+                return f"{a} / {lit}"
+            return f"{a} {op} {lit}"
+        l = draw(fexpr(depth + 1))
+        r = draw(fexpr(depth + 1))
+        op = draw(st.sampled_from(["*", "+", "-"]))
+        fn = draw(st.sampled_from(["", "FLOOR", "CEIL", "ABS"]))
+        e = f"({l}) {op} ({r})"
+        return f"{fn}({e})" if fn else e
+
+    idx = [0]
+
+    @settings(max_examples=12, deadline=None)
+    @given(rows=st.lists(
+        st.tuples(st.floats(-100, 100, allow_nan=False, width=32),
+                  st.floats(0, 1, allow_nan=False, width=32),
+                  st.integers(-5, 50)),
+        min_size=1, max_size=10), e=fexpr())
+    def run(rows, e):
+        idx[0] += 1
+        d = tmp_path / f"fb{idx[0]}"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"p": pa.array([float(r[0]) for r in rows],
+                                    pa.float64()),
+                      "d": pa.array([float(r[1]) for r in rows],
+                                    pa.float64()),
+                      "q": pa.array([r[2] for r in rows], pa.int64())}),
+            str(d / "t.parquet"), row_group_size=3)
+        s = (f"SELECT q % 3 AS b, CAST(SUM(CAST({e} AS BIGINT)) "
+             f"AS BIGINT) AS s, count(*) AS n FROM t GROUP BY q % 3")
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                    f"read_parquet('{d}/t.parquet')")
+        try:
+            want = con.execute(s).fetch_df()
+        except duckdb.Error:
+            return  # e.g. overflow in the oracle — out of contract
+        try:
+            got = run_sql(str(d), s).to_pandas()
+        except Exception as ex:
+            # DECIMAL-typed trees are refused loudly by design (DuckDB
+            # computes them in exact decimal; float64 cannot match)
+            if "DECIMAL" in str(ex) or "decimal" in str(ex) or \
+                    "2^53" in str(ex) or "non-finite" in str(ex):
+                return
+            raise
+        for df in (got, want):
+            df.sort_index(axis=1, inplace=True)
+        g = sorted(map(lambda r: tuple(map(int, r)), got.values.tolist()))
+        w = sorted(map(lambda r: tuple(map(int, r)), want.values.tolist()))
+        assert g == w, (s, rows, got, want)
+
+    run()
+
+
 def test_null_string_comparisons_vs_duckdb(ray_session, tmp_path):
     """SQL three-valued logic for string comparisons over NULLs: a NULL
     operand makes the predicate NULL -> row filtered, in WHERE and in
