@@ -246,6 +246,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, sqlfront.DEMO_TPCH_Q1),
         "sql_tpch_q6": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_TPCH_Q6),
+        "sql_tpch_q3": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q3),
+        "sql_tpch_q10": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q10),
+        "sql_tpch_q12": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q12),
+        "sql_tpch_q14": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q14),
         "orders_cube": relational.orders_cube,           # GROUP BY CUBE grouping sets
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
         "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join

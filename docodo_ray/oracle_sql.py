@@ -2770,7 +2770,9 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_INTERSECT, DEMO_STRMINMAX,
                                      DEMO_COUNTN_OFFSET,
                                      DEMO_STAR_GROUPALL, DEMO_STRFN2,
-                                     DEMO_TPCH_Q1, DEMO_TPCH_Q6)
+                                     DEMO_TPCH_Q1, DEMO_TPCH_Q6,
+                                     DEMO_TPCH_Q3, DEMO_TPCH_Q10,
+                                     DEMO_TPCH_Q12, DEMO_TPCH_Q14)
 
     sql["sql_orders_groupby"] = DEMO_GROUPBY
     sql["sql_events_filter"] = DEMO_FILTER
@@ -2812,6 +2814,10 @@ FROM {PROFILE_TABLE}"""
     sql["sql_string_fns2"] = DEMO_STRFN2
     sql["sql_tpch_q1"] = DEMO_TPCH_Q1
     sql["sql_tpch_q6"] = DEMO_TPCH_Q6
+    sql["sql_tpch_q3"] = DEMO_TPCH_Q3
+    sql["sql_tpch_q10"] = DEMO_TPCH_Q10
+    sql["sql_tpch_q12"] = DEMO_TPCH_Q12
+    sql["sql_tpch_q14"] = DEMO_TPCH_Q14
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

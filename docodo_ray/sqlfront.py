@@ -3358,3 +3358,47 @@ DEMO_TPCH_Q6 = (
     "AS BIGINT)) AS BIGINT) AS revenue_c, count(*) AS n FROM lineitem "
     "WHERE l_discount >= 0.05 AND l_discount <= 0.07 "
     "AND l_quantity < 24")
+DEMO_TPCH_Q3 = (
+    # TPC-H Q3 shipping-priority: 3-way join, revenue bridged to exact
+    # cents per row, distributed top-k over the folded groups
+    "SELECT lineitem.l_orderkey, "
+    "CAST(SUM(CAST(lineitem.l_extendedprice * "
+    "(1 - lineitem.l_discount) * 100 AS BIGINT)) AS BIGINT) "
+    "AS revenue_c "
+    "FROM lineitem JOIN orders ON lineitem.l_orderkey = orders.o_orderkey "
+    "JOIN customer ON orders.o_custkey = customer.c_custkey "
+    "WHERE customer.c_mktsegment = 'BUILDING' "
+    "AND orders.o_orderdate < TIMESTAMP '1997-03-15 00:00:00' "
+    "GROUP BY lineitem.l_orderkey "
+    "ORDER BY revenue_c DESC, l_orderkey ASC LIMIT 10")
+DEMO_TPCH_Q10 = (
+    # TPC-H Q10 returned-item report: who returned the most revenue
+    "SELECT customer.c_custkey, customer.c_name, "
+    "CAST(SUM(CAST(lineitem.l_extendedprice * "
+    "(1 - lineitem.l_discount) * 100 AS BIGINT)) AS BIGINT) "
+    "AS revenue_c "
+    "FROM lineitem JOIN orders ON lineitem.l_orderkey = orders.o_orderkey "
+    "JOIN customer ON orders.o_custkey = customer.c_custkey "
+    "WHERE lineitem.l_returnflag = 'R' "
+    "GROUP BY customer.c_custkey, customer.c_name "
+    "ORDER BY revenue_c DESC, c_custkey ASC LIMIT 20")
+DEMO_TPCH_Q12 = (
+    # TPC-H Q12 shipmode/priority matrix: CASE aggregates over a join
+    "SELECT lineitem.l_linestatus, "
+    "CAST(SUM(CASE WHEN orders.o_orderpriority = '1-URGENT' "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(SUM(CASE WHEN orders.o_orderpriority = '5-LOW' "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count, "
+    "count(*) AS n "
+    "FROM lineitem JOIN orders ON lineitem.l_orderkey = orders.o_orderkey "
+    "GROUP BY lineitem.l_linestatus ORDER BY l_linestatus ASC")
+DEMO_TPCH_Q14 = (
+    # TPC-H Q14 promo effect: the float bridge inside a CASE branch —
+    # promo revenue and total revenue in exact cents from one scan
+    "SELECT CAST(SUM(CASE WHEN part.p_type = 'PROMO' "
+    "THEN CAST(lineitem.l_extendedprice * (1 - lineitem.l_discount) "
+    "* 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_c, "
+    "CAST(SUM(CAST(lineitem.l_extendedprice * "
+    "(1 - lineitem.l_discount) * 100 AS BIGINT)) AS BIGINT) AS total_c, "
+    "count(*) AS n "
+    "FROM lineitem JOIN part ON lineitem.l_partkey = part.p_partkey")

@@ -1494,6 +1494,30 @@ def test_differential_float_bridge_vs_duckdb(ray_session, tmp_path):
     run()
 
 
+def test_shipped_tpch_demos(ray_session):
+    """The shipped TPC-H demo statements (Q1/Q3/Q6/Q10/Q12/Q14 shapes)
+    hash-match DuckDB at sf0.001 — joins, CASE-guarded float bridges and
+    distributed top-k composing in one statement."""
+    import duckdb
+    from docodo_ray.sqlfront import (DEMO_TPCH_Q1, DEMO_TPCH_Q3,
+                                     DEMO_TPCH_Q6, DEMO_TPCH_Q10,
+                                     DEMO_TPCH_Q12, DEMO_TPCH_Q14)
+
+    con = duckdb.connect()
+    for tb in ("lineitem", "orders", "customer", "part"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    for s in (DEMO_TPCH_Q1, DEMO_TPCH_Q3, DEMO_TPCH_Q6, DEMO_TPCH_Q10,
+              DEMO_TPCH_Q12, DEMO_TPCH_Q14):
+        got = run_sql(SF, s).to_pandas()
+        want = con.execute(s).fetch_df()
+        for df in (got, want):
+            df.sort_index(axis=1, inplace=True)
+        g = sorted(map(tuple, got.values.tolist()))
+        w = sorted(map(tuple, want.values.tolist()))
+        assert g == w, (s, got.head(), want.head())
+
+
 def test_null_string_comparisons_vs_duckdb(ray_session, tmp_path):
     """SQL three-valued logic for string comparisons over NULLs: a NULL
     operand makes the predicate NULL -> row filtered, in WHERE and in
