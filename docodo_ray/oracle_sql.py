@@ -2772,7 +2772,8 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_STAR_GROUPALL, DEMO_STRFN2,
                                      DEMO_TPCH_Q1, DEMO_TPCH_Q6,
                                      DEMO_TPCH_Q3, DEMO_TPCH_Q10,
-                                     DEMO_TPCH_Q12, DEMO_TPCH_Q14)
+                                     DEMO_TPCH_Q12, DEMO_TPCH_Q14,
+                                     DEMO_EXTRACT)
 
     sql["sql_orders_groupby"] = DEMO_GROUPBY
     sql["sql_events_filter"] = DEMO_FILTER
@@ -2818,6 +2819,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_tpch_q10"] = DEMO_TPCH_Q10
     sql["sql_tpch_q12"] = DEMO_TPCH_Q12
     sql["sql_tpch_q14"] = DEMO_TPCH_Q14
+    sql["sql_extract_year"] = DEMO_EXTRACT
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

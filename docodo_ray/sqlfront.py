@@ -200,6 +200,24 @@ class SqlError(ValueError):
     pass
 
 
+_EXTRACT_PARTS = {"year", "month", "day", "hour", "minute", "second",
+                  "dow", "doy"}
+
+
+def _extract_kernel(part: str, arr_or_field):
+    """Arrow temporal kernel for EXTRACT(part FROM ts) — DuckDB-parity
+    (dow: Sunday=0 via week_start=7; doy 1-based). Works on Arrow
+    arrays and pads expressions alike."""
+    import pyarrow.compute as pc
+    if part == "dow":
+        return pc.day_of_week(arr_or_field, count_from_zero=True,
+                              week_start=7).cast(pa.int64())
+    fn = {"year": pc.year, "month": pc.month, "day": pc.day,
+          "hour": pc.hour, "minute": pc.minute, "second": pc.second,
+          "doy": pc.day_of_year}[part]
+    return fn(arr_or_field).cast(pa.int64())
+
+
 def _tokenize(sql: str) -> list[tuple[str, object]]:
     out, i = [], 0
     while i < len(sql):
@@ -677,6 +695,22 @@ class _Parser:
             alt = self._arith()
             self.expect("op", ")")
             return ("coalesce", col, alt)
+        if (k == "ident" and v.lower() == "extract"
+                and self.toks[self.pos + 1][:2] == ("op", "(")):
+            # EXTRACT(part FROM ts_col): BIGINT in DuckDB, an exact-int
+            # atom here (Arrow temporal kernels are calendar-identical,
+            # dow uses week_start=7 for DuckDB's Sunday=0)
+            self.next()
+            self.next()
+            pk, pv = self.next()
+            part = str(pv).lower()
+            if pk not in ("ident", "kw") or part not in _EXTRACT_PARTS:
+                raise SqlError(f"EXTRACT: unsupported part {pv!r} "
+                               f"(supported: {sorted(_EXTRACT_PARTS)})")
+            self.expect("kw", "from")
+            col = self._qual_ident()
+            self.expect("op", ")")
+            return ("extract", part, col)
         if (k, v) == ("kw", "cast"):
             # CAST(<float expr> AS BIGINT): the exact-int bridge out of
             # float space. Per-row IEEE double arithmetic is
@@ -1040,6 +1074,8 @@ def _expr_pads(e):
         return pc.abs(_expr_pads(e[1]))
     if e[0] == "coalesce":
         return pc.coalesce(pads.field(e[1]), _expr_pads(e[2]))
+    if e[0] == "extract":
+        return _extract_kernel(e[1], pads.field(e[2]))
     if e[0] == "fcast":
         # DuckDB double->BIGINT cast: round half to even, then cast
         return pc.round(
@@ -1262,6 +1298,8 @@ def _expr_cols(e, acc: set) -> set:
         _expr_cols(e[2], acc)
     elif e[0] == "fcast":
         _fexpr_cols(e[1], acc)
+    elif e[0] == "extract":
+        acc.add(e[2])
     return acc
 
 
@@ -1303,6 +1341,8 @@ def _expr_map(e, f):
         return ("coalesce", f(e[1]), _expr_map(e[2], f))
     if e[0] == "fcast":
         return ("fcast", _fexpr_map(e[1], f))
+    if e[0] == "extract":
+        return ("extract", e[1], f(e[2]))
     return e
 
 
@@ -1327,6 +1367,8 @@ def _strict_cols(e, acc: set) -> set:
         _strict_cols(e[2], acc)
     elif e[0] == "fcast":
         _fexpr_cols(e[1], acc)
+    elif e[0] == "extract":
+        acc.add(e[2])
     return acc
 
 
@@ -1398,6 +1440,8 @@ def _expr_str(e) -> str | None:
         return f"COALESCE({e[1]}, {_expr_str(e[2])})"
     if e[0] == "fcast":
         return f"CAST({_fexpr_str(e[1])} AS BIGINT)"
+    if e[0] == "extract":
+        return f"EXTRACT({e[1].upper()} FROM {e[2]})"
     return f"({_expr_str(e[2])} {e[1]} {_expr_str(e[3])})"
 
 
@@ -1457,6 +1501,16 @@ def _eval_expr(t: pa.Table, e) -> np.ndarray:
         av = np.broadcast_to(
             np.asarray(_eval_expr(t, alt), dtype=np.int64), (t.num_rows,))
         return np.where(isn, av, base)
+    if e[0] == "extract":
+        col = e[2]
+        if not pa.types.is_timestamp(t.schema.field(col).type):
+            raise SqlError(f"EXTRACT: {col} is not a timestamp "
+                           f"(got {t.schema.field(col).type})")
+        if t[col].null_count:
+            raise SqlError(f"EXTRACT({e[1]} FROM {col}): NULL values "
+                           f"are unsupported (exact-int contract)")
+        return (_extract_kernel(e[1], t[col].combine_chunks())
+                .to_numpy(zero_copy_only=False).astype(np.int64))
     if e[0] == "fcast":
         _fexpr_require_double(e[1], t.schema)
         x = _eval_fexpr(t, e[1])
@@ -3402,3 +3456,11 @@ DEMO_TPCH_Q14 = (
     "(1 - lineitem.l_discount) * 100 AS BIGINT)) AS BIGINT) AS total_c, "
     "count(*) AS n "
     "FROM lineitem JOIN part ON lineitem.l_partkey = part.p_partkey")
+DEMO_EXTRACT = (
+    # yearly order rollup: EXTRACT as grouping expression, scan-pushdown
+    # WHERE guard, and exact-cents totals per year
+    "SELECT EXTRACT(year FROM o_orderdate) AS o_year, count(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) "
+    "AS total_c FROM orders "
+    "WHERE EXTRACT(dow FROM o_orderdate) != 0 "
+    "GROUP BY EXTRACT(year FROM o_orderdate) ORDER BY o_year ASC")

@@ -1494,6 +1494,53 @@ def test_differential_float_bridge_vs_duckdb(ray_session, tmp_path):
     run()
 
 
+def test_extract_vs_duckdb(ray_session):
+    """EXTRACT(part FROM ts) matches DuckDB in every plan position:
+    GROUP BY expression, WHERE pushdown, aggregate arithmetic, CASE
+    guard; dow uses DuckDB's Sunday=0 numbering."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    for s in (
+        "SELECT EXTRACT(year FROM o_orderdate) AS o_year, count(*) AS n "
+        "FROM orders GROUP BY EXTRACT(year FROM o_orderdate) "
+        "ORDER BY o_year ASC",
+        "SELECT count(*) AS n FROM orders "
+        "WHERE EXTRACT(year FROM o_orderdate) = 1996",
+        "SELECT EXTRACT(month FROM o_orderdate) AS m, "
+        "EXTRACT(dow FROM o_orderdate) AS d, count(*) AS n FROM orders "
+        "WHERE EXTRACT(doy FROM o_orderdate) < 180 "
+        "GROUP BY EXTRACT(month FROM o_orderdate), "
+        "EXTRACT(dow FROM o_orderdate)",
+        "SELECT o_orderstatus, "
+        "CAST(SUM(EXTRACT(year FROM o_orderdate) - 1990) AS BIGINT) "
+        "AS yz FROM orders GROUP BY o_orderstatus",
+        "SELECT CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = "
+        "1997 THEN 1 ELSE 0 END) AS BIGINT) AS y97 FROM orders",
+        "SELECT EXTRACT(hour FROM o_orderdate) AS h, "
+        "EXTRACT(minute FROM o_orderdate) AS mi, "
+        "EXTRACT(second FROM o_orderdate) AS sec, "
+        "EXTRACT(day FROM o_orderdate) AS dd, count(*) AS n "
+        "FROM orders GROUP BY EXTRACT(hour FROM o_orderdate), "
+        "EXTRACT(minute FROM o_orderdate), "
+        "EXTRACT(second FROM o_orderdate), "
+        "EXTRACT(day FROM o_orderdate)",
+    ):
+        got = run_sql(SF, s).to_pandas()
+        want = con.execute(s).fetch_df()
+        for df in (got, want):
+            df.sort_index(axis=1, inplace=True)
+        g = sorted(map(tuple, got.values.tolist()))
+        w = sorted(map(tuple, want.values.tolist()))
+        assert g == w, (s, got.head(), want.head())
+    with pytest.raises(SqlError):
+        run_sql(SF, "SELECT EXTRACT(epoch FROM o_orderdate) AS e, "
+                    "count(*) AS n FROM orders GROUP BY "
+                    "EXTRACT(epoch FROM o_orderdate)")
+
+
 def test_shipped_tpch_demos(ray_session):
     """The shipped TPC-H demo statements (Q1/Q3/Q6/Q10/Q12/Q14 shapes)
     hash-match DuckDB at sf0.001 — joins, CASE-guarded float bridges and
