@@ -3464,3 +3464,20 @@ DEMO_EXTRACT = (
     "AS total_c FROM orders "
     "WHERE EXTRACT(dow FROM o_orderdate) != 0 "
     "GROUP BY EXTRACT(year FROM o_orderdate) ORDER BY o_year ASC")
+DEMO_TPCH_Q9 = (
+    # TPC-H Q9 product-type profit shape (no partsupp table in the
+    # corpus, so the supplycost term is omitted): 5-way join with LIKE
+    # pushdown, nation x order-year rollup, exact-cents revenue
+    "SELECT nation.n_name, "
+    "EXTRACT(year FROM orders.o_orderdate) AS o_year, "
+    "CAST(SUM(CAST(lineitem.l_extendedprice * "
+    "(1 - lineitem.l_discount) * 100 AS BIGINT)) AS BIGINT) "
+    "AS profit_c, count(*) AS n "
+    "FROM lineitem "
+    "JOIN part ON lineitem.l_partkey = part.p_partkey "
+    "JOIN supplier ON lineitem.l_suppkey = supplier.s_suppkey "
+    "JOIN orders ON lineitem.l_orderkey = orders.o_orderkey "
+    "JOIN nation ON supplier.s_nationkey = nation.n_nationkey "
+    "WHERE part.p_name LIKE '%a%' "
+    "GROUP BY nation.n_name, EXTRACT(year FROM orders.o_orderdate) "
+    "ORDER BY n_name ASC, o_year DESC LIMIT 40")

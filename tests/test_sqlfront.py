@@ -169,7 +169,8 @@ def test_parser_fuzz_never_crashes():
         "DISTINCT", "BETWEEN", "UNION", "ALL", "LEFT", "OUTER",
         "OVER", "PARTITION", "QUALIFY", "ROW_NUMBER", "RANK",
         "DENSE_RANK", "NTILE", "LAG", "LEAD", "FIRST_VALUE",
-        "LAST_VALUE", "+", "-", "%", "//",
+        "LAST_VALUE", "+", "-", "%", "//", "/", "FLOOR", "CEIL",
+        "EXTRACT", "year", "dow",
         "CASE", "WHEN", "THEN", "ELSE", "END", "ABS", "COALESCE", "AVG",
         "EXISTS", "WITH", "EXCEPT", "INTERSECT",
         ",", "*", ".", "=", "<", ">", "<=", ">=", "!=", "<>", "tbl",
@@ -1547,15 +1548,17 @@ def test_shipped_tpch_demos(ray_session):
     distributed top-k composing in one statement."""
     import duckdb
     from docodo_ray.sqlfront import (DEMO_TPCH_Q1, DEMO_TPCH_Q3,
-                                     DEMO_TPCH_Q6, DEMO_TPCH_Q10,
-                                     DEMO_TPCH_Q12, DEMO_TPCH_Q14)
+                                     DEMO_TPCH_Q6, DEMO_TPCH_Q9,
+                                     DEMO_TPCH_Q10, DEMO_TPCH_Q12,
+                                     DEMO_TPCH_Q14)
 
     con = duckdb.connect()
-    for tb in ("lineitem", "orders", "customer", "part"):
+    for tb in ("lineitem", "orders", "customer", "part",
+               "supplier", "nation"):
         con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
                     f"read_parquet('{SF}/{tb}.parquet')")
-    for s in (DEMO_TPCH_Q1, DEMO_TPCH_Q3, DEMO_TPCH_Q6, DEMO_TPCH_Q10,
-              DEMO_TPCH_Q12, DEMO_TPCH_Q14):
+    for s in (DEMO_TPCH_Q1, DEMO_TPCH_Q3, DEMO_TPCH_Q6, DEMO_TPCH_Q9,
+              DEMO_TPCH_Q10, DEMO_TPCH_Q12, DEMO_TPCH_Q14):
         got = run_sql(SF, s).to_pandas()
         want = con.execute(s).fetch_df()
         for df in (got, want):
