@@ -303,6 +303,14 @@ def run_bench(num_cpus: int) -> dict:
     timings["regex_search"] = round(
         best_of(lambda: pipelines.regex_search(sf_dir).count(),
                 name="regex_search"), 3)
+    # SQL frontend throughput: TPC-H Q1 over the sf lineitem table
+    # (scan-pushdown WHERE, float-bridge cents, grouped fold + sort)
+    from docodo_ray import sqlfront
+
+    timings["sql_tpch_q1"] = round(
+        best_of(lambda: sqlfront.run_sql(sf_dir,
+                                         sqlfront.DEMO_TPCH_Q1).count(),
+                name="sql_tpch_q1"), 3)
 
     ray.shutdown()
     return {

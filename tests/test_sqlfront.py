@@ -1542,6 +1542,37 @@ def test_extract_vs_duckdb(ray_session):
                     "EXTRACT(epoch FROM o_orderdate)")
 
 
+def test_float_bridge_having_avg_ts_group(ray_session):
+    """Bridge compositions beyond the demos: HAVING over a bridged SUM
+    (TPC-H Q11 shape), AVG over bridged cents (exact sum/count pair +
+    half-to-even divide), and GROUP BY over a raw timestamp column."""
+    import duckdb
+
+    con = duckdb.connect()
+    for tb in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    for s in (
+        "SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice * 100 "
+        "AS BIGINT)) AS BIGINT) AS val_c FROM lineitem "
+        "GROUP BY l_suppkey "
+        "HAVING SUM(CAST(l_extendedprice * 100 AS BIGINT)) > 500000 "
+        "ORDER BY val_c DESC, l_suppkey ASC LIMIT 10",
+        "SELECT l_returnflag, CAST(AVG(CAST(l_extendedprice * 100 "
+        "AS BIGINT)) AS BIGINT) AS avg_c FROM lineitem "
+        "GROUP BY l_returnflag",
+        "SELECT o_orderdate, count(*) AS n FROM orders "
+        "GROUP BY o_orderdate ORDER BY o_orderdate ASC LIMIT 5",
+    ):
+        got = run_sql(SF, s).to_pandas()
+        want = con.execute(s).fetch_df()
+        for df in (got, want):
+            df.sort_index(axis=1, inplace=True)
+        g = sorted(map(tuple, got.values.tolist()))
+        w = sorted(map(tuple, want.values.tolist()))
+        assert g == w, (s, got.head(), want.head())
+
+
 def test_shipped_tpch_demos(ray_session):
     """The shipped TPC-H demo statements (Q1/Q3/Q6/Q10/Q12/Q14 shapes)
     hash-match DuckDB at sf0.001 — joins, CASE-guarded float bridges and
