@@ -375,8 +375,9 @@ class _Parser:
                 raise SqlError(f"trailing tokens at {self.peek()!r}")
         elif self.peek()[0] != "end":
             raise SqlError(f"trailing tokens at {self.peek()!r}")
-        if derived is not None and joins:
-            raise SqlError("JOIN with a derived table is unsupported")
+        if derived is not None and joins and alias is None:
+            raise SqlError("a derived table in a JOIN needs an alias: "
+                           "FROM (SELECT ...) t JOIN ...")
         self._in_having = outer_having
         return {"items": items, "table": table, "alias": alias,
                 "joins": joins, "where": where, "group": group,
@@ -1646,7 +1647,8 @@ def _table_of(name: str, tables: list[str]) -> str:
 
 def _join_chain(sf_dir: str, q: dict, need: set,
                 plan: list | None = None,
-                ns2tab: dict[str, str] | None = None) -> rd.Dataset:
+                ns2tab: dict[str, str] | None = None,
+                derived_ds: rd.Dataset | None = None) -> rd.Dataset:
     """Left-deep equi-join chain: FROM t1 JOIN t2 ON .. JOIN t3 ON .. —
     each ON links the new table to any earlier table by integer keys.
     Every step keys on the FROM-clause NAMESPACE (alias or table name);
@@ -1672,8 +1674,12 @@ def _join_chain(sf_dir: str, q: dict, need: set,
 
     t1 = q["table"]
     ns2tab = ns2tab if ns2tab is not None else {}
+    derived_ns = t1 if derived_ds is not None else None
 
     def _file(ns: str) -> str:
+        if ns == derived_ns:
+            raise SqlError(f"{ns} is a derived pipeline, not a parquet "
+                           f"table")  # would be a planner bug
         return f"{sf_dir}/{ns2tab.get(ns, ns)}.parquet"
     joins = q["joins"]
     tables = [t1] + [j["table"] for j in joins]
@@ -1734,7 +1740,17 @@ def _join_chain(sf_dir: str, q: dict, need: set,
             raise SqlError(f"ambiguous output column {emit!r}")
         emit_of[c] = emit
         src_of[emit] = b
-    schemas = {t: pq.read_schema(_file(t)) for t in tables}
+    if derived_ns is not None:
+        # the derived pipeline's output schema stands in for a footer
+        # (schema() runs a cheap limit-1 pass; Ray caches it)
+        dsch = derived_ds.schema()
+        derived_schema = getattr(dsch, "base_schema", None)
+        if derived_schema is None:  # very old Ray: rebuild from pairs
+            derived_schema = pa.schema(list(zip(dsch.names, dsch.types)))
+        schemas = {t: (derived_schema if t == derived_ns
+                       else pq.read_schema(_file(t))) for t in tables}
+    else:
+        schemas = {t: pq.read_schema(_file(t)) for t in tables}
     types = {}
     for emit, tab in out_cols.items():
         base = src_of[emit]
@@ -1755,7 +1771,10 @@ def _join_chain(sf_dir: str, q: dict, need: set,
         return _to_pads(stripped)
 
     plan = plan if plan is not None else []
-    nrows = {t: pq.ParquetFile(_file(t)).metadata.num_rows
+    # a derived base has no footer row count: treat it as always-big so
+    # it is never loaded driver-side for a broadcast
+    nrows = {t: (SQL_BROADCAST_ROWS + 1 if t == derived_ns
+                 else pq.ParquetFile(_file(t)).metadata.num_rows)
              for t in tables}
 
     def _scan(tab: str, key: str) -> rd.Dataset:
@@ -1764,6 +1783,30 @@ def _join_chain(sf_dir: str, q: dict, need: set,
         # stage speaks one schema
         mine = {b for b in order_cols if out_cols[b] == tab} | {key}
         srcs = sorted({src_of[m] for m in mine})
+        ren = {src_of[m]: m for m in mine}
+        if tab == derived_ns:
+            # the base is an in-flight pipeline: project + rename in one
+            # vectorized pass; WHERE conjuncts on this namespace filter
+            # in flight (no parquet scan to push into)
+            preds = filters[tab]
+            node = None
+            for p in preds:
+                stripped = _strip_tree(p)
+                node = (stripped if node is None
+                        else ("and", node, stripped))
+            fnode = node
+
+            def dproject(t: pa.Table) -> pa.Table:
+                if fnode is not None:
+                    t = t.filter(pa.array(_eval_pred(fnode, t)))
+                return pa.table({ren.get(c, c): t[c] for c in srcs})
+
+            dproject.__name__ = f"sql_derived_project_{tab}"
+            plan.append(f"derived base {tab}: in-flight project "
+                        f"columns={srcs}"
+                        + (" filter=[in-flight]" if preds else ""))
+            return derived_ds.map_batches(dproject,
+                                          batch_format="pyarrow")
         read_kw = {"columns": srcs}
         flt = _side_filter(tab)
         if flt is not None:
@@ -1771,7 +1814,6 @@ def _join_chain(sf_dir: str, q: dict, need: set,
         plan.append(f"scan {tab}: columns={read_kw['columns']}"
                     + (" pushdown=[yes]" if "filter" in read_kw else ""))
         ds = rd.read_parquet(_file(tab), **read_kw)
-        ren = {src_of[m]: m for m in mine}
         if any(k != v for k, v in ren.items()):
 
             def rename(t: pa.Table) -> pa.Table:
@@ -2120,12 +2162,17 @@ def _attach_ctes(q: dict, ctes: dict, depth: int = 0) -> dict:
     if q.get("derived") is not None:
         q = dict(q, derived=_attach_ctes(q["derived"], ctes, depth + 1))
     elif q["table"] in ctes:
-        if q["joins"]:
-            raise SqlError("JOIN with a CTE is unsupported (inline the "
-                           "CTE as a table or pre-materialize it)")
+        # as a join BASE the CTE becomes a derived table whose namespace
+        # is its (alias or) name; CTEs in later JOIN positions stay
+        # unsupported (checked below)
         inner = _attach_ctes(ctes[q["table"]], ctes, depth + 1)
         q = dict(q, derived=inner, alias=q.get("alias") or q["table"],
                  table=None)
+    for j in q.get("joins") or []:
+        if j["table"] in ctes:
+            raise SqlError("a CTE in a non-base JOIN position is "
+                           "unsupported (make it the first FROM table "
+                           "or pre-materialize it)")
 
     def walk(node):
         if node is None:
@@ -2293,12 +2340,6 @@ def _namespace(q: dict) -> tuple[dict, dict]:
     Returns (q with table/joins rewritten to namespaces, ns -> real table
     map for file resolution)."""
     ns2tab: dict[str, str] = {}
-    if q.get("derived") is not None:
-        # the derived table's only namespace is its alias (if any);
-        # qualified refs strip to the inner query's output names
-        base_ns = q.get("alias") or "__derived__"
-        q = dict(q, table=base_ns)
-        return _strip_single_ns(q, base_ns), ns2tab
 
     def add(tab: str, alias) -> str:
         ns = alias or tab
@@ -2308,6 +2349,21 @@ def _namespace(q: dict) -> tuple[dict, dict]:
                 f"self-join differently")
         ns2tab[ns] = tab
         return ns
+
+    if q.get("derived") is not None:
+        # the derived table's only namespace is its alias (if any);
+        # qualified refs strip to the inner query's output names
+        base_ns = q.get("alias") or "__derived__"
+        if q.get("joins"):
+            # derived base of a join chain: its namespace owns the
+            # inner pipeline's output columns; joined sides are parquet
+            joins = [dict(j, table=add(j["table"], j.get("alias")))
+                     for j in q["joins"]]
+            if base_ns in ns2tab:
+                raise SqlError(f"duplicate FROM namespace {base_ns!r}")
+            return dict(q, table=base_ns, joins=joins), ns2tab
+        q = dict(q, table=base_ns)
+        return _strip_single_ns(q, base_ns), ns2tab
 
     base_ns = add(q["table"], q.get("alias"))
     joins = [dict(j, table=add(j["table"], j.get("alias")))
@@ -2584,7 +2640,7 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
     if not group and aggs and (plain or renames):
         raise SqlError("mixing bare columns with aggregates needs GROUP BY")
 
-    if q.get("derived") is not None:
+    if q.get("derived") is not None and not q["joins"]:
         inner = _run_parsed(sf_dir, q["derived"], plan)
         plan.append("derived table: outer ops stream over the inner "
                     "pipeline (no extra scan)")
@@ -2632,7 +2688,16 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
                         "COALESCE(col, ..) are fine)")
         need = (set(plain) | set(group) | agg_need
                 | (_pred_cols(q["where"], set()) if q["where"] else set()))
-        joined, emit_of = _join_chain(sf_dir, q, need - set(), plan, ns2tab)
+        derived_ds = None
+        if q.get("derived") is not None:
+            # derived base of the chain: plan the inner pipeline once;
+            # _join_chain treats its namespace as a never-broadcast
+            # stream whose schema comes from the pipeline, not a footer
+            derived_ds = _run_parsed(sf_dir, q["derived"], plan)
+            plan.append(f"join base {q['table']}: derived pipeline "
+                        "(streamed, never broadcast)")
+        joined, emit_of = _join_chain(sf_dir, q, need - set(), plan,
+                                      ns2tab, derived_ds=derived_ds)
         # downstream (aggregates / projection / HAVING / ORDER) sees the
         # joined rows under EMIT names (the bare base name unless two
         # join sides both carry it); projection renames to output names
@@ -3481,3 +3546,12 @@ DEMO_TPCH_Q9 = (
     "WHERE part.p_name LIKE '%a%' "
     "GROUP BY nation.n_name, EXTRACT(year FROM orders.o_orderdate) "
     "ORDER BY n_name ASC, o_year DESC LIMIT 40")
+DEMO_TPCH_Q13 = (
+    # TPC-H Q13 customer-distribution shape (inner-join variant): the
+    # per-customer order-count CTE streams as the join base — an
+    # aggregate pipeline feeding a join feeding another aggregate
+    "WITH oc AS (SELECT o_custkey, count(*) AS c_count FROM orders "
+    "GROUP BY o_custkey) "
+    "SELECT oc.c_count, count(*) AS custdist "
+    "FROM oc JOIN customer ON oc.o_custkey = customer.c_custkey "
+    "GROUP BY oc.c_count ORDER BY custdist DESC, c_count DESC")

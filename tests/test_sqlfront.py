@@ -1194,10 +1194,12 @@ def test_derived_tables_and_grouped_renames(ray_session, tmp_path):
             map(tuple, df[sorted(df.columns)].values.tolist()))
         assert canon(got) == canon(want), (s, got, want)
 
-    with pytest.raises(SqlError, match="JOIN with a derived table"):
+    # derived join bases are supported now, but string join keys stay
+    # loudly out of the integer-key contract
+    with pytest.raises(SqlError, match="integer column"):
         run_sql(str(tmp_path),
                 "SELECT x.k FROM (SELECT k FROM t) x JOIN t "
-                "ON x.k = t.k")
+                "ON x.k = t.k").to_pandas()
     with pytest.raises(SqlError, match="must match GROUP BY"):
         run_sql(str(tmp_path),
                 "SELECT k AS a, k AS b, count(*) AS n FROM t GROUP BY k")
@@ -1542,6 +1544,69 @@ def test_extract_vs_duckdb(ray_session):
                     "EXTRACT(epoch FROM o_orderdate)")
 
 
+def test_derived_table_join_base_vs_duckdb(ray_session):
+    """A derived table (or CTE) as the BASE of a join chain: the inner
+    pipeline streams into the chain (never broadcast, no parquet scan),
+    WHERE conjuncts on its namespace filter in flight, and aggregated
+    inner columns join back to parquet sides — TPC-H Q13/Q18 shapes."""
+    import duckdb
+
+    con = duckdb.connect()
+    for tb in ("orders", "customer", "nation"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    for s in (
+        # plain derived base, inner WHERE pushed into ITS scan
+        "SELECT t.o_custkey, count(*) AS n FROM "
+        "(SELECT o_custkey FROM orders WHERE o_orderkey < 500) t "
+        "JOIN customer ON t.o_custkey = customer.c_custkey "
+        "GROUP BY t.o_custkey ORDER BY n DESC, o_custkey ASC LIMIT 10",
+        # aggregated derived base + outer WHERE on the derived column
+        "SELECT customer.c_name, t.order_cnt FROM "
+        "(SELECT o_custkey, count(*) AS order_cnt FROM orders "
+        "GROUP BY o_custkey) t "
+        "JOIN customer ON t.o_custkey = customer.c_custkey "
+        "WHERE t.order_cnt > 15 "
+        "ORDER BY order_cnt DESC, c_name ASC LIMIT 10",
+        # CTE as join base, float-bridge aggregate inside
+        "WITH big AS (SELECT o_custkey, "
+        "CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) "
+        "AS spent_c FROM orders GROUP BY o_custkey) "
+        "SELECT customer.c_nationkey, count(*) AS n, "
+        "CAST(SUM(big.spent_c) AS BIGINT) AS tot_c "
+        "FROM big JOIN customer ON big.o_custkey = customer.c_custkey "
+        "WHERE big.spent_c > 20000000 GROUP BY customer.c_nationkey",
+        # derived base + LEFT JOIN (null-extended parquet side)
+        "SELECT t.o_custkey, count(*) AS n FROM "
+        "(SELECT o_custkey FROM orders WHERE o_orderkey < 300) t "
+        "LEFT JOIN customer ON t.o_custkey = customer.c_custkey "
+        "GROUP BY t.o_custkey ORDER BY n DESC, o_custkey ASC LIMIT 5",
+        # derived base + two-step chain
+        "SELECT nation.n_name, count(*) AS n FROM "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 50000) t "
+        "JOIN customer ON t.o_custkey = customer.c_custkey "
+        "JOIN nation ON customer.c_nationkey = nation.n_nationkey "
+        "GROUP BY nation.n_name ORDER BY n DESC, n_name ASC LIMIT 5",
+    ):
+        got = run_sql(SF, s).to_pandas()
+        want = con.execute(s).fetch_df()
+        for df in (got, want):
+            df.sort_index(axis=1, inplace=True)
+        g = sorted(map(tuple, got.values.tolist()))
+        w = sorted(map(tuple, want.values.tolist()))
+        assert g == w, (s, got.head(), want.head())
+    # a CTE in a non-base join position stays loudly unsupported
+    with pytest.raises(SqlError):
+        run_sql(SF, "WITH x AS (SELECT c_custkey FROM customer) "
+                    "SELECT count(*) AS n FROM orders "
+                    "JOIN x ON orders.o_custkey = x.c_custkey")
+    # a derived join base needs an alias
+    with pytest.raises(SqlError):
+        run_sql(SF, "SELECT count(*) AS n FROM "
+                    "(SELECT o_custkey FROM orders) "
+                    "JOIN customer ON t.o_custkey = customer.c_custkey")
+
+
 def test_float_bridge_having_avg_ts_group(ray_session):
     """Bridge compositions beyond the demos: HAVING over a bridged SUM
     (TPC-H Q11 shape), AVG over bridged cents (exact sum/count pair +
@@ -1863,10 +1928,17 @@ def test_with_ctes_vs_duckdb(ray_session, tmp_path):
         run_sql(str(tmp_path),
                 "WITH g AS (SELECT k FROM t), g AS (SELECT u FROM t) "
                 "SELECT k FROM g")
-    with pytest.raises(SqlError, match="JOIN with a CTE"):
+    # a CTE as the join BASE runs as a derived stream (new in r4)
+    s = ("WITH g AS (SELECT k, u FROM t) SELECT g.k, count(*) AS n "
+         "FROM g JOIN t ON g.u = t.u GROUP BY g.k")
+    got = run_sql(str(tmp_path), s).to_pandas()
+    want = con.execute(s).fetch_df()
+    assert canon(got) == canon(want), (s, got, want)
+    # ... but a CTE in a NON-base join position stays loud
+    with pytest.raises(SqlError, match="non-base JOIN position"):
         run_sql(str(tmp_path),
-                "WITH g AS (SELECT k, u FROM t) SELECT g.k FROM g "
-                "JOIN t ON g.u = t.u")
+                "WITH g AS (SELECT k, u FROM t) SELECT count(*) AS n "
+                "FROM t JOIN g ON t.u = g.u")
 
 
 def test_shipped_subquery_demos_match_duckdb(ray_session):
