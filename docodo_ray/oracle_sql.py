@@ -2774,7 +2774,7 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_TPCH_Q3, DEMO_TPCH_Q10,
                                      DEMO_TPCH_Q12, DEMO_TPCH_Q14,
                                      DEMO_EXTRACT, DEMO_TPCH_Q9,
-                                     DEMO_TPCH_Q13)
+                                     DEMO_TPCH_Q13, DEMO_TPCH_Q18)
 
     sql["sql_orders_groupby"] = DEMO_GROUPBY
     sql["sql_events_filter"] = DEMO_FILTER
@@ -2823,6 +2823,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_extract_year"] = DEMO_EXTRACT
     sql["sql_tpch_q9"] = DEMO_TPCH_Q9
     sql["sql_tpch_q13"] = DEMO_TPCH_Q13
+    sql["sql_tpch_q18"] = DEMO_TPCH_Q18
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

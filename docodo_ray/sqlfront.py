@@ -302,14 +302,26 @@ class _Parser:
                 if self.peek() != ("kw", "join"):
                     raise SqlError("LEFT without JOIN")
             self.next()
-            t2 = self.expect("ident")
+            dsub2 = None
+            if self.peek() == ("op", "("):
+                # JOIN (SELECT ...) alias ON ...: a derived side — the
+                # inner pipeline streams into the chain's exchange step
+                self.next()
+                dsub2 = self.parse(stop_at_paren=True)
+                self.expect("op", ")")
+                t2 = None
+            else:
+                t2 = self.expect("ident")
             alias2 = self._opt_alias()
+            if dsub2 is not None and alias2 is None:
+                raise SqlError("a derived table in a JOIN needs an "
+                               "alias: JOIN (SELECT ...) x ON ...")
             self.expect("kw", "on")
             lk = self._qual_ident()
             self.expect("op", "=")
             rk = self._qual_ident()
             joins.append({"table": t2, "on": (lk, rk), "kind": kind,
-                          "alias": alias2})
+                          "alias": alias2, "derived": dsub2})
         where = None
         if self.peek() == ("kw", "where"):
             self.next()
@@ -1648,7 +1660,8 @@ def _table_of(name: str, tables: list[str]) -> str:
 def _join_chain(sf_dir: str, q: dict, need: set,
                 plan: list | None = None,
                 ns2tab: dict[str, str] | None = None,
-                derived_ds: rd.Dataset | None = None) -> rd.Dataset:
+                derived_map: dict[str, rd.Dataset] | None = None
+                ) -> rd.Dataset:
     """Left-deep equi-join chain: FROM t1 JOIN t2 ON .. JOIN t3 ON .. —
     each ON links the new table to any earlier table by integer keys.
     Every step keys on the FROM-clause NAMESPACE (alias or table name);
@@ -1674,10 +1687,10 @@ def _join_chain(sf_dir: str, q: dict, need: set,
 
     t1 = q["table"]
     ns2tab = ns2tab if ns2tab is not None else {}
-    derived_ns = t1 if derived_ds is not None else None
+    derived_map = derived_map or {}
 
     def _file(ns: str) -> str:
-        if ns == derived_ns:
+        if ns in derived_map:
             raise SqlError(f"{ns} is a derived pipeline, not a parquet "
                            f"table")  # would be a planner bug
         return f"{sf_dir}/{ns2tab.get(ns, ns)}.parquet"
@@ -1740,17 +1753,17 @@ def _join_chain(sf_dir: str, q: dict, need: set,
             raise SqlError(f"ambiguous output column {emit!r}")
         emit_of[c] = emit
         src_of[emit] = b
-    if derived_ns is not None:
+    def _derived_schema(ds: rd.Dataset) -> pa.Schema:
         # the derived pipeline's output schema stands in for a footer
         # (schema() runs a cheap limit-1 pass; Ray caches it)
-        dsch = derived_ds.schema()
-        derived_schema = getattr(dsch, "base_schema", None)
-        if derived_schema is None:  # very old Ray: rebuild from pairs
-            derived_schema = pa.schema(list(zip(dsch.names, dsch.types)))
-        schemas = {t: (derived_schema if t == derived_ns
-                       else pq.read_schema(_file(t))) for t in tables}
-    else:
-        schemas = {t: pq.read_schema(_file(t)) for t in tables}
+        dsch = ds.schema()
+        sch = getattr(dsch, "base_schema", None)
+        if sch is None:  # very old Ray: rebuild from pairs
+            sch = pa.schema(list(zip(dsch.names, dsch.types)))
+        return sch
+
+    schemas = {t: (_derived_schema(derived_map[t]) if t in derived_map
+                   else pq.read_schema(_file(t))) for t in tables}
     types = {}
     for emit, tab in out_cols.items():
         base = src_of[emit]
@@ -1771,9 +1784,10 @@ def _join_chain(sf_dir: str, q: dict, need: set,
         return _to_pads(stripped)
 
     plan = plan if plan is not None else []
-    # a derived base has no footer row count: treat it as always-big so
-    # it is never loaded driver-side for a broadcast
-    nrows = {t: (SQL_BROADCAST_ROWS + 1 if t == derived_ns
+    # a derived side has no footer row count: treat it as always-big so
+    # it is never loaded driver-side for a broadcast (it joins through
+    # the hash exchange instead)
+    nrows = {t: (SQL_BROADCAST_ROWS + 1 if t in derived_map
                  else pq.ParquetFile(_file(t)).metadata.num_rows)
              for t in tables}
 
@@ -1784,8 +1798,8 @@ def _join_chain(sf_dir: str, q: dict, need: set,
         mine = {b for b in order_cols if out_cols[b] == tab} | {key}
         srcs = sorted({src_of[m] for m in mine})
         ren = {src_of[m]: m for m in mine}
-        if tab == derived_ns:
-            # the base is an in-flight pipeline: project + rename in one
+        if tab in derived_map:
+            # an in-flight pipeline side: project + rename in one
             # vectorized pass; WHERE conjuncts on this namespace filter
             # in flight (no parquet scan to push into)
             preds = filters[tab]
@@ -1802,11 +1816,11 @@ def _join_chain(sf_dir: str, q: dict, need: set,
                 return pa.table({ren.get(c, c): t[c] for c in srcs})
 
             dproject.__name__ = f"sql_derived_project_{tab}"
-            plan.append(f"derived base {tab}: in-flight project "
+            plan.append(f"derived side {tab}: in-flight project "
                         f"columns={srcs}"
                         + (" filter=[in-flight]" if preds else ""))
-            return derived_ds.map_batches(dproject,
-                                          batch_format="pyarrow")
+            return derived_map[tab].map_batches(dproject,
+                                                batch_format="pyarrow")
         read_kw = {"columns": srcs}
         flt = _side_filter(tab)
         if flt is not None:
@@ -2168,11 +2182,20 @@ def _attach_ctes(q: dict, ctes: dict, depth: int = 0) -> dict:
         inner = _attach_ctes(ctes[q["table"]], ctes, depth + 1)
         q = dict(q, derived=inner, alias=q.get("alias") or q["table"],
                  table=None)
+    joins2 = []
     for j in q.get("joins") or []:
-        if j["table"] in ctes:
-            raise SqlError("a CTE in a non-base JOIN position is "
-                           "unsupported (make it the first FROM table "
-                           "or pre-materialize it)")
+        if j.get("derived") is not None:
+            j = dict(j, derived=_attach_ctes(j["derived"], ctes,
+                                             depth + 1))
+        elif j["table"] in ctes:
+            # a CTE joined mid-chain inlines as a derived side (each
+            # reference plans its own pipeline)
+            j = dict(j, derived=_attach_ctes(ctes[j["table"]], ctes,
+                                             depth + 1),
+                     alias=j.get("alias") or j["table"], table=None)
+        joins2.append(j)
+    if joins2:
+        q = dict(q, joins=joins2)
 
     def walk(node):
         if node is None:
@@ -2350,24 +2373,36 @@ def _namespace(q: dict) -> tuple[dict, dict]:
         ns2tab[ns] = tab
         return ns
 
+    derived_join_ns = set()
+
+    def add_join(j: dict) -> dict:
+        if j.get("derived") is not None:
+            # a derived join side's namespace is its (required) alias;
+            # it owns the inner pipeline's output columns, no file
+            ns = j["alias"]
+            if ns in ns2tab or ns in derived_join_ns:
+                raise SqlError(f"duplicate FROM namespace {ns!r}")
+            derived_join_ns.add(ns)
+            return dict(j, table=ns)
+        return dict(j, table=add(j["table"], j.get("alias")))
+
     if q.get("derived") is not None:
         # the derived table's only namespace is its alias (if any);
         # qualified refs strip to the inner query's output names
         base_ns = q.get("alias") or "__derived__"
         if q.get("joins"):
             # derived base of a join chain: its namespace owns the
-            # inner pipeline's output columns; joined sides are parquet
-            joins = [dict(j, table=add(j["table"], j.get("alias")))
-                     for j in q["joins"]]
-            if base_ns in ns2tab:
+            # inner pipeline's output columns; joined sides resolve
+            # their own namespaces (parquet or derived)
+            joins = [add_join(j) for j in q["joins"]]
+            if base_ns in ns2tab or base_ns in derived_join_ns:
                 raise SqlError(f"duplicate FROM namespace {base_ns!r}")
             return dict(q, table=base_ns, joins=joins), ns2tab
         q = dict(q, table=base_ns)
         return _strip_single_ns(q, base_ns), ns2tab
 
     base_ns = add(q["table"], q.get("alias"))
-    joins = [dict(j, table=add(j["table"], j.get("alias")))
-             for j in q.get("joins") or []]
+    joins = [add_join(j) for j in q.get("joins") or []]
     q = dict(q, table=base_ns, joins=joins)
     if joins:
         return q, ns2tab
@@ -2688,16 +2723,23 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
                         "COALESCE(col, ..) are fine)")
         need = (set(plain) | set(group) | agg_need
                 | (_pred_cols(q["where"], set()) if q["where"] else set()))
-        derived_ds = None
+        derived_map: dict[str, rd.Dataset] = {}
         if q.get("derived") is not None:
             # derived base of the chain: plan the inner pipeline once;
             # _join_chain treats its namespace as a never-broadcast
             # stream whose schema comes from the pipeline, not a footer
-            derived_ds = _run_parsed(sf_dir, q["derived"], plan)
+            derived_map[q["table"]] = _run_parsed(sf_dir, q["derived"],
+                                                  plan)
             plan.append(f"join base {q['table']}: derived pipeline "
                         "(streamed, never broadcast)")
+        for j in q["joins"]:
+            if j.get("derived") is not None:
+                derived_map[j["table"]] = _run_parsed(
+                    sf_dir, j["derived"], plan)
+                plan.append(f"join side {j['table']}: derived pipeline "
+                            "(streamed, hash-exchange only)")
         joined, emit_of = _join_chain(sf_dir, q, need - set(), plan,
-                                      ns2tab, derived_ds=derived_ds)
+                                      ns2tab, derived_map=derived_map)
         # downstream (aggregates / projection / HAVING / ORDER) sees the
         # joined rows under EMIT names (the bare base name unless two
         # join sides both carry it); projection renames to output names
@@ -3555,3 +3597,14 @@ DEMO_TPCH_Q13 = (
     "SELECT oc.c_count, count(*) AS custdist "
     "FROM oc JOIN customer ON oc.o_custkey = customer.c_custkey "
     "GROUP BY oc.c_count ORDER BY custdist DESC, c_count DESC")
+DEMO_TPCH_Q18 = (
+    # TPC-H Q18 large-volume customers: the HAVING-filtered per-order
+    # quantity CTE streams as the join base through orders and customer
+    "WITH bigo AS (SELECT l_orderkey, "
+    "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty "
+    "FROM lineitem GROUP BY l_orderkey "
+    "HAVING SUM(CAST(l_quantity AS BIGINT)) > 150) "
+    "SELECT customer.c_name, orders.o_orderkey, bigo.qty "
+    "FROM bigo JOIN orders ON bigo.l_orderkey = orders.o_orderkey "
+    "JOIN customer ON orders.o_custkey = customer.c_custkey "
+    "ORDER BY qty DESC, o_orderkey ASC LIMIT 20")

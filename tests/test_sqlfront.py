@@ -1595,16 +1595,67 @@ def test_derived_table_join_base_vs_duckdb(ray_session):
         g = sorted(map(tuple, got.values.tolist()))
         w = sorted(map(tuple, want.values.tolist()))
         assert g == w, (s, got.head(), want.head())
-    # a CTE in a non-base join position stays loudly unsupported
-    with pytest.raises(SqlError):
-        run_sql(SF, "WITH x AS (SELECT c_custkey FROM customer) "
-                    "SELECT count(*) AS n FROM orders "
-                    "JOIN x ON orders.o_custkey = x.c_custkey")
     # a derived join base needs an alias
     with pytest.raises(SqlError):
         run_sql(SF, "SELECT count(*) AS n FROM "
                     "(SELECT o_custkey FROM orders) "
                     "JOIN customer ON t.o_custkey = customer.c_custkey")
+
+
+def test_derived_table_join_side_vs_duckdb(ray_session):
+    """Derived tables / CTEs in NON-base join positions: the inner
+    pipeline streams into the chain's hash-exchange step (never
+    broadcast) — including two independent aggregate pipelines joined
+    together and a LEFT JOIN whose nullable side is derived."""
+    import duckdb
+
+    con = duckdb.connect()
+    for tb in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    for s in (
+        # parquet base JOIN derived aggregate side
+        "SELECT customer.c_name, t.order_cnt FROM customer "
+        "JOIN (SELECT o_custkey, count(*) AS order_cnt FROM orders "
+        "GROUP BY o_custkey) t ON customer.c_custkey = t.o_custkey "
+        "WHERE t.order_cnt > 15 "
+        "ORDER BY order_cnt DESC, c_name ASC LIMIT 10",
+        # CTE mid-chain
+        "WITH oc AS (SELECT o_custkey, count(*) AS n_ord FROM orders "
+        "GROUP BY o_custkey) "
+        "SELECT customer.c_nationkey, count(*) AS n, "
+        "CAST(SUM(oc.n_ord) AS BIGINT) AS tot "
+        "FROM customer JOIN oc ON customer.c_custkey = oc.o_custkey "
+        "GROUP BY customer.c_nationkey",
+        # two independent aggregate pipelines joined to each other
+        "SELECT a.o_custkey, a.n_ord, b.spent_c FROM "
+        "(SELECT o_custkey, count(*) AS n_ord FROM orders "
+        "GROUP BY o_custkey) a "
+        "JOIN (SELECT o_custkey AS ck, "
+        "CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) "
+        "AS spent_c FROM orders GROUP BY o_custkey) b "
+        "ON a.o_custkey = b.ck WHERE a.n_ord > 18 "
+        "ORDER BY spent_c DESC, o_custkey ASC LIMIT 10",
+        # LEFT JOIN onto a derived (nullable) side
+        "SELECT customer.c_custkey, count(*) AS n FROM customer "
+        "LEFT JOIN (SELECT o_custkey FROM orders "
+        "WHERE o_totalprice > 100000) t "
+        "ON customer.c_custkey = t.o_custkey "
+        "GROUP BY customer.c_custkey ORDER BY n DESC, c_custkey ASC "
+        "LIMIT 8",
+    ):
+        got = run_sql(SF, s).to_pandas()
+        want = con.execute(s).fetch_df()
+        for df in (got, want):
+            df.sort_index(axis=1, inplace=True)
+        g = sorted(map(tuple, got.values.tolist()))
+        w = sorted(map(tuple, want.values.tolist()))
+        assert g == w, (s, got.head(), want.head())
+    # a derived join side needs an alias too
+    with pytest.raises(SqlError):
+        run_sql(SF, "SELECT count(*) AS n FROM customer "
+                    "JOIN (SELECT o_custkey FROM orders) "
+                    "ON customer.c_custkey = t.o_custkey")
 
 
 def test_float_bridge_having_avg_ts_group(ray_session):
@@ -1934,11 +1985,12 @@ def test_with_ctes_vs_duckdb(ray_session, tmp_path):
     got = run_sql(str(tmp_path), s).to_pandas()
     want = con.execute(s).fetch_df()
     assert canon(got) == canon(want), (s, got, want)
-    # ... but a CTE in a NON-base join position stays loud
-    with pytest.raises(SqlError, match="non-base JOIN position"):
-        run_sql(str(tmp_path),
-                "WITH g AS (SELECT k, u FROM t) SELECT count(*) AS n "
-                "FROM t JOIN g ON t.u = g.u")
+    # ... and mid-chain too: the CTE inlines as a derived join side
+    s = ("WITH g AS (SELECT k, u FROM t) SELECT count(*) AS n "
+         "FROM t JOIN g ON t.u = g.u")
+    got = run_sql(str(tmp_path), s).to_pandas()
+    want = con.execute(s).fetch_df()
+    assert canon(got) == canon(want), (s, got, want)
 
 
 def test_shipped_subquery_demos_match_duckdb(ray_session):
