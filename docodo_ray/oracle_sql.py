@@ -2774,7 +2774,8 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_TPCH_Q3, DEMO_TPCH_Q10,
                                      DEMO_TPCH_Q12, DEMO_TPCH_Q14,
                                      DEMO_EXTRACT, DEMO_TPCH_Q9,
-                                     DEMO_TPCH_Q13, DEMO_TPCH_Q18)
+                                     DEMO_TPCH_Q13, DEMO_TPCH_Q18,
+                                     DEMO_TPCH_Q4, DEMO_TPCH_Q15)
 
     sql["sql_orders_groupby"] = DEMO_GROUPBY
     sql["sql_events_filter"] = DEMO_FILTER
@@ -2824,6 +2825,8 @@ FROM {PROFILE_TABLE}"""
     sql["sql_tpch_q9"] = DEMO_TPCH_Q9
     sql["sql_tpch_q13"] = DEMO_TPCH_Q13
     sql["sql_tpch_q18"] = DEMO_TPCH_Q18
+    sql["sql_tpch_q4"] = DEMO_TPCH_Q4
+    sql["sql_tpch_q15"] = DEMO_TPCH_Q15
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

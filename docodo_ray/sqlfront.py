@@ -2093,10 +2093,28 @@ def _resolve_subqueries(sf_dir: str, node, plan: list,
         sub_ns = {sub.get("alias") or sub["table"]}
         for j in sub.get("joins") or []:
             sub_ns.add(j.get("alias") or j["table"])
+        # SQL scoping for BARE refs (TPC-H writes `l_orderkey =
+        # o_orderkey`): a bare name not present in any inner table's
+        # schema resolves to the outer query. Unknown inner schemas
+        # (derived sides) keep the conservative qualified-only rule.
+        inner_cols: set | None = set()
+        try:
+            import pyarrow.parquet as _pq2
+            for tb in ([sub["table"]]
+                       + [j["table"] for j in sub.get("joins") or []]):
+                if tb is None or sub.get("derived") is not None:
+                    raise LookupError
+                inner_cols |= set(_pq2.read_schema(
+                    f"{sf_dir}/{tb}.parquet").names)
+        except (LookupError, OSError):
+            inner_cols = None
 
         def _is_outer(ref) -> bool:
-            return (isinstance(ref, str) and "." in ref
-                    and ref.split(".", 1)[0] not in sub_ns)
+            if not isinstance(ref, str):
+                return False
+            if "." in ref:
+                return ref.split(".", 1)[0] not in sub_ns
+            return inner_cols is not None and ref not in inner_cols
 
         conjs = _flatten_and(sub["where"], []) if sub["where"] else []
         corr = [(i, c) for i, c in enumerate(conjs)
@@ -2125,10 +2143,14 @@ def _resolve_subqueries(sf_dir: str, node, plan: list,
         if outer is None or outer.get("joins"):
             raise SqlError("correlated EXISTS needs a single-table "
                            "outer query")
-        ons, ocol = outer_ref.split(".", 1)
-        if ons != outer["table"]:
-            raise SqlError(f"unknown outer table {ons!r} in the EXISTS "
-                           f"correlation (outer is {outer['table']!r})")
+        if "." in outer_ref:
+            ons, ocol = outer_ref.split(".", 1)
+            if ons != outer["table"]:
+                raise SqlError(
+                    f"unknown outer table {ons!r} in the EXISTS "
+                    f"correlation (outer is {outer['table']!r})")
+        else:
+            ocol = outer_ref  # bare outer ref (schema-resolved)
         rest = None
         for j2, x in enumerate(conjs):
             if j2 != ci:
@@ -3608,3 +3630,23 @@ DEMO_TPCH_Q18 = (
     "FROM bigo JOIN orders ON bigo.l_orderkey = orders.o_orderkey "
     "JOIN customer ON orders.o_custkey = customer.c_custkey "
     "ORDER BY qty DESC, o_orderkey ASC LIMIT 20")
+DEMO_TPCH_Q4 = (
+    # TPC-H Q4 order-priority checking: correlated EXISTS with a BARE
+    # outer ref (schema-resolved scoping), date-windowed scan pushdown
+    "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00' "
+    "AND EXISTS (SELECT l_orderkey FROM lineitem "
+    "WHERE l_orderkey = o_orderkey AND l_quantity > 45) "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority ASC")
+DEMO_TPCH_Q15 = (
+    # TPC-H Q15 top supplier: the revenue CTE is referenced twice —
+    # once as the FROM pipeline and once inside the scalar subquery
+    # that pins the maximum
+    "WITH revenue AS (SELECT l_suppkey, "
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * 100 "
+    "AS BIGINT)) AS BIGINT) AS total_c "
+    "FROM lineitem GROUP BY l_suppkey) "
+    "SELECT l_suppkey, total_c FROM revenue "
+    "WHERE total_c = (SELECT max(total_c) AS m FROM revenue) "
+    "ORDER BY l_suppkey ASC")
