@@ -2775,7 +2775,8 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_TPCH_Q12, DEMO_TPCH_Q14,
                                      DEMO_EXTRACT, DEMO_TPCH_Q9,
                                      DEMO_TPCH_Q13, DEMO_TPCH_Q18,
-                                     DEMO_TPCH_Q4, DEMO_TPCH_Q15)
+                                     DEMO_TPCH_Q4, DEMO_TPCH_Q15,
+                                     DEMO_TPCH_Q17)
 
     sql["sql_orders_groupby"] = DEMO_GROUPBY
     sql["sql_events_filter"] = DEMO_FILTER
@@ -2827,6 +2828,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_tpch_q18"] = DEMO_TPCH_Q18
     sql["sql_tpch_q4"] = DEMO_TPCH_Q4
     sql["sql_tpch_q15"] = DEMO_TPCH_Q15
+    sql["sql_tpch_q17"] = DEMO_TPCH_Q17
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

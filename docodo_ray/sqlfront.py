@@ -1235,11 +1235,19 @@ def _eval_pred(node, t: pa.Table) -> np.ndarray:
         # Object (string) arrays hold None for NULLs; Python ordering
         # comparisons on None raise and `!=` would wrongly keep the row,
         # so compare only the non-NULL slots and leave NULLs False.
+        # Numeric NULLs surface as NaN after to_numpy (LEFT-JOIN
+        # null-extended sides in post-join WHERE): same rule — NaN
+        # compares would keep rows under `!=`.
         if v.dtype == object:
             mask = np.array([x is not None for x in v], bool)
             out = np.zeros(len(v), bool)
             if mask.any():
                 out[mask] = ops[op](v[mask], lit)
+            return out
+        if v.dtype.kind == "f" and np.isnan(v).any():
+            mask = ~np.isnan(v)
+            out = np.zeros(len(v), bool)
+            out[mask] = ops[op](v[mask], lit)
             return out
         return ops[op](v, lit)
 
@@ -1716,23 +1724,19 @@ def _join_chain(sf_dir: str, q: dict, need: set,
         steps.append({"table": tn, "ak": lk, "nk": rk, "kind": j["kind"]})
         seen.append(tn)
 
-    # split WHERE into per-table scan filters
+    # split WHERE: single-table conjuncts push into that table's scan;
+    # cross-table conjuncts (and conjuncts on a LEFT JOIN's nullable
+    # side, where pushing into the scan would be ON-clause semantics)
+    # filter IN FLIGHT after the join, exactly SQL's filter-after-join
     filters: dict[str, list] = {t: [] for t in tables}
+    post_join: list = []
     if q["where"] is not None:
         for conj in _flatten_and(q["where"], []):
             tabs = {_table_of(c, tables) for c in _pred_cols(conj, set())}
-            if len(tabs) != 1:
-                raise SqlError(
-                    "JOIN WHERE conjuncts must each reference one table")
-            tab = tabs.pop()
-            if tab in nullable:
-                # pushing a nullable-side WHERE into the scan would be
-                # ON-clause semantics; SQL WHERE filters AFTER the join
-                # and kills the NULL rows — refuse rather than diverge
-                raise SqlError(
-                    "WHERE on the right side of a LEFT JOIN is "
-                    "unsupported (it differs from pushing into the scan)")
-            filters[tab].append(conj)
+            if len(tabs) != 1 or tabs & nullable:
+                post_join.append(conj)
+            else:
+                filters[tabs.pop()].append(conj)
 
     key_cols = {c for s in steps for c in (s["ak"], s["nk"])}
     qual = set(need) | key_cols
@@ -2009,6 +2013,19 @@ def _join_chain(sf_dir: str, q: dict, need: set,
                              set(acc_tabs), ak_b, tn, _scan(tn, nk_b), nk_b,
                              kind, emit)
         acc_tabs.append(tn)
+    if post_join:
+        node = post_join[0]
+        for p in post_join[1:]:
+            node = ("and", node, p)
+        pnode = _pred_map(node, emit_of.__getitem__)
+
+        def pj_filter(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(_eval_pred(pnode, t)))
+
+        pj_filter.__name__ = "sql_post_join_where"
+        plan.append(f"post-join where: {len(post_join)} cross-table/"
+                    f"nullable-side conjunct(s) filtered in flight")
+        acc = acc.map_batches(pj_filter, batch_format="pyarrow")
     return acc, emit_of
 
 
@@ -3297,10 +3314,40 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
         "partials + "
         + ("2 exchanges (distinct-carrier dedup, group merge)"
            if cd_cols else "1 exchange (group fold)"))
+    in_ds = ds
     ds = ds.map_batches(partial, batch_format="pyarrow")
     if cd_cols:
         ds = ds.groupby("_gk").map_groups(fold1, batch_format="pyarrow")
     ds = ds.groupby("_gk").map_groups(fold, batch_format="pyarrow")
+    if not group:
+        # SQL: a GLOBAL aggregate over ZERO rows still yields one row
+        # (COUNT 0, SUM/MIN/MAX/AVG NULL). An empty input produces no
+        # partials, so the fold stream is empty — materialize it (it is
+        # at most one row, metadata scale even at full scale) and
+        # synthesize the identity row if nothing came through.
+        ds = ds.materialize()
+        if ds.count() == 0:
+            str_mm = set()
+            if any(isinstance(a[2], str) for a in min_cols + max_cols):
+                isch = in_ds.schema()
+                base = getattr(isch, "base_schema", None)
+                for a in min_cols + max_cols:
+                    if isinstance(a[2], str) and base is not None and \
+                            pa.types.is_string(base.field(a[2]).type):
+                        str_mm.add(a[3])
+            cols = {}
+            for _, fn, _arg, name in aggs:
+                if fn in ("count", "countn", "countd"):
+                    cols[name] = pa.array([0], pa.int64())
+                elif name in str_mm:
+                    cols[name] = pa.nulls(1, pa.string())
+                elif fn == "avg":
+                    cols[name] = pa.nulls(1, pa.float64())
+                else:  # sum / min / max / avgb
+                    cols[name] = pa.nulls(1, pa.int64())
+            ds = rd.from_arrow(pa.table(cols))
+            plan.append("global aggregate over zero rows: SQL identity "
+                        "row (COUNT 0, value aggregates NULL)")
     ds = _rename_keys(ds, q)
     if q["having"] is not None:
         having = q["having"]
@@ -3650,3 +3697,14 @@ DEMO_TPCH_Q15 = (
     "SELECT l_suppkey, total_c FROM revenue "
     "WHERE total_c = (SELECT max(total_c) AS m FROM revenue) "
     "ORDER BY l_suppkey ASC")
+DEMO_TPCH_Q17 = (
+    # TPC-H Q17 small-quantity-order revenue: the per-part average
+    # quantity joins back to lineitem and the 20%-of-average threshold
+    # is a CROSS-TABLE comparison filtered after the join
+    "WITH pa AS (SELECT l_partkey, "
+    "CAST(AVG(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) "
+    "AS avg_qty_c FROM lineitem GROUP BY l_partkey) "
+    "SELECT CAST(SUM(CAST(lineitem.l_extendedprice * 100 AS BIGINT)) "
+    "AS BIGINT) AS total_c, count(*) AS n "
+    "FROM lineitem JOIN pa ON lineitem.l_partkey = pa.l_partkey "
+    "WHERE CAST(lineitem.l_quantity * 500 AS BIGINT) < pa.avg_qty_c")

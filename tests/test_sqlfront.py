@@ -1658,6 +1658,65 @@ def test_derived_table_join_side_vs_duckdb(ray_session):
                     "ON customer.c_custkey = t.o_custkey")
 
 
+def test_cross_table_where_and_empty_global_vs_duckdb(ray_session):
+    """Cross-table / nullable-side WHERE conjuncts filter in flight
+    after the join (incl. OR across tables and LEFT JOIN ... IS NULL
+    anti-joins), and a GLOBAL aggregate over zero rows yields SQL's
+    identity row (COUNT 0, value aggregates NULL) on every path."""
+    import duckdb
+
+    con = duckdb.connect()
+    for tb in ("lineitem", "orders", "customer", "part"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+
+    def canon(df):
+        df = df[sorted(df.columns)].astype(object)
+        df = df.where(pd.notna(df), None)
+        return sorted(map(tuple, df.values.tolist()), key=repr)
+
+    for s in (
+        # cross-table arithmetic comparison
+        "SELECT count(*) AS n FROM lineitem "
+        "JOIN orders ON lineitem.l_orderkey = orders.o_orderkey "
+        "WHERE CAST(lineitem.l_extendedprice * 100 AS BIGINT) > "
+        "CAST(orders.o_totalprice * 20 AS BIGINT)",
+        # OR across tables (TPC-H Q19 flavor)
+        "SELECT count(*) AS n FROM lineitem "
+        "JOIN part ON lineitem.l_partkey = part.p_partkey "
+        "WHERE (part.p_brand = 'Brand#12' AND lineitem.l_quantity < 10)"
+        " OR (part.p_brand = 'Brand#23' AND lineitem.l_quantity >= 10)",
+        # LEFT JOIN + IS NULL anti-join over a derived side
+        "SELECT count(*) AS n FROM customer "
+        "LEFT JOIN (SELECT o_custkey FROM orders "
+        "WHERE o_totalprice > 150000) t "
+        "ON customer.c_custkey = t.o_custkey WHERE t.o_custkey IS NULL",
+        # WHERE on the nullable side filters after the join (was
+        # refused before r4)
+        "SELECT count(*) AS n FROM customer "
+        "LEFT JOIN orders ON customer.c_custkey = orders.o_custkey "
+        "WHERE orders.o_totalprice > 100000",
+        # empty global aggregates: identity row with typed NULLs
+        "SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS s, "
+        "min(o_custkey) AS lo, max(o_custkey) AS hi FROM orders "
+        "WHERE o_orderkey < 0",
+        "SELECT count(*) AS n, min(o_orderpriority) AS lo FROM orders "
+        "WHERE o_orderkey < 0",
+        "SELECT AVG(o_custkey) AS a, count(*) AS n FROM orders "
+        "WHERE o_orderkey < 0",
+        "SELECT CAST(AVG(o_custkey) AS BIGINT) AS ab, count(*) AS n "
+        "FROM orders WHERE o_orderkey < 0",
+        "SELECT count(DISTINCT o_custkey) AS cd FROM orders "
+        "WHERE o_orderkey < 0",
+        "SELECT count(*) AS n FROM customer "
+        "JOIN orders ON customer.c_custkey = orders.o_custkey "
+        "WHERE customer.c_custkey < 0",
+    ):
+        got = run_sql(SF, s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), (s, got, want)
+
+
 def test_float_bridge_having_avg_ts_group(ray_session):
     """Bridge compositions beyond the demos: HAVING over a bridged SUM
     (TPC-H Q11 shape), AVG over bridged cents (exact sum/count pair +
@@ -1699,7 +1758,7 @@ def test_shipped_tpch_demos(ray_session):
                                      DEMO_TPCH_Q9, DEMO_TPCH_Q10,
                                      DEMO_TPCH_Q12, DEMO_TPCH_Q13,
                                      DEMO_TPCH_Q14, DEMO_TPCH_Q15,
-                                     DEMO_TPCH_Q18)
+                                     DEMO_TPCH_Q17, DEMO_TPCH_Q18)
 
     con = duckdb.connect()
     for tb in ("lineitem", "orders", "customer", "part",
@@ -1709,7 +1768,7 @@ def test_shipped_tpch_demos(ray_session):
     for s in (DEMO_TPCH_Q1, DEMO_TPCH_Q3, DEMO_TPCH_Q4, DEMO_TPCH_Q6,
               DEMO_TPCH_Q9, DEMO_TPCH_Q10, DEMO_TPCH_Q12,
               DEMO_TPCH_Q13, DEMO_TPCH_Q14, DEMO_TPCH_Q15,
-              DEMO_TPCH_Q18):
+              DEMO_TPCH_Q17, DEMO_TPCH_Q18):
         got = run_sql(SF, s).to_pandas()
         want = con.execute(s).fetch_df()
         for df in (got, want):
