@@ -1665,6 +1665,72 @@ def _table_of(name: str, tables: list[str]) -> str:
     return tab
 
 
+def _planned_schema(sf_dir: str, sq: dict) -> pa.Schema:
+    """Plan-level output schema of a parsed subquery — the fallback for
+    derived join sides whose pipeline produced ZERO rows (Ray's
+    schema() is None then, but the join still needs types to
+    null-extend / lift). Covers the supported item kinds; loud
+    otherwise."""
+    import pyarrow.parquet as pq
+    sq = _expand_sugar(sf_dir, sq)
+    tabs: dict[str, object] = {}  # ns -> parquet table name | subq dict
+    if sq.get("derived") is not None:
+        tabs[sq.get("alias") or "__derived__"] = sq["derived"]
+    elif sq.get("table"):
+        tabs[sq.get("alias") or sq["table"]] = sq["table"]
+    for j in sq.get("joins") or []:
+        ns = j.get("alias") or j.get("table")
+        tabs[ns] = (j["derived"] if j.get("derived") is not None
+                    else j["table"])
+    scm: dict[str, pa.Schema] = {}
+
+    def _ns_schema(ns) -> pa.Schema:
+        if ns not in scm:
+            src = tabs[ns]
+            scm[ns] = (_planned_schema(sf_dir, src) if isinstance(src,
+                                                                  dict)
+                       else pq.read_schema(f"{sf_dir}/{src}.parquet"))
+        return scm[ns]
+
+    def coltype(c: str) -> pa.DataType:
+        if "." in c:
+            ns, base = c.split(".", 1)
+            if ns not in tabs:
+                raise SqlError(f"cannot infer type of {c!r}")
+            return _ns_schema(ns).field(base).type
+        for ns in tabs:
+            sch = _ns_schema(ns)
+            if c in sch.names:
+                return sch.field(c).type
+        raise SqlError(f"cannot infer type of {c!r}")
+
+    fields = []
+    for i in sq["items"]:
+        if i[0] == "col":
+            fields.append(pa.field(_strip(i[1]), coltype(i[1])))
+        elif i[0] == "colas":
+            fields.append(pa.field(i[2], coltype(i[1])))
+        elif i[0] == "agg":
+            fields.append(pa.field(
+                i[3], pa.float64() if i[1] == "avg" else pa.int64()))
+        elif i[0] == "exprcol":
+            fields.append(pa.field(i[2], pa.int64()))
+        elif i[0] == "sfn":
+            fields.append(pa.field(
+                i[3], pa.int64() if i[1] == "length" else pa.string()))
+        elif i[0] == "win":
+            if i[1] in ("lag", "lead"):
+                fields.append(pa.field(i[4], coltype(i[5][0])))
+            elif i[1] in ("first_value", "last_value"):
+                fields.append(pa.field(i[4], coltype(i[5])))
+            else:
+                fields.append(pa.field(i[4], pa.int64()))
+        else:
+            raise SqlError("cannot infer the schema of this derived "
+                           "subquery (empty result, unsupported item)")
+    return pa.schema(fields)
+
+
 def _join_chain(sf_dir: str, q: dict, need: set,
                 plan: list | None = None,
                 ns2tab: dict[str, str] | None = None,
@@ -1757,13 +1823,19 @@ def _join_chain(sf_dir: str, q: dict, need: set,
             raise SqlError(f"ambiguous output column {emit!r}")
         emit_of[c] = emit
         src_of[emit] = b
-    def _derived_schema(ds: rd.Dataset) -> pa.Schema:
+    def _derived_schema(entry) -> pa.Schema:
         # the derived pipeline's output schema stands in for a footer
-        # (schema() runs a cheap limit-1 pass; Ray caches it)
+        # (schema() runs a cheap limit-1 pass; Ray caches it). A ZERO-
+        # row pipeline has no runtime schema — fall back to plan-level
+        # inference from the parsed subquery.
+        ds, subq = entry
         dsch = ds.schema()
-        sch = getattr(dsch, "base_schema", None)
-        if sch is None:  # very old Ray: rebuild from pairs
+        sch = (getattr(dsch, "base_schema", None)
+               if dsch is not None else None)
+        if sch is None and dsch is not None and hasattr(dsch, "names"):
             sch = pa.schema(list(zip(dsch.names, dsch.types)))
+        if sch is None:
+            sch = _planned_schema(sf_dir, subq)
         return sch
 
     schemas = {t: (_derived_schema(derived_map[t]) if t in derived_map
@@ -1823,8 +1895,8 @@ def _join_chain(sf_dir: str, q: dict, need: set,
             plan.append(f"derived side {tab}: in-flight project "
                         f"columns={srcs}"
                         + (" filter=[in-flight]" if preds else ""))
-            return derived_map[tab].map_batches(dproject,
-                                                batch_format="pyarrow")
+            return derived_map[tab][0].map_batches(
+                dproject, batch_format="pyarrow")
         read_kw = {"columns": srcs}
         flt = _side_filter(tab)
         if flt is not None:
@@ -2762,19 +2834,20 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
                         "COALESCE(col, ..) are fine)")
         need = (set(plain) | set(group) | agg_need
                 | (_pred_cols(q["where"], set()) if q["where"] else set()))
-        derived_map: dict[str, rd.Dataset] = {}
+        derived_map: dict[str, tuple] = {}
         if q.get("derived") is not None:
             # derived base of the chain: plan the inner pipeline once;
             # _join_chain treats its namespace as a never-broadcast
             # stream whose schema comes from the pipeline, not a footer
-            derived_map[q["table"]] = _run_parsed(sf_dir, q["derived"],
-                                                  plan)
+            derived_map[q["table"]] = (
+                _run_parsed(sf_dir, q["derived"], plan), q["derived"])
             plan.append(f"join base {q['table']}: derived pipeline "
                         "(streamed, never broadcast)")
         for j in q["joins"]:
             if j.get("derived") is not None:
-                derived_map[j["table"]] = _run_parsed(
-                    sf_dir, j["derived"], plan)
+                derived_map[j["table"]] = (
+                    _run_parsed(sf_dir, j["derived"], plan),
+                    j["derived"])
                 plan.append(f"join side {j['table']}: derived pipeline "
                             "(streamed, hash-exchange only)")
         joined, emit_of = _join_chain(sf_dir, q, need - set(), plan,

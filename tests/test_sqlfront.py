@@ -118,10 +118,11 @@ def test_join_rejects_cross_table_conjunct_and_ambiguity(ray_session,
     pq.write_table(pa.table({"k": pa.array([1], pa.int64()),
                              "v": pa.array([2], pa.int64())}),
                    str(tmp_path / "r.parquet"))
-    with pytest.raises(SqlError, match="one table"):
-        run_sql(str(tmp_path),
-                "SELECT l.v FROM l JOIN r ON l.k = r.k "
-                "WHERE l.v = 1 OR r.v = 2").count()
+    # cross-table OR conjuncts filter in flight after the join (r4)
+    out = run_sql(str(tmp_path),
+                  "SELECT l.v FROM l JOIN r ON l.k = r.k "
+                  "WHERE l.v = 1 OR r.v = 2").to_pandas()
+    assert out["v"].tolist() == [1]
     with pytest.raises(SqlError, match="duplicate output column"):
         run_sql(str(tmp_path),
                 "SELECT l.v, r.v FROM l JOIN r ON l.k = r.k").count()
@@ -279,8 +280,11 @@ def test_left_join_both_paths(ray_session, tmp_path, monkeypatch):
         got = sorted((int(r.lv), None if pd.isna(r.rv) else int(r.rv))
                      for r in out.itertuples())
         assert got == [(10, 7), (10, 8), (20, None), (30, None)]
-    with pytest.raises(SqlError, match="right side of a LEFT JOIN"):
-        run_sql(str(tmp_path), stmt + " WHERE r.rv = 7").count()
+    # WHERE on the nullable right side filters AFTER the join (SQL
+    # semantics; supported since r4 — kills the null-extended rows)
+    out = run_sql(str(tmp_path), stmt + " WHERE r.rv = 7").to_pandas()
+    assert sorted((int(r.lv), int(r.rv)) for r in out.itertuples()) == \
+        [(10, 7)]
     with pytest.raises(SqlError, match="nullable right-side"):
         run_sql(str(tmp_path),
                 "SELECT l.k, sum(r.rv) AS s FROM l LEFT JOIN r "
@@ -498,11 +502,13 @@ def test_join_chain_errors(ray_session, tmp_path):
         run_sql(str(tmp_path),
                 "SELECT a.av FROM a LEFT JOIN b ON a.bk = b.bk "
                 "JOIN c ON b.bk = c.ak").count()
-    # WHERE on any nullable table is rejected, chain-wide
-    with pytest.raises(SqlError, match="LEFT JOIN"):
-        run_sql(str(tmp_path),
-                "SELECT a.av FROM a JOIN c ON a.ak = c.ak "
-                "LEFT JOIN b ON a.bk = b.bk WHERE b.bv = 4").count()
+    # WHERE on a nullable table filters after the join (r4): here the
+    # single b-row matches, so the row survives
+    out = run_sql(str(tmp_path),
+                  "SELECT a.av FROM a JOIN c ON a.ak = c.ak "
+                  "LEFT JOIN b ON a.bk = b.bk "
+                  "WHERE b.bv = 4").to_pandas()
+    assert out["av"].tolist() == [3]
 
 
 def test_group_by_nullable_join_column(ray_session, tmp_path):
@@ -1656,6 +1662,85 @@ def test_derived_table_join_side_vs_duckdb(ray_session):
         run_sql(SF, "SELECT count(*) AS n FROM customer "
                     "JOIN (SELECT o_custkey FROM orders) "
                     "ON customer.c_custkey = t.o_custkey")
+
+
+def test_differential_derived_join_vs_duckdb(ray_session, tmp_path):
+    """Differential property test over the derived-join construct
+    space: a random inner pipeline (filter or aggregate) joined to a
+    dim table — in base or side position, INNER or LEFT — with random
+    single- and cross-table WHERE conjuncts, must agree with DuckDB."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    idx = [0]
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        facts=st.lists(st.tuples(st.integers(0, 5), st.integers(-3, 9)),
+                       min_size=0, max_size=14),
+        dims=st.lists(st.integers(0, 5), min_size=1, max_size=6,
+                      unique=True),
+        inner_kind=st.sampled_from(["filter", "agg"]),
+        pos=st.sampled_from(["base", "side"]),
+        kind=st.sampled_from(["JOIN", "LEFT JOIN"]),
+        thresh=st.integers(-2, 8),
+        cross=st.booleans(),
+    )
+    def run(facts, dims, inner_kind, pos, kind, thresh, cross):
+        idx[0] += 1
+        d = tmp_path / f"dj{idx[0]}"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"fk": pa.array([f[0] for f in facts], pa.int64()),
+                      "v": pa.array([f[1] for f in facts], pa.int64())}),
+            str(d / "fact.parquet"), row_group_size=3)
+        pq.write_table(
+            pa.table({"id": pa.array(dims, pa.int64()),
+                      "w": pa.array([x * 10 for x in dims], pa.int64())}),
+            str(d / "dim.parquet"), row_group_size=2)
+        if inner_kind == "filter":
+            inner = f"SELECT fk, v FROM fact WHERE v >= {thresh}"
+            icol, agg_out = "v", None
+        else:
+            inner = (f"SELECT fk, count(*) AS cnt, "
+                     f"CAST(sum(v) AS BIGINT) AS sv FROM fact "
+                     f"GROUP BY fk")
+            icol, agg_out = "cnt", "sv"
+        if kind == "LEFT JOIN" and pos == "base":
+            # LEFT base with parquet right side: nullable dim columns
+            sel = "t.fk, count(*) AS n"
+            grp = "t.fk"
+        else:
+            sel = "dim.w, count(*) AS n"
+            grp = "dim.w"
+        where = ""
+        if cross and inner_kind == "agg" and kind == "JOIN":
+            where = f" WHERE t.{icol} * 10 <= dim.w + 20"
+        if pos == "base":
+            s = (f"SELECT {sel} FROM ({inner}) t "
+                 f"{kind} dim ON t.fk = dim.id{where} GROUP BY {grp}")
+        else:
+            if kind == "LEFT JOIN":
+                sel, grp = "dim.w, count(*) AS n", "dim.w"
+            s = (f"SELECT {sel} FROM dim "
+                 f"{kind} ({inner}) t ON dim.id = t.fk{where} "
+                 f"GROUP BY {grp}")
+        con = duckdb.connect()
+        for tb in ("fact", "dim"):
+            con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                        f"read_parquet('{d}/{tb}.parquet')")
+        want = con.execute(s).fetch_df()
+        got = run_sql(str(d), s).to_pandas()
+        for df in (got, want):
+            df.sort_index(axis=1, inplace=True)
+        g = sorted(map(lambda r: tuple(map(int, r)),
+                       got.values.tolist()))
+        w = sorted(map(lambda r: tuple(map(int, r)),
+                       want.values.tolist()))
+        assert g == w, (s, facts, dims, got, want)
+
+    run()
 
 
 def test_cross_table_where_and_empty_global_vs_duckdb(ray_session):
