@@ -248,8 +248,11 @@ class _Parser:
         self.pos = 0
         # inside a HAVING expression aggregate calls are arithmetic
         # atoms (('aggref', fn, arg) — rewritten to hidden fold columns
-        # at plan time); everywhere else they are a loud error
+        # at plan time); everywhere else they are a loud error.
+        # _in_selitem extends the same privilege to SELECT items
+        # (aggregate arithmetic like SUM(a) - SUM(b) AS d)
         self._in_having = False
+        self._in_selitem = False
 
     def peek(self):
         return self.toks[self.pos]
@@ -490,6 +493,19 @@ class _Parser:
             self.expect("kw", "as")
             self.expect("kw", "bigint")
             self.expect("op", ")")
+            if win is None and self.peek() != ("kw", "as"):
+                # aggregate arithmetic: CAST(SUM(a) AS BIGINT) - ... —
+                # the cast atom continues as an arithmetic expression
+                atom = ("aggref",
+                        "avgb" if inner[0] == "avg" else inner[0],
+                        inner[1])
+                self._in_selitem = True
+                try:
+                    e = self._arith_from(atom)
+                finally:
+                    self._in_selitem = False
+                self.expect("kw", "as")
+                return ("aggexpr", e, self.expect("ident"))
             self.expect("kw", "as")
             name = self.expect("ident")
             if win is not None:
@@ -509,6 +525,15 @@ class _Parser:
                 self.expect("kw", "as")
                 name = self.expect("ident")
                 return ("win", fn, part, order, name, col)
+            if self.peek() != ("kw", "as"):
+                # aggregate arithmetic: SUM(a) - SUM(b) AS d
+                self._in_selitem = True
+                try:
+                    e = self._arith_from(("aggref", fn, col))
+                finally:
+                    self._in_selitem = False
+                self.expect("kw", "as")
+                return ("aggexpr", e, self.expect("ident"))
             self.expect("kw", "as")
             name = self.expect("ident")
             return ("agg", fn, col, name)
@@ -549,7 +574,11 @@ class _Parser:
         if (k == "ident" or k == "num" or (k, v) == ("op", "(")
                 or (k == "kw" and v in ("case", "abs", "coalesce",
                                         "cast"))):
-            e = self._arith()
+            self._in_selitem = True
+            try:
+                e = self._arith()
+            finally:
+                self._in_selitem = False
             if isinstance(e, str):
                 if self.peek() == ("kw", "as"):
                     self.next()
@@ -560,7 +589,12 @@ class _Parser:
                 # probe); the item is discarded by the semi-join rewrite
                 return ("exprcol", e, f"lit_{e[1]}")
             self.expect("kw", "as")
-            return ("exprcol", e, self.expect("ident"))
+            name = self.expect("ident")
+            if _expr_has_aggref(e):
+                # aggregate arithmetic entered mid-expression, e.g.
+                # (SUM(a) + 1) * 2 or 1000 * SUM(a) // SUM(b)
+                return ("aggexpr", e, name)
+            return ("exprcol", e, name)
         raise SqlError(f"bad select item at {v!r}")
 
     def _strfn(self):
@@ -655,6 +689,29 @@ class _Parser:
             node = ("bin", op, node, self._arith_atom())
         return node
 
+    def _arith_from(self, node):
+        """Continue arithmetic parsing with an already-parsed first
+        atom (SELECT-item aggregate arithmetic entered via the agg /
+        CAST(agg ..) branches of _item)."""
+        while self.peek() in (("op", "*"), ("op", "//"), ("op", "%")):
+            op = self.next()[1]
+            node = ("bin", op, node, self._arith_atom())
+        while True:
+            k, v = self.peek()
+            if (k, v) in (("op", "+"), ("op", "-")):
+                op = self.next()[1]
+                node = ("bin", op, node, self._arith_term())
+            elif k == "num" and isinstance(v, int) and v < 0:
+                self.next()
+                rhs = ("lit", -v)
+                while self.peek() == ("op", "*"):
+                    self.next()
+                    rhs = ("bin", "*", rhs, self._arith_atom())
+                node = ("bin", "-", node, rhs)
+            else:
+                break
+        return node
+
     def _arith_atom(self):
         k, v = self.peek()
         if k == "num":
@@ -692,9 +749,10 @@ class _Parser:
             self.expect("op", ")")
             return ("abs", node)
         if (k == "kw" and v in ("count", "sum", "min", "max", "avg")
-                and self._in_having):
-            # aggregate call as a HAVING arithmetic atom: rewritten to a
-            # hidden fold column at plan time (_rewrite_having_aggs)
+                and (self._in_having or self._in_selitem)):
+            # aggregate call as a HAVING / SELECT-item arithmetic atom:
+            # rewritten to a hidden fold column at plan time
+            # (_rewrite_having_aggs)
             fn, arg = self._agg_call()
             return ("aggref", fn, arg)
         if (k, v) == ("kw", "coalesce"):
@@ -724,6 +782,22 @@ class _Parser:
             col = self._qual_ident()
             self.expect("op", ")")
             return ("extract", part, col)
+        if ((k, v) == ("kw", "cast")
+                and (self._in_having or self._in_selitem)
+                and self.toks[self.pos + 2][:2] in (
+                    ("kw", "count"), ("kw", "sum"), ("kw", "min"),
+                    ("kw", "max"), ("kw", "avg"))):
+            # CAST(agg AS BIGINT) as an arithmetic ATOM (aggregate
+            # arithmetic in HAVING / SELECT items): the cast is a no-op
+            # for the engine (int64 folds) except AVG, where it pins
+            # the exact (sum, count) + half-to-even divide (avgb)
+            self.next()
+            self.expect("op", "(")
+            fn, arg = self._agg_call()
+            self.expect("kw", "as")
+            self.expect("kw", "bigint")
+            self.expect("op", ")")
+            return ("aggref", "avgb" if fn == "avg" else fn, arg)
         if (k, v) == ("kw", "cast"):
             # CAST(<float expr> AS BIGINT): the exact-int bridge out of
             # float space. Per-row IEEE double arithmetic is
@@ -1294,6 +1368,24 @@ def _flatten_and(node, out: list):
 
 def _strip(name: str) -> str:
     return name.split(".", 1)[1] if "." in name else name
+
+
+def _expr_has_aggref(e) -> bool:
+    """True if an arithmetic tree contains an ('aggref', ..) atom."""
+    if e is None or isinstance(e, str):
+        return False
+    if e[0] == "aggref":
+        return True
+    if e[0] == "bin":
+        return _expr_has_aggref(e[2]) or _expr_has_aggref(e[3])
+    if e[0] == "case":
+        return (any(_expr_has_aggref(x) for _, x in e[1])
+                or _expr_has_aggref(e[2]))
+    if e[0] == "abs":
+        return _expr_has_aggref(e[1])
+    if e[0] == "coalesce":
+        return _expr_has_aggref(e[2])
+    return False
 
 
 def _expr_cols(e, acc: set) -> set:
@@ -2372,7 +2464,8 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
     # must agree (same names, same order).
     branches = [_expand_sugar(sf_dir, b) for b in branches]
     names = [tuple(i[3] if i[0] in ("agg", "sfn")
-                   else i[2] if i[0] in ("colas", "exprcol")
+                   else i[2] if i[0] in ("colas", "exprcol",
+                                         "aggexpr")
                    else i[4] if i[0] == "win"
                    else _strip(i[1])
                    for i in b["items"]) for b in branches]
@@ -2544,6 +2637,8 @@ def _strip_single_ns(q: dict, base_ns: str) -> dict:
                    [(rw(c), d) for c, d in i[3]], i[4],
                    _win_arg_map(i[1], i[5], rw))
              if i[0] == "win"
+             else ("aggexpr", _expr_map(i[1], rw), i[2])
+             if i[0] == "aggexpr"
              else ("agg", i[1], _expr_map(i[2], rw), i[3])
              for i in q["items"]]
     return dict(q, items=items,
@@ -2604,7 +2699,8 @@ def _rewrite_having_aggs(q: dict) -> dict:
     ORDER BY aggregate calls synthesize hidden fold columns the same way
     (sorted on, then dropped)."""
     order_aggs = any(isinstance(c, tuple) for c, _ in q["order"] or [])
-    if q["having"] is None and not order_aggs:
+    has_aggexpr = any(i[0] == "aggexpr" for i in q["items"])
+    if q["having"] is None and not order_aggs and not has_aggexpr:
         return q
     items = list(q["items"])
     hidden: list[str] = []
@@ -2650,11 +2746,18 @@ def _rewrite_having_aggs(q: dict) -> dict:
             return ("cmp", node[1], col, node[3])
         return node
 
+    # SELECT-item aggregate arithmetic: every aggref becomes a (shared)
+    # fold column; the tree is computed over folded rows post-exchange
+    for ix in range(len(items)):
+        if items[ix][0] == "aggexpr":
+            items[ix] = ("aggexpr", rw_expr(items[ix][1]),
+                         items[ix][2])
+
     having = rw(q["having"]) if q["having"] is not None else None
     order = [(name_of(c[1], c[2]) if isinstance(c, tuple) else c, d)
              for c, d in q["order"] or []]
     if (not hidden and having == q["having"]
-            and order == (q["order"] or [])):
+            and order == (q["order"] or []) and not has_aggexpr):
         return q
     return dict(q, items=items, having=having, order=order,
                 _hidden=hidden + list(q.get("_hidden") or []))
@@ -2725,6 +2828,7 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
     q = dict(q, where=_resolve_subqueries(sf_dir, q["where"], plan,
                                           outer=q))
     aggs = [i for i in q["items"] if i[0] == "agg"]
+    aggexprs = [i for i in q["items"] if i[0] == "aggexpr"]
     plain = [i[1] for i in q["items"] if i[0] == "col"]
     renames = [i for i in q["items"] if i[0] == "colas"]
     exprs = [i for i in q["items"] if i[0] == "exprcol"]
@@ -2735,7 +2839,7 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
                        "in plain projections (no GROUP BY / aggregates / "
                        "DISTINCT)")
     out_names = [i[3] if i[0] in ("agg", "sfn")
-                 else i[2] if i[0] in ("colas", "exprcol")
+                 else i[2] if i[0] in ("colas", "exprcol", "aggexpr")
                  else i[4] if i[0] == "win"
                  else _strip(i[1]) for i in q["items"]]
     if len(set(out_names)) != len(out_names):
@@ -2754,7 +2858,8 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
         q = dict(q, order=order2)
     wins = [i for i in q["items"] if i[0] == "win"]
     if wins:
-        if aggs or group or exprs or sfns or q.get("distinct"):
+        if aggs or aggexprs or group or exprs or sfns \
+                or q.get("distinct"):
             raise SqlError("window functions combine only with plain "
                            "column select items")
         sig = (tuple(wins[0][2]), tuple(wins[0][3]))
@@ -2781,6 +2886,9 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
         q = dict(q, group=group)
     if q["having"] is not None and not aggs:
         raise SqlError("HAVING requires aggregates")
+    if aggexprs and q.get("distinct"):
+        raise SqlError("SELECT DISTINCT with aggregate arithmetic is "
+                       "unsupported")
     if group and sorted(plain + [i[1] for i in renames]) != sorted(group):
         raise SqlError("non-aggregate select items must match GROUP BY")
     if not group and aggs and (plain or renames):
@@ -2832,6 +2940,10 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
                         "aggregating a nullable right-side column of a "
                         "LEFT JOIN is unsupported (COUNT(*) or "
                         "COALESCE(col, ..) are fine)")
+        for ae in [i for i in q["items"] if i[0] == "aggexpr"]:
+            for c in _expr_cols(ae[1], set()):
+                if "." in c:  # fold-column refs (__hv..) are not scans
+                    agg_need.add(c)
         need = (set(plain) | set(group) | agg_need
                 | (_pred_cols(q["where"], set()) if q["where"] else set()))
         derived_map: dict[str, tuple] = {}
@@ -2870,6 +2982,13 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
                 items2.append(("win", i[1], [em(c) for c in i[2]],
                                [(em(c), d) for c, d in i[3]], i[4],
                                _win_arg_map(i[1], i[5], em)))
+            elif i[0] == "aggexpr":
+                # fold-column refs (__hv..) pass through; qualified
+                # key refs map to emit names
+                items2.append(("aggexpr",
+                               _expr_map(i[1],
+                                         lambda c: emit_of.get(c, c)),
+                               i[2]))
             else:
                 items2.append(("agg", i[1], _expr_map(i[2], em), i[3]))
         for g in group:
@@ -3422,6 +3541,39 @@ def _run_over(ds: rd.Dataset, q: dict, aggs, plain, group,
             plan.append("global aggregate over zero rows: SQL identity "
                         "row (COUNT 0, value aggregates NULL)")
     ds = _rename_keys(ds, q)
+    aggexprs = [i for i in q["items"] if i[0] == "aggexpr"]
+    if aggexprs:
+        # SELECT-item aggregate arithmetic: vectorized over the folded
+        # rows (group scale); NULL fold inputs (empty-global identity
+        # row) propagate to a NULL result per SQL
+        def compute_ae(t: pa.Table) -> pa.Table:
+            out = {c: t[c] for c in t.column_names}
+            n = t.num_rows
+            for _, e, name in aggexprs:
+                refs = sorted(c for c in _expr_cols(e, set())
+                              if c in t.column_names)
+                valid = np.ones(n, bool)
+                for c in refs:
+                    valid &= ~np.asarray(
+                        t[c].combine_chunks().is_null())
+                if valid.all():
+                    out[name] = pa.array(
+                        np.broadcast_to(_eval_expr(t, e),
+                                        n).astype(np.int64), pa.int64())
+                else:
+                    sub = t.filter(pa.array(valid))
+                    full = np.zeros(n, np.int64)
+                    if sub.num_rows:
+                        full[valid] = np.broadcast_to(
+                            _eval_expr(sub, e),
+                            sub.num_rows).astype(np.int64)
+                    out[name] = pa.array(full, pa.int64(), mask=~valid)
+            return pa.table(out)
+
+        compute_ae.__name__ = "sql_aggexpr"
+        ds = ds.map_batches(compute_ae, batch_format="pyarrow")
+        plan.append(f"aggregate arithmetic: {len(aggexprs)} select "
+                    f"item(s) computed over folded rows")
     if q["having"] is not None:
         having = q["having"]
 
@@ -3781,3 +3933,14 @@ DEMO_TPCH_Q17 = (
     "AS BIGINT) AS total_c, count(*) AS n "
     "FROM lineitem JOIN pa ON lineitem.l_partkey = pa.l_partkey "
     "WHERE CAST(lineitem.l_quantity * 500 AS BIGINT) < pa.avg_qty_c")
+DEMO_AGGARITH = (
+    # TPC-H Q14 as ONE statement: promo revenue share in integer
+    # permille — aggregate arithmetic over two bridged SUMs computed
+    # from a single join pass
+    "SELECT CAST(SUM(CASE WHEN part.p_type = 'PROMO' THEN "
+    "CAST(lineitem.l_extendedprice * (1 - lineitem.l_discount) "
+    "* 100 AS BIGINT) ELSE 0 END) AS BIGINT) * 1000 // "
+    "CAST(SUM(CAST(lineitem.l_extendedprice * "
+    "(1 - lineitem.l_discount) * 100 AS BIGINT)) AS BIGINT) "
+    "AS promo_permille, count(*) AS n FROM lineitem "
+    "JOIN part ON lineitem.l_partkey = part.p_partkey")

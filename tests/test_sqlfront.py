@@ -1743,6 +1743,59 @@ def test_differential_derived_join_vs_duckdb(ray_session, tmp_path):
     run()
 
 
+def test_select_aggregate_arithmetic_vs_duckdb(ray_session):
+    """Aggregate arithmetic as SELECT items (SUM(a) - SUM(b) AS d,
+    max-min spreads, CAST(AVG ..)*k, integer ratios): aggrefs become
+    shared hidden fold columns, the tree computes over folded rows."""
+    import duckdb
+
+    con = duckdb.connect()
+    for tb in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+
+    def canon(df):
+        df = df[sorted(df.columns)].astype(object)
+        df = df.where(pd.notna(df), None)
+        return sorted(map(tuple, df.values.tolist()), key=repr)
+
+    for s in (
+        "SELECT l_returnflag, CAST(SUM(l_orderkey) AS BIGINT) - "
+        "CAST(SUM(l_suppkey) AS BIGINT) AS d, count(*) AS n "
+        "FROM lineitem GROUP BY l_returnflag",
+        "SELECT l_returnflag, max(l_suppkey) - min(l_suppkey) AS spread"
+        " FROM lineitem GROUP BY l_returnflag",
+        "SELECT CAST(SUM(l_suppkey) AS BIGINT) * 2 + count(*) AS z "
+        "FROM lineitem",
+        "SELECT l_suppkey, sum(l_orderkey) - count(*) AS score "
+        "FROM lineitem GROUP BY l_suppkey HAVING count(*) > 5 "
+        "ORDER BY score DESC, l_suppkey ASC LIMIT 8",
+        "SELECT l_returnflag, (SUM(l_suppkey) + 1) * 2 AS s2 "
+        "FROM lineitem GROUP BY l_returnflag",
+        # empty global: arithmetic over NULL aggregates is NULL
+        "SELECT CAST(SUM(l_suppkey) AS BIGINT) - count(*) AS d "
+        "FROM lineitem WHERE l_orderkey < 0",
+        "SELECT l_returnflag, CAST(AVG(l_suppkey) AS BIGINT) * 10 "
+        "AS a10 FROM lineitem GROUP BY l_returnflag",
+        # join path
+        "SELECT part.p_brand, CAST(SUM(lineitem.l_suppkey) AS BIGINT) "
+        "- count(*) AS d FROM lineitem "
+        "JOIN part ON lineitem.l_partkey = part.p_partkey "
+        "GROUP BY part.p_brand",
+        # integer ratio (promo permille, Q14 in one statement)
+        "SELECT CAST(SUM(CASE WHEN part.p_type = 'PROMO' THEN "
+        "CAST(lineitem.l_extendedprice * (1 - lineitem.l_discount) "
+        "* 100 AS BIGINT) ELSE 0 END) AS BIGINT) * 1000 // "
+        "CAST(SUM(CAST(lineitem.l_extendedprice * "
+        "(1 - lineitem.l_discount) * 100 AS BIGINT)) AS BIGINT) "
+        "AS promo_permille FROM lineitem "
+        "JOIN part ON lineitem.l_partkey = part.p_partkey",
+    ):
+        got = run_sql(SF, s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), (s, got, want)
+
+
 def test_cross_table_where_and_empty_global_vs_duckdb(ray_session):
     """Cross-table / nullable-side WHERE conjuncts filter in flight
     after the join (incl. OR across tables and LEFT JOIN ... IS NULL
