@@ -270,6 +270,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, sqlfront.DEMO_TPCH_Q17),
         "sql_agg_arith": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_AGGARITH),
+        "sql_tpch_q5": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q5),
+        "sql_tpch_q7": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q7),
+        "sql_tpch_q8": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q8),
         "orders_cube": relational.orders_cube,           # GROUP BY CUBE grouping sets
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
         "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join

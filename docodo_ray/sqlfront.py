@@ -2805,6 +2805,12 @@ def _rewrite_group_exprs(q: dict, plan: list) -> dict:
             _expr_cols(i[2], inner_cols)
             outer_items.append(
                 ("agg", i[1], _expr_map(i[2], _strip), i[3]))
+        elif i[0] == "aggexpr":
+            # aggrefs were already rewritten to hidden fold columns
+            # (their agg items are handled above); the tree computes
+            # over the outer fold's rows
+            outer_items.append(
+                ("aggexpr", _expr_map(i[1], _strip), i[2]))
         else:
             raise SqlError("GROUP BY expressions combine only with "
                            "plain columns and aggregates")
@@ -2991,12 +2997,11 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
                                i[2]))
             else:
                 items2.append(("agg", i[1], _expr_map(i[2], em), i[3]))
-        for g in group:
-            if em(g) != _strip(g):
-                raise SqlError(
-                    f"GROUP BY column {g!r} collides across join sides "
-                    f"— its output name would be {em(g)!r}; group by a "
-                    f"column only one side carries")
+        # colliding GROUP BY bases (self-join keys like n1.n_name /
+        # n2.n_name) ride as ns_base emit names through the fold;
+        # _rename_keys maps them back to the select list's output names,
+        # and the duplicate-output-name check already rejects truly
+        # ambiguous selects
         plain = [em(c) for c in plain]
         group = [em(g) for g in group]
         aggs = [i for i in items2 if i[0] == "agg"]
@@ -3944,3 +3949,57 @@ DEMO_AGGARITH = (
     "(1 - lineitem.l_discount) * 100 AS BIGINT)) AS BIGINT) "
     "AS promo_permille, count(*) AS n FROM lineitem "
     "JOIN part ON lineitem.l_partkey = part.p_partkey")
+DEMO_TPCH_Q5 = (
+    # TPC-H Q5 local-supplier volume: 6-way join with a region filter
+    # and the customer-nation = supplier-nation constraint as a
+    # CROSS-TABLE post-join conjunct
+    "SELECT nation.n_name, "
+    "CAST(SUM(CAST(lineitem.l_extendedprice * "
+    "(1 - lineitem.l_discount) * 100 AS BIGINT)) AS BIGINT) "
+    "AS revenue_c FROM lineitem "
+    "JOIN orders ON lineitem.l_orderkey = orders.o_orderkey "
+    "JOIN customer ON orders.o_custkey = customer.c_custkey "
+    "JOIN supplier ON lineitem.l_suppkey = supplier.s_suppkey "
+    "JOIN nation ON supplier.s_nationkey = nation.n_nationkey "
+    "JOIN region ON nation.n_regionkey = region.r_regionkey "
+    "WHERE region.r_name = 'ASIA' "
+    "AND customer.c_nationkey = supplier.s_nationkey "
+    "AND orders.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND orders.o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+    "GROUP BY nation.n_name ORDER BY revenue_c DESC, n_name ASC")
+DEMO_TPCH_Q7 = (
+    # TPC-H Q7 volume shipping: nation SELF-JOIN via aliases (supplier
+    # vs customer nation), symmetric OR filter across the two sides,
+    # yearly rollup precomputed in the lineitem CTE
+    "WITH li AS (SELECT l_orderkey, l_suppkey, "
+    "EXTRACT(year FROM l_shipdate) AS l_year, "
+    "CAST(l_extendedprice * (1 - l_discount) * 100 AS BIGINT) "
+    "AS rev_c FROM lineitem) "
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "li.l_year, CAST(SUM(li.rev_c) AS BIGINT) AS revenue_c "
+    "FROM li "
+    "JOIN supplier ON li.l_suppkey = supplier.s_suppkey "
+    "JOIN orders ON li.l_orderkey = orders.o_orderkey "
+    "JOIN customer ON orders.o_custkey = customer.c_custkey "
+    "JOIN nation n1 ON supplier.s_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON customer.c_nationkey = n2.n_nationkey "
+    "WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_19') "
+    "OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3') "
+    "GROUP BY n1.n_name, n2.n_name, li.l_year "
+    "ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC")
+DEMO_TPCH_Q8 = (
+    # TPC-H Q8 national market share: the BRAZIL-volume / total-volume
+    # ratio per order year as integer permille — aggregate arithmetic
+    # over a CASE-guarded bridge, grouped by an EXTRACT expression
+    "SELECT EXTRACT(year FROM orders.o_orderdate) AS o_year, "
+    "CAST(SUM(CASE WHEN nation.n_name = 'NATION_5' THEN "
+    "CAST(lineitem.l_extendedprice * (1 - lineitem.l_discount) * 100 "
+    "AS BIGINT) ELSE 0 END) AS BIGINT) * 1000 // "
+    "CAST(SUM(CAST(lineitem.l_extendedprice * "
+    "(1 - lineitem.l_discount) * 100 AS BIGINT)) AS BIGINT) "
+    "AS mkt_share_permille FROM lineitem "
+    "JOIN supplier ON lineitem.l_suppkey = supplier.s_suppkey "
+    "JOIN orders ON lineitem.l_orderkey = orders.o_orderkey "
+    "JOIN nation ON supplier.s_nationkey = nation.n_nationkey "
+    "GROUP BY EXTRACT(year FROM orders.o_orderdate) "
+    "ORDER BY o_year ASC")

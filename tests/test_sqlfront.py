@@ -1892,21 +1892,24 @@ def test_shipped_tpch_demos(ray_session):
     distributed top-k composing in one statement."""
     import duckdb
     from docodo_ray.sqlfront import (DEMO_TPCH_Q1, DEMO_TPCH_Q3,
-                                     DEMO_TPCH_Q4, DEMO_TPCH_Q6,
-                                     DEMO_TPCH_Q9, DEMO_TPCH_Q10,
-                                     DEMO_TPCH_Q12, DEMO_TPCH_Q13,
-                                     DEMO_TPCH_Q14, DEMO_TPCH_Q15,
-                                     DEMO_TPCH_Q17, DEMO_TPCH_Q18)
+                                     DEMO_TPCH_Q4, DEMO_TPCH_Q5,
+                                     DEMO_TPCH_Q6, DEMO_TPCH_Q7,
+                                     DEMO_TPCH_Q8, DEMO_TPCH_Q9,
+                                     DEMO_TPCH_Q10, DEMO_TPCH_Q12,
+                                     DEMO_TPCH_Q13, DEMO_TPCH_Q14,
+                                     DEMO_TPCH_Q15, DEMO_TPCH_Q17,
+                                     DEMO_TPCH_Q18)
 
     con = duckdb.connect()
     for tb in ("lineitem", "orders", "customer", "part",
-               "supplier", "nation"):
+               "supplier", "nation", "region"):
         con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
                     f"read_parquet('{SF}/{tb}.parquet')")
-    for s in (DEMO_TPCH_Q1, DEMO_TPCH_Q3, DEMO_TPCH_Q4, DEMO_TPCH_Q6,
-              DEMO_TPCH_Q9, DEMO_TPCH_Q10, DEMO_TPCH_Q12,
-              DEMO_TPCH_Q13, DEMO_TPCH_Q14, DEMO_TPCH_Q15,
-              DEMO_TPCH_Q17, DEMO_TPCH_Q18):
+    for s in (DEMO_TPCH_Q1, DEMO_TPCH_Q3, DEMO_TPCH_Q4, DEMO_TPCH_Q5,
+              DEMO_TPCH_Q6, DEMO_TPCH_Q7, DEMO_TPCH_Q8, DEMO_TPCH_Q9,
+              DEMO_TPCH_Q10, DEMO_TPCH_Q12, DEMO_TPCH_Q13,
+              DEMO_TPCH_Q14, DEMO_TPCH_Q15, DEMO_TPCH_Q17,
+              DEMO_TPCH_Q18):
         got = run_sql(SF, s).to_pandas()
         want = con.execute(s).fetch_df()
         for df in (got, want):
