@@ -429,7 +429,10 @@ class _Parser:
             # at plan time, dropped after the sort)
             col = ("aggref",) + self._agg_call()
         else:
-            col = self.expect("ident")
+            # qualified refs (ORDER BY t.col) resolve at plan time: to
+            # the bare name on single-namespace paths, loud in joins
+            # (order by the select item's output name there)
+            col = self._qual_ident()
         desc = False
         if self.peek() in (("kw", "asc"), ("kw", "desc")):
             desc = self.next()[1] == "desc"
@@ -2644,6 +2647,8 @@ def _strip_single_ns(q: dict, base_ns: str) -> dict:
     return dict(q, items=items,
                 group=[rw(g) for g in q["group"]],
                 where=rw_tree(q["where"]),
+                order=[(rw(c) if isinstance(c, str) else c, d)
+                       for c, d in q["order"] or []],
                 qualify=rw_tree(q.get("qualify")))
 
 
@@ -2919,6 +2924,12 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
         return _run_over(ds, q, aggs, plain, group, plan)
 
     if q["joins"]:
+        for c, _d in q["order"] or []:
+            if isinstance(c, str) and "." in c:
+                raise SqlError(
+                    f"ORDER BY {c!r} in a JOIN query is ambiguous "
+                    f"after projection — order by the select item's "
+                    f"output name")
         tables = [q["table"]] + [j["table"] for j in q["joins"]]
         nullable = {j["table"] for j in q["joins"] if j["kind"] == "left"}
         agg_need: set = set()
@@ -4003,3 +4014,18 @@ DEMO_TPCH_Q8 = (
     "JOIN nation ON supplier.s_nationkey = nation.n_nationkey "
     "GROUP BY EXTRACT(year FROM orders.o_orderdate) "
     "ORDER BY o_year ASC")
+DEMO_TPCH_Q19 = (
+    # TPC-H Q19 discounted-revenue shape (the corpus carries no
+    # p_container, so the container conjuncts are omitted): an OR of
+    # brand x quantity-band conjunct pairs spanning BOTH join sides,
+    # filtered in flight after the join
+    "SELECT CAST(SUM(CAST(lineitem.l_extendedprice * "
+    "(1 - lineitem.l_discount) * 100 AS BIGINT)) AS BIGINT) "
+    "AS revenue_c, count(*) AS n FROM lineitem "
+    "JOIN part ON lineitem.l_partkey = part.p_partkey "
+    "WHERE (part.p_brand = 'Brand#12' AND lineitem.l_quantity >= 1 "
+    "AND lineitem.l_quantity <= 30) "
+    "OR (part.p_brand = 'Brand#23' AND lineitem.l_quantity >= 5 "
+    "AND lineitem.l_quantity <= 35) "
+    "OR (part.p_brand = 'Brand#34' AND lineitem.l_quantity >= 10 "
+    "AND lineitem.l_quantity <= 40)")
