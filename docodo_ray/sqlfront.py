@@ -2450,8 +2450,9 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
     while parser.peek() in (("kw", "union"), ("kw", "except"),
                             ("kw", "intersect")):
         op = parser.next()[1]
-        if op == "union":
-            parser.expect("kw", "all")
+        if op == "union" and parser.peek() == ("kw", "all"):
+            parser.next()
+            op = "union_all"
         ops.append(op)
         branches.append(parser.parse(stop_at_union=True))
     if parser.peek()[0] != "end":
@@ -2479,10 +2480,10 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
         if b["order"] or b["limit"] is not None:
             raise SqlError("ORDER BY / LIMIT inside a set-operation "
                            "branch is unsupported")
-    if "union" in ops and set(ops) != {"union"}:
-        raise SqlError("mixing UNION ALL with EXCEPT/INTERSECT in one "
-                       "statement is unsupported (use a CTE)")
-    if set(ops) == {"union"}:
+    if "union_all" in ops and set(ops) != {"union_all"}:
+        raise SqlError("mixing UNION ALL with UNION/EXCEPT/INTERSECT "
+                       "in one statement is unsupported (use a CTE)")
+    if set(ops) == {"union_all"}:
         # UNION ALL: Ray union concatenates streams (no exchange)
         plan.append(f"union_all: {len(branches)} branches concatenated "
                     "(streamed, no exchange)")
@@ -2490,11 +2491,12 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
         for b in branches[1:]:
             out = out.union(_run_parsed(sf_dir, b, plan))
         return out
-    # EXCEPT / INTERSECT chains: INTERSECT binds tighter than EXCEPT
-    # (SQL precedence), each class folds left-associatively — one
-    # exchange per step (SQL DISTINCT set semantics)
+    # UNION / EXCEPT / INTERSECT chains: INTERSECT binds tighter than
+    # UNION and EXCEPT (SQL precedence), which fold left-associatively
+    # in statement order — one exchange per step (DISTINCT semantics)
     cols = list(names[0])
     operands = [_run_parsed(sf_dir, branches[0], plan)]
+    pend: list[str] = []  # op joining operands[i] and operands[i+1]
     for op, b in zip(ops, branches[1:]):
         nxt = _run_parsed(sf_dir, b, plan)
         if op == "intersect":
@@ -2502,9 +2504,10 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
                                   plan)
         else:
             operands.append(nxt)
+            pend.append(op)
     out = operands[0]
-    for o in operands[1:]:
-        out = _setop(out, o, cols, "except", plan)
+    for op, o in zip(pend, operands[1:]):
+        out = _setop(out, o, cols, op, plan)
     return out
 
 
@@ -2549,8 +2552,13 @@ def _setop(left: rd.Dataset, right: rd.Dataset, cols: list, kind: str,
         h1 = np.zeros(len(u), np.int64)
         np.maximum.at(h0, inv, g["_h0"].to_numpy(zero_copy_only=False))
         np.maximum.at(h1, inv, g["_h1"].to_numpy(zero_copy_only=False))
-        keep = (h0 == 1) & ((h1 == 1) if kind == "intersect"
-                            else (h1 == 0))
+        if kind == "union":
+            # distinct rows present on EITHER side (SQL UNION dedups
+            # the whole result, including within-branch duplicates)
+            keep = (h0 == 1) | (h1 == 1)
+        else:
+            keep = (h0 == 1) & ((h1 == 1) if kind == "intersect"
+                                else (h1 == 0))
         return pa.table(_batch_key_cols(g, u, cols)).filter(
             pa.array(keep))
 
@@ -4029,3 +4037,11 @@ DEMO_TPCH_Q19 = (
     "AND lineitem.l_quantity <= 35) "
     "OR (part.p_brand = 'Brand#34' AND lineitem.l_quantity >= 10 "
     "AND lineitem.l_quantity <= 40)")
+DEMO_UNION_DISTINCT = (
+    # plain UNION (SQL DISTINCT semantics, incl. within-branch dups):
+    # side-tagged streams, presence partials, ONE equal-row exchange;
+    # the INTERSECT binds tighter (SQL precedence), folding into the
+    # second branch before the UNION
+    "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+    "UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' "
+    "INTERSECT SELECT o_custkey FROM orders WHERE o_custkey < 400")

@@ -1748,6 +1748,43 @@ def test_differential_derived_join_vs_duckdb(ray_session, tmp_path):
     run()
 
 
+def test_union_distinct_vs_duckdb(ray_session):
+    """Plain UNION (SQL DISTINCT semantics): dedups the whole result
+    including within-branch duplicates, folds left-associatively with
+    EXCEPT, and INTERSECT binds tighter; UNION ALL stays a streamed
+    concatenation."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    for s in (
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+        "UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'",
+        "SELECT o_orderpriority AS v FROM orders "
+        "UNION SELECT o_orderstatus AS v FROM orders",
+        "SELECT o_custkey FROM orders WHERE o_custkey < 100 "
+        "UNION SELECT o_custkey FROM orders "
+        "WHERE o_custkey >= 100 AND o_custkey < 200 "
+        "EXCEPT SELECT o_custkey FROM orders "
+        "WHERE o_custkey >= 50 AND o_custkey < 150",
+        "SELECT o_custkey FROM orders WHERE o_custkey < 100 "
+        "UNION SELECT o_custkey FROM orders WHERE o_custkey < 300 "
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_custkey >= 200",
+    ):
+        got = run_sql(SF, s).to_pandas()
+        want = con.execute(s).fetch_df()
+        for df in (got, want):
+            df.sort_index(axis=1, inplace=True)
+        g = sorted(map(tuple, got.values.tolist()))
+        w = sorted(map(tuple, want.values.tolist()))
+        assert g == w, (s, got.head(), want.head())
+    with pytest.raises(SqlError, match="mixing UNION ALL"):
+        run_sql(SF, "SELECT o_custkey FROM orders UNION ALL "
+                    "SELECT o_custkey FROM orders EXCEPT "
+                    "SELECT o_custkey FROM orders")
+
+
 def test_select_aggregate_arithmetic_vs_duckdb(ray_session):
     """Aggregate arithmetic as SELECT items (SUM(a) - SUM(b) AS d,
     max-min spreads, CAST(AVG ..)*k, integer ratios): aggrefs become
@@ -2493,14 +2530,14 @@ def test_differential_random_new_constructs_vs_duckdb(ray_session,
             return (f"SELECT k, count(*) AS n FROM t GROUP BY k "
                     f"HAVING {lhs} {draw(cmps)} {rhs}")
         if kind == "setop":
-            op = draw(st.sampled_from(["EXCEPT", "INTERSECT"]))
+            op = draw(st.sampled_from(["EXCEPT", "INTERSECT", "UNION"]))
             c1, l1 = draw(cmps), draw(st.integers(-3, 7))
             c2, l2 = draw(cmps), draw(st.integers(-3, 7))
             s = (f"SELECT k, v FROM t WHERE v {c1} {l1} "
                  f"{op} SELECT k, v FROM t WHERE v {c2} {l2}")
             if draw(st.booleans()):
                 c3, l3 = draw(cmps), draw(st.integers(-3, 7))
-                s += (f" {draw(st.sampled_from(['EXCEPT', 'INTERSECT']))}"
+                s += (f" {draw(st.sampled_from(['EXCEPT', 'INTERSECT', 'UNION']))}"
                       f" SELECT k, v FROM t WHERE v {c3} {l3}")
             return s
         having = ""
