@@ -28,7 +28,8 @@ Grammar (deliberately small, errors are loud)::
                                                  -- outer ops stream over
                                                  -- the inner pipeline
                                                  -- (agg -> window etc.)
-      ([[LEFT [OUTER]] JOIN tableN ON a.col = b.col])*
+      ([[LEFT [OUTER]] JOIN (tableN | (SELECT ...) t2)
+            ON a.col = b.col])*
                                                  -- left-deep equi-join
                                                  -- chain, integer keys,
                                                  -- columns qualified by
@@ -36,13 +37,36 @@ Grammar (deliberately small, errors are loud)::
                                                  -- table); each ON links
                                                  -- the new table to an
                                                  -- earlier one; SELF-
-                                                 -- joins via aliases
-      [WHERE disjunction]  [GROUP BY col (, col)*]
+                                                 -- joins via aliases;
+                                                 -- derived tables / CTEs
+                                                 -- may sit in ANY join
+                                                 -- position (streamed
+                                                 -- into the exchange,
+                                                 -- never broadcast);
+                                                 -- WHERE conjuncts that
+                                                 -- span tables or touch
+                                                 -- a LEFT JOIN's
+                                                 -- nullable side filter
+                                                 -- in flight AFTER the
+                                                 -- join (OR across
+                                                 -- tables, IS NULL
+                                                 -- anti-joins)
+      [WHERE disjunction]  [GROUP BY (col | expr) (, ...)*]
       [HAVING disjunction over aliases]
       [QUALIFY disjunction over output columns]  -- window top-k filter,
                                                  -- applied in-fold
-      [ORDER BY col [ASC|DESC] (, ...)*]  [LIMIT k]
-      [UNION ALL select]*
+      [ORDER BY col [ASC|DESC] (, ...)*]  [LIMIT k [OFFSET m]]
+      [(UNION [ALL] | EXCEPT | INTERSECT) select]*
+                                                 -- UNION ALL streams
+                                                 -- (no exchange); UNION/
+                                                 -- EXCEPT/INTERSECT use
+                                                 -- distinct semantics
+                                                 -- (one equal-row
+                                                 -- exchange per step,
+                                                 -- INTERSECT binds
+                                                 -- tighter); a trailing
+                                                 -- ORDER BY/LIMIT binds
+                                                 -- to the whole result
     item  := col [AS name] | expr AS name        -- renames / computed
                                                  -- projections (plain
                                                  -- SELECTs only)
@@ -60,6 +84,15 @@ Grammar (deliberately small, errors are loud)::
                                                  -- DuckDB DOUBLE->BIGINT
                                                  -- cast)
            | CAST(agg AS BIGINT) AS name         -- pins DuckDB SUM width
+           | aggregate arithmetic AS name        -- SUM(a) - SUM(b),
+                                                 -- (SUM(x)+1)*2, integer
+                                                 -- ratios (Q14 promo
+                                                 -- permille); aggrefs
+                                                 -- become shared hidden
+                                                 -- fold columns and the
+                                                 -- tree computes over
+                                                 -- folded rows (also
+                                                 -- valid in HAVING)
            | (ROW_NUMBER|RANK|DENSE_RANK)() OVER w AS name
            | NTILE(k) OVER w AS name
            | (FIRST_VALUE|LAST_VALUE)(col) OVER w AS name
@@ -77,6 +110,26 @@ Grammar (deliberately small, errors are loud)::
                                                  -- int ORDER BY keys;
                                                  -- works over JOINs too
     expr  := col | int | expr (+|-|*|%|//) expr | (expr)
+           | CAST(fexpr AS BIGINT)               -- the float bridge:
+                                                 -- per-row IEEE doubles
+                                                 -- (+ - * /, FLOOR/CEIL/
+                                                 -- ABS, float literals)
+                                                 -- are bit-identical
+                                                 -- across engines, the
+                                                 -- cast rounds half to
+                                                 -- even like DuckDB's
+                                                 -- DOUBLE->BIGINT; trees
+                                                 -- DuckDB would type as
+                                                 -- DECIMAL are refused
+                                                 -- loudly (different
+                                                 -- rounding)
+           | EXTRACT(part FROM ts_col)           -- year/month/day/hour/
+                                                 -- minute/second/dow/doy
+                                                 -- (dow: Sunday=0),
+                                                 -- Arrow temporal
+                                                 -- kernels, usable in
+                                                 -- GROUP BY / WHERE /
+                                                 -- aggregate args
                                                  -- exact int64 arithmetic
                                                  -- (TPC-H revenue style);
                                                  -- % and // carry DuckDB
@@ -2476,7 +2529,29 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
     if len(set(names)) != 1:
         raise SqlError(f"set-operation branches select different "
                        f"columns: {names}")
-    for b in branches:
+    # a trailing ORDER BY / LIMIT binds to the WHOLE set result (SQL
+    # grammar) — the parser attaches it to the last branch, so lift it
+    tail = {"order": [], "limit": None, "offset": 0}
+    if branches[-1]["order"] or branches[-1]["limit"] is not None:
+        tail = {"order": list(branches[-1]["order"]),
+                "limit": branches[-1]["limit"],
+                "offset": branches[-1].get("offset") or 0}
+        branches[-1] = dict(branches[-1], order=[], limit=None,
+                            offset=0)
+        out_cols = list(names[0])
+        order2 = []
+        for c, d in tail["order"]:
+            if isinstance(c, int):
+                if not 1 <= c <= len(out_cols):
+                    raise SqlError(f"ORDER BY position {c} out of "
+                                   f"range (1..{len(out_cols)})")
+                c = out_cols[c - 1]
+            if not isinstance(c, str) or c not in out_cols:
+                raise SqlError(f"set-operation ORDER BY must name an "
+                               f"output column (got {c!r})")
+            order2.append((c, d))
+        tail["order"] = order2
+    for b in branches[:-1]:
         if b["order"] or b["limit"] is not None:
             raise SqlError("ORDER BY / LIMIT inside a set-operation "
                            "branch is unsupported")
@@ -2490,7 +2565,8 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
         out = _run_parsed(sf_dir, branches[0], plan)
         for b in branches[1:]:
             out = out.union(_run_parsed(sf_dir, b, plan))
-        return out
+        return _order_limit(out, tail) if (
+            tail["order"] or tail["limit"] is not None) else out
     # UNION / EXCEPT / INTERSECT chains: INTERSECT binds tighter than
     # UNION and EXCEPT (SQL precedence), which fold left-associatively
     # in statement order — one exchange per step (DISTINCT semantics)
@@ -2508,7 +2584,8 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
     out = operands[0]
     for op, o in zip(pend, operands[1:]):
         out = _setop(out, o, cols, op, plan)
-    return out
+    return _order_limit(out, tail) if (
+        tail["order"] or tail["limit"] is not None) else out
 
 
 def _setop(left: rd.Dataset, right: rd.Dataset, cols: list, kind: str,

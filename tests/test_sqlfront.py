@@ -1783,6 +1783,19 @@ def test_union_distinct_vs_duckdb(ray_session):
         run_sql(SF, "SELECT o_custkey FROM orders UNION ALL "
                     "SELECT o_custkey FROM orders EXCEPT "
                     "SELECT o_custkey FROM orders")
+    # trailing ORDER BY / LIMIT binds to the WHOLE set result
+    for s in (
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+        "UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' "
+        "ORDER BY o_custkey DESC LIMIT 7",
+        "SELECT o_custkey FROM orders WHERE o_custkey < 200 "
+        "EXCEPT SELECT o_custkey FROM orders WHERE o_custkey >= 100 "
+        "ORDER BY 1 DESC LIMIT 5",
+    ):
+        got = run_sql(SF, s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert got.values.tolist() == want.values.tolist(), (s, got,
+                                                            want)
 
 
 def test_select_aggregate_arithmetic_vs_duckdb(ray_session):
