@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, sqlfront.DEMO_TPCH_Q19),
         "sql_union_distinct": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_UNION_DISTINCT),
+        "sql_rows_frame": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_ROWS_FRAME),
         "orders_cube": relational.orders_cube,           # GROUP BY CUBE grouping sets
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
         "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join

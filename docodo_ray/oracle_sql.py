@@ -2779,7 +2779,8 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_TPCH_Q17, DEMO_AGGARITH,
                                      DEMO_TPCH_Q5, DEMO_TPCH_Q7,
                                      DEMO_TPCH_Q8, DEMO_TPCH_Q19,
-                                     DEMO_UNION_DISTINCT)
+                                     DEMO_UNION_DISTINCT,
+                                     DEMO_ROWS_FRAME)
 
     sql["sql_orders_groupby"] = DEMO_GROUPBY
     sql["sql_events_filter"] = DEMO_FILTER
@@ -2838,6 +2839,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_tpch_q8"] = DEMO_TPCH_Q8
     sql["sql_tpch_q19"] = DEMO_TPCH_Q19
     sql["sql_union_distinct"] = DEMO_UNION_DISTINCT
+    sql["sql_rows_frame"] = DEMO_ROWS_FRAME
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

@@ -325,7 +325,9 @@ class _Parser:
     def parse(self, stop_at_paren: bool = False,
               stop_at_union: bool = False) -> dict:
         outer_having = self._in_having
+        outer_frames = getattr(self, "_frames", None)
         self._in_having = False
+        self._frames = []  # ROWS frames seen in THIS select's windows
         self.expect("kw", "select")
         distinct = False
         if self.peek() == ("kw", "distinct"):
@@ -447,11 +449,17 @@ class _Parser:
             raise SqlError("a derived table in a JOIN needs an alias: "
                            "FROM (SELECT ...) t JOIN ...")
         self._in_having = outer_having
+        frames = self._frames
+        self._frames = outer_frames
+        if len(set(frames)) > 1:
+            raise SqlError("all window functions in one statement must "
+                           "share the same ROWS frame")
         return {"items": items, "table": table, "alias": alias,
                 "joins": joins, "where": where, "group": group,
                 "having": having, "qualify": qualify, "order": order,
                 "limit": limit, "offset": offset, "distinct": distinct,
-                "group_all": group_all, "derived": derived}
+                "group_all": group_all, "derived": derived,
+                "win_frame": frames[0] if frames else None}
 
     def _opt_alias(self):
         if self.peek() == ("kw", "as"):
@@ -515,6 +523,31 @@ class _Parser:
         while self.peek() == ("op", ","):
             self.next()
             order.append(self._win_order_item())
+        k, v = self.peek()
+        if k == "ident" and v.lower() == "rows":
+            # ROWS BETWEEN n PRECEDING AND CURRENT ROW: a positional
+            # moving frame (running aggregates only). All windows in a
+            # statement share one spec, frame included.
+            self.next()
+            self.expect("kw", "between")
+            nk, nv = self.next()
+            if nk != "num" or not isinstance(nv, int) or nv < 0:
+                raise SqlError("ROWS BETWEEN needs a non-negative "
+                               "integer PRECEDING bound")
+            pk, pv = self.next()
+            if pk != "ident" or pv.lower() != "preceding":
+                raise SqlError("expected PRECEDING")
+            self.expect("kw", "and")
+            ck, cv = self.next()
+            rk, rv = self.next()
+            if (ck, rk) != ("ident", "ident") or \
+                    cv.lower() != "current" or rv.lower() != "row":
+                raise SqlError("expected CURRENT ROW")
+            frame = nv
+        else:
+            frame = None
+        if getattr(self, "_frames", None) is not None:
+            self._frames.append(frame)
         self.expect("op", ")")
         return part, order
 
@@ -3170,6 +3203,14 @@ def _run_window(ds: rd.Dataset, q: dict, wins, plan: list) -> rd.Dataset:
     order = list(wins[0][3])
     items = list(q["items"])
     qual = q.get("qualify")
+    frame = q.get("win_frame")  # ROWS BETWEEN frame PRECEDING AND CUR
+    if frame is not None:
+        for it in items:
+            if it[0] == "win" and it[1] not in ("sum", "min", "max",
+                                                "count"):
+                raise SqlError(
+                    "ROWS frames apply to running SUM/MIN/MAX/COUNT(*) "
+                    "only (ranks and LAG/LEAD ignore frames in SQL)")
 
     def wk_partial(t: pa.Table) -> pa.Table:
         u, inv = _batch_group_key(t, t.num_rows, part)
@@ -3230,7 +3271,30 @@ def _run_window(ds: rd.Dataset, q: dict, wins, plan: list) -> rd.Dataset:
                 out[it[2]] = gs[it[1]]
             elif it[1] in ("sum", "min", "max", "count"):
                 import pandas as pd
-                if it[1] == "count":
+                if frame is not None:
+                    # positional moving frame (ROWS ignores ORDER BY
+                    # peers): window = rows [i - frame, i] clamped to
+                    # the partition start
+                    w = frame + 1
+                    if it[1] == "count":
+                        run = np.minimum(rn, w).astype(np.int64)
+                    else:
+                        v = np.broadcast_to(
+                            np.asarray(_eval_expr(gs, it[5])),
+                            n).astype(np.int64)
+                        if it[1] == "sum":
+                            cs = np.cumsum(v)
+                            st = np.maximum(np.arange(n) - (w - 1),
+                                            pstart)
+                            run = cs - cs[st] + v[st]
+                        else:
+                            op = "min" if it[1] == "min" else "max"
+                            run = getattr(
+                                pd.Series(v).groupby(run_id)
+                                .rolling(w, min_periods=1), op)() \
+                                .reset_index(drop=True).to_numpy() \
+                                .astype(np.int64)
+                elif it[1] == "count":
                     run = ends - pstart + 1
                 else:
                     v = np.broadcast_to(
@@ -4122,3 +4186,12 @@ DEMO_UNION_DISTINCT = (
     "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
     "UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' "
     "INTERSECT SELECT o_custkey FROM orders WHERE o_custkey < 400")
+DEMO_ROWS_FRAME = (
+    # moving 4-order revenue per customer: a positional ROWS frame over
+    # the per-customer order history (one exchange, per-partition
+    # vectorized cumsum-window)
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderkey ASC "
+    "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS mv4_spend_c FROM orders WHERE o_custkey < 200")

@@ -1748,6 +1748,54 @@ def test_differential_derived_join_vs_duckdb(ray_session, tmp_path):
     run()
 
 
+def test_rows_frame_moving_aggregates_vs_duckdb(ray_session):
+    """ROWS BETWEEN n PRECEDING AND CURRENT ROW: positional moving
+    SUM/MIN/MAX/COUNT(*) per partition (frames ignore ORDER BY peers);
+    ranks/LAG with a frame are loudly refused, as are mixed frames."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    for s in (
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(SUM(o_orderkey) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderkey ASC "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv3 "
+        "FROM orders WHERE o_custkey < 30",
+        "SELECT o_custkey, o_orderkey, "
+        "min(o_orderkey) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderkey ASC "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn4, "
+        "max(o_orderkey) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderkey ASC "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mx4, "
+        "COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS c4 "
+        "FROM orders WHERE o_custkey < 30",
+    ):
+        got = run_sql(SF, s).to_pandas()
+        want = con.execute(s).fetch_df()
+        for df in (got, want):
+            df.sort_index(axis=1, inplace=True)
+        g = sorted(map(tuple, got.values.tolist()))
+        w = sorted(map(tuple, want.values.tolist()))
+        assert g == w, (s, got.head(), want.head())
+    with pytest.raises(SqlError, match="ROWS frames apply"):
+        run_sql(SF, "SELECT o_custkey, row_number() OVER "
+                    "(PARTITION BY o_custkey ORDER BY o_orderkey ASC "
+                    "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS r "
+                    "FROM orders")
+    with pytest.raises(SqlError, match="same ROWS frame"):
+        run_sql(SF, "SELECT o_custkey, "
+                    "min(o_orderkey) OVER (PARTITION BY o_custkey "
+                    "ORDER BY o_orderkey ASC ROWS BETWEEN 1 PRECEDING "
+                    "AND CURRENT ROW) AS a, "
+                    "max(o_orderkey) OVER (PARTITION BY o_custkey "
+                    "ORDER BY o_orderkey ASC ROWS BETWEEN 2 PRECEDING "
+                    "AND CURRENT ROW) AS b FROM orders")
+
+
 def test_union_distinct_vs_duckdb(ray_session):
     """Plain UNION (SQL DISTINCT semantics): dedups the whole result
     including within-branch duplicates, folds left-associatively with
