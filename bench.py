@@ -311,6 +311,11 @@ def run_bench(num_cpus: int) -> dict:
         best_of(lambda: sqlfront.run_sql(sf_dir,
                                          sqlfront.DEMO_TPCH_Q1).count(),
                 name="sql_tpch_q1"), 3)
+    # join-heavy frontend line: Q5's 6-way chain + cross-table conjunct
+    timings["sql_tpch_q5"] = round(
+        best_of(lambda: sqlfront.run_sql(sf_dir,
+                                         sqlfront.DEMO_TPCH_Q5).count(),
+                name="sql_tpch_q5"), 3)
 
     ray.shutdown()
     return {

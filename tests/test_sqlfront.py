@@ -171,7 +171,7 @@ def test_parser_fuzz_never_crashes():
         "OVER", "PARTITION", "QUALIFY", "ROW_NUMBER", "RANK",
         "DENSE_RANK", "NTILE", "LAG", "LEAD", "FIRST_VALUE",
         "LAST_VALUE", "+", "-", "%", "//", "/", "FLOOR", "CEIL",
-        "EXTRACT", "year", "dow",
+        "EXTRACT", "year", "dow", "ROWS", "PRECEDING", "CURRENT", "ROW",
         "CASE", "WHEN", "THEN", "ELSE", "END", "ABS", "COALESCE", "AVG",
         "EXISTS", "WITH", "EXCEPT", "INTERSECT",
         ",", "*", ".", "=", "<", ">", "<=", ">=", "!=", "<>", "tbl",
