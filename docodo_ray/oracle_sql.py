@@ -2780,7 +2780,7 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_TPCH_Q5, DEMO_TPCH_Q7,
                                      DEMO_TPCH_Q8, DEMO_TPCH_Q19,
                                      DEMO_UNION_DISTINCT,
-                                     DEMO_ROWS_FRAME)
+                                     DEMO_ROWS_FRAME, DEMO_SCALAR_ATOM)
 
     sql["sql_orders_groupby"] = DEMO_GROUPBY
     sql["sql_events_filter"] = DEMO_FILTER
@@ -2840,6 +2840,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_tpch_q19"] = DEMO_TPCH_Q19
     sql["sql_union_distinct"] = DEMO_UNION_DISTINCT
     sql["sql_rows_frame"] = DEMO_ROWS_FRAME
+    sql["sql_scalar_atom"] = DEMO_SCALAR_ATOM
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

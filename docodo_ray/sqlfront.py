@@ -810,6 +810,14 @@ class _Parser:
                     "only integer literals in aggregate expressions")
             return ("lit", v)
         if (k, v) == ("op", "("):
+            if self.toks[self.pos + 1][:2] == ("kw", "select"):
+                # scalar subquery as an arithmetic ATOM (percent-of-
+                # total idioms: v * 1000 // (SELECT sum(v) ..)) —
+                # resolved to a plan-time integer literal
+                self.next()
+                sub = self.parse(stop_at_paren=True)
+                self.expect("op", ")")
+                return ("sclr", sub)
             self.next()
             node = self._arith()
             self.expect("op", ")")
@@ -2489,6 +2497,24 @@ def _attach_ctes(q: dict, ctes: dict, depth: int = 0) -> dict:
     if joins2:
         q = dict(q, joins=joins2)
 
+    def ewalk(e):
+        # scalar-atom subqueries inside arithmetic trees may reference
+        # CTEs too
+        if e is None or isinstance(e, str):
+            return e
+        if e[0] == "sclr":
+            return ("sclr", _attach_ctes(e[1], ctes, depth + 1))
+        if e[0] == "bin":
+            return ("bin", e[1], ewalk(e[2]), ewalk(e[3]))
+        if e[0] == "case":
+            return ("case", [(walk(p), ewalk(x)) for p, x in e[1]],
+                    ewalk(e[2]))
+        if e[0] == "abs":
+            return ("abs", ewalk(e[1]))
+        if e[0] == "coalesce":
+            return ("coalesce", e[1], ewalk(e[2]))
+        return e
+
     def walk(node):
         if node is None:
             return None
@@ -2504,9 +2530,22 @@ def _attach_ctes(q: dict, ctes: dict, depth: int = 0) -> dict:
                     _attach_ctes(node[3], ctes, depth + 1))
         if tag == "exists":
             return (tag, _attach_ctes(node[1], ctes, depth + 1))
+        if tag == "cmpe":
+            return (tag, node[1], ewalk(node[2]), ewalk(node[3]))
         return node
 
-    return dict(q, where=walk(q["where"]))
+    items = []
+    for i in q["items"]:
+        if i[0] == "exprcol":
+            items.append(("exprcol", ewalk(i[1]), i[2]))
+        elif i[0] == "aggexpr":
+            items.append(("aggexpr", ewalk(i[1]), i[2]))
+        elif i[0] == "agg":
+            items.append(("agg", i[1], ewalk(i[2]), i[3]))
+        else:
+            items.append(i)
+    return dict(q, items=items, where=walk(q["where"]),
+                having=walk(q["having"]))
 
 
 def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
@@ -2949,6 +2988,75 @@ def _rewrite_group_exprs(q: dict, plan: list) -> dict:
                 derived=inner, group=group2, items=outer_items)
 
 
+def _resolve_scalar_atoms(sf_dir: str, q: dict, plan: list) -> dict:
+    """Replace every ('sclr', subquery) arithmetic atom with the
+    plan-time integer literal its pipeline yields (exactly one row, one
+    non-NULL int column — loud otherwise)."""
+
+    def value(sub) -> int:
+        sub_plan: list = []
+        vals = _run_parsed(sf_dir, sub, sub_plan).to_pandas()
+        if vals.shape[1] != 1:
+            raise SqlError("a scalar subquery needs a single column")
+        if len(vals) != 1:
+            raise SqlError(f"scalar subquery returned {len(vals)} rows "
+                           f"(want 1)")
+        lit = vals.iloc[0, 0]
+        if hasattr(lit, "item"):
+            lit = lit.item()
+        if not isinstance(lit, int):
+            raise SqlError("a scalar subquery in arithmetic must yield "
+                           "a non-NULL integer (exact-int contract)")
+        plan.append(f"scalar atom: (SELECT ..) -> {lit}; inner plan: "
+                    + " | ".join(sub_plan))
+        return lit
+
+    def ew(e):
+        if e is None or isinstance(e, str):
+            return e
+        if e[0] == "sclr":
+            return ("lit", value(e[1]))
+        if e[0] == "bin":
+            return ("bin", e[1], ew(e[2]), ew(e[3]))
+        if e[0] == "case":
+            return ("case", [(pw(p), ew(x)) for p, x in e[1]],
+                    ew(e[2]))
+        if e[0] == "abs":
+            return ("abs", ew(e[1]))
+        if e[0] == "coalesce":
+            return ("coalesce", e[1], ew(e[2]))
+        return e
+
+    def pw(node):
+        if node is None:
+            return None
+        tag = node[0]
+        if tag in ("and", "or"):
+            return (tag, pw(node[1]), pw(node[2]))
+        if tag == "not":
+            return (tag, pw(node[1]))
+        if tag == "cmpe":
+            return (tag, node[1], ew(node[2]), ew(node[3]))
+        if tag == "cmp" and not isinstance(node[2], str):
+            return (tag, node[1], ew(node[2]), node[3])
+        return node
+
+    items = []
+    for i in q["items"]:
+        if i[0] == "exprcol":
+            items.append(("exprcol", ew(i[1]), i[2]))
+        elif i[0] == "aggexpr":
+            items.append(("aggexpr", ew(i[1]), i[2]))
+        elif i[0] == "agg":
+            items.append(("agg", i[1], ew(i[2]), i[3]))
+        else:
+            items.append(i)
+    return dict(q, items=items,
+                group=[g if isinstance(g, str) else ew(g)
+                       for g in q["group"]],
+                where=pw(q["where"]), having=pw(q["having"]))
+
+
 def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
     q = _expand_sugar(sf_dir, q)
     q = _rewrite_having_aggs(q)
@@ -2956,6 +3064,7 @@ def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
     q, ns2tab = _namespace(q)
     q = dict(q, where=_resolve_subqueries(sf_dir, q["where"], plan,
                                           outer=q))
+    q = _resolve_scalar_atoms(sf_dir, q, plan)
     aggs = [i for i in q["items"] if i[0] == "agg"]
     aggexprs = [i for i in q["items"] if i[0] == "aggexpr"]
     plain = [i[1] for i in q["items"] if i[0] == "col"]
@@ -4195,3 +4304,11 @@ DEMO_ROWS_FRAME = (
     "(PARTITION BY o_custkey ORDER BY o_orderkey ASC "
     "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) "
     "AS mv4_spend_c FROM orders WHERE o_custkey < 200")
+DEMO_SCALAR_ATOM = (
+    # share-of-total: each priority's order-key mass in permille of the
+    # corpus total — the scalar subquery resolves to one plan-time
+    # integer and the ratio computes over folded rows
+    "SELECT o_orderpriority, CAST(sum(o_orderkey) AS BIGINT) * 1000 // "
+    "(SELECT CAST(sum(o_orderkey) AS BIGINT) AS t FROM orders) "
+    "AS permille, count(*) AS n FROM orders GROUP BY o_orderpriority "
+    "ORDER BY o_orderpriority ASC")

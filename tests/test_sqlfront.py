@@ -1748,6 +1748,43 @@ def test_differential_derived_join_vs_duckdb(ray_session, tmp_path):
     run()
 
 
+def test_scalar_atom_subqueries_vs_duckdb(ray_session):
+    """Scalar subqueries as arithmetic ATOMS (percent-of-total idioms):
+    resolved to plan-time integer literals in aggregate arithmetic,
+    WHERE expressions, projections and over CTEs; non-integer / multi-
+    row results stay loud."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    for s in (
+        "SELECT o_orderpriority, CAST(sum(o_orderkey) AS BIGINT) "
+        "* 1000 // (SELECT CAST(sum(o_orderkey) AS BIGINT) AS t "
+        "FROM orders) AS permille FROM orders GROUP BY o_orderpriority",
+        "SELECT count(*) AS n FROM orders WHERE o_custkey * 2 > "
+        "(SELECT max(o_custkey) AS m FROM orders)",
+        "WITH t AS (SELECT o_custkey, count(*) AS c FROM orders "
+        "GROUP BY o_custkey) SELECT count(*) AS n FROM orders "
+        "WHERE o_custkey + 0 = (SELECT max(c) AS m FROM t)",
+        "SELECT o_orderkey, o_orderkey - (SELECT min(o_orderkey) AS m "
+        "FROM orders) AS rel FROM orders WHERE o_orderkey < 30 "
+        "ORDER BY o_orderkey ASC LIMIT 5",
+    ):
+        got = run_sql(SF, s).to_pandas()
+        want = con.execute(s).fetch_df()
+        for df in (got, want):
+            df.sort_index(axis=1, inplace=True)
+        g = sorted(map(tuple, got.values.tolist()))
+        w = sorted(map(tuple, want.values.tolist()))
+        assert g == w, (s, got.head(), want.head())
+    with pytest.raises(SqlError, match="1 rows|rows .want 1."):
+        run_sql(SF, "SELECT count(*) AS n FROM orders WHERE "
+                    "o_custkey + 0 = (SELECT o_custkey FROM orders "
+                    "WHERE o_orderkey < 50 ORDER BY o_custkey ASC "
+                    "LIMIT 2)")
+
+
 def test_rows_frame_moving_aggregates_vs_duckdb(ray_session):
     """ROWS BETWEEN n PRECEDING AND CURRENT ROW: positional moving
     SUM/MIN/MAX/COUNT(*) per partition (frames ignore ORDER BY peers);
