@@ -1042,9 +1042,9 @@ class _Parser:
             return ("cmpe", v, col, self._arith())
         k, v = self.next()
         neg_infix = False
-        if (k, v) == ("kw", "not") and self.peek() in (("kw", "like"),
-                                                       ("kw", "in")):
-            # infix negation: col NOT IN (...) / col NOT LIKE 'pat'
+        if (k, v) == ("kw", "not") and self.peek() in (
+                ("kw", "like"), ("kw", "in"), ("kw", "between")):
+            # infix negation: col NOT IN (...) / NOT LIKE / NOT BETWEEN
             neg_infix = True
             k, v = self.next()
 
@@ -1092,7 +1092,8 @@ class _Parser:
             lo = self._literal()
             self.expect("kw", "and")
             hi = self._literal()
-            return ("and", ("cmp", ">=", col, lo), ("cmp", "<=", col, hi))
+            return _n(("and", ("cmp", ">=", col, lo),
+                       ("cmp", "<=", col, hi)))
         if k == "op" and v in ("=", "!=", "<>", "<", "<=", ">", ">="):
             nk, nv = self.peek()
             if ((nk, nv) == ("op", "(")

@@ -1286,6 +1286,8 @@ def test_like_and_is_null(ray_session, tmp_path):
         "SELECT v FROM t WHERE v NOT IN (1, 4)",    # NULL row excluded
         "SELECT v FROM t WHERE NOT v IN (1, 4)",    # prefix NOT, 3VL
         "SELECT v FROM t WHERE v IN (1, 4)",
+        "SELECT v FROM t WHERE v NOT BETWEEN 1 AND 4",  # 3VL negation
+        "SELECT v FROM t WHERE v BETWEEN 1 AND 4",
     ):
         got = run_sql(str(tmp_path), s).to_pandas()
         want = con.execute(s).fetch_df()
