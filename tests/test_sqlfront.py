@@ -1125,8 +1125,9 @@ def test_differential_random_windows_vs_duckdb(ray_session, tmp_path):
         fn=fns,
         by_unique=st.booleans(),
         desc=st.booleans(),
+        frame=st.sampled_from([None, 0, 1, 3]),
     )
-    def run(ks, vs, fn, by_unique, desc):
+    def run(ks, vs, fn, by_unique, desc, frame):
         v = [vs.draw(st.integers(-4, 4)) for _ in ks]
         idx[0] += 1
         d = tmp_path / f"w{idx[0]}"
@@ -1143,8 +1144,15 @@ def test_differential_random_windows_vs_duckdb(ray_session, tmp_path):
             fn.startswith(("CAST(sum", "min", "count", "last_value"))
         okey = f"v {dirn}, u ASC" if rank_fn and not by_unique \
             else f"u {dirn}"
+        fr = ""
+        if frame is not None and fn.split("(")[0].lower() in (
+                "cast", "min", "count") and fn.startswith(
+                ("CAST(sum", "min", "count")):
+            # ROWS frames: positional, so demand a UNIQUE order key
+            okey = f"u {dirn}"
+            fr = f" ROWS BETWEEN {frame} PRECEDING AND CURRENT ROW"
         s = ("SELECT k, u, " +
-             fn.replace("W", f"(PARTITION BY k ORDER BY {okey})") +
+             fn.replace("W", f"(PARTITION BY k ORDER BY {okey}{fr})") +
              " FROM t")
         got = run_sql(str(d), s).to_pandas()
         con = duckdb.connect()
