@@ -361,8 +361,12 @@ def cmd_sql(args) -> int:
     """Run a restricted-SQL statement over the parquet tables in
     --data-dir as a distributed Ray Data pipeline (sqlfront grammar)."""
     _ensure_ray()
-    from docodo_ray.sqlfront import explain_sql, run_sql
+    from docodo_ray.sqlfront import (explain_analyze_sql, explain_sql,
+                                     run_sql)
 
+    if args.analyze:
+        print(explain_analyze_sql(args.data_dir, args.statement))
+        return 0
     if args.explain:
         print(explain_sql(args.data_dir, args.statement))
         return 0
@@ -395,6 +399,9 @@ def make_parser() -> argparse.ArgumentParser:
     sq.add_argument("--explain", action="store_true",
                     help="print the plan (pushdowns, join strategy, "
                     "exchanges) instead of executing")
+    sq.add_argument("--analyze", action="store_true",
+                    help="EXPLAIN ANALYZE: execute and print the plan "
+                    "plus Ray Data's per-operator wall/row/memory stats")
     sq.add_argument("--out", default=None,
                     help="write the result as partitioned parquet to this "
                     "directory instead of printing")

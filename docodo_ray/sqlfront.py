@@ -2466,6 +2466,21 @@ def explain_sql(sf_dir: str, sql: str) -> str:
     return "\n".join(plan)
 
 
+def explain_analyze_sql(sf_dir: str, sql: str) -> str:
+    """EXPLAIN ANALYZE: the plan PLUS a real execution's per-operator
+    wall/row/memory report from Ray Data's stats — observability for
+    slow statements (which exchange dominates, how much the pushdown
+    pruned, per-stage wall). The CLI exposes this as `sql --analyze`."""
+    plan: list[str] = []
+    ds = run_sql(sf_dir, sql, _plan=plan)
+    # materialize records the full per-operator trace (count() alone
+    # may take a metadata shortcut with no stats)
+    mds = ds.materialize()
+    lines = (["== plan =="] + plan
+             + [f"== execution ({mds.count()} rows) ==", mds.stats()])
+    return "\n".join(lines)
+
+
 def _attach_ctes(q: dict, ctes: dict, depth: int = 0) -> dict:
     """Rewrite FROM-clause references to WITH names into derived tables
     (the CTE pipeline streams into the outer ops — no materialization,

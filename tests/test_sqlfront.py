@@ -205,6 +205,21 @@ def test_count_distinct_cross_batch(ray_session, tmp_path):
     assert got == {"a": (2, 3, 2), "b": (1, 3, 7)}
 
 
+def test_explain_analyze_reports_execution_stats(ray_session):
+    """EXPLAIN ANALYZE = the plan plus Ray Data's per-operator trace of
+    a real execution (wall, rows, memory per stage)."""
+    from docodo_ray.sqlfront import explain_analyze_sql
+
+    out = explain_analyze_sql(
+        SF, "SELECT l_returnflag, count(*) AS n FROM lineitem "
+            "GROUP BY l_returnflag")
+    assert "== plan ==" in out
+    assert "scan lineitem" in out
+    assert "== execution (3 rows) ==" in out
+    assert "ReadParquet" in out and "Remote wall time" in out
+    assert "Output num rows" in out
+
+
 def test_explain_reports_planner_choices(ray_session, tmp_path,
                                          monkeypatch):
     import docodo_ray.sqlfront as sf
