@@ -284,6 +284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, sqlfront.DEMO_ROWS_FRAME),
         "sql_scalar_atom": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_SCALAR_ATOM),
+        "sql_corpus_profile": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_CORPUS_PROFILE),
         "orders_cube": relational.orders_cube,           # GROUP BY CUBE grouping sets
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
         "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join

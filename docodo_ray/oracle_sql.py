@@ -2780,7 +2780,8 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_TPCH_Q5, DEMO_TPCH_Q7,
                                      DEMO_TPCH_Q8, DEMO_TPCH_Q19,
                                      DEMO_UNION_DISTINCT,
-                                     DEMO_ROWS_FRAME, DEMO_SCALAR_ATOM)
+                                     DEMO_ROWS_FRAME, DEMO_SCALAR_ATOM,
+                                     DEMO_CORPUS_PROFILE)
 
     sql["sql_orders_groupby"] = DEMO_GROUPBY
     sql["sql_events_filter"] = DEMO_FILTER
@@ -2841,6 +2842,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_union_distinct"] = DEMO_UNION_DISTINCT
     sql["sql_rows_frame"] = DEMO_ROWS_FRAME
     sql["sql_scalar_atom"] = DEMO_SCALAR_ATOM
+    sql["sql_corpus_profile"] = DEMO_CORPUS_PROFILE
 
     # list-column kernel (sim.embedding_norm_sq): per-element floor(x*1e3)
     # quantization then exact integer squared-norm, both sides

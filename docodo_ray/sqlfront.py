@@ -4328,3 +4328,14 @@ DEMO_SCALAR_ATOM = (
     "(SELECT CAST(sum(o_orderkey) AS BIGINT) AS t FROM orders) "
     "AS permille, count(*) AS n FROM orders GROUP BY o_orderpriority "
     "ORDER BY o_orderpriority ASC")
+DEMO_CORPUS_PROFILE = (
+    # the training-corpus profile in ONE statement over the documents
+    # table: per-language doc counts, char mass, exact average length
+    # and share-of-corpus permille (scalar-atom total)
+    "SELECT lang, count(*) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS chars, "
+    "CAST(AVG(n_chars) AS BIGINT) AS avg_chars, "
+    "CAST(sum(n_chars) AS BIGINT) * 1000 // "
+    "(SELECT CAST(sum(n_chars) AS BIGINT) AS t FROM documents) "
+    "AS share_pm FROM documents WHERE LENGTH(text) >= 10 "
+    "GROUP BY lang ORDER BY chars DESC, lang ASC")
