@@ -574,10 +574,15 @@ class _Parser:
             win = None
             if self.peek() == ("kw", "over"):
                 # CAST(SUM(x) OVER w AS BIGINT): running window aggregate
-                # (the CAST pins DuckDB's HUGEINT window SUM to BIGINT)
-                if inner[0] in ("countd", "avg", "countn"):
+                # (the CAST pins DuckDB's HUGEINT window SUM to BIGINT).
+                # CAST(AVG(x) OVER w AS BIGINT) = running / moving
+                # average via an exact (sum, count) pair + half-to-even
+                # final divide (avgb)
+                if inner[0] in ("countd", "countn"):
                     raise SqlError(
                         f"{inner[0]} OVER is unsupported")
+                if inner[0] == "avg":
+                    inner = ("avgb", inner[1])
                 win = self._over_spec()
             self.expect("kw", "as")
             self.expect("kw", "bigint")
@@ -608,7 +613,11 @@ class _Parser:
         if k == "kw" and v in ("count", "sum", "min", "max", "avg"):
             fn, col = self._agg_call()
             if self.peek() == ("kw", "over"):
-                if fn in ("countd", "avg", "countn"):
+                if fn == "avg":
+                    raise SqlError(
+                        "AVG OVER yields DOUBLE — use "
+                        "CAST(AVG(x) OVER w AS BIGINT) (exact contract)")
+                if fn in ("countd", "countn"):
                     raise SqlError(f"{fn} OVER is unsupported")
                 part, order = self._over_spec()
                 self.expect("kw", "as")
@@ -3332,10 +3341,11 @@ def _run_window(ds: rd.Dataset, q: dict, wins, plan: list) -> rd.Dataset:
     if frame is not None:
         for it in items:
             if it[0] == "win" and it[1] not in ("sum", "min", "max",
-                                                "count"):
+                                                "count", "avgb"):
                 raise SqlError(
-                    "ROWS frames apply to running SUM/MIN/MAX/COUNT(*) "
-                    "only (ranks and LAG/LEAD ignore frames in SQL)")
+                    "ROWS frames apply to running SUM/MIN/MAX/AVG/"
+                    "COUNT(*) only (ranks and LAG/LEAD ignore frames "
+                    "in SQL)")
 
     def wk_partial(t: pa.Table) -> pa.Table:
         u, inv = _batch_group_key(t, t.num_rows, part)
@@ -3394,7 +3404,7 @@ def _run_window(ds: rd.Dataset, q: dict, wins, plan: list) -> rd.Dataset:
                 out[it[1]] = gs[it[1]]
             elif it[0] == "colas":
                 out[it[2]] = gs[it[1]]
-            elif it[1] in ("sum", "min", "max", "count"):
+            elif it[1] in ("sum", "min", "max", "count", "avgb"):
                 import pandas as pd
                 if frame is not None:
                     # positional moving frame (ROWS ignores ORDER BY
@@ -3403,6 +3413,17 @@ def _run_window(ds: rd.Dataset, q: dict, wins, plan: list) -> rd.Dataset:
                     w = frame + 1
                     if it[1] == "count":
                         run = np.minimum(rn, w).astype(np.int64)
+                    elif it[1] == "avgb":
+                        # moving average: exact windowed (sum, count)
+                        # pair, one IEEE divide, half-to-even cast
+                        v = np.broadcast_to(
+                            np.asarray(_eval_expr(gs, it[5])),
+                            n).astype(np.int64)
+                        cs = np.cumsum(v)
+                        st = np.maximum(np.arange(n) - (w - 1), pstart)
+                        sv = cs - cs[st] + v[st]
+                        cv = np.minimum(rn, w)
+                        run = np.rint(sv / cv).astype(np.int64)
                     else:
                         v = np.broadcast_to(
                             np.asarray(_eval_expr(gs, it[5])),
@@ -3421,6 +3442,16 @@ def _run_window(ds: rd.Dataset, q: dict, wins, plan: list) -> rd.Dataset:
                                 .astype(np.int64)
                 elif it[1] == "count":
                     run = ends - pstart + 1
+                elif it[1] == "avgb":
+                    # running average over the default peer frame
+                    v = np.broadcast_to(
+                        np.asarray(_eval_expr(gs, it[5])), n).astype(
+                            np.int64)
+                    cs = np.cumsum(v)
+                    seg = cs - cs[pstart] + v[pstart] if n else cs
+                    sv = seg[ends]
+                    cv = ends - pstart + 1
+                    run = np.rint(sv / cv).astype(np.int64)
                 else:
                     v = np.broadcast_to(
                         np.asarray(_eval_expr(gs, it[5])), n).astype(

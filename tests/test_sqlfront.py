@@ -1128,6 +1128,7 @@ def test_differential_random_windows_vs_duckdb(ray_session, tmp_path):
         "first_value(v) OVER W AS x",
         "last_value(v) OVER W AS x",
         "CAST(sum(v) OVER W AS BIGINT) AS x",
+        "CAST(AVG(v) OVER W AS BIGINT) AS x",
         "min(v - 1) OVER W AS x",
         "count(*) OVER W AS x",
     ])
@@ -1156,13 +1157,14 @@ def test_differential_random_windows_vs_duckdb(ray_session, tmp_path):
         # ties under 'ORDER BY v' are only deterministic for rank fns;
         # everything else orders by the unique u
         rank_fn = fn.split("(")[0] in ("rank", "dense_rank") or \
-            fn.startswith(("CAST(sum", "min", "count", "last_value"))
+            fn.startswith(("CAST(sum", "CAST(AVG", "min", "count",
+                           "last_value"))
         okey = f"v {dirn}, u ASC" if rank_fn and not by_unique \
             else f"u {dirn}"
         fr = ""
         if frame is not None and fn.split("(")[0].lower() in (
                 "cast", "min", "count") and fn.startswith(
-                ("CAST(sum", "min", "count")):
+                ("CAST(sum", "CAST(AVG", "min", "count")):
             # ROWS frames: positional, so demand a UNIQUE order key
             okey = f"u {dirn}"
             fr = f" ROWS BETWEEN {frame} PRECEDING AND CURRENT ROW"
@@ -1843,6 +1845,34 @@ def test_rows_frame_moving_aggregates_vs_duckdb(ray_session):
         g = sorted(map(tuple, got.values.tolist()))
         w = sorted(map(tuple, want.values.tolist()))
         assert g == w, (s, got.head(), want.head())
+    # moving / running averages: CAST(AVG(x) OVER w AS BIGINT)
+    for s in (
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(AVG(o_custkey + o_orderkey) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderkey ASC ROWS BETWEEN 3 PRECEDING AND "
+        "CURRENT ROW) AS BIGINT) AS mv4 "
+        "FROM orders WHERE o_custkey < 40",
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(AVG(o_orderkey) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderkey ASC) AS BIGINT) AS ra "
+        "FROM orders WHERE o_custkey < 40",
+        # default peer frame with ties on the ORDER key
+        "SELECT o_orderstatus, o_orderkey, "
+        "CAST(AVG(o_orderkey) OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_custkey ASC) AS BIGINT) AS ra "
+        "FROM orders WHERE o_orderkey < 400",
+    ):
+        got = run_sql(SF, s).to_pandas()
+        want = con.execute(s).fetch_df()
+        for df in (got, want):
+            df.sort_index(axis=1, inplace=True)
+        g = sorted(map(tuple, got.values.tolist()))
+        w = sorted(map(tuple, want.values.tolist()))
+        assert g == w, (s, got.head(), want.head())
+    with pytest.raises(SqlError, match="AVG OVER yields DOUBLE"):
+        run_sql(SF, "SELECT o_custkey, AVG(o_orderkey) OVER "
+                    "(PARTITION BY o_custkey ORDER BY o_orderkey ASC) "
+                    "AS a FROM orders")
     with pytest.raises(SqlError, match="ROWS frames apply"):
         run_sql(SF, "SELECT o_custkey, row_number() OVER "
                     "(PARTITION BY o_custkey ORDER BY o_orderkey ASC "
