@@ -2229,7 +2229,7 @@ def test_avg_exact_and_rounding_vs_duckdb(ray_session, tmp_path):
     got3 = run_sql(str(tmp_path), s3).to_pandas()
     want3 = con.execute(s3).fetch_df()
     assert got3.values.tolist() == want3.values.tolist()
-    with pytest.raises(SqlError, match="OVER is unsupported"):
+    with pytest.raises(SqlError, match="AVG OVER yields DOUBLE"):
         run_sql(str(tmp_path),
                 "SELECT AVG(v) OVER (PARTITION BY k ORDER BY v ASC) "
                 "AS a FROM t")
