@@ -1133,15 +1133,53 @@ class _Parser:
         if (k, v) in (("kw", "date"), ("kw", "timestamp")):
             # DATE 'yyyy-mm-dd' / TIMESTAMP 'yyyy-mm-dd hh:mm:ss' —
             # parsed to a datetime; comparisons against timestamp
-            # columns work on both the pads-pushdown and in-flight paths
+            # columns work on both the pads-pushdown and in-flight
+            # paths. ± INTERVAL n DAY/WEEK/HOUR/MINUTE/SECOND/MONTH/
+            # YEAR chains fold into the literal at parse time (DuckDB
+            # calendar semantics: month/year arithmetic clamps to the
+            # target month's last day)
+            import calendar
             import datetime as _dt
             kk, vv = self.next()
             if kk != "str":
                 raise SqlError(f"{v.upper()} needs a quoted string")
             try:
-                return _dt.datetime.fromisoformat(vv)
+                val = _dt.datetime.fromisoformat(vv)
             except ValueError as e:
                 raise SqlError(f"bad {v.upper()} literal {vv!r}: {e}")
+            while (self.peek() in (("op", "+"), ("op", "-"))
+                   and self.toks[self.pos + 1][0] == "ident"
+                   and str(self.toks[self.pos + 1][1]).lower()
+                   == "interval"):
+                sign = 1 if self.next()[1] == "+" else -1
+                self.next()
+                qk, qv = self.next()
+                if qk == "str":
+                    try:
+                        qv = int(qv)
+                    except ValueError:
+                        raise SqlError(f"bad INTERVAL quantity {qv!r}")
+                elif qk != "num" or not isinstance(qv, int):
+                    raise SqlError(f"bad INTERVAL quantity {qv!r}")
+                uk, uv = self.next()
+                unit = str(uv).lower().rstrip("s")
+                if uk != "ident" or unit not in (
+                        "day", "week", "hour", "minute", "second",
+                        "month", "year"):
+                    raise SqlError(f"bad INTERVAL unit {uv!r}")
+                n = sign * qv
+                if unit in ("day", "week", "hour", "minute", "second"):
+                    mult = {"day": 86400, "week": 7 * 86400,
+                            "hour": 3600, "minute": 60,
+                            "second": 1}[unit]
+                    val = val + _dt.timedelta(seconds=n * mult)
+                else:
+                    months = n * (12 if unit == "year" else 1)
+                    y = val.year + (val.month - 1 + months) // 12
+                    m = (val.month - 1 + months) % 12 + 1
+                    d = min(val.day, calendar.monthrange(y, m)[1])
+                    val = val.replace(year=y, month=m, day=d)
+            return val
         if k not in ("num", "str"):
             raise SqlError(f"expected literal, got {v!r}")
         return v

@@ -1535,6 +1535,38 @@ def test_differential_float_bridge_vs_duckdb(ray_session, tmp_path):
     run()
 
 
+def test_interval_literal_folding_vs_duckdb(ray_session):
+    """DATE/TIMESTAMP ± INTERVAL chains fold into the literal at parse
+    time with DuckDB's calendar semantics (month arithmetic clamps to
+    the target month's last day; leap-day + 1 YEAR -> Feb 28)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    for s in (
+        "SELECT count(*) AS n FROM orders WHERE o_orderdate < "
+        "TIMESTAMP '1998-12-01 00:00:00' - INTERVAL 90 DAY",
+        "SELECT count(*) AS n FROM orders WHERE o_orderdate >= "
+        "DATE '1996-07-01' AND o_orderdate < "
+        "DATE '1996-07-01' + INTERVAL 3 MONTH",
+        "SELECT count(*) AS n FROM orders WHERE o_orderdate < "
+        "DATE '1996-02-29' + INTERVAL '1' YEAR + INTERVAL 1 DAY",
+        "SELECT count(*) AS n FROM orders WHERE o_orderdate < "
+        "DATE '1996-01-31' + INTERVAL 1 MONTH",
+        "SELECT count(*) AS n FROM orders WHERE o_orderdate >= "
+        "DATE '1997-01-01' - INTERVAL 2 WEEK",
+    ):
+        got = run_sql(SF, s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert got.values.tolist() == want.values.tolist(), (s, got,
+                                                            want)
+    with pytest.raises(SqlError, match="INTERVAL unit"):
+        run_sql(SF, "SELECT count(*) AS n FROM orders WHERE "
+                    "o_orderdate < DATE '1996-01-01' + "
+                    "INTERVAL 1 FORTNIGHT")
+
+
 def test_extract_vs_duckdb(ray_session):
     """EXTRACT(part FROM ts) matches DuckDB in every plan position:
     GROUP BY expression, WHERE pushdown, aggregate arithmetic, CASE
