@@ -2724,6 +2724,10 @@ def test_differential_random_new_constructs_vs_duckdb(ray_session,
                 c3, l3 = draw(cmps), draw(st.integers(-3, 7))
                 s += (f" {draw(st.sampled_from(['EXCEPT', 'INTERSECT', 'UNION']))}"
                       f" SELECT k, v FROM t WHERE v {c3} {l3}")
+            if draw(st.booleans()):
+                # trailing ORDER BY/LIMIT binds to the whole set result
+                s += (f" ORDER BY v {draw(st.sampled_from(['ASC', 'DESC']))}, "
+                      f"k ASC LIMIT {draw(st.integers(1, 8))}")
             return s
         having = ""
         if draw(st.booleans()):
