@@ -343,7 +343,7 @@ class _Parser:
             # FROM (SELECT ...) [AS] t — derived table: the inner query
             # plans as its own pipeline and the outer ops stream over it
             self.next()
-            derived = self.parse(stop_at_paren=True)
+            derived = self.parse_chain()
             self.expect("op", ")")
             table = None
         else:
@@ -365,7 +365,7 @@ class _Parser:
                 # JOIN (SELECT ...) alias ON ...: a derived side — the
                 # inner pipeline streams into the chain's exchange step
                 self.next()
-                dsub2 = self.parse(stop_at_paren=True)
+                dsub2 = self.parse_chain()
                 self.expect("op", ")")
                 t2 = None
             else:
@@ -436,7 +436,11 @@ class _Parser:
                     raise SqlError(f"OFFSET needs an integer, got {v!r}")
                 offset = v
         if stop_at_paren:
-            if self.peek() != ("op", ")"):
+            ok = self.peek() == ("op", ")") or (
+                stop_at_union and self.peek() in (
+                    ("kw", "union"), ("kw", "except"),
+                    ("kw", "intersect")))
+            if not ok:
                 raise SqlError(f"bad subquery end at {self.peek()!r}")
         elif stop_at_union:
             if self.peek()[0] != "end" and self.peek() not in (
@@ -460,6 +464,27 @@ class _Parser:
                 "limit": limit, "offset": offset, "distinct": distinct,
                 "group_all": group_all, "derived": derived,
                 "win_frame": frames[0] if frames else None}
+
+    def parse_chain(self) -> dict:
+        """A parenthesized SELECT body that may be a set-operation
+        chain: returns the plain parsed dict, or a composite
+        {'setop': True, 'branches': [...], 'ops': [...]} node that
+        _run_parsed executes through the same fold as top-level
+        set operations. The caller owns the surrounding parens."""
+        q = self.parse(stop_at_paren=True, stop_at_union=True)
+        branches, ops = [q], []
+        while self.peek() in (("kw", "union"), ("kw", "except"),
+                              ("kw", "intersect")):
+            op = self.next()[1]
+            if op == "union" and self.peek() == ("kw", "all"):
+                self.next()
+                op = "union_all"
+            ops.append(op)
+            branches.append(self.parse(stop_at_paren=True,
+                                       stop_at_union=True))
+        if not ops:
+            return q
+        return {"setop": True, "branches": branches, "ops": ops}
 
     def _opt_alias(self):
         if self.peek() == ("kw", "as"):
@@ -824,7 +849,7 @@ class _Parser:
                 # total idioms: v * 1000 // (SELECT sum(v) ..)) —
                 # resolved to a plan-time integer literal
                 self.next()
-                sub = self.parse(stop_at_paren=True)
+                sub = self.parse_chain()
                 self.expect("op", ")")
                 return ("sclr", sub)
             self.next()
@@ -1069,7 +1094,7 @@ class _Parser:
         if (k, v) == ("kw", "in"):
             self.expect("op", "(")
             if self.peek() == ("kw", "select"):
-                sub = self.parse(stop_at_paren=True)
+                sub = self.parse_chain()
                 self.expect("op", ")")
                 return _n(("insub", col, sub))
             lits = [self._literal()]
@@ -1110,7 +1135,7 @@ class _Parser:
                 # col cmp (SELECT ..): scalar subquery, resolved to a
                 # literal at plan time (exactly-one-row contract)
                 self.next()
-                sub = self.parse(stop_at_paren=True)
+                sub = self.parse_chain()
                 self.expect("op", ")")
                 return ("cmpsub", v, col, sub)
             if (nk == "kw" and not self._in_having
@@ -1909,6 +1934,9 @@ def _planned_schema(sf_dir: str, sq: dict) -> pa.Schema:
     null-extend / lift). Covers the supported item kinds; loud
     otherwise."""
     import pyarrow.parquet as pq
+    if sq.get("setop"):
+        # set-op branches share one output schema: use the first
+        return _planned_schema(sf_dir, sq["branches"][0])
     sq = _expand_sugar(sf_dir, sq)
     tabs: dict[str, object] = {}  # ns -> parquet table name | subq dict
     if sq.get("derived") is not None:
@@ -2536,6 +2564,9 @@ def _attach_ctes(q: dict, ctes: dict, depth: int = 0) -> dict:
     are rejected like any derived-table join."""
     if depth > 16:
         raise SqlError("CTE nesting too deep (self-reference?)")
+    if q.get("setop"):
+        return dict(q, branches=[_attach_ctes(b, ctes, depth + 1)
+                                 for b in q["branches"]])
     if q.get("derived") is not None:
         q = dict(q, derived=_attach_ctes(q["derived"], ctes, depth + 1))
     elif q["table"] in ctes:
@@ -2625,8 +2656,7 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
             parser.expect("op", "(")
             # earlier CTEs are visible inside later ones (attached now,
             # so a later SELECT .. FROM earlier_cte nests its pipeline)
-            ctes[name] = _attach_ctes(parser.parse(stop_at_paren=True),
-                                      ctes)
+            ctes[name] = _attach_ctes(parser.parse_chain(), ctes)
             parser.expect("op", ")")
             if parser.peek() == ("op", ","):
                 parser.next()
@@ -2652,8 +2682,14 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
                     f"pipelines ({', '.join(ctes)})")
     if len(branches) == 1:
         return _run_parsed(sf_dir, q, plan)
-    # multi-branch: each branch plans independently. Branch output names
-    # must agree (same names, same order).
+    return _run_branches(sf_dir, branches, ops, plan)
+
+
+def _run_branches(sf_dir: str, branches: list, ops: list,
+                  plan: list) -> rd.Dataset:
+    """Execute a set-operation chain (top-level, or a composite
+    {'setop': ...} node nested inside a derived table / CTE /
+    subquery). Branch output names must agree (same names, order)."""
     branches = [_expand_sugar(sf_dir, b) for b in branches]
     names = [tuple(i[3] if i[0] in ("agg", "sfn")
                    else i[2] if i[0] in ("colas", "exprcol",
@@ -3121,6 +3157,10 @@ def _resolve_scalar_atoms(sf_dir: str, q: dict, plan: list) -> dict:
 
 
 def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
+    if q.get("setop"):
+        # a nested set-operation chain (derived table / CTE / subquery
+        # body) executes through the same fold as top-level set ops
+        return _run_branches(sf_dir, q["branches"], q["ops"], plan)
     q = _expand_sugar(sf_dir, q)
     q = _rewrite_having_aggs(q)
     q = _rewrite_group_exprs(q, plan)

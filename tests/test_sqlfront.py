@@ -1844,6 +1844,45 @@ def test_scalar_atom_subqueries_vs_duckdb(ray_session):
                     "LIMIT 2)")
 
 
+def test_nested_setops_vs_duckdb(ray_session):
+    """Set-operation chains nest inside derived tables, CTEs, IN
+    subqueries and scalar atoms: the composite node executes through
+    the same distinct-fold as top-level set ops."""
+    import duckdb
+
+    con = duckdb.connect()
+    for tb in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    for s in (
+        "SELECT count(*) AS n FROM (SELECT o_custkey FROM orders "
+        "WHERE o_orderstatus = 'F' UNION SELECT o_custkey FROM orders "
+        "WHERE o_orderstatus = 'O') t",
+        "WITH active AS (SELECT o_custkey FROM orders "
+        "WHERE o_orderstatus = 'O' INTERSECT SELECT o_custkey "
+        "FROM orders WHERE o_totalprice > 100000) "
+        "SELECT customer.c_nationkey, count(*) AS n FROM active "
+        "JOIN customer ON active.o_custkey = customer.c_custkey "
+        "GROUP BY customer.c_nationkey",
+        "SELECT count(*) AS n FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 150000 "
+        "EXCEPT SELECT o_custkey FROM orders "
+        "WHERE o_orderstatus = 'F')",
+        "SELECT t.o_custkey, count(*) AS n FROM "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 120000 "
+        "UNION ALL SELECT o_custkey FROM orders "
+        "WHERE o_orderstatus = 'F') t "
+        "GROUP BY t.o_custkey ORDER BY n DESC, o_custkey ASC LIMIT 8",
+    ):
+        got = run_sql(SF, s).to_pandas()
+        want = con.execute(s).fetch_df()
+        for df in (got, want):
+            df.sort_index(axis=1, inplace=True)
+        g = sorted(map(tuple, got.values.tolist()))
+        w = sorted(map(tuple, want.values.tolist()))
+        assert g == w, (s, got.head(), want.head())
+
+
 def test_rows_frame_moving_aggregates_vs_duckdb(ray_session):
     """ROWS BETWEEN n PRECEDING AND CURRENT ROW: positional moving
     SUM/MIN/MAX/COUNT(*) per partition (frames ignore ORDER BY peers);
