@@ -60,67 +60,94 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     q = {
-        # --- inverted index + BM25 core (SURVEY §2.2/2.5/2.6, A1-A8) ---
-        "token_counts": pipelines.token_counts,          # M1-M6 tokenize stage
-        "subtoken_counts": pipelines.subtoken_counts,    # camelCase code-search split
-        "corpus_stats": pipelines.corpus_stats,          # A4 (N, total, avgdl)
-        "term_df": pipelines.term_df,                    # A5 df/cf per term
-        "top_terms": pipelines.top_terms,                # A6 histogram
-        "tfidf_topk": pipelines.tfidf_topk,              # per-doc keyword top-k
-        "doc_token_stats": pipelines.doc_token_stats,    # doc-length table
-        "doc_sha256": pipelines.doc_sha256,              # content invariant
-        "html_extract": pipelines.html_extract,          # M9 HTML extractor round-trip
-        "charset_roundtrip": pipelines.charset_roundtrip,  # M8 charset decode
-        "pdf_extract": pipelines.pdf_extract,            # M10/S3 PDF text extractor
-        "crawl_extract": pipelines.crawl_extract,        # S4 crawler (file:// fixture site)
-        "xml_manifest_extract": pipelines.xml_manifest_extract,  # S5 manifest source
-        "jsonl_roundtrip": pipelines.jsonl_roundtrip,    # JSONL source round-trip
-        "csv_roundtrip": pipelines.csv_roundtrip,        # CSV source round-trip
-        "bm25_topk": pipelines.bm25_topk,                # A8 replacement: BM25 top-k
-        "bm25_batch_distributed": pipelines.bm25_batch_distributed,  # actor-pool batch eval
-        "more_like_this": pipelines.more_like_this,      # Lucene-style MLT (tfidf terms -> BM25)
-        "hybrid_rrf": pipelines.hybrid_rrf,              # BM25 + dense cosine, RRF fusion
-        "symbol_defs": symbols.symbol_defs,              # ctags-style definition extraction
-        "symbol_search": symbols.symbol_search,          # Zoekt-style symbol-boosted ranking
-        "symbol_refs": symbols.symbol_refs,              # find-references xref counts
-        "secret_scan": symbols.secret_scan,              # token-scanning (AKIA/ghp_/PEM)
-        "module_rank": codegraph.module_rank,            # import-graph PageRank
-        "module_triangles": codegraph.module_triangles,  # wedge-join triangle counts
-        "module_scc": codegraph.module_scc,              # circular-import SCCs (Orzan coloring)
-        "dead_code_modules": codegraph.dead_code_modules,  # root-set reachability
-        "module_import_depth": codegraph.module_import_depth,  # BFS shortest-path depth
-        "build_order": codegraph.build_order,            # condensation-DAG topo levels
-        "module_kcore": codegraph.module_kcore,          # k-core iterative peeling
-        "docodo_rank": pipelines.docodo_rank,            # A8 original: proximity ranker
-        "phrase_count": pipelines.phrase_count,          # D2 phrase adjacency
-        "boolean_search": pipelines.boolean_search,      # M11 nested AND/OR tree
-        "proximity_search": pipelines.proximity_search,  # D2 distance-R intersect
-        "fielded_search": pipelines.fielded_search,      # J3 field semi-join
-        "facet_counts": pipelines.facet_counts,          # facet panel over meta cols
-        "grouped_topk": pipelines.grouped_topk,          # diversified top-k per facet
-        "regex_search": pipelines.regex_search,          # factor-pruned grep
-        "grep_lines": pipelines.grep_lines,              # grep with line numbers
-        "wildcard_terms": pipelines.wildcard_terms,      # O6 GetLikeWords
-        "suggest_prefix": pipelines.suggest_prefix,      # O4 suggestions
-        "levenshtein_close": pipelines.levenshtein_close,  # M13 corrections
-        "spell_correct": pipelines.spell_correct,        # did-you-mean top-1 per query
-        "snippets": pipelines.snippets,                  # M14/O7 found-page text
-        "incremental_term_df": pipelines.incremental_term_df,  # LSM update path
-        "deleted_term_df": pipelines.deleted_term_df,    # LSM delete + compaction
-        # --- training-data ops (text analysis) ---
-        "text_quality": textstats.quality_table,
-        "doc_fingerprint": textstats.fingerprint_table,
-        "lang_id": textstats.lang_id_table,              # SQL-checked since r4
-        "bpe_token_counts": textstats.bpe_token_counts,  # ws + pre + REAL BPE
-        "winnow_fingerprints": textstats.winnow_fingerprints,  # MOSS winnowing
-        "top_terms_sketch": textstats.top_terms_sketch,  # Misra-Gries heavy hitters (exact sibling: top_terms)
-        "repetition_stats": textstats.repetition_stats,  # Gopher repetition filters
+        # =================================================================
+        # Window-priority zone (round 5): the driver checks a ~50-entry
+        # prefix of this dict. Entries never driver-checked in r1-r4 (all
+        # sql_tpch_*, relational.*, windows.* — see VERDICT.md r4 item 1)
+        # come FIRST so CORRECTNESS_r05 covers them; previously-green
+        # entries (r3/r4 windows) moved to the back of the dict.
+        # =================================================================
+        # --- TPC-H through the SQL frontend (compiled onto Ray Data) ---
+        "sql_tpch_q1": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q1),
+        "sql_tpch_q3": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q3),
+        "sql_tpch_q4": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q4),
+        "sql_tpch_q5": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q5),
+        "sql_tpch_q6": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q6),
+        "sql_tpch_q7": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q7),
+        "sql_tpch_q8": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q8),
+        "sql_tpch_q9": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q9),
+        "sql_tpch_q10": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q10),
+        "sql_tpch_q12": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q12),
+        "sql_tpch_q13": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q13),
+        "sql_tpch_q14": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q14),
+        "sql_tpch_q15": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q15),
+        "sql_tpch_q17": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q17),
+        "sql_tpch_q18": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q18),
+        "sql_tpch_q19": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q19),
+        # --- relational layer over the TPC-H tables ---
+        "pricing_summary": relational.pricing_summary,   # TPC-H Q1 rollup
+        "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
+        "nation_revenue": relational.nation_revenue,  # 2 hash exchanges + broadcast dim
+        "region_revenue": relational.region_revenue,     # snowflake region rollup
+        "nation_trade_matrix": relational.nation_trade_matrix,  # Q7 trade matrix
+        "cheapest_supplier": relational.cheapest_supplier,  # Q2 fraction argmin
+        "brand_supplier_counts": relational.brand_supplier_counts,  # Q16 grouped COUNT(DISTINCT)
+        "part_value_concentration": relational.part_value_concentration,  # Q11 global-scalar HAVING
+        "lone_return_suppliers": relational.lone_return_suppliers,  # Q21 lone-offender anti-join
+        "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join
+        "small_qty_revenue": relational.small_qty_revenue,  # Q17 correlated per-part avg
+        "customers_no_orders": relational.customers_no_orders,  # Q22-style anti-join
+        "orders_rollup": relational.orders_rollup,       # GROUP BY ROLLUP levels
+        "orders_cube": relational.orders_cube,           # GROUP BY CUBE grouping sets
+        # --- streaming windows over the events table ---
+        "running_totals": windows.running_totals,        # SUM/ROW_NUMBER OVER (PARTITION BY)
+        "moving_window": windows.moving_window,          # ROWS-frame sliding SUM/COUNT
+        "purchase_gaps": windows.purchase_gaps,          # LAG OVER (PARTITION BY)
+        "asof_join": windows.asof_join,                  # per-user as-of match
+        "event_transitions": windows.event_transitions,  # clickstream transition matrix
+        "value_moments": windows.value_moments,          # exact mean/variance sufficient stats
+        "funnel_counts": windows.funnel_counts,          # greedy funnel analysis
+        "retention_cohorts": windows.retention_cohorts,  # weekly cohort retention
+        "distinct_users": windows.distinct_users,        # exact COUNT(DISTINCT) exchange
+        "event_quantiles": windows.event_quantiles,      # exact multi-pass selection
+        "user_event_pivot": windows.user_event_pivot,    # PIVOT to wide per-user counts
+        "session_paths": windows.session_paths,          # top-N session path mining
+        "division_days": windows.division_days,          # relational division
+        "dense_hour_counts": windows.dense_hour_counts,  # gap-fill time scaffold
+        "range_join_counts": windows.range_join_counts,  # banded same-user range join
+        "view_no_purchase_users": windows.view_no_purchase_users,  # EXCEPT set difference
+        "event_value_ntiles": windows.event_value_ntiles,  # NTILE via sort + block-offset ranks
+        "props_k_stats": windows.props_k_stats,          # JSON $.k extraction + rollup
+        # --- remaining never-checked relational ---
+        "order_ranks": relational.order_ranks,           # RANK + DENSE_RANK per customer
+        "order_rank_fractions": relational.order_rank_fractions,  # PERCENT_RANK/CUME_DIST exact
+        "above_avg_orders": relational.above_avg_orders,  # correlated scalar subquery
+        "order_priority_counts": relational.order_priority_counts,  # EXISTS semi-join
+        "latest_orders": relational.latest_orders,
+        "order_counts_per_customer": relational.order_counts_per_customer,  # LEFT OUTER zero-fill
+        "urgent_order_revenue": relational.urgent_order_revenue,  # Bloom-pruned semi-join
+        "table_profile": relational.table_profile,       # Deequ-style profiling
+        "corpus_diff": pipelines.corpus_diff,            # snapshot diff (CDC changes)
+        # --- never-checked textstats/traindata/dedup/sim ---
         "gopher_quality": textstats.gopher_quality,      # Gopher word-level rules + keep
+        "repetition_stats": textstats.repetition_stats,  # Gopher repetition filters
         "collocation_pmi": textstats.collocation_pmi,    # top-N PMI collocations
-        # --- training-data curation (decontamination / packing / mixing) ---
-        "decontaminate": traindata.decontaminate,        # eval n-gram overlap
-        "pack_sequences": traindata.pack_sequences,      # distributed prefix scan
-        "stratified_sample": traindata.stratified_sample,  # hash-deterministic mixing
         "weighted_sample": traindata.weighted_sample,    # priority sampling top-K
         "lang_sample": traindata.lang_sample,            # fixed-k per-stratum sample
         "incremental_lang_counts": traindata.incremental_lang_counts,  # IVM from the CDC delta
@@ -128,44 +155,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": traindata.lm_perplexity,        # CCNet bigram-LM scores
         "c4_line_clean": traindata.c4_line_clean,        # C4 line-level cleaning
         "line_dedup_clean": traindata.line_dedup_clean,  # global cross-doc line dedup
-        "curate_corpus": traindata.curate_corpus,        # the full composition
         "curate_corpus_fuzzy": traindata.curate_corpus_fuzzy,  # + near-dup cluster drop
         "curate_corpus_gopher": traindata.curate_corpus_gopher,  # + Gopher word-rule drop
-        "pca_project": sim.pca_project,                  # top-k PCA (rows-only: eigh)
-        "pii_redact": traindata.redact_pii,              # email/IP/key redaction
-        # --- dedup ---
-        "exact_dedup": dedup.exact_dedup,
-        "minhash_dedup": dedup.minhash_dedup,            # LSH 16x4: rows-only
-        "minhash_verified_pairs": dedup.minhash_verified_pairs,  # LSH 32x2 + distributed verify
-        "simhash": dedup.simhash_table,                  # md5-bit votes, SQL-checked
-        "simhash_near_pairs": dedup.simhash_near_pairs,  # Hamming join, SQL-checked
-        "ngram_jaccard": dedup.ngram_jaccard_pairs,      # char3 LSH + verify
         "clone_pairs": dedup.clone_pairs,                # MOSS winnowing clones
         "fuzzy_components": dedup.fuzzy_components,      # distributed CC over pairs
         "fuzzy_dedup_survivors": dedup.fuzzy_dedup_survivors,  # cluster-winner dedup
         "substring_dup_stats": dedup.substring_dup_stats,  # Lee-et-al span dedup
         "substring_dedup_clean": dedup.substring_dedup_clean,  # spans removed
-        "embedding_near_dup": sim.embedding_near_dup,    # exact cosine pairs
-        "embedding_near_dup_blocked": sim.embedding_near_dup_blocked,  # IVF-blocked scale path: rows-only
         "semantic_components": sim.semantic_components,  # CC over cosine pairs
         "semantic_dedup_survivors": sim.semantic_dedup_survivors,  # SemDeDup winners
-        # --- relational layer over the TPC-H tables ---
-        "nation_revenue": relational.nation_revenue,  # 2 hash exchanges + broadcast dim
-        "order_priority_counts": relational.order_priority_counts,  # EXISTS semi-join
-        "latest_orders": relational.latest_orders,
-        "corpus_diff": pipelines.corpus_diff,            # snapshot diff (CDC changes)
-        "pricing_summary": relational.pricing_summary,   # TPC-H Q1 rollup
-        "customers_no_orders": relational.customers_no_orders,  # Q22-style anti-join
-        "orders_rollup": relational.orders_rollup,       # GROUP BY ROLLUP levels    # CDC latest-per-key compaction
-        "order_ranks": relational.order_ranks,           # RANK + DENSE_RANK per customer
-        "order_rank_fractions": relational.order_rank_fractions,  # PERCENT_RANK/CUME_DIST exact
-        "region_revenue": relational.region_revenue,     # snowflake region rollup
-        "above_avg_orders": relational.above_avg_orders,  # correlated scalar subquery
-        "cheapest_supplier": relational.cheapest_supplier,  # Q2 fraction argmin
-        "nation_trade_matrix": relational.nation_trade_matrix,  # Q7 trade matrix
-        "table_profile": relational.table_profile,       # Deequ-style profiling
-        # --- restricted SQL frontend compiled onto Ray Data (oracle = the
-        # same SQL string, so the construct set is structurally checked) ---
+        "kmeans_clusters": sim.kmeans_clusters,  # distributed Lloyd's, int64 contract
+        "embedding_norm_sq": sim.embedding_norm_sq,      # list-column integer kernel
+        "embedding_gram_matrix": sim.embedding_gram_matrix,  # X^T X sufficient stats
+        "top_terms_sketch": textstats.top_terms_sketch,  # Misra-Gries heavy hitters (exact sibling: top_terms)
+        "pca_project": sim.pca_project,                  # top-k PCA (rows-only: eigh)
+        # --- never-checked SQL frontend demos ---
         "sql_orders_groupby": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_GROUPBY),
         "sql_events_filter": lambda sf: sqlfront.run_sql(
@@ -242,42 +246,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, sqlfront.DEMO_STAR_GROUPALL),
         "sql_string_fns2": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_STRFN2),
-        "sql_tpch_q1": lambda sf: sqlfront.run_sql(
-            sf, sqlfront.DEMO_TPCH_Q1),
-        "sql_tpch_q6": lambda sf: sqlfront.run_sql(
-            sf, sqlfront.DEMO_TPCH_Q6),
-        "sql_tpch_q3": lambda sf: sqlfront.run_sql(
-            sf, sqlfront.DEMO_TPCH_Q3),
-        "sql_tpch_q10": lambda sf: sqlfront.run_sql(
-            sf, sqlfront.DEMO_TPCH_Q10),
-        "sql_tpch_q12": lambda sf: sqlfront.run_sql(
-            sf, sqlfront.DEMO_TPCH_Q12),
-        "sql_tpch_q14": lambda sf: sqlfront.run_sql(
-            sf, sqlfront.DEMO_TPCH_Q14),
         "sql_extract_year": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_EXTRACT),
-        "sql_tpch_q9": lambda sf: sqlfront.run_sql(
-            sf, sqlfront.DEMO_TPCH_Q9),
-        "sql_tpch_q13": lambda sf: sqlfront.run_sql(
-            sf, sqlfront.DEMO_TPCH_Q13),
-        "sql_tpch_q18": lambda sf: sqlfront.run_sql(
-            sf, sqlfront.DEMO_TPCH_Q18),
-        "sql_tpch_q4": lambda sf: sqlfront.run_sql(
-            sf, sqlfront.DEMO_TPCH_Q4),
-        "sql_tpch_q15": lambda sf: sqlfront.run_sql(
-            sf, sqlfront.DEMO_TPCH_Q15),
-        "sql_tpch_q17": lambda sf: sqlfront.run_sql(
-            sf, sqlfront.DEMO_TPCH_Q17),
         "sql_agg_arith": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_AGGARITH),
-        "sql_tpch_q5": lambda sf: sqlfront.run_sql(
-            sf, sqlfront.DEMO_TPCH_Q5),
-        "sql_tpch_q7": lambda sf: sqlfront.run_sql(
-            sf, sqlfront.DEMO_TPCH_Q7),
-        "sql_tpch_q8": lambda sf: sqlfront.run_sql(
-            sf, sqlfront.DEMO_TPCH_Q8),
-        "sql_tpch_q19": lambda sf: sqlfront.run_sql(
-            sf, sqlfront.DEMO_TPCH_Q19),
         "sql_union_distinct": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_UNION_DISTINCT),
         "sql_rows_frame": lambda sf: sqlfront.run_sql(
@@ -286,44 +258,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, sqlfront.DEMO_SCALAR_ATOM),
         "sql_corpus_profile": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_CORPUS_PROFILE),
-        "orders_cube": relational.orders_cube,           # GROUP BY CUBE grouping sets
-        "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join
-        "large_order_customers": relational.large_order_customers,  # Q18 HAVING semi-join
-        "small_qty_revenue": relational.small_qty_revenue,  # Q17 correlated per-part avg
-        "urgent_order_revenue": relational.urgent_order_revenue,  # Bloom-pruned semi-join
-        "brand_supplier_counts": relational.brand_supplier_counts,  # Q16 grouped COUNT(DISTINCT)
-        "order_counts_per_customer": relational.order_counts_per_customer,  # LEFT OUTER zero-fill
-        "part_value_concentration": relational.part_value_concentration,  # Q11 global-scalar HAVING
-        "lone_return_suppliers": relational.lone_return_suppliers,  # Q21 lone-offender anti-join
-        # --- streaming windows over the events table ---
+        # =================================================================
+        # Previously driver-checked (green in r3/r4 CORRECTNESS files) —
+        # kept registered, moved behind the never-checked zone.
+        # =================================================================
+        # --- inverted index + BM25 core (SURVEY §2.2/2.5/2.6, A1-A8) ---
+        "token_counts": pipelines.token_counts,          # M1-M6 tokenize stage
+        "subtoken_counts": pipelines.subtoken_counts,    # camelCase code-search split
+        "corpus_stats": pipelines.corpus_stats,          # A4 (N, total, avgdl)
+        "term_df": pipelines.term_df,                    # A5 df/cf per term
+        "top_terms": pipelines.top_terms,                # A6 histogram
+        "tfidf_topk": pipelines.tfidf_topk,              # per-doc keyword top-k
+        "doc_token_stats": pipelines.doc_token_stats,    # doc-length table
+        "doc_sha256": pipelines.doc_sha256,              # content invariant
+        "html_extract": pipelines.html_extract,          # M9 HTML extractor round-trip
+        "charset_roundtrip": pipelines.charset_roundtrip,  # M8 charset decode
+        "pdf_extract": pipelines.pdf_extract,            # M10/S3 PDF text extractor
+        "crawl_extract": pipelines.crawl_extract,        # S4 crawler (file:// fixture site)
+        "xml_manifest_extract": pipelines.xml_manifest_extract,  # S5 manifest source
+        "jsonl_roundtrip": pipelines.jsonl_roundtrip,    # JSONL source round-trip
+        "csv_roundtrip": pipelines.csv_roundtrip,        # CSV source round-trip
+        "bm25_topk": pipelines.bm25_topk,                # A8 replacement: BM25 top-k
+        "bm25_batch_distributed": pipelines.bm25_batch_distributed,  # actor-pool batch eval
+        "more_like_this": pipelines.more_like_this,      # Lucene-style MLT (tfidf terms -> BM25)
+        "hybrid_rrf": pipelines.hybrid_rrf,              # BM25 + dense cosine, RRF fusion
+        "symbol_defs": symbols.symbol_defs,              # ctags-style definition extraction
+        "symbol_search": symbols.symbol_search,          # Zoekt-style symbol-boosted ranking
+        "symbol_refs": symbols.symbol_refs,              # find-references xref counts
+        "secret_scan": symbols.secret_scan,              # token-scanning (AKIA/ghp_/PEM)
+        "module_rank": codegraph.module_rank,            # import-graph PageRank
+        "module_triangles": codegraph.module_triangles,  # wedge-join triangle counts
+        "module_scc": codegraph.module_scc,              # circular-import SCCs (Orzan coloring)
+        "dead_code_modules": codegraph.dead_code_modules,  # root-set reachability
+        "module_import_depth": codegraph.module_import_depth,  # BFS shortest-path depth
+        "build_order": codegraph.build_order,            # condensation-DAG topo levels
+        "module_kcore": codegraph.module_kcore,          # k-core iterative peeling
+        "docodo_rank": pipelines.docodo_rank,            # A8 original: proximity ranker
+        "phrase_count": pipelines.phrase_count,          # D2 phrase adjacency
+        "boolean_search": pipelines.boolean_search,      # M11 nested AND/OR tree
+        "proximity_search": pipelines.proximity_search,  # D2 distance-R intersect
+        "fielded_search": pipelines.fielded_search,      # J3 field semi-join
+        "facet_counts": pipelines.facet_counts,          # facet panel over meta cols
+        "grouped_topk": pipelines.grouped_topk,          # diversified top-k per facet
+        "regex_search": pipelines.regex_search,          # factor-pruned grep
+        "grep_lines": pipelines.grep_lines,              # grep with line numbers
+        "wildcard_terms": pipelines.wildcard_terms,      # O6 GetLikeWords
+        "suggest_prefix": pipelines.suggest_prefix,      # O4 suggestions
+        "levenshtein_close": pipelines.levenshtein_close,  # M13 corrections
+        "spell_correct": pipelines.spell_correct,        # did-you-mean top-1 per query
+        "snippets": pipelines.snippets,                  # M14/O7 found-page text
+        "incremental_term_df": pipelines.incremental_term_df,  # LSM update path
+        "deleted_term_df": pipelines.deleted_term_df,    # LSM delete + compaction
+        # --- training-data ops (text analysis) ---
+        "text_quality": textstats.quality_table,
+        "doc_fingerprint": textstats.fingerprint_table,
+        "lang_id": textstats.lang_id_table,              # SQL-checked since r4
+        "bpe_token_counts": textstats.bpe_token_counts,  # ws + pre + REAL BPE
+        "winnow_fingerprints": textstats.winnow_fingerprints,  # MOSS winnowing
+        # --- training-data curation (decontamination / packing / mixing) ---
+        "decontaminate": traindata.decontaminate,        # eval n-gram overlap
+        "pack_sequences": traindata.pack_sequences,      # distributed prefix scan
+        "stratified_sample": traindata.stratified_sample,  # hash-deterministic mixing
+        "curate_corpus": traindata.curate_corpus,        # the full composition
+        "pii_redact": traindata.redact_pii,              # email/IP/key redaction
+        # --- dedup ---
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_dedup": dedup.minhash_dedup,            # LSH 16x4: rows-only
+        "minhash_verified_pairs": dedup.minhash_verified_pairs,  # LSH 32x2 + distributed verify
+        "simhash": dedup.simhash_table,                  # md5-bit votes, SQL-checked
+        "simhash_near_pairs": dedup.simhash_near_pairs,  # Hamming join, SQL-checked
+        "ngram_jaccard": dedup.ngram_jaccard_pairs,      # char3 LSH + verify
+        "embedding_near_dup": sim.embedding_near_dup,    # exact cosine pairs
+        "embedding_near_dup_blocked": sim.embedding_near_dup_blocked,  # IVF-blocked scale path: rows-only
+        # --- streaming windows previously checked + sketch siblings ---
         "tumbling_window": windows.tumbling_window,      # combiner + small groupby
         "hopping_window": windows.hopping_window,        # overlapping windows
         "sessionize": windows.sessionize,                # per-key gap sessions
-        "running_totals": windows.running_totals,        # SUM/ROW_NUMBER OVER (PARTITION BY)
-        "moving_window": windows.moving_window,          # ROWS-frame sliding SUM/COUNT
-        "props_k_stats": windows.props_k_stats,          # JSON $.k extraction + rollup
-        "event_transitions": windows.event_transitions,  # clickstream transition matrix
-        "value_moments": windows.value_moments,          # exact mean/variance sufficient stats
-        "view_no_purchase_users": windows.view_no_purchase_users,  # EXCEPT set difference
-        "division_days": windows.division_days,          # relational division
-        "dense_hour_counts": windows.dense_hour_counts,  # gap-fill time scaffold
-        "session_paths": windows.session_paths,          # top-N session path mining
-        "range_join_counts": windows.range_join_counts,  # banded same-user range join
-        "purchase_gaps": windows.purchase_gaps,          # LAG OVER (PARTITION BY)
         "event_quantiles_sketch": windows.event_quantiles_sketch,  # MRL sketch (exact sibling: event_quantiles)
-        "user_event_pivot": windows.user_event_pivot,    # PIVOT to wide per-user counts
-        "event_value_ntiles": windows.event_value_ntiles,  # NTILE via sort + block-offset ranks
-        "asof_join": windows.asof_join,                  # per-user as-of match
-        "event_quantiles": windows.event_quantiles,      # exact multi-pass selection
-        "funnel_counts": windows.funnel_counts,          # greedy funnel analysis
-        "retention_cohorts": windows.retention_cohorts,  # weekly cohort retention
-        "distinct_users": windows.distinct_users,        # exact COUNT(DISTINCT) exchange
         "distinct_users_hll": windows.distinct_users_hll,  # mergeable sketch: rows-only
         # --- similarity search / clustering ---
         "embedding_topk": sim.embedding_topk,
-        "kmeans_clusters": sim.kmeans_clusters,  # distributed Lloyd's, int64 contract
-        "embedding_norm_sq": sim.embedding_norm_sq,      # list-column integer kernel
-        "embedding_gram_matrix": sim.embedding_gram_matrix,  # X^T X sufficient stats
         "embedding_topk_ivf": sim.embedding_topk_ivf,    # approximate: rows-only
         # --- multimodal plumbing (stubbed decode kernel): rows-only ---
         "media_features": multimodal.media_features,
