@@ -100,6 +100,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, sqlfront.DEMO_TPCH_Q18),
         "sql_tpch_q19": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_TPCH_Q19),
+        # partsupp-family closure (round 5): synthesized partsupp CTE,
+        # identical derivation in both engines — see sqlfront._TPCH_PS_CTE
+        "sql_tpch_q2": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q2),
+        "sql_tpch_q11": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q11),
+        "sql_tpch_q16": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q16),
+        "sql_tpch_q20": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q20),
+        "sql_tpch_q22": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_TPCH_Q22),
         # --- relational layer over the TPC-H tables ---
         "pricing_summary": relational.pricing_summary,   # TPC-H Q1 rollup
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join

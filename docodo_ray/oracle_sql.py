@@ -2779,6 +2779,9 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_TPCH_Q17, DEMO_AGGARITH,
                                      DEMO_TPCH_Q5, DEMO_TPCH_Q7,
                                      DEMO_TPCH_Q8, DEMO_TPCH_Q19,
+                                     DEMO_TPCH_Q2, DEMO_TPCH_Q11,
+                                     DEMO_TPCH_Q16, DEMO_TPCH_Q20,
+                                     DEMO_TPCH_Q22,
                                      DEMO_UNION_DISTINCT,
                                      DEMO_ROWS_FRAME, DEMO_SCALAR_ATOM,
                                      DEMO_CORPUS_PROFILE)
@@ -2839,6 +2842,11 @@ FROM {PROFILE_TABLE}"""
     sql["sql_tpch_q7"] = DEMO_TPCH_Q7
     sql["sql_tpch_q8"] = DEMO_TPCH_Q8
     sql["sql_tpch_q19"] = DEMO_TPCH_Q19
+    sql["sql_tpch_q2"] = DEMO_TPCH_Q2
+    sql["sql_tpch_q11"] = DEMO_TPCH_Q11
+    sql["sql_tpch_q16"] = DEMO_TPCH_Q16
+    sql["sql_tpch_q20"] = DEMO_TPCH_Q20
+    sql["sql_tpch_q22"] = DEMO_TPCH_Q22
     sql["sql_union_distinct"] = DEMO_UNION_DISTINCT
     sql["sql_rows_frame"] = DEMO_ROWS_FRAME
     sql["sql_scalar_atom"] = DEMO_SCALAR_ATOM
