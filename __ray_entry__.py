@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # come FIRST so CORRECTNESS_r05 covers them; previously-green
         # entries (r3/r4 windows) moved to the back of the dict.
         # =================================================================
+        # --- compressed-image decode, SQL-checked (round 5): the oracle
+        # replays sha256(decoded pixels) from the text column alone ---
+        "media_features_png": multimodal.media_features_png,
         # --- TPC-H through the SQL frontend (compiled onto Ray Data) ---
         "sql_tpch_q1": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_TPCH_Q1),

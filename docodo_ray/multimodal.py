@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -65,6 +66,128 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     need = w * h * c
     data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
     return data.reshape(h, w, c)
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body)))
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) or (h, w, 1)/(h, w) uint8 -> real PNG (8-bit, color type
+    2/0, zlib scanlines). The row filter cycles 0..4 (None/Sub/Up/Average/
+    Paeth) so every decoder filter path is exercised by any image with
+    >=5 rows."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c not in (1, 3):
+        raise ValueError("encode_png supports 1 or 3 channels")
+    color_type = 2 if c == 3 else 0
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = img.astype(np.int16)
+    lines = []
+    for y in range(h):
+        cur = raw[y].reshape(-1)
+        prior = raw[y - 1].reshape(-1) if y > 0 else np.zeros_like(cur)
+        left = np.concatenate([np.zeros(c, np.int16), cur[:-c]])
+        ul = np.concatenate([np.zeros(c, np.int16), prior[:-c]])
+        f = y % 5
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = cur - left
+        elif f == 2:
+            out = cur - prior
+        elif f == 3:
+            out = cur - (left + prior) // 2
+        else:
+            p = left + prior - ul
+            pa_ = np.abs(p - left)
+            pb_ = np.abs(p - prior)
+            pc_ = np.abs(p - ul)
+            pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                            np.where(pb_ <= pc_, prior, ul))
+            out = cur - pred
+        lines.append(bytes([f]) + (out & 0xFF).astype(np.uint8).tobytes())
+    idat = zlib.compress(b"".join(lines), 9)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Parse 8-bit non-interlaced greyscale/RGB PNG (color type 0/2) ->
+    uint8 (h, w, c). Real kernel: walks the chunk list with CRC checks,
+    zlib-inflates the scanline stream, and un-applies all five PNG row
+    filters (None/Sub/Up/Average/Paeth per the PNG spec, RFC 2083 §6).
+    Small-image oriented (the Sub/Average/Paeth unfilter walks pixels
+    within a row); a production pipeline would swap a C codec into this
+    same actor-pool stage."""
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i = len(PNG_SIG)
+    ihdr = None
+    idat = []
+    while i + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, i)
+        ctype = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + size]
+        (crc,) = struct.unpack_from(">I", payload, i + 8 + size)
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        i += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (0, 2) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color_type}, "
+            f"interlace={interlace})")
+    c = 3 if color_type == 2 else 1
+    stride = w * c
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline stream size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1).astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y > 0 else np.zeros(
+            stride, np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:
+            cur = (line + prior) & 0xFF
+        elif f in (1, 3, 4):
+            cur = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - c] if x >= c else 0
+                b = prior[x]
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    cc = prior[x - c] if x >= c else 0
+                    p = a + b - cc
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if pa_ <= pb_ and pa_ <= pc_ else (
+                        b if pb_ <= pc_ else cc)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, c)
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -174,6 +297,8 @@ class DecodeImageStage:
                     img = decode_ppm(payload)      # REAL pure-numpy kernel
                 elif payload[:2] == b"BM":
                     img = decode_bmp(payload)      # REAL pure-numpy kernel
+                elif payload[: len(PNG_SIG)] == PNG_SIG:
+                    img = decode_png(payload)      # REAL zlib/unfilter kernel
             except Exception:
                 img = None  # magic-byte collision / truncation -> fallback
             if img is not None:
@@ -479,6 +604,80 @@ def text_to_ppm(text: str) -> bytes:
     reps = -(-need // len(raw))
     body = (raw * reps)[:need]
     return f"P6\n{PPM_W} {PPM_H}\n255\n".encode() + body
+
+
+PNG_W, PNG_H = 16, 10  # 10 rows -> every PNG filter type (y % 5) twice
+
+
+def text_to_png(text: str) -> bytes:
+    """Deterministic real-format fixture: the doc's sha256 hex digest
+    (ASCII, so the byte stream is reconstructable in plain SQL) tiled to
+    PNG_W x PNG_H x 3 samples and encoded as a REAL zlib-compressed PNG
+    with all five row filters. sha256(decoded pixels) is then computable
+    by DuckDB as sha256(substring(repeat(sha256(text), 8), 1, 480))."""
+    digest = hashlib.sha256((text or "").encode("utf-8")).hexdigest()
+    need = PNG_W * PNG_H * 3
+    reps = -(-need // len(digest))
+    body = (digest * reps)[:need].encode("ascii")
+    img = np.frombuffer(body, np.uint8).reshape(PNG_H, PNG_W, 3)
+    return encode_png(img)
+
+
+class DecodePngShaStage:
+    """binary PNG -> (width, height, channels, px_sha: sha256 of the
+    decoded pixel bytes). The hash certifies the whole codec round-trip:
+    a single bit wrong in zlib inflate, CRC walk, or any of the five
+    unfilter paths flips px_sha and the oracle comparison."""
+
+    def __init__(self):
+        self.__name__ = "DecodePngShaStage"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, chans, shas = [], [], [], []
+        for payload in batch["media"].to_pylist():
+            img = decode_png(payload)
+            h, w, c = img.shape
+            widths.append(w)
+            heights.append(h)
+            chans.append(c)
+            shas.append(hashlib.sha256(img.tobytes()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "channels": pa.array(chans, pa.int32()),
+                "px_sha": pa.array(shas, pa.string()),
+            }
+        )
+
+
+def media_features_png(sf_dir: str) -> rd.Dataset:
+    """queries() surface: render each document into a REAL compressed PNG
+    (zlib scanlines, CRC-checked chunks, filters 0-4) and decode it back
+    in an actor-pool stage — the SQL-checked sibling of media_features
+    (whose PPM/BMP kernels are uncompressed containers). The oracle
+    replays sha256(decoded pixels) from the text column alone, so a
+    hash-green row certifies the compressed-image decode end to end."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        payloads = [text_to_png(x) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "media": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    return media.map_batches(
+        DecodePngShaStage,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, 4),
+    )
 
 
 def media_features(sf_dir: str) -> rd.Dataset:

@@ -3028,4 +3028,16 @@ FROM li JOIN ag USING (l_partkey)
 WHERE 5 * li.qc * ag.n < ag.s
 """
 
+    # compressed-image decode (multimodal.media_features_png): the engine
+    # tiles sha256(text) hex into a 16x10 RGB image, encodes a REAL PNG
+    # (zlib scanlines, filters 0-4, CRC-checked chunks) and decodes it in
+    # an actor-pool stage; the oracle replays sha256(decoded pixels) from
+    # the text column alone — hash-green certifies the codec end to end
+    sql["media_features_png"] = """
+SELECT doc_id, 16 AS width, 10 AS height, 3 AS channels,
+       sha256(substring(repeat(sha256(COALESCE(text, '')), 8), 1, 480))
+         AS px_sha
+FROM documents
+"""
+
     return sql

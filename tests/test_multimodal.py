@@ -307,3 +307,50 @@ def test_resize_stage_real_and_fake_paths():
     # fake path is deterministic
     out2 = ResizeImageStage(width=4, height=4)(batch)
     assert out2["media"][1].as_py() == out["media"][1].as_py()
+
+
+def test_png_roundtrip_exact_all_filters():
+    """encode_png cycles filters 0-4 per row; decode must reproduce the
+    exact pixels for RGB and greyscale, arbitrary sizes."""
+    from docodo_ray.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for h, w, c in [(10, 16, 3), (7, 5, 3), (1, 1, 3), (6, 4, 1),
+                    (5, 1, 1), (11, 3, 3)]:
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        back = decode_png(encode_png(img))
+        np.testing.assert_array_equal(back, img)
+
+
+def test_png_crc_and_format_guards():
+    from docodo_ray.multimodal import decode_png, encode_png
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    payload = bytearray(encode_png(img))
+    payload[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM" + bytes(payload))
+
+
+def test_png_sha_stage_matches_sql_identity():
+    """The engine-side px_sha must equal the oracle's replay
+    sha256((sha256(text)*8)[:480]) — the whole-codec invariant."""
+    import hashlib
+
+    from docodo_ray.multimodal import DecodePngShaStage, text_to_png
+
+    texts = ["hello world", "привет straße", "", "x" * 1000]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "media": pa.array([text_to_png(t) for t in texts], pa.binary()),
+    })
+    out = DecodePngShaStage()(batch)
+    for t, sha, wi, he, ch in zip(texts, out["px_sha"].to_pylist(),
+                                  out["width"].to_pylist(),
+                                  out["height"].to_pylist(),
+                                  out["channels"].to_pylist()):
+        body = (hashlib.sha256(t.encode()).hexdigest() * 8)[:480]
+        assert sha == hashlib.sha256(body.encode()).hexdigest()
+        assert (wi, he, ch) == (16, 10, 3)
