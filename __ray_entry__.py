@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- compressed-image decode, SQL-checked (round 5): the oracle
         # replays sha256(decoded pixels) from the text column alone ---
         "media_features_png": multimodal.media_features_png,
+        # --- S6 closure (round 5): typed DB records -> corpus -> fielded
+        # index search, typed meta columns read back from the doc table ---
+        "db_records_search": pipelines.db_records_search,
         # --- TPC-H through the SQL frontend (compiled onto Ray Data) ---
         "sql_tpch_q1": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_TPCH_Q1),

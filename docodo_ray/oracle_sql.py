@@ -3040,4 +3040,15 @@ SELECT doc_id, 16 AS width, 10 AS height, 3 AS channels,
 FROM documents
 """
 
+    # S6 record-source adapter (pipelines.db_records_search): the corpus
+    # content is "o_orderstatus: X\no_orderpriority: Y", so the token
+    # 'urgent' appears exactly once iff the priority is 1-URGENT, and the
+    # {o_orderstatus=F} fielded predicate is plain SQL; o_custkey proves
+    # the TYPED int meta column survives DB -> corpus -> index -> search
+    sql["db_records_search"] = """
+SELECT o_orderkey AS doc_id, o_custkey, 1 AS tf
+FROM orders
+WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+"""
+
     return sql

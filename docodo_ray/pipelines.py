@@ -1055,6 +1055,91 @@ def crawl_extract(sf_dir: str) -> rd.Dataset:
     return pages.map_batches(sha_rows, batch_format="pyarrow")
 
 
+def db_records_search(sf_dir: str) -> pa.Table:
+    """(doc_id, o_custkey, tf): S6 end-to-end — TYPED database records all
+    the way to a fielded index search.
+
+    A fixture DuckDB database is created deterministically from the orders
+    table; read_duckdb_partitioned scans it in parallel rowid ranges;
+    records_to_corpus reflects the typed fields into corpus rows (text
+    columns rendered as 'name: value' lines, meta columns carried typed —
+    the DBDataSource.cs:169-218 reflection shape); build_index indexes the
+    corpus with those meta columns; the query is the posting of 'urgent'
+    (present iff o_orderpriority = '1-URGENT') intersected with the
+    {o_orderstatus=F} fielded predicate, and the TYPED int meta column
+    o_custkey is read back from the doc-meta table for the matches."""
+    import hashlib
+
+    import pyarrow.dataset as pds
+
+    from docodo_ray.queryparse import ParsedQuery
+    from docodo_ray.sources import read_duckdb_partitioned, records_to_corpus
+
+    tag = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    root = f"/tmp/docodo_dbsrc_{tag}"
+    db = os.path.join(root, "orders.duckdb")
+    corp = os.path.join(root, "corpus")
+    if not os.path.exists(db):
+        import duckdb
+
+        os.makedirs(root, exist_ok=True)
+        con = duckdb.connect(db + ".tmp")
+        con.execute(
+            "CREATE TABLE orders AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, 'orders.parquet')}')")
+        con.close()
+        os.replace(db + ".tmp", db)  # atomic: readers never see a partial db
+    if not os.path.exists(os.path.join(corp, ".done")):
+        records = read_duckdb_partitioned(db, "orders", num_partitions=8)
+        corpus = records_to_corpus(
+            records, id_col="o_orderkey",
+            text_cols=("o_orderstatus", "o_orderpriority"),
+            meta_cols=("o_orderstatus", "o_custkey"))
+        corpus.write_parquet(corp)
+        with open(os.path.join(corp, ".done"), "w") as f:
+            f.write("ok")
+    paths = sorted(
+        os.path.join(corp, p) for p in os.listdir(corp)
+        if p.endswith(".parquet"))
+    out = os.path.join(root, "idx")
+    kwargs = dict(
+        input_paths=paths, cfg=IndexConfig(n_buckets=4),
+        content_col="content", id_col="o_orderkey",
+        meta_cols=("o_orderstatus", "o_custkey"))
+    try:
+        build_index(out, **kwargs)
+    except ValueError:
+        shutil.rmtree(out, ignore_errors=True)
+        build_index(out, **kwargs)
+    r = IndexReader(out)
+    p = r.read_posting("urgent")
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "o_custkey": pa.array([], pa.int64()),
+        "tf": pa.array([], pa.int64())})
+    if p is None:
+        return empty
+    keep, residuals = r._meta_candidates(
+        ParsedQuery(field_eq={"o_orderstatus": "F"}))
+    assert keep is not None and not residuals
+    mask = np.isin(p.doc_ids, keep, assume_unique=True)
+    ids = p.doc_ids[mask].astype(np.int64)
+    tfs = p.tfs[mask].astype(np.int64)
+    if ids.size == 0:
+        return empty
+    # typed meta read-back: only the matched rows leave the doc-meta table
+    meta = pds.dataset(r._doc_meta_files(), format="parquet").to_table(
+        columns=["doc_id", "o_custkey"],
+        filter=pds.field("doc_id").isin(ids.tolist()))
+    custkey = dict(zip(meta["doc_id"].to_pylist(),
+                       meta["o_custkey"].to_pylist()))
+    return pa.table({
+        "doc_id": pa.array(ids),
+        "o_custkey": pa.array([custkey[int(d)] for d in ids], pa.int64()),
+        "tf": pa.array(tfs),
+    })
+
+
 def xml_manifest_extract(sf_dir: str) -> rd.Dataset:
     """S5 XML manifest source end-to-end: write the documents table as a
     Docodo-style manifest (<basepath> + <document> entries with metadata)

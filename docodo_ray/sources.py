@@ -103,6 +103,56 @@ def read_duckdb_partitioned(
     )
 
 
+def records_to_corpus(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    text_cols: tuple[str, ...],
+    meta_cols: tuple[str, ...] = (),
+) -> rd.Dataset:
+    """S6 closure — the generic typed-records -> corpus-schema adapter
+    (parity with the reference's ORM-entity reflection, DBDataSource.cs:
+    169-218, which renders each entity property into the document's
+    searchable header text).
+
+    Each declared text column becomes a ``name: value`` line of the
+    document content (vectorized Arrow kernels, no Python row loop);
+    declared meta columns pass through TYPED, so after ``build_index(...,
+    meta_cols=...)`` they are searchable as fielded predicates
+    ``{field=value}`` with int/float/string semantics preserved.
+    ``id_col`` must be a unique integer record key and becomes the doc id.
+    Works over any typed Dataset — read_duckdb_partitioned, JSONL, parquet.
+    """
+    import pyarrow.compute as pc
+
+    def render(t: pa.Table) -> pa.Table:
+        lines = []
+        for c in text_cols:
+            col = t[c]
+            if pa.types.is_timestamp(col.type):
+                # second precision: %S renders fractional digits for
+                # us-timestamps, which no SQL replay would match
+                s = pc.strftime(col.cast(pa.timestamp("s")),
+                                format="%Y-%m-%d %H:%M:%S")
+            else:
+                s = col.cast(pa.string())
+            s = pc.coalesce(s, pa.scalar("", pa.string()))
+            lines.append(pc.binary_join_element_wise(
+                pa.scalar(f"{c}: "), s, ""))
+        content = (lines[0] if len(lines) == 1
+                   else pc.binary_join_element_wise(*lines, "\n"))
+        cols: dict = {
+            id_col: t[id_col].cast(pa.int64()),
+            "content": content,
+        }
+        for m in meta_cols:
+            cols[m] = t[m]
+        return pa.table(cols)
+
+    render.__name__ = "records_to_corpus"
+    return ds.map_batches(render, batch_format="pyarrow")
+
+
 # ---- M8: charset decode -----------------------------------------------------
 
 _BOMS: list[tuple[bytes, str]] = [

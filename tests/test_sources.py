@@ -228,3 +228,30 @@ def test_jsonl_csv_roundtrip_adversarial(tmp_path, ray_session):
         out = fn(str(d))
         got = {int(r["doc_id"]): r["sha256"] for r in out.take_all()}
         assert got == want, fn.__name__
+
+
+def test_records_to_corpus_typed_reflection(ray_session, tmp_path):
+    """Typed records render as 'name: value' content lines; meta columns
+    pass through TYPED (S6 adapter, DBDataSource.cs:169-218 parity)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from docodo_ray.sources import records_to_corpus
+
+    t = pa.table({
+        "rid": pa.array([7, 8], pa.int32()),
+        "status": pa.array(["F", None], pa.string()),
+        "pri": pa.array(["1-URGENT", "5-LOW"], pa.string()),
+        "bal": pa.array([12, 34], pa.int64()),
+        "when": pa.array([1_000_000, 2_000_000], pa.timestamp("us")),
+    })
+    out = records_to_corpus(
+        rd.from_arrow(t), id_col="rid",
+        text_cols=("status", "pri", "when"), meta_cols=("bal", "status"),
+    ).to_pandas().sort_values("rid").reset_index(drop=True)
+    assert list(out.columns) == ["rid", "content", "bal", "status"]
+    assert out["rid"].tolist() == [7, 8]
+    assert out["content"][0] == (
+        "status: F\npri: 1-URGENT\nwhen: 1970-01-01 00:00:01")
+    assert out["content"][1].startswith("status: \npri: 5-LOW")
+    assert out["bal"].tolist() == [12, 34]  # typed int64 meta survives
