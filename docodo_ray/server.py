@@ -17,11 +17,72 @@ Run: ``python -m docodo_ray.server <index_dir> [port]`` (or embed via
 from __future__ import annotations
 
 import json
+import os
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from docodo_ray.search import IndexReader
+
+
+class ReaderBox:
+    """Hot-swappable IndexReader (parity with Index.cs:492-513, where a
+    rebuild swaps the live index under ``DoSearchLock`` and search never
+    stops).
+
+    The box re-stats ``manifest.json`` at most every ``check_interval``
+    seconds; when the atomically-replaced manifest moved (update_index /
+    compact_index / delete_docs bump the generation), a NEW IndexReader
+    opens against the new state and the pointer flips atomically —
+    in-flight requests finish on the old reader (it stays alive until
+    their references drop; all reads are lazy file reads, no fds held
+    open across requests), new requests see the new generation. No lock
+    is held during a search, only during the swap itself."""
+
+    def __init__(self, index_dir: str, check_interval: float = 0.25):
+        self.dir = index_dir
+        self.interval = float(check_interval)
+        self._lock = threading.Lock()
+        self._reader = IndexReader(index_dir)
+        self._stamp = self._manifest_stamp()
+        self._next_check = time.monotonic() + self.interval
+
+    def _manifest_stamp(self) -> tuple[int, int]:
+        st = os.stat(os.path.join(self.dir, "manifest.json"))
+        return (st.st_mtime_ns, st.st_size)
+
+    def get(self) -> IndexReader:
+        """Current reader; auto-swaps when the manifest changed (checked
+        at most once per check_interval across all threads)."""
+        if time.monotonic() >= self._next_check:
+            self.reload(force=False)
+        return self._reader
+
+    def reload(self, force: bool = True) -> dict:
+        """Reopen the reader if the manifest changed (or always, when
+        ``force``); returns {reloaded, generation}."""
+        with self._lock:
+            self._next_check = time.monotonic() + self.interval
+            try:
+                stamp = self._manifest_stamp()
+            except OSError:
+                # mid-replace race or deleted manifest: keep serving the
+                # old generation, try again next interval
+                return {"reloaded": False,
+                        "generation": self._generation(self._reader)}
+            if force or stamp != self._stamp:
+                reader = IndexReader(self.dir)  # open fully BEFORE the flip
+                self._reader = reader
+                self._stamp = stamp
+                return {"reloaded": True,
+                        "generation": self._generation(reader)}
+            return {"reloaded": False,
+                    "generation": self._generation(self._reader)}
+
+    @staticmethod
+    def _generation(reader: IndexReader) -> int:
+        return int(reader.manifest.get("generation", 0))
 
 
 def search_payload(reader: IndexReader, req: str, k: int = 10,
@@ -47,10 +108,14 @@ def search_payload(reader: IndexReader, req: str, k: int = 10,
     return body
 
 
-def make_server(index_dir: str, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+def make_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
+                check_interval: float = 0.25) -> ThreadingHTTPServer:
     """Build (don't start) the HTTP server; ``.server_address`` has the
-    bound port (port=0 -> ephemeral, for tests)."""
-    reader = IndexReader(index_dir)
+    bound port (port=0 -> ephemeral, for tests). The index hot-swaps:
+    after build.update_index/compact_index/delete_docs the running server
+    picks up the new generation within ``check_interval`` seconds (or
+    immediately via ``GET /reload``) without dropping a request."""
+    box = ReaderBox(index_dir, check_interval=check_interval)
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, body: dict) -> None:
@@ -68,6 +133,7 @@ def make_server(index_dir: str, host: str = "127.0.0.1", port: int = 0) -> Threa
             def arg(name: str, default: str) -> str:
                 return q.get(name, [default])[0]
 
+            reader = box.get()
             try:
                 if u.path == "/search":
                     self._send(200, search_payload(
@@ -87,6 +153,9 @@ def make_server(index_dir: str, host: str = "127.0.0.1", port: int = 0) -> Threa
                         "avgdl": reader.avgdl,
                         "generation": reader.manifest.get("generation", 0),
                     })
+                elif u.path == "/reload":
+                    self._send(200, box.reload(
+                        force=arg("force", "1") not in ("0", "false")))
                 else:
                     self._send(404, {"error": f"no such endpoint {u.path}"})
             except Exception as e:  # surface as JSON, keep the server alive
@@ -96,7 +165,8 @@ def make_server(index_dir: str, host: str = "127.0.0.1", port: int = 0) -> Threa
             pass
 
     srv = ThreadingHTTPServer((host, port), Handler)
-    srv.reader = reader  # type: ignore[attr-defined]
+    srv.box = box  # type: ignore[attr-defined]
+    srv.reader = box.get()  # back-compat: the reader at startup
     return srv
 
 

@@ -112,3 +112,68 @@ def test_facets_param(served):
     assert sum(body["facets"]["lang"].values()) >= body["found"]
     # no facets param -> no panel key (backward-compatible shape)
     assert "facets" not in _get(f"{base}/search?req=public&k=3")
+
+
+def test_live_reload_after_update(tmp_path, ray_session):
+    """Index.cs:492-513 parity: a rebuild/update swaps under the running
+    server — the SAME server process answers with the new docs, no
+    restart. Covers both the explicit /reload endpoint and the automatic
+    manifest-stamp swap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docodo_ray.build import update_index
+
+    base_file = str(tmp_path / "base.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "content": ["alpha bravo charlie", "alpha delta"],
+    }), base_file)
+    out = str(tmp_path / "idx")
+    cfg = IndexConfig(n_buckets=4, tokenizer_concurrency=1)
+    build_index(out, input_paths=[base_file], cfg=cfg,
+                content_col="content", id_col="doc_id")
+
+    srv = make_server(out, port=0, check_interval=0.05)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+        base = f"http://{host}:{port}"
+        assert _get(f"{base}/stats")["generation"] == 0
+        body = _get(f"{base}/search?req=zuluterm&meta=0")
+        assert body["found"] == 0
+
+        upd_file = str(tmp_path / "upd.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([3], pa.int64()),
+            "content": ["alpha zuluterm yankee"],
+        }), upd_file)
+        update_index(out, input_paths=[upd_file])
+
+        # explicit reload: new generation + new doc served immediately
+        rl = _get(f"{base}/reload")
+        assert rl["reloaded"] is True and rl["generation"] >= 1
+        body = _get(f"{base}/search?req=zuluterm&meta=0")
+        assert body["found"] == 1 and body["result"][0]["doc_id"] == 3
+        assert _get(f"{base}/stats")["n_docs"] == 3
+
+        # automatic swap: another update picked up within check_interval
+        upd2 = str(tmp_path / "upd2.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([4], pa.int64()),
+            "content": ["zuluterm xray whiskey victor"],
+        }), upd2)
+        update_index(out, input_paths=[upd2])
+        import time as _t
+
+        deadline = _t.time() + 5.0
+        found = 0
+        while _t.time() < deadline:
+            found = _get(f"{base}/search?req=zuluterm&meta=0")["found"]
+            if found == 2:
+                break
+            _t.sleep(0.05)
+        assert found == 2  # the running server saw generation 2 by itself
+    finally:
+        srv.shutdown()
