@@ -27,6 +27,8 @@ import os
 import sys
 import time
 
+DEFAULT_PRINT_ROWS = 200  # `sql` print cap; --limit-rows 0 lifts it
+
 
 def _ensure_ray() -> None:
     """Attach to the cluster ray job submit started (RAY_ADDRESS) or start a
@@ -377,12 +379,27 @@ def cmd_sql(args) -> int:
         ds.write_parquet(args.out)
         print(f"wrote {args.out}")
         return 0
-    t = ds.to_pandas() if args.limit_rows is None else (
-        ds.limit(args.limit_rows).to_pandas())
+    # bounded by default: printing collects on the driver, so an unbounded
+    # result would OOM the CLI on a big query — cap at DEFAULT_PRINT_ROWS
+    # (head + a truncation notice with the full count), opt out with
+    # --limit-rows 0 or stream to parquet with --out
+    cap = DEFAULT_PRINT_ROWS if args.limit_rows is None else args.limit_rows
+    if cap and cap > 0:
+        t = ds.limit(cap + 1).to_pandas()
+        truncated = len(t) > cap
+        if truncated:
+            t = t.iloc[:cap]
+    else:
+        t = ds.to_pandas()
+        truncated = False
     if args.csv:
         print(t.to_csv(index=False), end="")
     else:
         print(t.to_string(index=False))
+    if truncated:
+        total = ds.count()
+        print(f"... ({total} rows total; showing first {cap} — use "
+              f"--limit-rows 0 for all, or --out DIR for parquet)")
     return 0
 
 
@@ -406,7 +423,8 @@ def make_parser() -> argparse.ArgumentParser:
                     help="write the result as partitioned parquet to this "
                     "directory instead of printing")
     sq.add_argument("--limit-rows", type=int, default=None,
-                    help="cap printed rows (display only)")
+                    help=f"cap printed rows (default {DEFAULT_PRINT_ROWS}; "
+                    "0 = unbounded)")
     sq.set_defaults(fn=cmd_sql)
 
     b = sub.add_parser("build", help="build an index (Ray job driver)")

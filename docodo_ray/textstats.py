@@ -9,6 +9,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 import regex
 
@@ -520,50 +521,68 @@ def collocation_pmi(sf_dir: str, min_count: int = PMI_MIN_COUNT,
         return _memo_stage(_BigramStrStage)(t)
 
     bigram_fn.__name__ = "bigram_rows"
-    rows = docs.map_batches(bigram_fn, batch_format="pyarrow").materialize()
-    t_total = int(rows.sum("cnt") or 0)
-    t_total = max(t_total, 1)
+    rows = docs.map_batches(bigram_fn, batch_format="pyarrow")
+
+    def _coarse_of(col: pa.ChunkedArray) -> pa.Array:
+        return pa.array(
+            _coarse_mix(_elem_hashes(col.to_pylist(), {}).view(np.int64)),
+            pa.int64())
+
+    def _per_key_sum(g: pa.Table, key: str) -> np.ndarray:
+        """Σ c12 per distinct value of ``key``, broadcast back to rows —
+        dictionary-encode + bincount, no pandas round-trip. Counts are
+        < 2^53, so the float64 bincount accumulator is exact."""
+        c12 = g["c12"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pc.dictionary_encode(
+            g[key].combine_chunks()).indices.to_numpy(zero_copy_only=False)
+        return np.bincount(idx, weights=c12).astype(np.int64)[idx]
 
     def sum_c12(g: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = g.select(["w1", "w2", "cnt"]).to_pandas()
-        out = df.groupby(["w1", "w2"], as_index=False, sort=False)["cnt"].sum()
-        out = out.rename(columns={"cnt": "c12"})
-        k1 = _elem_hashes(out["w1"].tolist(), {}).view(np.int64)
-        out["k"] = _coarse_mix(k1)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        agg = pa.TableGroupBy(
+            g.select(["w1", "w2", "cnt"]), ["w1", "w2"]
+        ).aggregate([("cnt", "sum")])
+        return pa.table({
+            "w1": agg["w1"], "w2": agg["w2"],
+            "c12": agg["cnt_sum"].cast(pa.int64()),
+            "k": _coarse_of(agg["w1"]),
+        })
 
     sum_c12.__name__ = "sum_c12"
 
-    def attach_c1(g: pa.Table) -> pa.Table:
-        import pandas as pd
+    # the pair table (distinct bigrams) is the ONLY materialized stream —
+    # T derives from it (Σ c12 ≡ Σ cnt), so the token-scale bigram rows
+    # stay a streamed pass and are never pinned in the object store
+    pairs = rows.groupby("gk").map_groups(
+        sum_c12, batch_format="pyarrow").materialize()
+    t_total = max(int(pairs.sum("c12") or 0), 1)
 
-        df = g.select(["w1", "w2", "c12"]).to_pandas()
-        df["c1"] = df.groupby("w1")["c12"].transform("sum")
-        k2 = _elem_hashes(df["w2"].tolist(), {}).view(np.int64)
-        df["k"] = _coarse_mix(k2)
-        return pa.Table.from_pandas(df, preserve_index=False)
+    def attach_c1(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "w1": g["w1"], "w2": g["w2"], "c12": g["c12"],
+            "c1": pa.array(_per_key_sum(g, "w1"), pa.int64()),
+            "k": _coarse_of(g["w2"]),
+        })
 
     attach_c1.__name__ = "attach_c1"
 
     def attach_c2_score(g: pa.Table) -> pa.Table:
-        df = g.select(["w1", "w2", "c12", "c1"]).to_pandas()
-        df["c2"] = df.groupby("w2")["c12"].transform("sum")
-        df = df[df["c12"] >= min_count]
-        if len(df):
-            df["pmi_e6"] = [
-                math.floor(1e6 * math.log((c12 * t_total) / (c1 * c2)))
-                for c12, c1, c2 in zip(df["c12"].tolist(), df["c1"].tolist(),
-                                       df["c2"].tolist())]
-        else:
-            df["pmi_e6"] = np.empty(0, np.int64)
-        out = df[["w1", "w2", "c12", "pmi_e6"]]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        c12 = g["c12"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = g["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = _per_key_sum(g, "w2")
+        keep = c12 >= min_count
+        # DuckDB semantics: CAST(c12*T AS DOUBLE) / CAST(c1*c2 AS DOUBLE)
+        ratio = ((c12[keep] * t_total).astype(np.float64)
+                 / (c1[keep] * c2[keep]).astype(np.float64))
+        pmi = np.floor(1e6 * np.log(ratio)).astype(np.int64)
+        mask = pa.array(keep)
+        return pa.table({
+            "w1": g["w1"].filter(mask), "w2": g["w2"].filter(mask),
+            "c12": pa.array(c12[keep], pa.int64()),
+            "pmi_e6": pa.array(pmi, pa.int64()),
+        })
 
     attach_c2_score.__name__ = "attach_c2_score"
-    scored = rows.groupby("gk").map_groups(sum_c12, batch_format="pyarrow") \
-        .groupby("k").map_groups(attach_c1, batch_format="pyarrow") \
+    scored = pairs.groupby("k").map_groups(attach_c1, batch_format="pyarrow") \
         .groupby("k").map_groups(attach_c2_score, batch_format="pyarrow")
     return scored.sort(["pmi_e6", "w1", "w2"],
                        descending=[True, False, False]).limit(top_n)

@@ -267,3 +267,28 @@ def test_sql_parquet_sink(ray_session, tmp_path, capsys):
     t = pads.dataset(out).to_table().to_pandas()
     assert sorted(t["o_orderstatus"]) == ["F", "O", "P"]
     assert int(t["n"].sum()) == 1500
+
+
+def test_sql_print_is_bounded_by_default(ray_session, tmp_path, capsys):
+    """A big SQL result must not collect unbounded on the driver: the
+    default print cap shows a head + truncation notice; --limit-rows 0
+    lifts it explicitly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = cli.DEFAULT_PRINT_ROWS * 3
+    pq.write_table(pa.table({"k": pa.array(range(n), pa.int64())}),
+                   str(tmp_path / "t.parquet"))
+    rc = cli.main(["sql", "SELECT k FROM t", "--data-dir", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"({n} rows total; showing first {cli.DEFAULT_PRINT_ROWS}" in out
+    # head only: the last row id must NOT be printed
+    assert f"\n{n - 1}\n" not in out
+
+    rc = cli.main(["sql", "SELECT k FROM t", "--data-dir", str(tmp_path),
+                   "--limit-rows", "0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "rows total" not in out
+    assert out.strip().splitlines()[-1].strip() == str(n - 1)
