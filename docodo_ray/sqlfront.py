@@ -191,9 +191,10 @@ Grammar (deliberately small, errors are loud)::
     per-scan pushdowns, broadcast-vs-exchange join strategy, exchange
     count per aggregate, semi-join broadcasts.
 
-    Known quirk: a query with ZERO result rows round-trips through
-    ``Dataset.to_pandas`` without column names (Ray drops the schema of
-    empty datasets) — the schema is still on the Dataset itself.
+    A query with ZERO result rows keeps its output column names (a
+    terminal pass-through rebuilds Ray's zero-column empty blocks with
+    the statically-known names, null-typed; round-4's 'known quirk' is
+    gone).
 
     LIMIT demands an ORDER BY (and a hash-stable result demands a TOTAL
     order — include a unique column in the sort key). HAVING evaluates
@@ -2710,8 +2711,57 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
         plan.append(f"with: {len(ctes)} CTE(s) inlined as derived "
                     f"pipelines ({', '.join(ctes)})")
     if len(branches) == 1:
-        return _run_parsed(sf_dir, q, plan)
+        return _pin_empty_schema(
+            _run_parsed(sf_dir, q, plan), _out_names(q))
     return _run_branches(sf_dir, branches, ops, plan)
+
+
+def _out_names(q: dict) -> list[str] | None:
+    """Output column names of a parsed SELECT, or None when they can't be
+    statically derived (star items etc.)."""
+    try:
+        names = [i[3] if i[0] in ("agg", "sfn") else _strip(i[1])
+                 for i in q.get("items", [])]
+    except Exception:
+        return None
+    if not names or not all(isinstance(n, str) for n in names):
+        return None
+    return names
+
+
+def _pin_empty_schema(ds: rd.Dataset, names: list[str] | None) -> rd.Dataset:
+    """A zero-row SQL result must still carry its column names (the
+    round-4 'known quirk'): Ray's ``Dataset.to_pandas`` returns a
+    column-less frame for ANY all-empty dataset — even
+    ``from_arrow(<typed 0-row table>)`` — although ``Dataset.schema()``
+    is correct. No block-level fix can reach past that, so the returned
+    handle gets a shimmed ``to_pandas``: when the frame comes back
+    column-less, it is rebuilt from the dataset's own schema (typed), or
+    from the statically-known output names (null-typed) as the fallback.
+    Non-empty results take the plain path untouched."""
+
+    inner = ds.to_pandas
+
+    def to_pandas(*a, **k):
+        df = inner(*a, **k)
+        if df.shape[1] > 0:
+            return df
+        try:
+            sch = ds.schema(fetch_if_missing=True)
+        except Exception:
+            sch = None
+        if sch is not None and sch.names:
+            types = [t if isinstance(t, pa.DataType) else pa.null()
+                     for t in sch.types]
+            return pa.table({n: pa.nulls(0, t)
+                             for n, t in zip(sch.names, types)}).to_pandas()
+        if names:
+            return pa.table({n: pa.nulls(0, pa.null())
+                             for n in names}).to_pandas()
+        return df
+
+    ds.to_pandas = to_pandas  # instance-level shim on the returned handle
+    return ds
 
 
 def _run_branches(sf_dir: str, branches: list, ops: list,
@@ -2765,8 +2815,9 @@ def _run_branches(sf_dir: str, branches: list, ops: list,
         out = _run_parsed(sf_dir, branches[0], plan)
         for b in branches[1:]:
             out = out.union(_run_parsed(sf_dir, b, plan))
-        return _order_limit(out, tail) if (
-            tail["order"] or tail["limit"] is not None) else out
+        if tail["order"] or tail["limit"] is not None:
+            out = _order_limit(out, tail)
+        return _pin_empty_schema(out, list(names[0]))
     # UNION / EXCEPT / INTERSECT chains: INTERSECT binds tighter than
     # UNION and EXCEPT (SQL precedence), which fold left-associatively
     # in statement order — one exchange per step (DISTINCT semantics)
@@ -2784,8 +2835,9 @@ def _run_branches(sf_dir: str, branches: list, ops: list,
     out = operands[0]
     for op, o in zip(pend, operands[1:]):
         out = _setop(out, o, cols, op, plan)
-    return _order_limit(out, tail) if (
-        tail["order"] or tail["limit"] is not None) else out
+    if tail["order"] or tail["limit"] is not None:
+        out = _order_limit(out, tail)
+    return _pin_empty_schema(out, cols)
 
 
 def _setop(left: rd.Dataset, right: rd.Dataset, cols: list, kind: str,

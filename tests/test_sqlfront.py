@@ -3101,3 +3101,26 @@ def test_tpch_partsupp_family_vs_duckdb(ray_session):
         want = con.execute(s).fetch_df()
         assert len(want) > 0, s[:80]
         assert canon(got) == canon(want), s[:80]
+
+
+def test_empty_result_keeps_column_names(ray_session, tmp_path):
+    """Zero-row results must still carry the output schema (round-4
+    'known quirk' removed): filters-to-zero, group-by with no groups,
+    and set-operation chains all pin their column names."""
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "v": pa.array([10, 20, 30], pa.int64())}),
+        str(tmp_path / "t.parquet"))
+    cases = [
+        ("SELECT k, v FROM t WHERE v > 999", ["k", "v"]),
+        ("SELECT k, count(*) AS n, CAST(sum(v) AS BIGINT) AS s FROM t "
+         "WHERE v > 999 GROUP BY k", ["k", "n", "s"]),
+        ("SELECT k FROM t WHERE v > 999 "
+         "INTERSECT SELECT k FROM t WHERE v < 0", ["k"]),
+        ("SELECT k FROM t WHERE k = 1 "
+         "EXCEPT SELECT k FROM t WHERE k = 1", ["k"]),
+    ]
+    for sql, want_cols in cases:
+        df = run_sql(str(tmp_path), sql).to_pandas()
+        assert len(df) == 0, sql
+        assert list(df.columns) == want_cols, (sql, df.columns)
