@@ -1266,14 +1266,16 @@ def _to_pads(node):
     if tag == "not":
         return ~_to_pads(node[1])
     if tag == "in":
-        # OR-chain of equalities, not isin(): equality emits NULL for
-        # NULL inputs, so `NOT (col IN ...)` follows SQL three-valued
-        # logic at the scan (isin would emit false and flip under NOT)
+        # isin() + a NULL-propagating term, NOT an OR-chain of equalities:
+        # a semi-join can broadcast thousands of keys and an OR-chain
+        # evaluates one kernel per key per batch (TPC-H Q4's EXISTS took
+        # 24 s at sf0.01 that way; isin is one hash probe). Bare isin
+        # would break three-valued logic under NOT (NULL -> false ->
+        # ~false keeps the row), so `| (f != f)` re-injects NULL for NULL
+        # inputs — verified equal to the equality chain on nullable
+        # columns for both the positive and the negated filter.
         f = pads.field(node[1])
-        e = f == node[2][0]
-        for lit in node[2][1:]:
-            e = e | (f == lit)
-        return e
+        return f.isin(list(node[2])) | (f != f)
     if tag == "like":
         import pyarrow.compute as pc
         return pc.match_like(pads.field(node[1]), node[2])
@@ -1472,11 +1474,13 @@ def _eval_pred(node, t: pa.Table) -> np.ndarray:
         return t[c].to_numpy(zero_copy_only=False)
 
     if tag == "in":
-        v = colv(node[1])
-        hit = np.zeros(len(v), bool)
-        for lit in node[2]:
-            hit |= v == lit
-        return hit
+        # one hash-probe kernel, not a per-literal loop (semi-joins
+        # broadcast thousands of keys); NULL -> no match, like `v == lit`
+        import pyarrow.compute as pc
+
+        m = pc.is_in(t[node[1]].combine_chunks(),
+                     value_set=pa.array(list(node[2])))
+        return np.asarray(m.fill_null(False))
     if tag == "like":
         import pyarrow.compute as pc
         m = pc.match_like(t[node[1]].combine_chunks(), node[2])
