@@ -316,6 +316,12 @@ def run_bench(num_cpus: int) -> dict:
         best_of(lambda: sqlfront.run_sql(sf_dir,
                                          sqlfront.DEMO_TPCH_Q5).count(),
                 name="sql_tpch_q5"), 3)
+    # semi-join frontend line: Q4's correlated EXISTS broadcast (hash-
+    # probe isin at the scan; was 24 s at sf0.01 as an OR-chain)
+    timings["sql_tpch_q4"] = round(
+        best_of(lambda: sqlfront.run_sql(sf_dir,
+                                         sqlfront.DEMO_TPCH_Q4).count(),
+                name="sql_tpch_q4"), 3)
 
     ray.shutdown()
     return {
