@@ -389,6 +389,12 @@ def cmd_sql(args) -> int:
         truncated = len(t) > cap
         if truncated:
             t = t.iloc[:cap]
+        elif t.shape[1] == 0:
+            # ds.limit() returns a fresh Dataset without run_sql's
+            # empty-schema to_pandas shim; re-collect through the
+            # original handle so a zero-row result keeps its columns
+            # (cheap: the result IS empty)
+            t = ds.to_pandas()
     else:
         t = ds.to_pandas()
         truncated = False
@@ -397,9 +403,12 @@ def cmd_sql(args) -> int:
     else:
         print(t.to_string(index=False))
     if truncated:
-        total = ds.count()
-        print(f"... ({total} rows total; showing first {cap} — use "
-              f"--limit-rows 0 for all, or --out DIR for parquet)")
+        # stderr, no exact total: the notice must not corrupt a piped
+        # --csv stream, and counting the full result would re-execute
+        # the whole query just for a cosmetic number
+        print(f"... (result truncated to the first {cap} rows — use "
+              f"--limit-rows 0 for all, or --out DIR for parquet)",
+              file=sys.stderr)
     return 0
 
 

@@ -72,7 +72,15 @@ class ReaderBox:
                 return {"reloaded": False,
                         "generation": self._generation(self._reader)}
             if force or stamp != self._stamp:
-                reader = IndexReader(self.dir)  # open fully BEFORE the flip
+                try:
+                    reader = IndexReader(self.dir)  # open BEFORE the flip
+                except OSError:
+                    # a concurrent update/compaction is mid-replace (the
+                    # manifest flip and the old-run removals are separate
+                    # steps): keep serving the old generation, retry next
+                    # interval
+                    return {"reloaded": False,
+                            "generation": self._generation(self._reader)}
                 self._reader = reader
                 self._stamp = stamp
                 return {"reloaded": True,
@@ -133,8 +141,11 @@ def make_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
             def arg(name: str, default: str) -> str:
                 return q.get(name, [default])[0]
 
-            reader = box.get()
             try:
+                # inside the try: a reload hiccup (e.g. an unexpected
+                # error while reopening mid-compaction) must surface as
+                # a JSON 500, not a dropped connection
+                reader = box.get()
                 if u.path == "/search":
                     self._send(200, search_payload(
                         reader, arg("req", ""), k=int(arg("k", "10")),

@@ -131,8 +131,10 @@ def records_to_corpus(
             col = t[c]
             if pa.types.is_timestamp(col.type):
                 # second precision: %S renders fractional digits for
-                # us-timestamps, which no SQL replay would match
-                s = pc.strftime(col.cast(pa.timestamp("s")),
+                # us-timestamps, which no SQL replay would match;
+                # safe=False: truncation is the point — the default safe
+                # cast RAISES on any sub-second value
+                s = pc.strftime(col.cast(pa.timestamp("s"), safe=False),
                                 format="%Y-%m-%d %H:%M:%S")
             else:
                 s = col.cast(pa.string())

@@ -1271,11 +1271,16 @@ def _to_pads(node):
         # evaluates one kernel per key per batch (TPC-H Q4's EXISTS took
         # 24 s at sf0.01 that way; isin is one hash probe). Bare isin
         # would break three-valued logic under NOT (NULL -> false ->
-        # ~false keeps the row), so `| (f != f)` re-injects NULL for NULL
-        # inputs — verified equal to the equality chain on nullable
-        # columns for both the positive and the negated filter.
+        # ~false keeps the row). The NULL re-injection must NOT be
+        # `f != f` — that is TRUE for float NaN (IEEE) and would flip
+        # NaN rows under both polarities. `g = (f == f)` is true for
+        # every non-null value (false for NaN) and NULL for NULL, so
+        # `g != g` is false for ALL non-null rows (NaN included) and
+        # NULL for NULL rows — verified equal to the equality chain on
+        # nullable int AND NaN-bearing float columns, both polarities.
         f = pads.field(node[1])
-        return f.isin(list(node[2])) | (f != f)
+        g = f == f
+        return f.isin(list(node[2])) | (g != g)
     if tag == "like":
         import pyarrow.compute as pc
         return pc.match_like(pads.field(node[1]), node[2])
@@ -2722,10 +2727,14 @@ def run_sql(sf_dir: str, sql: str, _plan: list | None = None) -> rd.Dataset:
 
 def _out_names(q: dict) -> list[str] | None:
     """Output column names of a parsed SELECT, or None when they can't be
-    statically derived (star items etc.)."""
+    statically derived (star items etc.). Same per-item-kind rule as the
+    planner's out_names (aliases win: 'colas'/'exprcol'/'aggexpr' carry
+    the alias in slot 2, 'win' in slot 4, 'agg'/'sfn' in slot 3)."""
     try:
-        names = [i[3] if i[0] in ("agg", "sfn") else _strip(i[1])
-                 for i in q.get("items", [])]
+        names = [i[3] if i[0] in ("agg", "sfn")
+                 else i[2] if i[0] in ("colas", "exprcol", "aggexpr")
+                 else i[4] if i[0] == "win"
+                 else _strip(i[1]) for i in q.get("items", [])]
     except Exception:
         return None
     if not names or not all(isinstance(n, str) for n in names):

@@ -281,14 +281,50 @@ def test_sql_print_is_bounded_by_default(ray_session, tmp_path, capsys):
                    str(tmp_path / "t.parquet"))
     rc = cli.main(["sql", "SELECT k FROM t", "--data-dir", str(tmp_path)])
     assert rc == 0
-    out = capsys.readouterr().out
-    assert f"({n} rows total; showing first {cli.DEFAULT_PRINT_ROWS}" in out
+    cap = capsys.readouterr()
+    assert f"truncated to the first {cli.DEFAULT_PRINT_ROWS}" in cap.err
     # head only: the last row id must NOT be printed
-    assert f"\n{n - 1}\n" not in out
+    assert f"\n{n - 1}\n" not in cap.out
 
     rc = cli.main(["sql", "SELECT k FROM t", "--data-dir", str(tmp_path),
                    "--limit-rows", "0"])
     assert rc == 0
-    out = capsys.readouterr().out
-    assert "rows total" not in out
-    assert out.strip().splitlines()[-1].strip() == str(n - 1)
+    cap = capsys.readouterr()
+    assert "truncated" not in cap.err
+    assert cap.out.strip().splitlines()[-1].strip() == str(n - 1)
+
+
+def test_sql_csv_truncation_notice_not_on_stdout(ray_session, tmp_path,
+                                                 capsys):
+    """--csv output must stay machine-parseable when truncated: the
+    notice goes to stderr, and stdout is exactly header + cap rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = cli.DEFAULT_PRINT_ROWS + 50
+    pq.write_table(pa.table({"k": pa.array(range(n), pa.int64())}),
+                   str(tmp_path / "t.parquet"))
+    rc = cli.main(["sql", "SELECT k FROM t", "--data-dir", str(tmp_path),
+                   "--csv"])
+    assert rc == 0
+    cap = capsys.readouterr()
+    lines = cap.out.strip().splitlines()
+    assert lines[0] == "k"
+    assert len(lines) == 1 + cli.DEFAULT_PRINT_ROWS
+    assert all("," not in l and "truncated" not in l for l in lines)
+    assert "truncated" in cap.err
+
+
+def test_sql_empty_result_keeps_columns_on_default_path(ray_session,
+                                                        tmp_path, capsys):
+    """The default bounded path (ds.limit) must not regress the zero-row
+    schema fix: an empty result prints its column names."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64())}),
+                   str(tmp_path / "t.parquet"))
+    rc = cli.main(["sql", "SELECT k FROM t WHERE k > 9",
+                   "--data-dir", str(tmp_path), "--csv"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "k"

@@ -243,7 +243,7 @@ def test_records_to_corpus_typed_reflection(ray_session, tmp_path):
         "status": pa.array(["F", None], pa.string()),
         "pri": pa.array(["1-URGENT", "5-LOW"], pa.string()),
         "bal": pa.array([12, 34], pa.int64()),
-        "when": pa.array([1_000_000, 2_000_000], pa.timestamp("us")),
+        "when": pa.array([1_000_000, 2_500_000], pa.timestamp("us")),  # sub-second: cast must truncate, not raise
     })
     out = records_to_corpus(
         rd.from_arrow(t), id_col="rid",
@@ -253,5 +253,6 @@ def test_records_to_corpus_typed_reflection(ray_session, tmp_path):
     assert out["rid"].tolist() == [7, 8]
     assert out["content"][0] == (
         "status: F\npri: 1-URGENT\nwhen: 1970-01-01 00:00:01")
-    assert out["content"][1].startswith("status: \npri: 5-LOW")
+    assert out["content"][1] == (
+        "status: \npri: 5-LOW\nwhen: 1970-01-01 00:00:02")
     assert out["bal"].tolist() == [12, 34]  # typed int64 meta survives

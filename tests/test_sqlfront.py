@@ -3124,3 +3124,34 @@ def test_empty_result_keeps_column_names(ray_session, tmp_path):
         df = run_sql(str(tmp_path), sql).to_pandas()
         assert len(df) == 0, sql
         assert list(df.columns) == want_cols, (sql, df.columns)
+
+
+def test_in_predicate_nan_and_null_vs_duckdb(ray_session, tmp_path):
+    """IN / NOT IN over a float column containing NaN and NULL: the
+    hash-probe isin compile must match the oracle (and the old equality
+    chain) — NaN is NOT in any literal set, NULL filters under both
+    polarities."""
+    import duckdb
+
+    pq.write_table(pa.table({
+        "k": pa.array([1.0, float("nan"), None, 5.0, 2.5], pa.float64()),
+        "r": pa.array([1, 2, 3, 4, 5], pa.int64())}),
+        str(tmp_path / "t.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    for s in ("SELECT r FROM t WHERE k IN (1.0, 2.0)",
+              "SELECT r FROM t WHERE k NOT IN (1.0, 2.0)"):
+        got = sorted(run_sql(str(tmp_path), s).to_pandas()["r"].tolist())
+        want = sorted(con.execute(s).fetch_df()["r"].tolist())
+        assert got == want, (s, got, want)
+
+
+def test_empty_result_alias_names(ray_session, tmp_path):
+    """Zero-row results carry ALIASED output names (colas items resolve
+    to the alias, not the source column)."""
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64())}),
+                   str(tmp_path / "t.parquet"))
+    df = run_sql(str(tmp_path),
+                 "SELECT k AS kk FROM t WHERE k > 9").to_pandas()
+    assert len(df) == 0 and list(df.columns) == ["kk"]
