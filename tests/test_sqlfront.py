@@ -2737,7 +2737,28 @@ def test_differential_random_new_constructs_vs_duckdb(ray_session,
     @st.composite
     def stmt(draw):
         kind = draw(st.sampled_from(
-            ["groupexpr", "agghaving", "setop", "strminmax"]))
+            ["groupexpr", "agghaving", "setop", "strminmax", "inlist"]))
+        if kind == "inlist":
+            # IN / NOT IN membership: plain int column, arithmetic
+            # expression (desugared OR chain), and a NULL-bearing string
+            # column (three-valued logic under NOT at the scan)
+            neg = draw(st.sampled_from(["", "NOT "]))
+            side = draw(st.sampled_from(["col_int", "expr", "col_str"]))
+            if side == "col_int":
+                lits = draw(st.lists(st.integers(-3, 7), min_size=1,
+                                     max_size=4, unique=True))
+                pred = f"v {neg}IN ({', '.join(map(str, lits))})"
+            elif side == "expr":
+                mod = draw(st.integers(2, 5))
+                lits = draw(st.lists(st.integers(0, 5), min_size=1,
+                                     max_size=3, unique=True))
+                pred = f"v % {mod} {neg}IN ({', '.join(map(str, lits))})"
+            else:
+                lits = draw(st.lists(st.sampled_from(["x", "y", "zz"]),
+                                     min_size=1, max_size=3, unique=True))
+                vals = ", ".join(f"'{x}'" for x in lits)
+                pred = f"s {neg}IN ({vals})"
+            return f"SELECT k, v FROM t WHERE {pred}"
         if kind == "groupexpr":
             mod = draw(st.integers(2, 5))
             having = ""
