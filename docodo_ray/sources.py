@@ -103,6 +103,92 @@ def read_duckdb_partitioned(
     )
 
 
+def read_dbapi(
+    connect,
+    query: str | None = None,
+    *,
+    table: str | None = None,
+    partition_col: str | None = None,
+    num_partitions: int = 16,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Live-DB connector: any DB-API 2.0 database becomes a Ray Dataset
+    (parity target: the reference's MySQL DBDataSource, DBDataSource.cs:
+    221-311 — commented out and never shipped there; real and tested
+    here against stdlib sqlite3).
+
+    ``connect`` is a ZERO-ARG picklable factory returning a DB-API
+    connection — each map task opens its OWN connection, so no shared
+    handle ever crosses a process boundary. Two modes:
+
+    - one-shot (``query=...``): the statement runs once on the driver
+      (small result sets, lookups);
+    - partitioned (``table=`` + ``partition_col=``): the driver reads
+      only min/max of the integer partition column, splits the span
+      into half-open ranges, and each map task reads only its range —
+      the distributed shape for tables with a dense integer key
+      (primary key, rowid).
+    """
+    if (query is None) == (table is None):
+        raise ValueError("read_dbapi needs exactly one of query= / table=")
+
+    def _rows_to_table(cur) -> pa.Table:
+        names = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+        return pa.table({
+            n: pa.array([r[i] for r in rows])
+            if rows else pa.nulls(0, pa.null())
+            for i, n in enumerate(names)})
+
+    if query is not None:
+        con = connect()
+        try:
+            cur = con.cursor()
+            cur.execute(query)
+            return rd.from_arrow(_rows_to_table(cur))
+        finally:
+            con.close()
+
+    if partition_col is None:
+        raise ValueError("partitioned read_dbapi needs partition_col=")
+    cols = ", ".join(columns) if columns else "*"
+    con = connect()
+    try:
+        cur = con.cursor()
+        cur.execute(f"SELECT min({partition_col}), max({partition_col}) "
+                    f"FROM {table}")
+        lo_hi = cur.fetchone()
+    finally:
+        con.close()
+    if lo_hi is None or lo_hi[0] is None:
+        return rd.from_arrow(pa.table({}))
+    bounds = np.linspace(lo_hi[0], lo_hi[1] + 1,
+                         num_partitions + 1).astype(int)
+    parts = [{"lo": int(bounds[i]), "hi": int(bounds[i + 1])}
+             for i in range(num_partitions) if bounds[i + 1] > bounds[i]]
+
+    def read_part(batch: pa.Table) -> pa.Table:
+        out = []
+        for lo, hi in zip(batch["lo"].to_pylist(), batch["hi"].to_pylist()):
+            c = connect()
+            try:
+                cur = c.cursor()
+                # explicit key range, NOT LIMIT/OFFSET: offset pagination
+                # gives no cross-scan ordering guarantee and costs a
+                # skip-scan per partition (same rule as read_duckdb)
+                cur.execute(
+                    f"SELECT {cols} FROM {table} WHERE {partition_col} "
+                    f">= {lo} AND {partition_col} < {hi}")
+                out.append(_rows_to_table(cur))
+            finally:
+                c.close()
+        return pa.concat_tables(out, promote_options="permissive")
+
+    read_part.__name__ = "read_dbapi_part"
+    return rd.from_items(parts, override_num_blocks=len(parts)).map_batches(
+        read_part, batch_format="pyarrow", batch_size=1)
+
+
 def records_to_corpus(
     ds: rd.Dataset,
     *,

@@ -256,3 +256,54 @@ def test_records_to_corpus_typed_reflection(ray_session, tmp_path):
     assert out["content"][1] == (
         "status: \npri: 5-LOW\nwhen: 1970-01-01 00:00:02")
     assert out["bal"].tolist() == [12, 34]  # typed int64 meta survives
+
+
+def test_read_dbapi_sqlite_partitioned(ray_session, tmp_path):
+    """Generic DB-API connector against stdlib sqlite3: one-shot and
+    partitioned range scans return the full table; each task opens its
+    own connection (the factory is a picklable top-level callable)."""
+    import sqlite3
+
+    import ray.data  # noqa: F401
+
+    from docodo_ray.sources import read_dbapi, records_to_corpus
+
+    db = str(tmp_path / "recs.sqlite")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE recs (rid INTEGER PRIMARY KEY, "
+                "name TEXT, score INTEGER)")
+    rows = [(i, f"name{i}", i * 7 % 100) for i in range(1, 101)]
+    con.executemany("INSERT INTO recs VALUES (?, ?, ?)", rows)
+    con.commit()
+    con.close()
+
+    import functools
+
+    connect = functools.partial(sqlite3.connect, db)
+
+    one = read_dbapi(connect, "SELECT count(*) AS n FROM recs").to_pandas()
+    assert one["n"].tolist() == [100]
+
+    ds = read_dbapi(connect, table="recs", partition_col="rid",
+                    num_partitions=7)
+    got = ds.to_pandas().sort_values("rid").reset_index(drop=True)
+    assert len(got) == 100
+    assert got["rid"].tolist() == [r[0] for r in rows]
+    assert got["score"].tolist() == [r[2] for r in rows]
+
+    # composes with the S6 adapter: typed records -> corpus schema
+    corpus = records_to_corpus(
+        read_dbapi(connect, table="recs", partition_col="rid",
+                   num_partitions=4),
+        id_col="rid", text_cols=("name",), meta_cols=("score",),
+    ).to_pandas()
+    assert len(corpus) == 100
+    assert set(corpus.columns) == {"rid", "content", "score"}
+    assert corpus.set_index("rid")["content"][42] == "name: name42"
+
+    # empty table -> empty dataset, no crash
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE empty (rid INTEGER PRIMARY KEY, x TEXT)")
+    con.commit(); con.close()
+    assert read_dbapi(connect, table="empty", partition_col="rid"
+                      ).count() == 0
