@@ -118,6 +118,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, sqlfront.DEMO_TPCH_Q20),
         "sql_tpch_q22": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_TPCH_Q22),
+        # GROUP BY ROLLUP/CUBE through the frontend (round 5): finest
+        # fold once, coarser sets re-aggregate the folded rows
+        "sql_rollup": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_ROLLUP),
+        "sql_cube": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_CUBE),
         # --- relational layer over the TPC-H tables ---
         "pricing_summary": relational.pricing_summary,   # TPC-H Q1 rollup
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join

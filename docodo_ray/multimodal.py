@@ -390,6 +390,8 @@ class ResizeImageStage:
                     img = decode_ppm(payload)
                 elif payload[:2] == b"BM":
                     img = decode_bmp(payload)
+                elif payload[: len(PNG_SIG)] == PNG_SIG:
+                    img = decode_png(payload)  # REAL zlib/unfilter kernel
             except Exception:
                 img = None
             if img is None and self.pil is not None:

@@ -2782,6 +2782,7 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_TPCH_Q2, DEMO_TPCH_Q11,
                                      DEMO_TPCH_Q16, DEMO_TPCH_Q20,
                                      DEMO_TPCH_Q22,
+                                     DEMO_ROLLUP, DEMO_CUBE,
                                      DEMO_UNION_DISTINCT,
                                      DEMO_ROWS_FRAME, DEMO_SCALAR_ATOM,
                                      DEMO_CORPUS_PROFILE)
@@ -2847,6 +2848,8 @@ FROM {PROFILE_TABLE}"""
     sql["sql_tpch_q16"] = DEMO_TPCH_Q16
     sql["sql_tpch_q20"] = DEMO_TPCH_Q20
     sql["sql_tpch_q22"] = DEMO_TPCH_Q22
+    sql["sql_rollup"] = DEMO_ROLLUP
+    sql["sql_cube"] = DEMO_CUBE
     sql["sql_union_distinct"] = DEMO_UNION_DISTINCT
     sql["sql_rows_frame"] = DEMO_ROWS_FRAME
     sql["sql_scalar_atom"] = DEMO_SCALAR_ATOM

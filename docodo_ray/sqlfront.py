@@ -240,6 +240,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {"select", "from", "where", "group", "by", "as", "and", "or",
              "not", "in", "count", "sum", "min", "max", "cast", "bigint",
              "having", "order", "limit", "asc", "desc", "join", "on",
+             "rollup", "cube",
              "distinct", "between", "union", "all", "left", "outer",
              "row_number", "rank", "dense_rank", "over", "partition",
              "qualify", "lag", "lead", "ntile", "first_value",
@@ -387,6 +388,7 @@ class _Parser:
             where = self._or()
         group = []
         group_all = False
+        groupsets = None
         if self.peek() == ("kw", "group"):
             self.next()
             self.expect("kw", "by")
@@ -395,6 +397,17 @@ class _Parser:
                 # (resolved at plan time against the select list)
                 self.next()
                 group_all = True
+            elif self.peek() in (("kw", "rollup"), ("kw", "cube")):
+                # GROUP BY ROLLUP(a, b) / CUBE(a, b): the finest set is
+                # the ordinary GROUP BY; coarser sets re-aggregate the
+                # folded rows at plan time (_run_groupsets)
+                groupsets = self.next()[1]
+                self.expect("op", "(")
+                group.append(self._qual_ident())
+                while self.peek() == ("op", ","):
+                    self.next()
+                    group.append(self._qual_ident())
+                self.expect("op", ")")
             else:
                 # a GROUP BY item may be a bare column or an arithmetic
                 # expression (bucketing: k % 7, CASE buckets) —
@@ -463,7 +476,8 @@ class _Parser:
                 "joins": joins, "where": where, "group": group,
                 "having": having, "qualify": qualify, "order": order,
                 "limit": limit, "offset": offset, "distinct": distinct,
-                "group_all": group_all, "derived": derived,
+                "group_all": group_all, "groupsets": groupsets,
+                "derived": derived,
                 "win_frame": frames[0] if frames else None}
 
     def parse_chain(self) -> dict:
@@ -3250,11 +3264,162 @@ def _resolve_scalar_atoms(sf_dir: str, q: dict, plan: list) -> dict:
                 where=pw(q["where"]), having=pw(q["having"]))
 
 
+def _type_zero(t: pa.DataType):
+    """A deterministic non-null fill for a grouping surrogate column
+    (the separate is-null flag already disambiguates, the value just
+    needs to sort)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ""
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        return 0
+    if pa.types.is_boolean(t):
+        return False
+    if pa.types.is_timestamp(t):
+        return pa.scalar(0, t)
+    raise SqlError(f"ROLLUP/CUBE key type {t} is unsupported")
+
+
+def _run_groupsets(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
+    """GROUP BY ROLLUP(a, b) / CUBE(a, b): ONE base-table aggregation at
+    the finest grouping through the normal machinery, then every coarser
+    grouping set RE-AGGREGATES the folded rows (group-cardinality scale,
+    materialized once and reused) — never a second base scan. COUNT and
+    SUM re-fold by summing, MIN/MAX by min/max; AVG and COUNT(DISTINCT)
+    cannot re-aggregate across sets and are refused loudly. Rolled-up key
+    columns are NULL-filled (SQL semantics; COALESCE outside a derived
+    table for sentinel encodings). DuckDB runs the same text natively, so
+    the construct is hash-checked end to end."""
+    import pyarrow.compute as pc
+
+    kind = q["groupsets"]
+    cols = list(q["group"])
+    if not cols:
+        raise SqlError(f"{kind.upper()} needs at least one column")
+    if q.get("having") is not None:
+        raise SqlError(f"HAVING with {kind.upper()} is unsupported "
+                       "(wrap in a derived table)")
+    if q.get("joins") or q.get("distinct"):
+        raise SqlError(f"{kind.upper()} supports single-table "
+                       "ungrouped-join-free queries")
+    aggs = [i for i in q["items"] if i[0] == "agg"]
+    plain = [i for i in q["items"] if i[0] == "col"]
+    if len(aggs) + len(plain) != len(q["items"]) or not aggs:
+        raise SqlError(f"{kind.upper()} items must be grouping columns "
+                       "and COUNT/SUM/MIN/MAX aggregates")
+    for i in aggs:
+        if i[1] not in ("count", "countn", "sum", "min", "max"):
+            raise SqlError(
+                f"{i[1].upper()} cannot re-aggregate across grouping "
+                "sets (AVG: decompose into SUM and COUNT; "
+                "COUNT(DISTINCT): not mergeable)")
+    base = dict(q, order=[], limit=None, offset=0, groupsets=None)
+    finest = _run_parsed(sf_dir, base, plan).materialize()
+    out_names = _out_names(q)
+    if out_names is None:
+        raise SqlError(f"{kind.upper()} items must have static names")
+    refn = {i[3]: ("sum" if i[1] in ("count", "countn", "sum")
+                   else i[1]) for i in aggs}
+    sch = finest.schema()
+    if sch is None or not sch.names or finest.count() == 0:
+        # SQL semantics on EMPTY input: ROLLUP/CUBE emit exactly the
+        # global () grouping-set row — NULL keys, COUNT = 0,
+        # SUM/MIN/MAX = NULL (DuckDB-verified)
+        types0 = (dict(zip(sch.names, sch.types))
+                  if sch is not None and sch.names else {})
+        data = {}
+        for item, name in zip(q["items"], out_names):
+            if item[0] == "agg" and item[1] in ("count", "countn"):
+                data[name] = pa.array([0], pa.int64())
+            else:
+                data[name] = pa.nulls(1, types0.get(name, pa.null()))
+        plan.append(f"{kind}: empty input -> the single global "
+                    "grouping-set row")
+        return rd.from_arrow(pa.table(data))
+    types = dict(zip(sch.names, sch.types))
+    if kind == "rollup":
+        sets = [tuple(cols[:k]) for k in range(len(cols) - 1, -1, -1)]
+    else:
+        from itertools import combinations
+
+        sets = [c for k in range(len(cols) - 1, -1, -1)
+                for c in combinations(cols, k)]
+
+    def _reagg(keys: tuple) -> rd.Dataset:
+        keyset = set(keys)
+
+        def fold(g: pa.Table) -> pa.Table:
+            data = {}
+            for c in out_names:
+                if c in refn:
+                    fn = refn[c]
+                    v = (pc.sum(g[c]) if fn == "sum"
+                         else pc.min(g[c]) if fn == "min"
+                         else pc.max(g[c]))
+                    data[c] = pa.array([v.as_py()], types[c])
+                elif c in keyset:
+                    data[c] = g[c].combine_chunks().slice(0, 1)
+                else:
+                    data[c] = pa.nulls(1, types[c])
+            return pa.table(data)
+
+        fold.__name__ = "sql_groupset_fold"
+        if keys:
+            # Ray's sort-based groupby cannot compare NULL keys (the
+            # finest level legitimately holds a NULL group when the
+            # input column has NULLs) — exchange on (is-null flag,
+            # null-filled value) surrogate pairs instead; group identity
+            # is preserved exactly and fold reads the ORIGINAL columns
+            def enc(t: pa.Table) -> pa.Table:
+                for c in keys:
+                    col = t[c].combine_chunks()
+                    t = t.append_column(
+                        f"_gsn_{c}", col.is_null().cast(pa.int64()))
+                    t = t.append_column(
+                        f"_gsv_{c}", col.fill_null(_type_zero(col.type)))
+                return t
+
+            enc.__name__ = "sql_groupset_enc"
+            gb = ([f"_gsn_{c}" for c in keys]
+                  + [f"_gsv_{c}" for c in keys])
+            return finest.map_batches(
+                enc, batch_format="pyarrow").groupby(gb).map_groups(
+                fold, batch_format="pyarrow")
+
+        def tag_all(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_gsall", pa.array(np.zeros(t.num_rows, np.int64)))
+
+        tag_all.__name__ = "sql_groupset_tag"
+        return finest.map_batches(
+            tag_all, batch_format="pyarrow").groupby("_gsall").map_groups(
+            fold, batch_format="pyarrow")
+
+    out = finest
+    for s in sets:
+        out = out.union(_reagg(s))
+    plan.append(
+        f"{kind}({', '.join(cols)}): finest fold once + {len(sets)} "
+        "re-aggregations of the materialized folded rows (union of "
+        "grouping sets, NULL-filled keys)")
+    if q["order"] or q["limit"] is not None:
+        order = []
+        for c, d in q["order"] or []:
+            if isinstance(c, int):
+                if not 1 <= c <= len(out_names):
+                    raise SqlError(f"ORDER BY position {c} out of range")
+                c = out_names[c - 1]
+            order.append((c, d))
+        out = _order_limit(out, dict(q, order=order))
+    return out
+
+
 def _run_parsed(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
     if q.get("setop"):
         # a nested set-operation chain (derived table / CTE / subquery
         # body) executes through the same fold as top-level set ops
         return _run_branches(sf_dir, q["branches"], q["ops"], plan)
+    if q.get("groupsets"):
+        return _run_groupsets(sf_dir, q, plan)
     q = _expand_sugar(sf_dir, q)
     q = _rewrite_having_aggs(q)
     q = _rewrite_group_exprs(q, plan)
@@ -4599,6 +4764,25 @@ DEMO_TPCH_Q22 = (
     "AND cphone.c_custkey NOT IN (SELECT o_custkey FROM orders "
     "WHERE o_orderpriority = '1-URGENT') "
     "GROUP BY cphone.cntrycode ORDER BY cntrycode ASC")
+DEMO_ROLLUP = (
+    # GROUP BY ROLLUP: one finest fold, coarser sets re-aggregate the
+    # folded rows; the derived table + COALESCE turns NULL-filled keys
+    # into hash-stable sentinels (house convention), the CTE supplies
+    # an integer bucket key since ROLLUP takes plain columns
+    "WITH o AS (SELECT o_custkey % 10 AS b, o_orderkey FROM orders) "
+    "SELECT COALESCE(t.b, -1) AS bucket, t.n, t.s "
+    "FROM (SELECT b, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS s "
+    "FROM o GROUP BY ROLLUP(b)) t ORDER BY bucket ASC")
+DEMO_CUBE = (
+    # GROUP BY CUBE: all four grouping sets from one finest fold,
+    # MIN/MAX re-aggregate alongside the summed COUNT
+    "WITH o AS (SELECT o_custkey % 5 AS b1, o_orderkey % 3 AS b2, "
+    "o_orderkey FROM orders) "
+    "SELECT COALESCE(t.b1, -1) AS k1, COALESCE(t.b2, -1) AS k2, "
+    "t.n, t.lo, t.hi "
+    "FROM (SELECT b1, b2, count(*) AS n, min(o_orderkey) AS lo, "
+    "max(o_orderkey) AS hi FROM o GROUP BY CUBE(b1, b2)) t "
+    "ORDER BY k1 ASC, k2 ASC")
 DEMO_UNION_DISTINCT = (
     # plain UNION (SQL DISTINCT semantics, incl. within-branch dups):
     # side-tagged streams, presence partials, ONE equal-row exchange;

@@ -354,3 +354,22 @@ def test_png_sha_stage_matches_sql_identity():
         body = (hashlib.sha256(t.encode()).hexdigest() * 8)[:480]
         assert sha == hashlib.sha256(body.encode()).hexdigest()
         assert (wi, he, ch) == (16, 10, 3)
+
+
+def test_resize_stage_decodes_png():
+    """ResizeImageStage routes PNG payloads through the real codec —
+    resizing a PNG equals resizing the same pixels from a PPM."""
+    from docodo_ray.multimodal import (ResizeImageStage, decode_ppm,
+                                       encode_png, encode_ppm)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "media": pa.array([encode_png(img), encode_ppm(img)], pa.binary()),
+    })
+    out = ResizeImageStage(width=4, height=4)(batch)
+    assert out["fake"].to_pylist() == [False, False]
+    a = decode_ppm(out["media"][0].as_py())
+    b = decode_ppm(out["media"][1].as_py())
+    np.testing.assert_array_equal(a, b)

@@ -3176,3 +3176,67 @@ def test_empty_result_alias_names(ray_session, tmp_path):
     df = run_sql(str(tmp_path),
                  "SELECT k AS kk FROM t WHERE k > 9").to_pandas()
     assert len(df) == 0 and list(df.columns) == ["kk"]
+
+
+def test_rollup_cube_vs_duckdb(ray_session, tmp_path):
+    """GROUP BY ROLLUP/CUBE: finest fold + folded-row re-aggregation must
+    equal DuckDB's native grouping sets — including NULL-bearing group
+    values (their finest NULL group coexists with the rollup NULL rows)
+    and the empty-input single-global-row case."""
+    import duckdb
+
+    pq.write_table(pa.table({
+        "k": pa.array(["a", "a", "b", None, "b", "a"], pa.string()),
+        "j": pa.array([1, 2, 1, 2, 1, 2], pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 50, 60], pa.int64())}),
+        str(tmp_path / "t.parquet"), row_group_size=2)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    canon = lambda df: sorted(
+        map(lambda r: tuple(map(str, r)),
+            df[sorted(df.columns)].values.tolist()))
+    for s in (
+        "SELECT k, count(*) AS n, CAST(sum(v) AS BIGINT) AS s FROM t "
+        "GROUP BY ROLLUP(k)",
+        "SELECT k, j, count(*) AS n, min(v) AS lo, max(v) AS hi FROM t "
+        "GROUP BY ROLLUP(k, j)",
+        "SELECT k, j, count(*) AS n, CAST(sum(v) AS BIGINT) AS s FROM t "
+        "GROUP BY CUBE(k, j)",
+        "SELECT k, count(v) AS nv FROM t GROUP BY ROLLUP(k)",
+        "SELECT k, count(*) AS n FROM t WHERE v > 999 "
+        "GROUP BY ROLLUP(k)",  # empty input -> one global row
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), (s, got, want)
+
+    from docodo_ray.sqlfront import DEMO_CUBE, DEMO_ROLLUP
+
+    SFD = "/root/testdata/sf0.001"
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                 f"read_parquet('{SFD}/orders.parquet')")
+    for s in (DEMO_ROLLUP, DEMO_CUBE):
+        got = run_sql(SFD, s).to_pandas()
+        want = con2.execute(s).fetch_df()
+        assert len(want) > 0
+        assert canon(got) == canon(want), s[:80]
+
+
+def test_rollup_rejects_non_mergeable_aggregates(ray_session, tmp_path):
+    pq.write_table(pa.table({
+        "k": pa.array(["a", "b"], pa.string()),
+        "v": pa.array([1, 2], pa.int64())}), str(tmp_path / "t.parquet"))
+    with pytest.raises(SqlError, match="re-aggregate"):
+        run_sql(str(tmp_path),
+                "SELECT k, CAST(AVG(v) AS BIGINT) AS a FROM t "
+                "GROUP BY ROLLUP(k)")
+    with pytest.raises(SqlError, match="re-aggregate"):
+        run_sql(str(tmp_path),
+                "SELECT k, count(DISTINCT v) AS d FROM t "
+                "GROUP BY ROLLUP(k)")
+    with pytest.raises(SqlError, match="HAVING"):
+        run_sql(str(tmp_path),
+                "SELECT k, count(*) AS n FROM t GROUP BY ROLLUP(k) "
+                "HAVING count(*) > 1")
