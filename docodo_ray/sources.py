@@ -39,6 +39,17 @@ import ray.data as rd
 # ---- S6: DB source ----------------------------------------------------------
 
 
+def _range_bounds(lo: int, hi: int, n: int) -> list[int]:
+    """Clamped integer split points for [lo, hi] -> n half-open ranges.
+    linspace computes in float64, which rounds keys past 2^53 (Snowflake-
+    style 64-bit IDs): an unclamped bounds[0] can land ABOVE the true
+    minimum and silently drop edge rows — pinning both endpoints keeps
+    coverage exact; interior rounding only shifts split points."""
+    b = np.linspace(lo, hi + 1, n + 1).astype(np.int64)
+    b[0], b[-1] = lo, hi + 1
+    return [int(x) for x in b]
+
+
 def read_duckdb(query: str, db_path: str | None = None) -> rd.Dataset:
     """One-shot DuckDB query -> Ray Dataset (driver-side execution; use
     read_duckdb_partitioned for large tables)."""
@@ -70,9 +81,9 @@ def read_duckdb_partitioned(
         con.close()
     if lo_hi[0] is None:  # empty table
         return rd.from_arrow(pa.table({}))
-    bounds = np.linspace(lo_hi[0], lo_hi[1] + 1, num_partitions + 1).astype(int)
+    bounds = _range_bounds(int(lo_hi[0]), int(lo_hi[1]), num_partitions)
     parts = [
-        {"lo": int(bounds[i]), "hi": int(bounds[i + 1])}
+        {"lo": bounds[i], "hi": bounds[i + 1]}
         for i in range(num_partitions)
         if bounds[i + 1] > bounds[i]
     ]
@@ -155,17 +166,42 @@ def read_dbapi(
     con = connect()
     try:
         cur = con.cursor()
+        cur.execute(f"SELECT count(*) FROM {table} "
+                    f"WHERE {partition_col} IS NULL")
+        n_null = cur.fetchone()[0]
+        if n_null:
+            # loud, never silent: no half-open key range matches NULL,
+            # so those rows would simply vanish from the dataset
+            raise ValueError(
+                f"partition_col {partition_col!r} has {n_null} NULL "
+                "values — rows would be silently dropped; partition on "
+                "a non-null key")
         cur.execute(f"SELECT min({partition_col}), max({partition_col}) "
                     f"FROM {table}")
         lo_hi = cur.fetchone()
+        # pin the Arrow schema from a driver-side probe: DB-API gives no
+        # reliable column types, so empty / all-NULL partitions would
+        # otherwise infer null-typed columns and emit conflicting block
+        # schemas (a column all-NULL in the probe stays null-typed; a
+        # later partition that knows better keeps its own type)
+        cur.execute(f"SELECT {cols} FROM {table} LIMIT 256")
+        target = _rows_to_table(cur).schema
     finally:
         con.close()
     if lo_hi is None or lo_hi[0] is None:
         return rd.from_arrow(pa.table({}))
-    bounds = np.linspace(lo_hi[0], lo_hi[1] + 1,
-                         num_partitions + 1).astype(int)
-    parts = [{"lo": int(bounds[i]), "hi": int(bounds[i + 1])}
+    bounds = _range_bounds(int(lo_hi[0]), int(lo_hi[1]), num_partitions)
+    parts = [{"lo": bounds[i], "hi": bounds[i + 1]}
              for i in range(num_partitions) if bounds[i + 1] > bounds[i]]
+
+    def conform(t: pa.Table) -> pa.Table:
+        cols_out = {}
+        for f in target:
+            col = t[f.name]
+            if col.type != f.type and pa.types.is_null(col.type):
+                col = col.cast(f.type)
+            cols_out[f.name] = col
+        return pa.table(cols_out)
 
     def read_part(batch: pa.Table) -> pa.Table:
         out = []
@@ -179,7 +215,7 @@ def read_dbapi(
                 cur.execute(
                     f"SELECT {cols} FROM {table} WHERE {partition_col} "
                     f">= {lo} AND {partition_col} < {hi}")
-                out.append(_rows_to_table(cur))
+                out.append(conform(_rows_to_table(cur)))
             finally:
                 c.close()
         return pa.concat_tables(out, promote_options="permissive")

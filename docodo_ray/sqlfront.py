@@ -3274,7 +3274,7 @@ def _type_zero(t: pa.DataType):
         return 0
     if pa.types.is_boolean(t):
         return False
-    if pa.types.is_timestamp(t):
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
         return pa.scalar(0, t)
     raise SqlError(f"ROLLUP/CUBE key type {t} is unsupported")
 
@@ -3336,6 +3336,9 @@ def _run_groupsets(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
                     "grouping-set row")
         return rd.from_arrow(pa.table(data))
     types = dict(zip(sch.names, sch.types))
+    for c in cols:
+        _type_zero(types[c])  # fail FAST on unsupported key types,
+        # driver-side, before any re-aggregation tasks are built
     if kind == "rollup":
         sets = [tuple(cols[:k]) for k in range(len(cols) - 1, -1, -1)]
     else:
@@ -3409,7 +3412,50 @@ def _run_groupsets(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
                     raise SqlError(f"ORDER BY position {c} out of range")
                 c = out_names[c - 1]
             order.append((c, d))
-        out = _order_limit(out, dict(q, order=order))
+        colset = set(cols)
+        if any(c in colset for c, _ in order):
+            # ORDER BY on a grouping key: the union rows hold NULL-filled
+            # keys, which Ray's sort cannot compare — sort on the same
+            # (is-null flag, filled value) surrogates as the exchange.
+            # DuckDB's default null order is NULLS LAST for ASC and DESC
+            # alike, so the flag always sorts ascending.
+            ref = [c for c in cols if any(oc == c for oc, _ in order)]
+
+            def enc_sort(t: pa.Table) -> pa.Table:
+                for c in ref:
+                    col = t[c].combine_chunks()
+                    t = t.append_column(
+                        f"_gsn_{c}", col.is_null().cast(pa.int64()))
+                    t = t.append_column(
+                        f"_gsv_{c}", col.fill_null(_type_zero(types[c])))
+                return t
+
+            enc_sort.__name__ = "sql_groupset_sortenc"
+            keys: list = []
+            desc: list = []
+            for c, d in order:
+                if c in colset:
+                    keys += [f"_gsn_{c}", f"_gsv_{c}"]
+                    desc += [False, d]
+                else:
+                    keys.append(c)
+                    desc.append(d)
+            out = out.map_batches(
+                enc_sort, batch_format="pyarrow").sort(
+                key=keys, descending=desc)
+            if q["limit"] is not None:
+                off = q.get("offset") or 0
+                out = out.limit(off + q["limit"])
+                if off:
+                    out = out.split_at_indices([off])[1]
+
+            def drop_sur(t: pa.Table) -> pa.Table:
+                return t.select(out_names)
+
+            drop_sur.__name__ = "sql_groupset_sortdrop"
+            out = out.map_batches(drop_sur, batch_format="pyarrow")
+        else:
+            out = _order_limit(out, dict(q, order=order))
     return out
 
 

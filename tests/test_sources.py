@@ -307,3 +307,46 @@ def test_read_dbapi_sqlite_partitioned(ray_session, tmp_path):
     con.commit(); con.close()
     assert read_dbapi(connect, table="empty", partition_col="rid"
                       ).count() == 0
+
+
+def test_read_dbapi_edge_cases(ray_session, tmp_path):
+    """Review-finding regressions: 64-bit keys past float64 precision
+    must not drop edge rows, NULL partition keys fail loudly, and empty/
+    all-NULL partitions conform to the probed schema instead of emitting
+    null-typed blocks."""
+    import functools
+    import sqlite3
+
+    from docodo_ray.sources import read_dbapi
+
+    db = str(tmp_path / "edge.sqlite")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE big (rid INTEGER PRIMARY KEY, x INTEGER)")
+    big_ids = [2**62 + 600, 2**62 + 50_600, 2**62 + 100_000]
+    con.executemany("INSERT INTO big VALUES (?, ?)",
+                    [(i, 1) for i in big_ids])
+    con.execute("CREATE TABLE nullkey (k INTEGER, x TEXT)")
+    con.executemany("INSERT INTO nullkey VALUES (?, ?)",
+                    [(1, "a"), (None, "b"), (2, "c")])
+    con.execute("CREATE TABLE sparse (rid INTEGER PRIMARY KEY, x INTEGER)")
+    # x is NULL in the low key range, typed only in the high one
+    con.executemany("INSERT INTO sparse VALUES (?, ?)",
+                    [(1, None), (2, None), (100, 5), (101, 6)])
+    con.commit()
+    con.close()
+    connect = functools.partial(sqlite3.connect, db)
+
+    got = read_dbapi(connect, table="big", partition_col="rid",
+                     num_partitions=16).to_pandas()
+    assert sorted(got["rid"].tolist()) == big_ids  # no edge-row loss
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="NULL"):
+        read_dbapi(connect, table="nullkey", partition_col="k")
+
+    ds = read_dbapi(connect, table="sparse", partition_col="rid",
+                    num_partitions=8)
+    df = ds.to_pandas().sort_values("rid").reset_index(drop=True)
+    assert df["x"].tolist()[2:] == [5, 6]
+    assert str(df["x"].dtype) != "object"  # schema conformed, not inferred

@@ -3240,3 +3240,39 @@ def test_rollup_rejects_non_mergeable_aggregates(ray_session, tmp_path):
         run_sql(str(tmp_path),
                 "SELECT k, count(*) AS n FROM t GROUP BY ROLLUP(k) "
                 "HAVING count(*) > 1")
+
+
+def test_rollup_order_by_key_and_date_key(ray_session, tmp_path):
+    """Review-finding regressions: ORDER BY on a rollup key (NULL-filled
+    rows) sorts with DuckDB's NULLS LAST semantics instead of crashing,
+    and unsupported key types fail fast driver-side as SqlError."""
+    import duckdb
+
+    pq.write_table(pa.table({
+        "k": pa.array(["b", "a", "a", None], pa.string()),
+        "v": pa.array([1, 2, 3, 4], pa.int64()),
+        "nested": pa.array([[1], [2], [3], [4]],
+                           pa.list_(pa.int64()))}),
+        str(tmp_path / "t.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    for s in (
+        "SELECT k, count(*) AS n FROM t GROUP BY ROLLUP(k) "
+        "ORDER BY k ASC, n ASC",
+        "SELECT k, count(*) AS n FROM t GROUP BY ROLLUP(k) "
+        "ORDER BY k DESC, n ASC LIMIT 3",
+        "SELECT k, CAST(sum(v) AS BIGINT) AS s FROM t "
+        "GROUP BY ROLLUP(k) ORDER BY s DESC, k ASC",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert [tuple(map(str, r)) for r in got.values.tolist()] == \
+               [tuple(map(str, r)) for r in want.values.tolist()], s
+    # unsupported key types fail LOUDLY: list keys are refused by the
+    # finest groupby machinery itself (RayTaskError), anything that
+    # survives the finest fold is screened driver-side by _type_zero
+    with pytest.raises(Exception):
+        run_sql(str(tmp_path),
+                "SELECT nested, count(*) AS n FROM t "
+                "GROUP BY ROLLUP(nested)").to_pandas()
