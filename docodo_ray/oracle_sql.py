@@ -2783,6 +2783,7 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_TPCH_Q16, DEMO_TPCH_Q20,
                                      DEMO_TPCH_Q22,
                                      DEMO_ROLLUP, DEMO_CUBE,
+                                     DEMO_RANGE_FRAME,
                                      DEMO_UNION_DISTINCT,
                                      DEMO_ROWS_FRAME, DEMO_SCALAR_ATOM,
                                      DEMO_CORPUS_PROFILE)
@@ -2850,6 +2851,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_tpch_q22"] = DEMO_TPCH_Q22
     sql["sql_rollup"] = DEMO_ROLLUP
     sql["sql_cube"] = DEMO_CUBE
+    sql["sql_range_frame"] = DEMO_RANGE_FRAME
     sql["sql_union_distinct"] = DEMO_UNION_DISTINCT
     sql["sql_rows_frame"] = DEMO_ROWS_FRAME
     sql["sql_scalar_atom"] = DEMO_SCALAR_ATOM

@@ -564,16 +564,19 @@ class _Parser:
             self.next()
             order.append(self._win_order_item())
         k, v = self.peek()
-        if k == "ident" and v.lower() == "rows":
+        if k == "ident" and v.lower() in ("rows", "range"):
             # ROWS BETWEEN n PRECEDING AND CURRENT ROW: a positional
-            # moving frame (running aggregates only). All windows in a
-            # statement share one spec, frame included.
+            # moving frame; RANGE BETWEEN n PRECEDING AND CURRENT ROW:
+            # a value-based frame over the single integer ORDER BY key
+            # (running aggregates only). All windows in a statement
+            # share one spec, frame included.
+            fkind = v.lower()
             self.next()
             self.expect("kw", "between")
             nk, nv = self.next()
             if nk != "num" or not isinstance(nv, int) or nv < 0:
-                raise SqlError("ROWS BETWEEN needs a non-negative "
-                               "integer PRECEDING bound")
+                raise SqlError(f"{fkind.upper()} BETWEEN needs a "
+                               "non-negative integer PRECEDING bound")
             pk, pv = self.next()
             if pk != "ident" or pv.lower() != "preceding":
                 raise SqlError("expected PRECEDING")
@@ -583,7 +586,11 @@ class _Parser:
             if (ck, rk) != ("ident", "ident") or \
                     cv.lower() != "current" or rv.lower() != "row":
                 raise SqlError("expected CURRENT ROW")
-            frame = nv
+            if fkind == "range":
+                if len(order) != 1 or order[0][1]:
+                    raise SqlError("RANGE frames need exactly one "
+                                   "ascending ORDER BY key")
+            frame = (fkind, nv)
         else:
             frame = None
         if getattr(self, "_frames", None) is not None:
@@ -3720,15 +3727,19 @@ def _run_window(ds: rd.Dataset, q: dict, wins, plan: list) -> rd.Dataset:
     order = list(wins[0][3])
     items = list(q["items"])
     qual = q.get("qualify")
-    frame = q.get("win_frame")  # ROWS BETWEEN frame PRECEDING AND CUR
+    frame = q.get("win_frame")  # (kind, n) BETWEEN n PRECEDING AND CUR
     if frame is not None:
+        fkind, fn_n = frame
+        allowed = (("sum", "min", "max", "count", "avgb")
+                   if fkind == "rows" else ("sum", "count", "avgb"))
         for it in items:
-            if it[0] == "win" and it[1] not in ("sum", "min", "max",
-                                                "count", "avgb"):
+            if it[0] == "win" and it[1] not in allowed:
                 raise SqlError(
-                    "ROWS frames apply to running SUM/MIN/MAX/AVG/"
-                    "COUNT(*) only (ranks and LAG/LEAD ignore frames "
-                    "in SQL)")
+                    f"{fkind.upper()} frames apply to running "
+                    f"{'/'.join(a.upper() for a in allowed)} only "
+                    "(ranks and LAG/LEAD ignore frames in SQL"
+                    + ("; MIN/MAX need a positional ROWS frame)"
+                       if fkind == "range" else ")"))
 
     def wk_partial(t: pa.Table) -> pa.Table:
         u, inv = _batch_group_key(t, t.num_rows, part)
@@ -3789,11 +3800,36 @@ def _run_window(ds: rd.Dataset, q: dict, wins, plan: list) -> rd.Dataset:
                 out[it[2]] = gs[it[1]]
             elif it[1] in ("sum", "min", "max", "count", "avgb"):
                 import pandas as pd
-                if frame is not None:
+                if frame is not None and frame[0] == "range":
+                    # value-based frame: rows whose single ascending
+                    # ORDER BY key lies in [key_i - n, key_i]; the frame
+                    # END is the last ORDER BY peer (RANGE CURRENT ROW
+                    # includes key ties, SQL semantics). Start indices
+                    # via per-partition searchsorted over the sorted key.
+                    key_s = okeys[0][sort_idx]
+                    st = np.empty(n, np.int64)
+                    for s0, s1 in zip(starts, np.append(starts[1:], n)):
+                        kv = key_s[s0:s1]
+                        st[s0:s1] = s0 + np.searchsorted(
+                            kv, kv - frame[1], side="left")
+                    if it[1] == "count":
+                        run = (ends - st + 1).astype(np.int64)
+                    else:
+                        v = np.broadcast_to(
+                            np.asarray(_eval_expr(gs, it[5])),
+                            n).astype(np.int64)
+                        cs = np.cumsum(v)
+                        sv = cs[ends] - cs[st] + v[st]
+                        if it[1] == "sum":
+                            run = sv
+                        else:  # avgb
+                            cv = ends - st + 1
+                            run = np.rint(sv / cv).astype(np.int64)
+                elif frame is not None:
                     # positional moving frame (ROWS ignores ORDER BY
                     # peers): window = rows [i - frame, i] clamped to
                     # the partition start
-                    w = frame + 1
+                    w = frame[1] + 1
                     if it[1] == "count":
                         run = np.minimum(rn, w).astype(np.int64)
                     elif it[1] == "avgb":
@@ -4846,6 +4882,16 @@ DEMO_ROWS_FRAME = (
     "(PARTITION BY o_custkey ORDER BY o_orderkey ASC "
     "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) "
     "AS mv4_spend_c FROM orders WHERE o_custkey < 200")
+DEMO_RANGE_FRAME = (
+    # value-based RANGE frame: per-user revenue over the trailing
+    # event_id window [id-100, id] — the frame end includes ORDER BY
+    # peers (SQL RANGE CURRENT ROW), start found by per-partition
+    # searchsorted over the single ascending integer key
+    "SELECT user_id, event_id, "
+    "CAST(SUM(CAST(value * 100 AS BIGINT)) OVER ("
+    "PARTITION BY user_id ORDER BY event_id ASC "
+    "RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS mv_c FROM events WHERE user_id < 50")
 DEMO_SCALAR_ATOM = (
     # share-of-total: each priority's order-key mass in permille of the
     # corpus total — the scalar subquery resolves to one plan-time

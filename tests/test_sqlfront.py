@@ -3276,3 +3276,46 @@ def test_rollup_order_by_key_and_date_key(ray_session, tmp_path):
         run_sql(str(tmp_path),
                 "SELECT nested, count(*) AS n FROM t "
                 "GROUP BY ROLLUP(nested)").to_pandas()
+
+
+def test_range_frame_vs_duckdb(ray_session, tmp_path):
+    """RANGE BETWEEN n PRECEDING AND CURRENT ROW: value-based frames with
+    peer-inclusive ends must match DuckDB, including duplicate ORDER BY
+    keys (ties share the frame end) and gaps larger than n."""
+    import duckdb
+
+    pq.write_table(pa.table({
+        "p": pa.array([1, 1, 1, 1, 1, 2, 2, 2], pa.int64()),
+        "t": pa.array([0, 10, 10, 25, 300, 5, 6, 300], pa.int64()),
+        "v": pa.array([1, 2, 3, 4, 5, 10, 20, 30], pa.int64())}),
+        str(tmp_path / "t.parquet"), row_group_size=3)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    canon = lambda df: sorted(
+        map(lambda r: tuple(map(str, r)),
+            df[sorted(df.columns)].values.tolist()))
+    for s in (
+        "SELECT p, t, CAST(SUM(v) OVER (PARTITION BY p ORDER BY t ASC "
+        "RANGE BETWEEN 15 PRECEDING AND CURRENT ROW) AS BIGINT) AS s "
+        "FROM t",
+        "SELECT p, t, CAST(COUNT(*) OVER (PARTITION BY p ORDER BY t ASC "
+        "RANGE BETWEEN 0 PRECEDING AND CURRENT ROW) AS BIGINT) AS c "
+        "FROM t",
+        "SELECT p, t, CAST(AVG(v) OVER (PARTITION BY p ORDER BY t ASC "
+        "RANGE BETWEEN 20 PRECEDING AND CURRENT ROW) AS BIGINT) AS a "
+        "FROM t",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), (s, got, want)
+    # loud refusals: MIN under RANGE, multi-key / descending ORDER BY
+    with pytest.raises(SqlError, match="RANGE"):
+        run_sql(str(tmp_path),
+                "SELECT p, min(v) OVER (PARTITION BY p ORDER BY t ASC "
+                "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS m FROM t")
+    with pytest.raises(SqlError, match="ascending"):
+        run_sql(str(tmp_path),
+                "SELECT p, CAST(SUM(v) OVER (PARTITION BY p "
+                "ORDER BY t DESC RANGE BETWEEN 5 PRECEDING AND "
+                "CURRENT ROW) AS BIGINT) AS s FROM t")
