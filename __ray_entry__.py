@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, sqlfront.DEMO_CUBE),
         "sql_range_frame": lambda sf: sqlfront.run_sql(
             sf, sqlfront.DEMO_RANGE_FRAME),  # value-based window frame
+        "sql_grouping_sets": lambda sf: sqlfront.run_sql(
+            sf, sqlfront.DEMO_GROUPING_SETS),  # explicit set list
         # --- relational layer over the TPC-H tables ---
         "pricing_summary": relational.pricing_summary,   # TPC-H Q1 rollup
         "q3_top_orders": relational.q3_top_orders,       # Q3 top-k revenue join

@@ -2784,6 +2784,7 @@ FROM {PROFILE_TABLE}"""
                                      DEMO_TPCH_Q22,
                                      DEMO_ROLLUP, DEMO_CUBE,
                                      DEMO_RANGE_FRAME,
+                                     DEMO_GROUPING_SETS,
                                      DEMO_UNION_DISTINCT,
                                      DEMO_ROWS_FRAME, DEMO_SCALAR_ATOM,
                                      DEMO_CORPUS_PROFILE)
@@ -2852,6 +2853,7 @@ FROM {PROFILE_TABLE}"""
     sql["sql_rollup"] = DEMO_ROLLUP
     sql["sql_cube"] = DEMO_CUBE
     sql["sql_range_frame"] = DEMO_RANGE_FRAME
+    sql["sql_grouping_sets"] = DEMO_GROUPING_SETS
     sql["sql_union_distinct"] = DEMO_UNION_DISTINCT
     sql["sql_rows_frame"] = DEMO_ROWS_FRAME
     sql["sql_scalar_atom"] = DEMO_SCALAR_ATOM

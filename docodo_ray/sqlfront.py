@@ -408,6 +408,42 @@ class _Parser:
                     self.next()
                     group.append(self._qual_ident())
                 self.expect("op", ")")
+            elif (self.peek()[0] == "ident"
+                  and self.peek()[1].lower() == "grouping"):
+                # GROUP BY GROUPING SETS ((a, b), (a), ()): explicit set
+                # list — stored as INDEX tuples into the group column
+                # list so later name rewrites (namespace stripping)
+                # propagate; duplicate sets emit duplicate rows (SQL)
+                self.next()
+                nk, nv = self.next()
+                if nk != "ident" or nv.lower() != "sets":
+                    raise SqlError("expected SETS after GROUPING")
+                self.expect("op", "(")
+                req: list[tuple[int, ...]] = []
+                while True:
+                    self.expect("op", "(")
+                    ix: list[int] = []
+                    if self.peek() != ("op", ")"):
+                        while True:
+                            c = self._qual_ident()
+                            if c not in group:
+                                group.append(c)
+                            ix.append(group.index(c))
+                            if self.peek() == ("op", ","):
+                                self.next()
+                                continue
+                            break
+                    self.expect("op", ")")
+                    req.append(tuple(ix))
+                    if self.peek() == ("op", ","):
+                        self.next()
+                        continue
+                    break
+                self.expect("op", ")")
+                if not group:
+                    raise SqlError("GROUPING SETS needs at least one "
+                                   "non-empty set")
+                groupsets = ("sets", req)
             else:
                 # a GROUP BY item may be a bare column or an arithmetic
                 # expression (bucketing: k % 7, CASE buckets) —
@@ -3300,18 +3336,19 @@ def _run_groupsets(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
 
     kind = q["groupsets"]
     cols = list(q["group"])
+    kname = "grouping sets" if isinstance(kind, tuple) else kind
     if not cols:
-        raise SqlError(f"{kind.upper()} needs at least one column")
+        raise SqlError(f"{kname.upper()} needs at least one column")
     if q.get("having") is not None:
-        raise SqlError(f"HAVING with {kind.upper()} is unsupported "
+        raise SqlError(f"HAVING with {kname.upper()} is unsupported "
                        "(wrap in a derived table)")
     if q.get("joins") or q.get("distinct"):
-        raise SqlError(f"{kind.upper()} supports single-table "
+        raise SqlError(f"{kname.upper()} supports single-table "
                        "ungrouped-join-free queries")
     aggs = [i for i in q["items"] if i[0] == "agg"]
     plain = [i for i in q["items"] if i[0] == "col"]
     if len(aggs) + len(plain) != len(q["items"]) or not aggs:
-        raise SqlError(f"{kind.upper()} items must be grouping columns "
+        raise SqlError(f"{kname.upper()} items must be grouping columns "
                        "and COUNT/SUM/MIN/MAX aggregates")
     for i in aggs:
         if i[1] not in ("count", "countn", "sum", "min", "max"):
@@ -3323,36 +3360,43 @@ def _run_groupsets(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
     finest = _run_parsed(sf_dir, base, plan).materialize()
     out_names = _out_names(q)
     if out_names is None:
-        raise SqlError(f"{kind.upper()} items must have static names")
+        raise SqlError(f"{kname.upper()} items must have static names")
     refn = {i[3]: ("sum" if i[1] in ("count", "countn", "sum")
                    else i[1]) for i in aggs}
+    # the REQUESTED grouping sets, finest first where present:
+    # ROLLUP(a,b) -> (a,b),(a),(); CUBE -> all subsets; GROUPING SETS ->
+    # exactly the listed sets (duplicates emit duplicate rows, SQL)
+    if kind == "rollup":
+        requested = [tuple(cols[:k]) for k in range(len(cols), -1, -1)]
+    elif kind == "cube":
+        from itertools import combinations
+
+        requested = [c for k in range(len(cols), -1, -1)
+                     for c in combinations(cols, k)]
+    else:
+        requested = [tuple(cols[i] for i in ix) for ix in kind[1]]
     sch = finest.schema()
     if sch is None or not sch.names or finest.count() == 0:
-        # SQL semantics on EMPTY input: ROLLUP/CUBE emit exactly the
-        # global () grouping-set row — NULL keys, COUNT = 0,
-        # SUM/MIN/MAX = NULL (DuckDB-verified)
+        # SQL semantics on EMPTY input (DuckDB-verified): one global row
+        # PER () set requested — NULL keys, COUNT = 0, SUM/MIN/MAX =
+        # NULL; sets with key columns contribute nothing
+        n_empty = sum(1 for s in requested if not s)
         types0 = (dict(zip(sch.names, sch.types))
                   if sch is not None and sch.names else {})
         data = {}
         for item, name in zip(q["items"], out_names):
             if item[0] == "agg" and item[1] in ("count", "countn"):
-                data[name] = pa.array([0], pa.int64())
+                data[name] = pa.array([0] * n_empty, pa.int64())
             else:
-                data[name] = pa.nulls(1, types0.get(name, pa.null()))
-        plan.append(f"{kind}: empty input -> the single global "
-                    "grouping-set row")
+                data[name] = pa.nulls(n_empty,
+                                      types0.get(name, pa.null()))
+        plan.append(f"{kname}: empty input -> {n_empty} global "
+                    "grouping-set row(s)")
         return rd.from_arrow(pa.table(data))
     types = dict(zip(sch.names, sch.types))
     for c in cols:
         _type_zero(types[c])  # fail FAST on unsupported key types,
         # driver-side, before any re-aggregation tasks are built
-    if kind == "rollup":
-        sets = [tuple(cols[:k]) for k in range(len(cols) - 1, -1, -1)]
-    else:
-        from itertools import combinations
-
-        sets = [c for k in range(len(cols) - 1, -1, -1)
-                for c in combinations(cols, k)]
 
     def _reagg(keys: tuple) -> rd.Dataset:
         keyset = set(keys)
@@ -3404,13 +3448,20 @@ def _run_groupsets(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
             tag_all, batch_format="pyarrow").groupby("_gsall").map_groups(
             fold, batch_format="pyarrow")
 
-    out = finest
-    for s in sets:
-        out = out.union(_reagg(s))
+    full = frozenset(cols)
+    out = None
+    n_reagg = 0
+    for s in requested:
+        if frozenset(s) == full:
+            d = finest  # the finest fold IS this set's result
+        else:
+            d = _reagg(s)
+            n_reagg += 1
+        out = d if out is None else out.union(d)
     plan.append(
-        f"{kind}({', '.join(cols)}): finest fold once + {len(sets)} "
+        f"{kname}({', '.join(cols)}): finest fold once + {n_reagg} "
         "re-aggregations of the materialized folded rows (union of "
-        "grouping sets, NULL-filled keys)")
+        f"{len(requested)} grouping sets, NULL-filled keys)")
     if q["order"] or q["limit"] is not None:
         order = []
         for c, d in q["order"] or []:
@@ -4882,6 +4933,17 @@ DEMO_ROWS_FRAME = (
     "(PARTITION BY o_custkey ORDER BY o_orderkey ASC "
     "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) "
     "AS mv4_spend_c FROM orders WHERE o_custkey < 200")
+DEMO_GROUPING_SETS = (
+    # explicit GROUPING SETS: exactly the listed sets from one finest
+    # fold — here the pair level, one single-key level, and the grand
+    # total, with sentinel COALESCE outside (house hash convention)
+    "WITH o AS (SELECT o_custkey % 4 AS b1, o_orderkey % 3 AS b2, "
+    "o_orderkey FROM orders) "
+    "SELECT COALESCE(t.b1, -1) AS k1, COALESCE(t.b2, -1) AS k2, "
+    "t.n, t.s FROM "
+    "(SELECT b1, b2, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS s "
+    "FROM o GROUP BY GROUPING SETS ((b1, b2), (b2), ())) t "
+    "ORDER BY k1 ASC, k2 ASC")
 DEMO_RANGE_FRAME = (
     # value-based RANGE frame: per-user revenue over the trailing
     # event_id window [id-100, id] — the frame end includes ORDER BY

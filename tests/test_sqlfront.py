@@ -3319,3 +3319,47 @@ def test_range_frame_vs_duckdb(ray_session, tmp_path):
                 "SELECT p, CAST(SUM(v) OVER (PARTITION BY p "
                 "ORDER BY t DESC RANGE BETWEEN 5 PRECEDING AND "
                 "CURRENT ROW) AS BIGINT) AS s FROM t")
+
+
+def test_grouping_sets_vs_duckdb(ray_session, tmp_path):
+    """Explicit GROUPING SETS: exactly the listed sets (duplicates emit
+    duplicate rows), column order inside a set is irrelevant, and the
+    empty-input rule emits one global row PER () set."""
+    import duckdb
+
+    pq.write_table(pa.table({
+        "k": pa.array(["a", "a", "b", None], pa.string()),
+        "j": pa.array([1, 2, 1, 2], pa.int64()),
+        "v": pa.array([10, 20, 30, 40], pa.int64())}),
+        str(tmp_path / "t.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    canon = lambda df: sorted(
+        map(lambda r: tuple(map(str, r)),
+            df[sorted(df.columns)].values.tolist()))
+    for s in (
+        "SELECT k, j, count(*) AS n, CAST(sum(v) AS BIGINT) AS s FROM t "
+        "GROUP BY GROUPING SETS ((k, j), (j), ())",
+        "SELECT k, count(*) AS n FROM t GROUP BY GROUPING SETS ((k), (k))",
+        "SELECT k, j, count(*) AS n FROM t "
+        "GROUP BY GROUPING SETS ((j, k))",
+        "SELECT k, count(*) AS n FROM t WHERE v > 999 "
+        "GROUP BY GROUPING SETS ((k), ())",
+        "SELECT k, count(*) AS n FROM t WHERE v > 999 "
+        "GROUP BY GROUPING SETS ((k))",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), (s, got, want)
+
+    from docodo_ray.sqlfront import DEMO_GROUPING_SETS
+
+    SFD = "/root/testdata/sf0.001"
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                 f"read_parquet('{SFD}/orders.parquet')")
+    got = run_sql(SFD, DEMO_GROUPING_SETS).to_pandas()
+    want = con2.execute(DEMO_GROUPING_SETS).fetch_df()
+    assert len(want) > 0
+    assert canon(got) == canon(want)
