@@ -2737,7 +2737,27 @@ def test_differential_random_new_constructs_vs_duckdb(ray_session,
     @st.composite
     def stmt(draw):
         kind = draw(st.sampled_from(
-            ["groupexpr", "agghaving", "setop", "strminmax", "inlist"]))
+            ["groupexpr", "agghaving", "setop", "strminmax", "inlist",
+             "gsets"]))
+        if kind == "gsets":
+            # rollup/cube/grouping-sets over NULL-bearing string keys:
+            # the finest NULL group must coexist with NULL-filled
+            # rollup rows, duplicates emit duplicates, all vs DuckDB
+            spec, cols = draw(st.sampled_from([
+                ("ROLLUP(k)", "k"),
+                ("ROLLUP(k, s)", "k, s"),
+                ("ROLLUP(s, k)", "s, k"),
+                ("CUBE(k, s)", "k, s"),
+                ("GROUPING SETS ((k), ())", "k"),
+                ("GROUPING SETS ((k, s), (s))", "k, s"),
+                ("GROUPING SETS ((s), (s), ())", "s"),
+            ]))
+            agg = draw(st.sampled_from(
+                ["count(*) AS n",
+                 "count(*) AS n, CAST(sum(v) AS BIGINT) AS a",
+                 "min(v) AS lo, max(v) AS hi",
+                 "count(s) AS ns, CAST(sum(v) AS BIGINT) AS a"]))
+            return f"SELECT {cols}, {agg} FROM t GROUP BY {spec}"
         if kind == "inlist":
             # IN / NOT IN membership: plain int column, arithmetic
             # expression (desugared OR chain), and a NULL-bearing string
