@@ -409,15 +409,16 @@ class _Parser:
                     group.append(self._qual_ident())
                 self.expect("op", ")")
             elif (self.peek()[0] == "ident"
-                  and self.peek()[1].lower() == "grouping"):
+                  and self.peek()[1].lower() == "grouping"
+                  and self.toks[self.pos + 1][0] == "ident"
+                  and str(self.toks[self.pos + 1][1]).lower() == "sets"):
                 # GROUP BY GROUPING SETS ((a, b), (a), ()): explicit set
                 # list — stored as INDEX tuples into the group column
-                # list so later name rewrites (namespace stripping)
-                # propagate; duplicate sets emit duplicate rows (SQL)
+                # list (one shared name list); duplicate sets emit
+                # duplicate rows (SQL). The two-token lookahead keeps a
+                # column literally named `grouping` groupable.
                 self.next()
-                nk, nv = self.next()
-                if nk != "ident" or nv.lower() != "sets":
-                    raise SqlError("expected SETS after GROUPING")
+                self.next()
                 self.expect("op", "(")
                 req: list[tuple[int, ...]] = []
                 while True:
@@ -440,9 +441,8 @@ class _Parser:
                         continue
                     break
                 self.expect("op", ")")
-                if not group:
-                    raise SqlError("GROUPING SETS needs at least one "
-                                   "non-empty set")
+                # all-() set lists are legal: the finest grouping is the
+                # GLOBAL aggregate and every () set re-emits its row
                 groupsets = ("sets", req)
             else:
                 # a GROUP BY item may be a bare column or an arithmetic
@@ -507,7 +507,7 @@ class _Parser:
         self._frames = outer_frames
         if len(set(frames)) > 1:
             raise SqlError("all window functions in one statement must "
-                           "share the same ROWS frame")
+                           "share the same window frame")
         return {"items": items, "table": table, "alias": alias,
                 "joins": joins, "where": where, "group": group,
                 "having": having, "qualify": qualify, "order": order,
@@ -3337,7 +3337,7 @@ def _run_groupsets(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
     kind = q["groupsets"]
     cols = list(q["group"])
     kname = "grouping sets" if isinstance(kind, tuple) else kind
-    if not cols:
+    if not cols and not isinstance(kind, tuple):
         raise SqlError(f"{kname.upper()} needs at least one column")
     if q.get("having") is not None:
         raise SqlError(f"HAVING with {kname.upper()} is unsupported "
@@ -3392,9 +3392,24 @@ def _run_groupsets(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
                                       types0.get(name, pa.null()))
         plan.append(f"{kname}: empty input -> {n_empty} global "
                     "grouping-set row(s)")
-        return rd.from_arrow(pa.table(data))
+        tbl = pa.table(data)
+        # LIMIT/OFFSET still apply to the global rows (ORDER BY is an
+        # identity on identical rows, so a plain slice matches DuckDB)
+        if q["limit"] is not None:
+            if not q["order"]:
+                raise SqlError("LIMIT without ORDER BY is "
+                               "nondeterministic — add a total ORDER BY")
+            tbl = tbl.slice(q.get("offset") or 0, q["limit"])
+        return rd.from_arrow(tbl)
     types = dict(zip(sch.names, sch.types))
     for c in cols:
+        if c not in types:
+            # q here is pre-namespace (the _run_parsed hook fires before
+            # stripping), so a qualified key like `o.x` never matches
+            # the finest fold's bare column names — refuse loudly
+            raise SqlError(
+                f"{kname.upper()} key {c!r} must be an unqualified "
+                "column of the single FROM table")
         _type_zero(types[c])  # fail FAST on unsupported key types,
         # driver-side, before any re-aggregation tasks are built
 
@@ -3780,7 +3795,7 @@ def _run_window(ds: rd.Dataset, q: dict, wins, plan: list) -> rd.Dataset:
     qual = q.get("qualify")
     frame = q.get("win_frame")  # (kind, n) BETWEEN n PRECEDING AND CUR
     if frame is not None:
-        fkind, fn_n = frame
+        fkind = frame[0]
         allowed = (("sum", "min", "max", "count", "avgb")
                    if fkind == "rows" else ("sum", "count", "avgb"))
         for it in items:
@@ -3843,6 +3858,16 @@ def _run_window(ds: rd.Dataset, q: dict, wins, plan: list) -> rd.Dataset:
         # running aggregate reads at the LAST row of its peer group
         ends = (np.append(bnd[1:], n) - 1)[bidx] if n else \
             np.empty(0, np.int64)
+        if frame is not None and frame[0] == "range":
+            # RANGE frame starts depend only on the shared (partition,
+            # order, n) spec — compute ONCE per fold group, not per
+            # windowed item
+            key_s = okeys[0][sort_idx]
+            range_st = np.empty(n, np.int64)
+            for s0, s1 in zip(starts, np.append(starts[1:], n)):
+                kv = key_s[s0:s1]
+                range_st[s0:s1] = s0 + np.searchsorted(
+                    kv, kv - frame[1], side="left")
         out = {}
         for it in items:
             if it[0] == "col":
@@ -3855,14 +3880,9 @@ def _run_window(ds: rd.Dataset, q: dict, wins, plan: list) -> rd.Dataset:
                     # value-based frame: rows whose single ascending
                     # ORDER BY key lies in [key_i - n, key_i]; the frame
                     # END is the last ORDER BY peer (RANGE CURRENT ROW
-                    # includes key ties, SQL semantics). Start indices
-                    # via per-partition searchsorted over the sorted key.
-                    key_s = okeys[0][sort_idx]
-                    st = np.empty(n, np.int64)
-                    for s0, s1 in zip(starts, np.append(starts[1:], n)):
-                        kv = key_s[s0:s1]
-                        st[s0:s1] = s0 + np.searchsorted(
-                            kv, kv - frame[1], side="left")
+                    # includes key ties, SQL semantics); starts hoisted
+                    # to range_st above (shared across items)
+                    st = range_st
                     if it[1] == "count":
                         run = (ends - st + 1).astype(np.int64)
                     else:

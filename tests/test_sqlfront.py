@@ -1949,7 +1949,7 @@ def test_rows_frame_moving_aggregates_vs_duckdb(ray_session):
                     "(PARTITION BY o_custkey ORDER BY o_orderkey ASC "
                     "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS r "
                     "FROM orders")
-    with pytest.raises(SqlError, match="same ROWS frame"):
+    with pytest.raises(SqlError, match="same window frame"):
         run_sql(SF, "SELECT o_custkey, "
                     "min(o_orderkey) OVER (PARTITION BY o_custkey "
                     "ORDER BY o_orderkey ASC ROWS BETWEEN 1 PRECEDING "
@@ -3383,3 +3383,41 @@ def test_grouping_sets_vs_duckdb(ray_session, tmp_path):
     want = con2.execute(DEMO_GROUPING_SETS).fetch_df()
     assert len(want) > 0
     assert canon(got) == canon(want)
+
+
+def test_grouping_sets_review_regressions(ray_session, tmp_path):
+    """Review-finding regressions: a column literally named `grouping`
+    still groups; qualified grouping keys refuse loudly; LIMIT applies
+    to the empty-input global rows."""
+    import duckdb
+
+    pq.write_table(pa.table({
+        "grouping": pa.array(["x", "x", "y"], pa.string()),
+        "k": pa.array(["a", "b", "a"], pa.string()),
+        "v": pa.array([1, 2, 3], pa.int64())}),
+        str(tmp_path / "t.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    s = ('SELECT "grouping", count(*) AS n FROM t GROUP BY "grouping"')
+    # the engine grammar has no quoted idents; bare name must still work
+    s_eng = "SELECT grouping, count(*) AS n FROM t GROUP BY grouping"
+    got = run_sql(str(tmp_path), s_eng).to_pandas()
+    want = con.execute(s).fetch_df()
+    assert sorted(map(tuple, got.values.tolist())) == \
+           sorted(map(tuple, want.values.tolist()))
+
+    with pytest.raises(SqlError, match="unqualified"):
+        run_sql(str(tmp_path),
+                "SELECT t.k, count(*) AS n FROM t "
+                "GROUP BY GROUPING SETS ((t.k), ())")
+
+    for s in (
+        "SELECT k, count(*) AS n FROM t WHERE v > 999 "
+        "GROUP BY GROUPING SETS ((k), (), ()) ORDER BY k ASC LIMIT 1",
+        "SELECT count(*) AS n FROM t WHERE v > 999 "
+        "GROUP BY GROUPING SETS ((), ()) ORDER BY n ASC LIMIT 9",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert len(got) == len(want), (s, got, want)
