@@ -3339,12 +3339,27 @@ def _run_groupsets(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
     kname = "grouping sets" if isinstance(kind, tuple) else kind
     if not cols and not isinstance(kind, tuple):
         raise SqlError(f"{kname.upper()} needs at least one column")
-    if q.get("having") is not None:
-        raise SqlError(f"HAVING with {kname.upper()} is unsupported "
-                       "(wrap in a derived table)")
     if q.get("joins") or q.get("distinct"):
         raise SqlError(f"{kname.upper()} supports single-table "
                        "ungrouped-join-free queries")
+    # HAVING filters every grouping-set row uniformly (DuckDB-verified,
+    # including the empty-input global row): rewrite aggregate calls
+    # into (possibly hidden) fold columns now, apply the predicate after
+    # the set union; hidden aggregates re-aggregate like visible ones
+    # and drop after ORDER BY (so sorting may key on them)
+    q = _rewrite_having_aggs(q)
+    having = q.get("having")
+    hidden = list(q.get("_hidden") or [])
+    # SQL allows grouping by an unselected key (SELECT count(*) ..
+    # GROUP BY ROLLUP(k)); the finest fold and the set re-aggregation
+    # both need the key column, so synthesize a hidden select item for
+    # it and drop it with the other hidden columns at the end
+    items = list(q["items"])
+    for c in cols:
+        if not any(i[0] == "col" and i[1] == c for i in items):
+            items.append(("col", c))
+            hidden.append(c)
+    q = dict(q, items=items)
     aggs = [i for i in q["items"] if i[0] == "agg"]
     plain = [i for i in q["items"] if i[0] == "col"]
     if len(aggs) + len(plain) != len(q["items"]) or not aggs:
@@ -3356,7 +3371,9 @@ def _run_groupsets(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
                 f"{i[1].upper()} cannot re-aggregate across grouping "
                 "sets (AVG: decompose into SUM and COUNT; "
                 "COUNT(DISTINCT): not mergeable)")
-    base = dict(q, order=[], limit=None, offset=0, groupsets=None)
+    base = dict(q, having=None, order=[], limit=None, offset=0,
+                groupsets=None)
+    base.pop("_hidden", None)  # hidden aggs must SURVIVE the finest fold
     finest = _run_parsed(sf_dir, base, plan).materialize()
     out_names = _out_names(q)
     if out_names is None:
@@ -3393,6 +3410,10 @@ def _run_groupsets(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
         plan.append(f"{kname}: empty input -> {n_empty} global "
                     "grouping-set row(s)")
         tbl = pa.table(data)
+        if having is not None and tbl.num_rows:
+            tbl = tbl.filter(pa.array(_eval_pred(having, tbl)))
+        if hidden:
+            tbl = tbl.drop_columns(hidden)
         # LIMIT/OFFSET still apply to the global rows (ORDER BY is an
         # identity on identical rows, so a plain slice matches DuckDB)
         if q["limit"] is not None:
@@ -3477,6 +3498,15 @@ def _run_groupsets(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
         f"{kname}({', '.join(cols)}): finest fold once + {n_reagg} "
         "re-aggregations of the materialized folded rows (union of "
         f"{len(requested)} grouping sets, NULL-filled keys)")
+    if having is not None:
+        def have_gs(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(_eval_pred(having, t)))
+
+        have_gs.__name__ = "sql_groupset_having"
+        out = out.map_batches(have_gs, batch_format="pyarrow")
+        plan.append("having: vectorized filter over the grouping-set "
+                    "rows (applies per set, SQL semantics)")
+    visible = [c for c in out_names if c not in hidden]
     if q["order"] or q["limit"] is not None:
         order = []
         for c, d in q["order"] or []:
@@ -3523,12 +3553,19 @@ def _run_groupsets(sf_dir: str, q: dict, plan: list) -> rd.Dataset:
                     out = out.split_at_indices([off])[1]
 
             def drop_sur(t: pa.Table) -> pa.Table:
-                return t.select(out_names)
+                return t.select(visible)
 
             drop_sur.__name__ = "sql_groupset_sortdrop"
             out = out.map_batches(drop_sur, batch_format="pyarrow")
-        else:
-            out = _order_limit(out, dict(q, order=order))
+            return out
+        out = _order_limit(out, dict(q, order=order))
+    if hidden:
+        # drop AFTER the sort so ORDER BY could key on hidden aggregates
+        def drop_hidden_gs(t: pa.Table) -> pa.Table:
+            return t.select(visible)
+
+        drop_hidden_gs.__name__ = "sql_groupset_drop_hidden"
+        out = out.map_batches(drop_hidden_gs, batch_format="pyarrow")
     return out
 
 

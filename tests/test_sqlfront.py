@@ -3256,10 +3256,44 @@ def test_rollup_rejects_non_mergeable_aggregates(ray_session, tmp_path):
         run_sql(str(tmp_path),
                 "SELECT k, count(DISTINCT v) AS d FROM t "
                 "GROUP BY ROLLUP(k)")
-    with pytest.raises(SqlError, match="HAVING"):
+    # HAVING over a NON-mergeable hidden aggregate still refuses
+    with pytest.raises(SqlError, match="re-aggregate"):
         run_sql(str(tmp_path),
                 "SELECT k, count(*) AS n FROM t GROUP BY ROLLUP(k) "
-                "HAVING count(*) > 1")
+                "HAVING AVG(v) > 1")
+
+
+def test_rollup_having_vs_duckdb(ray_session, tmp_path):
+    """HAVING under ROLLUP/CUBE/GROUPING SETS filters every grouping-set
+    row (SQL semantics), including hidden aggregates synthesized from
+    the HAVING tree and the empty-input global row."""
+    import duckdb
+
+    pq.write_table(pa.table({
+        "k": pa.array(["a", "a", "b", None], pa.string()),
+        "v": pa.array([1, 2, 3, 4], pa.int64())}),
+        str(tmp_path / "t.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    canon = lambda df: sorted(
+        map(lambda r: tuple(map(str, r)),
+            df[sorted(df.columns)].values.tolist()))
+    for s in (
+        "SELECT k, count(*) AS n FROM t GROUP BY ROLLUP(k) "
+        "HAVING count(*) > 1",
+        "SELECT k, count(*) AS n FROM t GROUP BY ROLLUP(k) "
+        "HAVING sum(v) >= 3 ORDER BY n DESC, k ASC",
+        "SELECT k, CAST(sum(v) AS BIGINT) AS s FROM t "
+        "GROUP BY GROUPING SETS ((k), ()) HAVING min(v) < 4",
+        "SELECT count(*) AS n FROM t WHERE v > 999 "
+        "GROUP BY ROLLUP(k) HAVING count(*) > 0",
+        "SELECT count(*) AS n FROM t WHERE v > 999 "
+        "GROUP BY ROLLUP(k) HAVING count(*) = 0",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), (s, got, want)
 
 
 def test_rollup_order_by_key_and_date_key(ray_session, tmp_path):
