@@ -610,9 +610,15 @@ class _Parser:
             self.next()
             self.expect("kw", "between")
             nk, nv = self.next()
-            if nk != "num" or not isinstance(nv, int) or nv < 0:
+            if nk == "ident" and str(nv).lower() == "unbounded":
+                # UNBOUNDED PRECEDING: RANGE UNBOUNDED..CURRENT ROW is
+                # exactly the SQL default frame (peer-inclusive ends);
+                # ROWS UNBOUNDED..CURRENT ROW reads at the exact row
+                nv = None
+            elif nk != "num" or not isinstance(nv, int) or nv < 0:
                 raise SqlError(f"{fkind.upper()} BETWEEN needs a "
-                               "non-negative integer PRECEDING bound")
+                               "non-negative integer or UNBOUNDED "
+                               "PRECEDING bound")
             pk, pv = self.next()
             if pk != "ident" or pv.lower() != "preceding":
                 raise SqlError("expected PRECEDING")
@@ -623,6 +629,14 @@ class _Parser:
                     cv.lower() != "current" or rv.lower() != "row":
                 raise SqlError("expected CURRENT ROW")
             if fkind == "range":
+                if nv is None:
+                    # RANGE UNBOUNDED PRECEDING .. CURRENT ROW IS the
+                    # SQL default frame — normalize to frameless
+                    frame = None
+                    if getattr(self, "_frames", None) is not None:
+                        self._frames.append(frame)
+                    self.expect("op", ")")
+                    return part, order
                 if len(order) != 1 or order[0][1]:
                     raise SqlError("RANGE frames need exactly one "
                                    "ascending ORDER BY key")
@@ -3936,10 +3950,14 @@ def _run_window(ds: rd.Dataset, q: dict, wins, plan: list) -> rd.Dataset:
                 elif frame is not None:
                     # positional moving frame (ROWS ignores ORDER BY
                     # peers): window = rows [i - frame, i] clamped to
-                    # the partition start
-                    w = frame[1] + 1
+                    # the partition start; UNBOUNDED PRECEDING reads
+                    # the whole partition prefix at the EXACT row
+                    # (unlike the default frame's peer-group end)
+                    unb = frame[1] is None
+                    w = None if unb else frame[1] + 1
                     if it[1] == "count":
-                        run = np.minimum(rn, w).astype(np.int64)
+                        run = (rn if unb
+                               else np.minimum(rn, w)).astype(np.int64)
                     elif it[1] == "avgb":
                         # moving average: exact windowed (sum, count)
                         # pair, one IEEE divide, half-to-even cast
@@ -3947,9 +3965,10 @@ def _run_window(ds: rd.Dataset, q: dict, wins, plan: list) -> rd.Dataset:
                             np.asarray(_eval_expr(gs, it[5])),
                             n).astype(np.int64)
                         cs = np.cumsum(v)
-                        st = np.maximum(np.arange(n) - (w - 1), pstart)
+                        st = pstart if unb else np.maximum(
+                            np.arange(n) - (w - 1), pstart)
                         sv = cs - cs[st] + v[st]
-                        cv = np.minimum(rn, w)
+                        cv = rn if unb else np.minimum(rn, w)
                         run = np.rint(sv / cv).astype(np.int64)
                     else:
                         v = np.broadcast_to(
@@ -3957,9 +3976,14 @@ def _run_window(ds: rd.Dataset, q: dict, wins, plan: list) -> rd.Dataset:
                             n).astype(np.int64)
                         if it[1] == "sum":
                             cs = np.cumsum(v)
-                            st = np.maximum(np.arange(n) - (w - 1),
-                                            pstart)
+                            st = pstart if unb else np.maximum(
+                                np.arange(n) - (w - 1), pstart)
                             run = cs - cs[st] + v[st]
+                        elif unb:
+                            op = "cummin" if it[1] == "min" else "cummax"
+                            run = getattr(
+                                pd.Series(v).groupby(run_id),
+                                op)().to_numpy().astype(np.int64)
                         else:
                             op = "min" if it[1] == "min" else "max"
                             run = getattr(

@@ -3455,3 +3455,49 @@ def test_grouping_sets_review_regressions(ray_session, tmp_path):
         got = run_sql(str(tmp_path), s).to_pandas()
         want = con.execute(s).fetch_df()
         assert len(got) == len(want), (s, got, want)
+
+
+def test_unbounded_preceding_frames_vs_duckdb(ray_session, tmp_path):
+    """BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW: the ROWS variant
+    reads the partition prefix at the EXACT row (vs the default frame's
+    peer-group end); the RANGE variant IS the default frame. Unique
+    ORDER BY keys for ROWS (tie order is engine-specific in SQL),
+    tied keys for RANGE (peer-inclusive, tie-safe)."""
+    import duckdb
+
+    pq.write_table(pa.table({
+        "p": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "t": pa.array([5, 7, 9, 1, 2], pa.int64()),
+        "v": pa.array([10, 20, 30, 50, 60], pa.int64())}),
+        str(tmp_path / "t.parquet"))
+    pq.write_table(pa.table({
+        "p": pa.array([1, 1, 1, 1], pa.int64()),
+        "t": pa.array([5, 5, 7, 9], pa.int64()),
+        "v": pa.array([10, 20, 30, 40], pa.int64())}),
+        str(tmp_path / "ties.parquet"))
+    con = duckdb.connect()
+    for tab in ("t", "ties"):
+        con.execute(f"CREATE VIEW {tab} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{tab}.parquet')")
+    canon = lambda df: sorted(
+        map(lambda r: tuple(map(str, r)),
+            df[sorted(df.columns)].values.tolist()))
+    for s in (
+        "SELECT p, t, CAST(SUM(v) OVER (PARTITION BY p ORDER BY t ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS s FROM t",
+        "SELECT p, t, CAST(COUNT(*) OVER (PARTITION BY p ORDER BY t ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS c FROM t",
+        "SELECT p, t, min(v) OVER (PARTITION BY p ORDER BY t ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lo FROM t",
+        "SELECT p, t, CAST(AVG(v) OVER (PARTITION BY p ORDER BY t ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS a FROM t",
+        "SELECT p, t, CAST(SUM(v) OVER (PARTITION BY p ORDER BY t ASC "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS s FROM ties",
+    ):
+        got = run_sql(str(tmp_path), s).to_pandas()
+        want = con.execute(s).fetch_df()
+        assert canon(got) == canon(want), (s, got, want)
